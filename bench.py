@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the registry's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "suite_total_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": "..."}
+
+Each query is materialized with a noop write (full computation, no
+driver collect). Per-query time = min of RUNS timed executions after
+one warm-up (JVM/codegen warm, OS page cache hot) — the protocol
+recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from database_activity_monitoring_dam_system_spark.plans.registry import all_queries
+from database_activity_monitoring_dam_system_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("BENCH_RUNS", "2"))
+WARMUP = int(os.environ.get("BENCH_WARMUP", "1"))
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("dam-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+    timings: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        try:
+            for _ in range(WARMUP):
+                materialize(spec.fn(spark, SF_DIR))
+            best = float("inf")
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                materialize(spec.fn(spark, SF_DIR))
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # keep the suite going; surface failure
+            print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").rsplit("/", 1)[-1],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

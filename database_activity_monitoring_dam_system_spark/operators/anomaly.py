@@ -1,0 +1,142 @@
+"""Anomaly detection (SURVEY.md A7/A8, R6/R7, W4).
+
+The reference computes per-user baselines on demand and checks each new
+row with two more round-trip queries (app.py:520-553). Here both checks
+are set-oriented over the whole frame:
+
+* baseline = two-level aggregate (partial/final hash agg, one shuffle
+  on user_id);
+* volume anomaly = windowed counts joined to the baseline (stream-static
+  join shape in streaming);
+* impossible travel = lag() over (user, time) — canonical window-
+  function form of the reference's "last 2 logins" probe.
+
+MySQL STDDEV is population stddev → stddev_pop (FIXTURES.md decision #5).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def user_hourly_baseline(
+    activity: DataFrame,
+    *,
+    ts_col: str = "access_timestamp",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """A7 — per-user mean/population-stddev of per-(day,hour) counts
+    (behavior of app.py:522-532, vectorized over ALL users at once)."""
+    per_hour = (
+        activity.filter(F.col(user_col).isNotNull())
+        .groupBy(
+            F.col(user_col),
+            F.to_date(ts_col).alias("day"),
+            F.hour(ts_col).alias("hour"),
+        )
+        .agg(F.count("*").alias("queries_per_hour"))
+    )
+    return per_hour.groupBy(user_col).agg(
+        F.avg("queries_per_hour").alias("avg_queries"),
+        F.stddev_pop("queries_per_hour").alias("std_queries"),
+    )
+
+
+def volume_anomalies(
+    activity: DataFrame,
+    baseline: DataFrame | None = None,
+    *,
+    ts_col: str = "access_timestamp",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """R6 — (user, hour-bucket)s whose count exceeds avg + 3·std.
+
+    The reference compares a trailing-1h count against the baseline per
+    incoming row (app.py:534-544, std defaulting to 1 when NULL/0); the
+    set form flags every hour bucket. Baseline side is small (one row
+    per user) → broadcast.
+    """
+    if baseline is None:
+        baseline = user_hourly_baseline(activity, ts_col=ts_col, user_col=user_col)
+    hourly = (
+        activity.filter(F.col(user_col).isNotNull())
+        .groupBy(F.col(user_col), F.date_trunc("hour", ts_col).alias("hour_bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    std = F.coalesce(
+        F.when(F.col("std_queries") != 0, F.col("std_queries")), F.lit(1.0)
+    )
+    return (
+        hourly.join(F.broadcast(baseline), user_col, "inner")
+        .filter(F.col("cnt") > F.col("avg_queries") + 3 * std)
+        .select(
+            user_col,
+            "hour_bucket",
+            "cnt",
+            F.round("avg_queries", 4).alias("avg_queries"),
+            F.round("std_queries", 4).alias("std_queries"),
+        )
+    )
+
+
+def impossible_travel(
+    activity: DataFrame,
+    *,
+    now: dt.datetime | str | None = None,
+    window_hours: int = 1,
+    ts_col: str = "access_timestamp",
+    op: str = "LOGIN",
+) -> DataFrame:
+    """R7/W4 — consecutive LOGINs for a username from different IPs
+    within the trailing window (behavior of app.py:546-552).
+
+    lag() over (username, ts) replaces the reference's per-row
+    "ORDER BY ts DESC LIMIT 2" probe; one shuffle by username.
+    ``op`` parameterizes the probed operation type (LOGIN in the
+    reference; gate fixtures have no LOGIN rows).
+    """
+    anchor = (
+        F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+    )
+    logins = activity.filter(
+        (F.col("operation_type") == op)
+        & (F.col(ts_col) >= anchor - F.make_interval(hours=F.lit(window_hours)))
+    )
+    w = Window.partitionBy("username").orderBy(
+        F.asc(ts_col), F.asc("activity_id")
+    )
+    return (
+        logins.withColumn("prev_ip", F.lag("ip_address").over(w))
+        .withColumn("prev_ts", F.lag(ts_col).over(w))
+        .filter(
+            F.col("prev_ip").isNotNull() & (F.col("prev_ip") != F.col("ip_address"))
+        )
+        .select(
+            "username",
+            F.col(ts_col).alias("login_ts"),
+            "ip_address",
+            "prev_ip",
+            "prev_ts",
+        )
+    )
+
+
+def trailing_window_counts(
+    activity: DataFrame,
+    *,
+    seconds: int = 3600,
+    ts_col: str = "access_timestamp",
+    user_col: str = "user_id",
+    out_col: str = "trailing_count",
+) -> DataFrame:
+    """A8 — exact per-user trailing-window count via a range frame over
+    epoch seconds (Spark range frames need a numeric sort key)."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.unix_timestamp(F.col(ts_col)))
+        .rangeBetween(-(seconds - 1), 0)
+    )
+    return activity.withColumn(out_col, F.count("*").over(w))

@@ -1,0 +1,380 @@
+"""Rule engines (SURVEY.md §2.8): security rule battery, alert
+classification, compliance explode, query firewall, blacklist semi-join.
+
+The reference evaluates these per-row in Python, re-SELECTing each row
+and UPDATEing derived columns in place (app.py:339-411). Here each
+engine is ONE declarative projection/explode over the whole frame —
+Catalyst fuses the predicate forest into whole-stage codegen, and the
+same expressions run unchanged inside Structured Streaming micro-batches.
+
+Parity notes (semantics reproduced from observed behavior):
+
+* The severity assignment is deliberately NOT a lattice max — it
+  replays the reference's sequential overwrites exactly
+  (app.py:347-403): blacklist sets Critical; guest-write sets High
+  UNCONDITIONALLY (can overwrite a prior Critical); sensitive-table /
+  off-hours / rate only upgrade from Low; injection sets Critical; a
+  sensitive-column hit sets High unless already Critical; large
+  extraction upgrades Low→High.
+* Only the FIRST matching injection pattern contributes a reason (the
+  reference `break`s, app.py:379-381); sensitive columns contribute one
+  reason each in list order.
+* Reasons join with "; " in rule order (app.py:408).
+* Alert-type precedence is case-SENSITIVE substring matching on the
+  space-joined reasons (app.py:413-420) — "Rate limit exceeded" does
+  NOT match the lowercase "rate limit" probe, so the DoS branch is
+  unreachable with the built-in rule set; preserved as-is for parity.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Thresholds / vocabularies mirroring the reference Config (app.py:76-108).
+WORKING_HOURS_START = 9
+WORKING_HOURS_END = 18
+SENSITIVE_TABLES = ("users", "customers", "accounts", "payments", "credit_cards")
+SENSITIVE_COLUMNS = ("password", "ssn", "credit_card", "bank_account", "salary")
+LARGE_EXTRACTION_ROWS = 1000
+MAX_QUERIES_PER_MIN = 100
+SOX_TABLES = ("accounts", "financial", "transactions")
+PCI_TABLES = ("payments", "credit_cards")
+GUEST_WRITE_OPS = ("INSERT", "UPDATE", "DELETE", "DROP", "ALTER")
+USER_SENSITIVE_OPS = ("SELECT", "INSERT", "UPDATE")
+
+# 15-pattern threat battery (app.py:86-102): (regex, description).
+SUSPICIOUS_QUERY_PATTERNS = (
+    (r"union.*select", "SQL Injection - UNION"),
+    (r"select.*from.*information_schema", "Schema Enumeration"),
+    (r"drop\s+table", "DROP Table Attempt"),
+    (r"truncate\s+table", "TRUNCATE Attempt"),
+    (r"alter\s+table", "ALTER Table Attempt"),
+    (r"create\s+user", "CREATE User Attempt"),
+    (r"grant\s+.*\s+to", "Privilege Escalation"),
+    (r"exec\s+xp_cmdshell", "xp_cmdshell Attempt"),
+    (r"waitfor\s+delay", "Time-based Injection"),
+    (r"load_file\s*\(", "File Read Attempt"),
+    (r"into\s+outfile", "File Write Attempt"),
+    (r"0x[0-9a-f]{10,}", "Hex Encoding Evasion"),
+    (r"sleep\s*\(", "Time-based Attack"),
+    (r"benchmark\s*\(", "Benchmark Attack"),
+    (r"pg_sleep\s*\(", "PostgreSQL Sleep Attack"),
+)
+
+
+def _first_injection_hit(details_lower: Column) -> Column:
+    """First matching pattern's description, else NULL (reference breaks
+    after the first hit)."""
+    expr = None
+    for pattern, desc in SUSPICIOUS_QUERY_PATTERNS:
+        cond = details_lower.rlike(f"(?i){pattern}")
+        expr = F.when(cond, desc) if expr is None else expr.when(cond, desc)
+    return expr.otherwise(F.lit(None).cast("string"))
+
+
+def with_rate_counts(
+    activity: DataFrame,
+    *,
+    ts_col: str = "access_timestamp",
+    user_col: str = "user_id",
+    out_col: str = "queries_last_min",
+) -> DataFrame:
+    """Trailing-60s per-user event count (rule 6's event-time analogue).
+
+    The reference counts wall-clock arrivals in a per-user in-memory list
+    (app.py:396-403); distributed + replayable form = a range window over
+    event time: count of the user's events with ts in [t-59s, t]. One
+    shuffle by user (low-cardinality key, map-side combine n/a but frame
+    evaluation is linear per partition after sort).
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.unix_timestamp(F.col(ts_col)))
+        .rangeBetween(-59, 0)
+    )
+    return activity.withColumn(out_col, F.count("*").over(w))
+
+
+def apply_rule_battery(
+    activity: DataFrame,
+    users: DataFrame | None = None,
+    ip_blacklist: DataFrame | None = None,
+    *,
+    now: dt.datetime | str | None = None,
+    with_rate_rule: bool = True,
+) -> DataFrame:
+    """R1 — the 6-family security battery as one projection pass.
+
+    Input: activity-log-shaped frame. Output: same frame + ``role`` +
+    ``is_suspicious`` / ``suspicious_reasons`` / ``severity_level``
+    (computed BEFORE append — same observable results as the reference's
+    INSERT-then-UPDATE, app.py:406-409, without mutation).
+
+    Dimension sides are broadcast: ``users`` and the expiry-filtered
+    ``ip_blacklist`` are small (SURVEY.md J1/J3); at 100 TB the fact side
+    never shuffles for this operator.
+    """
+    df = activity
+    if users is not None:
+        df = df.join(F.broadcast(users.select("user_id", "role")), "user_id", "left")
+    elif "role" not in df.columns:
+        df = df.withColumn("role", F.lit(None).cast("string"))
+
+    if ip_blacklist is not None:
+        anchor = (
+            F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+        )
+        live = (
+            ip_blacklist.filter(F.col("expires_at") > anchor)
+            .select("ip_address")
+            .distinct()
+            .withColumn("_blacklisted", F.lit(True))
+        )
+        df = df.join(F.broadcast(live), "ip_address", "left")
+        blacklisted = F.coalesce(F.col("_blacklisted"), F.lit(False))
+    else:
+        blacklisted = F.lit(False)
+
+    if with_rate_rule and "queries_last_min" not in df.columns:
+        df = with_rate_counts(df)
+    rate_count = (
+        F.col("queries_last_min") if "queries_last_min" in df.columns else F.lit(0)
+    )
+
+    details_lower = F.lower(F.coalesce(F.col("operation_details"), F.lit("")))
+
+    # Rule predicates, in reference evaluation order (app.py:347-403).
+    r1 = blacklisted
+    r2 = (F.col("role") == "Guest") & F.col("operation_type").isin(*GUEST_WRITE_OPS)
+    r3 = (
+        (F.col("role") == "User")
+        & F.col("table_name").isin(*SENSITIVE_TABLES)
+        & F.col("operation_type").isin(*USER_SENSITIVE_OPS)
+    )
+    hour = F.hour("access_timestamp")
+    r4 = F.col("access_timestamp").isNotNull() & (
+        (hour < WORKING_HOURS_START) | (hour >= WORKING_HOURS_END)
+    )
+    injection_desc = _first_injection_hit(details_lower)
+    r5 = injection_desc.isNotNull()
+    col_hits = [
+        (c, details_lower.contains(c)) for c in SENSITIVE_COLUMNS
+    ]
+    r6 = F.lit(False)
+    for _, hit in col_hits:
+        r6 = r6 | hit
+    r7 = F.col("rows_affected").isNotNull() & (
+        F.col("rows_affected") > LARGE_EXTRACTION_ROWS
+    )
+    r8 = F.col("user_id").isNotNull() & (rate_count > MAX_QUERIES_PER_MIN)
+
+    # Sequential severity overwrites — see module docstring.
+    sev = F.when(r1, "Critical").otherwise("Low")
+    sev = F.when(r2, "High").otherwise(sev)
+    sev = F.when(r3 & (sev == "Low"), "Medium").otherwise(sev)
+    sev = F.when(r4 & (sev == "Low"), "Medium").otherwise(sev)
+    sev = F.when(r5, "Critical").otherwise(sev)
+    sev = F.when(r6 & (sev != "Critical"), "High").otherwise(sev)
+    sev = F.when(r7 & (sev == "Low"), "High").otherwise(sev)
+    sev = F.when(r8 & (sev == "Low"), "Medium").otherwise(sev)
+
+    reasons = F.concat_ws(
+        "; ",
+        F.when(r1, "IP address is blacklisted"),
+        F.when(r2, "Guest attempting write operation"),
+        F.when(
+            r3,
+            F.concat(F.lit("User accessing sensitive table: "), F.col("table_name")),
+        ),
+        F.when(r4, "Access outside working hours"),
+        F.when(r5, F.concat(F.lit("Suspicious pattern: "), injection_desc)),
+        *[
+            F.when(hit, f"Access to sensitive column: {c}")
+            for c, hit in col_hits
+        ],
+        F.when(
+            r7,
+            F.concat(
+                F.lit("Large data extraction: "),
+                F.col("rows_affected").cast("string"),
+                F.lit(" rows"),
+            ),
+        ),
+        F.when(
+            r8,
+            F.concat(
+                F.lit("Rate limit exceeded: "),
+                rate_count.cast("string"),
+                F.lit(" queries/min"),
+            ),
+        ),
+    )
+
+    suspicious = r1 | r2 | r3 | r4 | r5 | r6 | r7 | r8
+    out = (
+        df.withColumn("is_suspicious", suspicious)
+        .withColumn(
+            "suspicious_reasons", F.when(suspicious, reasons).otherwise(F.lit(None))
+        )
+        .withColumn(
+            "severity_level", F.when(suspicious, sev).otherwise(F.lit("Low"))
+        )
+    )
+    return out.drop("_blacklisted")
+
+
+def classify_alert_type(reasons: Column) -> Column:
+    """R2 — precedence chain on the space-joined reasons (app.py:413-420).
+
+    Case-sensitive contains, faithfully including the unreachable DoS
+    branch (see module docstring).
+    """
+    return (
+        F.when(reasons.contains("SQL Injection"), "SQL Injection")
+        .when(reasons.contains("sensitive"), "Data Leakage")
+        .when(reasons.contains("rate limit"), "DoS Attempt")
+        .otherwise("Security Violation")
+    )
+
+
+def derive_alerts(checked_activity: DataFrame) -> DataFrame:
+    """S6 — High/Critical rows become security_alerts rows (app.py:410-424).
+
+    Pure projection on the battery output; in streaming this is the
+    filtered branch of the same micro-batch (no second scan).
+    """
+    high = checked_activity.filter(
+        F.col("is_suspicious") & F.col("severity_level").isin("High", "Critical")
+    )
+    return high.select(
+        F.col("activity_id"),
+        classify_alert_type(F.col("suspicious_reasons")).alias("alert_type"),
+        F.col("severity_level").alias("severity"),
+        F.col("suspicious_reasons").alias("description"),
+        F.lit("New").alias("status"),
+        F.col("access_timestamp").alias("created_at"),
+    )
+
+
+def compliance_findings(activity: DataFrame) -> DataFrame:
+    """R3 — per-activity 0..3 findings, exploded (app.py:476-486).
+
+    UDTF-shaped op done with built-ins: conditional struct array →
+    filter nulls → explode. GDPR fires on sensitive-table access with
+    no user_id; SOX on UPDATE/DELETE of financial tables (Compliant iff
+    rows_affected is truthy — NULL or 0 → "Review needed"); PCI_DSS on
+    any payments/credit-card access.
+    """
+    gdpr = F.when(
+        F.col("table_name").isin(*SENSITIVE_TABLES) & F.col("user_id").isNull(),
+        F.struct(
+            F.lit("GDPR").alias("standard"),
+            F.lit("Non-compliant").alias("status"),
+            F.lit("Personal data access without user identification").alias("issue"),
+        ),
+    )
+    sox = F.when(
+        F.col("table_name").isin(*SOX_TABLES)
+        & F.col("operation_type").isin("UPDATE", "DELETE"),
+        F.struct(
+            F.lit("SOX").alias("standard"),
+            F.when(
+                F.col("rows_affected").isNotNull() & (F.col("rows_affected") != 0),
+                "Compliant",
+            )
+            .otherwise("Review needed")
+            .alias("status"),
+            F.lit("Financial data modification").alias("issue"),
+        ),
+    )
+    pci = F.when(
+        F.col("table_name").isin(*PCI_TABLES),
+        F.struct(
+            F.lit("PCI_DSS").alias("standard"),
+            F.lit("Monitored").alias("status"),
+            F.lit("Cardholder data access detected").alias("issue"),
+        ),
+    )
+    findings = F.filter(
+        F.array(gdpr, sox, pci), lambda x: x.isNotNull()
+    )
+    return (
+        activity.withColumn("finding", F.explode(findings))
+        .select(
+            "activity_id",
+            F.col("finding.standard").alias("standard"),
+            F.col("finding.status").alias("status"),
+            F.col("finding.issue").alias("issue"),
+        )
+    )
+
+
+def firewall_check(
+    queries_df: DataFrame,
+    rules: DataFrame,
+    *,
+    id_col: str = "activity_id",
+    query_col: str = "operation_details",
+    user_col: str = "username",
+    ip_col: str = "ip_address",
+) -> DataFrame:
+    """R5/J4/W3 — first-match-by-priority firewall (app.py:829-850).
+
+    Active rules (a tiny dimension) broadcast-cross-join against the
+    query stream; match semantics: query lowercased; `contains` →
+    lowercase substring; `starts_with` → lowercase prefix; `regex` →
+    case-insensitive search. Scoped rules require exact user/ip equality.
+    First hit by (priority ASC, rule_id ASC) wins — rule_id tie-break
+    pins MySQL's unspecified tie order (FIXTURES.md decision #3).
+
+    Output: input columns + matched ``rule_id``/``action``/``rule_description``
+    (NULL when no rule matches).
+    """
+    ql = F.lower(F.coalesce(F.col(query_col), F.lit("")))
+    active = rules.filter(F.col("is_active")).select(
+        F.col("rule_id"),
+        F.col("pattern"),
+        F.col("description").alias("rule_description"),
+        F.col("match_type"),
+        F.col("action"),
+        F.col("priority"),
+        F.col("applies_to_user"),
+        F.col("applies_to_ip"),
+    )
+    scoped = (
+        F.col("applies_to_user").isNull() | (F.col("applies_to_user") == F.col(user_col))
+    ) & (F.col("applies_to_ip").isNull() | (F.col("applies_to_ip") == F.col(ip_col)))
+    hit = (
+        F.when(F.col("match_type") == "contains", ql.contains(F.lower(F.col("pattern"))))
+        .when(
+            F.col("match_type") == "starts_with",
+            ql.startswith(F.lower(F.col("pattern"))),
+        )
+        .otherwise(F.regexp_like(ql, F.concat(F.lit("(?i)"), F.col("pattern"))))
+    )
+    matched = queries_df.join(F.broadcast(active), scoped & hit, "left")
+    w = Window.partitionBy(id_col).orderBy(
+        F.asc_nulls_last("priority"), F.asc_nulls_last("rule_id")
+    )
+    first = matched.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return first.drop("_rn", "pattern", "match_type", "applies_to_user", "applies_to_ip", "priority")
+
+
+def blacklist_matches(
+    activity: DataFrame,
+    ip_blacklist: DataFrame,
+    *,
+    now: dt.datetime | str | None = None,
+) -> DataFrame:
+    """J3 — semi-join of activity against the LIVE blacklist.
+
+    Uses current table state with the expiry filter (the reference
+    caches the set once at startup and never refreshes, app.py:330-337 —
+    documented deviation, FIXTURES.md decision #2).
+    """
+    anchor = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+    live = ip_blacklist.filter(F.col("expires_at") > anchor).select("ip_address")
+    return activity.join(F.broadcast(live), "ip_address", "left_semi")

@@ -1,0 +1,574 @@
+"""DAM-domain plans over the ``events`` testdata table.
+
+Each entry maps a SURVEY.md §2 operator onto the deterministic
+events→activity derivation (plans/events_activity.py) and pairs it with
+a DuckDB oracle built from the same CTE. The oracle severity logic is
+the CLOSED FORM of the reference's sequential overwrites, while the
+Spark side replays the sequential semantics — agreement of the two
+formulations is itself a cross-check of the battery logic.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import analytics, anomaly, rules
+from ..sources.testdata import load_table
+from .events_activity import ACTIVITY_CTE, BLACKLISTED_IPS, derive_activity
+from .spec import QuerySpec, sql_values
+
+ANCHOR_SQL = "(SELECT max(ts) FROM events)"
+
+
+def _anchor(spark: SparkSession, sf_dir: str) -> dt.datetime:
+    """Deterministic 'now' = max event time (FIXTURES.md decision #6).
+
+    One column-pruned scan resolved from parquet footer statistics —
+    negligible even at 100 TB."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(F.max("ts")).first()[0]
+
+
+def _activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive_activity(load_table(spark, sf_dir, "events"))
+
+
+def _blacklist_df(spark: SparkSession, now: dt.datetime) -> DataFrame:
+    """Literal ip_blacklist dim: live rows (expiry after anchor) are the
+    oracle's IN-list; one expired row exercises the expiry filter."""
+    live = [(i + 1, ip, "fixture", now - dt.timedelta(days=5), now + dt.timedelta(days=1))
+            for i, ip in enumerate(BLACKLISTED_IPS)]
+    expired = [(99, "10.0.0.20", "expired fixture",
+                now - dt.timedelta(days=5), now - dt.timedelta(days=1))]
+    return spark.createDataFrame(
+        live + expired,
+        "ip_id long, ip_address string, reason string, "
+        "created_at timestamp, expires_at timestamp",
+    )
+
+
+def _battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    now = _anchor(spark, sf_dir)
+    return rules.apply_rule_battery(
+        _activity(spark, sf_dir),
+        users=None,  # role already derived on the frame
+        ip_blacklist=_blacklist_df(spark, now),
+        now=now,
+    )
+
+
+# ── oracle SQL builders ────────────────────────────────────────────────────
+
+_IN_BLACKLIST = "(" + ", ".join(f"'{ip}'" for ip in BLACKLISTED_IPS) + ")"
+_SENSITIVE_TABLES = "(" + ", ".join(f"'{t}'" for t in rules.SENSITIVE_TABLES) + ")"
+
+_INJ_CASE = "CASE " + " ".join(
+    f"WHEN regexp_matches(ql, '(?i){p}') THEN '{d}'"
+    for p, d in rules.SUSPICIOUS_QUERY_PATTERNS
+) + " END"
+
+_COL_FLAGS = ", ".join(
+    f"contains(ql, '{c}') AS c_{i}" for i, c in enumerate(rules.SENSITIVE_COLUMNS)
+)
+_ANY_COL = " OR ".join(f"c_{i}" for i in range(len(rules.SENSITIVE_COLUMNS)))
+_COL_REASONS = ", ".join(
+    f"CASE WHEN c_{i} THEN 'Access to sensitive column: {c}' END"
+    for i, c in enumerate(rules.SENSITIVE_COLUMNS)
+)
+
+
+def battery_sql(select_clause: str) -> str:
+    """Full battery oracle; caller supplies the final SELECT over the
+    ``checked`` CTE (columns: activity, r1..r8, inj_desc, is_suspicious,
+    severity_level, suspicious_reasons, queries_last_min)."""
+    return f"""
+WITH {ACTIVITY_CTE},
+rated AS (
+  SELECT a.*,
+    count(*) OVER (
+      PARTITION BY user_id
+      ORDER BY CAST(floor(epoch(access_timestamp)) AS BIGINT)
+      RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS queries_last_min,
+    lower(coalesce(operation_details, '')) AS ql
+  FROM activity a
+),
+flags AS (
+  SELECT *,
+    (ip_address IN {_IN_BLACKLIST}) AS r1,
+    (role = 'Guest' AND operation_type IN ('INSERT','UPDATE','DELETE','DROP','ALTER')) AS r2,
+    (role = 'User' AND table_name IN {_SENSITIVE_TABLES}
+       AND operation_type IN ('SELECT','INSERT','UPDATE')) AS r3,
+    (hour(access_timestamp) < {rules.WORKING_HOURS_START}
+       OR hour(access_timestamp) >= {rules.WORKING_HOURS_END}) AS r4,
+    {_INJ_CASE} AS inj_desc,
+    {_COL_FLAGS},
+    (rows_affected IS NOT NULL AND rows_affected > {rules.LARGE_EXTRACTION_ROWS}) AS r7,
+    (user_id IS NOT NULL AND queries_last_min > {rules.MAX_QUERIES_PER_MIN}) AS r8
+  FROM rated
+),
+flags2 AS (
+  SELECT *, (inj_desc IS NOT NULL) AS r5, ({_ANY_COL}) AS r6 FROM flags
+),
+checked AS (
+  SELECT *,
+    (r1 OR r2 OR r3 OR r4 OR r5 OR r6 OR r7 OR r8) AS is_suspicious,
+    CASE WHEN r5 OR (r1 AND NOT r2) THEN 'Critical'
+         WHEN r6 OR r2 THEN 'High'
+         WHEN r3 OR r4 THEN 'Medium'
+         WHEN r7 THEN 'High'
+         WHEN r8 THEN 'Medium'
+         ELSE 'Low' END AS severity_level,
+    CASE WHEN (r1 OR r2 OR r3 OR r4 OR r5 OR r6 OR r7 OR r8) THEN concat_ws('; ',
+      CASE WHEN r1 THEN 'IP address is blacklisted' END,
+      CASE WHEN r2 THEN 'Guest attempting write operation' END,
+      CASE WHEN r3 THEN 'User accessing sensitive table: ' || table_name END,
+      CASE WHEN r4 THEN 'Access outside working hours' END,
+      CASE WHEN r5 THEN 'Suspicious pattern: ' || inj_desc END,
+      {_COL_REASONS},
+      CASE WHEN r7 THEN 'Large data extraction: ' || CAST(rows_affected AS VARCHAR) || ' rows' END,
+      CASE WHEN r8 THEN 'Rate limit exceeded: ' || CAST(queries_last_min AS VARCHAR) || ' queries/min' END
+    ) END AS suspicious_reasons
+  FROM flags2
+)
+{select_clause}
+"""
+
+
+def activity_sql(select_clause: str) -> str:
+    return f"WITH {ACTIVITY_CTE}\n{select_clause}"
+
+
+# ── gate queries ───────────────────────────────────────────────────────────
+
+def _q_rule_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _battery(spark, sf_dir).select(
+        "activity_id", "is_suspicious", "severity_level", "suspicious_reasons"
+    )
+
+
+def _q_security_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rules.derive_alerts(_battery(spark, sf_dir))
+
+
+def _q_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rules.compliance_findings(_activity(spark, sf_dir))
+
+
+FIREWALL_RULES_FIXTURE = [
+    (1, "union select", "Block UNION injection", "contains", "block", 1, None, None, True),
+    (2, r"sleep\s*\(", "Block sleep payloads", "regex", "block", 2, None, None, True),
+    (3, "delete from", "Alert on deletes", "starts_with", "alert", 3, None, None, True),
+    (4, "credit_cards", "Card access by user_3", "contains", "alert", 4, "user_3", None, True),
+    (5, "from", "Any query from 10.0.0.5", "contains", "alert", 5, None, "10.0.0.5", True),
+    (6, "truncate", "Inactive rule", "contains", "block", 0, None, None, False),
+    (7, "salary", "Salary mention", "contains", "alert", 3, None, None, True),
+]
+
+_RULES_SCHEMA = (
+    "rule_id long, pattern string, description string, match_type string, "
+    "action string, priority int, applies_to_user string, applies_to_ip string, "
+    "is_active boolean"
+)
+
+
+def _q_firewall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rules_df = spark.createDataFrame(FIREWALL_RULES_FIXTURE, _RULES_SCHEMA)
+    out = rules.firewall_check(_activity(spark, sf_dir), rules_df)
+    return out.select("activity_id", "rule_id", "action")
+
+
+_FIREWALL_SQL_RULES = sql_values(
+    [r for r in FIREWALL_RULES_FIXTURE],
+    "r",
+    ["rule_id", "pattern", "description", "match_type", "action",
+     "priority", "applies_to_user", "applies_to_ip", "is_active"],
+)
+
+_FIREWALL_SQL = f"""
+WITH {ACTIVITY_CTE},
+rules AS (SELECT * FROM {_FIREWALL_SQL_RULES}),
+matched AS (
+  SELECT a.activity_id, r.rule_id, r.action,
+         row_number() OVER (
+           PARTITION BY a.activity_id
+           ORDER BY r.priority ASC, r.rule_id ASC) AS rn
+  FROM activity a
+  LEFT JOIN rules r
+    ON r.is_active
+   AND (r.applies_to_user IS NULL OR r.applies_to_user = a.username)
+   AND (r.applies_to_ip IS NULL OR r.applies_to_ip = a.ip_address)
+   AND (CASE WHEN r.match_type = 'contains'
+               THEN contains(lower(coalesce(a.operation_details,'')), lower(r.pattern))
+             WHEN r.match_type = 'starts_with'
+               THEN starts_with(lower(coalesce(a.operation_details,'')), lower(r.pattern))
+             ELSE regexp_matches(lower(coalesce(a.operation_details,'')), '(?i)' || r.pattern)
+        END)
+)
+SELECT activity_id, rule_id, action FROM matched WHERE rn = 1
+"""
+
+
+def _q_blacklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    now = _anchor(spark, sf_dir)
+    hits = rules.blacklist_matches(
+        _activity(spark, sf_dir), _blacklist_df(spark, now), now=now
+    )
+    return hits.groupBy("ip_address").agg(F.count("*").alias("cnt"))
+
+
+_BLACKLIST_SQL = activity_sql(f"""
+SELECT ip_address, count(*) AS cnt FROM activity
+WHERE ip_address IN {_IN_BLACKLIST}
+GROUP BY ip_address
+""")
+
+
+def _q_activity_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    now = _anchor(spark, sf_dir)
+    return analytics.activity_stats(_battery(spark, sf_dir), now=now)
+
+
+_KPIS_SQL = battery_sql(f"""
+SELECT count(*) AS total_activities,
+       CAST(sum(CASE WHEN is_suspicious THEN 1 ELSE 0 END) AS BIGINT) AS suspicious_count,
+       CAST(sum(CASE WHEN operation_status = 'Failed' THEN 1 ELSE 0 END) AS BIGINT) AS failed_count,
+       CAST(sum(CASE WHEN CAST(access_timestamp AS DATE) = CAST({ANCHOR_SQL} AS DATE) THEN 1 ELSE 0 END) AS BIGINT) AS today_count,
+       CAST(sum(CASE WHEN is_suspicious AND severity_level = 'Low' THEN 1 ELSE 0 END) AS BIGINT) AS sev_low,
+       CAST(sum(CASE WHEN is_suspicious AND severity_level = 'Medium' THEN 1 ELSE 0 END) AS BIGINT) AS sev_medium,
+       CAST(sum(CASE WHEN is_suspicious AND severity_level = 'High' THEN 1 ELSE 0 END) AS BIGINT) AS sev_high,
+       CAST(sum(CASE WHEN is_suspicious AND severity_level = 'Critical' THEN 1 ELSE 0 END) AS BIGINT) AS sev_critical
+FROM checked
+""")
+
+
+def _q_operations_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.operations_by_type(_activity(spark, sf_dir))
+
+
+_OPS_BY_TYPE_SQL = activity_sql(
+    "SELECT operation_type, count(*) AS cnt FROM activity GROUP BY operation_type"
+)
+
+
+def _q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.top_users(_activity(spark, sf_dir), k=5)
+
+
+_TOP_USERS_SQL = activity_sql("""
+SELECT username, count(*) AS cnt FROM activity
+GROUP BY username ORDER BY cnt DESC, username ASC LIMIT 5
+""")
+
+
+def _q_hourly_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    now = _anchor(spark, sf_dir)
+    return analytics.hourly_timeline(_battery(spark, sf_dir), hours=48, now=now)
+
+
+_TIMELINE_SQL = battery_sql(f"""
+SELECT strftime(date_trunc('hour', access_timestamp), '%Y-%m-%d %H:00') AS time_bucket,
+       count(*) AS total,
+       CAST(sum(CASE WHEN is_suspicious THEN 1 ELSE 0 END) AS BIGINT) AS suspicious,
+       CAST(sum(CASE WHEN operation_status = 'Failed' THEN 1 ELSE 0 END) AS BIGINT) AS failed
+FROM checked
+WHERE access_timestamp >= {ANCHOR_SQL} - INTERVAL 48 HOUR
+GROUP BY 1 ORDER BY 1
+""")
+
+
+def _q_behavior_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    now = _anchor(spark, sf_dir)
+    return analytics.user_behavior_profile(
+        _activity(spark, sf_dir), user_id=3, days=7, now=now
+    )
+
+
+_BEHAVIOR_SQL = activity_sql(f"""
+SELECT CAST(hour(access_timestamp) AS INTEGER) AS hour, operation_type,
+       count(*) AS cnt
+FROM activity
+WHERE user_id = 3 AND access_timestamp >= {ANCHOR_SQL} - INTERVAL 7 DAY
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+
+
+def _q_behavior_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 with the CORRECTED (summed) semantics — FIXTURES decision #1."""
+    now = _anchor(spark, sf_dir)
+    prof = analytics.user_behavior_profile(
+        _activity(spark, sf_dir), user_id=3, days=7, now=now
+    )
+    return prof.groupBy("hour").agg(F.sum("cnt").alias("activity_cnt"))
+
+
+_PEAK_HOURS_SQL = activity_sql(f"""
+SELECT CAST(hour(access_timestamp) AS INTEGER) AS hour,
+       count(*) AS activity_cnt
+FROM activity
+WHERE user_id = 3 AND access_timestamp >= {ANCHOR_SQL} - INTERVAL 7 DAY
+GROUP BY 1
+""")
+
+
+def _q_recent_activities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    now = _anchor(spark, sf_dir)
+    latest = analytics.latest_activities(
+        _activity(spark, sf_dir), None,
+        limit=50, database="pay", time_range_hours=72, now=now,
+    )
+    return latest.select(
+        "activity_id", "username", "operation_type", "table_name",
+        "operation_status", "ip_address", "access_timestamp",
+    )
+
+
+_RECENT_SQL = activity_sql(f"""
+SELECT activity_id, username, operation_type, table_name,
+       operation_status, ip_address, access_timestamp
+FROM activity
+WHERE contains(table_name, 'pay')
+  AND access_timestamp >= {ANCHOR_SQL} - INTERVAL 72 HOUR
+ORDER BY access_timestamp DESC, activity_id DESC LIMIT 50
+""")
+
+
+def _q_latest_critical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 aliasing parity: UI filter 'Critical' means is_suspicious flag,
+    NOT severity_level='Critical' (app.py:273-275)."""
+    now = _anchor(spark, sf_dir)
+    latest = analytics.latest_activities(
+        _battery(spark, sf_dir), None, limit=50, severity="Critical", now=now
+    )
+    return latest.select("activity_id", "severity_level", "access_timestamp")
+
+
+_LATEST_CRITICAL_SQL = battery_sql("""
+SELECT activity_id, severity_level, access_timestamp
+FROM checked WHERE is_suspicious
+ORDER BY access_timestamp DESC, activity_id DESC LIMIT 50
+""")
+
+
+def _q_impossible_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    now = _anchor(spark, sf_dir)
+    return anomaly.impossible_travel(
+        _activity(spark, sf_dir), now=now, window_hours=744, op="SELECT"
+    )
+
+
+_IMPOSSIBLE_SQL = activity_sql(f"""
+SELECT username, access_timestamp AS login_ts, ip_address,
+       lag(ip_address) OVER w AS prev_ip,
+       lag(access_timestamp) OVER w AS prev_ts
+FROM activity
+WHERE operation_type = 'SELECT'
+  AND access_timestamp >= {ANCHOR_SQL} - INTERVAL 744 HOUR
+WINDOW w AS (PARTITION BY username ORDER BY access_timestamp ASC, activity_id ASC)
+QUALIFY prev_ip IS NOT NULL AND prev_ip != ip_address
+""")
+
+
+def _q_rate_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — exact trailing-30-min per-user counts via range frame."""
+    counted = anomaly.trailing_window_counts(
+        _activity(spark, sf_dir), seconds=1800, user_col="user_id",
+        out_col="cnt",
+    )
+    return counted.filter(F.col("cnt") >= 2).select("activity_id", "user_id", "cnt")
+
+
+_RATE_WINDOW_SQL = activity_sql("""
+SELECT activity_id, user_id, cnt FROM (
+  SELECT activity_id, user_id,
+         count(*) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(access_timestamp)) AS BIGINT)
+           RANGE BETWEEN 1799 PRECEDING AND CURRENT ROW) AS cnt
+  FROM activity
+) WHERE cnt >= 2
+""")
+
+
+def _q_anomaly_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = anomaly.user_hourly_baseline(_activity(spark, sf_dir))
+    return base.select(
+        "user_id",
+        F.round("avg_queries", 4).alias("avg_queries"),
+        F.round("std_queries", 4).alias("std_queries"),
+    )
+
+
+_BASELINE_SQL = activity_sql("""
+SELECT user_id,
+       round(avg(queries_per_hour), 4) AS avg_queries,
+       round(stddev_pop(queries_per_hour), 4) AS std_queries
+FROM (
+  SELECT user_id, CAST(access_timestamp AS DATE) AS day,
+         hour(access_timestamp) AS hour, count(*) AS queries_per_hour
+  FROM activity WHERE user_id IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+GROUP BY user_id
+""")
+
+
+def _q_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return anomaly.volume_anomalies(_activity(spark, sf_dir))
+
+
+_VOLUME_SQL = f"""
+WITH {ACTIVITY_CTE},
+per_hour AS (
+  SELECT user_id, CAST(access_timestamp AS DATE) AS day,
+         hour(access_timestamp) AS hour, count(*) AS queries_per_hour
+  FROM activity WHERE user_id IS NOT NULL GROUP BY 1, 2, 3
+),
+baseline AS (
+  SELECT user_id, avg(queries_per_hour) AS avg_queries,
+         stddev_pop(queries_per_hour) AS std_queries
+  FROM per_hour GROUP BY user_id
+),
+hourly AS (
+  SELECT user_id, date_trunc('hour', access_timestamp) AS hour_bucket,
+         count(*) AS cnt
+  FROM activity WHERE user_id IS NOT NULL GROUP BY 1, 2
+)
+SELECT h.user_id, h.hour_bucket, h.cnt,
+       round(b.avg_queries, 4) AS avg_queries,
+       round(b.std_queries, 4) AS std_queries
+FROM hourly h JOIN baseline b ON h.user_id = b.user_id
+WHERE h.cnt > b.avg_queries
+      + 3 * coalesce(CASE WHEN b.std_queries != 0 THEN b.std_queries END, 1.0)
+"""
+
+
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-class JSON scalar path: parse events.props (SURVEY.md §1.3 JSON
+    row) and aggregate — stays JVM-side via get_json_object."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("int")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg("k"), 3).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_JSON_PROPS_SQL = """
+SELECT event_type, count(*) AS cnt,
+       round(avg(k), 3) AS avg_k, max(k) AS max_k
+FROM (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "rule_battery": QuerySpec(
+        _q_rule_battery, battery_sql(
+            "SELECT activity_id, is_suspicious, severity_level, suspicious_reasons FROM checked"
+        ),
+        "R1 six-family security battery, single projection pass",
+    ),
+    "security_alerts": QuerySpec(
+        _q_security_alerts, battery_sql("""
+SELECT activity_id,
+       CASE WHEN contains(suspicious_reasons, 'SQL Injection') THEN 'SQL Injection'
+            WHEN contains(suspicious_reasons, 'sensitive') THEN 'Data Leakage'
+            WHEN contains(suspicious_reasons, 'rate limit') THEN 'DoS Attempt'
+            ELSE 'Security Violation' END AS alert_type,
+       severity_level AS severity,
+       suspicious_reasons AS description,
+       'New' AS status,
+       access_timestamp AS created_at
+FROM checked
+WHERE is_suspicious AND severity_level IN ('High', 'Critical')
+"""),
+        "R2/S6 alert derivation with precedence chain",
+    ),
+    "compliance_findings": QuerySpec(
+        _q_compliance, activity_sql(f"""
+SELECT activity_id, 'GDPR' AS standard, 'Non-compliant' AS status,
+       'Personal data access without user identification' AS issue
+FROM activity
+WHERE table_name IN {_SENSITIVE_TABLES} AND user_id IS NULL
+UNION ALL
+SELECT activity_id, 'SOX',
+       CASE WHEN rows_affected IS NOT NULL AND rows_affected != 0
+            THEN 'Compliant' ELSE 'Review needed' END,
+       'Financial data modification'
+FROM activity
+WHERE table_name IN ('accounts','financial','transactions')
+  AND operation_type IN ('UPDATE','DELETE')
+UNION ALL
+SELECT activity_id, 'PCI_DSS', 'Monitored', 'Cardholder data access detected'
+FROM activity WHERE table_name IN ('payments','credit_cards')
+"""),
+        "R3 compliance explode (conditional struct array → explode)",
+    ),
+    "firewall_matches": QuerySpec(
+        _q_firewall, _FIREWALL_SQL,
+        "R5/J4/W3 first-match-by-priority firewall",
+    ),
+    "blacklist_hits": QuerySpec(
+        _q_blacklist_hits, _BLACKLIST_SQL,
+        "J3 live-blacklist semi-join with expiry filter",
+    ),
+    "activity_kpis": QuerySpec(
+        _q_activity_kpis, _KPIS_SQL,
+        "A1/A2/A9 one-pass KPI + severity histogram",
+    ),
+    "operations_by_type": QuerySpec(
+        _q_operations_by_type, _OPS_BY_TYPE_SQL, "A3 group-by count",
+    ),
+    "top_users": QuerySpec(
+        _q_top_users, _TOP_USERS_SQL, "A4 top-5 users, deterministic ties",
+    ),
+    "hourly_timeline": QuerySpec(
+        _q_hourly_timeline, _TIMELINE_SQL,
+        "A5 tumbling 1-hour timeline, trailing 48 h",
+    ),
+    "behavior_profile": QuerySpec(
+        _q_behavior_profile, _BEHAVIOR_SQL, "A6 hour×op profile for one user",
+    ),
+    "behavior_peak_hours": QuerySpec(
+        _q_behavior_peak_hours, _PEAK_HOURS_SQL,
+        "A11 peak hours with corrected summed semantics",
+    ),
+    "recent_activities": QuerySpec(
+        _q_recent_activities, _RECENT_SQL,
+        "F3/F5/F6/W1 dynamic filters + latest-50",
+    ),
+    "latest_critical": QuerySpec(
+        _q_latest_critical, _LATEST_CRITICAL_SQL,
+        "F4 severity-filter aliasing parity",
+    ),
+    "impossible_travel": QuerySpec(
+        _q_impossible_travel, _IMPOSSIBLE_SQL, "R7/W4 lag-based IP change",
+    ),
+    "rate_window_counts": QuerySpec(
+        _q_rate_window_counts, _RATE_WINDOW_SQL,
+        "A8 exact trailing-window counts via range frame",
+    ),
+    "anomaly_baseline": QuerySpec(
+        _q_anomaly_baseline, _BASELINE_SQL,
+        "A7 two-level aggregate baseline (stddev_pop parity)",
+    ),
+    "volume_anomalies": QuerySpec(
+        _q_volume_anomalies, _VOLUME_SQL, "R6 volume spike vs 3σ baseline",
+    ),
+    "json_props_extract": QuerySpec(
+        _q_json_props, _JSON_PROPS_SQL, "JSON scalar extraction + aggregate",
+    ),
+}

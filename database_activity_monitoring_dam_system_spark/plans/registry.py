@@ -1,0 +1,40 @@
+"""Merged query registry backing __spark_entry__.py.
+
+Every implemented operator from SURVEY.md §2 (and the §7 extensions)
+has exactly one entry; oracle coverage per the driver contract.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from . import dam, relational, scalars
+from .spec import QueryFn, QuerySpec
+
+
+def _pin_utc(fn: QueryFn) -> QueryFn:
+    """Wrap a query fn to pin the session timezone to UTC.
+
+    The driver runs queries with ITS OWN SparkSession; hour()/date_trunc/
+    date_format are session-TZ-dependent and the DuckDB oracle is
+    TZ-naive (UTC-equivalent), so a non-UTC session would silently skew
+    every time-derived column (verified: breaks parity under
+    America/New_York)."""
+
+    def wrapped(spark, sf_dir):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    merged: dict[str, QuerySpec] = {}
+    for mod in (relational, dam, scalars):
+        overlap = merged.keys() & mod.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        merged.update(mod.QUERIES)
+    return {
+        name: replace(spec, fn=_pin_utc(spec.fn)) for name, spec in merged.items()
+    }

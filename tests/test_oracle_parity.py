@@ -1,0 +1,79 @@
+"""Replicates the driver's t2 gate locally: every registry query runs
+on Spark AND its oracle SQL runs on DuckDB over the same parquet, then
+row counts + column names + canonicalized values must match exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from database_activity_monitoring_dam_system_spark.plans.registry import all_queries
+from database_activity_monitoring_dam_system_spark.sources.testdata import (
+    TESTDATA_TABLES,
+)
+
+from .conftest import SF_SMOKE
+
+_SPECS = all_queries()
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(rows, columns):
+    """Order-insensitive canonical form: sort columns by name, stringify
+    values (timestamps → isoformat, floats via repr), sort rows."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def cell(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return repr(v)
+        if isinstance(v, bool):
+            return str(bool(v))
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        return str(v)
+
+    return sorted(tuple(cell(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(_SPECS))
+def test_parity(spark, name):
+    spec = _SPECS[name]
+    sdf = spec.fn(spark, SF_SMOKE)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    if spec.oracle is None:
+        assert len(s_rows) >= 0  # rows-only check
+        return
+
+    con = _duck(SF_SMOKE)
+    res = con.execute(spec.oracle)
+    o_cols = [d[0] for d in res.description]
+    o_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(o_cols), (
+        f"{name}: column mismatch {s_cols} vs {o_cols}"
+    )
+    assert len(s_rows) == len(o_rows), (
+        f"{name}: row count {len(s_rows)} vs {len(o_rows)}"
+    )
+    sc, oc = _canon(s_rows, s_cols), _canon(o_rows, o_cols)
+    mismatches = [
+        (a, b) for a, b in zip(sc, oc) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
