@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+* brute-force cosine top-k — the exactness baseline: query set ×
+  corpus broadcast join, sequential-fold dot product in DOUBLE (so the
+  result is bit-identical to any engine folding left-to-right), row-
+  number ranking. Cost O(|Q|·N) — fine for small query sets, the
+  reference point for recall.
+* LSH-bucketed ANN — the scale path: random-hyperplane signatures
+  (deterministic, seeded via xxhash64 — no RNG state), bucket join on
+  signature prefix, exact re-rank inside buckets. Candidate generation
+  linear in corpus size; tune planes/probes for recall.
+
+All expression-level; dot products use zip_with + aggregate (codegen),
+not Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double fold — deterministic across
+    engines that fold the same way (DuckDB list_dot_product does)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def with_norm(df: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
+    v = _as_double(vec_col)
+    return df.withColumn("_norm", F.sqrt(_dot(v, v)))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query id (excluded from its own
+    result). Output: (query_id, neighbor_id, rank, cosine).
+
+    The query side is tiny → broadcast; the corpus scans once. Ranking
+    ties break on neighbor_id so the result set is deterministic.
+    """
+    corpus = with_norm(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("vec")
+        ),
+        vec_col="vec",
+    ).withColumnRenamed("_norm", "n_norm")
+    queries = with_norm(
+        embeddings.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+        ),
+        vec_col="qvec",
+    ).withColumnRenamed("_norm", "q_norm")
+    cos = _dot(F.col("qvec"), F.col("vec")) / (F.col("q_norm") * F.col("n_norm"))
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+        )
+    )
+
+
+def _hyperplane(plane_idx: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: component d =
+    ±1 by parity of a 64-bit mix of (plane_idx, d). Seeded arithmetic,
+    no RNG object → identical across runs/cluster sizes."""
+    comps = []
+    for d in range(dim):
+        h = (plane_idx * 1_000_003 + d * 7919 + 12345) * 2_654_435_761 % (1 << 32)
+        comps.append(1.0 if (h >> 16) & 1 else -1.0)
+    return comps
+
+
+def lsh_signatures(
+    embeddings: DataFrame,
+    *,
+    planes: int = 24,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (sign) signatures: bit i = sign(v · h_i).
+
+    For cosine similarity, P[bit match] = 1 - θ/π — the standard
+    SimHash-for-vectors construction."""
+    v = _as_double(vec_col)
+    sig = F.lit(0).cast("long")
+    for i in range(planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(i, dim)])
+        bit = F.when(_dot(v, plane) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(bit)
+    return embeddings.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    planes: int = 24,
+    dim: int = 64,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates = vectors sharing any band of the
+    signature with the query; exact cosine re-rank inside candidates.
+
+    Recall < 1 by design; at 100 TB the bucket join replaces the full
+    scan per query. Output schema matches cosine_topk.
+    """
+    sigs = lsh_signatures(
+        embeddings, planes=planes, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    n_bands = max(1, planes // band_bits)
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.shiftright(F.col("signature"), bi * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, "b.band_id", "b.chunk"
+    )
+    qb = (
+        banded.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"), F.col("band_id"), F.col("chunk")
+        )
+    )
+    cands = (
+        banded.join(F.broadcast(qb), ["band_id", "chunk"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+        .distinct()
+    )
+    corpus = with_norm(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("vec")
+        ),
+        vec_col="vec",
+    ).withColumnRenamed("_norm", "n_norm")
+    queries = with_norm(
+        embeddings.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+        ),
+        vec_col="qvec",
+    ).withColumnRenamed("_norm", "q_norm")
+    cos = _dot(F.col("qvec"), F.col("vec")) / (F.col("q_norm") * F.col("n_norm"))
+    scored = (
+        cands.join(corpus, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+        )
+    )

@@ -1,0 +1,245 @@
+"""Training-data-pipeline extension plans (SURVEY.md §7 P6): dedup,
+similarity search, text analysis, multimodal plumbing — over the
+``documents`` and ``embeddings`` testdata tables.
+
+Oracle notes:
+* ratio arithmetic is single integer division (bit-exact both sides);
+* cosine uses a sequential double fold on both sides (Spark
+  aggregate/zip_with vs DuckDB list_dot_product on DOUBLE[]) — ranking
+  windows order by the UNROUNDED value in both engines;
+* MinHash/SimHash/LSH entries have no oracle (xxhash64 is
+  engine-specific) → driver records rows-only checks; their semantics
+  are pinned by unit tests against the exact-Jaccard/brute-force
+  baselines instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup, multimodal, similarity, textops
+from ..sources.testdata import load_table
+from .spec import QuerySpec
+
+_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+_DEDUP_EXACT_SQL = r"""
+SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+       count(*) AS cnt, min(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    return dedup.jaccard_pairs(
+        _docs(spark, sf_dir), block_col="lang", threshold=0.9
+    )
+
+
+_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, lang, unnest(string_split_regex(text, '\s+')) AS tok
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM toks a JOIN toks b
+    ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM (
+  SELECT doc_a, doc_b, inter * 1.0 / (sa.n + sb.n - inter) AS j
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+) WHERE j >= 0.9
+"""
+
+
+def _q_minhash_near_dups(spark, sf_dir):
+    return dedup.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.9)
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+def _q_token_stats(spark, sf_dir):
+    return textops.token_stats(_docs(spark, sf_dir))
+
+
+_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+       round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+             / len(string_split_regex(trim(text), '\s+')), 4) AS mean_token_len
+FROM documents
+"""
+
+
+def _q_quality_scores(spark, sf_dir):
+    return textops.quality_scores(_docs(spark, sf_dir))
+
+
+_QUALITY_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\s+') AS toks,
+         length(text) AS n_chars_measured,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         n_chars_measured,
+         len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) * 1.0
+           / len(toks) AS sw_ratio,
+         n_punct * 1.0 / n_chars_measured AS p_ratio
+  FROM base
+)
+SELECT doc_id, n_tokens, n_chars_measured,
+       round(sw_ratio, 4) AS stopword_ratio,
+       round(p_ratio, 4) AS punct_ratio,
+       CASE WHEN n_tokens < 10 THEN 'too_short'
+            WHEN p_ratio > 0.3 THEN 'too_noisy'
+            WHEN sw_ratio < 0.01 THEN 'low_fluency'
+            ELSE 'keep' END AS verdict
+FROM scored
+"""
+
+
+def _q_lang_agreement(spark, sf_dir):
+    return textops.lang_agreement(_docs(spark, sf_dir))
+
+
+def _lang_guess_sql() -> str:
+    """Replicates the language_guess fold (ties keep the earlier
+    profile) as nested CASE, generated from the same profile dict."""
+    profiles = [
+        (lang, words)
+        for lang, words in textops.STOPWORD_PROFILES.items()
+        if words
+    ]
+    ratios = ", ".join(
+        f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in words)}))) * 1.0 / len(toks) AS r_{lang}"
+        for lang, words in profiles
+    )
+    first = profiles[0][0]
+    expr_r, expr_l = f"r_{first}", f"'{first}'"
+    for lang, _ in profiles[1:]:
+        expr_l = f"CASE WHEN r_{lang} > ({expr_r}) THEN '{lang}' ELSE {expr_l} END"
+        expr_r = f"CASE WHEN r_{lang} > ({expr_r}) THEN r_{lang} ELSE {expr_r} END"
+    return f"""
+WITH base AS (
+  SELECT lang AS labeled_lang, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+scored AS (SELECT labeled_lang, {ratios} FROM base),
+guessed AS (
+  SELECT labeled_lang,
+         CASE WHEN ({expr_r}) >= 0.01 THEN ({expr_l}) ELSE 'und' END AS guessed_lang
+  FROM scored
+)
+SELECT labeled_lang, guessed_lang, count(*) AS cnt
+FROM guessed GROUP BY 1, 2
+"""
+
+
+def _q_embedding_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _QUERY_IDS, k=10)
+
+
+_TOPK_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+norms AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn
+  FROM norms WHERE vec_id IN ({", ".join(str(i) for i in _QUERY_IDS)})
+),
+scored AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+         list_dot_product(q.qv, n.v) / (q.qn * n.nrm) AS cosine
+  FROM q JOIN norms n ON n.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _q_lsh_ann_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, _QUERY_IDS, k=10)
+
+
+def _q_multimodal_features(spark, sf_dir):
+    media = multimodal.synth_media(_docs(spark, sf_dir))
+    return multimodal.extract_features(media, decode_stub=True)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(
+        _q_dedup_exact, _DEDUP_EXACT_SQL,
+        "exact dedup via normalized-md5 fingerprint groupBy",
+    ),
+    "dedup_jaccard_pairs": QuerySpec(
+        _q_jaccard_pairs, _JACCARD_SQL,
+        "blocked token-set Jaccard ≥0.9 near-dup pairs (exact baseline)",
+    ),
+    "dedup_minhash_lsh": QuerySpec(
+        _q_minhash_near_dups, None,
+        "MinHash+LSH banded candidates verified by exact Jaccard (scale path)",
+    ),
+    "dedup_simhash_pairs": QuerySpec(
+        _q_simhash_pairs, None,
+        "SimHash banded blocking, Hamming ≤8 near pairs",
+    ),
+    "token_stats": QuerySpec(
+        _q_token_stats, _TOKEN_STATS_SQL,
+        "per-doc token counting incl. BPE-ish estimate",
+    ),
+    "quality_scores": QuerySpec(
+        _q_quality_scores, _QUALITY_SQL,
+        "per-doc quality heuristics + keep/drop verdict",
+    ),
+    "lang_agreement": QuerySpec(
+        _q_lang_agreement, _lang_guess_sql(),
+        "stopword-profile language-ID vs label confusion counts",
+    ),
+    "embedding_topk": QuerySpec(
+        _q_embedding_topk, _TOPK_SQL,
+        "brute-force cosine top-10 (double-fold parity)",
+    ),
+    "embedding_ann_lsh": QuerySpec(
+        _q_lsh_ann_topk, None,
+        "random-hyperplane LSH ANN top-10 (scale path; recall vs brute force unit-tested)",
+    ),
+    "multimodal_features": QuerySpec(
+        _q_multimodal_features, None,
+        "binary media column → Arrow-batched mapInPandas feature extraction (stub decode)",
+    ),
+}

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from dataclasses import replace
 
-from . import dam, relational, scalars
+from . import dam, extensions, relational, scalars
 from .spec import QueryFn, QuerySpec
 
 
@@ -30,7 +30,7 @@ def _pin_utc(fn: QueryFn) -> QueryFn:
 
 def all_queries() -> dict[str, QuerySpec]:
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, dam, scalars):
+    for mod in (relational, dam, scalars, extensions):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,98 @@
+"""Semantic checks for extension ops whose hash functions preclude a
+DuckDB oracle: MinHash-LSH vs exact Jaccard, LSH-ANN recall vs brute
+force, SimHash sanity, multimodal plumbing determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database_activity_monitoring_dam_system_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+from database_activity_monitoring_dam_system_spark.sources.testdata import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def test_minhash_subset_of_exact_jaccard(spark):
+    """LSH candidates verified at θ are a subset of the exact pairs at
+    θ (precision 1 by construction) with decent recall."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_pairs(
+            _docs(spark), block_col=None, threshold=0.9
+        ).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_near_duplicates(
+            _docs(spark), threshold=0.9
+        ).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.8, f"minhash recall too low: {recall:.2f}"
+
+
+def test_simhash_pairs_have_low_hamming(spark):
+    rows = dedup.simhash_near_pairs(_docs(spark), max_hamming=8).collect()
+    assert all(0 <= r.hamming <= 8 for r in rows)
+    assert all(r.doc_a < r.doc_b for r in rows)
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, qids, k=10).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_topk(emb, qids, k=10).collect()
+    }
+    # ANN should recover a sane fraction of the true top-k even on
+    # RANDOM data (worst case for LSH; defaults planes=24, band_bits=4
+    # measured 0.68 recall here — real clustered embeddings do better).
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.5, f"ANN recall degenerate: {recall:.2f}"
+    # every ANN hit must be a real corpus vector with rank ≤ 10
+    assert all(r.rank <= 10 for r in similarity.lsh_topk(emb, qids, k=10).collect())
+
+
+def test_multimodal_features_deterministic(spark):
+    media = multimodal.synth_media(_docs(spark).limit(20))
+    f1 = sorted(
+        (r.media_id, r.n_bytes, tuple(r.feature))
+        for r in multimodal.extract_features(media).collect()
+    )
+    f2 = sorted(
+        (r.media_id, r.n_bytes, tuple(r.feature))
+        for r in multimodal.extract_features(media).collect()
+    )
+    assert f1 == f2
+    assert all(n == 16 for _, n, _ in f1)  # md5 payload = 16 bytes
+    assert all(len(f) == 8 and all(0 <= x <= 1 for x in f) for _, _, f in f1)
+
+
+def test_multimodal_decode_stub_gate(spark):
+    media = multimodal.synth_media(_docs(spark).limit(5))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        multimodal.extract_features(media, decode_stub=False).collect()
+
+
+def test_exact_dedup_counts_match_corpus(spark):
+    docs = _docs(spark)
+    total = docs.count()
+    agg = dedup.exact_duplicates(docs).agg(F.sum("cnt")).first()[0]
+    assert agg == total
