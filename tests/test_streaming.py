@@ -1,0 +1,209 @@
+"""Streaming ingest tests (SURVEY.md §5 item 3): micro-batch runs over
+a file source with availableNow, checked against the batch pipeline on
+the identical raw events — batch/stream parity is the oracle.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_activity_monitoring_dam_system_spark.operators import rules
+from database_activity_monitoring_dam_system_spark.schemas import AGENT_EVENT
+from database_activity_monitoring_dam_system_spark.sources.agent import (
+    normalize_agent_events,
+)
+from database_activity_monitoring_dam_system_spark.streaming import ingest
+
+T0 = dt.datetime(2026, 8, 1, 10, 0, 0)
+
+
+def _fixture_events() -> list[dict]:
+    rows = []
+    sqls = [
+        "SELECT * FROM customers WHERE id=%d",
+        "insert into orders values (%d)",
+        "UPDATE accounts SET bal=bal-1 WHERE id=%d",
+        "delete from payments where id=%d",
+        "select password from users where uid=%d",
+        "select * from t where a=1 union select * from b -- %d",
+        "SHOW TABLES -- %d",                       # skipped (system)
+        "select x from information_schema.tables -- %d",  # skipped
+    ]
+    for i in range(160):
+        sql = sqls[i % len(sqls)] % i
+        if i % 13 == 0:  # hex-encoded argument
+            sql = "0x" + sql.encode().hex()
+        rows.append(
+            {
+                "event_time": (T0 + dt.timedelta(seconds=37 * i)).isoformat(),
+                "user_host": f"user{i % 5}[user{i % 5}] @ host{i % 3} []",
+                "argument": sql,
+            }
+        )
+    # burst segment: one user firing every 5 s (rate-alert coverage)
+    burst0 = T0 + dt.timedelta(hours=2)
+    for j in range(10):
+        rows.append(
+            {
+                "event_time": (burst0 + dt.timedelta(seconds=5 * j)).isoformat(),
+                "user_host": "user0[user0] @ host0 []",
+                "argument": f"SELECT * FROM products WHERE id={j}",
+            }
+        )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(spark):
+    base = tempfile.mkdtemp(prefix="dam_stream_")
+    src = f"{base}/src"
+    import os
+
+    os.makedirs(src)
+    events = _fixture_events()
+    # two chunks → two micro-batches under maxFilesPerTrigger=1
+    for chunk_id, chunk in enumerate([events[:80], events[80:]]):
+        with open(f"{src}/chunk{chunk_id}.json", "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps(r) + "\n")
+    yield {
+        "src": src,
+        "activity": f"{base}/activity",
+        "alerts": f"{base}/alerts",
+        "ckpt": f"{base}/ckpt",
+        "events": events,
+    }
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _raw_batch_df(spark, events):
+    rows = [
+        (dt.datetime.fromisoformat(e["event_time"]), e["user_host"], e["argument"])
+        for e in events
+    ]
+    return spark.createDataFrame(rows, AGENT_EVENT)
+
+
+def test_ingest_stream_matches_batch(spark, stream_dirs):
+    notifications: list = []
+    q = ingest.start_ingest(
+        spark,
+        stream_dirs["src"],
+        activity_sink=stream_dirs["activity"],
+        alerts_sink=stream_dirs["alerts"],
+        checkpoint_dir=stream_dirs["ckpt"],
+        notifier=notifications.extend,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(stream_dirs["activity"])
+    raw = _raw_batch_df(spark, stream_dirs["events"])
+    batch = rules.apply_rule_battery(
+        normalize_agent_events(raw)
+        .withColumn("activity_id", F.lit(None).cast("long"))
+        .withColumn("user_id", F.lit(None).cast("long"))
+        .withColumn("ip_address", F.lit(None).cast("string"))
+        .withColumn("rows_affected", F.lit(None).cast("int")),
+        with_rate_rule=False,
+    )
+
+    key = [
+        "access_timestamp", "username", "operation_type", "table_name",
+        "operation_status", "operation_details", "query_hash",
+        "is_suspicious", "suspicious_reasons", "severity_level",
+    ]
+    s_rows = sorted(tuple(r) for r in streamed.select(*key).collect())
+    b_rows = sorted(tuple(r) for r in batch.select(*key).collect())
+    assert s_rows == b_rows
+    # system queries (SHOW / information_schema) were dropped: 160 base
+    # events lose 2 of every 8, +10 burst rows kept
+    assert len(s_rows) == 130
+
+    # alerts sink = High/Critical subset, and notifier saw the same rows
+    alerts = spark.read.parquet(stream_dirs["alerts"])
+    expected_alerts = rules.derive_alerts(batch)
+    assert alerts.count() == expected_alerts.count() == len(notifications)
+    assert set(alerts.select("alert_type").toPandas()["alert_type"]) <= {
+        "SQL Injection", "Data Leakage", "Security Violation", "DoS Attempt",
+    }
+
+
+def test_ingest_checkpoint_no_reprocessing(spark, stream_dirs):
+    """Re-running with the same checkpoint must be a no-op (offsets
+    subsume the agent's high-water mark, ST1)."""
+    before = spark.read.parquet(stream_dirs["activity"]).count()
+    q = ingest.start_ingest(
+        spark,
+        stream_dirs["src"],
+        activity_sink=stream_dirs["activity"],
+        alerts_sink=stream_dirs["alerts"],
+        checkpoint_dir=stream_dirs["ckpt"],
+        available_now=True,
+    )
+    q.awaitTermination(60)
+    after = spark.read.parquet(stream_dirs["activity"]).count()
+    assert before == after
+
+
+def test_timeline_stream_matches_batch(spark, stream_dirs):
+    raw_stream = ingest.read_agent_stream(spark, stream_dirs["src"])
+    normalized = normalize_agent_events(raw_stream)
+    agg = ingest.timeline_stream(normalized, watermark_delay="0 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("timeline_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r.bucket_start, r.total, r.failed)
+        for r in spark.sql("SELECT * FROM timeline_test").collect()
+    }
+    raw = _raw_batch_df(spark, stream_dirs["events"])
+    expected = {
+        (r.bucket_start, r.total, r.failed)
+        for r in normalize_agent_events(raw)
+        .groupBy(F.window("access_timestamp", "1 hour").alias("win"))
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(
+                F.when(F.col("operation_status") == "Failed", 1).otherwise(0)
+            ).alias("failed"),
+        )
+        .select(F.col("win.start").alias("bucket_start"), "total", "failed")
+        .collect()
+    }
+    # append mode emits only windows the watermark has closed; the last
+    # open window may be withheld → streamed ⊆ batch, missing ≤1 window
+    assert got <= expected
+    assert len(expected) - len(got) <= 1
+
+
+def test_rate_alert_stream_runs(spark, stream_dirs):
+    raw_stream = ingest.read_agent_stream(spark, stream_dirs["src"])
+    normalized = normalize_agent_events(raw_stream)
+    alerts = ingest.rate_alert_stream(
+        normalized, threshold=1, slide="30 seconds", watermark_delay="0 seconds"
+    )
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("rate_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM rate_test").collect()
+    # events are 37 s apart per fixture; sliding 60 s windows catch
+    # adjacent pairs → with threshold 1 some windows must breach
+    assert all(r.cnt >= 2 for r in rows)
+    assert len(rows) > 0
