@@ -1,0 +1,108 @@
+"""Batch jobs (SURVEY.md S11 + P5 lifecycle ops).
+
+The reference schedules daily/weekly/monthly compliance reports with
+APScheduler inside the Flask process (app.py:871-905). In the engine
+these are plain batch entry points — an external scheduler (cron /
+Airflow) or a Structured Streaming ``Trigger.AvailableNow`` run invokes
+them; the engine stays stateless.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .api import DamAnalytics
+
+
+def run_compliance_report_job(
+    activity: DataFrame,
+    *,
+    report_type: str = "daily",
+    output_dir: str,
+    now: dt.datetime | str | None = None,
+) -> dict:
+    """generate → persist → log, mirroring _run_scheduled_report
+    (app.py:878-905) minus the email side effect (notifier hooks live
+    in streaming.ingest)."""
+    report = DamAnalytics(activity, now=now).compliance_report(report_type)
+    os.makedirs(output_dir, exist_ok=True)
+    stamp = str(now or dt.datetime.now(dt.timezone.utc).isoformat()).replace(
+        ":", "-"
+    ).replace(" ", "_")
+    path = os.path.join(output_dir, f"compliance_{report_type}_{stamp}.json")
+    with open(path, "w") as fh:
+        json.dump(report, fh, default=str, indent=2)
+    report["output_path"] = path
+    return report
+
+
+def append_report_log(
+    spark: SparkSession,
+    log_path: str,
+    *,
+    report_type: str,
+    output_path: str,
+    generated_at: dt.datetime,
+) -> None:
+    """report_log bookkeeping row (app.py:1508-1514) as an append-only
+    parquet table."""
+    spark.createDataFrame(
+        [(report_type, output_path, generated_at)],
+        "report_type string, output_path string, generated_at timestamp",
+    ).write.mode("append").parquet(log_path)
+
+
+# ── P5/R8: account lockout state (OLTP-shaped, kept as table ops) ─────────
+
+
+def is_locked_out(now: dt.datetime | str | None = None) -> F.Column:
+    """Lockout predicate (app.py:215-222): locked iff locked_until is
+    in the future."""
+    anchor = (
+        F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+    )
+    return F.col("locked_until").isNotNull() & (F.col("locked_until") > anchor)
+
+
+def apply_login_outcome(
+    users: DataFrame,
+    username: str,
+    *,
+    success: bool,
+    now: dt.datetime,
+    max_attempts: int = 5,
+    lockout_minutes: int = 30,
+) -> DataFrame:
+    """Pure-functional users-table update for one login outcome:
+    success resets counters + stamps last_login; failure increments and
+    locks at the threshold (app.py:215-222, Config app.py:80-81).
+    Caller persists the returned frame (overwrite) — the engine keeps
+    mutation at the storage boundary only."""
+    hit = F.col("username") == username
+    if success:
+        return users.withColumn(
+            "failed_attempts", F.when(hit, 0).otherwise(F.col("failed_attempts"))
+        ).withColumn(
+            "locked_until",
+            F.when(hit, F.lit(None).cast("timestamp")).otherwise(
+                F.col("locked_until")
+            ),
+        ).withColumn(
+            "last_login",
+            F.when(hit, F.lit(now)).otherwise(F.col("last_login")),
+        )
+    bumped = F.coalesce(F.col("failed_attempts"), F.lit(0)) + 1
+    return users.withColumn(
+        "failed_attempts", F.when(hit, bumped).otherwise(F.col("failed_attempts"))
+    ).withColumn(
+        "locked_until",
+        F.when(
+            hit & (bumped >= max_attempts),
+            F.lit(now) + F.make_interval(mins=F.lit(lockout_minutes)),
+        ).otherwise(F.col("locked_until")),
+    )

@@ -54,20 +54,34 @@ def exact_duplicates(
     )
 
 
+def _shingles(toks: F.Column, shingle: int) -> F.Column:
+    """w-token shingle strings from a token array (whole short docs
+    collapse to one shingle)."""
+    if shingle <= 1:
+        return toks
+    n = F.size(toks)
+    idxs = F.sequence(F.lit(0), F.greatest(n - shingle, F.lit(0)))
+    return F.transform(
+        idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle))
+    )
+
+
 def distinct_tokens(
     docs: DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    block_col: str | None = None,
+    block_cols: list[str] | str | None = None,
+    shingle: int = 1,
 ) -> DataFrame:
-    """(id[, block], token) distinct token table — the shared substrate
-    for Jaccard / MinHash."""
-    cols = [F.col(id_col)]
-    if block_col:
-        cols.append(F.col(block_col))
+    """(id[, blocks...], token) distinct token/shingle table — the
+    exploded substrate for the Jaccard self-join."""
+    if isinstance(block_cols, str):
+        block_cols = [block_cols]
+    cols = [F.col(id_col)] + [F.col(c) for c in (block_cols or [])]
+    toks = F.split(F.trim(F.col(text_col)), _WS)
     return docs.select(
-        *cols, F.explode(F.split(F.col(text_col), _WS)).alias("tok")
+        *cols, F.explode(_shingles(toks, shingle)).alias("tok")
     ).distinct()
 
 
@@ -76,17 +90,23 @@ def jaccard_pairs(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    block_col: str | None = None,
+    block_col: list[str] | str | None = None,
     threshold: float = 0.9,
+    shingle: int = 1,
 ) -> DataFrame:
-    """Exact token-set Jaccard over (optionally blocked) pairs.
+    """Exact token/shingle-set Jaccard over (optionally blocked) pairs.
 
-    Blocking bounds the quadratic self-join: pairs only form inside the
-    same block AND sharing ≥1 token. inter/union arithmetic is single
+    This is the quadratic BASELINE — blocking bounds the self-join
+    (pairs only form inside the same block AND sharing ≥1 token), and
+    composite blocks (e.g. lang+source) keep buckets small; the scale
+    path is minhash_near_duplicates. inter/union arithmetic is single
     integer division → bit-identical across engines (oracle-safe).
     """
+    if isinstance(block_col, str):
+        block_col = [block_col]
     toks = distinct_tokens(
-        docs, id_col=id_col, text_col=text_col, block_col=block_col
+        docs, id_col=id_col, text_col=text_col, block_cols=block_col,
+        shingle=shingle,
     )
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("n"))
     a = toks.alias("a")
@@ -94,8 +114,8 @@ def jaccard_pairs(
     join_cond = (F.col("a.tok") == F.col("b.tok")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )
-    if block_col:
-        join_cond = join_cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    for c in block_col or []:
+        join_cond = join_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     inter = (
         a.join(b, join_cond)
         .groupBy(
@@ -116,16 +136,62 @@ def jaccard_pairs(
     )
 
 
+def token_arrays(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "toks",
+    shingle: int = 1,
+) -> DataFrame:
+    """Per-row distinct-token/shingle array — the shuffle-free substrate
+    for MinHash/SimHash: signature computation becomes a pure projection
+    (array transforms), no explode, no groupBy."""
+    toks = F.split(F.trim(F.col(text_col)), _WS)
+    return docs.withColumn(out_col, F.array_distinct(_shingles(toks, shingle)))
+
+
 def minhash_signatures(
     toks: DataFrame, *, id_col: str = "doc_id", num_hashes: int = 32
 ) -> DataFrame:
     """k minhashes per doc via xxhash64(seed_i, token) — one hash-agg
-    pass, no UDFs (MinHashLSH's core without the ML wrapper)."""
+    pass, no UDFs (MinHashLSH's core without the ML wrapper).
+
+    Exploded-token formulation; prefer minhash_signatures_arr (pure
+    projection) when the token array fits in a row, i.e. always for
+    documents — this variant exists for pre-exploded token tables."""
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return toks.groupBy(id_col).agg(*aggs)
+
+
+def _seeded_hash(i: int):
+    # NB: a single-arg lambda is required — PySpark interprets a
+    # two-arg lambda in transform/filter as (element, index).
+    return lambda t: F.xxhash64(F.lit(i), t)
+
+
+def _bit_test(i: int):
+    return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+
+def minhash_signatures_arr(
+    docs_with_toks: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Projection-only minhash: mh_i = array_min(transform(toks,
+    t → xxhash64(i, t))). Zero shuffles — scales linearly with the
+    corpus and parallelizes per input partition."""
+    cols = [
+        F.array_min(F.transform(F.col(toks_col), _seeded_hash(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return docs_with_toks.select(F.col(id_col), F.col(toks_col), *cols)
 
 
 def minhash_candidate_pairs(
@@ -181,65 +247,78 @@ def minhash_near_duplicates(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.9,
+    shingle: int = 1,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard ≥ threshold.
 
-    Output ⊆ jaccard_pairs output (recall < 1 by LSH design); at scale
-    this replaces the quadratic join with candidate-only verification.
+    Output ⊆ exact-Jaccard pairs (recall < 1 by LSH design). Plan
+    shape at scale: one projection computes signatures + token arrays,
+    one self-join on (band, bucket) generates candidates, one join back
+    to the arrays verifies with array_intersect — total 2 shuffles,
+    linear in corpus size plus candidate count. Use shingle=3+ for real
+    near-dup semantics (unigram sets degenerate on small vocabularies).
     """
-    toks = distinct_tokens(docs, id_col=id_col, text_col=text_col)
-    sigs = minhash_signatures(toks, id_col=id_col, num_hashes=num_hashes)
+    base = token_arrays(docs, id_col=id_col, text_col=text_col, shingle=shingle)
+    sigs = minhash_signatures_arr(
+        base, id_col=id_col, num_hashes=num_hashes
+    )
     cands = minhash_candidate_pairs(
-        sigs, id_col=id_col, num_hashes=num_hashes, bands=bands
+        sigs.drop("toks"), id_col=id_col, num_hashes=num_hashes, bands=bands
     )
-    ta = toks.select(F.col(id_col).alias("doc_a"), F.col("tok"))
-    tb = toks.select(F.col(id_col).alias("doc_b"), F.col("tok"))
-    sizes = toks.groupBy(id_col).agg(F.count("*").alias("n"))
-    inter = (
-        cands.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    arrs = base.select(F.col(id_col), F.col("toks"))
+    return _verify_pairs_jaccard(
+        cands, arrs, id_col=id_col, threshold=threshold
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
-    j = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+
+
+def _verify_pairs_jaccard(
+    pairs: DataFrame,
+    arrs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    threshold: float,
+) -> DataFrame:
+    """Exact token-set Jaccard on candidate pairs via per-row
+    array_intersect (no explode; int division → oracle-bit-exact)."""
+    a = arrs.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = arrs.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", j)
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
 
 
 def simhash_fingerprints(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    shingle: int = 1,
 ) -> DataFrame:
     """64-bit SimHash: per-bit majority vote over xxhash64(token).
 
-    Expressed as 64 conditional sums in one hash aggregate — stays in
-    codegen, one shuffle on doc id.
+    Pure projection — token hashes computed once per row, 64 per-bit
+    majority tests over the array, no explode, no shuffle.
     """
-    toks = distinct_tokens(docs, id_col=id_col, text_col=text_col)
-    h = F.xxhash64(F.col("tok"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
+    base = token_arrays(
+        docs, id_col=id_col, text_col=text_col, shingle=shingle
+    ).withColumn(
+        "_th", F.transform(F.col("toks"), lambda t: F.xxhash64(t))
+    )
+    n = F.size("_th")
     fingerprint = reduce(
         lambda acc, i: acc.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                2 * F.size(F.filter(F.col("_th"), _bit_test(i))) > n,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
         ),
         range(64),
         F.lit(0).cast("long"),
     )
-    return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+    return base.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -249,11 +328,14 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 12,
     bands: int = 4,
+    shingle: int = 1,
 ) -> DataFrame:
     """Hamming-near pairs via banded blocking on 16-bit simhash chunks
     (pigeonhole: distance < bands guarantees a shared band; wider
     distances are best-effort, standard SimHash practice)."""
-    fp = simhash_fingerprints(docs, id_col=id_col, text_col=text_col)
+    fp = simhash_fingerprints(
+        docs, id_col=id_col, text_col=text_col, shingle=shingle
+    )
     width = 64 // bands
     mask = (1 << width) - 1
     band_structs = F.array(

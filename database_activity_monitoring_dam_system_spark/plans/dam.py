@@ -15,7 +15,7 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import analytics, anomaly, rules
+from ..operators import analytics, anomaly, geo, rules, sessions
 from ..sources.testdata import load_table
 from .events_activity import ACTIVITY_CTE, BLACKLISTED_IPS, derive_activity
 from .spec import QuerySpec, sql_values
@@ -474,7 +474,85 @@ GROUP BY event_type
 """
 
 
+GEO_COUNTRIES = ("US", "DE", "IN", "BR", "JP", "FR", "AU")
+_GEO_ROWS = [
+    (f"10.0.0.{n}", GEO_COUNTRIES[n % len(GEO_COUNTRIES)]) for n in range(30)
+]
+
+
+def _q_geo_top_countries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = spark.createDataFrame(_GEO_ROWS, "ip_address string, country string")
+    return geo.top_countries(_activity(spark, sf_dir), dim, k=10)
+
+
+_GEO_SQL = f"""
+WITH {ACTIVITY_CTE},
+geo AS (SELECT * FROM {sql_values([list(r) for r in _GEO_ROWS], "g", ["ip_address", "country"])})
+SELECT country, count(*) AS cnt
+FROM activity JOIN geo USING (ip_address)
+GROUP BY country ORDER BY cnt DESC, country ASC LIMIT 10
+"""
+
+
+def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessions.session_stats(_activity(spark, sf_dir), gap="30 minutes")
+
+
+_SESSION_SQL = f"""
+WITH {ACTIVITY_CTE},
+seq AS (
+  SELECT user_id, access_timestamp,
+         CASE WHEN access_timestamp - lag(access_timestamp) OVER w
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM activity WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY access_timestamp)
+),
+islands AS (
+  SELECT user_id, access_timestamp,
+         sum(new_s) OVER (
+           PARTITION BY user_id ORDER BY access_timestamp
+           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM seq
+)
+SELECT user_id,
+       min(access_timestamp) AS session_start,
+       count(*) AS n_events,
+       CAST(floor(epoch(max(access_timestamp)))
+            - floor(epoch(min(access_timestamp))) AS BIGINT) AS duration_sec
+FROM islands GROUP BY user_id, sid
+"""
+
+
+def _q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation — absent from the reference, free in Spark
+    (SURVEY.md §2.4 note); exact form is oracle-checkable."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count("*").alias("cnt"),
+    )
+
+
+_DISTINCT_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS distinct_users, count(*) AS cnt
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "geo_top_countries": QuerySpec(
+        _q_geo_top_countries, _GEO_SQL,
+        "A10 geo-dimension broadcast join + top-10 countries",
+    ),
+    "session_stats": QuerySpec(
+        _q_session_stats, _SESSION_SQL,
+        "ST8 session_window sessionization (30-min gap) vs gaps-and-islands oracle",
+    ),
+    "distinct_counts": QuerySpec(
+        _q_distinct_counts, _DISTINCT_SQL,
+        "distinct aggregation per group (engine extension)",
+    ),
     "rule_battery": QuerySpec(
         _q_rule_battery, battery_sql(
             "SELECT activity_id, is_suspicious, severity_level, suspicious_reasons FROM checked"

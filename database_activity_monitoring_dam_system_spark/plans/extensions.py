@@ -40,21 +40,25 @@ FROM documents GROUP BY 1
 
 
 def _q_jaccard_pairs(spark, sf_dir):
+    """Quadratic exact baseline, bounded by composite (lang, source)
+    blocking — buckets stay ~corpus/100 regardless of scale factor."""
     return dedup.jaccard_pairs(
-        _docs(spark, sf_dir), block_col="lang", threshold=0.9
+        _docs(spark, sf_dir), block_col=["lang", "source"], threshold=0.9
     )
 
 
 _JACCARD_SQL = r"""
 WITH toks AS (
-  SELECT DISTINCT doc_id, lang, unnest(string_split_regex(text, '\s+')) AS tok
+  SELECT DISTINCT doc_id, lang, source,
+         unnest(string_split_regex(trim(text), '\s+')) AS tok
   FROM documents
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
   FROM toks a JOIN toks b
-    ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+    ON a.tok = b.tok AND a.lang = b.lang AND a.source = b.source
+   AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM (
@@ -67,11 +71,17 @@ SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM (
 
 
 def _q_minhash_near_dups(spark, sf_dir):
-    return dedup.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.9)
+    """Scale path with 3-token shingles (real near-dup semantics —
+    unigram sets degenerate on the 31-word synthetic vocabulary)."""
+    return dedup.minhash_near_duplicates(
+        _docs(spark, sf_dir), threshold=0.8, shingle=3
+    )
 
 
 def _q_simhash_pairs(spark, sf_dir):
-    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=8)
+    return dedup.simhash_near_pairs(
+        _docs(spark, sf_dir), max_hamming=8, shingle=3
+    )
 
 
 def _q_token_stats(spark, sf_dir):

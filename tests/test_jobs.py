@@ -1,0 +1,55 @@
+from __future__ import annotations
+
+import datetime as dt
+import json
+import tempfile
+
+from database_activity_monitoring_dam_system_spark import jobs
+from database_activity_monitoring_dam_system_spark.plans.dam import (
+    _activity,
+    _anchor,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_compliance_report_job_writes_file(spark):
+    now = _anchor(spark, SF_SMOKE)
+    with tempfile.TemporaryDirectory() as d:
+        rep = jobs.run_compliance_report_job(
+            _activity(spark, SF_SMOKE),
+            report_type="weekly",
+            output_dir=d,
+            now=now,
+        )
+        with open(rep["output_path"]) as fh:
+            on_disk = json.load(fh)
+        assert on_disk["report_type"] == "weekly"
+        assert on_disk["statistics"]["non_compliant_count"] == len(
+            on_disk["findings"]
+        )
+
+
+def test_login_outcome_lockout_cycle(spark):
+    now = dt.datetime(2026, 8, 1, 12, 0, 0)
+    users = spark.createDataFrame(
+        [(1, "alice", 3, None, None)],
+        "user_id long, username string, failed_attempts int, "
+        "locked_until timestamp, last_login timestamp",
+    )
+    # two more failures reach the threshold of 5 → locked
+    u = jobs.apply_login_outcome(users, "alice", success=False, now=now)
+    u = jobs.apply_login_outcome(u, "alice", success=False, now=now)
+    row = u.first()
+    assert row["failed_attempts"] == 5
+    assert row["locked_until"] is not None
+    assert u.filter(jobs.is_locked_out(now)).count() == 1
+    # lockout expires after the window
+    later = now + dt.timedelta(minutes=31)
+    assert u.filter(jobs.is_locked_out(later)).count() == 0
+    # success resets
+    u2 = jobs.apply_login_outcome(u, "alice", success=True, now=later)
+    row2 = u2.first()
+    assert row2["failed_attempts"] == 0
+    assert row2["locked_until"] is None
+    assert row2["last_login"] == later
