@@ -179,7 +179,104 @@ LIMIT 50
 """
 
 
+def _revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (region, nation): subtotal + grand-total rows with
+    NULL fill — free from Spark SQL, absent from the reference
+    (SURVEY.md §2.4 note on grouping sets)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dim = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("order_cnt"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT r_name, n_name,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS order_cnt
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def _customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join (no anti join exists in the
+    reference; required for a complete relational surface). Scoped to
+    urgent orders so the result is non-empty at every scale factor."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        customer.join(
+            urgent, customer.c_custkey == F.col("o_custkey"), "left_anti"
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+"""
+
+
+def _status_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (A9's one-pass histogram generalized): order counts per
+    priority pivoted on the fixed status domain."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "revenue_rollup": QuerySpec(
+        _revenue_rollup, _ROLLUP_SQL,
+        "ROLLUP subtotals over region/nation (grouping-sets extension)",
+    ),
+    "customers_without_orders": QuerySpec(
+        _customers_without_orders, _ANTI_SQL,
+        "left-anti join (NOT EXISTS)",
+    ),
+    "status_priority_pivot": QuerySpec(
+        _status_priority_pivot, _PIVOT_SQL,
+        "pivot on fixed domain (generalized severity histogram)",
+    ),
     "pricing_summary": QuerySpec(
         _pricing_summary, _PRICING_SQL,
         "TPC-H Q1: scan→filter→6-group hash aggregate",

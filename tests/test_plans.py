@@ -1,0 +1,54 @@
+"""Physical-plan invariants (SURVEY.md §4): these assertions fail if a
+refactor silently degrades the plan — the filter stops reaching the
+scan, a dimension stops broadcasting, or an aggregate loses its
+map-side partial phase.
+"""
+
+from __future__ import annotations
+
+from database_activity_monitoring_dam_system_spark.plans.registry import all_queries
+
+from .conftest import SF_SMOKE
+
+_QS = all_queries()
+
+
+def _plan(spark, name: str) -> str:
+    df = _QS[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 7 needed columns reach the scan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    # partial + final aggregation around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(spark, "revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "SortMergeJoin" not in plan  # fact side never shuffles for joins
+
+
+def test_rule_battery_single_window_shuffle(spark):
+    plan = _plan(spark, "rule_battery")
+    # blacklist joins broadcast; the only fact-side hash shuffle is the
+    # rate window on user_id
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "events_enriched_latest")
+    assert "TakeOrderedAndProject" in plan  # no full sort of the fact table
+
+
+def test_firewall_rules_broadcast(spark):
+    plan = _plan(spark, "firewall_matches")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -1,0 +1,122 @@
+"""Partitioned-sink pruning proof + exact stateful rate operator tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from database_activity_monitoring_dam_system_spark import sinks
+from database_activity_monitoring_dam_system_spark.plans.dam import _activity
+from database_activity_monitoring_dam_system_spark.streaming import stateful
+
+from .conftest import SF_SMOKE
+
+
+def test_partitioned_sink_prunes(spark):
+    d = tempfile.mkdtemp(prefix="dam_part_")
+    try:
+        act = _activity(spark, SF_SMOKE)
+        sinks.write_activity_partitioned(act, d, mode="overwrite")
+        back = sinks.read_activity(spark, d)
+        # row fidelity
+        assert back.count() == act.count()
+        # a date predicate must reach the scan as a PartitionFilter
+        pruned = back.filter(F.col("event_date") == "2024-01-05")
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "event_date" in plan.split(
+            "PartitionFilters"
+        )[1][:200]
+        expected = act.filter(
+            F.to_date("access_timestamp") == "2024-01-05"
+        ).count()
+        assert pruned.count() == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "username string, access_timestamp timestamp"
+    )
+
+
+def test_exact_rate_counts_batch_semantics(spark):
+    t0 = dt.datetime(2026, 8, 1, 10, 0, 0)
+    rows = [("u1", t0 + dt.timedelta(seconds=10 * i)) for i in range(8)]
+    rows += [("u2", t0), ("u2", t0 + dt.timedelta(seconds=120))]
+    out = {
+        (r.username, r.event_ts): (r.queries_last_min, r.breached)
+        for r in stateful.exact_rate_counts_batch(
+            _mk_events(spark, rows), threshold=5
+        ).collect()
+    }
+    # u1: events every 10 s → trailing-60s counts 1..6 capped by window
+    # (event at +60s no longer sees t0 since 60-0 < 60 is false)
+    assert out[("u1", t0)] == (1, False)
+    assert out[("u1", t0 + dt.timedelta(seconds=50))] == (6, True)
+    assert out[("u1", t0 + dt.timedelta(seconds=60))] == (6, True)
+    # u2: second event far outside the window
+    assert out[("u2", t0 + dt.timedelta(seconds=120))] == (1, False)
+
+
+def test_exact_rate_counts_streaming(spark):
+    import json
+    import os
+
+    base = tempfile.mkdtemp(prefix="dam_state_")
+    src = f"{base}/src"
+    os.makedirs(src)
+    t0 = dt.datetime(2026, 8, 1, 10, 0, 0)
+    # two files → two micro-batches; state must carry across them
+    with open(f"{src}/a.json", "w") as fh:
+        for i in range(4):
+            fh.write(json.dumps({
+                "event_time": (t0 + dt.timedelta(seconds=5 * i)).isoformat(),
+                "user_host": "burst[burst] @ h []",
+                "argument": f"SELECT {i}",
+            }) + "\n")
+    with open(f"{src}/b.json", "w") as fh:
+        for i in range(4, 8):
+            fh.write(json.dumps({
+                "event_time": (t0 + dt.timedelta(seconds=5 * i)).isoformat(),
+                "user_host": "burst[burst] @ h []",
+                "argument": f"SELECT {i}",
+            }) + "\n")
+    try:
+        from database_activity_monitoring_dam_system_spark.sources.agent import (
+            normalize_agent_events,
+        )
+        from database_activity_monitoring_dam_system_spark.streaming.ingest import (
+            read_agent_stream,
+        )
+
+        stream = read_agent_stream(
+            spark, src, max_files_per_trigger=1
+        )
+        counted = stateful.exact_rate_counts(
+            normalize_agent_events(stream), threshold=5
+        )
+        q = (
+            counted.writeStream.format("memory")
+            .queryName("exact_rate")
+            .outputMode("append")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {
+            r.event_ts: (r.queries_last_min, r.breached)
+            for r in spark.sql("SELECT * FROM exact_rate").collect()
+        }
+        assert len(rows) == 8
+        # the 6th event (25 s in) sees all prior 5 → breach at >5
+        assert rows[t0 + dt.timedelta(seconds=25)] == (6, True)
+        # last event of batch 2 still counts events from batch 1
+        # (state carried across micro-batches): 35 s in, window covers all 8
+        assert rows[t0 + dt.timedelta(seconds=35)] == (8, True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
