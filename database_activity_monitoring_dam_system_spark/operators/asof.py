@@ -1,0 +1,75 @@
+"""As-of (backward) join — an operator Spark's API lacks natively.
+
+For each left row, attach the most recent right row with right.ts ≤
+left.ts within the same key (the time-series "last known value" join;
+DuckDB/kdb call it ASOF JOIN).
+
+Implementation is the scalable union + carry-forward formulation, NOT
+a range/theta join:
+
+    union(left-tagged, right-tagged)
+      → window per key ordered by (ts, right-before-left)
+      → last_value(..., ignoreNulls) carries the right payload forward
+      → keep left rows
+
+One shuffle on the key, linear scan per partition — no quadratic
+candidate pairs and no range-join explosion, which is what makes it
+hold at 100 TB where a `l.ts >= r.ts` theta join would not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[str],
+    ts_col: str,
+    carry_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of-backward join (inclusive: right.ts == left.ts
+    matches; at equal timestamps the right row is visible to the left
+    row, matching DuckDB ASOF semantics).
+
+    Returns all left columns + ``{ts_col}{suffix}`` (the matched right
+    timestamp) + each carry col as ``{col}{suffix}``; NULLs when no
+    right row precedes.
+    """
+    carried = [f"{c}{suffix}" for c in carry_cols]
+    r_ts = f"{ts_col}{suffix}"
+
+    l_side = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[ts_col].dataType).alias(r_ts),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(a)
+            for c, a in zip(carry_cols, carried)
+        ],
+    )
+    left_only = [c for c in left.columns if c not in on and c != ts_col]
+    r_side = right.select(
+        *[F.col(c) for c in on],
+        F.col(ts_col),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
+        F.lit(0).alias("_side"),
+        F.col(ts_col).alias(r_ts),
+        *[F.col(c).alias(a) for c, a in zip(carry_cols, carried)],
+    ).select(*l_side.columns)  # align column order for union
+
+    unioned = l_side.unionByName(r_side)
+    # right rows (_side 0) sort before left rows at the same ts →
+    # inclusive as-of semantics
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in [r_ts, *carried]:
+        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return unioned.filter(F.col("_side") == 1).drop("_side")

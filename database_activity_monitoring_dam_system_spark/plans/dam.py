@@ -15,7 +15,7 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import analytics, anomaly, geo, rules, sessions
+from ..operators import analytics, anomaly, asof, geo, rules, sessions
 from ..sources.testdata import load_table
 from .events_activity import ACTIVITY_CTE, BLACKLISTED_IPS, derive_activity
 from .spec import QuerySpec, sql_values
@@ -540,7 +540,35 @@ FROM events GROUP BY event_type
 """
 
 
+def _q_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward join: for every purchase, the user's most recent
+    error at-or-before it (the time-series 'last known value' join)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    return asof.asof_join_backward(
+        purchases, errors, on=["user_id"], ts_col="ts", carry_cols=["value"]
+    )
+
+
+_ASOF_SQL = """
+SELECT l.event_id, l.user_id, l.ts,
+       r.ts AS ts_asof, r.value AS value_asof
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "asof_last_error": QuerySpec(
+        _q_asof_last_error, _ASOF_SQL,
+        "as-of backward join via union+carry-forward (vs DuckDB ASOF JOIN)",
+    ),
     "geo_top_countries": QuerySpec(
         _q_geo_top_countries, _GEO_SQL,
         "A10 geo-dimension broadcast join + top-10 countries",

@@ -1,0 +1,74 @@
+"""Skew-salting equivalence, as-of join edge cases, empty-input
+robustness."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from database_activity_monitoring_dam_system_spark.operators import asof, rules, skew
+from database_activity_monitoring_dam_system_spark.operators.analytics import (
+    activity_stats,
+    hourly_timeline,
+)
+from database_activity_monitoring_dam_system_spark.plans.dam import _activity
+from database_activity_monitoring_dam_system_spark.sources.testdata import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_salted_count_equals_plain_count(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    plain = {
+        (r.user_id, r.cnt)
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    salted = {
+        (r.user_id, r.cnt)
+        for r in skew.salted_group_count(
+            events, ["user_id"], salt_col="event_id", buckets=8
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_asof_inclusive_and_null_semantics(spark):
+    t = lambda s: dt.datetime(2026, 8, 1, 10, 0, s)
+    left = spark.createDataFrame(
+        [(1, 10, t(5)), (2, 10, t(10)), (3, 10, t(2)), (4, 20, t(30))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, t(5), 1.0), (10, t(8), 2.0), (20, t(31), 9.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r.event_id: (r.ts_asof, r.value_asof)
+        for r in asof.asof_join_backward(
+            left, right, on=["user_id"], ts_col="ts", carry_cols=["value"]
+        ).collect()
+    }
+    assert out[1] == (t(5), 1.0)      # equal ts is inclusive
+    assert out[2] == (t(8), 2.0)      # most recent prior wins
+    assert out[3] == (None, None)     # nothing before → NULLs
+    assert out[4] == (None, None)     # right exists only after left
+    assert len(out) == 4              # all left rows preserved
+
+
+def test_empty_input_frames(spark):
+    """Every core operator must return structurally-valid empties, not
+    crash, when the day's partition is empty."""
+    empty = _activity(spark, SF_SMOKE).filter(F.lit(False))
+    checked = rules.apply_rule_battery(empty, with_rate_rule=True)
+    assert checked.count() == 0
+    assert "severity_level" in checked.columns
+    assert rules.derive_alerts(checked).count() == 0
+    assert rules.compliance_findings(empty).count() == 0
+    now = dt.datetime(2026, 8, 1)
+    stats = activity_stats(checked, now=now).first()
+    assert stats["total_activities"] == 0
+    assert stats["suspicious_count"] is None or stats["suspicious_count"] == 0
+    assert hourly_timeline(checked, hours=24, now=now).count() == 0
