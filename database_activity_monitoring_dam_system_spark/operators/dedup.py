@@ -327,6 +327,66 @@ def simhash_fingerprints(
     return agg.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    *,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → duplicate clusters.
+
+    Iterative min-label propagation (the canonical Spark form of an
+    iterative algorithm the reference cannot express): every doc
+    starts labeled with its own id; each round every doc adopts the
+    minimum label in its neighborhood; converges in O(cluster
+    diameter) rounds. localCheckpoint() truncates lineage per round so
+    plans don't grow exponentially — the standard guard for iterative
+    DataFrame algorithms.
+
+    Input: (doc_a, doc_b) pair frame. Output: (doc_id, cluster_id)
+    where cluster_id = min doc id of the component — the kept
+    representative for dedup.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     *,

@@ -84,6 +84,16 @@ def _q_simhash_pairs(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Iterative min-label propagation over near-dup pairs → duplicate
+    clusters (genuinely non-SQL-expressible: driver-controlled
+    iteration with lineage checkpointing)."""
+    pairs = dedup.jaccard_pairs(
+        _docs(spark, sf_dir), block_col=["lang", "source"], threshold=0.9
+    )
+    return dedup.duplicate_clusters(pairs)
+
+
 def _q_token_stats(spark, sf_dir):
     return textops.token_stats(_docs(spark, sf_dir))
 
@@ -227,6 +237,10 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_simhash_pairs": QuerySpec(
         _q_simhash_pairs, None,
         "SimHash banded blocking, Hamming ≤8 near pairs",
+    ),
+    "dedup_clusters": QuerySpec(
+        _q_dedup_clusters, None,
+        "iterative connected components over near-dup pairs (cluster reps)",
     ),
     "token_stats": QuerySpec(
         _q_token_stats, _TOKEN_STATS_SQL,

@@ -1,0 +1,106 @@
+"""Streaming dedup + iterative duplicate-clustering tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+import tempfile
+
+from database_activity_monitoring_dam_system_spark.operators import dedup
+from database_activity_monitoring_dam_system_spark.sources.agent import (
+    normalize_agent_events,
+)
+from database_activity_monitoring_dam_system_spark.streaming import (
+    dedup_stream,
+    ingest,
+)
+
+
+def _union_find_expected(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_duplicate_clusters_matches_union_find(spark):
+    pairs = [
+        (1, 2), (2, 3), (3, 4),          # chain → cluster 1
+        (10, 11), (11, 12),              # cluster 10
+        (20, 21),                        # cluster 20
+        (4, 1),                          # cycle back
+    ]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.duplicate_clusters(df).collect()
+    }
+    assert got == _union_find_expected(pairs)
+
+
+def test_duplicate_clusters_on_real_lsh_pairs(spark):
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = dedup.jaccard_pairs(docs, block_col=None, threshold=0.95)
+    clusters = dedup.duplicate_clusters(pairs)
+    rows = clusters.collect()
+    expected = _union_find_expected(
+        [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    )
+    assert {r.doc_id: r.cluster_id for r in rows} == expected
+    # representative is always the cluster minimum
+    assert all(r.cluster_id <= r.doc_id for r in rows)
+
+
+def test_dedup_stream_drops_replayed_events(spark):
+    base = tempfile.mkdtemp(prefix="dam_dedup_")
+    src = f"{base}/src"
+    os.makedirs(src)
+    t0 = dt.datetime(2026, 8, 1, 10, 0, 0)
+    ev = lambda i, sql: {
+        "event_time": (t0 + dt.timedelta(seconds=i)).isoformat(),
+        "user_host": "u[u] @ h []",
+        "argument": sql,
+    }
+    # file 2 replays file 1's events (agent retry) + adds one new one
+    batch1 = [ev(i, f"SELECT {i} FROM products") for i in range(5)]
+    batch2 = batch1 + [ev(99, "SELECT 99 FROM products")]
+    with open(f"{src}/a.json", "w") as fh:
+        fh.writelines(json.dumps(r) + "\n" for r in batch1)
+    with open(f"{src}/b.json", "w") as fh:
+        fh.writelines(json.dumps(r) + "\n" for r in batch2)
+    try:
+        stream = ingest.read_agent_stream(spark, src, max_files_per_trigger=1)
+        deduped = dedup_stream.dedup_stream(normalize_agent_events(stream))
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_t")
+            .outputMode("append")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT operation_details FROM dedup_t").collect()
+        # 5 unique from batch1 + 1 new from batch2; replays dropped
+        assert len(rows) == 6
+        assert len({r.operation_details for r in rows}) == 6
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
