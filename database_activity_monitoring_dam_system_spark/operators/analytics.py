@@ -52,13 +52,15 @@ def latest_activities(
     severity_level='Critical'); "Failed" → operation_status='Failed'.
     """
     preds: list[Column] = []
+    # "All" / "All Databases" are the UI's no-filter sentinels
+    # (app.py:272,278) — treat like None.
     if severity == "Critical":
         preds.append(F.col("is_suspicious") == F.lit(True))
     elif severity == "Failed":
         preds.append(F.col("operation_status") == "Failed")
-    elif severity:
+    elif severity and severity != "All":
         preds.append(F.col("severity_level") == severity)
-    if database:
+    if database and database != "All Databases":
         preds.append(F.col("table_name").contains(database))
     if time_range_hours is not None:
         anchor = _now_lit(now) if now is not None else F.current_timestamp()
@@ -89,11 +91,12 @@ def activity_stats(
     severity histogram — all conditional sums in one hash aggregate.
     """
     anchor = _now_lit(now) if now is not None else F.current_timestamp()
+    # Reference parity (app.py:742-744): histogram counts rows by
+    # severity_level ALONE — non-suspicious rows default to 'Low'
+    # (DDL DEFAULT), so the Low bucket includes them.
     sev_cols = [
         F.sum(
-            F.when(
-                F.col("is_suspicious") & (F.col("severity_level") == s), 1
-            ).otherwise(0)
+            F.when(F.col("severity_level") == s, 1).otherwise(0)
         ).alias(f"sev_{s.lower()}")
         for s in SEVERITY_ORDER
     ]
@@ -209,6 +212,8 @@ def active_alerts(
             "activity_id",
             "inner",
         )
-        .orderBy(F.desc("created_at"), F.desc("alert_id"))
+        # tie-break on activity_id (present in BOTH the batch fixture
+        # and the streaming alerts sink, which carries no alert_id)
+        .orderBy(F.desc("created_at"), F.desc("activity_id"))
         .limit(limit)
     )

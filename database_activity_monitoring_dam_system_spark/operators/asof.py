@@ -64,10 +64,17 @@ def asof_join_backward(
 
     unioned = l_side.unionByName(r_side)
     # right rows (_side 0) sort before left rows at the same ts →
-    # inclusive as-of semantics
+    # inclusive as-of semantics. The carried columns join the sort key
+    # as a deterministic tie-break among right rows sharing (key, ts):
+    # the greatest carry tuple wins (pinned rule, mirrors FIXTURES
+    # decision #3 on top-k ties).
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col("_side").asc(),
+            *[F.col(c).asc_nulls_first() for c in carried],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     for c in [r_ts, *carried]:

@@ -173,10 +173,6 @@ def _seeded_hash(i: int):
     return lambda t: F.xxhash64(F.lit(i), t)
 
 
-def _bit_test(i: int):
-    return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
-
-
 def minhash_signatures_arr(
     docs_with_toks: DataFrame,
     *,

@@ -86,16 +86,15 @@ def with_rate_counts(
 
     The reference counts wall-clock arrivals in a per-user in-memory list
     (app.py:396-403); distributed + replayable form = a range window over
-    event time: count of the user's events with ts in [t-59s, t]. One
-    shuffle by user (low-cardinality key, map-side combine n/a but frame
-    evaluation is linear per partition after sort).
+    event time: count of the user's events with ts in [t-59s, t].
+    Delegates to the shared range-frame helper so the inclusive-bound
+    convention lives in exactly one place.
     """
-    w = (
-        Window.partitionBy(user_col)
-        .orderBy(F.unix_timestamp(F.col(ts_col)))
-        .rangeBetween(-59, 0)
+    from .anomaly import trailing_window_counts
+
+    return trailing_window_counts(
+        activity, seconds=60, ts_col=ts_col, user_col=user_col, out_col=out_col
     )
-    return activity.withColumn(out_col, F.count("*").over(w))
 
 
 def apply_rule_battery(
@@ -169,7 +168,13 @@ def apply_rule_battery(
     r7 = F.col("rows_affected").isNotNull() & (
         F.col("rows_affected") > LARGE_EXTRACTION_ROWS
     )
-    r8 = F.col("user_id").isNotNull() & (rate_count > MAX_QUERIES_PER_MIN)
+    # Reference truthiness: `if a['user_id']` (app.py:396) — user_id 0
+    # is treated as missing, same as NULL.
+    r8 = (
+        F.col("user_id").isNotNull()
+        & (F.col("user_id") != 0)
+        & (rate_count > MAX_QUERIES_PER_MIN)
+    )
 
     # Sequential severity overwrites — see module docstring.
     sev = F.when(r1, "Critical").otherwise("Low")
@@ -268,8 +273,11 @@ def compliance_findings(activity: DataFrame) -> DataFrame:
     rows_affected is truthy — NULL or 0 → "Review needed"); PCI_DSS on
     any payments/credit-card access.
     """
+    # `if not activity.get('user_id')` (app.py:479): user_id 0 counts
+    # as unidentified, same as NULL.
     gdpr = F.when(
-        F.col("table_name").isin(*SENSITIVE_TABLES) & F.col("user_id").isNull(),
+        F.col("table_name").isin(*SENSITIVE_TABLES)
+        & (F.col("user_id").isNull() | (F.col("user_id") == 0)),
         F.struct(
             F.lit("GDPR").alias("standard"),
             F.lit("Non-compliant").alias("status"),

@@ -106,7 +106,8 @@ flags AS (
     {_INJ_CASE} AS inj_desc,
     {_COL_FLAGS},
     (rows_affected IS NOT NULL AND rows_affected > {rules.LARGE_EXTRACTION_ROWS}) AS r7,
-    (user_id IS NOT NULL AND queries_last_min > {rules.MAX_QUERIES_PER_MIN}) AS r8
+    (user_id IS NOT NULL AND user_id != 0
+       AND queries_last_min > {rules.MAX_QUERIES_PER_MIN}) AS r8
   FROM rated
 ),
 flags2 AS (
@@ -236,10 +237,10 @@ SELECT count(*) AS total_activities,
        CAST(sum(CASE WHEN is_suspicious THEN 1 ELSE 0 END) AS BIGINT) AS suspicious_count,
        CAST(sum(CASE WHEN operation_status = 'Failed' THEN 1 ELSE 0 END) AS BIGINT) AS failed_count,
        CAST(sum(CASE WHEN CAST(access_timestamp AS DATE) = CAST({ANCHOR_SQL} AS DATE) THEN 1 ELSE 0 END) AS BIGINT) AS today_count,
-       CAST(sum(CASE WHEN is_suspicious AND severity_level = 'Low' THEN 1 ELSE 0 END) AS BIGINT) AS sev_low,
-       CAST(sum(CASE WHEN is_suspicious AND severity_level = 'Medium' THEN 1 ELSE 0 END) AS BIGINT) AS sev_medium,
-       CAST(sum(CASE WHEN is_suspicious AND severity_level = 'High' THEN 1 ELSE 0 END) AS BIGINT) AS sev_high,
-       CAST(sum(CASE WHEN is_suspicious AND severity_level = 'Critical' THEN 1 ELSE 0 END) AS BIGINT) AS sev_critical
+       CAST(sum(CASE WHEN severity_level = 'Low' THEN 1 ELSE 0 END) AS BIGINT) AS sev_low,
+       CAST(sum(CASE WHEN severity_level = 'Medium' THEN 1 ELSE 0 END) AS BIGINT) AS sev_medium,
+       CAST(sum(CASE WHEN severity_level = 'High' THEN 1 ELSE 0 END) AS BIGINT) AS sev_high,
+       CAST(sum(CASE WHEN severity_level = 'Critical' THEN 1 ELSE 0 END) AS BIGINT) AS sev_critical
 FROM checked
 """)
 
@@ -540,6 +541,29 @@ FROM events GROUP BY event_type
 """
 
 
+def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (another free Spark
+    aggregate the reference lacks); approx_percentile is the sketch
+    variant for 100 TB — exact form used here for oracle parity."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.min("value"), 4).alias("v_min"),
+        F.round(F.max("value"), 4).alias("v_max"),
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(min(value), 4) AS v_min,
+       round(max(value), 4) AS v_max
+FROM events GROUP BY event_type
+"""
+
+
 def _q_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of backward join: for every purchase, the user's most recent
     error at-or-before it (the time-series 'last known value' join)."""
@@ -581,6 +605,10 @@ QUERIES: dict[str, QuerySpec] = {
         _q_distinct_counts, _DISTINCT_SQL,
         "distinct aggregation per group (engine extension)",
     ),
+    "value_percentiles": QuerySpec(
+        _q_value_percentiles, _PERCENTILES_SQL,
+        "exact interpolated percentiles per group (engine extension)",
+    ),
     "rule_battery": QuerySpec(
         _q_rule_battery, battery_sql(
             "SELECT activity_id, is_suspicious, severity_level, suspicious_reasons FROM checked"
@@ -608,7 +636,8 @@ WHERE is_suspicious AND severity_level IN ('High', 'Critical')
 SELECT activity_id, 'GDPR' AS standard, 'Non-compliant' AS status,
        'Personal data access without user identification' AS issue
 FROM activity
-WHERE table_name IN {_SENSITIVE_TABLES} AND user_id IS NULL
+WHERE table_name IN {_SENSITIVE_TABLES}
+  AND (user_id IS NULL OR user_id = 0)
 UNION ALL
 SELECT activity_id, 'SOX',
        CASE WHEN rows_affected IS NOT NULL AND rows_affected != 0

@@ -113,11 +113,17 @@ def start_ingest(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         df = batch_df
+        # Stream activity_id = deterministic content hash (schemas.py:
+        # no distributed auto-increment); monotonically_increasing_id
+        # would RESTART each micro-batch and collide across batches.
+        stream_id = F.xxhash64(
+            "access_timestamp", "username", "query_hash", "operation_details"
+        )
         if firewall_rules is not None:
             # ST6: rules are re-read per micro-batch via this closure's
             # DataFrame (re-planned each batch) — no TTL staleness.
             df_norm = normalize_agent_events(df).withColumn(
-                "activity_id", F.monotonically_increasing_id()
+                "activity_id", stream_id
             )
             fw = rules.firewall_check(
                 df_norm,
@@ -131,7 +137,7 @@ def start_ingest(
             ).drop("rule_id", "action", "rule_description")
         else:
             df_checked = normalize_agent_events(df).withColumn(
-                "activity_id", F.monotonically_increasing_id()
+                "activity_id", stream_id
             )
         enriched = rules.apply_rule_battery(
             df_checked.withColumn("user_id", F.lit(None).cast("long"))

@@ -39,6 +39,14 @@ def _rate_fn(window_sec: float, threshold: int):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (username,) = key
+        if state.hasTimedOut:
+            # idle-key eviction: drop the buffer instead of re-arming
+            # the timeout forever (unbounded state growth otherwise)
+            state.remove()
+            yield pd.DataFrame(
+                columns=["username", "event_ts", "queries_last_min", "breached"]
+            )
+            return
         if state.exists:
             (recent,) = state.get
             recent = list(recent)
@@ -57,7 +65,8 @@ def _rate_fn(window_sec: float, threshold: int):
                     (username, ts, len(recent), len(recent) > threshold)
                 )
         state.update((recent,))
-        # drop idle users' state after an hour of event time silence
+        # evict idle users' state after an hour without processing
+        # activity for the key (ProcessingTimeTimeout)
         state.setTimeoutDuration(3_600_000)
         yield pd.DataFrame(
             out_rows,
