@@ -199,6 +199,34 @@ class DamAnalytics:
             "operation_types": ops,
         }
 
+    # ── user-scoped views (app.py:287-291, 1105-1118) ──────────────
+
+    def user_activities(self, user_id: int, *, limit: int = 50) -> list[dict]:
+        """get_by_user: the user's latest page (app.py:287-291)."""
+        return _rows(
+            self.activity.filter(F.col("user_id") == user_id)
+            .orderBy(F.desc("access_timestamp"), F.desc("activity_id"))
+            .limit(limit)
+        )
+
+    def guest_summary(self, user_id: int) -> dict[str, Any]:
+        """/api/guest/summary (app.py:1111-1118)."""
+        return {
+            "total_activities": self.activity.count(),
+            "my_activities": len(self.user_activities(user_id)),
+        }
+
+    def users_list(self) -> list[dict]:
+        """get_all_users projection (app.py:229-233)."""
+        if self.users is None:
+            return []
+        return _rows(
+            self.users.select(
+                "user_id", "username", "role", "account_status", "last_login",
+                F.coalesce("failed_attempts", F.lit(0)).alias("failed_attempts"),
+            )
+        )
+
     # ── anomalies ──────────────────────────────────────────────────
 
     def anomalies(self) -> dict[str, Any]:

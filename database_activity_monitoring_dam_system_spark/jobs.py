@@ -57,6 +57,50 @@ def append_report_log(
     ).write.mode("append").parquet(log_path)
 
 
+# ── P5 lifecycle table ops (functional updates; caller persists) ──────────
+
+
+def resolve_alert(
+    alerts: DataFrame, alert_key: int, *, now: dt.datetime,
+    key_col: str = "activity_id",
+) -> DataFrame:
+    """Alert resolution (app.py:1128-1133): status='Resolved' +
+    resolved_at stamp. Keyed by activity_id by default — the streaming
+    alerts sink carries no alert_id (stream IDs are content hashes)."""
+    hit = F.col(key_col) == alert_key
+    out = alerts.withColumn(
+        "status", F.when(hit, "Resolved").otherwise(F.col("status"))
+    )
+    if "resolved_at" in alerts.columns:
+        out = out.withColumn(
+            "resolved_at",
+            F.when(hit, F.lit(now)).otherwise(F.col("resolved_at")),
+        )
+    else:
+        out = out.withColumn(
+            "resolved_at",
+            F.when(hit, F.lit(now)).cast("timestamp"),
+        )
+    return out
+
+
+def update_user_status(users: DataFrame, user_id: int, status: str) -> DataFrame:
+    """update_status (app.py:245-248) with domain enforcement — the
+    reference would pass any string through to the ENUM."""
+    from .schemas import ACCOUNT_STATUSES
+
+    if status not in ACCOUNT_STATUSES:
+        raise ValueError(
+            f"invalid account_status {status!r}; allowed: {ACCOUNT_STATUSES}"
+        )
+    return users.withColumn(
+        "account_status",
+        F.when(F.col("user_id") == user_id, status).otherwise(
+            F.col("account_status")
+        ),
+    )
+
+
 # ── P5/R8: account lockout state (OLTP-shaped, kept as table ops) ─────────
 
 

@@ -104,3 +104,43 @@ def test_export_rows_cap(spark):
 def test_anomalies_payload(spark):
     out = _facade(spark).anomalies()
     assert set(out) == {"volume", "impossible_travel"}
+
+
+def test_user_scoped_views(spark):
+    fac = _facade(spark)
+    acts = fac.user_activities(3, limit=20)
+    assert 0 < len(acts) <= 20
+    assert all(a["user_id"] == 3 for a in acts)
+    summary = fac.guest_summary(3)
+    assert summary["total_activities"] >= summary["my_activities"] > 0
+
+
+def test_alert_resolve_and_user_status(spark):
+    import datetime as dt
+
+    from database_activity_monitoring_dam_system_spark import jobs
+    from database_activity_monitoring_dam_system_spark.operators.rules import (
+        derive_alerts,
+    )
+
+    alerts = derive_alerts(_battery(spark, SF_SMOKE))
+    target = alerts.first()["activity_id"]
+    now = dt.datetime(2026, 8, 2, 9, 0, 0)
+    resolved = jobs.resolve_alert(alerts, target, now=now)
+    row = resolved.filter(resolved.activity_id == target).first()
+    assert row["status"] == "Resolved" and row["resolved_at"] == now
+    untouched = resolved.filter(resolved.activity_id != target).first()
+    assert untouched["status"] == "New" and untouched["resolved_at"] is None
+
+    users = spark.createDataFrame(
+        [(1, "alice", "Active"), (2, "bob", "Active")],
+        "user_id long, username string, account_status string",
+    )
+    updated = jobs.update_user_status(users, 2, "Locked")
+    assert {
+        (r.user_id, r.account_status) for r in updated.collect()
+    } == {(1, "Active"), (2, "Locked")}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        jobs.update_user_status(users, 1, "Banned")
