@@ -23,13 +23,20 @@ from .spec import QuerySpec, sql_values
 ANCHOR_SQL = "(SELECT max(ts) FROM events)"
 
 
+_ANCHOR_CACHE: dict[str, dt.datetime] = {}
+
+
 def _anchor(spark: SparkSession, sf_dir: str) -> dt.datetime:
     """Deterministic 'now' = max event time (FIXTURES.md decision #6).
 
     One column-pruned scan resolved from parquet footer statistics —
-    negligible even at 100 TB."""
-    events = load_table(spark, sf_dir, "events")
-    return events.agg(F.max("ts")).first()[0]
+    negligible even at 100 TB. Cached per sf_dir (the testdata is
+    immutable, TESTDATA.md) so battery-composed queries don't re-run
+    the scan on every invocation."""
+    if sf_dir not in _ANCHOR_CACHE:
+        events = load_table(spark, sf_dir, "events")
+        _ANCHOR_CACHE[sf_dir] = events.agg(F.max("ts")).first()[0]
+    return _ANCHOR_CACHE[sf_dir]
 
 
 def _activity(spark: SparkSession, sf_dir: str) -> DataFrame:

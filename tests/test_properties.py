@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis) against pure-Python models.
+
+One Spark job per example is slow, so each property generates a BATCH
+of cases, runs them through Spark as one frame, and checks every row
+against the model — hypothesis shrinks over batch contents as usual.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from database_activity_monitoring_dam_system_spark.operators import asof, dedup
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+_ts = st.integers(min_value=0, max_value=120).map(
+    lambda s: dt.datetime(2026, 8, 1, 10, 0, 0) + dt.timedelta(seconds=s)
+)
+
+
+@st.composite
+def _asof_case(draw):
+    keys = draw(st.lists(st.integers(1, 3), min_size=1, max_size=3, unique=True))
+    left = draw(
+        st.lists(
+            st.tuples(st.sampled_from(keys), _ts), min_size=1, max_size=8
+        )
+    )
+    right = draw(
+        st.lists(
+            st.tuples(st.sampled_from(keys), _ts, st.integers(0, 100)),
+            min_size=0,
+            max_size=8,
+        )
+    )
+    return left, right
+
+
+def _model_asof(left, right):
+    """Pure-Python as-of backward with the pinned tie rule: inclusive,
+    greatest (ts, value) right row ≤ left ts wins."""
+    out = {}
+    for li, (k, lts) in enumerate(left):
+        cands = [(rts, v) for (rk, rts, v) in right if rk == k and rts <= lts]
+        out[li] = max(cands) if cands else None
+    return out
+
+
+@settings(**_SETTINGS)
+@given(_asof_case())
+def test_asof_matches_model(spark, case):
+    left, right = case
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)],
+        "row_id long, user_id long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, ts, float(v)) for (k, ts, v) in right],
+        "user_id long, ts timestamp, value double",
+    ) if right else spark.createDataFrame([], "user_id long, ts timestamp, value double")
+    got = {
+        r.row_id: (
+            (r.ts_asof, r.value_asof) if r.ts_asof is not None else None
+        )
+        for r in asof.asof_join_backward(
+            ldf, rdf, on=["user_id"], ts_col="ts", carry_cols=["value"]
+        ).collect()
+    }
+    model = _model_asof(left, right)
+    assert set(got) == set(model)
+    for i, expected in model.items():
+        if expected is None:
+            assert got[i] is None
+        else:
+            assert got[i] == (expected[0], float(expected[1]))
+
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon"])
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(_word, min_size=1, max_size=8).map(" ".join),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_jaccard_matches_model(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    sets = [set(t.split()) for t in texts]
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                assert (a, b) not in got  # pairs only form on shared tokens
+                continue
+            j = inter / len(sets[a] | sets[b])
+            assert got[(a, b)] == round(j, 4)
