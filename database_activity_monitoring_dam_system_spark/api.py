@@ -217,13 +217,26 @@ class DamAnalytics:
         }
 
     def users_list(self) -> list[dict]:
-        """get_all_users projection (app.py:229-233)."""
+        """get_all_users projection (app.py:229-233). Tolerates narrow
+        users frames (most consumers only carry user_id+role): missing
+        columns surface as NULL / 0 rather than an analysis error."""
         if self.users is None:
             return []
+        have = set(self.users.columns)
+
+        def col_or(name: str, default):
+            return F.col(name) if name in have else F.lit(default)
+
         return _rows(
             self.users.select(
-                "user_id", "username", "role", "account_status", "last_login",
-                F.coalesce("failed_attempts", F.lit(0)).alias("failed_attempts"),
+                col_or("user_id", None).alias("user_id"),
+                col_or("username", None).alias("username"),
+                col_or("role", None).alias("role"),
+                col_or("account_status", None).alias("account_status"),
+                col_or("last_login", None).cast("timestamp").alias("last_login"),
+                F.coalesce(col_or("failed_attempts", 0), F.lit(0)).alias(
+                    "failed_attempts"
+                ),
             )
         )
 

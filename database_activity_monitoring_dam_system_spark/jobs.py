@@ -62,11 +62,18 @@ def append_report_log(
 
 def resolve_alert(
     alerts: DataFrame, alert_key: int, *, now: dt.datetime,
-    key_col: str = "activity_id",
+    key_col: str | None = None,
 ) -> DataFrame:
     """Alert resolution (app.py:1128-1133): status='Resolved' +
-    resolved_at stamp. Keyed by activity_id by default — the streaming
-    alerts sink carries no alert_id (stream IDs are content hashes)."""
+    resolved_at stamp. Key auto-detects: ``alert_id`` when present (the
+    batch SECURITY_ALERTS schema and the reference route's key), else
+    ``activity_id`` (the streaming alerts sink carries no alert_id) —
+    so a ported /api/alerts/<alert_id>/resolve call can't silently
+    compare against the wrong column."""
+    if key_col is None:
+        key_col = "alert_id" if "alert_id" in alerts.columns else "activity_id"
+    if key_col not in alerts.columns:
+        raise ValueError(f"alerts frame has no {key_col!r} column")
     hit = F.col(key_col) == alert_key
     out = alerts.withColumn(
         "status", F.when(hit, "Resolved").otherwise(F.col("status"))

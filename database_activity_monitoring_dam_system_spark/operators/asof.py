@@ -43,14 +43,26 @@ def asof_join_backward(
     carried = [f"{c}{suffix}" for c in carry_cols]
     r_ts = f"{ts_col}{suffix}"
 
+    # The right payload travels as ONE struct so it carries atomically:
+    # last(field, ignorenulls) per-field would skip a matched right row
+    # whose carry value is NULL and stitch ts/value from DIFFERENT
+    # right rows. A struct is non-null for every right row even when
+    # its fields are null.
+    payload_type = (
+        f"struct<_pts:{right.schema[ts_col].dataType.simpleString()},"
+        + ",".join(
+            f"_p{i}:{right.schema[c].dataType.simpleString()}"
+            for i, c in enumerate(carry_cols)
+        )
+        + ">"
+        if carry_cols
+        else f"struct<_pts:{right.schema[ts_col].dataType.simpleString()}>"
+    )
+
     l_side = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("_side"),
-        F.lit(None).cast(right.schema[ts_col].dataType).alias(r_ts),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(a)
-            for c, a in zip(carry_cols, carried)
-        ],
+        F.lit(None).cast(payload_type).alias("_payload"),
     )
     left_only = [c for c in left.columns if c not in on and c != ts_col]
     r_side = right.select(
@@ -58,25 +70,38 @@ def asof_join_backward(
         F.col(ts_col),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
         F.lit(0).alias("_side"),
-        F.col(ts_col).alias(r_ts),
-        *[F.col(c).alias(a) for c, a in zip(carry_cols, carried)],
+        F.struct(
+            F.col(ts_col).alias("_pts"),
+            *[
+                F.col(c).alias(f"_p{i}")
+                for i, c in enumerate(carry_cols)
+            ],
+        ).alias("_payload"),
     ).select(*l_side.columns)  # align column order for union
 
     unioned = l_side.unionByName(r_side)
     # right rows (_side 0) sort before left rows at the same ts →
-    # inclusive as-of semantics. The carried columns join the sort key
-    # as a deterministic tie-break among right rows sharing (key, ts):
-    # the greatest carry tuple wins (pinned rule, mirrors FIXTURES
+    # inclusive as-of semantics. The payload joins the sort key as a
+    # deterministic tie-break among right rows sharing (key, ts): the
+    # greatest payload tuple wins (pinned rule, mirrors FIXTURES
     # decision #3 on top-k ties).
     w = (
         Window.partitionBy(*on)
         .orderBy(
             F.col(ts_col).asc(),
             F.col("_side").asc(),
-            *[F.col(c).asc_nulls_first() for c in carried],
+            F.col("_payload").asc_nulls_first(),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in [r_ts, *carried]:
-        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return unioned.filter(F.col("_side") == 1).drop("_side")
+    unioned = unioned.withColumn(
+        "_payload", F.last("_payload", ignorenulls=True).over(w)
+    )
+    return (
+        unioned.filter(F.col("_side") == 1)
+        .withColumn(r_ts, F.col("_payload._pts"))
+        .withColumns(
+            {a: F.col(f"_payload._p{i}") for i, a in enumerate(carried)}
+        )
+        .drop("_side", "_payload")
+    )

@@ -42,17 +42,22 @@ DOMAINS: dict[str, dict[str, tuple[str, ...]]] = {
 
 def domain_violation_counts(df: DataFrame, table: str) -> DataFrame:
     """One-row frame: per constrained column, how many non-null values
-    fall outside the declared domain."""
+    fall outside the declared domain. count() (not sum) so an EMPTY
+    frame reports 0, not NULL — this runs on micro-batches that may be
+    empty."""
     domains = DOMAINS[table]
     aggs = [
-        F.sum(
-            F.when(
-                F.col(c).isNotNull() & ~F.col(c).isin(*allowed), 1
-            ).otherwise(0)
+        F.count(
+            F.when(F.col(c).isNotNull() & ~F.col(c).isin(*allowed), 1)
         ).alias(f"bad_{c}")
         for c, allowed in domains.items()
         if c in df.columns
     ]
+    if not aggs:
+        raise ValueError(
+            f"frame has none of {table!r}'s constrained columns "
+            f"{sorted(DOMAINS[table])}"
+        )
     return df.agg(*aggs)
 
 

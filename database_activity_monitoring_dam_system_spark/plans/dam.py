@@ -26,17 +26,26 @@ ANCHOR_SQL = "(SELECT max(ts) FROM events)"
 _ANCHOR_CACHE: dict[str, dt.datetime] = {}
 
 
+def clear_anchor_cache() -> None:
+    """Invalidate cached anchors (only needed if a dataset under a
+    previously-queried path is regenerated within this process)."""
+    _ANCHOR_CACHE.clear()
+
+
 def _anchor(spark: SparkSession, sf_dir: str) -> dt.datetime:
     """Deterministic 'now' = max event time (FIXTURES.md decision #6).
 
     One column-pruned scan resolved from parquet footer statistics —
-    negligible even at 100 TB. Cached per sf_dir (the testdata is
-    immutable, TESTDATA.md) so battery-composed queries don't re-run
+    negligible even at 100 TB. Cached per canonical path (the testdata
+    is immutable, TESTDATA.md) so battery-composed queries don't re-run
     the scan on every invocation."""
-    if sf_dir not in _ANCHOR_CACHE:
+    import os
+
+    key = os.path.realpath(sf_dir)
+    if key not in _ANCHOR_CACHE:
         events = load_table(spark, sf_dir, "events")
-        _ANCHOR_CACHE[sf_dir] = events.agg(F.max("ts")).first()[0]
-    return _ANCHOR_CACHE[sf_dir]
+        _ANCHOR_CACHE[key] = events.agg(F.max("ts")).first()[0]
+    return _ANCHOR_CACHE[key]
 
 
 def _activity(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -113,18 +113,35 @@ def start_ingest(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         df = batch_df
-        # Stream activity_id = deterministic content hash (schemas.py:
-        # no distributed auto-increment); monotonically_increasing_id
-        # would RESTART each micro-batch and collide across batches.
-        stream_id = F.xxhash64(
-            "access_timestamp", "username", "query_hash", "operation_details"
-        )
+
+        def with_stream_id(normalized: DataFrame) -> DataFrame:
+            # Stream activity_id = content hash + an occurrence number
+            # so LEGITIMATE duplicate events (same user, same SQL, same
+            # second) stay distinct rows: monotonically_increasing_id
+            # alone restarts per micro-batch (cross-batch collisions);
+            # a bare content hash collides within a batch. The
+            # occurrence window shuffles only identical-identity groups
+            # (tiny) per micro-batch.
+            from pyspark.sql import Window as W
+
+            occ = F.row_number().over(
+                W.partitionBy(
+                    "access_timestamp", "username", "operation_details"
+                ).orderBy(F.monotonically_increasing_id())
+            )
+            return normalized.withColumn(
+                "activity_id",
+                F.xxhash64(
+                    "access_timestamp",
+                    "username",
+                    "operation_details",
+                    occ.cast("string"),
+                ),
+            )
         if firewall_rules is not None:
             # ST6: rules are re-read per micro-batch via this closure's
             # DataFrame (re-planned each batch) — no TTL staleness.
-            df_norm = normalize_agent_events(df).withColumn(
-                "activity_id", stream_id
-            )
+            df_norm = with_stream_id(normalize_agent_events(df))
             fw = rules.firewall_check(
                 df_norm,
                 firewall_rules,
@@ -136,9 +153,7 @@ def start_ingest(
                 F.col("action").isNull() | (F.col("action") != "block")
             ).drop("rule_id", "action", "rule_description")
         else:
-            df_checked = normalize_agent_events(df).withColumn(
-                "activity_id", stream_id
-            )
+            df_checked = with_stream_id(normalize_agent_events(df))
         enriched = rules.apply_rule_battery(
             df_checked.withColumn("user_id", F.lit(None).cast("long"))
             .withColumn("ip_address", F.lit(None).cast("string"))

@@ -35,7 +35,11 @@ def _asof_case(draw):
     )
     right = draw(
         st.lists(
-            st.tuples(st.sampled_from(keys), _ts, st.integers(0, 100)),
+            st.tuples(
+                st.sampled_from(keys),
+                _ts,
+                st.one_of(st.none(), st.integers(0, 100)),
+            ),
             min_size=0,
             max_size=8,
         )
@@ -45,11 +49,18 @@ def _asof_case(draw):
 
 def _model_asof(left, right):
     """Pure-Python as-of backward with the pinned tie rule: inclusive,
-    greatest (ts, value) right row ≤ left ts wins."""
+    greatest (ts, value) right row ≤ left ts wins; NULL values sort
+    below non-NULL (struct comparison, nulls-first asc). A matched row
+    with NULL value carries (ts, NULL) atomically."""
     out = {}
     for li, (k, lts) in enumerate(left):
         cands = [(rts, v) for (rk, rts, v) in right if rk == k and rts <= lts]
-        out[li] = max(cands) if cands else None
+        if not cands:
+            out[li] = None
+        else:
+            out[li] = max(
+                cands, key=lambda c: (c[0], c[1] is not None, c[1] or 0)
+            )
     return out
 
 
@@ -62,7 +73,7 @@ def test_asof_matches_model(spark, case):
         "row_id long, user_id long, ts timestamp",
     )
     rdf = spark.createDataFrame(
-        [(k, ts, float(v)) for (k, ts, v) in right],
+        [(k, ts, float(v) if v is not None else None) for (k, ts, v) in right],
         "user_id long, ts timestamp, value double",
     ) if right else spark.createDataFrame([], "user_id long, ts timestamp, value double")
     got = {
@@ -79,7 +90,8 @@ def test_asof_matches_model(spark, case):
         if expected is None:
             assert got[i] is None
         else:
-            assert got[i] == (expected[0], float(expected[1]))
+            want_v = float(expected[1]) if expected[1] is not None else None
+            assert got[i] == (expected[0], want_v)
 
 
 _word = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon"])

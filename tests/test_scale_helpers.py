@@ -58,6 +58,25 @@ def test_asof_inclusive_and_null_semantics(spark):
     assert len(out) == 4              # all left rows preserved
 
 
+def test_asof_null_carry_is_atomic(spark):
+    """A matched right row with a NULL carry value must yield
+    (its ts, NULL) — not stitch the older row's value onto the newer
+    row's timestamp."""
+    t = lambda s: dt.datetime(2026, 8, 1, 10, 0, s)
+    left = spark.createDataFrame(
+        [(1, 10, t(6))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, t(0), 5.0), (10, t(5), None)],
+        "user_id long, ts timestamp, value double",
+    )
+    row = asof.asof_join_backward(
+        left, right, on=["user_id"], ts_col="ts", carry_cols=["value"]
+    ).first()
+    assert row["ts_asof"] == t(5)
+    assert row["value_asof"] is None
+
+
 def test_empty_input_frames(spark):
     """Every core operator must return structurally-valid empties, not
     crash, when the day's partition is empty."""
