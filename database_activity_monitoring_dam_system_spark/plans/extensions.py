@@ -221,6 +221,92 @@ def _q_multimodal_features(spark, sf_dir):
     return multimodal.extract_features(media, decode_stub=True)
 
 
+def _q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via the LSH bucket join: vectors
+    sharing a signature band, verified at a cosine threshold — the
+    embedding-space analogue of MinHash near-dup dedup. The synthetic
+    vectors are random (true near-dups don't exist), so the gate
+    threshold sits at the top of the random-cosine distribution (0.4)
+    to keep the verify path exercised with real output; production
+    near-dup dedup runs the same plan at ≥0.95."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = similarity.lsh_signatures(emb)
+    bands = 24 // 4
+    mask = (1 << 4) - 1
+    banded = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("signature"), b * 4)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "b.band_id", "b.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    vecs = similarity.with_norm(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+        vec_col="v",
+    )
+    va = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"),
+        F.col("_norm").alias("n_a"),
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"),
+        F.col("_norm").alias("n_b"),
+    )
+    cos = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (F.col("n_a") * F.col("n_b"))
+    return (
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _q_quality_quantile_sketch(spark, sf_dir):
+    """approx_percentile sketch over doc lengths — the 100 TB path for
+    quantiles (mergeable sketch, single pass); exact twin is
+    value_percentiles. Rows-only: sketch results are
+    implementation-defined."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.approx_count_distinct("source").alias("approx_sources"),
+        F.percentile_approx("n_chars", [0.5, 0.9, 0.99], 10000).alias(
+            "n_chars_quantiles"
+        ),
+        F.count("*").alias("cnt"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(
         _q_dedup_exact, _DEDUP_EXACT_SQL,
@@ -265,5 +351,13 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_features": QuerySpec(
         _q_multimodal_features, None,
         "binary media column → Arrow-batched mapInPandas feature extraction (stub decode)",
+    ),
+    "embedding_near_dups": QuerySpec(
+        _q_embedding_near_dups, None,
+        "embedding-cosine near-dup pairs via LSH bands, verified ≥0.95",
+    ),
+    "quality_quantile_sketch": QuerySpec(
+        _q_quality_quantile_sketch, None,
+        "mergeable sketches: approx_count_distinct + percentile_approx",
     ),
 }

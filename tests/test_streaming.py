@@ -207,3 +207,28 @@ def test_rate_alert_stream_runs(spark, stream_dirs):
     # adjacent pairs → with threshold 1 some windows must breach
     assert all(r.cnt >= 2 for r in rows)
     assert len(rows) > 0
+
+
+def test_malformed_agent_events_are_dropped(spark):
+    """Corrupt JSON lines surface as all-NULL rows from the file
+    source; normalization classifies a NULL argument as a system-skip
+    (NULL predicate → filtered), so malformed events never reach the
+    battery. Documented drop semantics, not a crash."""
+    import json as _json
+    import tempfile as _tf
+
+    base = _tf.mkdtemp(prefix="dam_malformed_")
+    with open(f"{base}/x.json", "w") as fh:
+        fh.write("this is not json\n")
+        fh.write(_json.dumps({"event_time": "2026-08-01T10:00:00",
+                              "user_host": "u[u] @ h []",
+                              "argument": "SELECT 1 FROM products"}) + "\n")
+        fh.write('{"event_time": "2026-08-01T10:00:05"}\n')  # missing fields
+    try:
+        raw = spark.read.schema(AGENT_EVENT).json(base)
+        out = normalize_agent_events(raw)
+        rows = out.collect()
+        assert len(rows) == 1
+        assert rows[0]["operation_type"] == "SELECT"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
