@@ -173,6 +173,14 @@ def _seeded_hash(i: int):
     return lambda t: F.xxhash64(F.lit(i), t)
 
 
+def _long_mix(i: int):
+    # independent hash family over a single base hash: re-hash the
+    # 8-byte long with seed i (xxhash64 over a long is far cheaper
+    # than over the original shingle string; affine multiply-mixing
+    # would be cheaper still but ANSI mode forbids wraparound).
+    return lambda h: F.xxhash64(F.lit(i), h)
+
+
 def minhash_signatures_arr(
     docs_with_toks: DataFrame,
     *,
@@ -180,14 +188,20 @@ def minhash_signatures_arr(
     toks_col: str = "toks",
     num_hashes: int = 32,
 ) -> DataFrame:
-    """Projection-only minhash: mh_i = array_min(transform(toks,
-    t → xxhash64(i, t))). Zero shuffles — scales linearly with the
-    corpus and parallelizes per input partition."""
+    """Projection-only minhash. Zero shuffles — scales linearly with
+    the corpus and parallelizes per input partition.
+
+    Each token/shingle string is xxhash64'd ONCE; the k minhash
+    functions are seeded re-hashes of that long — k·|toks| 8-byte
+    hashes instead of k·|toks| string hashes."""
+    base = docs_with_toks.withColumn(
+        "_h0", F.transform(F.col(toks_col), lambda t: F.xxhash64(t))
+    )
     cols = [
-        F.array_min(F.transform(F.col(toks_col), _seeded_hash(i))).alias(f"mh{i}")
+        F.array_min(F.transform(F.col("_h0"), _long_mix(i))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return docs_with_toks.select(F.col(id_col), F.col(toks_col), *cols)
+    return base.select(F.col(id_col), F.col(toks_col), *cols)
 
 
 def minhash_candidate_pairs(

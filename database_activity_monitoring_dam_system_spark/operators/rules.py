@@ -65,14 +65,28 @@ SUSPICIOUS_QUERY_PATTERNS = (
 )
 
 
+_COMBINED_THREAT_RX = "(?i)(" + "|".join(
+    f"(?:{p})" for p, _ in SUSPICIOUS_QUERY_PATTERNS
+) + ")"
+
+
 def _first_injection_hit(details_lower: Column) -> Column:
     """First matching pattern's description, else NULL (reference breaks
-    after the first hit)."""
+    after the first hit).
+
+    Guarded by ONE combined alternation so the clean-row majority pays
+    a single regex instead of 15; the per-pattern chain (which
+    preserves first-match-wins ordering) runs only on guard hits —
+    semantically identical by construction (guard ≡ OR of patterns).
+    """
     expr = None
     for pattern, desc in SUSPICIOUS_QUERY_PATTERNS:
         cond = details_lower.rlike(f"(?i){pattern}")
         expr = F.when(cond, desc) if expr is None else expr.when(cond, desc)
-    return expr.otherwise(F.lit(None).cast("string"))
+    chain = expr.otherwise(F.lit(None).cast("string"))
+    return F.when(details_lower.rlike(_COMBINED_THREAT_RX), chain).otherwise(
+        F.lit(None).cast("string")
+    )
 
 
 def with_rate_counts(
