@@ -99,6 +99,7 @@ def start_ingest(
     users: DataFrame | None = None,
     ip_blacklist: DataFrame | None = None,
     firewall_rules: DataFrame | None = None,
+    blocks_sink: str | None = None,
     notifier: Callable[[list], None] | None = None,
     watermark_delay: str = "10 minutes",
     available_now: bool = False,
@@ -149,6 +150,17 @@ def start_ingest(
                 user_col="username",
                 ip_col="username",  # agent payloads carry no IP; scope by user
             )
+            if blocks_sink is not None:
+                # S7: the reference journals EVERY rule hit — block or
+                # alert — to firewall_blocks (app.py:843-848); only
+                # action='block' keeps the row out of the activity log.
+                fw.filter(F.col("rule_id").isNotNull()).select(
+                    F.col("rule_id"),
+                    F.col("username"),
+                    F.lit(None).cast("string").alias("ip_address"),
+                    F.substring("operation_details", 1, 500).alias("query_text"),
+                    F.col("access_timestamp").alias("blocked_at"),
+                ).write.mode("append").parquet(blocks_sink)
             df_checked = fw.filter(
                 F.col("action").isNull() | (F.col("action") != "block")
             ).drop("rule_id", "action", "rule_description")

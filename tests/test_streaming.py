@@ -232,3 +232,56 @@ def test_malformed_agent_events_are_dropped(spark):
         assert rows[0]["operation_type"] == "SELECT"
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_firewall_blocks_journal(spark):
+    """S7: every rule hit is journaled to firewall_blocks; only
+    action='block' rows are kept out of the activity sink
+    (app.py:1177-1179, 843-848)."""
+    import os
+
+    base = tempfile.mkdtemp(prefix="dam_fw_")
+    src = f"{base}/src"
+    os.makedirs(src)
+    t0 = dt.datetime(2026, 8, 1, 10, 0, 0)
+    events = [
+        ("select 1 from t union select 2", True),     # rule 1, block
+        ("delete from payments where id=1", False),   # rule 3, alert (kept)
+        ("SELECT ok FROM products", None),            # no hit
+    ]
+    with open(f"{src}/a.json", "w") as fh:
+        for i, (sql, _) in enumerate(events):
+            fh.write(json.dumps({
+                "event_time": (t0 + dt.timedelta(seconds=i)).isoformat(),
+                "user_host": "u[u] @ h []",
+                "argument": sql,
+            }) + "\n")
+    from database_activity_monitoring_dam_system_spark.plans.dam import (
+        FIREWALL_RULES_FIXTURE,
+        _RULES_SCHEMA,
+    )
+
+    rules_df = spark.createDataFrame(FIREWALL_RULES_FIXTURE, _RULES_SCHEMA)
+    try:
+        q = ingest.start_ingest(
+            spark,
+            src,
+            activity_sink=f"{base}/act",
+            alerts_sink=f"{base}/al",
+            checkpoint_dir=f"{base}/ck",
+            firewall_rules=rules_df,
+            blocks_sink=f"{base}/blocks",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        blocks = spark.read.parquet(f"{base}/blocks")
+        # both hits journaled (block AND alert), non-hit absent
+        assert blocks.count() == 2
+        assert {r.rule_id for r in blocks.collect()} == {1, 3}
+        act = spark.read.parquet(f"{base}/act")
+        kept = {r.operation_details for r in act.collect()}
+        assert "select 1 from t union select 2" not in kept  # blocked
+        assert "delete from payments where id=1" in kept     # alert passes
+        assert len(kept) == 2
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
