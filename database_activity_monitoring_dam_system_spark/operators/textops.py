@@ -41,8 +41,8 @@ def token_stats(
     n_chars = F.length(F.col(text_col))
     return docs.select(
         F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
         F.ceil(n_chars / F.lit(4.0)).cast("bigint").alias("est_bpe_tokens"),
         F.round(
             F.length(F.regexp_replace(F.col(text_col), _WS, "")) / n_tokens, 4
@@ -83,8 +83,8 @@ def quality_scores(
     )
     return docs.select(
         F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        n_chars.alias("n_chars_measured"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_chars.cast("bigint").alias("n_chars_measured"),
         F.round(sw_ratio, 4).alias("stopword_ratio"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         verdict.alias("verdict"),

@@ -224,7 +224,8 @@ matched AS (
              ELSE regexp_matches(lower(coalesce(a.operation_details,'')), '(?i)' || r.pattern)
         END)
 )
-SELECT activity_id, rule_id, action FROM matched WHERE rn = 1
+SELECT activity_id, CAST(rule_id AS BIGINT) AS rule_id, action
+FROM matched WHERE rn = 1
 """
 
 

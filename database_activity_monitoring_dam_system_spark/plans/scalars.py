@@ -90,7 +90,7 @@ _SKIP_RX_SQL = "(?i)(" + "|".join(
 ) + ")"
 
 _NORMALIZE_SQL = f"""
-SELECT id,
+SELECT CAST(id AS BIGINT) AS id,
        {_VERB_CASE} AS operation_type,
        {_TABLE_EXTRACT} AS table_name,
        CASE WHEN contains(lower(sql_text), 'error')
@@ -110,7 +110,7 @@ def _q_hex_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HEX_SQL = f"""
-SELECT id,
+SELECT CAST(id AS BIGINT) AS id,
   CASE WHEN starts_with(sql_text, '0x')
             AND decode(unhex(CASE WHEN length(substr(sql_text, 3)) % 2 = 1
                                   THEN '0' || substr(sql_text, 3)

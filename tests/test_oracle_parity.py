@@ -69,6 +69,27 @@ def test_parity(spark, name):
     assert sorted(s_cols) == sorted(o_cols), (
         f"{name}: column mismatch {s_cols} vs {o_cols}"
     )
+
+    # schema parity (driver compares schemas too): normalized dtypes
+    # must agree column-for-column
+    def _norm(t: str) -> str:
+        t = str(t).lower()
+        return {
+            "bigint": "i64", "integer": "i32", "int": "i32",
+            "hugeint": "i128", "double": "f64", "float": "f32",
+            "varchar": "str", "string": "str", "boolean": "bool",
+            "timestamp": "ts", "date": "date",
+        }.get(t, t)
+
+    s_types = {f: _norm(t) for f, t in sdf.dtypes}
+    rel = con.sql(spec.oracle)
+    o_types = dict(zip(rel.columns, [_norm(t) for t in rel.types]))
+    mismatched_types = {
+        c: (s_types[c], o_types[c])
+        for c in s_types
+        if c in o_types and s_types[c] != o_types[c]
+    }
+    assert not mismatched_types, f"{name}: dtype mismatch {mismatched_types}"
     assert len(s_rows) == len(o_rows), (
         f"{name}: row count {len(s_rows)} vs {len(o_rows)}"
     )
