@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Thresholds / vocabularies mirroring the reference Config (app.py:76-108).
@@ -345,44 +345,72 @@ def firewall_check(
 ) -> DataFrame:
     """R5/J4/W3 — first-match-by-priority firewall (app.py:829-850).
 
-    Active rules (a tiny dimension) broadcast-cross-join against the
-    query stream; match semantics: query lowercased; `contains` →
-    lowercase substring; `starts_with` → lowercase prefix; `regex` →
-    case-insensitive search. Scoped rules require exact user/ip equality.
-    First hit by (priority ASC, rule_id ASC) wins — rule_id tie-break
-    pins MySQL's unspecified tie order (FIXTURES.md decision #3).
+    Active rules (a tiny dimension) are collected once per call and
+    compiled into one ordered when-chain over the query stream — a
+    zero-shuffle projection (SURVEY.md J4's prescription). Match
+    semantics: query lowercased; `contains` → lowercase substring;
+    `starts_with` → lowercase prefix; `regex` → case-insensitive
+    search. Scoped rules require exact user/ip equality. First hit by
+    (priority ASC, rule_id ASC) wins — rule_id tie-break pins MySQL's
+    unspecified tie order (FIXTURES.md decision #3).
 
     Output: input columns + matched ``rule_id``/``action``/``rule_description``
     (NULL when no rule matches).
     """
     ql = F.lower(F.coalesce(F.col(query_col), F.lit("")))
+    # Rules are a tiny dimension that the reference re-SELECTs per query
+    # (app.py:832-835); collecting them once per (micro-)batch and
+    # COMPILING the ordered first-match scan into a single when-chain
+    # keeps this a pure zero-shuffle projection — the previous join +
+    # Window.partitionBy(activity_id) form exchanged the fact table on a
+    # near-unique key, the one thing that cannot be allowed at 100 TB.
     active = rules.filter(F.col("is_active")).select(
-        F.col("rule_id"),
-        F.col("pattern"),
-        F.col("description").alias("rule_description"),
-        F.col("match_type"),
-        F.col("action"),
-        F.col("priority"),
-        F.col("applies_to_user"),
-        F.col("applies_to_ip"),
+        "rule_id", "pattern", "description", "match_type", "action",
+        "priority", "applies_to_user", "applies_to_ip",
     )
-    scoped = (
-        F.col("applies_to_user").isNull() | (F.col("applies_to_user") == F.col(user_col))
-    ) & (F.col("applies_to_ip").isNull() | (F.col("applies_to_ip") == F.col(ip_col)))
-    hit = (
-        F.when(F.col("match_type") == "contains", ql.contains(F.lower(F.col("pattern"))))
-        .when(
-            F.col("match_type") == "starts_with",
-            ql.startswith(F.lower(F.col("pattern"))),
+    types = {f.name: f.dataType for f in active.schema.fields}
+    rows = sorted(
+        active.collect(),
+        key=lambda r: (
+            r["priority"] is None, r["priority"],
+            r["rule_id"] is None, r["rule_id"],
+        ),
+    )
+    chain = None
+    for r in rows:
+        pat = r["pattern"] or ""
+        if r["match_type"] == "contains":
+            hit = ql.contains(pat.lower())
+        elif r["match_type"] == "starts_with":
+            hit = ql.startswith(pat.lower())
+        else:
+            hit = ql.rlike("(?i)" + pat)
+        if r["applies_to_user"] is not None:
+            hit = (F.col(user_col) == F.lit(r["applies_to_user"])) & hit
+        if r["applies_to_ip"] is not None:
+            hit = (F.col(ip_col) == F.lit(r["applies_to_ip"])) & hit
+        matched = F.struct(
+            F.lit(r["rule_id"]).cast(types["rule_id"]).alias("rule_id"),
+            F.lit(r["description"]).cast(types["description"]).alias(
+                "rule_description"
+            ),
+            F.lit(r["action"]).cast(types["action"]).alias("action"),
         )
-        .otherwise(F.regexp_like(ql, F.concat(F.lit("(?i)"), F.col("pattern"))))
+        chain = F.when(hit, matched) if chain is None else chain.when(hit, matched)
+    if chain is None:
+        chain = F.lit(None)
+    miss = F.struct(
+        F.lit(None).cast(types["rule_id"]).alias("rule_id"),
+        F.lit(None).cast(types["description"]).alias("rule_description"),
+        F.lit(None).cast(types["action"]).alias("action"),
     )
-    matched = queries_df.join(F.broadcast(active), scoped & hit, "left")
-    w = Window.partitionBy(id_col).orderBy(
-        F.asc_nulls_last("priority"), F.asc_nulls_last("rule_id")
+    fw = F.coalesce(chain, miss)
+    return queries_df.select(
+        "*",
+        fw["rule_id"].alias("rule_id"),
+        fw["rule_description"].alias("rule_description"),
+        fw["action"].alias("action"),
     )
-    first = matched.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-    return first.drop("_rn", "pattern", "match_type", "applies_to_user", "applies_to_ip", "priority")
 
 
 def blacklist_matches(

@@ -49,6 +49,11 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan  # no full sort of the fact table
 
 
-def test_firewall_rules_broadcast(spark):
+def test_firewall_zero_shuffle_projection(spark):
+    """The first-match pick is a compiled when-chain — no join against
+    the rules dim and, critically, no exchange of the fact table on the
+    near-unique activity_id key (the would-be scale-killer at 100 TB)."""
     plan = _plan(spark, "firewall_matches")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(activity_id" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
