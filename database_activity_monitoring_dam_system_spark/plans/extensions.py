@@ -217,8 +217,39 @@ def _q_lsh_ann_topk(spark, sf_dir):
 
 
 def _q_multimodal_features(spark, sf_dir):
+    """Registry projection of the media feature pipeline: the array
+    column is element-projected (f0..f7) so the result is
+    scalar-sortable by the driver's canonicalizer; the array-returning
+    operator (multimodal.extract_features) stays for API use. The
+    fixture decode is deterministic (md5 bytes / 255), so the whole
+    mapInPandas path gains an exact DuckDB oracle."""
+    from pyspark.sql import functions as F
+
     media = multimodal.synth_media(_docs(spark, sf_dir))
-    return multimodal.extract_features(media, decode_stub=True)
+    feats = multimodal.extract_features(media, decode_stub=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        *[F.round(F.col("feature")[i], 6).alias(f"f{i}") for i in range(8)],
+    )
+
+
+def _multimodal_sql() -> str:
+    """DuckDB twin of the stubbed decode: md5-hex pairs → byte values
+    → /255.0 (IEEE double division agrees bit-for-bit both sides)."""
+
+    def hexval(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
+
+    cols = ", ".join(
+        f"round(({hexval(2 * i + 1)} * 16 + {hexval(2 * i + 2)}) / 255.0, 6) AS f{i}"
+        for i in range(8)
+    )
+    return f"""
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents)
+SELECT media_id, CAST(octet_length(unhex(hx)) AS BIGINT) AS n_bytes, {cols}
+FROM h
+"""
 
 
 def _q_embedding_near_dups(spark, sf_dir):
@@ -290,19 +321,51 @@ def _q_embedding_near_dups(spark, sf_dir):
     )
 
 
+_SKETCH_QUANTILES = [0.5, 0.9, 0.99]
+
+
 def _q_quality_quantile_sketch(spark, sf_dir):
-    """approx_percentile sketch over doc lengths — the 100 TB path for
-    quantiles (mergeable sketch, single pass); exact twin is
-    value_percentiles. Rows-only: sketch results are
-    implementation-defined."""
+    """percentile_approx sketch over doc lengths — the 100 TB path for
+    quantiles (mergeable GK sketch, single pass); exact interpolated
+    twin is value_percentiles. The quantile array is posexploded to
+    (lang, quantile, value) rows so the driver canonicalizer can sort
+    the frame. Oracle-exact at gate scale: with accuracy 10000 ≫ n the
+    GK buffer never compresses and the query returns the exact
+    ceil(q·n)-rank element — precisely DuckDB's quantile_disc; at true
+    100 TB the same plan degrades gracefully to ±1/accuracy rank error."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    agg = docs.groupBy("lang").agg(
+        F.percentile_approx("n_chars", _SKETCH_QUANTILES, 10000).alias("qv"),
+        F.count("*").alias("cnt"),
+    )
+    qlit = F.array(*[F.lit(float(q)) for q in _SKETCH_QUANTILES])
+    return agg.select(
+        "lang", "cnt", F.posexplode("qv").alias("pos", "n_chars_q")
+    ).select(
+        "lang", "cnt", qlit[F.col("pos")].alias("quantile"), "n_chars_q"
+    )
+
+
+_QUANTILE_SKETCH_SQL = "\nUNION ALL\n".join(
+    f"""SELECT lang, count(*) AS cnt, CAST({q} AS DOUBLE) AS quantile,
+       quantile_disc(n_chars, {q}) AS n_chars_q
+FROM documents GROUP BY lang"""
+    for q in _SKETCH_QUANTILES
+)
+
+
+def _q_hll_distinct_sketch(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) per group — the mergeable
+    100 TB path for distinct counts; exact twin is distinct_counts.
+    Rows-only by design: HLL estimates are implementation-defined (and
+    measurably off-by-one even at 20 distinct sources)."""
     from pyspark.sql import functions as F
 
     docs = _docs(spark, sf_dir)
     return docs.groupBy("lang").agg(
         F.approx_count_distinct("source").alias("approx_sources"),
-        F.percentile_approx("n_chars", [0.5, 0.9, 0.99], 10000).alias(
-            "n_chars_quantiles"
-        ),
         F.count("*").alias("cnt"),
     )
 
@@ -349,15 +412,22 @@ QUERIES: dict[str, QuerySpec] = {
         "random-hyperplane LSH ANN top-10 (scale path; recall vs brute force unit-tested)",
     ),
     "multimodal_features": QuerySpec(
-        _q_multimodal_features, None,
-        "binary media column → Arrow-batched mapInPandas feature extraction (stub decode)",
+        _q_multimodal_features, _multimodal_sql(),
+        "binary media column → Arrow-batched mapInPandas feature extraction "
+        "(deterministic stub decode, element-projected, exact oracle)",
     ),
     "embedding_near_dups": QuerySpec(
         _q_embedding_near_dups, None,
         "embedding-cosine near-dup pairs via LSH bands, verified ≥0.95",
     ),
     "quality_quantile_sketch": QuerySpec(
-        _q_quality_quantile_sketch, None,
-        "mergeable sketches: approx_count_distinct + percentile_approx",
+        _q_quality_quantile_sketch, _QUANTILE_SKETCH_SQL,
+        "mergeable GK quantile sketch, posexploded; exact vs quantile_disc "
+        "at gate scale (buffer uncompressed)",
+    ),
+    "hll_distinct_sketch": QuerySpec(
+        _q_hll_distinct_sketch, None,
+        "mergeable HLL++ distinct sketch per group (estimates are "
+        "engine-specific; exact twin distinct_counts)",
     ),
 }
