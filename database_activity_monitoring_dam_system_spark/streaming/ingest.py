@@ -68,9 +68,11 @@ def enrich_stream(
 ) -> DataFrame:
     """normalize → watermark → rule battery (stateless part).
 
-    The rate rule is excluded here (needs windowed state, see
-    rate_alert_stream); everything else is the same single projection
-    the batch path uses.
+    The rate rule is excluded here because unbounded window functions
+    cannot run on a streaming frame — the foreachBatch path
+    (start_ingest) applies it per micro-batch, and the exact
+    cross-batch form is stateful.exact_rate_counts; everything else is
+    the same single projection the batch path uses.
     """
     normalized = (
         normalize_agent_events(events)
@@ -103,12 +105,21 @@ def start_ingest(
     notifier: Callable[[list], None] | None = None,
     watermark_delay: str = "10 minutes",
     available_now: bool = False,
+    resolve_user_ids: bool = False,
 ) -> StreamingQuery:
     """The full E1 pipeline as one checkpointed query.
 
     foreachBatch fans one computed frame into both sinks — the batch
     is cached so activity append + alert filter + notifier share a
     single evaluation (the reference re-SELECTs per row; app.py:340).
+
+    ``resolve_user_ids=False`` (default) reproduces the reference
+    exactly: agent-ingested rows are inserted with user_id NULL
+    (app.py:1182), so the role rules and the user-keyed rate rule are
+    structurally inert for them. ``resolve_user_ids=True`` is the
+    engine extension a production DAM wants: username → user_id via a
+    broadcast of ``users``, which arms the role and rate rules on
+    streamed rows with the SAME expressions the batch path uses.
     """
     stream = read_agent_stream(spark, source_dir)
 
@@ -139,16 +150,33 @@ def start_ingest(
                     occ.cast("string"),
                 ),
             )
+        def with_identity(normalized: DataFrame) -> DataFrame:
+            out = with_stream_id(normalized)
+            if resolve_user_ids and users is not None:
+                ids = users.select("username", "user_id")
+                out = out.join(F.broadcast(ids), "username", "left")
+            else:
+                # Reference parity: agent-ingested rows carry no
+                # user_id (app.py:1182 inserts NULL).
+                out = out.withColumn("user_id", F.lit(None).cast("long"))
+            # Agent payloads carry no IP: an all-NULL ip_address column
+            # means IP-scoped firewall rules and the blacklist rule
+            # never match (NULL fails equality) — without the string
+            # collision hazard of scoping them by username.
+            return (
+                out.withColumn("ip_address", F.lit(None).cast("string"))
+                .withColumn("rows_affected", F.lit(None).cast("int"))
+            )
+
+        df_norm = with_identity(normalize_agent_events(df))
         if firewall_rules is not None:
             # ST6: rules are re-read per micro-batch via this closure's
-            # DataFrame (re-planned each batch) — no TTL staleness.
-            df_norm = with_stream_id(normalize_agent_events(df))
+            # DataFrame (re-collected each batch) — no TTL staleness.
             fw = rules.firewall_check(
                 df_norm,
                 firewall_rules,
                 id_col="activity_id",
                 user_col="username",
-                ip_col="username",  # agent payloads carry no IP; scope by user
             )
             if blocks_sink is not None:
                 # S7: the reference journals EVERY rule hit — block or
@@ -157,7 +185,7 @@ def start_ingest(
                 fw.filter(F.col("rule_id").isNotNull()).select(
                     F.col("rule_id"),
                     F.col("username"),
-                    F.lit(None).cast("string").alias("ip_address"),
+                    F.col("ip_address"),
                     F.substring("operation_details", 1, 500).alias("query_text"),
                     F.col("access_timestamp").alias("blocked_at"),
                 ).write.mode("append").parquet(blocks_sink)
@@ -165,15 +193,20 @@ def start_ingest(
                 F.col("action").isNull() | (F.col("action") != "block")
             ).drop("rule_id", "action", "rule_description")
         else:
-            df_checked = with_stream_id(normalize_agent_events(df))
+            df_checked = df_norm
+        # R1 family 6 (rate limit) runs per micro-batch with the SAME
+        # trailing event-time window as batch — streamed rows carry
+        # "Rate limit exceeded" reason/severity exactly like batch rows
+        # (the r8 user_id gate is identical on both paths). The window
+        # is bounded by the micro-batch; cross-batch exactness is the
+        # stateful op's job (stateful.exact_rate_counts). NULL-user
+        # rows share one window partition, bounded per batch.
         enriched = rules.apply_rule_battery(
-            df_checked.withColumn("user_id", F.lit(None).cast("long"))
-            .withColumn("ip_address", F.lit(None).cast("string"))
-            .withColumn("rows_affected", F.lit(None).cast("int")),
+            df_checked,
             users=users,
             ip_blacklist=ip_blacklist,
-            with_rate_rule=False,
-        )
+            with_rate_rule=True,
+        ).drop("queries_last_min")  # helper col, not in ACTIVITY_LOGS
         enriched.persist()
         try:
             enriched.write.mode("append").parquet(activity_sink)

@@ -53,17 +53,22 @@ def _rate_fn(window_sec: float, threshold: int):
         else:
             recent = []
         out_rows = []
-        for pdf in pdfs:
-            for ts in sorted(pdf["access_timestamp"]):
-                epoch = ts.timestamp()
-                recent.append(epoch)
-                # exact trailing window: strictly-less-than 60 s ago,
-                # current event included (reference semantics,
-                # app.py:398-400)
-                recent = [t for t in recent if epoch - t < window_sec]
-                out_rows.append(
-                    (username, ts, len(recent), len(recent) > threshold)
-                )
+        # One key's micro-batch may span several Arrow chunks with
+        # out-of-order event times; sorting per chunk would let an
+        # earlier event (processed after a later one) see a negative
+        # delta and fail to evict — materialize all chunks and sort
+        # ONCE globally (state stays bounded at ~threshold+batch).
+        all_ts = [ts for pdf in pdfs for ts in pdf["access_timestamp"]]
+        for ts in sorted(all_ts):
+            epoch = ts.timestamp()
+            recent.append(epoch)
+            # exact trailing window: strictly-less-than 60 s ago,
+            # current event included (reference semantics,
+            # app.py:398-400)
+            recent = [t for t in recent if epoch - t < window_sec]
+            out_rows.append(
+                (username, ts, len(recent), len(recent) > threshold)
+            )
         state.update((recent,))
         # evict idle users' state after an hour without processing
         # activity for the key (ProcessingTimeTimeout)

@@ -234,6 +234,88 @@ def test_malformed_agent_events_are_dropped(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_stream_rate_rule_parity(spark):
+    """R1 family 6 on streamed rows: with user identity resolved, a
+    >100-queries/min user's streamed rows carry 'Rate limit exceeded'
+    and Medium severity — byte-identical to apply_rule_battery on the
+    same events (the reference computes this at ingest per event,
+    app.py:396-403; agent rows there have user_id NULL, which the
+    default resolve_user_ids=False reproduces)."""
+    import os
+
+    base = tempfile.mkdtemp(prefix="dam_rate_")
+    src = f"{base}/src"
+    os.makedirs(src)
+    t0 = dt.datetime(2026, 8, 1, 10, 0, 0)
+    events = [
+        {
+            "event_time": (t0 + dt.timedelta(milliseconds=500 * i)).isoformat(),
+            "user_host": "heavy[heavy] @ h []",
+            "argument": f"SELECT * FROM products WHERE id={i}",
+        }
+        for i in range(110)
+    ] + [
+        {
+            "event_time": (t0 + dt.timedelta(seconds=i)).isoformat(),
+            "user_host": "calm[calm] @ h []",
+            "argument": f"SELECT * FROM products WHERE id={i}",
+        }
+        for i in range(5)
+    ]
+    with open(f"{src}/a.json", "w") as fh:
+        for r in events:
+            fh.write(json.dumps(r) + "\n")
+    users_df = spark.createDataFrame(
+        [(7, "heavy", "User"), (8, "calm", "User")],
+        "user_id long, username string, role string",
+    )
+    try:
+        q = ingest.start_ingest(
+            spark,
+            src,
+            activity_sink=f"{base}/act",
+            alerts_sink=f"{base}/al",
+            checkpoint_dir=f"{base}/ck",
+            users=users_df,
+            resolve_user_ids=True,
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        streamed = spark.read.parquet(f"{base}/act")
+        breached = streamed.filter(
+            F.col("suspicious_reasons").contains("Rate limit exceeded")
+        ).collect()
+        # 110 events 0.5 s apart: two per floored second, so the count
+        # at second s is 2(s+1) → the >100 threshold trips for the 10
+        # events in seconds 50-54
+        assert len(breached) == 10
+        assert all(r.severity_level == "Medium" for r in breached)
+        assert all(r.username == "heavy" for r in breached)
+
+        raw = _raw_batch_df(spark, events)
+        batch = rules.apply_rule_battery(
+            normalize_agent_events(raw)
+            .join(
+                F.broadcast(users_df.select("username", "user_id")),
+                "username",
+                "left",
+            )
+            .withColumn("ip_address", F.lit(None).cast("string"))
+            .withColumn("rows_affected", F.lit(None).cast("int")),
+            users=users_df,
+            with_rate_rule=True,
+        ).drop("queries_last_min")
+        key = [
+            "access_timestamp", "username", "operation_details",
+            "is_suspicious", "suspicious_reasons", "severity_level",
+        ]
+        s_rows = sorted(tuple(r) for r in streamed.select(*key).collect())
+        b_rows = sorted(tuple(r) for r in batch.select(*key).collect())
+        assert s_rows == b_rows
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_firewall_blocks_journal(spark):
     """S7: every rule hit is journaled to firewall_blocks; only
     action='block' rows are kept out of the activity sink
