@@ -47,8 +47,7 @@ def _q_jaccard_pairs(spark, sf_dir):
     )
 
 
-_JACCARD_SQL = r"""
-WITH toks AS (
+_JACCARD_CTES = r"""toks AS (
   SELECT DISTINCT doc_id, lang, source,
          unnest(string_split_regex(trim(text), '\s+')) AS tok
   FROM documents
@@ -60,13 +59,39 @@ inter AS (
     ON a.tok = b.tok AND a.lang = b.lang AND a.source = b.source
    AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM (
+),
+scored_pairs AS (
   SELECT doc_a, doc_b, inter * 1.0 / (sa.n + sb.n - inter) AS j
   FROM inter
   JOIN sizes sa ON doc_a = sa.doc_id
   JOIN sizes sb ON doc_b = sb.doc_id
-) WHERE j >= 0.9
+)"""
+
+_JACCARD_SQL = f"""
+WITH {_JACCARD_CTES}
+SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM scored_pairs WHERE j >= 0.9
+"""
+
+# Connected components as a recursive transitive closure over the same
+# pair CTE: every node's cluster_id is the min doc_id it can reach
+# (undirected edges make self reachable via any 2-cycle; least() guards
+# the isolated-direction case). Deterministic — pins the clustering
+# semantics of the iterative Spark operator.
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+pairs AS (SELECT doc_a, doc_b FROM scored_pairs WHERE j >= 0.9),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
 """
 
 
@@ -388,8 +413,9 @@ QUERIES: dict[str, QuerySpec] = {
         "SimHash banded blocking, Hamming ≤8 near pairs",
     ),
     "dedup_clusters": QuerySpec(
-        _q_dedup_clusters, None,
-        "iterative connected components over near-dup pairs (cluster reps)",
+        _q_dedup_clusters, _CLUSTERS_SQL,
+        "iterative connected components over near-dup pairs (cluster reps) "
+        "vs recursive-CTE transitive closure",
     ),
     "token_stats": QuerySpec(
         _q_token_stats, _TOKEN_STATS_SQL,
