@@ -159,38 +159,52 @@ def apply_rule_battery(
 
     details_lower = F.lower(F.coalesce(F.col("operation_details"), F.lit("")))
 
-    # Rule predicates, in reference evaluation order (app.py:347-403).
-    r1 = blacklisted
-    r2 = (F.col("role") == "Guest") & F.col("operation_type").isin(*GUEST_WRITE_OPS)
-    r3 = (
-        (F.col("role") == "User")
-        & F.col("table_name").isin(*SENSITIVE_TABLES)
-        & F.col("operation_type").isin(*USER_SENSITIVE_OPS)
-    )
+    # Stage 1 — materialize the rule flags as NAMED COLUMNS in their
+    # own projection (reference evaluation order, app.py:347-403).
+    # This is a codegen-size guard, not a semantic change: severity +
+    # reasons reference each flag several times, and with the regex
+    # machinery inlined at every use the fused reasons expression
+    # became one unsplittable >64 KB method (janino refuses; Spark
+    # fell back off whole-stage codegen on the alerts path). Behind
+    # aliases, each stage-2 expression is a cheap column ref and
+    # codegen splits cleanly; CollapseProject keeps the projections
+    # separate because the aliases are non-cheap and multiply used.
     hour = F.hour("access_timestamp")
-    r4 = F.col("access_timestamp").isNotNull() & (
-        (hour < WORKING_HOURS_START) | (hour >= WORKING_HOURS_END)
-    )
-    injection_desc = _first_injection_hit(details_lower)
-    r5 = injection_desc.isNotNull()
+    flags: dict[str, Column] = {
+        "_r1": blacklisted,
+        "_r2": (F.col("role") == "Guest")
+        & F.col("operation_type").isin(*GUEST_WRITE_OPS),
+        "_r3": (F.col("role") == "User")
+        & F.col("table_name").isin(*SENSITIVE_TABLES)
+        & F.col("operation_type").isin(*USER_SENSITIVE_OPS),
+        "_r4": F.col("access_timestamp").isNotNull()
+        & ((hour < WORKING_HOURS_START) | (hour >= WORKING_HOURS_END)),
+        "_inj": _first_injection_hit(details_lower),
+        "_r7": F.col("rows_affected").isNotNull()
+        & (F.col("rows_affected") > LARGE_EXTRACTION_ROWS),
+        # Reference truthiness: `if a['user_id']` (app.py:396) —
+        # user_id 0 is treated as missing, same as NULL.
+        "_r8": F.col("user_id").isNotNull()
+        & (F.col("user_id") != 0)
+        & (rate_count > MAX_QUERIES_PER_MIN),
+        "_rate_str": rate_count.cast("string"),
+    }
+    for i, c in enumerate(SENSITIVE_COLUMNS):
+        flags[f"_sc{i}"] = details_lower.contains(c)
+    flagged = df.withColumns(flags)
+
+    r1, r2, r3, r4 = F.col("_r1"), F.col("_r2"), F.col("_r3"), F.col("_r4")
+    r5 = F.col("_inj").isNotNull()
     col_hits = [
-        (c, details_lower.contains(c)) for c in SENSITIVE_COLUMNS
+        (c, F.col(f"_sc{i}")) for i, c in enumerate(SENSITIVE_COLUMNS)
     ]
     r6 = F.lit(False)
     for _, hit in col_hits:
         r6 = r6 | hit
-    r7 = F.col("rows_affected").isNotNull() & (
-        F.col("rows_affected") > LARGE_EXTRACTION_ROWS
-    )
-    # Reference truthiness: `if a['user_id']` (app.py:396) — user_id 0
-    # is treated as missing, same as NULL.
-    r8 = (
-        F.col("user_id").isNotNull()
-        & (F.col("user_id") != 0)
-        & (rate_count > MAX_QUERIES_PER_MIN)
-    )
+    r7, r8 = F.col("_r7"), F.col("_r8")
 
-    # Sequential severity overwrites — see module docstring.
+    # Stage 2 — sequential severity overwrites (see module docstring)
+    # and reason assembly, over the flag columns.
     sev = F.when(r1, "Critical").otherwise("Low")
     sev = F.when(r2, "High").otherwise(sev)
     sev = F.when(r3 & (sev == "Low"), "Medium").otherwise(sev)
@@ -209,7 +223,7 @@ def apply_rule_battery(
             F.concat(F.lit("User accessing sensitive table: "), F.col("table_name")),
         ),
         F.when(r4, "Access outside working hours"),
-        F.when(r5, F.concat(F.lit("Suspicious pattern: "), injection_desc)),
+        F.when(r5, F.concat(F.lit("Suspicious pattern: "), F.col("_inj"))),
         *[
             F.when(hit, f"Access to sensitive column: {c}")
             for c, hit in col_hits
@@ -226,7 +240,7 @@ def apply_rule_battery(
             r8,
             F.concat(
                 F.lit("Rate limit exceeded: "),
-                rate_count.cast("string"),
+                F.col("_rate_str"),
                 F.lit(" queries/min"),
             ),
         ),
@@ -234,7 +248,7 @@ def apply_rule_battery(
 
     suspicious = r1 | r2 | r3 | r4 | r5 | r6 | r7 | r8
     out = (
-        df.withColumn("is_suspicious", suspicious)
+        flagged.withColumn("is_suspicious", suspicious)
         .withColumn(
             "suspicious_reasons", F.when(suspicious, reasons).otherwise(F.lit(None))
         )
@@ -242,7 +256,9 @@ def apply_rule_battery(
             "severity_level", F.when(suspicious, sev).otherwise(F.lit("Low"))
         )
     )
-    return out.drop("_blacklisted")
+    helper_cols = ["_blacklisted", "_inj", "_rate_str",
+                   *flags.keys()]
+    return out.drop(*helper_cols)
 
 
 def classify_alert_type(reasons: Column) -> Column:
