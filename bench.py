@@ -19,6 +19,11 @@ import os
 import sys
 import time
 
+# Serving mode: share one persisted activity/battery frame per sf_dir
+# across the gates that compose it (materialized-view pattern; see
+# plans/dam.py:_shared). Correctness runs and plan tests stay uncached.
+os.environ.setdefault("SPARK_DAM_SHARE_FRAMES", "1")
+
 from database_activity_monitoring_dam_system_spark.plans.registry import all_queries
 from database_activity_monitoring_dam_system_spark.session import get_spark
 

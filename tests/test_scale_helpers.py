@@ -91,3 +91,37 @@ def test_empty_input_frames(spark):
     assert stats["total_activities"] == 0
     assert stats["suspicious_count"] is None or stats["suspicious_count"] == 0
     assert hourly_timeline(checked, hours=24, now=now).count() == 0
+
+
+def test_shared_frame_mode_is_transparent(spark):
+    """SPARK_DAM_SHARE_FRAMES=1 (bench serving mode) must be purely an
+    execution-strategy switch: same rows as the uncached build, and the
+    second build returns the identical persisted frame object."""
+    import os
+
+    from database_activity_monitoring_dam_system_spark.plans import dam
+
+    uncached = sorted(
+        tuple(r)
+        for r in dam._battery(spark, SF_SMOKE)
+        .select("activity_id", "is_suspicious", "severity_level")
+        .collect()
+    )
+    os.environ["SPARK_DAM_SHARE_FRAMES"] = "1"
+    try:
+        dam._FRAME_CACHE.clear()
+        first = dam._battery(spark, SF_SMOKE)
+        second = dam._battery(spark, SF_SMOKE)
+        assert first is second
+        cached = sorted(
+            tuple(r)
+            for r in first.select(
+                "activity_id", "is_suspicious", "severity_level"
+            ).collect()
+        )
+        assert cached == uncached
+    finally:
+        os.environ.pop("SPARK_DAM_SHARE_FRAMES", None)
+        for df in dam._FRAME_CACHE.values():
+            df.unpersist()
+        dam._FRAME_CACHE.clear()
