@@ -120,6 +120,137 @@ def lsh_signatures(
     return embeddings.select(F.col(id_col), sig.alias("signature"))
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    *,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple]:
+    """Deterministic IVF coarse quantizer: the centroid set is the
+    ``n_centroids`` lowest-id vectors (collected with their norms).
+
+    A production build would refine these with a few Lloyd rounds (each
+    round = one broadcast-assign + one groupBy(cent) mean — cheap,
+    deterministic); seed-by-id keeps the operator reproducible AND
+    expressible in the DuckDB oracle, which is what pins the search
+    semantics. Returns [(cent_id, vec, norm)] sorted by cent_id.
+    """
+    cents = with_norm(
+        embeddings.select(
+            F.col(id_col).alias("cent_id"), _as_double(vec_col).alias("cvec")
+        ).orderBy("cent_id").limit(n_centroids),
+        vec_col="cvec",
+    ).collect()
+    return [(r["cent_id"], list(r["cvec"]), float(r["_norm"])) for r in cents]
+
+
+def _centroid_scores(vec: Column, norm: Column, cents: list[tuple]) -> dict:
+    """One cosine-vs-centroid column per centroid. Materialized as
+    named columns (not inlined) so the downstream argmax is a fold over
+    cheap column refs — the same codegen-size guard the rule battery
+    uses."""
+    return {
+        f"_cs{i}": _dot(vec, F.array(*[F.lit(x) for x in cvec]))
+        / (F.lit(cnorm) * norm)
+        for i, (_, cvec, cnorm) in enumerate(cents)
+    }
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: assign every vector to its max-cosine centroid
+    (ties → lowest cent_id), probe each query's ``n_probe`` nearest
+    lists, exact cosine re-rank inside the probed lists only.
+
+    100 TB shape: assignment is a pure projection against LITERAL
+    centroids (zero shuffle, O(N·C·d) flops — the standard IVF assign
+    cost); the candidate join touches ~N·n_probe/C rows per query via
+    a broadcast of the tiny query-probe table. Output schema matches
+    cosine_topk; recall < 1 by design (unit-tested floor vs brute
+    force).
+    """
+    cents = ivf_centroids(
+        embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    cent_ids = F.array(*[F.lit(c[0]) for c in cents])
+    score_cols = [f"_cs{i}" for i in range(len(cents))]
+
+    corpus = with_norm(
+        embeddings.select(F.col(id_col), _as_double(vec_col).alias("vec")),
+        vec_col="vec",
+    )
+    scored_corpus = corpus.withColumns(
+        _centroid_scores(F.col("vec"), F.col("_norm"), cents)
+    )
+    arr = F.array(*[F.col(c) for c in score_cols])
+    # array_position finds the FIRST max → ties resolve to the lowest
+    # cent_id (centroids are sorted); matches the oracle's
+    # (cosine DESC, cent_id ASC) row_number.
+    assigned = scored_corpus.withColumn(
+        "cent_id", cent_ids[F.array_position(arr, F.array_max(arr)) - 1]
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        "cent_id",
+        F.col("vec"),
+        F.col("_norm").alias("n_norm"),
+    )
+
+    queries = with_norm(
+        embeddings.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+        ),
+        vec_col="qvec",
+    )
+    q_scored = queries.withColumns(
+        _centroid_scores(F.col("qvec"), F.col("_norm"), cents)
+    )
+    q_probe = (
+        q_scored.select(
+            "query_id",
+            F.col("qvec"),
+            F.col("_norm").alias("q_norm"),
+            F.posexplode(F.array(*[F.col(c) for c in score_cols])).alias(
+                "cent_pos", "cscore"
+            ),
+        )
+        .withColumn("cent_id", cent_ids[F.col("cent_pos")])
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cscore"), F.asc("cent_id")
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "cent_id", "qvec", "q_norm")
+    )
+
+    cos = _dot(F.col("qvec"), F.col("vec")) / (F.col("q_norm") * F.col("n_norm"))
+    scored = (
+        assigned.join(F.broadcast(q_probe), "cent_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+        )
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],

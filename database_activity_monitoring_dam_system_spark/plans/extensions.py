@@ -241,6 +241,69 @@ def _q_lsh_ann_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, _QUERY_IDS, k=10)
 
 
+def _q_ivf_ann_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, _QUERY_IDS, k=10, n_centroids=16, n_probe=4
+    )
+
+
+_IVF_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+norms AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus
+),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn
+  FROM norms ORDER BY vec_id LIMIT 16
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT n.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, c.cv) / (c.cn * n.nrm) DESC,
+                      c.cent_id ASC) AS rn
+    FROM norms n CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT query_id, cent_id FROM (
+    SELECT n.vec_id AS query_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, c.cv) / (c.cn * n.nrm) DESC,
+                      c.cent_id ASC) AS rn
+    FROM norms n CROSS JOIN cents c
+    WHERE n.vec_id IN ({", ".join(str(i) for i in _QUERY_IDS)})
+  ) WHERE rn <= 4
+),
+cands AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id
+  FROM qprobe q JOIN assign a USING (cent_id)
+  WHERE a.vec_id != q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(qn.v, nn.v) / (qn.nrm * nn.nrm) AS cosine
+  FROM cands c
+  JOIN norms qn ON qn.vec_id = c.query_id
+  JOIN norms nn ON nn.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 10
+"""
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Registry projection of the media feature pipeline: the array
     column is element-projected (f0..f7) so the result is
@@ -436,6 +499,11 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_ann_lsh": QuerySpec(
         _q_lsh_ann_topk, None,
         "random-hyperplane LSH ANN top-10 (scale path; recall vs brute force unit-tested)",
+    ),
+    "embedding_ann_ivf": QuerySpec(
+        _q_ivf_ann_topk, _IVF_SQL,
+        "IVF ANN top-10: literal-centroid assign (zero shuffle) + "
+        "probed-list exact re-rank, full DuckDB oracle",
     ),
     "multimodal_features": QuerySpec(
         _q_multimodal_features, _multimodal_sql(),

@@ -96,3 +96,27 @@ def test_exact_dedup_counts_match_corpus(spark):
     total = docs.count()
     agg = dedup.exact_duplicates(docs).agg(F.sum("cnt")).first()[0]
     assert agg == total
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, qids, k=10).collect()
+    }
+    ivf = similarity.ivf_topk(emb, qids, k=10, n_centroids=16, n_probe=4).collect()
+    ann = {(r.query_id, r.neighbor_id) for r in ivf}
+    # Probing 4/16 lists scans ~25% of a RANDOM corpus (worst case for
+    # IVF — no cluster structure); recall floor set accordingly.
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.3, f"IVF recall degenerate: {recall:.2f}"
+    assert all(r.rank <= 10 for r in ivf)
+    # probing ALL lists must reduce to exact brute-force top-k
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            emb, qids, k=10, n_centroids=16, n_probe=16
+        ).collect()
+    }
+    assert full == exact
