@@ -9,7 +9,7 @@ reproduces it bit-exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Minimal per-language stopword profiles for the n-gram/stopword
@@ -141,25 +141,114 @@ def lang_agreement(
     )
 
 
-def rolling_fingerprints(
+def winnow_fingerprints(
     docs: DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    window: int = 5,
+    k: int = 3,
+    window: int = 4,
 ) -> DataFrame:
-    """Document fingerprinting: per-doc set of window-shingle hashes
-    (xxhash64 of each `window`-token shingle), as an array — the
-    substrate for containment / winnowing-style matching."""
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the MOSS algorithm): md5 each k-token shingle, slide a window of
+    ``window`` consecutive shingle hashes, keep the minimum of each
+    window, emit the distinct (doc, fingerprint) set.
+
+    Guarantee: any token run shared by two docs of length
+    ≥ window + k - 1 produces at least one shared fingerprint; output
+    density is ~2/(window+1) of the shingle count. Hashes are md5 hex
+    STRINGS compared lexically — deterministic and reproducible in the
+    DuckDB oracle bit-for-bit (no engine-specific hash).
+
+    Docs with fewer than ``window`` shingles keep their global-min
+    hash as a single fingerprint (the pos-0 window is always emitted).
+
+    Scale: the explode is per-doc linear; the rolling min is a bounded
+    ROWS frame after one shuffle on the doc key; distinct adds a
+    (doc, fingerprint) hash agg with map-side combine. The substrate
+    stays linear in corpus size — frequency capping in
+    fingerprint_overlap_pairs is what keeps the PAIR stage linear.
+    """
     toks = _tokens(text_col)
     n = F.size(toks)
-    idxs = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
-    shingle_hash = F.transform(
-        idxs,
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+    idxs = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    hashes = F.transform(
+        idxs, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k)))
     )
-    return docs.select(
-        F.col(id_col),
-        F.array_distinct(shingle_hash).alias("shingle_hashes"),
-        n.alias("n_tokens"),
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(hashes).alias("pos", "h")
+    )
+    doc_w = Window.partitionBy("doc_id")
+    roll = doc_w.orderBy("pos").rowsBetween(Window.currentRow, window - 1)
+    return (
+        exploded.withColumn("fingerprint", F.min("h").over(roll))
+        .withColumn("_nsh", F.count("*").over(doc_w))
+        .filter(F.col("pos") <= F.greatest(F.col("_nsh") - window, F.lit(0)))
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )
+
+
+def fingerprint_overlap_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    max_df: int | None = 100,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Winnowing-based near-duplicate/containment pairs: join docs on
+    shared fingerprints, score each pair by shared-fingerprint count
+    and containment = shared / min(|fp_a|, |fp_b|).
+
+    ``max_df`` drops fingerprints appearing in more than that many
+    docs before pairing — boilerplate k-grams (licence headers,
+    navigation chrome) are exactly the hot keys that would otherwise
+    make the self-join quadratic; with the cap, candidate pairs are
+    bounded by max_df²·F (F = distinct capped fingerprints), linear
+    in corpus for fixed max_df. This is the standard scale lever for
+    MOSS-style matching.
+    """
+    fp = winnow_fingerprints(
+        docs, id_col=id_col, text_col=text_col, k=k, window=window
+    )
+    if max_df is not None:
+        df_counts = fp.groupBy("fingerprint").agg(
+            F.count("*").alias("_df")
+        )
+        fp = (
+            fp.join(df_counts, "fingerprint")
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = (
+        a.join(b, "fingerprint")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_overlap)
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("_na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("_nb")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fp",
+            F.round(
+                F.col("shared_fp") / F.least("_na", "_nb"), 6
+            ).alias("containment"),
+        )
     )

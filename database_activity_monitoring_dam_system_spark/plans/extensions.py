@@ -166,6 +166,74 @@ FROM scored
 """
 
 
+def _q_winnow_fingerprints(spark, sf_dir):
+    return textops.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+# Winnowing substrate as shared CTEs: md5 hex shingle hashes compared
+# lexically — the one fingerprint family that IS oracle-able (unlike
+# xxhash-based MinHash/SimHash). generate_series is inclusive on both
+# ends, matching Spark F.sequence; list slices are 1-based/3-wide on
+# both engines; docs with < window shingles keep the pos-0 global min.
+_WINNOW_CTES = r"""toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+positions AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0, greatest(len(t) - 3, 0))) AS pos
+  FROM toks
+),
+sh AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(t[pos+1:pos+3], ' ')) AS h
+  FROM positions
+),
+counted AS (
+  SELECT *, count(*) OVER (PARTITION BY doc_id) AS nsh FROM sh
+),
+fp AS (
+  SELECT DISTINCT doc_id, fingerprint FROM (
+    SELECT doc_id, pos, nsh,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+                       ) AS fingerprint
+    FROM counted
+  ) WHERE pos <= greatest(nsh - 4, 0)
+)"""
+
+_WINNOW_SQL = f"""
+WITH {_WINNOW_CTES}
+SELECT doc_id, fingerprint FROM fp
+"""
+
+
+def _q_fingerprint_overlap(spark, sf_dir):
+    return textops.fingerprint_overlap_pairs(
+        _docs(spark, sf_dir), max_df=100, min_overlap=2
+    )
+
+
+_OVERLAP_SQL = f"""
+WITH {_WINNOW_CTES},
+capped AS (
+  SELECT doc_id, fingerprint FROM fp
+  QUALIFY count(*) OVER (PARTITION BY fingerprint) <= 100
+),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM capped GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fp
+  FROM capped a JOIN capped b
+    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT doc_a, doc_b, shared_fp,
+       round(shared_fp * 1.0 / least(sa.n_fp, sb.n_fp), 6) AS containment
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+"""
+
+
 def _q_lang_agreement(spark, sf_dir):
     return textops.lang_agreement(_docs(spark, sf_dir))
 
@@ -491,6 +559,15 @@ QUERIES: dict[str, QuerySpec] = {
     "lang_agreement": QuerySpec(
         _q_lang_agreement, _lang_guess_sql(),
         "stopword-profile language-ID vs label confusion counts",
+    ),
+    "winnow_fingerprints": QuerySpec(
+        _q_winnow_fingerprints, _WINNOW_SQL,
+        "MOSS-style winnowing fingerprints (md5 shingles → rolling-min), "
+        "full DuckDB oracle",
+    ),
+    "fingerprint_overlap": QuerySpec(
+        _q_fingerprint_overlap, _OVERLAP_SQL,
+        "winnowing containment pairs with boilerplate frequency cap",
     ),
     "embedding_topk": QuerySpec(
         _q_embedding_topk, _TOPK_SQL,

@@ -120,3 +120,39 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
         ).collect()
     }
     assert full == exact
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Two docs sharing a token run of length >= window+k-1 (= 6 with
+    defaults) must share a fingerprint; disjoint docs must not pair."""
+    from database_activity_monitoring_dam_system_spark.operators import textops
+
+    shared = "alpha bravo charlie delta echo foxtrot"
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"{shared} seven eight nine ten eleven twelve"),
+        (3, "completely different words nothing in common here at all"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = textops.winnow_fingerprints(docs)
+    by_doc = {
+        d: {r.fingerprint for r in g}
+        for d, g in __import__("itertools").groupby(
+            sorted(fp.collect(), key=lambda r: r.doc_id), key=lambda r: r.doc_id
+        )
+    }
+    assert by_doc[1] & by_doc[2], "shared 6-token run must yield a shared fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+    pairs = textops.fingerprint_overlap_pairs(docs, min_overlap=1).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
+    p = pairs[0]
+    assert 0 < p.containment <= 1 and p.shared_fp >= 1
+
+
+def test_winnow_short_doc_gets_one_fingerprint(spark):
+    from database_activity_monitoring_dam_system_spark.operators import textops
+
+    docs = spark.createDataFrame([(1, "just two")], ["doc_id", "text"])
+    rows = textops.winnow_fingerprints(docs).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 1
