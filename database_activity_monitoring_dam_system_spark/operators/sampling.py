@@ -1,0 +1,98 @@
+"""Deterministic sampling for training-data pipelines.
+
+Random sampling (``df.sample``) is non-reproducible across runs,
+engines, and partitionings — a training pipeline wants the SAME corpus
+subset every rebuild. These operators sample by content hash instead:
+a row is kept iff the first 8 hex chars of ``md5(salt || key)`` fall
+below a per-stratum threshold. md5 hex is fixed-width lowercase, so
+LEXICAL order on the prefix equals numeric order — the comparison is a
+plain string predicate, bit-identical in any engine with md5 (which is
+what makes the DuckDB oracle exact; cf. reference fingerprinting,
+dam_agent.py md5 usage).
+
+Everything here is a pure projection/filter (zero shuffle) except the
+per-stratum cap, which shuffles once on the stratum key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PREFIX_LEN = 8
+_SPACE = 16 ** _PREFIX_LEN
+
+
+def rate_threshold(rate: float) -> str:
+    """Hex threshold such that P[md5-prefix < threshold] == rate (to
+    1/16^8 resolution). Thresholds are compared LEXICALLY char by
+    char, so the all-pass sentinel must sort above every hex digit in
+    its FIRST character — 'g' does; '100000000' would not ('9' > '1').
+    Equal-width hex strings order identically to their numeric value.
+    """
+    if rate >= 1.0:
+        return "g"
+    n = int(rate * _SPACE)
+    return format(n, f"0{_PREFIX_LEN}x")
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, _PREFIX_LEN)
+
+
+def hash_sample(
+    df: DataFrame,
+    *,
+    key_col: str,
+    rates: dict[str, float] | None = None,
+    strata_col: str | None = None,
+    default_rate: float = 0.1,
+    salt: str = "s1",
+) -> DataFrame:
+    """Keep each row iff its hash bucket clears the (stratum's) rate.
+
+    With ``strata_col`` + ``rates``, each stratum gets its own
+    threshold (un-listed strata fall back to ``default_rate``) — the
+    standard language/source re-balancing move. Deterministic: same
+    salt → same subset, independent of partitioning or engine.
+
+    Scale: a pure filter projection — no shuffle, pushes down past
+    column pruning; changing the mix is a re-filter of the scan, not
+    a reshuffle.
+    """
+    bucket = _bucket(F.col(key_col), salt)
+    if strata_col is None or not rates:
+        return df.filter(bucket < F.lit(rate_threshold(default_rate)))
+    thr = F.lit(rate_threshold(default_rate))
+    for stratum, rate in rates.items():
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(rate_threshold(rate))
+        ).otherwise(thr)
+    return df.filter(bucket < thr)
+
+
+def stratified_cap(
+    df: DataFrame,
+    *,
+    strata_cols: list[str],
+    cap: int,
+    key_col: str,
+    salt: str = "c1",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum, chosen deterministically
+    by hash order (hash asc, key asc tiebreak) — an unbiased, stable
+    per-source quota, unlike LIMIT which is partition-order dependent.
+
+    One shuffle on the stratum key; per-stratum top-N is a bounded
+    sort. Skewed mega-strata at 100 TB: rank by the hash PREFIX first
+    (cheap pre-filter at ~cap/stratum_size quantile) before the exact
+    window — not needed at test scale.
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import dedup, multimodal, similarity, textops
+from ..operators import dedup, multimodal, sampling, similarity, textops
 from ..sources.testdata import load_table
 from .spec import QuerySpec
 
@@ -231,6 +231,97 @@ SELECT doc_a, doc_b, shared_fp,
 FROM inter
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
+"""
+
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 0.05}
+_SAMPLE_DEFAULT = 0.1
+
+
+def _q_stratified_sample(spark, sf_dir):
+    return sampling.hash_sample(
+        _docs(spark, sf_dir),
+        key_col="doc_id",
+        strata_col="lang",
+        rates=_SAMPLE_RATES,
+        default_rate=_SAMPLE_DEFAULT,
+        salt="s1",
+    ).select("doc_id", "lang", "source")
+
+
+def _sample_sql() -> str:
+    """Generated from the SAME rate dict as the Spark gate — the hex
+    thresholds are compared lexically (md5 prefixes are fixed-width
+    lowercase), so the predicate is engine-neutral."""
+    cases = " ".join(
+        f"WHEN '{s}' THEN '{sampling.rate_threshold(r)}'"
+        for s, r in _SAMPLE_RATES.items()
+    )
+    default = sampling.rate_threshold(_SAMPLE_DEFAULT)
+    return f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substring(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang {cases} ELSE '{default}' END
+"""
+
+
+def _q_training_mix(spark, sf_dir):
+    """The composed corpus-selection pipeline a pretraining build
+    runs: quality gate → exact dedup (keep min doc_id per normalized
+    fingerprint) → deterministic per-(lang, source) quota."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    keep = textops.quality_scores(docs).filter(
+        F.col("verdict") == "keep"
+    ).select("doc_id")
+    survivors = docs.join(keep, "doc_id")
+    dedup_keep = (
+        survivors.groupBy(dedup.normalized_text().alias("fingerprint"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    unique_docs = docs.join(dedup_keep, "doc_id")
+    return sampling.stratified_cap(
+        unique_docs,
+        strata_cols=["lang", "source"],
+        cap=30,
+        key_col="doc_id",
+        salt="c1",
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+_TRAINING_MIX_SQL = r"""
+WITH quality AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x IN ('the','a','of','and','to'))) * 1.0
+           / len(string_split_regex(trim(text), '\s+')) AS sw_ratio,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+           / length(text) AS p_ratio
+  FROM documents
+),
+keep AS (
+  SELECT doc_id FROM quality
+  WHERE n_tokens >= 10 AND p_ratio <= 0.3 AND sw_ratio >= 0.01
+),
+dedup_keep AS (
+  SELECT min(d.doc_id) AS doc_id
+  FROM documents d JOIN keep USING (doc_id)
+  GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+),
+ranked AS (
+  SELECT d.doc_id, d.lang, d.source, d.n_chars,
+         row_number() OVER (
+           PARTITION BY d.lang, d.source
+           ORDER BY substring(md5('c1' || CAST(d.doc_id AS VARCHAR)), 1, 8),
+                    d.doc_id
+         ) AS rk
+  FROM documents d JOIN dedup_keep USING (doc_id)
+)
+SELECT doc_id, lang, source, n_chars FROM ranked WHERE rk <= 30
 """
 
 
@@ -559,6 +650,16 @@ QUERIES: dict[str, QuerySpec] = {
     "lang_agreement": QuerySpec(
         _q_lang_agreement, _lang_guess_sql(),
         "stopword-profile language-ID vs label confusion counts",
+    ),
+    "stratified_sample": QuerySpec(
+        _q_stratified_sample, _sample_sql(),
+        "deterministic md5-bucket sampling with per-language rates "
+        "(zero-shuffle filter)",
+    ),
+    "training_mix": QuerySpec(
+        _q_training_mix, _TRAINING_MIX_SQL,
+        "composed corpus selection: quality gate → exact dedup → "
+        "deterministic per-(lang,source) quota",
     ),
     "winnow_fingerprints": QuerySpec(
         _q_winnow_fingerprints, _WINNOW_SQL,

@@ -156,3 +156,57 @@ def test_winnow_short_doc_gets_one_fingerprint(spark):
     docs = spark.createDataFrame([(1, "just two")], ["doc_id", "text"])
     rows = textops.winnow_fingerprints(docs).collect()
     assert len(rows) == 1 and rows[0].doc_id == 1
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    from database_activity_monitoring_dam_system_spark.operators import sampling
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    s1 = sampling.hash_sample(docs, key_col="doc_id", default_rate=0.3)
+    n, total = s1.count(), docs.count()
+    # binomial(500, 0.3): ±5σ ≈ ±51
+    assert abs(n - 0.3 * total) < 0.25 * total
+    # same salt → identical subset, regardless of partitioning
+    ids_a = {r.doc_id for r in s1.collect()}
+    ids_b = {
+        r.doc_id
+        for r in sampling.hash_sample(
+            docs.repartition(7), key_col="doc_id", default_rate=0.3
+        ).collect()
+    }
+    assert ids_a == ids_b
+    # different salt → different subset
+    ids_c = {
+        r.doc_id
+        for r in sampling.hash_sample(
+            docs, key_col="doc_id", default_rate=0.3, salt="other"
+        ).collect()
+    }
+    assert ids_a != ids_c
+    # rate 1.0 keeps everything, 0.0 keeps nothing
+    assert (
+        sampling.hash_sample(docs, key_col="doc_id", default_rate=1.0).count()
+        == total
+    )
+    assert (
+        sampling.hash_sample(docs, key_col="doc_id", default_rate=0.0).count() == 0
+    )
+
+
+def test_stratified_cap_bounds_and_stability(spark):
+    from database_activity_monitoring_dam_system_spark.operators import sampling
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    capped = sampling.stratified_cap(
+        docs, strata_cols=["lang"], cap=5, key_col="doc_id"
+    )
+    per = capped.groupBy("lang").count().collect()
+    assert all(r["count"] <= 5 for r in per)
+    ids_a = sorted(r.doc_id for r in capped.collect())
+    ids_b = sorted(
+        r.doc_id
+        for r in sampling.stratified_cap(
+            docs.repartition(11), strata_cols=["lang"], cap=5, key_col="doc_id"
+        ).collect()
+    )
+    assert ids_a == ids_b
