@@ -23,6 +23,9 @@ import time
 # across the gates that compose it (materialized-view pattern; see
 # plans/dam.py:_shared). Correctness runs and plan tests stay uncached.
 os.environ.setdefault("SPARK_DAM_SHARE_FRAMES", "1")
+# The bench parquet files are single-row-group (unsplittable scans);
+# fan scan-side compute out to all cores. See sources/testdata.py.
+os.environ.setdefault("SPARK_DAM_SPLIT_SMALL_SCANS", "1")
 
 from database_activity_monitoring_dam_system_spark.plans.registry import all_queries
 from database_activity_monitoring_dam_system_spark.session import get_spark

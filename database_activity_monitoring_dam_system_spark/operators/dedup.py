@@ -229,9 +229,15 @@ def minhash_candidate_pairs(
             for bi in range(bands)
         ]
     )
-    banded = signatures.select(
-        F.col(id_col), F.explode(band_structs).alias("band")
-    ).select(id_col, "band.band_id", "band.bucket")
+    banded = (
+        signatures.select(F.col(id_col), F.explode(band_structs).alias("band"))
+        .select(id_col, "band.band_id", "band.bucket")
+        # Materialize before the self-join: both join branches would
+        # otherwise recompute the full signature projection (the
+        # expensive part). At scale this is the signature table a
+        # production pipeline persists anyway — N·bands·24B rows.
+        .localCheckpoint()
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -317,14 +323,23 @@ def simhash_fingerprints(
     toks = token_arrays(
         docs, id_col=id_col, text_col=text_col, shingle=shingle
     ).select(F.col(id_col), F.explode("toks").alias("tok"))
+    # Bit extraction happens in its OWN projection (cheap ±1 int
+    # columns), not inside the aggregate expressions: 64 when()-terms
+    # inside one hash agg blow the janino method limit and drop the
+    # whole stage to interpreted execution. A projection splits into
+    # many small methods; the agg then compiles as 64 plain sums.
     h = F.xxhash64(F.col("tok"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
+    bits = toks.withColumns(
+        {
+            f"_s{i}": F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+            for i in range(64)
+        }
+    )
+    agg = bits.groupBy(id_col).agg(
+        *[F.sum(f"_s{i}").alias(f"b{i}") for i in range(64)]
+    )
     fingerprint = reduce(
         lambda acc, i: acc.bitwiseOR(
             F.when(
@@ -374,24 +389,23 @@ def duplicate_clusters(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("n_min"))
         )
+        # The convergence flag rides along in the SAME checkpointed
+        # frame — probing it afterwards scans the materialized rows
+        # instead of re-running the round's joins a second time.
+        new_label = F.least(
+            F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
+        )
         updated = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
+                new_label.alias("cluster_id"),
+                (new_label < F.col("cluster_id")).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.filter("_changed").limit(1).count()
+        labels = updated.drop("_changed")
         if changed == 0:
             break
     return labels
@@ -425,9 +439,15 @@ def simhash_near_pairs(
             for bi in range(bands)
         ]
     )
-    banded = fp.select(
-        F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("band")
-    ).select(id_col, "simhash", "band.band_id", "band.chunk")
+    banded = (
+        fp.select(
+            F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("band")
+        )
+        .select(id_col, "simhash", "band.band_id", "band.chunk")
+        # Materialize: the 64-sum fingerprint aggregate is the
+        # expensive stage and the self-join would run it twice.
+        .localCheckpoint()
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

@@ -529,6 +529,9 @@ def _q_embedding_near_dups(spark, sf_dir):
             )
         ).alias("b"),
     ).select("vec_id", "b.band_id", "b.chunk")
+    # Materialize before the self-join so the 24-hyperplane signature
+    # projection runs once, not once per branch.
+    banded = banded.localCheckpoint()
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(

@@ -23,6 +23,15 @@ def _pin_utc(fn: QueryFn) -> QueryFn:
 
     def wrapped(spark, sf_dir):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate clones each explode's (heavy)
+        # generator expression into an inferred size()>0 filter that
+        # lands on the scan, where it runs interpreted — measured 5×
+        # slowdown on the shingle pipelines, and our generator arrays
+        # are never empty by construction. Same setting as session.py.
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         return fn(spark, sf_dir)
 
     return wrapped

@@ -19,6 +19,29 @@ TESTDATA_TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# The testdata parquet files are written as a SINGLE row group, and
+# parquet scans cannot split below row-group granularity — so every
+# scan-side projection (tokenize, minhash, battery regexes) runs in ONE
+# task no matter how many cores the session has. At cluster scale the
+# input has ~maxPartitionBytes-sized splits and this never triggers; on
+# the single-row-group bench files, bench.py sets this switch to fan
+# the scan out to the session's parallelism with one tiny round-robin
+# exchange. OFF by default: correctness runs and the plan-invariant
+# tests audit raw scan plans.
+_SPLIT_ENV = "SPARK_DAM_SPLIT_SMALL_SCANS"
+
+# Only the corpus tables carry per-row compute heavy enough (shingle
+# hashing, 32-way minhash, vector math) to pay for the extra exchange;
+# the relational tables' gates are aggregation-bound and the round-
+# robin shuffle just adds a stage.
+_SPLIT_TABLES = frozenset({"documents", "embeddings"})
+
+
+def _maybe_split(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
+    if name not in _SPLIT_TABLES or os.environ.get(_SPLIT_ENV) != "1":
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
@@ -34,8 +57,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _maybe_split(spark, df, name)
+    return _maybe_split(spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"), name)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
