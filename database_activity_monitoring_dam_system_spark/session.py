@@ -18,6 +18,21 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Production streaming profile: RocksDB-backed state store (bounds
+# executor heap for large keyed state — per-user rate windows, session
+# windows, dedup state — and survives executor restarts via the
+# checkpoint). The default HDFS-backed in-memory provider is fine for
+# tests; at 100 TB / millions of keys, RocksDB is the standard choice.
+# Changelog checkpointing ships per-batch deltas instead of full
+# SST uploads.
+ROCKSDB_STREAMING_CONF: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+        "true",
+}
+
 
 def get_spark(
     app_name: str = "dam-spark",

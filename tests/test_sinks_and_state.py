@@ -120,3 +120,69 @@ def test_exact_rate_counts_streaming(spark):
         assert rows[t0 + dt.timedelta(seconds=35)] == (8, True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_exact_rate_counts_streaming_rocksdb(spark):
+    """The prod streaming profile (RocksDB state store + changelog
+    checkpointing) must produce identical cross-batch exact-rate state
+    as the default provider."""
+    import json
+    import os
+
+    from database_activity_monitoring_dam_system_spark.session import (
+        ROCKSDB_STREAMING_CONF,
+    )
+    from database_activity_monitoring_dam_system_spark.sources.agent import (
+        normalize_agent_events,
+    )
+    from database_activity_monitoring_dam_system_spark.streaming.ingest import (
+        read_agent_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="dam_rocks_")
+    src = f"{base}/src"
+    os.makedirs(src)
+    t0 = dt.datetime(2026, 8, 1, 10, 0, 0)
+    for fname, rng in (("a.json", range(4)), ("b.json", range(4, 8))):
+        with open(f"{src}/{fname}", "w") as fh:
+            for i in rng:
+                fh.write(json.dumps({
+                    "event_time": (t0 + dt.timedelta(seconds=5 * i)).isoformat(),
+                    "user_host": "burst[burst] @ h []",
+                    "argument": f"SELECT {i}",
+                }) + "\n")
+    saved = {
+        k: spark.conf.get(k, None) for k in ROCKSDB_STREAMING_CONF
+    }
+    for k, v in ROCKSDB_STREAMING_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        counted = stateful.exact_rate_counts(
+            normalize_agent_events(
+                read_agent_stream(spark, src, max_files_per_trigger=1)
+            ),
+            threshold=5,
+        )
+        q = (
+            counted.writeStream.format("memory")
+            .queryName("exact_rate_rocks")
+            .outputMode("append")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {
+            r.event_ts: (r.queries_last_min, r.breached)
+            for r in spark.sql("SELECT * FROM exact_rate_rocks").collect()
+        }
+        assert len(rows) == 8
+        assert rows[t0 + dt.timedelta(seconds=25)] == (6, True)
+        assert rows[t0 + dt.timedelta(seconds=35)] == (8, True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        shutil.rmtree(base, ignore_errors=True)
