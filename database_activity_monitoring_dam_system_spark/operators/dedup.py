@@ -236,7 +236,9 @@ def minhash_candidate_pairs(
         # otherwise recompute the full signature projection (the
         # expensive part). At scale this is the signature table a
         # production pipeline persists anyway — N·bands·24B rows.
-        .localCheckpoint()
+        # Lazy: construction stays plan-building; the first action
+        # materializes it once for both join branches.
+        .localCheckpoint(eager=False)
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -389,26 +391,53 @@ def duplicate_clusters(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("n_min"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.src, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("n_min"), F.col("cluster_id")),
+            ).alias("cluster_id"),
+        )
+        # Pointer jump (path halving): follow each label to ITS
+        # current label — min labels travel 2^round hops instead of
+        # one, so convergence is O(log diameter) and max_iterations=20
+        # covers any component a real corpus can produce (diameter
+        # ~10^6). parent is labels itself, keyed by doc_id (unique).
+        parent = labels.select(
+            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_cluster")
+        )
         # The convergence flag rides along in the SAME checkpointed
         # frame — probing it afterwards scans the materialized rows
         # instead of re-running the round's joins a second time.
-        new_label = F.least(
-            F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
+        jumped_label = F.least(
+            F.col("cluster_id"), F.coalesce(F.col("p_cluster"), F.col("cluster_id"))
         )
+        prev = labels
         updated = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            stepped.join(parent, stepped.cluster_id == parent.p_id, "left")
+            .join(
+                prev.select(
+                    F.col("doc_id"), F.col("cluster_id").alias("_old")
+                ),
+                "doc_id",
+            )
             .select(
                 "doc_id",
-                new_label.alias("cluster_id"),
-                (new_label < F.col("cluster_id")).alias("_changed"),
+                jumped_label.alias("cluster_id"),
+                (jumped_label < F.col("_old")).alias("_changed"),
             )
             .localCheckpoint()
         )
         changed = updated.filter("_changed").limit(1).count()
         labels = updated.drop("_changed")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iterations} rounds "
+        "(component diameter > 2^rounds — raise max_iterations)"
+    )
 
 
 def simhash_near_pairs(
@@ -446,7 +475,7 @@ def simhash_near_pairs(
         .select(id_col, "simhash", "band.band_id", "band.chunk")
         # Materialize: the 64-sum fingerprint aggregate is the
         # expensive stage and the self-join would run it twice.
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a = banded.alias("a")
     b = banded.alias("b")

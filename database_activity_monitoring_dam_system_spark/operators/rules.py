@@ -256,9 +256,7 @@ def apply_rule_battery(
             "severity_level", F.when(suspicious, sev).otherwise(F.lit("Low"))
         )
     )
-    helper_cols = ["_blacklisted", "_inj", "_rate_str",
-                   *flags.keys()]
-    return out.drop(*helper_cols)
+    return out.drop("_blacklisted", *flags)
 
 
 def classify_alert_type(reasons: Column) -> Column:
@@ -354,7 +352,6 @@ def firewall_check(
     queries_df: DataFrame,
     rules: DataFrame,
     *,
-    id_col: str = "activity_id",
     query_col: str = "operation_details",
     user_col: str = "username",
     ip_col: str = "ip_address",
@@ -394,7 +391,14 @@ def firewall_check(
     )
     chain = None
     for r in rows:
-        pat = r["pattern"] or ""
+        pat = r["pattern"]
+        if pat is None:
+            # Reference schema pins pattern NOT NULL (app.py:1476); a
+            # NULL slipping in here must not become ''-matches-every-
+            # row (the old column-expression form yielded NULL → no
+            # match). Empty STRING stays match-all — that is genuine
+            # reference behavior (app.py:836 `rule.get("pattern","")`).
+            continue
         if r["match_type"] == "contains":
             hit = ql.contains(pat.lower())
         elif r["match_type"] == "starts_with":

@@ -60,8 +60,14 @@ def hash_sample(
     column pruning; changing the mix is a re-filter of the scan, not
     a reshuffle.
     """
+    if (strata_col is None) != (not rates):
+        raise ValueError(
+            "strata_col and rates must be provided together; got "
+            f"strata_col={strata_col!r}, rates={rates!r} — a lone rates "
+            "dict would be silently ignored"
+        )
     bucket = _bucket(F.col(key_col), salt)
-    if strata_col is None or not rates:
+    if strata_col is None:
         return df.filter(bucket < F.lit(rate_threshold(default_rate)))
     thr = F.lit(rate_threshold(default_rate))
     for stratum, rate in rates.items():

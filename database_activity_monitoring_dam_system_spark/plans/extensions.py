@@ -531,7 +531,7 @@ def _q_embedding_near_dups(spark, sf_dir):
     ).select("vec_id", "b.band_id", "b.chunk")
     # Materialize before the self-join so the 24-hyperplane signature
     # projection runs once, not once per branch.
-    banded = banded.localCheckpoint()
+    banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(

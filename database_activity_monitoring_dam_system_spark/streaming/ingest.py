@@ -175,7 +175,6 @@ def start_ingest(
             fw = rules.firewall_check(
                 df_norm,
                 firewall_rules,
-                id_col="activity_id",
                 user_col="username",
             )
             if blocks_sink is not None:
@@ -199,14 +198,19 @@ def start_ingest(
         # "Rate limit exceeded" reason/severity exactly like batch rows
         # (the r8 user_id gate is identical on both paths). The window
         # is bounded by the micro-batch; cross-batch exactness is the
-        # stateful op's job (stateful.exact_rate_counts). NULL-user
-        # rows share one window partition, bounded per batch.
+        # stateful op's job (stateful.exact_rate_counts). Only armed
+        # when user ids are resolved: without them user_id is forced
+        # NULL, r8 is structurally false (reference parity,
+        # app.py:396/1182), and the window would shuffle every row
+        # into one NULL-key partition for a provably dead result.
         enriched = rules.apply_rule_battery(
             df_checked,
             users=users,
             ip_blacklist=ip_blacklist,
-            with_rate_rule=True,
-        ).drop("queries_last_min")  # helper col, not in ACTIVITY_LOGS
+            with_rate_rule=resolve_user_ids,
+        )
+        if "queries_last_min" in enriched.columns:
+            enriched = enriched.drop("queries_last_min")  # helper col
         enriched.persist()
         try:
             enriched.write.mode("append").parquet(activity_sink)
