@@ -15,7 +15,7 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import analytics, anomaly, asof, geo, rules, sessions
+from ..operators import analytics, anomaly, asof, cascade, geo, rules, sessions
 from ..sources.testdata import load_table
 from .events_activity import ACTIVITY_CTE, BLACKLISTED_IPS, derive_activity
 from .spec import QuerySpec, sql_values
@@ -637,7 +637,64 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error'
 """
 
 
+def _q_fk_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 delete propagation: a deterministic user-deletion set
+    (user_id % 11 = 0) SET-NULLs activity FKs; an activity-deletion set
+    (activity_id % 13 = 0) CASCADEs into security_alerts. Output is the
+    surviving activity rows with their post-cascade alert count."""
+    act = _activity(spark, sf_dir)
+    deleted_users = act.filter(F.col("user_id") % 11 == 0).select("user_id")
+    deleted_acts = act.filter(F.col("activity_id") % 13 == 0).select(
+        "activity_id"
+    )
+    alerts = rules.derive_alerts(_battery(spark, sf_dir))
+    survivors, children = cascade.propagate_deletes(
+        act.select("activity_id", "user_id", "username"),
+        deleted_users=deleted_users,
+        deleted_activities=deleted_acts,
+        children={"security_alerts": alerts},
+    )
+    alive_alerts = children["security_alerts"].select(
+        "activity_id", F.lit(1).alias("__hit")
+    )
+    return (
+        survivors.join(alive_alerts, "activity_id", "left")
+        .groupBy("activity_id", "user_id", "username")
+        .agg(F.count("__hit").alias("n_alerts"))
+    )
+
+
+_FK_CASCADE_SQL = battery_sql("""
+, deleted_u AS (
+  SELECT DISTINCT user_id FROM checked
+  WHERE user_id IS NOT NULL AND user_id % 11 = 0
+),
+deleted_a AS (SELECT activity_id FROM checked WHERE activity_id % 13 = 0),
+survivors AS (
+  SELECT activity_id,
+         CASE WHEN user_id IN (SELECT user_id FROM deleted_u)
+              THEN NULL ELSE user_id END AS user_id,
+         username
+  FROM checked
+  WHERE activity_id NOT IN (SELECT activity_id FROM deleted_a)
+),
+alive_alerts AS (
+  SELECT activity_id FROM checked
+  WHERE is_suspicious AND severity_level IN ('High', 'Critical')
+    AND activity_id NOT IN (SELECT activity_id FROM deleted_a)
+)
+SELECT s.activity_id, s.user_id, s.username,
+       CAST(count(a.activity_id) AS BIGINT) AS n_alerts
+FROM survivors s LEFT JOIN alive_alerts a ON s.activity_id = a.activity_id
+GROUP BY 1, 2, 3
+""")
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "fk_cascade": QuerySpec(
+        _q_fk_cascade, _FK_CASCADE_SQL,
+        "J5 delete propagation: SET NULL on users, CASCADE into alerts",
+    ),
     "asof_last_error": QuerySpec(
         _q_asof_last_error, _ASOF_SQL,
         "as-of backward join via union+carry-forward (vs DuckDB ASOF JOIN)",
