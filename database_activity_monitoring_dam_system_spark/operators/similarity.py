@@ -251,6 +251,100 @@ def ivf_topk(
     )
 
 
+def _sqdist(vec: Column, cvec: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid — expanded as
+    ||v||² - 2·v·c + ||c||² with the norm precomputed, so per centroid
+    only the dot product costs d flops."""
+    c_arr = F.array(*[F.lit(x) for x in cvec])
+    c_norm2 = sum(x * x for x in cvec)
+    return F.col("_norm") * F.col("_norm") - 2.0 * _dot(vec, c_arr) + F.lit(
+        c_norm2
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared L2, ties →
+    lowest centroid index). Pure projection against LITERAL centroids —
+    zero shuffle, O(N·k·d) flops, same shape as the IVF assign."""
+    corpus = with_norm(
+        embeddings.select(F.col(id_col), _as_double(vec_col).alias("vec")),
+        vec_col="vec",
+    )
+    dist_cols = {
+        f"_kd{i}": _sqdist(F.col("vec"), c) for i, c in enumerate(centroids)
+    }
+    arr = F.array(*[F.col(f"_kd{i}") for i in range(len(centroids))])
+    return (
+        corpus.withColumns(dist_cols)
+        .withColumn("cluster_id", F.array_position(arr, F.array_min(arr)) - 1)
+        .withColumn("sqdist", F.array_min(arr))
+        .select(id_col, "vec", "cluster_id", "sqdist")
+    )
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means over an embedding column, seeded with the k
+    lowest-id vectors (deterministic, same convention as ivf_centroids).
+
+    Per round: one zero-shuffle assign pass + one centroid update =
+    posexplode to (cluster, dim, component) and a hash aggregate — the
+    collected result is k·d doubles (a few KB), the only driver-side
+    data. Empty clusters keep their previous centroid. At 100 TB each
+    round is one scan + one shuffle of N·d (cluster, dim) partial
+    means; iteration count is fixed and small, the standard mini-batch/
+    few-round regime for corpus bucketing (full convergence belongs to
+    an ML library, not the engine).
+
+    Returns (assignments, final_centroids); assignments carry
+    (id, cluster_id, sqdist).
+    """
+    seeds = (
+        embeddings.select(F.col(id_col), _as_double(vec_col).alias("v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in seeds]
+    assigned = None
+    for _ in range(iters):
+        assigned = kmeans_assign(
+            embeddings, centroids, id_col=id_col, vec_col=vec_col
+        )
+        means = (
+            assigned.select(
+                "cluster_id", F.posexplode("vec").alias("dim", "x")
+            )
+            .groupBy("cluster_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster_id"], {})[r["dim"]] = r["m"]
+        centroids = [
+            [comp[d] for d in sorted(comp)] if (comp := by_cluster.get(ci))
+            else centroids[ci]
+            for ci in range(k)
+        ]
+    final = kmeans_assign(
+        embeddings, centroids, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cluster_id", "sqdist")
+    return final, centroids
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],

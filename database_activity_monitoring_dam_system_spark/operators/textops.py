@@ -189,6 +189,129 @@ def winnow_fingerprints(
     )
 
 
+_WORD = r"[^a-z0-9]+"
+
+
+def _norm_tokens(text_col: str) -> Column:
+    """Lowercased alphanumeric word stream (split on any non-[a-z0-9]
+    run, empties dropped) — the tokenization both engines reproduce
+    bit-identically, unlike locale-sensitive analyzers."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), _WORD), lambda t: t != ""
+    )
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    *,
+    k: int = 10,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Top-k most frequent tokens per group — the corpus-profiling op
+    behind stopword-list induction and boilerplate discovery.
+
+    Scale: the explode is per-doc linear and the (group, token) count
+    is one shuffle with map-side combine; the ranking window runs over
+    the already-aggregated count table (|distinct tokens| ≪ corpus), so
+    the expensive stage never sees a window. Exact counts — for
+    heavy-tail corpora where even the count table is huge, cap the
+    candidate set with a min-count filter before ranking (same lever as
+    fingerprint max_df).
+    """
+    counts = (
+        docs.select(
+            F.col(group_col), F.explode(_norm_tokens(text_col)).alias("token")
+        )
+        .groupBy(group_col, "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    *,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms (keyword extraction / topic
+    fingerprinting). tf = in-doc count, idf = ln(N/df) (unsmoothed),
+    ranked by the ROUNDED score (4 dp) then token — rounding before
+    ranking removes ulp-level cross-engine ambiguity in the tie order.
+
+    Scale: two hash aggregates — (doc, token) and token df — plus a
+    broadcast of the scalar corpus size; the rank window partitions by
+    doc over ≤ |doc vocabulary| rows. No stage touches corpus² data.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(_norm_tokens(text_col)).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("token").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_counts, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "tfidf", "rank")
+    )
+
+
+# PII patterns chosen for identical semantics under Java regex (Spark)
+# and RE2 (DuckDB): ASCII classes, \b word boundaries, no backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+def pii_scrub(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "scrubbed",
+) -> DataFrame:
+    """Redact emails/IPv4s/phone numbers and count what was removed —
+    the standard pre-training scrub pass.
+
+    Order matters: each category is counted on the text as already
+    scrubbed by the previous categories, so a digit run inside an
+    email (user1.2.3.4@host.example.com) is redacted once, as an
+    email, never re-counted as an IP or phone. Pure projection
+    (regexp_count + regexp_replace), zero shuffle, codegen-friendly.
+    """
+    stage = F.col(text_col)
+    count_cols = []
+    for name, pat in PII_PATTERNS.items():
+        # count on the PREVIOUS stage's text, then scrub: each match is
+        # counted under exactly one category
+        count_cols.append(
+            F.regexp_count(stage, F.lit(pat)).cast("bigint").alias(f"n_{name}s")
+        )
+        stage = F.regexp_replace(stage, pat, f"<{name.upper()}>")
+    return docs.select(F.col(id_col), *count_cols, stage.alias(out_col))
+
+
 def fingerprint_overlap_pairs(
     docs: DataFrame,
     *,

@@ -620,7 +620,148 @@ def _q_hll_distinct_sketch(spark, sf_dir):
     )
 
 
+def _q_heavy_hitters(spark, sf_dir):
+    return textops.heavy_hitters(_docs(spark, sf_dir), k=10)
+
+
+_HEAVY_HITTERS_SQL = r"""
+WITH toks AS (
+  SELECT lang, t.token
+  FROM documents,
+       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(token)
+  WHERE t.token != ''
+),
+counts AS (SELECT lang, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT lang, token, cnt,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY cnt DESC, token ASC) AS INTEGER) AS rank
+  FROM counts
+)
+SELECT lang, token, cnt, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def _q_tfidf_top_terms(spark, sf_dir):
+    return textops.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, t.token
+  FROM documents,
+       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(token)
+  WHERE t.token != ''
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfc AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         round(tf.tf * ln(n.n_docs * 1.0 / dfc.df), 4) AS tfidf
+  FROM tf JOIN dfc USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, tf, tfidf,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY tfidf DESC, token ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """The corpus carries no natural PII, so both engines inject the
+    SAME deterministic addresses/IPs/phones per doc, then the scrub
+    chain (count → redact, staged) must agree bit-for-bit incl. the
+    md5 of the scrubbed text."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(".7 call 555-867-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"),
+    )
+    scrubbed = textops.pii_scrub(docs)
+    return scrubbed.select(
+        "doc_id", "n_emails", "n_ipv4s", "n_phones",
+        F.md5("scrubbed").alias("scrubbed_md5"),
+    )
+
+
+_PII_SQL = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com from 10.0.'
+              || CAST(doc_id % 250 AS VARCHAR)
+              || '.7 call 555-867-'
+              || CAST(1000 + doc_id % 9000 AS VARCHAR) AS t
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+         regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM injected
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4s,
+         regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_emails, n_ipv4s,
+         len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+         regexp_replace(t, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, n_emails, n_ipv4s, n_phones, md5(t) AS scrubbed_md5 FROM s3
+"""
+
+
+def _q_kmeans_clusters(spark, sf_dir):
+    """Three Lloyd rounds over the embedding corpus, reported as
+    cluster sizes. Rows-only by design: centroid means are FP-
+    summation-order dependent, so cross-engine hash parity is not
+    defined; the numpy twin in test_extensions pins the semantics."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = similarity.kmeans_lloyd(emb, k=8, iters=3)
+    return assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n_points")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "heavy_hitter_tokens": QuerySpec(
+        _q_heavy_hitters, _HEAVY_HITTERS_SQL,
+        "top-10 frequent tokens per language (corpus profiling)",
+    ),
+    "tfidf_top_terms": QuerySpec(
+        _q_tfidf_top_terms, _TFIDF_SQL,
+        "per-doc top-3 TF-IDF terms, rounded-score ranking",
+    ),
+    "pii_scrub": QuerySpec(
+        _q_pii_scrub, _PII_SQL,
+        "staged email/IP/phone redaction with counts, md5-verified text",
+    ),
+    "kmeans_clusters": QuerySpec(
+        _q_kmeans_clusters, None,
+        "Lloyd k-means cluster sizes (literal-centroid assign; "
+        "numpy-verified)",
+    ),
     "dedup_exact": QuerySpec(
         _q_dedup_exact, _DEDUP_EXACT_SQL,
         "exact dedup via normalized-md5 fingerprint groupBy",

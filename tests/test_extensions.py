@@ -210,3 +210,92 @@ def test_stratified_cap_bounds_and_stability(spark):
         ).collect()
     )
     assert ids_a == ids_b
+
+
+def test_kmeans_matches_numpy(spark):
+    """Lloyd rounds on Spark == Lloyd rounds in numpy from the same
+    seeds (assignments compared exactly; FP tolerance via argmin over
+    float64 distances computed both ways)."""
+    import numpy as np
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = sorted(
+        ((r.vec_id, np.array(r.embedding, dtype=np.float64))
+         for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    ids = np.array([t[0] for t in rows])
+    X = np.stack([t[1] for t in rows])
+    k, iters = 8, 3
+    cents = X[:k].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            if (assign == c).any():
+                cents[c] = X[assign == c].mean(axis=0)
+    d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    expected = dict(zip(ids.tolist(), d.argmin(axis=1).tolist()))
+
+    assigned, _ = similarity.kmeans_lloyd(emb, k=k, iters=iters)
+    got = {r.vec_id: r.cluster_id for r in assigned.collect()}
+    agree = sum(got[i] == expected[i] for i in got)
+    # centroid means differ at ulp level between engines; allow a tiny
+    # number of boundary flips but require near-total agreement
+    assert agree >= len(got) - 2, f"{len(got) - agree} disagreements"
+
+
+def test_kmeans_cluster_ids_cover_range(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assigned, cents = similarity.kmeans_lloyd(emb, k=8, iters=2)
+    clusters = {r.cluster_id for r in assigned.collect()}
+    assert clusters <= set(range(8))
+    assert len(cents) == 8
+
+
+def test_heavy_hitters_rank_and_counts(spark):
+    from database_activity_monitoring_dam_system_spark.operators import (
+        textops,
+    )
+
+    hh = textops.heavy_hitters(_docs(spark), k=5).collect()
+    by_lang = {}
+    for r in hh:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        cnts = [r.cnt for r in rows]
+        assert cnts == sorted(cnts, reverse=True)
+
+
+def test_pii_scrub_literal_cases(spark):
+    from database_activity_monitoring_dam_system_spark.operators import (
+        textops,
+    )
+
+    rows = [
+        (1, "mail me at alice.smith+x@corp.example.org today"),
+        (2, "server 192.168.1.254 and backup 10.0.0.7 rebooted"),
+        (3, "call 555-123-4567 or 555-987-6543"),
+        (4, "mixed bob@h.io from 1.2.3.4 dial 111-222-3333"),
+        (5, "clean text, nothing to redact"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.pii_scrub(df).collect()}
+    assert (out[1].n_emails, out[1].n_ipv4s, out[1].n_phones) == (1, 0, 0)
+    assert "<EMAIL>" in out[1].scrubbed
+    assert out[2].n_ipv4s == 2 and "<IPV4>" in out[2].scrubbed
+    assert out[3].n_phones == 2
+    assert (out[4].n_emails, out[4].n_ipv4s, out[4].n_phones) == (1, 1, 1)
+    assert out[5].scrubbed == rows[4][1]
+    # digits inside an already-scrubbed email never double-count: the
+    # email host needs an alpha TLD, so an IP-host address counts as an
+    # IP; a digit-bearing real address counts once, as an email only
+    df2 = spark.createDataFrame(
+        [(9, "ping admin@10.0.0.7 now"), (10, "mail a1.2.3.4x@h10.0.0.7.example.com ok")],
+        "doc_id long, text string",
+    )
+    out2 = {r.doc_id: r for r in textops.pii_scrub(df2).collect()}
+    assert (out2[9].n_emails, out2[9].n_ipv4s) == (0, 1)
+    assert (out2[10].n_emails, out2[10].n_ipv4s) == (1, 0)
