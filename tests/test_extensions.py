@@ -299,3 +299,80 @@ def test_pii_scrub_literal_cases(spark):
     out2 = {r.doc_id: r for r in textops.pii_scrub(df2).collect()}
     assert (out2[9].n_emails, out2[9].n_ipv4s) == (0, 1)
     assert (out2[10].n_emails, out2[10].n_ipv4s) == (1, 0)
+
+
+def test_interval_join_matches_theta_join(spark):
+    """Bin-bucketed rewrite == naive theta join (inner), and the left
+    variant partitions events into matched + NULL-interval rows."""
+    import datetime as dt
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        rangejoin,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts"
+    )
+    anchor = events.agg(F.max("ts")).first()[0]
+    rows = []
+    for i in range(8):
+        start = anchor - dt.timedelta(hours=3 * i + 1)
+        rows.append((i, start, start + dt.timedelta(minutes=100)))
+    wins = spark.createDataFrame(
+        rows, "window_id int, start_ts timestamp, end_ts timestamp"
+    )
+    got = {
+        (r.event_id, r.window_id)
+        for r in rangejoin.interval_join(
+            events, wins, ts_col="ts", bin_seconds=3600
+        ).collect()
+    }
+    naive = {
+        (r.event_id, r.window_id)
+        for r in events.crossJoin(wins)
+        .filter((F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")))
+        .collect()
+    }
+    assert got == naive and naive  # non-degenerate
+
+    left = rangejoin.interval_join(
+        events, wins, ts_col="ts", bin_seconds=3600, how="left"
+    )
+    n_events = events.count()
+    matched_events = {e for e, _ in naive}
+    assert left.filter(F.col("window_id").isNull()).count() == (
+        n_events - len(matched_events)
+    )
+    assert left.count() == len(naive) + n_events - len(matched_events)
+
+
+def test_cms_overestimates_and_merges(spark):
+    from database_activity_monitoring_dam_system_spark.operators import (
+        sketches, textops,
+    )
+
+    docs = _docs(spark)
+    tokens = docs.select(
+        F.explode(textops._norm_tokens("text")).alias("token")
+    )
+    exact = {r.token: r.cnt for r in tokens.groupBy("token").agg(
+        F.count("*").alias("cnt")).collect()}
+    cand = tokens.select("token").distinct()
+    sketch = sketches.cms_build(tokens, depth=4, width=64)
+    est = {r.token: r.est_cnt for r in sketches.cms_estimate(
+        sketch, cand, depth=4, width=64).collect()}
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in exact)  # one-sided error
+
+    # mergeability: sketch(half1) + sketch(half2) == sketch(whole)
+    h1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.explode(textops._norm_tokens("text")).alias("token"))
+    h2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.explode(textops._norm_tokens("text")).alias("token"))
+    merged = sketches.cms_merge(
+        sketches.cms_build(h1, depth=4, width=64),
+        sketches.cms_build(h2, depth=4, width=64),
+    )
+    whole = {(r.d, r.bucket): r.cnt for r in sketch.collect()}
+    got = {(r.d, r.bucket): r.cnt for r in merged.collect()}
+    assert got == whole

@@ -57,3 +57,40 @@ def test_firewall_zero_shuffle_projection(spark):
     assert "Exchange hashpartitioning(activity_id" not in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_fk_cascade_user_join_broadcasts(spark):
+    """Both referential actions must be broadcast-shaped: SET NULL is
+    a broadcast LEFT join against the deleted-user key set, CASCADE a
+    broadcast LEFT ANTI against the deleted-activity set — the fact
+    table itself never shuffles for the propagation. (The gate's
+    downstream alert-count join may still sort-merge; that join is
+    composition, not the cascade operator.)"""
+    plan = _plan(spark, "fk_cascade")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti, BuildRight" in plan
+    # the propagation side of the plan carries no exchange of the fact
+    # table: the only fact-side hashpartitioning exchange allowed is
+    # the final aggregate/count join, keyed on activity_id AFTER the
+    # cascade — the cascade stages themselves are exchange-free
+    cascade_part = plan.split("SortMergeJoin")[-1]
+    assert "BroadcastHashJoin" in cascade_part
+
+
+def test_heavy_hitters_window_after_aggregate(spark):
+    """The rank window must consume the aggregated (group, token)
+    count table, not the exploded token stream: exactly one exchange
+    carries exploded tokens, and the window's sort input is the
+    aggregate output."""
+    plan = _plan(spark, "heavy_hitter_tokens")
+    assert "HashAggregate" in plan
+    # window partition key is the group col, applied post-aggregation
+    agg_at = plan.index("HashAggregate")
+    win_at = plan.index("Window")
+    assert win_at < agg_at  # executed-plan string prints consumers first
+
+
+def test_pii_scrub_is_pure_projection(spark):
+    plan = _plan(spark, "pii_scrub")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
