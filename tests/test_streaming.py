@@ -367,3 +367,64 @@ def test_firewall_blocks_journal(spark):
         assert len(kept) == 2
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_interval_join_stream_static_parity(spark):
+    """The bin-bucketed range join is stateless (explode + equi-join +
+    filter), so it runs unchanged as a stream-static join: streamed
+    events against static maintenance windows must reproduce the batch
+    result exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        rangejoin,
+    )
+
+    base = tempfile.mkdtemp(prefix="dam_rj_")
+    try:
+        rows = [(i, T0 + dt.timedelta(minutes=2 * i)) for i in range(100)]
+        events = spark.createDataFrame(rows, "event_id long, ts timestamp")
+        os.makedirs(f"{base}/ev")
+        events.coalesce(2).write.mode("overwrite").parquet(f"{base}/ev")
+        wins = spark.createDataFrame(
+            [
+                (
+                    w,
+                    T0 + dt.timedelta(minutes=30 * w),
+                    T0 + dt.timedelta(minutes=30 * w + 45),
+                )
+                for w in range(5)
+            ],
+            "window_id int, start_ts timestamp, end_ts timestamp",
+        )
+        batch = {
+            (r.event_id, r.window_id)
+            for r in rangejoin.interval_join(
+                events, wins, ts_col="ts", bin_seconds=1800
+            ).collect()
+        }
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/ev")
+        )
+        joined = rangejoin.interval_join(
+            stream, wins, ts_col="ts", bin_seconds=1800
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("rj_out")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.event_id, r.window_id)
+            for r in spark.table("rj_out").collect()
+        }
+        assert batch and got == batch
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
