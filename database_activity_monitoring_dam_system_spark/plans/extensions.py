@@ -737,6 +737,28 @@ SELECT doc_id, n_emails, n_ipv4s, n_phones, md5(t) AS scrubbed_md5 FROM s3
 """
 
 
+def _q_semantic_dedup_reps(spark, sf_dir):
+    """Semantic (embedding-space) dedup end-to-end: LSH near-dup pairs
+    → connected components → keep only each cluster's min-id
+    representative — the full SemDeDup-style pass over the corpus,
+    reported as kept-representative counts per label. Rows-only
+    (pairs come from the engine-specific LSH path); the partition
+    property (reps ∪ dropped = corpus, no surviving near-dup pair) is
+    unit-tested."""
+    from pyspark.sql import functions as F
+
+    pairs = _q_embedding_near_dups(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    dropped = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select(F.col("doc_id").alias("vec_id"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = emb.join(dropped, "vec_id", "left_anti")
+    return kept.groupBy("label").agg(F.count("*").alias("n_kept"))
+
+
 def _q_cms_heavy_hitters(spark, sf_dir):
     """Exact global top-20 tokens with their CMS point estimates side
     by side. Rows-only by design (xxhash64 buckets are engine-
@@ -786,6 +808,11 @@ QUERIES: dict[str, QuerySpec] = {
     "pii_scrub": QuerySpec(
         _q_pii_scrub, _PII_SQL,
         "staged email/IP/phone redaction with counts, md5-verified text",
+    ),
+    "semantic_dedup_reps": QuerySpec(
+        _q_semantic_dedup_reps, None,
+        "SemDeDup-style pass: LSH near-dup pairs → connected components "
+        "→ per-label kept-representative counts",
     ),
     "cms_heavy_hitters": QuerySpec(
         _q_cms_heavy_hitters, None,

@@ -376,3 +376,29 @@ def test_cms_overestimates_and_merges(spark):
     whole = {(r.d, r.bucket): r.cnt for r in sketch.collect()}
     got = {(r.d, r.bucket): r.cnt for r in merged.collect()}
     assert got == whole
+
+
+def test_semantic_dedup_partitions_corpus(spark):
+    """Reps ∪ dropped = corpus; no near-dup pair survives with both
+    endpoints kept (each component keeps exactly its min id)."""
+    from database_activity_monitoring_dam_system_spark.plans.extensions import (
+        _q_embedding_near_dups,
+        _q_semantic_dedup_reps,
+    )
+    from database_activity_monitoring_dam_system_spark.operators import dedup as ddp
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    total = emb.count()
+    pairs = _q_embedding_near_dups(spark, SF_SMOKE).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    edges = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    clusters = {r.doc_id: r.cluster_id for r in ddp.duplicate_clusters(pairs).collect()}
+    dropped = {d for d, c in clusters.items() if d != c}
+    kept_counts = {
+        r.label: r.n_kept for r in _q_semantic_dedup_reps(spark, SF_SMOKE).collect()
+    }
+    assert sum(kept_counts.values()) == total - len(dropped)
+    kept_ids = set(range(total)) - dropped  # vec_id is dense 0..N-1
+    surviving = [e for e in edges if e[0] in kept_ids and e[1] in kept_ids]
+    assert not surviving, f"near-dup pairs among reps: {surviving[:3]}"
