@@ -275,6 +275,66 @@ def tfidf_top_terms(
     )
 
 
+def bigram_logprob_scores(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc mean bigram log-probability under an add-one-smoothed
+    corpus bigram LM — the classic KenLM-style fluency filter shape
+    (docs whose word transitions are improbable under the corpus score
+    low): score(d) = avg over bigrams (w1,w2) of
+    ln((C(w1,w2)+1) / (C(w1)+V)).
+
+    Self-trained on the scored corpus in the same pass: one explode
+    for unigram counts, one for bigrams, then the doc's bigrams join
+    the count tables (shuffles keyed on the bigram string and w1; V is
+    a broadcast scalar). Docs with <2 tokens have no bigrams and drop
+    out, identically in both engines. Rounded to 4 dp AFTER the mean
+    so the DuckDB oracle agrees despite summation-order ulps (same
+    policy as anomaly_baseline). At heavy-tail scale, cap the bigram
+    table with a min-count filter before the join (same lever as
+    fingerprint max_df).
+    """
+    toks = _norm_tokens(text_col)
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(2), n),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i - 1), F.element_at(toks, i)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(F.col(id_col), toks.alias("_toks"), bigrams.alias("_bgs"))
+    uni = (
+        base.select(F.explode("_toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.agg(F.count("*").alias("vocab"))
+    bi = base.select(F.col(id_col), F.explode("_bgs").alias("bg"))
+    bic = bi.groupBy("bg").agg(F.count("*").alias("cbg"))
+    scored = (
+        bi.join(bic, "bg")
+        .join(
+            uni,
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == uni["token"],
+        )
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "_logp",
+            F.log((F.col("cbg") + 1.0) / (F.col("c1") + F.col("vocab"))),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("_logp"), 4).alias("avg_logp"),
+    )
+
+
 # PII patterns chosen for identical semantics under Java regex (Spark)
 # and RE2 (DuckDB): ASCII classes, \b word boundaries, no backrefs.
 PII_PATTERNS: dict[str, str] = {

@@ -737,6 +737,43 @@ SELECT doc_id, n_emails, n_ipv4s, n_phones, md5(t) AS scrubbed_md5 FROM s3
 """
 
 
+def _q_bigram_logprob(spark, sf_dir):
+    return textops.bigram_logprob_scores(_docs(spark, sf_dir))
+
+
+_BIGRAM_LM_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS toks
+  FROM documents
+),
+uni AS (
+  SELECT u.token, count(*) AS c1
+  FROM base, unnest(toks) AS u(token) GROUP BY 1
+),
+v AS (SELECT count(*) AS vocab FROM uni),
+bi AS (
+  SELECT doc_id, u.bg
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(generate_series(2, len(toks)),
+                                    i -> toks[i-1] || ' ' || toks[i])
+                ELSE [] END AS bgs
+    FROM base
+  ), unnest(bgs) AS u(bg)
+),
+bic AS (SELECT bg, count(*) AS cbg FROM bi GROUP BY 1)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       round(avg(ln((bic.cbg + 1.0) / (uni.c1 + v.vocab))), 4) AS avg_logp
+FROM bi b JOIN bic ON b.bg = bic.bg
+JOIN uni ON split_part(b.bg, ' ', 1) = uni.token
+CROSS JOIN v
+GROUP BY 1
+"""
+
+
 def _q_semantic_dedup_reps(spark, sf_dir):
     """Semantic (embedding-space) dedup end-to-end: LSH near-dup pairs
     → connected components → keep only each cluster's min-id
@@ -808,6 +845,10 @@ QUERIES: dict[str, QuerySpec] = {
     "pii_scrub": QuerySpec(
         _q_pii_scrub, _PII_SQL,
         "staged email/IP/phone redaction with counts, md5-verified text",
+    ),
+    "bigram_logprob": QuerySpec(
+        _q_bigram_logprob, _BIGRAM_LM_SQL,
+        "add-one-smoothed corpus bigram LM fluency scores per doc",
     ),
     "semantic_dedup_reps": QuerySpec(
         _q_semantic_dedup_reps, None,

@@ -122,3 +122,56 @@ def test_jaccard_matches_model(spark, texts):
                 continue
             j = inter / len(sets[a] | sets[b])
             assert got[(a, b)] == round(j, 4)
+
+
+@st.composite
+def _interval_case(draw):
+    events = draw(
+        st.lists(_ts, min_size=1, max_size=12)
+    )
+    intervals = draw(
+        st.lists(
+            st.tuples(_ts, st.integers(0, 90)),  # (start, length seconds)
+            min_size=1,
+            max_size=6,
+        )
+    )
+    bin_seconds = draw(st.sampled_from([7, 30, 60]))
+    return events, intervals, bin_seconds
+
+
+@settings(**_SETTINGS)
+@given(_interval_case())
+def test_interval_join_matches_model(spark, case):
+    """Bin-bucketed rewrite == half-open containment model, for
+    arbitrary overlapping/empty/zero-length intervals and bin widths
+    that do and don't divide the interval lengths."""
+    from database_activity_monitoring_dam_system_spark.operators import (
+        rangejoin,
+    )
+
+    events, intervals, bin_seconds = case
+    edf = spark.createDataFrame(
+        [(i, ts) for i, ts in enumerate(events)],
+        "event_id long, ts timestamp",
+    )
+    idf = spark.createDataFrame(
+        [
+            (j, start, start + dt.timedelta(seconds=length))
+            for j, (start, length) in enumerate(intervals)
+        ],
+        "window_id int, start_ts timestamp, end_ts timestamp",
+    )
+    got = {
+        (r.event_id, r.window_id)
+        for r in rangejoin.interval_join(
+            edf, idf, ts_col="ts", bin_seconds=bin_seconds
+        ).collect()
+    }
+    model = {
+        (i, j)
+        for i, ts in enumerate(events)
+        for j, (start, length) in enumerate(intervals)
+        if start <= ts < start + dt.timedelta(seconds=length)
+    }
+    assert got == model
