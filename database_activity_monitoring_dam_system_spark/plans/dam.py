@@ -646,6 +646,25 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error'
 """
 
 
+def _q_activity_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (operation_type, role) — all four grouping levels in
+    one pass (engine extension; reference's dashboards would need 4
+    queries). grouping_id disambiguates a NULL group key from the
+    all-rows subtotal. One shuffle; Spark expands the cube map-side."""
+    act = _activity(spark, sf_dir)
+    return (
+        act.cube("operation_type", "role")
+        .agg(F.count("*").alias("cnt"), F.grouping_id().alias("gid"))
+    )
+
+
+_ACTIVITY_CUBE_SQL = activity_sql("""
+SELECT operation_type, role, count(*) AS cnt,
+       CAST(GROUPING(operation_type, role) AS BIGINT) AS gid
+FROM activity GROUP BY CUBE (operation_type, role)
+""")
+
+
 def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join via bin-bucketing: 24 synthetic 90-minute maintenance
     windows (every 6 h back from the anchor) matched against the event
@@ -749,6 +768,10 @@ QUERIES: dict[str, QuerySpec] = {
     "interval_join_windows": QuerySpec(
         _q_interval_join, _INTERVAL_SQL,
         "bin-bucketed range join (equi-join rewrite of ts BETWEEN)",
+    ),
+    "activity_cube": QuerySpec(
+        _q_activity_cube, _ACTIVITY_CUBE_SQL,
+        "CUBE(operation_type, role) with grouping_id (engine extension)",
     ),
     "asof_last_error": QuerySpec(
         _q_asof_last_error, _ASOF_SQL,

@@ -36,3 +36,74 @@ def read_activity(spark: SparkSession, path: str) -> DataFrame:
     """Read back; time predicates on event_date prune partitions
     (visible as PartitionFilters in the scan node)."""
     return spark.read.parquet(path)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_bytes: int = 128 << 20,
+    min_files: int = 2,
+) -> dict[str, tuple[int, int]]:
+    """Small-file compaction over the date-partitioned activity table —
+    the maintenance job streaming appends make necessary at scale
+    (every micro-batch writes ≥1 file per touched partition; a day of
+    30 s batches is ~2 880 files/partition of a few KB each, and scan
+    task scheduling drowns in file listings long before data volume
+    matters).
+
+    For each ``event_date=...`` partition whose file count exceeds
+    ceil(bytes/target_bytes) (and ``min_files``), the partition is
+    rewritten into exactly that many files and swapped in. The swap is
+    rename-based — crash-safe to the extent of the filesystem's rename
+    (a lakehouse table format's OPTIMIZE is the transactional version;
+    this is its plain-parquet equivalent, scoped to COLD partitions so
+    concurrent appends to today's partition are never touched).
+
+    Returns {partition_name: (files_before, files_after)}.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return {}
+    compacted: dict[str, tuple[int, int]] = {}
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        part = st.getPath().getName()
+        if not part.startswith(f"{PARTITION_COL}="):
+            continue
+        files = [
+            f
+            for f in fs.listStatus(st.getPath())
+            if f.isFile() and not f.getPath().getName().startswith("_")
+        ]
+        size = sum(f.getLen() for f in files)
+        want = max(1, -(-size // target_bytes))  # ceil
+        if len(files) <= max(want, min_files - 1):
+            continue
+        part_dir = st.getPath()
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            root, f"_compact_tmp_{part.split('=', 1)[1]}"
+        )
+        (
+            spark.read.parquet(part_dir.toString())
+            .repartition(int(want))
+            .write.mode("overwrite")
+            .parquet(tmp.toString())
+        )
+        fs.delete(part_dir, True)
+        fs.rename(tmp, part_dir)
+        # drop the success marker so the dir holds only data files
+        marker = jvm.org.apache.hadoop.fs.Path(part_dir, "_SUCCESS")
+        if fs.exists(marker):
+            fs.delete(marker, False)
+        n_after = sum(
+            1
+            for f in fs.listStatus(part_dir)
+            if f.isFile() and not f.getPath().getName().startswith("_")
+        )
+        compacted[part] = (len(files), n_after)
+    return compacted

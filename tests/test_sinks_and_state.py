@@ -186,3 +186,56 @@ def test_exact_rate_counts_streaming_rocksdb(spark):
             else:
                 spark.conf.set(k, v)
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark):
+    """Many tiny appended files per partition → compaction rewrites
+    each cold partition to the size-targeted file count, with content
+    identical and partition pruning still intact."""
+    import os
+
+    d = tempfile.mkdtemp(prefix="dam_compact_")
+    try:
+        act = _activity(spark, SF_SMOKE).limit(400)
+        # simulate micro-batch appends: 6 small writes
+        for i in range(6):
+            sinks.write_activity_partitioned(
+                act.filter(F.col("activity_id") % 6 == i).repartition(3), d
+            )
+        before = sinks.read_activity(spark, d)
+        rows_before = sorted(
+            (r.activity_id, str(r.event_date)) for r in
+            before.select("activity_id", "event_date").collect()
+        )
+
+        report = sinks.compact_partitions(
+            spark, d, target_bytes=128 << 20, min_files=2
+        )
+        assert report, "no partitions compacted"
+        for part, (nb, na) in report.items():
+            assert na < nb and na == 1  # all tiny → single target file
+
+        after = sinks.read_activity(spark, d)
+        rows_after = sorted(
+            (r.activity_id, str(r.event_date)) for r in
+            after.select("activity_id", "event_date").collect()
+        )
+        assert rows_after == rows_before
+        # physical check: no partition dir keeps more than 1 data file
+        for part in report:
+            files = [
+                f for f in os.listdir(os.path.join(d, part))
+                if not f.startswith("_") and not f.startswith(".")
+            ]
+            assert len(files) == 1
+        # pruning still works on the compacted layout
+        some_date = rows_before[0][1]
+        plan = (
+            after.filter(F.col("event_date") == some_date)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PartitionFilters" in plan
+        # idempotent: second run finds nothing to do
+        assert sinks.compact_partitions(spark, d) == {}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
