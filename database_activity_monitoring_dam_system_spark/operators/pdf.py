@@ -136,6 +136,66 @@ class _Page:
         return "\n".join(self.ops).encode("latin-1", "replace")
 
 
+class _TableFlow:
+    """Shared table-layout engine: column x-offsets, the styled header
+    row, cell truncation, and page-break-with-repeated-header logic
+    live HERE, once — both report renderers flow tables through it."""
+
+    def __init__(self, page_size: tuple[int, int]) -> None:
+        self.w, self.h = page_size
+        self.pages: list[_Page] = [_Page()]
+        self.y = self.h - _MARGIN - 20
+
+    @property
+    def page(self) -> _Page:
+        return self.pages[-1]
+
+    def break_page(self) -> None:
+        self.pages.append(_Page())
+        self.y = self.h - _MARGIN - 20
+
+    def _header_row(self, xs, headers, table_w) -> None:
+        p = self.page
+        p.rect(_MARGIN, self.y - _ROW_H + 3, table_w, _ROW_H, 0.12)
+        for xcol, head in zip(xs, headers):
+            p.text(xcol + 2, self.y - _ROW_H + 6, head, bold=True, gray=1.0)
+        self.y -= _ROW_H
+
+    def title_block(self, title: str, *, size: int,
+                    subtitle: str | None = None,
+                    rule_width: float | None = None) -> None:
+        self.page.text(_MARGIN, self.y, title, size=size, bold=True)
+        self.y -= size - 2
+        if subtitle is not None:
+            self.page.text(_MARGIN, self.y, subtitle, size=9, gray=0.45)
+            self.y -= 10
+        if rule_width is not None:
+            self.page.hline(_MARGIN, _MARGIN + rule_width, self.y)
+            self.y -= 6
+
+    def table(self, rows, columns, headers, col_widths) -> None:
+        table_w = min(sum(col_widths), self.w - 2 * _MARGIN)
+        xs = [_MARGIN]
+        for cw in col_widths[:-1]:
+            xs.append(xs[-1] + cw)
+        self._header_row(xs, headers, table_w)
+        for row in rows:
+            if self.y < _MARGIN + _ROW_H:
+                self.break_page()
+                self._header_row(xs, headers, table_w)
+            for xcol, colname in zip(xs, columns):
+                v = row.get(colname)
+                self.page.text(
+                    xcol + 2, self.y - _ROW_H + 6,
+                    str(v if v is not None else "")[:_CELL_TRUNC],
+                )
+            self.y -= _ROW_H
+            self.page.hline(_MARGIN, _MARGIN + table_w, self.y + 3)
+
+    def assemble(self, page_size: tuple[int, int]) -> bytes:
+        return _assemble([p.render() for p in self.pages], page_size)
+
+
 def render_table_pdf(
     rows: Sequence[dict],
     *,
@@ -149,56 +209,18 @@ def render_table_pdf(
     """Paginated single-table report: title, generated-line, repeated
     header row (bold on dark fill, mirroring the reference's
     TableStyle), truncated cells, light grid rules."""
-    w, h = page_size
     ts = (generated_at or dt.datetime.now()).strftime("%Y-%m-%d %H:%M:%S")
-    x0 = _MARGIN
-    table_w = min(sum(col_widths), w - 2 * _MARGIN)
-    xs = [x0]
-    for cw in col_widths[:-1]:
-        xs.append(xs[-1] + cw)
-
-    pages: list[_Page] = []
-    page: _Page | None = None
-    y = 0.0
-
-    def header_row(p: _Page, ytop: float) -> float:
-        p.rect(x0, ytop - _ROW_H + 3, table_w, _ROW_H, 0.12)
-        for xcol, head in zip(xs, headers):
-            p.text(xcol + 2, ytop - _ROW_H + 6, head, bold=True, gray=1.0)
-        return ytop - _ROW_H
-
-    def new_page() -> tuple[_Page, float]:
-        p = _Page()
-        pages.append(p)
-        ytop = h - _MARGIN - 20
-        if len(pages) == 1:
-            p.text(x0, ytop, title, size=18, bold=True)
-            ytop -= 16
-            p.text(
-                x0, ytop,
-                f"Generated: {ts}  |  Records: {len(rows)}", size=9,
-                gray=0.45,
-            )
-            ytop -= 10
-            p.hline(x0, x0 + table_w, ytop)
-            ytop -= 6
-        return p, header_row(p, ytop)
-
-    page, y = new_page()
+    flow = _TableFlow(page_size)
+    table_w = min(sum(col_widths), flow.w - 2 * _MARGIN)
+    flow.title_block(
+        title, size=18,
+        subtitle=f"Generated: {ts}  |  Records: {len(rows)}",
+        rule_width=table_w,
+    )
+    flow.table(rows, columns, headers, col_widths)
     if not rows:
-        page.text(x0, y - _ROW_H, "No records found.", size=9)
-    for row in rows:
-        if y < _MARGIN + _ROW_H:
-            page, y = new_page()
-        for xcol, colname in zip(xs, columns):
-            v = row.get(colname)
-            page.text(
-                xcol + 2, y - _ROW_H + 6,
-                str(v if v is not None else "")[:_CELL_TRUNC],
-            )
-        y -= _ROW_H
-        page.hline(x0, x0 + table_w, y + 3)
-    return _assemble([p.render() for p in pages], page_size)
+        flow.page.text(_MARGIN, flow.y - _ROW_H, "No records found.", size=9)
+    return flow.assemble(page_size)
 
 
 def activities_to_pdf(
@@ -240,81 +262,27 @@ def compliance_to_pdf(
          "issue": f.get("issue", "")}
         for f in report.get("findings", [])[:100]  # app.py:697 caps at 100
     ]
-    head = render_table_pdf(
-        summary,
-        columns=["k", "v"],
-        headers=["Metric", "Value"],
-        col_widths=[200, 280],
-        title=(
-            f"Compliance Report - {report.get('report_type', 'daily')}"
-        ),
-        page_size=PAGE_LETTER,
-        generated_at=generated_at,
-    )
+    title = f"Compliance Report - {report.get('report_type', 'daily')}"
     if not findings:
-        return head
-    # single document: re-render both tables into one page stream set
-    return _concat_tables(
-        [
-            (summary, ["k", "v"], ["Metric", "Value"], [200, 280],
-             f"Compliance Report - {report.get('report_type', 'daily')}"),
-            (findings, ["standard", "status", "issue"],
-             ["Standard", "Status", "Issue"], [80, 90, 310],
-             f"Findings ({len(findings)})"),
-        ],
-        page_size=PAGE_LETTER,
-        generated_at=generated_at,
-    )
-
-
-def _concat_tables(
-    tables: list[tuple],
-    *,
-    page_size: tuple[int, int],
-    generated_at: dt.datetime | None,
-) -> bytes:
-    """Stack several titled tables into one flowing document."""
-    w, h = page_size
+        return render_table_pdf(
+            summary,
+            columns=["k", "v"],
+            headers=["Metric", "Value"],
+            col_widths=[200, 280],
+            title=title,
+            page_size=PAGE_LETTER,
+            generated_at=generated_at,
+        )
     ts = (generated_at or dt.datetime.now()).strftime("%Y-%m-%d %H:%M:%S")
-    x0 = _MARGIN
-    pages: list[_Page] = [_Page()]
-    y = h - _MARGIN - 20
-    first = True
-    for rows, columns, headers, col_widths, title in tables:
-        table_w = min(sum(col_widths), w - 2 * _MARGIN)
-        xs = [x0]
-        for cw in col_widths[:-1]:
-            xs.append(xs[-1] + cw)
-        if y < _MARGIN + 4 * _ROW_H:
-            pages.append(_Page())
-            y = h - _MARGIN - 20
-        p = pages[-1]
-        p.text(x0, y, title, size=13 if not first else 16, bold=True)
-        y -= 14
-        if first:
-            p.text(x0, y, f"Generated: {ts}", size=9, gray=0.45)
-            y -= 12
-            first = False
-        p.rect(x0, y - _ROW_H + 3, table_w, _ROW_H, 0.12)
-        for xcol, head in zip(xs, headers):
-            p.text(xcol + 2, y - _ROW_H + 6, head, bold=True, gray=1.0)
-        y -= _ROW_H
-        for row in rows:
-            if y < _MARGIN + _ROW_H:
-                pages.append(_Page())
-                p = pages[-1]
-                y = h - _MARGIN - 20
-                p.rect(x0, y - _ROW_H + 3, table_w, _ROW_H, 0.12)
-                for xcol, head in zip(xs, headers):
-                    p.text(xcol + 2, y - _ROW_H + 6, head, bold=True,
-                           gray=1.0)
-                y -= _ROW_H
-            p = pages[-1]
-            for xcol, colname in zip(xs, columns):
-                v = row.get(colname)
-                p.text(xcol + 2, y - _ROW_H + 6,
-                       str(v if v is not None else "")[:_CELL_TRUNC])
-            y -= _ROW_H
-            p.hline(x0, x0 + table_w, y + 3)
-        y -= 10
-    return _assemble([p.render() for p in pages], page_size)
+    flow = _TableFlow(PAGE_LETTER)
+    flow.title_block(title, size=16, subtitle=f"Generated: {ts}")
+    flow.table(summary, ["k", "v"], ["Metric", "Value"], [200, 280])
+    flow.y -= 10
+    if flow.y < _MARGIN + 4 * _ROW_H:
+        flow.break_page()
+    flow.title_block(f"Findings ({len(findings)})", size=13)
+    flow.table(
+        findings, ["standard", "status", "issue"],
+        ["Standard", "Status", "Issue"], [80, 90, 310],
+    )
+    return flow.assemble(PAGE_LETTER)

@@ -75,11 +75,18 @@ def interval_join(
     if how != "left":
         raise ValueError(f"unsupported how={how!r}")
     # left = matched pairs ∪ events with no containing interval (anti
-    # on the matched event rows), interval columns NULL
+    # on the matched event rows), interval columns NULL. The anti-join
+    # must be NULL-SAFE: with plain equality a matched event carrying a
+    # NULL in any column would never anti-filter and would be emitted a
+    # second time as an unmatched row.
     iv_cols = [c for c in intervals.columns if c not in (keys or [])]
-    unmatched = events.join(
-        matched.select(*events.columns), events.columns, "left_anti"
-    )
+    m = matched.select(*events.columns).alias("m")
+    ev = events.alias("e")
+    anti_cond = None
+    for c in events.columns:
+        eq = F.col(f"e.{c}").eqNullSafe(F.col(f"m.{c}"))
+        anti_cond = eq if anti_cond is None else (anti_cond & eq)
+    unmatched = ev.join(m, anti_cond, "left_anti")
     for c, t in intervals.dtypes:
         if c in iv_cols:
             unmatched = unmatched.withColumn(c, F.lit(None).cast(t))

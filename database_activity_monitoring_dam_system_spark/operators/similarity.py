@@ -267,11 +267,36 @@ def ivf_topk(
 def _sqdist(vec: Column, cvec: list[float]) -> Column:
     """Squared L2 distance to a literal centroid — expanded as
     ||v||² - 2·v·c + ||c||² with the norm precomputed, so per centroid
-    only the dot product costs d flops (codegen via _dot_literal)."""
+    only the dot product costs d flops; the row's squared norm is the
+    precomputed ``_norm2`` column (no sqrt round-trip)."""
     c_norm2 = sum(x * x for x in cvec)
-    return F.col("_norm") * F.col("_norm") - 2.0 * _dot_literal(
-        vec, cvec
-    ) + F.lit(c_norm2)
+    return F.col("_norm2") - 2.0 * _dot_literal(vec, cvec) + F.lit(c_norm2)
+
+
+def _kmeans_prepare(
+    embeddings: DataFrame, *, id_col: str, vec_col: str
+) -> DataFrame:
+    v = _as_double(vec_col)
+    return embeddings.select(
+        F.col(id_col),
+        v.alias("vec"),
+        _dot(v, v).alias("_norm2"),
+    )
+
+
+def _assign_prepared(
+    prepared: DataFrame, centroids: list[list[float]], *, id_col: str
+) -> DataFrame:
+    dist_cols = {
+        f"_kd{i}": _sqdist(F.col("vec"), c) for i, c in enumerate(centroids)
+    }
+    arr = F.array(*[F.col(f"_kd{i}") for i in range(len(centroids))])
+    return (
+        prepared.withColumns(dist_cols)
+        .withColumn("cluster_id", F.array_position(arr, F.array_min(arr)) - 1)
+        .withColumn("sqdist", F.array_min(arr))
+        .select(id_col, "vec", "cluster_id", "sqdist")
+    )
 
 
 def kmeans_assign(
@@ -284,19 +309,10 @@ def kmeans_assign(
     """Assign every vector to its nearest centroid (squared L2, ties →
     lowest centroid index). Pure projection against LITERAL centroids —
     zero shuffle, O(N·k·d) flops, same shape as the IVF assign."""
-    corpus = with_norm(
-        embeddings.select(F.col(id_col), _as_double(vec_col).alias("vec")),
-        vec_col="vec",
-    )
-    dist_cols = {
-        f"_kd{i}": _sqdist(F.col("vec"), c) for i, c in enumerate(centroids)
-    }
-    arr = F.array(*[F.col(f"_kd{i}") for i in range(len(centroids))])
-    return (
-        corpus.withColumns(dist_cols)
-        .withColumn("cluster_id", F.array_position(arr, F.array_min(arr)) - 1)
-        .withColumn("sqdist", F.array_min(arr))
-        .select(id_col, "vec", "cluster_id", "sqdist")
+    return _assign_prepared(
+        _kmeans_prepare(embeddings, id_col=id_col, vec_col=vec_col),
+        centroids,
+        id_col=id_col,
     )
 
 
@@ -316,11 +332,15 @@ def kmeans_lloyd(
     shuffle carries only k·d partial sums per task, not N·d rows); the
     collected result is k·d doubles (a few KB), the only driver-side
     data. Empty clusters keep their previous centroid. The projected
-    (id, vec, norm) corpus is persisted across rounds (iterative-
-    algorithm caching, released before returning). Iteration count is
+    (id, vec, ||v||²) corpus is persisted across rounds (iterative-
+    algorithm caching, released before returning) and every assign
+    pass reuses the cached squared norm. Iteration count is
     fixed and small, the standard few-round regime for corpus
     bucketing (full convergence belongs to an ML library, not the
     engine).
+
+    A corpus smaller than ``k`` simply yields fewer clusters (one per
+    row); an empty corpus raises.
 
     Returns (assignments, final_centroids); assignments carry
     (id, cluster_id, sqdist).
@@ -331,17 +351,16 @@ def kmeans_lloyd(
         .limit(k)
         .collect()
     )
+    if not seeds:
+        raise ValueError("kmeans_lloyd: empty corpus")
     centroids = [list(r["v"]) for r in seeds]
+    k_eff = len(centroids)
     dim = len(centroids[0])
-    corpus = with_norm(
-        embeddings.select(F.col(id_col), _as_double(vec_col).alias(vec_col)),
-        vec_col=vec_col,
-    ).persist()
+    corpus = _kmeans_prepare(embeddings, id_col=id_col, vec_col=vec_col)
+    corpus = corpus.persist()
     try:
         for _ in range(iters):
-            assigned = kmeans_assign(
-                corpus, centroids, id_col=id_col, vec_col=vec_col
-            )
+            assigned = _assign_prepared(corpus, centroids, id_col=id_col)
             mean_rows = (
                 assigned.groupBy("cluster_id")
                 .agg(
@@ -357,11 +376,12 @@ def kmeans_lloyd(
                 for r in mean_rows
             }
             centroids = [
-                by_cluster.get(ci, centroids[ci]) for ci in range(k)
+                by_cluster[ci] if ci in by_cluster else centroids[ci]
+                for ci in range(k_eff)
             ]
-        final = kmeans_assign(
-            corpus, centroids, id_col=id_col, vec_col=vec_col
-        ).select(id_col, "cluster_id", "sqdist")
+        final = _assign_prepared(corpus, centroids, id_col=id_col).select(
+            id_col, "cluster_id", "sqdist"
+        )
         # materialize before releasing the cached corpus
         final = final.localCheckpoint(eager=True)
     finally:

@@ -336,9 +336,11 @@ def bigram_logprob_scores(
 
 
 # PII patterns chosen for identical semantics under Java regex (Spark)
-# and RE2 (DuckDB): ASCII classes, \b word boundaries, no backrefs.
+# and RE2 (DuckDB): ASCII classes, \b word boundaries, no backrefs,
+# inline (?i) where letters appear (addresses are case-insensitive —
+# a lowercase-only email pattern would leak Mixed.Case@Example.COM).
 PII_PATTERNS: dict[str, str] = {
-    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "email": r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
     "phone": r"\b\d{3}-\d{3}-\d{4}\b",
 }

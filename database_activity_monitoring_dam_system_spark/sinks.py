@@ -8,10 +8,12 @@ the touched partitions at the parquet-listing level, before any read.
 Writers are plain ``DataFrameWriter`` appends so the same functions are
 valid inside ``foreachBatch``; a date-partitioned layout plus AQE
 coalescing keeps file counts sane (at cluster scale add a periodic
-compaction job over cold partitions).
+compaction job over cold partitions — ``compact_partitions`` below).
 """
 
 from __future__ import annotations
+
+import datetime as dt
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,6 +46,7 @@ def compact_partitions(
     *,
     target_bytes: int = 128 << 20,
     min_files: int = 2,
+    cold_before: dt.date | None = None,
 ) -> dict[str, tuple[int, int]]:
     """Small-file compaction over the date-partitioned activity table —
     the maintenance job streaming appends make necessary at scale
@@ -54,20 +57,52 @@ def compact_partitions(
 
     For each ``event_date=...`` partition whose file count exceeds
     ceil(bytes/target_bytes) (and ``min_files``), the partition is
-    rewritten into exactly that many files and swapped in. The swap is
-    rename-based — crash-safe to the extent of the filesystem's rename
-    (a lakehouse table format's OPTIMIZE is the transactional version;
-    this is its plain-parquet equivalent, scoped to COLD partitions so
-    concurrent appends to today's partition are never touched).
+    rewritten into exactly that many files and swapped in.
+
+    ``cold_before`` scopes the pass to partitions strictly OLDER than
+    the given date — in a live deployment pass yesterday (or the
+    stream's watermark date) so the partition concurrent appends are
+    landing in is never rewritten; the default (None) compacts every
+    partition and is only safe when no writer is active.
+
+    Crash safety: the swap is retire-then-promote — the live dir is
+    RENAMED aside to ``_compact_old_<date>`` (never deleted while it is
+    the only copy), the rewritten dir is renamed into place, and only
+    then is the retired copy deleted. A crash at any point leaves at
+    least one complete copy on disk, and the next run's recovery sweep
+    finishes the promotion (or clears a stale tmp). A lakehouse table
+    format's OPTIMIZE is the transactional version of this pass; this
+    is its plain-parquet equivalent.
 
     Returns {partition_name: (files_before, files_after)}.
     """
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    root = jvm.org.apache.hadoop.fs.Path(path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = hpath(path)
     fs = root.getFileSystem(hconf)
     if not fs.exists(root):
         return {}
+
+    def _part_path(date_str: str) -> object:
+        return hpath(root, f"{PARTITION_COL}={date_str}")
+
+    # recovery sweep: finish (or discard) the leftovers of a crashed run
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("_compact_old_"):
+            date_str = name.removeprefix("_compact_old_")
+            if fs.exists(_part_path(date_str)):
+                # promotion completed before the crash → retired copy
+                # is redundant
+                fs.delete(st.getPath(), True)
+            else:
+                # crashed between retire and promote → restore the
+                # retired copy; a stale tmp (if any) is cleared below
+                fs.rename(st.getPath(), _part_path(date_str))
+        elif name.startswith("_compact_tmp_"):
+            fs.delete(st.getPath(), True)
+
     compacted: dict[str, tuple[int, int]] = {}
     for st in fs.listStatus(root):
         if not st.isDirectory():
@@ -75,6 +110,13 @@ def compact_partitions(
         part = st.getPath().getName()
         if not part.startswith(f"{PARTITION_COL}="):
             continue
+        date_str = part.split("=", 1)[1]
+        if cold_before is not None:
+            try:
+                if dt.date.fromisoformat(date_str) >= cold_before:
+                    continue
+            except ValueError:
+                continue  # __HIVE_DEFAULT_PARTITION__ etc: leave alone
         files = [
             f
             for f in fs.listStatus(st.getPath())
@@ -85,21 +127,22 @@ def compact_partitions(
         if len(files) <= max(want, min_files - 1):
             continue
         part_dir = st.getPath()
-        tmp = jvm.org.apache.hadoop.fs.Path(
-            root, f"_compact_tmp_{part.split('=', 1)[1]}"
-        )
+        tmp = hpath(root, f"_compact_tmp_{date_str}")
+        old = hpath(root, f"_compact_old_{date_str}")
         (
             spark.read.parquet(part_dir.toString())
             .repartition(int(want))
             .write.mode("overwrite")
             .parquet(tmp.toString())
         )
-        fs.delete(part_dir, True)
-        fs.rename(tmp, part_dir)
-        # drop the success marker so the dir holds only data files
-        marker = jvm.org.apache.hadoop.fs.Path(part_dir, "_SUCCESS")
+        # drop the success marker so the promoted dir holds only data
+        marker = hpath(tmp, "_SUCCESS")
         if fs.exists(marker):
             fs.delete(marker, False)
+        # retire → promote → clear: one complete copy exists throughout
+        fs.rename(part_dir, old)
+        fs.rename(tmp, part_dir)
+        fs.delete(old, True)
         n_after = sum(
             1
             for f in fs.listStatus(part_dir)

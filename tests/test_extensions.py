@@ -402,3 +402,57 @@ def test_semantic_dedup_partitions_corpus(spark):
     kept_ids = set(range(total)) - dropped  # vec_id is dense 0..N-1
     surviving = [e for e in edges if e[0] in kept_ids and e[1] in kept_ids]
     assert not surviving, f"near-dup pairs among reps: {surviving[:3]}"
+
+
+def test_pii_scrub_mixed_case_email(spark):
+    from database_activity_monitoring_dam_system_spark.operators import (
+        textops,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Contact Alice.Smith@Corp.Example.COM today")],
+        "doc_id long, text string",
+    )
+    r = textops.pii_scrub(df).collect()[0]
+    assert r.n_emails == 1
+    assert "<EMAIL>" in r.scrubbed
+    assert "Corp.Example.COM" not in r.scrubbed
+
+
+def test_kmeans_small_and_empty_corpus(spark):
+    import pytest as _pytest
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    tiny = emb.filter(F.col("vec_id") < 3)
+    assigned, cents = similarity.kmeans_lloyd(tiny, k=8, iters=2)
+    assert len(cents) == 3  # corpus smaller than k → one cluster per row
+    assert {r.cluster_id for r in assigned.collect()} == {0, 1, 2}
+    with _pytest.raises(ValueError, match="empty corpus"):
+        similarity.kmeans_lloyd(emb.filter(F.col("vec_id") < 0), k=8)
+
+
+def test_interval_join_left_null_safe(spark):
+    """A matched event carrying a NULL column must not be re-emitted
+    as an unmatched row (null-safe anti-join)."""
+    import datetime as dt
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        rangejoin,
+    )
+
+    t0 = dt.datetime(2026, 8, 1, 10, 0, 0)
+    events = spark.createDataFrame(
+        [(1, None, t0), (2, 7, t0 + dt.timedelta(hours=5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    wins = spark.createDataFrame(
+        [(0, t0 - dt.timedelta(minutes=5), t0 + dt.timedelta(minutes=5))],
+        "window_id int, start_ts timestamp, end_ts timestamp",
+    )
+    out = rangejoin.interval_join(
+        events, wins, ts_col="ts", bin_seconds=600, how="left"
+    ).collect()
+    assert len(out) == 2
+    by_id = {r.event_id: r.window_id for r in out}
+    assert by_id[1] == 0  # matched exactly once despite NULL user_id
+    assert by_id[2] is None  # unmatched event kept with NULL window

@@ -239,3 +239,45 @@ def test_compaction_preserves_rows_and_reduces_files(spark):
         assert sinks.compact_partitions(spark, d) == {}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compaction_cold_scope_and_crash_recovery(spark):
+    """cold_before leaves newer partitions untouched; a leftover
+    _compact_old_<date> dir from a crash between retire and promote is
+    restored by the next run's recovery sweep."""
+    import os
+
+    d = tempfile.mkdtemp(prefix="dam_compact2_")
+    try:
+        act = _activity(spark, SF_SMOKE).limit(300)
+        for i in range(4):
+            sinks.write_activity_partitioned(
+                act.filter(F.col("activity_id") % 4 == i).repartition(2), d
+            )
+        parts = sorted(
+            p.split("=", 1)[1]
+            for p in os.listdir(d)
+            if p.startswith(sinks.PARTITION_COL)
+        )
+        assert len(parts) >= 2
+        cutoff = dt.date.fromisoformat(parts[-1])
+        report = sinks.compact_partitions(spark, d, cold_before=cutoff)
+        assert f"{sinks.PARTITION_COL}={parts[-1]}" not in report
+        assert report  # older partitions did compact
+
+        total_healthy = sinks.read_activity(spark, d).count()
+        # simulate a crash after retire, before promote
+        victim = f"{sinks.PARTITION_COL}={parts[0]}"
+        os.rename(
+            os.path.join(d, victim),
+            os.path.join(d, f"_compact_old_{parts[0]}"),
+        )
+        sinks.compact_partitions(spark, d, cold_before=cutoff)
+        assert os.path.isdir(os.path.join(d, victim))  # restored
+        assert not any(
+            p.startswith("_compact_") for p in os.listdir(d)
+        )
+        # every row survives the crash + recovery round trip
+        assert sinks.read_activity(spark, d).count() == total_healthy
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
