@@ -787,6 +787,9 @@ def _q_semantic_dedup_reps(spark, sf_dir):
     pairs = _q_embedding_near_dups(spark, sf_dir).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
+    # duplicate_clusters unions both edge directions of `pairs`; the
+    # branches share their shuffle stages (exchange reuse), so a
+    # checkpoint here only adds materialization cost — measured slower
     clusters = dedup.duplicate_clusters(pairs)
     dropped = clusters.filter(
         F.col("doc_id") != F.col("cluster_id")
