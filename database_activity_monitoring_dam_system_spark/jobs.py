@@ -157,3 +157,23 @@ def apply_login_outcome(
             F.lit(now) + F.make_interval(mins=F.lit(lockout_minutes)),
         ).otherwise(F.col("locked_until")),
     )
+
+
+def run_compaction_job(
+    spark: SparkSession,
+    activity_path: str,
+    *,
+    now: dt.datetime | None = None,
+    target_bytes: int = 128 << 20,
+) -> dict[str, tuple[int, int]]:
+    """Nightly maintenance entry point: compact every activity
+    partition older than today (the streaming sink only ever appends
+    to the current date's partition, so yesterday back is cold by
+    construction). Scheduling is external (cron/Airflow), same policy
+    as the report job above."""
+    from . import sinks
+
+    today = (now or dt.datetime.now()).date()
+    return sinks.compact_partitions(
+        spark, activity_path, target_bytes=target_bytes, cold_before=today
+    )

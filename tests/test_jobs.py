@@ -53,3 +53,43 @@ def test_login_outcome_lockout_cycle(spark):
     assert row2["failed_attempts"] == 0
     assert row2["locked_until"] is None
     assert row2["last_login"] == later
+
+
+def test_compaction_job_scopes_to_cold(spark):
+    """The job wrapper compacts everything strictly before `now`'s
+    date and never touches the current date's partition."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from database_activity_monitoring_dam_system_spark import jobs, sinks
+    from database_activity_monitoring_dam_system_spark.plans.dam import (
+        _activity,
+    )
+
+    from .conftest import SF_SMOKE
+
+    d = tempfile.mkdtemp(prefix="dam_job_compact_")
+    try:
+        act = _activity(spark, SF_SMOKE).limit(200)
+        for i in range(3):
+            sinks.write_activity_partitioned(
+                act.filter(F.col("activity_id") % 3 == i).repartition(2), d
+            )
+        parts = sorted(
+            p.split("=", 1)[1]
+            for p in os.listdir(d)
+            if p.startswith(sinks.PARTITION_COL)
+        )
+        fake_now = dt.datetime.fromisoformat(parts[-1] + "T12:00:00")
+        report = jobs.run_compaction_job(spark, d, now=fake_now)
+        assert report
+        assert f"{sinks.PARTITION_COL}={parts[-1]}" not in report
+        assert all(
+            p.split("=", 1)[1] < parts[-1] for p in report
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
