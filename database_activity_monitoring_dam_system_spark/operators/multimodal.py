@@ -58,6 +58,113 @@ def synth_media(docs: DataFrame, *, id_col: str = "doc_id",
     )
 
 
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame", T.BinaryType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+])
+
+
+def sample_frames(
+    media: DataFrame,
+    *,
+    n_frames: int = 4,
+    frame_bytes: int = 4,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Frame sampling over binary video payloads — the flatMap-shaped
+    multimodal op (one input row → n_frames output rows), Arrow-batched
+    via mapInPandas, inheriting the input partitioning (no shuffle).
+
+    Stub decode: frame i is the payload's i-th ``frame_bytes`` slice
+    (short payloads yield fewer frames) — deterministic, so the full
+    pipeline carries a DuckDB oracle; ``decode_stub=False`` raises
+    where ffmpeg-style keyframe extraction would plug in.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg/av; "
+                    "run with decode_stub=True in this environment"
+                )
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                if buf is None:
+                    continue
+                raw = bytes(buf)
+                for i in range(n_frames):
+                    seg = raw[i * frame_bytes:(i + 1) * frame_bytes]
+                    if not seg:
+                        break
+                    rows.append((int(mid), i, seg, len(seg)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame", "n_bytes"]
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def resize_media(
+    media: DataFrame,
+    *,
+    width: int,
+    height: int,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Resize over binary image payloads: same MEDIA_SCHEMA out as in,
+    payload replaced by the resized image and the metadata struct
+    updated to the new dimensions — so resize stages compose with any
+    other media op. Arrow-batched, partition-inheriting, no shuffle.
+
+    Stub decode: the 'resized' payload cycles the source bytes to
+    exactly width·height bytes (deterministic → DuckDB-oracle-able);
+    ``decode_stub=False`` raises where a PIL/affine resample would
+    plug in.
+    """
+    target = width * height
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real resize requires PIL; "
+                    "run with decode_stub=True in this environment"
+                )
+            payloads, metas = [], []
+            for buf, meta in zip(pdf["payload"], pdf["meta"]):
+                if buf is None:
+                    payloads.append(None)
+                    metas.append(meta)
+                    continue
+                raw = bytes(buf)
+                reps = -(-target // len(raw))  # ceil
+                payloads.append((raw * reps)[:target])
+                metas.append(
+                    {
+                        "mime": meta["mime"] if meta is not None else None,
+                        "width": width,
+                        "height": height,
+                        "n_bytes": target,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def extract_features(
     media: DataFrame, *, decode_stub: bool = True, feature_dim: int = 8
 ) -> DataFrame:

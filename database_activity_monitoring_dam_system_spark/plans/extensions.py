@@ -737,6 +737,55 @@ SELECT doc_id, n_emails, n_ipv4s, n_phones, md5(t) AS scrubbed_md5 FROM s3
 """
 
 
+def _q_media_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing end-to-end WITH an oracle: the synth
+    payload is md5(text) bytes, so frame i is a slice of the md5 hex —
+    DuckDB reproduces every emitted frame byte-for-byte through the
+    whole mapInPandas path."""
+    from pyspark.sql import functions as F
+
+    media = multimodal.synth_media(_docs(spark, sf_dir))
+    frames = multimodal.sample_frames(media, n_frames=4, frame_bytes=4)
+    return frames.select(
+        "media_id", "frame_idx",
+        F.lower(F.hex("frame")).alias("frame_hex"), "n_bytes",
+    )
+
+
+_FRAME_SAMPLE_SQL = r"""
+SELECT doc_id AS media_id, CAST(u.i AS INTEGER) AS frame_idx,
+       substr(md5(text), u.i * 8 + 1, 8) AS frame_hex,
+       CAST(4 AS BIGINT) AS n_bytes
+FROM documents, unnest(generate_series(0, 3)) AS u(i)
+"""
+
+
+def _q_media_resize(spark, sf_dir):
+    """Resize plumbing end-to-end WITH an oracle: the stub cycles the
+    16-byte md5 payload to width·height bytes, which DuckDB states as
+    substr(repeat(md5_hex, k)). 6×3 = 18 bytes > 16 forces the cycle
+    path."""
+    from pyspark.sql import functions as F
+
+    media = multimodal.synth_media(_docs(spark, sf_dir))
+    resized = multimodal.resize_media(media, width=6, height=3)
+    return resized.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.lower(F.hex("payload")).alias("payload_hex"),
+    )
+
+
+_RESIZE_SQL = r"""
+SELECT doc_id AS media_id, 6 AS width, 3 AS height,
+       CAST(18 AS BIGINT) AS n_bytes,
+       substr(repeat(md5(text), 2), 1, 36) AS payload_hex
+FROM documents
+"""
+
+
 def _q_bigram_logprob(spark, sf_dir):
     return textops.bigram_logprob_scores(_docs(spark, sf_dir))
 
@@ -848,6 +897,16 @@ QUERIES: dict[str, QuerySpec] = {
     "pii_scrub": QuerySpec(
         _q_pii_scrub, _PII_SQL,
         "staged email/IP/phone redaction with counts, md5-verified text",
+    ),
+    "media_frame_sample": QuerySpec(
+        _q_media_frame_sample, _FRAME_SAMPLE_SQL,
+        "flatMap-shaped frame sampling over binary payloads "
+        "(mapInPandas, stub decode, full oracle)",
+    ),
+    "media_resize": QuerySpec(
+        _q_media_resize, _RESIZE_SQL,
+        "schema-preserving resize stage over binary payloads "
+        "(mapInPandas, stub decode, full oracle)",
     ),
     "bigram_logprob": QuerySpec(
         _q_bigram_logprob, _BIGRAM_LM_SQL,

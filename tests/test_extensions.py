@@ -456,3 +456,38 @@ def test_interval_join_left_null_safe(spark):
     by_id = {r.event_id: r.window_id for r in out}
     assert by_id[1] == 0  # matched exactly once despite NULL user_id
     assert by_id[2] is None  # unmatched event kept with NULL window
+
+
+def test_frame_sample_and_resize_plumbing(spark):
+    import pytest as _pytest
+
+    media = multimodal.synth_media(_docs(spark).limit(10))
+    frames = multimodal.sample_frames(media, n_frames=4, frame_bytes=4)
+    rows = frames.collect()
+    # 16-byte payloads → exactly 4 full frames each
+    assert len(rows) == 40
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, rs in by_media.items():
+        assert sorted(x.frame_idx for x in rs) == [0, 1, 2, 3]
+        assert all(x.n_bytes == 4 for x in rs)
+    # short payloads emit only the frames that exist
+    import pyspark.sql.functions as SF
+
+    clipped = media.withColumn("payload", SF.expr("substring(payload, 1, 6)"))
+    short = multimodal.sample_frames(clipped, n_frames=4, frame_bytes=4)
+    per = short.groupBy("media_id").count().collect()
+    assert all(r["count"] == 2 for r in per)  # 6 bytes → frames of 4 + 2
+
+    resized = multimodal.resize_media(media, width=6, height=3)
+    # stage composes: same column names and types (nullability may
+    # differ between literal-struct input and the declared schema)
+    assert resized.schema.simpleString() == media.schema.simpleString()
+    feats = multimodal.extract_features(resized).collect()
+    assert all(r.n_bytes == 18 for r in feats)
+
+    with _pytest.raises(Exception):
+        multimodal.sample_frames(media, decode_stub=False).collect()
+    with _pytest.raises(Exception):
+        multimodal.resize_media(media, width=2, height=2, decode_stub=False).collect()
