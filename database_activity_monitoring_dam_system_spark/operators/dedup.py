@@ -358,6 +358,7 @@ def duplicate_clusters(
     pairs: DataFrame,
     *,
     max_iterations: int = 20,
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs → duplicate clusters.
 
@@ -369,6 +370,16 @@ def duplicate_clusters(
     plans don't grow exponentially — the standard guard for iterative
     DataFrame algorithms.
 
+    Adaptive fast path: when the (already-materialized) edge set is at
+    most ``small_graph_threshold`` rows, the rounds are skipped and a
+    driver-side union-find labels the graph in one pass — identical
+    min-id-per-component semantics (pinned by test_dedup_clusters),
+    without paying 2 scheduler jobs per propagation round for a graph
+    that fits in driver memory. Near-dup graphs are SPARSE by
+    construction (edges ∝ true duplicates, not corpus²), so even at
+    100 TB this path frequently wins; set the threshold to 0 to force
+    the distributed rounds.
+
     Input: (doc_a, doc_b) pair frame. Output: (doc_id, cluster_id)
     where cluster_id = min doc id of the component — the kept
     representative for dedup.
@@ -379,6 +390,31 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint()
     )
+    if edges.count() <= small_graph_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        edge_rows = edges.collect()
+        for r in edge_rows:
+            ra, rb = find(r["src"]), find(r["dst"])
+            if ra != rb:
+                # min root wins → cluster_id = min id of the component
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        # every node that appeared in an edge gets a row, roots included
+        # (edges hold both directions, so src covers all nodes)
+        nodes = {r["src"] for r in edge_rows}
+        rows = [(int(n), int(find(n))) for n in sorted(nodes)]
+        return edges.sparkSession.createDataFrame(
+            rows, "doc_id long, cluster_id long"
+        )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()

@@ -104,3 +104,25 @@ def test_dedup_stream_drops_replayed_events(spark):
         assert len({r.operation_details for r in rows}) == 6
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_small_graph_fast_path_equals_distributed(spark):
+    """The adaptive union-find path and the distributed label-
+    propagation rounds must produce identical labelings."""
+    import random
+
+    rng = random.Random(7)
+    edges = {(rng.randrange(60), rng.randrange(60)) for _ in range(80)}
+    pairs = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    fast = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.duplicate_clusters(df).collect()
+    }
+    dist = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.duplicate_clusters(
+            df, small_graph_threshold=0
+        ).collect()
+    }
+    assert fast == dist and fast
