@@ -106,6 +106,8 @@ def start_ingest(
     watermark_delay: str = "10 minutes",
     available_now: bool = False,
     resolve_user_ids: bool = False,
+    exact_rate: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """The full E1 pipeline as one checkpointed query.
 
@@ -120,8 +122,27 @@ def start_ingest(
     engine extension a production DAM wants: username → user_id via a
     broadcast of ``users``, which arms the role and rate rules on
     streamed rows with the SAME expressions the batch path uses.
+
+    ``exact_rate=True`` (requires ``resolve_user_ids``) makes the rate
+    rule EXACT across micro-batch boundaries: each batch's trailing
+    window is seeded with the per-user epoch buffer carried from prior
+    batches (stateful.seeded_rate_counts), snapshotted per batch under
+    ``{checkpoint_dir}/rate_state``. Default False keeps the
+    batch-bounded window — a 100-queries/min burst that straddles a
+    batch boundary undercounts there, while the reference's continuous
+    in-memory window (app.py:396-403) does not; exact_rate is the
+    parity-correct form.
     """
-    stream = read_agent_stream(spark, source_dir)
+    if exact_rate and not resolve_user_ids:
+        raise ValueError(
+            "exact_rate=True requires resolve_user_ids=True — without "
+            "resolved user ids the rate rule is structurally inert "
+            "(user_id NULL, reference parity)"
+        )
+    rate_state_dir = f"{checkpoint_dir}/rate_state"
+    stream = read_agent_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         df = batch_df
@@ -197,12 +218,20 @@ def start_ingest(
         # trailing event-time window as batch — streamed rows carry
         # "Rate limit exceeded" reason/severity exactly like batch rows
         # (the r8 user_id gate is identical on both paths). The window
-        # is bounded by the micro-batch; cross-batch exactness is the
-        # stateful op's job (stateful.exact_rate_counts). Only armed
-        # when user ids are resolved: without them user_id is forced
-        # NULL, r8 is structurally false (reference parity,
-        # app.py:396/1182), and the window would shuffle every row
-        # into one NULL-key partition for a provably dead result.
+        # is bounded by the micro-batch unless exact_rate seeds it with
+        # the carried cross-batch state below. Only armed when user ids
+        # are resolved: without them user_id is forced NULL, r8 is
+        # structurally false (reference parity, app.py:396/1182), and
+        # the window would shuffle every row into one NULL-key
+        # partition for a provably dead result.
+        rate_state = None
+        if exact_rate:
+            from . import stateful
+
+            rate_state = stateful.read_rate_state(
+                spark, rate_state_dir, batch_id
+            )
+            df_checked = stateful.seeded_rate_counts(df_checked, rate_state)
         enriched = rules.apply_rule_battery(
             df_checked,
             users=users,
@@ -220,6 +249,14 @@ def start_ingest(
                 payload = [r.asDict() for r in alerts.collect()]
                 if payload:
                     notifier(payload)
+            if exact_rate:
+                from . import stateful
+
+                stateful.write_rate_state(
+                    stateful.rate_state_after(df_checked, rate_state),
+                    rate_state_dir,
+                    batch_id,
+                )
         finally:
             enriched.unpersist()
 

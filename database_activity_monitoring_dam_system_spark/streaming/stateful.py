@@ -19,6 +19,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -104,6 +105,132 @@ def exact_rate_counts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def seeded_rate_counts(
+    batch: DataFrame,
+    state: DataFrame | None,
+    *,
+    window_sec: int = 60,
+    user_col: str = "user_id",
+    ts_col: str = "access_timestamp",
+    out_col: str = "queries_last_min",
+) -> DataFrame:
+    """Trailing-window counts over a micro-batch, seeded with epochs
+    carried from PRIOR micro-batches — the cross-batch form of
+    rules.with_rate_counts with identical within-batch semantics
+    (range frame over epoch seconds, ties counted both ways).
+
+    count(event) = |batch events of the user in [t-(w-1), t]|
+                 + |carried epochs of the user in [t-(w-1), t]|
+
+    Everything is JVM-side: the within-batch term is the shared range
+    frame; the carry term is a broadcast join against the (tiny,
+    per-active-user) state followed by size(filter(array)). No Python
+    in the hot path, and the fact side shuffles only for the same
+    per-user window the batch path already pays.
+    """
+    from ..operators.anomaly import trailing_window_counts
+
+    within = trailing_window_counts(
+        batch, seconds=window_sec, ts_col=ts_col, user_col=user_col,
+        out_col="_within",
+    )
+    if state is None:
+        return within.withColumnRenamed("_within", out_col)
+    epoch = F.unix_timestamp(F.col(ts_col))
+    carried = F.coalesce(
+        F.size(
+            F.filter(
+                "recent_epochs",
+                lambda e: ((epoch - e) >= 0) & ((epoch - e) <= window_sec - 1),
+            )
+        ),
+        F.lit(0),
+    )
+    return (
+        within.join(F.broadcast(state), user_col, "left")
+        .withColumn(out_col, F.col("_within") + carried.cast("long"))
+        .drop("_within", "recent_epochs")
+    )
+
+
+def rate_state_after(
+    batch: DataFrame,
+    state: DataFrame | None,
+    *,
+    window_sec: int = 60,
+    user_col: str = "user_id",
+    ts_col: str = "access_timestamp",
+    idle_horizon_sec: int = 600,
+) -> DataFrame:
+    """The state to carry into the NEXT micro-batch: per user, all
+    epochs within the window of that user's newest epoch (exactly what
+    _rate_fn's buffer holds after draining sorted events).
+
+    Users whose newest epoch trails the batch's max event time by more
+    than window+idle_horizon are evicted — they cannot contribute to
+    any future in-order event, and the horizon bounds the out-of-order
+    slack exactly like the ingest watermark (reference parity: the
+    in-memory list also only ever holds the trailing minute,
+    app.py:398-400)."""
+    epochs = batch.select(
+        F.col(user_col), F.unix_timestamp(F.col(ts_col)).alias("_e")
+    ).where(F.col(user_col).isNotNull())
+    if state is not None:
+        epochs = epochs.unionByName(
+            state.select(F.col(user_col), F.explode("recent_epochs").alias("_e"))
+        )
+    horizon_row = batch.agg(F.max(F.unix_timestamp(F.col(ts_col)))).first()
+    out = (
+        epochs.groupBy(user_col)
+        .agg(F.max("_e").alias("_m"), F.collect_list("_e").alias("_all"))
+        .select(
+            F.col(user_col),
+            F.col("_m"),
+            F.filter(
+                "_all", lambda e: (F.col("_m") - e) <= window_sec - 1
+            ).alias("recent_epochs"),
+        )
+    )
+    if horizon_row is not None and horizon_row[0] is not None:
+        out = out.where(
+            F.col("_m") >= F.lit(int(horizon_row[0]) - window_sec - idle_horizon_sec)
+        )
+    return out.drop("_m")
+
+
+def read_rate_state(
+    spark, state_dir: str, batch_id: int, *, user_col: str = "user_id"
+) -> DataFrame | None:
+    """Latest snapshot strictly before ``batch_id`` (a retried batch
+    must re-seed from its PREDECESSOR's state, not its own failed
+    attempt). Duplicate rows from a half-written retry partition are
+    collapsed — the computation is deterministic, so copies agree."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        snap = spark.read.parquet(state_dir)
+    except AnalysisException:
+        return None
+    prior = snap.filter(F.col("batch_id") < batch_id)
+    latest = prior.agg(F.max("batch_id")).first()[0]
+    if latest is None:
+        return None
+    return (
+        prior.filter(F.col("batch_id") == latest)
+        .dropDuplicates([user_col])
+        .select(user_col, "recent_epochs")
+    )
+
+
+def write_rate_state(state: DataFrame, state_dir: str, batch_id: int) -> None:
+    """Append this batch's snapshot under its own partition — readers
+    prune to one partition, and append keeps retries safe (read-side
+    dedup)."""
+    state.withColumn("batch_id", F.lit(batch_id)).write.mode(
+        "append"
+    ).partitionBy("batch_id").parquet(state_dir)
 
 
 def exact_rate_counts_batch(

@@ -316,6 +316,99 @@ def test_stream_rate_rule_parity(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_exact_rate_across_micro_batches(spark):
+    """exact_rate=True: a >100-queries/min burst SPLIT across two
+    micro-batches still trips the rate rule on the tail rows, because
+    each batch's trailing window is seeded with the per-user epoch
+    state carried from prior batches. The per-batch window alone sees
+    at most 50 events in batch 2 — structurally unable to breach — so
+    the 10 breached rows prove the cross-batch carry. The reference's
+    continuous in-memory window (app.py:396-403) has this behavior
+    natively; full-batch apply_rule_battery is the oracle."""
+    import os
+
+    base = tempfile.mkdtemp(prefix="dam_xrate_")
+    src = f"{base}/src"
+    os.makedirs(src)
+    t0 = dt.datetime(2026, 8, 1, 10, 0, 0)
+    events = [
+        {
+            "event_time": (t0 + dt.timedelta(milliseconds=500 * i)).isoformat(),
+            "user_host": "heavy[heavy] @ h []",
+            "argument": f"SELECT * FROM products WHERE id={i}",
+        }
+        for i in range(110)
+    ]
+    # 60 events then 50: batch 2 alone can never exceed the 100/min
+    # threshold, so any breach must come from carried state
+    for chunk_id, chunk in enumerate([events[:60], events[60:]]):
+        with open(f"{src}/chunk{chunk_id}.json", "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps(r) + "\n")
+    users_df = spark.createDataFrame(
+        [(7, "heavy", "User")], "user_id long, username string, role string"
+    )
+    try:
+        q = ingest.start_ingest(
+            spark,
+            src,
+            activity_sink=f"{base}/act",
+            alerts_sink=f"{base}/al",
+            checkpoint_dir=f"{base}/ck",
+            users=users_df,
+            resolve_user_ids=True,
+            exact_rate=True,
+            max_files_per_trigger=1,
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        streamed = spark.read.parquet(f"{base}/act")
+        breached = streamed.filter(
+            F.col("suspicious_reasons").contains("Rate limit exceeded")
+        ).collect()
+        # same closed form as test_stream_rate_rule_parity: the count
+        # at event i is (i - i%2) + 2, >100 for i in 100..109
+        assert len(breached) == 10
+        assert all(r.severity_level == "Medium" for r in breached)
+
+        raw = _raw_batch_df(spark, events)
+        batch = rules.apply_rule_battery(
+            normalize_agent_events(raw)
+            .join(
+                F.broadcast(users_df.select("username", "user_id")),
+                "username",
+                "left",
+            )
+            .withColumn("ip_address", F.lit(None).cast("string"))
+            .withColumn("rows_affected", F.lit(None).cast("int")),
+            users=users_df,
+            with_rate_rule=True,
+        ).drop("queries_last_min")
+        key = [
+            "access_timestamp", "username", "operation_details",
+            "is_suspicious", "suspicious_reasons", "severity_level",
+        ]
+        s_rows = sorted(tuple(r) for r in streamed.select(*key).collect())
+        b_rows = sorted(tuple(r) for r in batch.select(*key).collect())
+        # reason strings embed the exact count ("Rate limit exceeded:
+        # N queries/min") — equality pins the seeded counts themselves
+        assert s_rows == b_rows
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_exact_rate_requires_resolved_ids(spark):
+    with pytest.raises(ValueError, match="resolve_user_ids"):
+        ingest.start_ingest(
+            spark,
+            "/nonexistent",
+            activity_sink="/tmp/x",
+            alerts_sink="/tmp/y",
+            checkpoint_dir="/tmp/z",
+            exact_rate=True,
+        )
+
+
 def test_firewall_blocks_journal(spark):
     """S7: every rule hit is journaled to firewall_blocks; only
     action='block' rows are kept out of the activity sink
