@@ -210,21 +210,31 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 8,
+    hex_buckets: bool = False,
 ) -> DataFrame:
     """Banded LSH: docs agreeing on any full band become candidates.
 
     Bands are exploded into (band_id, bucket) rows, then a self
     equi-join on the bucket key — linear candidate generation, the
     shuffle key is (band_id, bucket) so collisions co-locate.
+
+    ``hex_buckets=True`` derives the bucket as md5 over the
+    '|'-joined band values instead of xxhash64 — required for the
+    oracle-reproducible md5 signature path (DuckDB has no xxhash64).
     """
     rows_per_band = num_hashes // bands
+
+    def _bucket(bi: int) -> F.Column:
+        cols = [F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
+        if hex_buckets:
+            return F.md5(F.concat_ws("|", *cols))
+        return F.xxhash64(*cols)
+
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band_id"),
-                F.xxhash64(
-                    *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bucket"),
+                _bucket(bi).alias("bucket"),
             )
             for bi in range(bands)
         ]
@@ -287,6 +297,66 @@ def minhash_near_duplicates(
     return _verify_pairs_jaccard(
         cands, arrs, id_col=id_col, threshold=threshold
     )
+
+
+def _md5_mix(i: int):
+    # seeded re-hash of the base md5 HEX string (cheap 32-byte input);
+    # lexical min over hex strings is a valid min-wise hash family and,
+    # unlike xxhash64, reproduces bit-identically in any engine with md5
+    return lambda h: F.md5(F.concat(F.lit(f"{i}|"), h))
+
+
+def minhash_signatures_md5(
+    docs_with_toks: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Oracle-reproducible minhash: md5 each shingle ONCE to a hex
+    string, derive the k hash functions as seeded md5 re-hashes, take
+    the LEXICAL min of each. Same projection-only zero-shuffle shape as
+    minhash_signatures_arr; the engine-portable (DuckDB-checkable)
+    variant of the xxhash64 production path. ~2× the hash cost of
+    xxhash64-over-longs — use it to pin LSH semantics cross-engine, and
+    the xxhash64 path for production throughput."""
+    base = docs_with_toks.withColumn(
+        "_h0", F.transform(F.col(toks_col), lambda t: F.md5(t))
+    )
+    cols = [
+        F.array_min(F.transform(F.col("_h0"), _md5_mix(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return base.select(F.col(id_col), F.col(toks_col), *cols)
+
+
+def minhash_near_duplicates_md5(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    shingle: int = 3,
+) -> DataFrame:
+    """minhash_near_duplicates with the md5 hash family throughout
+    (signatures AND band buckets) — every stage expressible in ANSI
+    SQL, so the full banded-LSH + verify pipeline gets a hash-exact
+    DuckDB oracle instead of a rows-only check. Identical plan shape
+    to the production path: one signature projection, one (band,
+    bucket) self-join, candidate-only exact-Jaccard verify."""
+    base = token_arrays(docs, id_col=id_col, text_col=text_col, shingle=shingle)
+    sigs = minhash_signatures_md5(base, id_col=id_col, num_hashes=num_hashes)
+    cands = minhash_candidate_pairs(
+        sigs.drop("toks"),
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        hex_buckets=True,
+    )
+    arrs = base.select(F.col(id_col), F.col("toks"))
+    return _verify_pairs_jaccard(cands, arrs, id_col=id_col, threshold=threshold)
 
 
 def _verify_pairs_jaccard(

@@ -25,7 +25,7 @@ PDF_EXPORT_LIMIT = 500
 
 def _isoformat_timestamps(df: DataFrame) -> DataFrame:
     for field in df.schema.fields:
-        if isinstance(field.dataType, T.TimestampType):
+        if isinstance(field.dataType, (T.TimestampType, T.TimestampNTZType)):
             df = df.withColumn(field.name, F.date_format(field.name, ISO))
     return df
 

@@ -91,6 +91,121 @@ def quality_scores(
     )
 
 
+def repetition_signals(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_bigram_max: float = 0.08,
+    dup_trigram_max: float = 0.60,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1 —
+    the word-n-gram family; the line-based family degenerates on
+    single-line docs): per doc,
+
+    * ``repeated_token_frac`` — 1 − distinct/total tokens;
+    * ``top_bigram_frac`` — chars covered by the most frequent token
+      bigram (count × bigram length / doc chars; ties broken by the
+      lexicographically smallest bigram, so the output is
+      deterministic). Overlapping occurrences ("a a a") double-count
+      the shared token — the standard implementation shortcut;
+    * ``dup_trigram_frac`` — chars covered by trigrams occurring more
+      than once, capped at 1.0 (same shortcut);
+    * ``verdict`` — first-match filter decision at the given caps.
+
+    Plan shape: one projection builds positional bigram+trigram
+    arrays, ONE explode feeds a (doc, n, gram) hash count with
+    map-side combine (vocabulary ≪ corpus), the top-bigram rank
+    window runs over that aggregated table only, and the per-doc
+    stats join back. Linear in corpus size; no Python.
+    """
+    toks = _tokens(text_col)
+    sz = F.size(toks)
+
+    def grams(nn: int) -> Column:
+        # positional (overlapping, NON-distinct) n-grams; short docs
+        # yield an empty array — sequence() would count DOWN for
+        # sz < nn, so the branch is guarded
+        return F.when(
+            sz >= nn,
+            F.transform(
+                F.sequence(F.lit(0), sz - nn),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, nn)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        sz.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        grams(2).alias("_g2"),
+        grams(3).alias("_g3"),
+    )
+    tagged = F.concat(
+        F.transform(
+            "_g2", lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram"))
+        ),
+        F.transform(
+            "_g3", lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram"))
+        ),
+    )
+    counts = (
+        base.select("doc_id", F.explode(tagged).alias("g"))
+        .groupBy("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    top_w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("gram")
+    )
+    top_bigram = (
+        counts.filter(F.col("n") == 2)
+        .withColumn("_rn", F.row_number().over(top_w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            F.col("gram").alias("top_bigram"),
+            (F.col("cnt") * F.length("gram")).alias("_top_chars"),
+        )
+    )
+    dup_tri = (
+        counts.filter((F.col("n") == 3) & (F.col("cnt") >= 2))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.length("gram")).alias("_dup_chars"))
+    )
+    top_frac = F.round(
+        F.coalesce(F.col("_top_chars"), F.lit(0)) / F.col("n_chars"), 4
+    )
+    dup_frac = F.round(
+        F.least(
+            F.lit(1.0),
+            F.coalesce(F.col("_dup_chars"), F.lit(0)) / F.col("n_chars"),
+        ),
+        4,
+    )
+    verdict = (
+        F.when(top_frac > top_bigram_max, "bigram_loop")
+        .when(dup_frac > dup_trigram_max, "trigram_dup")
+        .otherwise("keep")
+    )
+    return (
+        base.select("doc_id", "n_chars", "n_tokens", "n_distinct")
+        .join(top_bigram, "doc_id", "left")
+        .join(dup_tri, "doc_id", "left")
+        .select(
+            F.col("doc_id"),
+            F.col("n_tokens"),
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens"), 4
+            ).alias("repeated_token_frac"),
+            F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
+            top_frac.alias("top_bigram_frac"),
+            dup_frac.alias("dup_trigram_frac"),
+            verdict.alias("verdict"),
+        )
+    )
+
+
 def language_guess(text_col: str = "text") -> Column:
     """Stopword-profile argmax language guess.
 

@@ -110,6 +110,146 @@ def _q_minhash_near_dups(spark, sf_dir):
     )
 
 
+def _q_repetition_signals(spark, sf_dir):
+    """Gate runs the duplicated-trigram cap at 0.10 (the synthetic
+    corpus's trigram-dup tail tops out ~0.38 and anything above 0.25
+    is already caught by the bigram cap, so the published-style 0.60
+    default would leave the trigram branch dead); production uses the
+    operator default."""
+    return textops.repetition_signals(_docs(spark, sf_dir), dup_trigram_max=0.10)
+
+
+_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+         len(text) AS n_chars
+  FROM documents
+),
+stats AS (
+  SELECT doc_id, n_chars, len(t) AS n_tokens,
+         len(list_distinct(t)) AS n_distinct
+  FROM toks
+),
+pos2 AS (
+  SELECT doc_id, t, unnest(generate_series(0, len(t) - 2)) AS i FROM toks
+),
+bg AS (
+  SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS gram, count(*) AS cnt
+  FROM pos2 GROUP BY 1, 2
+),
+top_bg AS (
+  SELECT doc_id, gram AS top_bigram, cnt * len(gram) AS top_chars
+  FROM bg
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) = 1
+),
+pos3 AS (
+  SELECT doc_id, t, unnest(generate_series(0, len(t) - 3)) AS i FROM toks
+),
+tg AS (
+  SELECT doc_id, array_to_string(t[i+1:i+3], ' ') AS gram, count(*) AS cnt
+  FROM pos3 GROUP BY 1, 2
+),
+dup_tg AS (
+  SELECT doc_id, sum(cnt * len(gram)) AS dup_chars
+  FROM tg WHERE cnt >= 2 GROUP BY 1
+)
+SELECT s.doc_id,
+       s.n_tokens,
+       round(1.0 - s.n_distinct * 1.0 / s.n_tokens, 4) AS repeated_token_frac,
+       coalesce(b.top_bigram, '') AS top_bigram,
+       round(coalesce(b.top_chars, 0) * 1.0 / s.n_chars, 4)
+         AS top_bigram_frac,
+       round(least(1.0, coalesce(d.dup_chars, 0) * 1.0 / s.n_chars), 4)
+         AS dup_trigram_frac,
+       CASE
+         WHEN round(coalesce(b.top_chars, 0) * 1.0 / s.n_chars, 4) > 0.08
+           THEN 'bigram_loop'
+         WHEN round(least(1.0, coalesce(d.dup_chars, 0) * 1.0 / s.n_chars), 4)
+                > 0.10
+           THEN 'trigram_dup'
+         ELSE 'keep'
+       END AS verdict
+FROM stats s
+LEFT JOIN top_bg b USING (doc_id)
+LEFT JOIN dup_tg d USING (doc_id)
+"""
+
+
+_MINHASH_MD5_K = 16
+_MINHASH_MD5_BANDS = 4
+_MINHASH_MD5_THRESHOLD = 0.8
+
+
+def _q_minhash_md5(spark, sf_dir):
+    """The md5-family MinHash+LSH variant — bit-identical in DuckDB, so
+    banded candidate generation AND Jaccard verification get a full
+    hash oracle (the xxhash64 production path above stays rows-only by
+    design). Same 3-token shingles/threshold as dedup_minhash_lsh."""
+    return dedup.minhash_near_duplicates_md5(
+        _docs(spark, sf_dir),
+        num_hashes=_MINHASH_MD5_K,
+        bands=_MINHASH_MD5_BANDS,
+        threshold=_MINHASH_MD5_THRESHOLD,
+        shingle=3,
+    )
+
+
+def _minhash_md5_sql() -> str:
+    """ANSI twin of minhash_near_duplicates_md5: list comprehensions
+    reproduce the signature projection, a UNION ALL over bands the
+    band explode, list_intersect the verify."""
+    k, bands = _MINHASH_MD5_K, _MINHASH_MD5_BANDS
+    rows = k // bands
+    mh_cols = ",\n         ".join(
+        f"list_aggregate([md5('{i}|' || h) for h in h0], 'min') AS mh{i}"
+        for i in range(k)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band_id, md5(concat_ws('|', {cols})) AS bucket "
+        "FROM sigs".format(
+            b=b, cols=", ".join(f"mh{b * rows + j}" for j in range(rows))
+        )
+        for b in range(bands)
+    )
+    thr = _MINHASH_MD5_THRESHOLD
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i+1:i+3], ' ')
+                        for i in generate_series(0, greatest(len(t) - 3, 0))]
+                      ) AS sset
+  FROM toks
+),
+h0t AS (SELECT doc_id, sset, [md5(s) for s in sset] AS h0 FROM sh),
+sigs AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM h0t
+),
+banded AS (
+  {band_selects}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sized AS (SELECT doc_id, len(sset) AS n, sset FROM sh),
+scored AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.sset, sb.sset)) * 1.0 /
+           (sa.n + sb.n - len(list_intersect(sa.sset, sb.sset))) AS j
+  FROM cands
+  JOIN sized sa ON doc_a = sa.doc_id
+  JOIN sized sb ON doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM scored WHERE j >= {thr}
+"""
+
+
 def _q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(
         _docs(spark, sf_dir), max_hamming=8, shingle=3
@@ -939,6 +1079,11 @@ QUERIES: dict[str, QuerySpec] = {
         _q_minhash_near_dups, None,
         "MinHash+LSH banded candidates verified by exact Jaccard (scale path)",
     ),
+    "dedup_minhash_md5": QuerySpec(
+        _q_minhash_md5, _minhash_md5_sql(),
+        "MinHash+LSH with the md5 hash family — same banded plan, "
+        "hash-exact DuckDB oracle pinning LSH + verify semantics",
+    ),
     "dedup_simhash_pairs": QuerySpec(
         _q_simhash_pairs, None,
         "SimHash banded blocking, Hamming ≤8 near pairs",
@@ -951,6 +1096,11 @@ QUERIES: dict[str, QuerySpec] = {
     "token_stats": QuerySpec(
         _q_token_stats, _TOKEN_STATS_SQL,
         "per-doc token counting incl. BPE-ish estimate",
+    ),
+    "repetition_signals": QuerySpec(
+        _q_repetition_signals, _REPETITION_SQL,
+        "Gopher-style repetition filters: repeated-token fraction, "
+        "top-bigram and duplicated-trigram char coverage + verdict",
     ),
     "quality_scores": QuerySpec(
         _q_quality_scores, _QUALITY_SQL,
@@ -999,7 +1149,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "embedding_near_dups": QuerySpec(
         _q_embedding_near_dups, None,
-        "embedding-cosine near-dup pairs via LSH bands, verified ≥0.95",
+        "embedding-cosine near-dup pairs via LSH bands; gate verifies at "
+        "0.4 (top of the random-cosine distribution so the verify path "
+        "has real output), production setting is ≥0.95",
     ),
     "quality_quantile_sketch": QuerySpec(
         _q_quality_quantile_sketch, _QUANTILE_SKETCH_SQL,

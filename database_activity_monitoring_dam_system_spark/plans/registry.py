@@ -45,6 +45,8 @@ def _pin_utc(fn: QueryFn) -> QueryFn:
 # keeps its module order after the prefix.  Nothing is lost if the cap is
 # larger than the registry.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    "dedup_minhash_md5",
+    "repetition_signals",
     "token_stats",
     "quality_scores",
     "lang_agreement",

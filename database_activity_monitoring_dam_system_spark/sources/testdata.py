@@ -57,6 +57,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+            # Some testdata generations write µs TIMESTAMP_NTZ instead of
+            # int64 nanos. Normalize to the engine schema's TimestampType
+            # (schemas.py:142) — value-identical under the pinned-UTC
+            # session, and keeps every downstream type check
+            # (isoformat export, streaming watermarks) on one type.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return _maybe_split(spark, df, name)
     return _maybe_split(spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"), name)
 

@@ -206,13 +206,20 @@ def read_rate_state(
     """Latest snapshot strictly before ``batch_id`` (a retried batch
     must re-seed from its PREDECESSOR's state, not its own failed
     attempt). Duplicate rows from a half-written retry partition are
-    collapsed — the computation is deterministic, so copies agree."""
-    from pyspark.errors import AnalysisException
+    collapsed — the computation is deterministic, so copies agree.
 
-    try:
-        snap = spark.read.parquet(state_dir)
-    except AnalysisException:
+    Existence is probed through the Hadoop FileSystem API (works on
+    local paths, HDFS, and object stores alike): on batch 0 nothing
+    has been written yet, and depending on the source the missing-path
+    error can surface lazily as FileNotFoundException inside the
+    foreachBatch action — where it would kill the stream — rather
+    than as AnalysisException at read time."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
         return None
+    snap = spark.read.parquet(state_dir)
     prior = snap.filter(F.col("batch_id") < batch_id)
     latest = prior.agg(F.max("batch_id")).first()[0]
     if latest is None:

@@ -42,6 +42,54 @@ def test_minhash_subset_of_exact_jaccard(spark):
         assert recall >= 0.8, f"minhash recall too low: {recall:.2f}"
 
 
+def test_minhash_md5_matches_hash_family_semantics(spark):
+    """The md5-family variant (the oracle-checkable path) keeps the
+    production path's contract: verified pairs ⊆ exact shingle-Jaccard
+    pairs at θ, with decent recall. Run at the gate's 3-shingle/0.8
+    settings so this pins the exact configuration the driver hashes."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_pairs(
+            _docs(spark), block_col=None, threshold=0.8, shingle=3
+        ).collect()
+    }
+    md5_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_near_duplicates_md5(_docs(spark)).collect()
+    }
+    assert md5_pairs <= exact
+    if exact:
+        recall = len(md5_pairs) / len(exact)
+        assert recall >= 0.8, f"md5 minhash recall too low: {recall:.2f}"
+
+
+def test_repetition_signals_hand_computed(spark):
+    """'a b a b a b' (11 chars): tokens 6, distinct 2 →
+    repeated_token_frac 4/6; bigrams: 'a b'×3, 'b a'×2 → top 'a b',
+    coverage 3·3/11; trigrams: 'a b a'×2, 'b a b'×2 → dup chars
+    (2+2)·5/11 (capped at 1)."""
+    from database_activity_monitoring_dam_system_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z w")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in textops.repetition_signals(docs).collect()}
+    r1 = rows[1]
+    assert r1.repeated_token_frac == round(4 / 6, 4)
+    assert r1.top_bigram == "a b"
+    assert r1.top_bigram_frac == round(9 / 11, 4)
+    assert r1.dup_trigram_frac == 1.0  # 20/11 capped
+    assert r1.verdict == "bigram_loop"
+    r2 = rows[2]  # all tokens unique: no repetition, no dup trigrams
+    assert r2.repeated_token_frac == 0.0
+    # every bigram cnt=1: tie broken to the lexicographic min 'x y';
+    # short docs legitimately exceed the char-coverage cap — the
+    # Gopher filters are calibrated for long documents
+    assert r2.top_bigram == "x y"
+    assert r2.top_bigram_frac == round(3 / 7, 4)
+    assert r2.dup_trigram_frac == 0.0
+
+
 def test_simhash_pairs_have_low_hamming(spark):
     rows = dedup.simhash_near_pairs(_docs(spark), max_hamming=8).collect()
     assert all(0 <= r.hamming <= 8 for r in rows)

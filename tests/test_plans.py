@@ -90,6 +90,17 @@ def test_heavy_hitters_window_after_aggregate(spark):
     assert win_at < agg_at  # executed-plan string prints consumers first
 
 
+def test_interval_join_stays_equi_join(spark):
+    """The bin-bucketed rewrite exists precisely so ts-BETWEEN never
+    plans as a nested-loop join; if a refactor loses the bin equi-key,
+    Catalyst silently falls back to BroadcastNestedLoopJoin — O(N·M)
+    and a driver-killer once the interval side grows."""
+    plan = _plan(spark, "interval_join_windows")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # the equi-join survived (hash or sort-merge)
+
+
 def test_pii_scrub_is_pure_projection(spark):
     plan = _plan(spark, "pii_scrub")
     assert "Exchange" not in plan
