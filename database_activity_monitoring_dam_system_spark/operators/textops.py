@@ -113,11 +113,15 @@ def repetition_signals(
       than once, capped at 1.0 (same shortcut);
     * ``verdict`` — first-match filter decision at the given caps.
 
-    Plan shape: one projection builds positional bigram+trigram
-    arrays, ONE explode feeds a (doc, n, gram) hash count with
-    map-side combine (vocabulary ≪ corpus), the top-bigram rank
-    window runs over that aggregated table only, and the per-doc
-    stats join back. Linear in corpus size; no Python.
+    Plan shape: a PURE PROJECTION — the signals are all per-doc, so no
+    cross-row aggregation exists to shuffle for. Each n-gram array is
+    sorted and folded with ``F.aggregate`` (JVM higher-order function,
+    no Python): equal grams become adjacent runs, the top bigram is
+    the first longest run (sorted order ⇒ lexicographically-smallest
+    tie-break, same deterministic order a rank window over counts
+    would give), and duplicated-trigram chars accumulate as runs pass
+    length 2. Zero shuffles, zero joins — scan-parallel at any corpus
+    size; per-row cost is O(k log k) for docs of k tokens.
     """
     toks = _tokens(text_col)
     sz = F.size(toks)
@@ -134,75 +138,89 @@ def repetition_signals(
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    base = docs.select(
+    def _run(acc: Column, x: Column) -> Column:
+        return F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(
+            F.lit(1)
+        )
+
+    def top_fold(arr: Column) -> Column:
+        """(bestcnt, bestgram) of the mode; first max in sorted order
+        wins ties → lexicographically smallest gram."""
+
+        def step(acc: Column, x: Column) -> Column:
+            new_run = _run(acc, x)
+            better = new_run > acc["bestcnt"]
+            return F.struct(
+                x.alias("prev"),
+                new_run.alias("run"),
+                F.when(better, new_run).otherwise(acc["bestcnt"]).alias("bestcnt"),
+                F.when(better, x).otherwise(acc["bestgram"]).alias("bestgram"),
+            )
+
+        init = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("bestcnt"),
+            F.lit("").alias("bestgram"),
+        )
+        return F.aggregate(F.array_sort(arr), init, step)
+
+    def dup_fold(arr: Column) -> Column:
+        """Chars covered by grams whose run length reaches ≥2: +2·len
+        when a run hits 2, +len for each further repeat."""
+
+        def step(acc: Column, x: Column) -> Column:
+            new_run = _run(acc, x)
+            add = (
+                F.when(new_run == 2, F.length(x) * 2)
+                .when(new_run > 2, F.length(x))
+                .otherwise(F.lit(0))
+            )
+            return F.struct(
+                x.alias("prev"),
+                new_run.alias("run"),
+                (acc["dup"] + add.cast("long")).alias("dup"),
+            )
+
+        init = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).cast("long").alias("dup"),
+        )
+        return F.aggregate(F.array_sort(arr), init, step)
+
+    # two-stage select so the folds are named once and the derived
+    # fractions reference the named columns (CollapseProject keeps
+    # non-cheap expressions from being inlined twice)
+    mid = docs.select(
         F.col(id_col).alias("doc_id"),
         F.length(F.col(text_col)).alias("n_chars"),
         sz.cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
-        grams(2).alias("_g2"),
-        grams(3).alias("_g3"),
-    )
-    tagged = F.concat(
-        F.transform(
-            "_g2", lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram"))
-        ),
-        F.transform(
-            "_g3", lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram"))
-        ),
-    )
-    counts = (
-        base.select("doc_id", F.explode(tagged).alias("g"))
-        .groupBy("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-        .agg(F.count("*").alias("cnt"))
-    )
-    top_w = Window.partitionBy("doc_id").orderBy(
-        F.col("cnt").desc(), F.col("gram")
-    )
-    top_bigram = (
-        counts.filter(F.col("n") == 2)
-        .withColumn("_rn", F.row_number().over(top_w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "doc_id",
-            F.col("gram").alias("top_bigram"),
-            (F.col("cnt") * F.length("gram")).alias("_top_chars"),
-        )
-    )
-    dup_tri = (
-        counts.filter((F.col("n") == 3) & (F.col("cnt") >= 2))
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("cnt") * F.length("gram")).alias("_dup_chars"))
+        top_fold(grams(2)).alias("_t2"),
+        dup_fold(grams(3)).alias("_d3"),
     )
     top_frac = F.round(
-        F.coalesce(F.col("_top_chars"), F.lit(0)) / F.col("n_chars"), 4
+        (F.col("_t2.bestcnt") * F.length("_t2.bestgram")) / F.col("n_chars"), 4
     )
     dup_frac = F.round(
-        F.least(
-            F.lit(1.0),
-            F.coalesce(F.col("_dup_chars"), F.lit(0)) / F.col("n_chars"),
-        ),
-        4,
+        F.least(F.lit(1.0), F.col("_d3.dup") / F.col("n_chars")), 4
     )
     verdict = (
         F.when(top_frac > top_bigram_max, "bigram_loop")
         .when(dup_frac > dup_trigram_max, "trigram_dup")
         .otherwise("keep")
     )
-    return (
-        base.select("doc_id", "n_chars", "n_tokens", "n_distinct")
-        .join(top_bigram, "doc_id", "left")
-        .join(dup_tri, "doc_id", "left")
-        .select(
-            F.col("doc_id"),
-            F.col("n_tokens"),
-            F.round(
-                F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens"), 4
-            ).alias("repeated_token_frac"),
-            F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
-            top_frac.alias("top_bigram_frac"),
-            dup_frac.alias("dup_trigram_frac"),
-            verdict.alias("verdict"),
-        )
+    return mid.select(
+        F.col("doc_id"),
+        F.col("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens"), 4
+        ).alias("repeated_token_frac"),
+        F.col("_t2.bestgram").alias("top_bigram"),
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_trigram_frac"),
+        verdict.alias("verdict"),
     )
 
 

@@ -101,6 +101,16 @@ def test_interval_join_stays_equi_join(spark):
     assert "Join" in plan  # the equi-join survived (hash or sort-merge)
 
 
+def test_repetition_signals_is_pure_projection(spark):
+    """All signals are per-doc: the sorted-array run-length folds keep
+    the whole operator a projection. An Exchange or Join appearing
+    here means someone reintroduced the explode+groupBy formulation —
+    a full-corpus shuffle at 100 TB for a per-row computation."""
+    plan = _plan(spark, "repetition_signals")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
 def test_pii_scrub_is_pure_projection(spark):
     plan = _plan(spark, "pii_scrub")
     assert "Exchange" not in plan
