@@ -424,6 +424,124 @@ def simhash_fingerprints(
     return agg.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+def simhash_md5_fingerprints(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    shingle: int = 1,
+) -> DataFrame:
+    """simhash_fingerprints with the token hash drawn from md5 instead
+    of xxhash64 — the oracle-reproducible variant (any engine with md5
+    and integer shifts derives identical bits). The 64 hash bits are
+    the first 16 hex chars parsed as two 32-bit halves, and the
+    fingerprint is emitted as (sh_hi, sh_lo) 32-bit halves rather than
+    one packed long, so no engine needs a sign-bit-overflowing 1<<63.
+    Same plan shape as the production path: one explode, a ±1 bit
+    projection (its own stage, janino-safe), one 64-sum hash agg."""
+    toks = token_arrays(
+        docs, id_col=id_col, text_col=text_col, shingle=shingle
+    ).select(F.col(id_col), F.explode("toks").alias("tok"))
+    h = F.md5(F.col("tok"))
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+
+    def bit(src: F.Column, i: int) -> F.Column:
+        return F.when(
+            F.shiftright(src, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = toks.withColumns(
+        {f"_s{i}": bit(lo, i) for i in range(32)}
+        | {f"_s{i + 32}": bit(hi, i) for i in range(32)}
+    )
+    agg = bits.groupBy(id_col).agg(
+        *[F.sum(f"_s{i}").alias(f"b{i}") for i in range(64)]
+    )
+
+    def pack(offset: int) -> F.Column:
+        return reduce(
+            lambda acc, i: acc.bitwiseOR(
+                F.when(
+                    F.col(f"b{i + offset}") > 0,
+                    F.shiftleft(F.lit(1).cast("long"), i),
+                ).otherwise(F.lit(0).cast("long"))
+            ),
+            range(32),
+            F.lit(0).cast("long"),
+        )
+
+    return agg.select(
+        F.col(id_col), pack(32).alias("sh_hi"), pack(0).alias("sh_lo")
+    )
+
+
+def simhash_near_pairs_md5(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 12,
+    shingle: int = 1,
+) -> DataFrame:
+    """simhash_near_pairs over the md5 hash family: banded blocking on
+    the four 16-bit chunks of the (sh_hi, sh_lo) fingerprint halves,
+    exact Hamming verify as the sum of two 32-bit popcounts. Fixed at
+    4 bands (the 16-bit-chunk pigeonhole standard); every stage is
+    ANSI-expressible, giving the SimHash pipeline a hash-exact DuckDB
+    oracle the xxhash64 path cannot have."""
+    fp = simhash_md5_fingerprints(
+        docs, id_col=id_col, text_col=text_col, shingle=shingle
+    )
+    mask = (1 << 16) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.shiftright(F.col(half), off)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk"),
+            )
+            for bi, (half, off) in enumerate(
+                [("sh_lo", 0), ("sh_lo", 16), ("sh_hi", 0), ("sh_hi", 16)]
+            )
+        ]
+    )
+    banded = (
+        fp.select(
+            F.col(id_col), "sh_hi", "sh_lo", F.explode(band_structs).alias("band")
+        )
+        .select(id_col, "sh_hi", "sh_lo", "band.band_id", "band.chunk")
+        # the 64-sum aggregate is the expensive stage; materialize so
+        # the self-join doesn't run it twice
+        .localCheckpoint(eager=False)
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.sh_hi").alias("hi_a"),
+            F.col("a.sh_lo").alias("lo_a"),
+            F.col("b.sh_hi").alias("hi_b"),
+            F.col("b.sh_lo").alias("lo_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     *,

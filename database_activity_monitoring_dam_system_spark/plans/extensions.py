@@ -7,10 +7,15 @@ Oracle notes:
 * cosine uses a sequential double fold on both sides (Spark
   aggregate/zip_with vs DuckDB list_dot_product on DOUBLE[]) — ranking
   windows order by the UNROUNDED value in both engines;
-* MinHash/SimHash/LSH entries have no oracle (xxhash64 is
-  engine-specific) → driver records rows-only checks; their semantics
-  are pinned by unit tests against the exact-Jaccard/brute-force
-  baselines instead.
+* xxhash64-based entries (dedup_minhash_lsh, dedup_simhash_pairs,
+  cms_heavy_hitters, hll_distinct_sketch) have no oracle — the hash is
+  engine-specific → driver records rows-only checks; each has an
+  md5-family twin with a FULL oracle (dedup_minhash_md5,
+  dedup_simhash_md5, hll_md5_distinct) pinning the identical plan
+  cross-engine, plus unit tests against exact baselines;
+* the embedding LSH entries ARE fully oracled: the hyperplanes are
+  closed-form ±1 literals (similarity._hyperplane), no engine-specific
+  hash anywhere in that pipeline.
 """
 
 from __future__ import annotations
@@ -247,6 +252,101 @@ scored AS (
   JOIN sized sb ON doc_b = sb.doc_id
 )
 SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM scored WHERE j >= {thr}
+"""
+
+
+_SIMHASH_MD5_MAX_HAMMING = 8
+
+
+def _q_simhash_md5(spark, sf_dir):
+    """The md5-family SimHash variant (same 3-shingle/Hamming-8
+    settings as dedup_simhash_pairs) — every stage ANSI-expressible,
+    so banded blocking AND the exact Hamming verify get a full hash
+    oracle; the xxhash64 production path stays rows-only by design."""
+    return dedup.simhash_near_pairs_md5(
+        _docs(spark, sf_dir),
+        max_hamming=_SIMHASH_MD5_MAX_HAMMING,
+        shingle=3,
+    )
+
+
+def _simhash_md5_sql() -> str:
+    """ANSI twin of simhash_near_pairs_md5. The 64 hash bits per
+    shingle are the first 16 md5 hex chars as nibble values (char p,
+    bit k) — bit i of the low 32-bit half lives at char 16 - i//4,
+    bit i of the high half at char 8 - i//4 — majority-voted into two
+    32-bit fingerprint halves, banded into four 16-bit chunks."""
+    hexpos = "strpos('0123456789abcdef', substr(h, {p}, 1)) - 1"
+    nibs = ",\n         ".join(
+        f"({hexpos.format(p=p)}) AS v{p}" for p in range(1, 17)
+    )
+
+    def vote(j: int) -> str:
+        if j < 32:
+            p, k = 16 - j // 4, j % 4
+        else:
+            i = j - 32
+            p, k = 8 - i // 4, i % 4
+        return (
+            f"sum(CASE WHEN ((v{p} >> {k}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}"
+        )
+
+    sums = ",\n         ".join(vote(j) for j in range(64))
+    sh_lo = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i in range(32)
+    )
+    sh_hi = " + ".join(
+        f"(CASE WHEN b{i + 32} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i in range(32)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, sh_hi, sh_lo, {bi} AS band_id, "
+        f"(({half} >> {off}) & 65535) AS chunk FROM halves"
+        for bi, (half, off) in enumerate(
+            [("sh_lo", 0), ("sh_lo", 16), ("sh_hi", 0), ("sh_hi", 16)]
+        )
+    )
+    return rf"""
+WITH toks0 AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+shs AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i+1:i+3], ' ')
+                        for i in generate_series(0, greatest(len(t) - 3, 0))]
+                      ) AS ss
+  FROM toks0
+),
+hx AS (SELECT doc_id, md5(unnest(ss)) AS h FROM shs),
+nib AS (
+  SELECT doc_id,
+         {nibs}
+  FROM hx
+),
+sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM nib GROUP BY doc_id
+),
+halves AS (
+  SELECT doc_id, {sh_lo} AS sh_lo, {sh_hi} AS sh_hi FROM sums
+),
+banded AS (
+  {band_selects}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sh_hi AS hi_a, a.sh_lo AS lo_a, b.sh_hi AS hi_b, b.sh_lo AS lo_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       (bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)))::INTEGER
+         AS hamming
+FROM pairs
+WHERE (bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)))
+        <= {_SIMHASH_MD5_MAX_HAMMING}
 """
 
 
@@ -547,6 +647,83 @@ def _q_lsh_ann_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, _QUERY_IDS, k=10)
 
 
+def _emb_sig_ctes(planes: int = 24, dim: int = 64, band_bits: int = 4) -> str:
+    """Shared CTE block reproducing similarity.lsh_signatures + band
+    split in ANSI SQL: the hyperplanes are closed-form ±1 literals
+    (similarity._hyperplane — seeded integer arithmetic, no RNG), so
+    the sign bits and 4-bit band chunks derive bit-identically via
+    list_dot_product's left-to-right fold (the same parity
+    embedding_topk's oracle already pins)."""
+    n_bands = planes // band_bits
+
+    def arr(i: int) -> str:
+        comps = similarity._hyperplane(i, dim)
+        return "[" + ", ".join(f"{c:.1f}" for c in comps) + "]"
+
+    bit_cols = ",\n         ".join(
+        f"(CASE WHEN list_dot_product(v, {arr(i)}) >= 0 "
+        f"THEN 1 ELSE 0 END) AS bit{i}"
+        for i in range(planes)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT vec_id, {b} AS band_id, ({expr}) AS chunk FROM bits".format(
+            b=b,
+            expr=" + ".join(
+                f"{1 << j} * bit{b * band_bits + j}" for j in range(band_bits)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+norms AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus
+),
+bits AS (
+  SELECT vec_id,
+         {bit_cols}
+  FROM corpus
+),
+banded AS (
+  {band_selects}
+)"""
+
+
+def _lsh_ann_sql() -> str:
+    """ANSI twin of lsh_topk over the shared signature CTEs."""
+    k = 10
+    qids = ", ".join(str(i) for i in _QUERY_IDS)
+    return f"""
+WITH {_emb_sig_ctes()},
+qb AS (
+  SELECT vec_id AS query_id, band_id, chunk FROM banded
+  WHERE vec_id IN ({qids})
+),
+cands AS (
+  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+  FROM banded b JOIN qb q USING (band_id, chunk)
+  WHERE b.vec_id != q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(qn.v, nn.v) / (qn.nrm * nn.nrm) AS cosine
+  FROM cands c
+  JOIN norms nn ON nn.vec_id = c.neighbor_id
+  JOIN norms qn ON qn.vec_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q_ivf_ann_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
@@ -718,6 +895,25 @@ def _q_embedding_near_dups(spark, sf_dir):
     )
 
 
+_EMB_NEAR_DUP_SQL_THRESHOLD = 0.4
+
+_EMB_NEAR_DUPS_SQL = f"""
+WITH {_emb_sig_ctes()},
+cands AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) AS cosine
+FROM cands
+JOIN norms na ON na.vec_id = vec_a
+JOIN norms nb ON nb.vec_id = vec_b
+WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm)
+        >= {_EMB_NEAR_DUP_SQL_THRESHOLD}
+"""
+
+
 _SKETCH_QUANTILES = [0.5, 0.9, 0.99]
 
 
@@ -765,6 +961,66 @@ def _q_hll_distinct_sketch(spark, sf_dir):
         F.approx_count_distinct("source").alias("approx_sources"),
         F.count("*").alias("cnt"),
     )
+
+
+def _q_hll_md5(spark, sf_dir):
+    """Hand-rolled md5-family HLL per lang over doc_id values — the
+    oracle-checkable twin of hll_distinct_sketch: registers, the exact
+    scaled harmonic sum (bigint), and the bias-corrected estimate all
+    reproduce bit-identically in DuckDB."""
+    return sketches.hll_md5_distinct(
+        _docs(spark, sf_dir), ["lang"], "doc_id"
+    )
+
+
+_HLL_MD5_SQL = r"""
+WITH hx AS (
+  SELECT lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+),
+parts AS (
+  SELECT lang,
+         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+         substr(h, 3, 8) AS tail
+  FROM hx
+),
+leads AS (
+  SELECT lang, bucket,
+         len(regexp_extract(tail, '^0*')) AS lead,
+         strpos('0123456789abcdef',
+                substr(tail, len(regexp_extract(tail, '^0*')) + 1, 1)) - 1 AS v
+  FROM parts
+),
+rhos AS (
+  SELECT lang, bucket,
+         CASE WHEN lead >= 8 THEN 33
+              ELSE lead * 4
+                   + (CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1
+                           WHEN v >= 2 THEN 2 ELSE 3 END) + 1
+         END AS rho
+  FROM leads
+),
+regs AS (SELECT lang, bucket, max(rho) AS r FROM rhos GROUP BY 1, 2),
+agg AS (
+  SELECT lang,
+         (sum(1::BIGINT << (33 - r))
+            + (256 - count(*)) * (1::BIGINT << 33))::BIGINT AS harmonic_scaled,
+         (256 - count(*))::INTEGER AS zero_registers
+  FROM regs GROUP BY 1
+),
+rawed AS (
+  SELECT lang, zero_registers, harmonic_scaled,
+         (0.7213 / (1 + 1.079 / 256)) * 256 * 256 * (1::BIGINT << 33)
+           / harmonic_scaled AS raw
+  FROM agg
+)
+SELECT lang,
+       round(CASE WHEN raw <= 640.0 AND zero_registers > 0
+                  THEN 256.0 * ln(256.0 / zero_registers)
+                  ELSE raw END, 2) AS est_distinct,
+       zero_registers, harmonic_scaled
+FROM rawed
+"""
 
 
 def _q_heavy_hitters(spark, sf_dir):
@@ -967,10 +1223,12 @@ def _q_semantic_dedup_reps(spark, sf_dir):
     """Semantic (embedding-space) dedup end-to-end: LSH near-dup pairs
     → connected components → keep only each cluster's min-id
     representative — the full SemDeDup-style pass over the corpus,
-    reported as kept-representative counts per label. Rows-only
-    (pairs come from the engine-specific LSH path); the partition
+    reported as kept-representative counts per label. Full oracle:
+    the pair stage uses closed-form hyperplanes (no engine-specific
+    hash) and the clustering pins to a recursive-CTE transitive
+    closure, the same construction as dedup_clusters; the partition
     property (reps ∪ dropped = corpus, no surviving near-dup pair) is
-    unit-tested."""
+    additionally unit-tested."""
     from pyspark.sql import functions as F
 
     pairs = _q_embedding_near_dups(spark, sf_dir).select(
@@ -986,6 +1244,44 @@ def _q_semantic_dedup_reps(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     kept = emb.join(dropped, "vec_id", "left_anti")
     return kept.groupBy("label").agg(F.count("*").alias("n_kept"))
+
+
+_SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE {_emb_sig_ctes()},
+cands AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT vec_a AS doc_a, vec_b AS doc_b
+  FROM cands
+  JOIN norms na ON na.vec_id = vec_a
+  JOIN norms nb ON nb.vec_id = vec_b
+  WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm)
+          >= {_EMB_NEAR_DUP_SQL_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+dropped AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
+SELECT e.label, count(*) AS n_kept
+FROM embeddings e
+LEFT JOIN dropped d ON e.vec_id = d.doc_id
+WHERE d.doc_id IS NULL
+GROUP BY e.label
+"""
 
 
 def _q_cms_heavy_hitters(spark, sf_dir):
@@ -1009,6 +1305,85 @@ def _q_cms_heavy_hitters(spark, sf_dir):
         sketch, exact.select("token"), depth=4, width=1024
     )
     return exact.join(est, "token").select("token", "cnt", "est_cnt")
+
+
+_CMS_MD5_DEPTH = 4
+_CMS_MD5_WIDTH = 1024
+
+
+def _q_cms_md5_heavy_hitters(spark, sf_dir):
+    """cms_heavy_hitters with the md5 bucket family — identical plan
+    (one-pass fixed-size sketch, broadcast estimate join), full DuckDB
+    oracle pinning bucket derivation and the min-over-depth estimate;
+    the xxhash64 production path stays rows-only by design."""
+    from pyspark.sql import functions as F
+
+    tokens = _docs(spark, sf_dir).select(
+        F.explode(textops._norm_tokens("text")).alias("token")
+    )
+    exact = (
+        tokens.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
+    )
+    sketch = sketches.cms_build(
+        tokens, depth=_CMS_MD5_DEPTH, width=_CMS_MD5_WIDTH, hash_family="md5"
+    )
+    est = sketches.cms_estimate(
+        sketch,
+        exact.select("token"),
+        depth=_CMS_MD5_DEPTH,
+        width=_CMS_MD5_WIDTH,
+        hash_family="md5",
+    )
+    return exact.join(est, "token").select("token", "cnt", "est_cnt")
+
+
+def _cms_md5_sql() -> str:
+    """ANSI twin of the md5-family CMS pipeline: bucket = first 3 md5
+    hex chars (nibble arithmetic, 12 bits) mod width, counters per
+    (d, bucket), estimate = min over depth counters."""
+    d, w = _CMS_MD5_DEPTH, _CMS_MD5_WIDTH
+    nib = "(strpos('0123456789abcdef', substr(md5('{i}|' || token), {p}, 1)) - 1)"
+
+    def bucket(i: int) -> str:
+        return (
+            "(("
+            + " + ".join(
+                f"{nib.format(i=i, p=p)} * {16 ** (3 - p)}" for p in (1, 2, 3)
+            )
+            + f") % {w})"
+        )
+
+    counter_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT {i} AS d, {bucket(i)} AS bucket, count(*) AS cnt "
+        "FROM toks GROUP BY 2"
+        for i in range(d)
+    )
+    cand_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT token, cnt, {i} AS d, {bucket(i)} AS bucket FROM top"
+        for i in range(d)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT t.token FROM documents,
+       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(token)
+  WHERE t.token != ''
+),
+counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+top AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 20),
+counters AS (
+  {counter_selects}
+),
+cand AS (
+  {cand_selects}
+)
+SELECT c.token, c.cnt, min(coalesce(ctr.cnt, 0))::BIGINT AS est_cnt
+FROM cand c
+LEFT JOIN counters ctr ON ctr.d = c.d AND ctr.bucket = c.bucket
+GROUP BY c.token, c.cnt
+"""
 
 
 def _q_kmeans_clusters(spark, sf_dir):
@@ -1053,14 +1428,20 @@ QUERIES: dict[str, QuerySpec] = {
         "add-one-smoothed corpus bigram LM fluency scores per doc",
     ),
     "semantic_dedup_reps": QuerySpec(
-        _q_semantic_dedup_reps, None,
+        _q_semantic_dedup_reps, _SEMANTIC_DEDUP_SQL,
         "SemDeDup-style pass: LSH near-dup pairs → connected components "
-        "→ per-label kept-representative counts",
+        "→ per-label kept-representative counts — full oracle "
+        "(closed-form hyperplanes + recursive-CTE closure)",
     ),
     "cms_heavy_hitters": QuerySpec(
         _q_cms_heavy_hitters, None,
         "count-min sketch point estimates vs exact top-20 token counts "
         "(mergeable fixed-size frequency summary)",
+    ),
+    "cms_md5_heavy_hitters": QuerySpec(
+        _q_cms_md5_heavy_hitters, _cms_md5_sql(),
+        "count-min sketch with the md5 bucket family — same one-pass "
+        "plan, full DuckDB oracle pinning buckets and min-over-depth",
     ),
     "kmeans_clusters": QuerySpec(
         _q_kmeans_clusters, None,
@@ -1087,6 +1468,11 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_simhash_pairs": QuerySpec(
         _q_simhash_pairs, None,
         "SimHash banded blocking, Hamming ≤8 near pairs",
+    ),
+    "dedup_simhash_md5": QuerySpec(
+        _q_simhash_md5, _simhash_md5_sql(),
+        "SimHash with the md5 hash family — same banded plan, hash-exact "
+        "DuckDB oracle pinning per-bit votes, banding, and Hamming verify",
     ),
     "dedup_clusters": QuerySpec(
         _q_dedup_clusters, _CLUSTERS_SQL,
@@ -1134,8 +1520,10 @@ QUERIES: dict[str, QuerySpec] = {
         "brute-force cosine top-10 (double-fold parity)",
     ),
     "embedding_ann_lsh": QuerySpec(
-        _q_lsh_ann_topk, None,
-        "random-hyperplane LSH ANN top-10 (scale path; recall vs brute force unit-tested)",
+        _q_lsh_ann_topk, _lsh_ann_sql(),
+        "random-hyperplane LSH ANN top-10 (scale path; recall vs brute "
+        "force unit-tested) — full oracle since the hyperplanes are "
+        "closed-form literals",
     ),
     "embedding_ann_ivf": QuerySpec(
         _q_ivf_ann_topk, _IVF_SQL,
@@ -1148,15 +1536,21 @@ QUERIES: dict[str, QuerySpec] = {
         "(deterministic stub decode, element-projected, exact oracle)",
     ),
     "embedding_near_dups": QuerySpec(
-        _q_embedding_near_dups, None,
-        "embedding-cosine near-dup pairs via LSH bands; gate verifies at "
-        "0.4 (top of the random-cosine distribution so the verify path "
-        "has real output), production setting is ≥0.95",
+        _q_embedding_near_dups, _EMB_NEAR_DUPS_SQL,
+        "embedding-cosine near-dup pairs via LSH bands — full oracle "
+        "(closed-form hyperplanes); gate verifies at 0.4 (top of the "
+        "random-cosine distribution so the verify path has real "
+        "output), production setting is ≥0.95",
     ),
     "quality_quantile_sketch": QuerySpec(
         _q_quality_quantile_sketch, _QUANTILE_SKETCH_SQL,
         "mergeable GK quantile sketch, posexploded; exact vs quantile_disc "
         "at gate scale (buffer uncompressed)",
+    ),
+    "hll_md5_distinct": QuerySpec(
+        _q_hll_md5, _HLL_MD5_SQL,
+        "hand-rolled md5-family HLL: registers, exact scaled harmonic "
+        "sum, bias-corrected estimate — full DuckDB oracle",
     ),
     "hll_distinct_sketch": QuerySpec(
         _q_hll_distinct_sketch, None,

@@ -46,6 +46,7 @@ def _pin_utc(fn: QueryFn) -> QueryFn:
 # larger than the registry.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_md5",
+    "dedup_simhash_md5",
     "repetition_signals",
     "token_stats",
     "quality_scores",
@@ -61,6 +62,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_near_dups",
     "quality_quantile_sketch",
     "hll_distinct_sketch",
+    "hll_md5_distinct",
+    "semantic_dedup_reps",
+    "cms_md5_heavy_hitters",
 )
 
 

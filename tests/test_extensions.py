@@ -96,6 +96,25 @@ def test_simhash_pairs_have_low_hamming(spark):
     assert all(r.doc_a < r.doc_b for r in rows)
 
 
+def test_simhash_md5_identical_docs_hamming_zero(spark):
+    """Identical texts hash to identical md5-family fingerprints (the
+    banded join must surface them at Hamming 0); near-identical texts
+    stay within a small Hamming distance of each other."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark filter join group sort merge window batch stream"),
+            (2, "spark filter join group sort merge window batch stream"),
+            (3, "completely different words entirely unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_near_pairs_md5(docs, max_hamming=64).collect()
+    }
+    assert rows.get((1, 2)) == 0
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     qids = [0, 1, 2, 3, 4]
@@ -392,6 +411,25 @@ def test_interval_join_matches_theta_join(spark):
         n_events - len(matched_events)
     )
     assert left.count() == len(naive) + n_events - len(matched_events)
+
+
+def test_hll_md5_accuracy_both_branches(spark):
+    """The hand-rolled md5 HLL estimates within the m=256 error bound
+    on the harmonic branch (σ ≈ 1.04/√m ≈ 6.5%; assert 3σ) and tracks
+    small cardinalities via the linear-counting branch."""
+    from database_activity_monitoring_dam_system_spark.operators import sketches
+
+    big = spark.range(100_000).select(
+        F.lit("g").alias("grp"), F.col("id")
+    )
+    [r] = sketches.hll_md5_distinct(big, ["grp"], "id").collect()
+    assert r.zero_registers == 0  # harmonic branch
+    assert abs(r.est_distinct - 100_000) / 100_000 < 0.20
+
+    small = spark.range(20).select(F.lit("g").alias("grp"), F.col("id"))
+    [r] = sketches.hll_md5_distinct(small, ["grp"], "id").collect()
+    assert r.zero_registers > 0  # linear-counting branch
+    assert abs(r.est_distinct - 20) < 5
 
 
 def test_cms_overestimates_and_merges(spark):
