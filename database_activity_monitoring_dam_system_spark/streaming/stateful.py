@@ -231,13 +231,39 @@ def read_rate_state(
     )
 
 
-def write_rate_state(state: DataFrame, state_dir: str, batch_id: int) -> None:
+def write_rate_state(
+    state: DataFrame, state_dir: str, batch_id: int, *, keep_batches: int = 3
+) -> None:
     """Append this batch's snapshot under its own partition — readers
     prune to one partition, and append keeps retries safe (read-side
-    dedup)."""
+    dedup).
+
+    Retention: snapshots older than ``keep_batches`` behind the one
+    just written are deleted afterwards, so the state dir holds O(keep)
+    partitions instead of growing one per micro-batch forever (at one
+    batch per few seconds that's millions of tiny parquet files a
+    year — a real small-files problem on any filesystem). Ordering is
+    crash-safe: the new snapshot is durable before anything is
+    removed, the reader takes the LATEST partition strictly below the
+    current batch id, and a retried batch re-seeds from its
+    predecessor, which is always within the keep window."""
+    spark = state.sparkSession
     state.withColumn("batch_id", F.lit(batch_id)).write.mode(
         "append"
     ).partitionBy("batch_id").parquet(state_dir)
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            old_id = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if old_id <= batch_id - keep_batches:
+            fs.delete(status.getPath(), True)
 
 
 def exact_rate_counts_batch(

@@ -127,6 +127,33 @@ def test_empty_input_frames(spark):
     assert hourly_timeline(checked, hours=24, now=now).count() == 0
 
 
+def test_empty_corpus_extension_operators(spark):
+    """The round-4 operators also hold the empty-partition contract:
+    structurally-valid empty outputs, no crash."""
+    from database_activity_monitoring_dam_system_spark.operators import (
+        dedup,
+        sketches,
+        textops,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    rep = textops.repetition_signals(docs)
+    assert rep.count() == 0 and "verdict" in rep.columns
+    assert dedup.minhash_near_duplicates_md5(docs).count() == 0
+    assert dedup.simhash_near_pairs_md5(docs).count() == 0
+    grp = spark.createDataFrame([], "grp string, id long")
+    hll = sketches.hll_md5_distinct(grp, ["grp"], "id")
+    assert hll.count() == 0 and "est_distinct" in hll.columns
+    toks = spark.createDataFrame([], "token string")
+    assert sketches.cms_build(toks, hash_family="md5").count() == 0
+
+    # single-doc / single-token degenerate shapes
+    one = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    [r] = textops.repetition_signals(one).collect()
+    assert r.top_bigram == "" and r.top_bigram_frac == 0.0
+    assert dedup.minhash_near_duplicates_md5(one).count() == 0
+
+
 def test_shared_frame_mode_is_transparent(spark):
     """SPARK_DAM_SHARE_FRAMES=1 (bench serving mode) must be purely an
     execution-strategy switch: same rows as the uncached build, and the

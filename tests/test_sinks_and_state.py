@@ -281,3 +281,31 @@ def test_compaction_cold_scope_and_crash_recovery(spark):
         assert sinks.read_activity(spark, d).count() == total_healthy
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_rate_state_retention_and_reseed(spark):
+    """write_rate_state keeps only the trailing snapshots (small-files
+    bound) while read_rate_state still re-seeds correctly: the latest
+    partition strictly below the requested batch id, which a retried
+    batch always finds inside the keep window."""
+    import os
+
+    d = tempfile.mkdtemp(prefix="dam_ratestate_")
+    try:
+        for b in range(6):
+            st = spark.createDataFrame(
+                [(7, [100 + b])], "user_id long, recent_epochs array<bigint>"
+            )
+            stateful.write_rate_state(st, d, b, keep_batches=3)
+        kept = sorted(
+            n for n in os.listdir(d) if n.startswith("batch_id=")
+        )
+        assert kept == ["batch_id=3", "batch_id=4", "batch_id=5"]
+        latest = stateful.read_rate_state(spark, d, 6)
+        assert [r.recent_epochs for r in latest.collect()] == [[105]]
+        # a RETRY of batch 5 must re-seed from 4, not from its own
+        # half-written attempt
+        prior = stateful.read_rate_state(spark, d, 5)
+        assert [r.recent_epochs for r in prior.collect()] == [[104]]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
