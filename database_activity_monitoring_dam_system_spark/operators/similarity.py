@@ -33,6 +33,15 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _lit_array(vals: list[float]) -> Column:
+    """A literal double array as ONE JVM-parsed expression. Building it
+    as F.array(*map(F.lit, vals)) costs a py4j round-trip per element —
+    measured 6 s of pure Python-side query CONSTRUCTION for 48 planes
+    × 64 dims — while a single expr string parses JVM-side in
+    microseconds. repr() keeps full double precision."""
+    return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
+
+
 def _dot_literal(vec: Column, cvec: list[float]) -> Column:
     """Dot product against a DRIVER-SIDE literal vector.
 
@@ -44,7 +53,7 @@ def _dot_literal(vec: Column, cvec: list[float]) -> Column:
     loop. So: same fold as _dot, with the centroid as an array
     literal. Fold order is left-to-right either way (bit-identical
     results)."""
-    return _dot(vec, F.array(*[F.lit(x) for x in cvec]))
+    return _dot(vec, _lit_array(cvec))
 
 
 def _as_double(col: str | Column) -> Column:
@@ -123,15 +132,27 @@ def lsh_signatures(
 
     For cosine similarity, P[bit match] = 1 - θ/π — the standard
     SimHash-for-vectors construction."""
-    v = _as_double(vec_col)
-    sig = F.lit(0).cast("long")
-    for i in range(planes):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(i, dim)])
-        bit = F.when(_dot(v, plane) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
+    # The whole signature is ONE SQL expression string: building it
+    # column-by-column costs a py4j round-trip per zip_with/aggregate
+    # lambda (~20 ms each — 2.5 s of driver-side construction at 48
+    # planes), while the parser ingests the string JVM-side at once.
+    # Semantics identical: per-plane sequential double fold, >= 0 sign.
+    def dot_sql(vals: list[float]) -> str:
+        arr = "array(" + ",".join(f"{v!r}D" for v in vals) + ")"
+        return (
+            f"aggregate(zip_with(_v, {arr}, (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x)"
         )
-        sig = sig.bitwiseOR(bit)
-    return embeddings.select(F.col(id_col), sig.alias("signature"))
+
+    terms = " | ".join(
+        f"(CASE WHEN {dot_sql(_hyperplane(i, dim))} >= 0.0D "
+        f"THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for i in range(planes)
+    )
+    return embeddings.select(
+        F.col(id_col), _as_double(vec_col).alias("_v")
+    ).select(F.col(id_col), F.expr(terms).alias("signature"))
 
 
 def ivf_centroids(

@@ -823,6 +823,19 @@ FROM h
 """
 
 
+# Near-dup banding: 48 planes in 6 bands of 8 bits (256 buckets per
+# band). The band width is the anti-quadratic lever: with B buckets a
+# RANDOM corpus of N vectors yields ~bands·N²/(2B) candidates, so
+# 4-bit bands (16 buckets) degenerate to all-pairs (measured: 2 000
+# vectors → 2.07 M candidates, N²-complete) while 8-bit bands cut it
+# ~40× and keep production-threshold recall high (cosine ≥0.95 ⇒
+# per-bit match p≈0.90 ⇒ band match p⁸≈0.43 ⇒ 1-(1-p⁸)⁶ ≈ 97%).
+# The ANN top-k path (lsh_topk) intentionally keeps looser 4-bit
+# bands — top-k on far neighbors trades candidate volume for recall.
+_ND_PLANES = 48
+_ND_BAND_BITS = 8
+
+
 def _q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs via the LSH bucket join: vectors
     sharing a signature band, verified at a cosine threshold — the
@@ -834,9 +847,9 @@ def _q_embedding_near_dups(spark, sf_dir):
     from pyspark.sql import functions as F
 
     emb = load_table(spark, sf_dir, "embeddings")
-    sigs = similarity.lsh_signatures(emb)
-    bands = 24 // 4
-    mask = (1 << 4) - 1
+    sigs = similarity.lsh_signatures(emb, planes=_ND_PLANES)
+    bands = _ND_PLANES // _ND_BAND_BITS
+    mask = (1 << _ND_BAND_BITS) - 1
     banded = sigs.select(
         "vec_id",
         F.explode(
@@ -844,7 +857,7 @@ def _q_embedding_near_dups(spark, sf_dir):
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.shiftright(F.col("signature"), b * 4)
+                        F.shiftright(F.col("signature"), b * _ND_BAND_BITS)
                         .bitwiseAND(F.lit(mask))
                         .alias("chunk"),
                     )
@@ -853,7 +866,7 @@ def _q_embedding_near_dups(spark, sf_dir):
             )
         ).alias("b"),
     ).select("vec_id", "b.band_id", "b.chunk")
-    # Materialize before the self-join so the 24-hyperplane signature
+    # Materialize before the self-join so the 48-hyperplane signature
     # projection runs once, not once per branch.
     banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
@@ -898,7 +911,7 @@ def _q_embedding_near_dups(spark, sf_dir):
 _EMB_NEAR_DUP_SQL_THRESHOLD = 0.4
 
 _EMB_NEAR_DUPS_SQL = f"""
-WITH {_emb_sig_ctes()},
+WITH {_emb_sig_ctes(_ND_PLANES, 64, _ND_BAND_BITS)},
 cands AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM banded a JOIN banded b
@@ -1247,7 +1260,7 @@ def _q_semantic_dedup_reps(spark, sf_dir):
 
 
 _SEMANTIC_DEDUP_SQL = f"""
-WITH RECURSIVE {_emb_sig_ctes()},
+WITH RECURSIVE {_emb_sig_ctes(_ND_PLANES, 64, _ND_BAND_BITS)},
 cands AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM banded a JOIN banded b
