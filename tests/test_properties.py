@@ -175,3 +175,103 @@ def test_interval_join_matches_model(spark, case):
         if start <= ts < start + dt.timedelta(seconds=length)
     }
     assert got == model
+
+
+def _model_repetition(toks: list[str]):
+    """Pure-Python model of textops.repetition_signals at operator
+    defaults (HALF_UP rounding to match Spark's round())."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r4(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+    text = " ".join(toks)
+    n_chars = len(text)
+    rep = r4(1.0 - len(set(toks)) / len(toks))
+    bigrams = Counter(
+        " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+    )
+    if bigrams:
+        top_cnt = max(bigrams.values())
+        top = min(g for g, c in bigrams.items() if c == top_cnt)
+        top_frac = r4(top_cnt * len(top) / n_chars)
+    else:
+        top, top_frac = "", 0.0
+    trigrams = Counter(
+        " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+    )
+    dup = sum(c * len(g) for g, c in trigrams.items() if c >= 2)
+    dup_frac = r4(min(1.0, dup / n_chars))
+    verdict = (
+        "bigram_loop" if top_frac > 0.08
+        else "trigram_dup" if dup_frac > 0.60
+        else "keep"
+    )
+    return rep, top, top_frac, dup_frac, verdict
+
+
+_rep_tok = st.sampled_from(["a", "b", "ab", "ba", "x"])
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(_rep_tok, min_size=1, max_size=14),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_repetition_signals_match_model(spark, tok_lists):
+    """The sorted-array run-length folds agree with a straightforward
+    Counter model on arbitrary token sequences — mode tie-breaks,
+    overlap double-counting, the 1.0 cap, and the verdict chain."""
+    from database_activity_monitoring_dam_system_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(tok_lists)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textops.repetition_signals(docs).collect()}
+    for i, toks in enumerate(tok_lists):
+        rep, top, top_frac, dup_frac, verdict = _model_repetition(toks)
+        r = got[i]
+        assert r.repeated_token_frac == rep, (i, toks)
+        assert r.top_bigram == top, (i, toks)
+        assert r.top_bigram_frac == top_frac, (i, toks)
+        assert r.dup_trigram_frac == dup_frac, (i, toks)
+        assert r.verdict == verdict, (i, toks)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=60))
+def test_hll_md5_registers_match_hashlib_model(spark, values):
+    """The Spark-side md5 bit derivation (bucket nibbles, leading-zero
+    rho, exact scaled harmonic sum) agrees with a hashlib reference —
+    the same bits any engine's md5 must produce."""
+    import hashlib
+
+    from database_activity_monitoring_dam_system_spark.operators import sketches
+
+    regs: dict[int, int] = {}
+    for v in values:
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        tail = h[2:10]
+        lead = len(tail) - len(tail.lstrip("0"))
+        if lead >= 8:
+            rho = 33
+        else:
+            nib = int(tail[lead], 16)
+            nibble_lead = 0 if nib >= 8 else 1 if nib >= 4 else 2 if nib >= 2 else 3
+            rho = 4 * lead + nibble_lead + 1
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    harmonic = sum(1 << (33 - r) for r in regs.values()) + (256 - len(regs)) * (
+        1 << 33
+    )
+    df = spark.createDataFrame(
+        [("g", v) for v in values], "grp string, id long"
+    )
+    [row] = sketches.hll_md5_distinct(df, ["grp"], "id").collect()
+    assert row.harmonic_scaled == harmonic, values
+    assert row.zero_registers == 256 - len(regs), values
