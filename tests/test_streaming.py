@@ -521,3 +521,62 @@ def test_interval_join_stream_static_parity(spark):
         assert batch and got == batch
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_corpus_filter_stream_matches_batch(spark):
+    """The streaming corpus filter (quality + repetition + fingerprint,
+    all stateless projections) writes exactly what the same scoring
+    produces in batch, partitioned by verdict for downstream pruning."""
+    import json
+    import os
+
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        corpus_filter,
+    )
+
+    base = tempfile.mkdtemp(prefix="dam_corpusf_")
+    src = f"{base}/src"
+    os.makedirs(src)
+    rows = [
+        {"doc_id": 1, "lang": "en", "source": "s0",
+         "text": "spark filter join group sort merge window stream the and is of"},
+        {"doc_id": 2, "lang": "en", "source": "s1",
+         "text": "a b a b a b a b a b a b"},
+        {"doc_id": 3, "lang": "en", "source": "s2", "text": "xy"},
+        {"doc_id": 4, "lang": "de", "source": "s0",
+         "text": "the fast key order sort table scan merge part window is "
+                 "and of to in that it was for on with"},
+    ]
+    for chunk_id, chunk in enumerate([rows[:2], rows[2:]]):
+        with open(f"{src}/c{chunk_id}.json", "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps(r) + "\n")
+    try:
+        q = corpus_filter.start_corpus_filter(
+            spark, src,
+            sink_dir=f"{base}/out",
+            checkpoint_dir=f"{base}/ck",
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+        streamed = spark.read.parquet(f"{base}/out")
+        batch = corpus_filter.score_documents(
+            spark.createDataFrame(
+                [(r["doc_id"], r["text"], r["lang"], r["source"]) for r in rows],
+                "doc_id long, text string, lang string, source string",
+            )
+        )
+        cols = sorted(batch.columns)
+        assert sorted(streamed.columns) == cols
+        s_rows = sorted(tuple(r) for r in streamed.select(*cols).collect())
+        b_rows = sorted(tuple(r) for r in batch.select(*cols).collect())
+        assert s_rows == b_rows
+        # verdict partition pruning works on the sink
+        kept = spark.read.parquet(f"{base}/out").filter(
+            F.col("verdict") == "keep"
+        )
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
