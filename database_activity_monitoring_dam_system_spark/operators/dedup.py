@@ -21,8 +21,6 @@ no Python in the hot path.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -400,26 +398,26 @@ def simhash_fingerprints(
     # inside one hash agg blow the janino method limit and drop the
     # whole stage to interpreted execution. A projection splits into
     # many small methods; the agg then compiles as 64 plain sums.
-    h = F.xxhash64(F.col("tok"))
-    bits = toks.withColumns(
-        {
-            f"_s{i}": F.when(
-                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
+    # Construction goes through selectExpr / one-expr strings — the
+    # column-by-column form costs a py4j round-trip per operator node
+    # (~2.5 s of driver time for 64 bits; same lesson as
+    # similarity.lsh_signatures).
+    bits = toks.select(F.col(id_col), F.expr("xxhash64(tok)").alias("_h")).selectExpr(
+        id_col,
+        *[
+            f"CASE WHEN ((_h >> {i}) & 1) = 1 THEN 1 ELSE -1 END AS _s{i}"
             for i in range(64)
-        }
+        ],
     )
     agg = bits.groupBy(id_col).agg(
-        *[F.sum(f"_s{i}").alias(f"b{i}") for i in range(64)]
+        *[F.expr(f"sum(_s{i})").alias(f"b{i}") for i in range(64)]
     )
-    fingerprint = reduce(
-        lambda acc, i: acc.bitwiseOR(
-            F.when(
-                F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long"))
-        ),
-        range(64),
-        F.lit(0).cast("long"),
+    fingerprint = F.expr(
+        " | ".join(
+            f"(CASE WHEN b{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            for i in range(64)
+        )
     )
     return agg.select(F.col(id_col), fingerprint.alias("simhash"))
 
@@ -439,33 +437,34 @@ def simhash_md5_fingerprints(
     toks = token_arrays(
         docs, id_col=id_col, text_col=text_col, shingle=shingle
     ).select(F.col(id_col), F.explode("toks").alias("tok"))
-    h = F.md5(F.col("tok"))
-    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
-
-    def bit(src: F.Column, i: int) -> F.Column:
-        return F.when(
-            F.shiftright(src, i).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bits = toks.withColumns(
-        {f"_s{i}": bit(lo, i) for i in range(32)}
-        | {f"_s{i + 32}": bit(hi, i) for i in range(32)}
+    halves = toks.selectExpr(
+        id_col,
+        "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) AS _hi",
+        "CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT) AS _lo",
+    )
+    bits = halves.selectExpr(
+        id_col,
+        *[
+            f"CASE WHEN ((_lo >> {i}) & 1) = 1 THEN 1 ELSE -1 END AS _s{i}"
+            for i in range(32)
+        ],
+        *[
+            f"CASE WHEN ((_hi >> {i}) & 1) = 1 THEN 1 ELSE -1 END AS _s{i + 32}"
+            for i in range(32)
+        ],
     )
     agg = bits.groupBy(id_col).agg(
-        *[F.sum(f"_s{i}").alias(f"b{i}") for i in range(64)]
+        *[F.expr(f"sum(_s{i})").alias(f"b{i}") for i in range(64)]
     )
 
     def pack(offset: int) -> F.Column:
-        return reduce(
-            lambda acc, i: acc.bitwiseOR(
-                F.when(
-                    F.col(f"b{i + offset}") > 0,
-                    F.shiftleft(F.lit(1).cast("long"), i),
-                ).otherwise(F.lit(0).cast("long"))
-            ),
-            range(32),
-            F.lit(0).cast("long"),
+        return F.expr(
+            " | ".join(
+                f"(CASE WHEN b{i + offset} > 0 "
+                f"THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+                "ELSE CAST(0 AS BIGINT) END)"
+                for i in range(32)
+            )
         )
 
     return agg.select(
