@@ -165,20 +165,6 @@ def minhash_signatures(
     return toks.groupBy(id_col).agg(*aggs)
 
 
-def _seeded_hash(i: int):
-    # NB: a single-arg lambda is required — PySpark interprets a
-    # two-arg lambda in transform/filter as (element, index).
-    return lambda t: F.xxhash64(F.lit(i), t)
-
-
-def _long_mix(i: int):
-    # independent hash family over a single base hash: re-hash the
-    # 8-byte long with seed i (xxhash64 over a long is far cheaper
-    # than over the original shingle string; affine multiply-mixing
-    # would be cheaper still but ANSI mode forbids wraparound).
-    return lambda h: F.xxhash64(F.lit(i), h)
-
-
 def minhash_signatures_arr(
     docs_with_toks: DataFrame,
     *,
@@ -191,15 +177,20 @@ def minhash_signatures_arr(
 
     Each token/shingle string is xxhash64'd ONCE; the k minhash
     functions are seeded re-hashes of that long — k·|toks| 8-byte
-    hashes instead of k·|toks| string hashes."""
+    hashes instead of k·|toks| string hashes. Construction goes
+    through selectExpr strings: k column-built HOF lambdas cost a py4j
+    round-trip each (~measured 5 s of driver time at k=32)."""
     base = docs_with_toks.withColumn(
-        "_h0", F.transform(F.col(toks_col), lambda t: F.xxhash64(t))
+        "_h0", F.expr(f"transform({toks_col}, t -> xxhash64(t))")
     )
-    cols = [
-        F.array_min(F.transform(F.col("_h0"), _long_mix(i))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return base.select(F.col(id_col), F.col(toks_col), *cols)
+    return base.selectExpr(
+        id_col,
+        toks_col,
+        *[
+            f"array_min(transform(_h0, h -> xxhash64({i}, h))) AS mh{i}"
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def minhash_candidate_pairs(
@@ -222,20 +213,21 @@ def minhash_candidate_pairs(
     """
     rows_per_band = num_hashes // bands
 
-    def _bucket(bi: int) -> F.Column:
-        cols = [F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
+    def _bucket(bi: int) -> str:
+        cols = ", ".join(
+            f"mh{bi * rows_per_band + r}" for r in range(rows_per_band)
+        )
         if hex_buckets:
-            return F.md5(F.concat_ws("|", *cols))
-        return F.xxhash64(*cols)
+            return f"md5(concat_ws('|', {cols}))"
+        return f"xxhash64({cols})"
 
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band_id"),
-                _bucket(bi).alias("bucket"),
-            )
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('band_id', {bi}, 'bucket', {_bucket(bi)})"
             for bi in range(bands)
-        ]
+        )
+        + ")"
     )
     banded = (
         signatures.select(F.col(id_col), F.explode(band_structs).alias("band"))
@@ -297,13 +289,6 @@ def minhash_near_duplicates(
     )
 
 
-def _md5_mix(i: int):
-    # seeded re-hash of the base md5 HEX string (cheap 32-byte input);
-    # lexical min over hex strings is a valid min-wise hash family and,
-    # unlike xxhash64, reproduces bit-identically in any engine with md5
-    return lambda h: F.md5(F.concat(F.lit(f"{i}|"), h))
-
-
 def minhash_signatures_md5(
     docs_with_toks: DataFrame,
     *,
@@ -319,13 +304,16 @@ def minhash_signatures_md5(
     xxhash64-over-longs — use it to pin LSH semantics cross-engine, and
     the xxhash64 path for production throughput."""
     base = docs_with_toks.withColumn(
-        "_h0", F.transform(F.col(toks_col), lambda t: F.md5(t))
+        "_h0", F.expr(f"transform({toks_col}, t -> md5(t))")
     )
-    cols = [
-        F.array_min(F.transform(F.col("_h0"), _md5_mix(i))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return base.select(F.col(id_col), F.col(toks_col), *cols)
+    return base.selectExpr(
+        id_col,
+        toks_col,
+        *[
+            f"array_min(transform(_h0, h -> md5(concat('{i}|', h)))) AS mh{i}"
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def minhash_near_duplicates_md5(
