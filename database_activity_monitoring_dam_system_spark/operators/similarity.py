@@ -42,6 +42,21 @@ def _lit_array(vals: list[float]) -> Column:
     return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
 
 
+def _arr_sql(vals: list[float]) -> str:
+    return "array(" + ",".join(f"{v!r}D" for v in vals) + ")"
+
+
+def _dot_literal_sql(vec_sql: str, cvec: list[float]) -> str:
+    """SQL-string form of _dot_literal — call sites that loop over
+    dozens of centroids/planes build ONE expr per score instead of a
+    py4j round-trip per HOF lambda (the construction tax measured in
+    lsh_signatures)."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_arr_sql(cvec)}, "
+        "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def _dot_literal(vec: Column, cvec: list[float]) -> Column:
     """Dot product against a DRIVER-SIDE literal vector.
 
@@ -180,13 +195,15 @@ def ivf_centroids(
     return [(r["cent_id"], list(r["cvec"]), float(r["_norm"])) for r in cents]
 
 
-def _centroid_scores(vec: Column, norm: Column, cents: list[tuple]) -> dict:
+def _centroid_scores(vec_sql: str, norm_sql: str, cents: list[tuple]) -> dict:
     """One cosine-vs-centroid column per centroid. Materialized as
     named columns (not inlined) so the downstream argmax is a fold over
     cheap column refs — the same codegen-size guard the rule battery
-    uses."""
+    uses. Built from SQL strings (one py4j call per centroid)."""
     return {
-        f"_cs{i}": _dot_literal(vec, cvec) / (F.lit(cnorm) * norm)
+        f"_cs{i}": F.expr(
+            f"{_dot_literal_sql(vec_sql, cvec)} / ({cnorm!r}D * {norm_sql})"
+        )
         for i, (_, cvec, cnorm) in enumerate(cents)
     }
 
@@ -223,7 +240,7 @@ def ivf_topk(
         vec_col="vec",
     )
     scored_corpus = corpus.withColumns(
-        _centroid_scores(F.col("vec"), F.col("_norm"), cents)
+        _centroid_scores("vec", "_norm", cents)
     )
     arr = F.array(*[F.col(c) for c in score_cols])
     # array_position finds the FIRST max → ties resolve to the lowest
@@ -245,7 +262,7 @@ def ivf_topk(
         vec_col="qvec",
     )
     q_scored = queries.withColumns(
-        _centroid_scores(F.col("qvec"), F.col("_norm"), cents)
+        _centroid_scores("qvec", "_norm", cents)
     )
     q_probe = (
         q_scored.select(
@@ -285,13 +302,16 @@ def ivf_topk(
     )
 
 
-def _sqdist(vec: Column, cvec: list[float]) -> Column:
+def _sqdist(vec_sql: str, cvec: list[float]) -> Column:
     """Squared L2 distance to a literal centroid — expanded as
     ||v||² - 2·v·c + ||c||² with the norm precomputed, so per centroid
     only the dot product costs d flops; the row's squared norm is the
-    precomputed ``_norm2`` column (no sqrt round-trip)."""
+    precomputed ``_norm2`` column (no sqrt round-trip). One expr per
+    centroid (construction-tax guard)."""
     c_norm2 = sum(x * x for x in cvec)
-    return F.col("_norm2") - 2.0 * _dot_literal(vec, cvec) + F.lit(c_norm2)
+    return F.expr(
+        f"_norm2 - 2.0D * {_dot_literal_sql(vec_sql, cvec)} + {c_norm2!r}D"
+    )
 
 
 def _kmeans_prepare(
@@ -309,7 +329,7 @@ def _assign_prepared(
     prepared: DataFrame, centroids: list[list[float]], *, id_col: str
 ) -> DataFrame:
     dist_cols = {
-        f"_kd{i}": _sqdist(F.col("vec"), c) for i, c in enumerate(centroids)
+        f"_kd{i}": _sqdist("vec", c) for i, c in enumerate(centroids)
     }
     arr = F.array(*[F.col(f"_kd{i}") for i in range(len(centroids))])
     return (
