@@ -438,11 +438,22 @@ def lsh_topk(
     planes: int = 24,
     dim: int = 64,
     band_bits: int = 4,
+    probe_bits: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN top-k: candidates = vectors sharing any band of the
     signature with the query; exact cosine re-rank inside candidates.
+
+    ``probe_bits=1`` enables MULTI-PROBE (Lv et al., VLDB'07): each
+    query band also probes every bucket at Hamming distance 1 (the
+    ``band_bits`` single-bit flips). The probe expansion happens on
+    the tiny broadcast QUERY side only — the corpus is never
+    re-banded — which lets the bands be much wider (e.g. 8 bits = 256
+    buckets instead of 16) at equal recall: corpus-side candidates
+    shrink ~bucket-count-fold while the query side grows by a factor
+    of band_bits+1. That trade is exactly what survives a 100 TB
+    corpus, where candidate volume is the cost that matters.
 
     Recall < 1 by design; at 100 TB the bucket join replaces the full
     scan per query. Output schema matches cosine_topk.
@@ -472,6 +483,15 @@ def lsh_topk(
             F.col(id_col).alias("query_id"), F.col("band_id"), F.col("chunk")
         )
     )
+    if probe_bits >= 1:
+        probes = [F.col("chunk")] + [
+            F.col("chunk").bitwiseXOR(F.lit(1 << j)) for j in range(band_bits)
+        ]
+        qb = qb.select(
+            "query_id",
+            "band_id",
+            F.explode(F.array(*probes)).alias("chunk"),
+        )
     cands = (
         banded.join(F.broadcast(qb), ["band_id", "chunk"])
         .filter(F.col(id_col) != F.col("query_id"))

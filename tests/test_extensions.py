@@ -42,6 +42,36 @@ def test_minhash_subset_of_exact_jaccard(spark):
         assert recall >= 0.8, f"minhash recall too low: {recall:.2f}"
 
 
+def test_lsh_multiprobe_recovers_tight_band_recall(spark):
+    """Multi-probe (distance-1 bucket flips on the broadcast query
+    side) recovers the recall that tightening the bands costs: at 48
+    planes / 8-bit bands (256 buckets — 16× tighter than the gate's
+    default), probing lifts recall back to ≈ the loose-band level on
+    worst-case uniform-random vectors (measured 0.46 → 0.66 vs the
+    0.64 default). The corpus side is never re-banded — the probe
+    expansion multiplies only the tiny query table."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, qids, k=10).collect()
+    }
+    tight = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_topk(
+            emb, qids, k=10, planes=48, band_bits=8, probe_bits=0
+        ).collect()
+    }
+    probed = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_topk(
+            emb, qids, k=10, planes=48, band_bits=8, probe_bits=1
+        ).collect()
+    }
+    assert len(probed & exact) >= len(tight & exact)
+    assert len(probed & exact) / len(exact) >= 0.5
+
+
 def test_minhash_md5_matches_hash_family_semantics(spark):
     """The md5-family variant (the oracle-checkable path) keeps the
     production path's contract: verified pairs ⊆ exact shingle-Jaccard
