@@ -72,6 +72,10 @@ def stream_dirs(spark):
         with open(f"{src}/chunk{chunk_id}.json", "w") as fh:
             for r in chunk:
                 fh.write(json.dumps(r) + "\n")
+        # pin strictly increasing mtimes: FileStreamSource orders
+        # pending files by modification time and same-millisecond
+        # writes make the batch split nondeterministic
+        os.utime(f"{src}/chunk{chunk_id}.json", (1000 + chunk_id, 1000 + chunk_id))
     yield {
         "src": src,
         "activity": f"{base}/activity",
@@ -345,6 +349,11 @@ def test_exact_rate_across_micro_batches(spark):
         with open(f"{src}/chunk{chunk_id}.json", "w") as fh:
             for r in chunk:
                 fh.write(json.dumps(r) + "\n")
+        # FileStreamSource orders pending files by modification time;
+        # same-millisecond writes make batch order (and therefore the
+        # cross-batch carry this test proves) nondeterministic — pin
+        # strictly increasing mtimes so chunk0 is batch 0
+        os.utime(f"{src}/chunk{chunk_id}.json", (1000 + chunk_id, 1000 + chunk_id))
     users_df = spark.createDataFrame(
         [(7, "heavy", "User")], "user_id long, username string, role string"
     )
