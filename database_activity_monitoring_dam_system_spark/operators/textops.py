@@ -507,6 +507,59 @@ def pii_scrub(
     return docs.select(F.col(id_col), *count_cols, stage.alias(out_col))
 
 
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    min_hits: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share
+    winnowing fingerprints with an evaluation set — the standard
+    pre-training hygiene pass (a doc containing an eval item's text
+    would leak the benchmark into training).
+
+    Winnowing gives the n-gram-overlap guarantee cheaply: any shared
+    token run of length ≥ window + k − 1 produces at least one shared
+    fingerprint, so ``min_hits`` shared fingerprints ≈ a substantive
+    shared passage, not a stray k-gram.
+
+    Scale shape: the corpus side is one linear fingerprint projection
+    + per-doc count; the BENCHMARK side is small by nature (eval sets
+    are thousands of items, not billions), so its distinct fingerprint
+    set broadcasts and the membership probe is a broadcast semi-join —
+    no corpus shuffle keyed on fingerprint, no pair blowup. Output:
+    one row per corpus doc with the contaminated-fingerprint count,
+    fraction, and verdict.
+    """
+    corpus_fp = winnow_fingerprints(
+        docs, id_col=id_col, text_col=text_col, k=k, window=window
+    )
+    bench_fp = winnow_fingerprints(
+        benchmark, id_col=id_col, text_col=text_col, k=k, window=window
+    ).select("fingerprint").distinct()
+    hits = (
+        corpus_fp.join(F.broadcast(bench_fp), "fingerprint", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("contaminated_fp"))
+    )
+    sizes = corpus_fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    out = sizes.join(hits, "doc_id", "left")
+    contaminated = F.coalesce(F.col("contaminated_fp"), F.lit(0))
+    return out.select(
+        "doc_id",
+        F.col("n_fp"),
+        contaminated.cast("bigint").alias("contaminated_fp"),
+        F.round(contaminated / F.col("n_fp"), 4).alias("contaminated_frac"),
+        F.when(contaminated >= min_hits, "contaminated")
+        .otherwise("clean")
+        .alias("verdict"),
+    )
+
+
 def fingerprint_overlap_pairs(
     docs: DataFrame,
     *,

@@ -481,6 +481,39 @@ JOIN sizes sb ON doc_b = sb.doc_id
 """
 
 
+def _q_contamination(spark, sf_dir):
+    """Decontamination over a deterministic benchmark split: every
+    50th doc plays the eval set, the rest the training corpus. The
+    synthetic 31-word vocabulary makes shared 3-gram runs common, so
+    both verdict branches carry real rows."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return textops.contamination_flags(corpus, bench)
+
+
+_CONTAMINATION_SQL = f"""
+WITH {_WINNOW_CTES},
+corpus AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 50 != 0),
+bench AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 50 = 0),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM corpus GROUP BY 1),
+hits AS (
+  SELECT doc_id, count(*) AS contaminated_fp
+  FROM corpus WHERE fingerprint IN (SELECT fingerprint FROM bench)
+  GROUP BY 1
+)
+SELECT s.doc_id, s.n_fp,
+       coalesce(h.contaminated_fp, 0)::BIGINT AS contaminated_fp,
+       round(coalesce(h.contaminated_fp, 0) * 1.0 / s.n_fp, 4)
+         AS contaminated_frac,
+       CASE WHEN coalesce(h.contaminated_fp, 0) >= 2
+            THEN 'contaminated' ELSE 'clean' END AS verdict
+FROM sizes s LEFT JOIN hits h USING (doc_id)
+"""
+
+
 _SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 0.05}
 _SAMPLE_DEFAULT = 0.1
 
@@ -1523,6 +1556,11 @@ QUERIES: dict[str, QuerySpec] = {
         _q_winnow_fingerprints, _WINNOW_SQL,
         "MOSS-style winnowing fingerprints (md5 shingles → rolling-min), "
         "full DuckDB oracle",
+    ),
+    "contamination_flags": QuerySpec(
+        _q_contamination, _CONTAMINATION_SQL,
+        "benchmark decontamination: corpus docs sharing winnowing "
+        "fingerprints with a broadcast eval set — count/frac/verdict",
     ),
     "fingerprint_overlap": QuerySpec(
         _q_fingerprint_overlap, _OVERLAP_SQL,

@@ -65,6 +65,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "hll_md5_distinct",
     "semantic_dedup_reps",
     "cms_md5_heavy_hitters",
+    "contamination_flags",
 )
 
 

@@ -93,6 +93,36 @@ def test_minhash_md5_matches_hash_family_semantics(spark):
         assert recall >= 0.8, f"md5 minhash recall too low: {recall:.2f}"
 
 
+def test_contamination_flags_verbatim_passage(spark):
+    """The winnowing guarantee drives decontamination: a corpus doc
+    embedding a benchmark passage of ≥ window + k − 1 tokens MUST
+    share at least one fingerprint and get flagged; an unrelated doc
+    stays clean."""
+    from database_activity_monitoring_dam_system_spark.operators import textops
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words here alpha beta gamma delta epsilon zeta eta trailing text"),
+            (2, "completely different tokens nothing shared whatsoever at all today"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in textops.contamination_flags(
+            corpus, bench, min_hits=1
+        ).collect()
+    }
+    assert rows[1].verdict == "contaminated"
+    assert rows[1].contaminated_fp >= 1
+    assert rows[2].verdict == "clean"
+    assert rows[2].contaminated_fp == 0
+
+
 def test_repetition_signals_hand_computed(spark):
     """'a b a b a b' (11 chars): tokens 6, distinct 2 →
     repeated_token_frac 4/6; bigrams: 'a b'×3, 'b a'×2 → top 'a b',
