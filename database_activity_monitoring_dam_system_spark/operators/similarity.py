@@ -430,6 +430,79 @@ def kmeans_lloyd(
     return final, centroids
 
 
+def kmeans_lloyd_exact(
+    embeddings: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """kmeans_lloyd with ORDER-INDEPENDENT centroid updates: per-dim
+    component sums accumulate in DECIMAL(27,12) — decimal addition is
+    exact and associative, so the shuffle's reduction order stops
+    mattering — and the mean is one double division of the exact sum.
+    Every Lloyd round is then a deterministic function of the corpus,
+    which makes the whole iterative algorithm reproducible in any
+    engine with the same decimal semantics (the DuckDB oracle for
+    ``kmeans_exact_clusters`` unrolls the rounds in SQL; cast parity
+    verified value-for-value on the testdata).
+
+    Cost vs the float path: decimal aggregation is a few times the
+    ALU work of a double sum, but the update aggregate only carries
+    k·d partial sums per task either way — assignment (the O(N·k·d)
+    part) is the identical zero-shuffle projection. Use this variant
+    when reproducibility across engines/cluster-topologies is worth
+    that constant; the float path when it is not.
+    """
+    seeds = (
+        embeddings.select(F.col(id_col), _as_double(vec_col).alias("v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("kmeans_lloyd_exact: empty corpus")
+    centroids = [list(r["v"]) for r in seeds]
+    k_eff = len(centroids)
+    dim = len(centroids[0])
+    corpus = _kmeans_prepare(embeddings, id_col=id_col, vec_col=vec_col)
+    corpus = corpus.persist()
+    try:
+        for _ in range(iters):
+            assigned = _assign_prepared(corpus, centroids, id_col=id_col)
+            sum_rows = (
+                assigned.groupBy("cluster_id")
+                .agg(
+                    F.count("*").alias("_n"),
+                    *[
+                        F.sum(
+                            F.element_at("vec", d + 1).cast("decimal(27,12)")
+                        )
+                        .cast("double")
+                        .alias(f"s{d}")
+                        for d in range(dim)
+                    ],
+                )
+                .collect()
+            )
+            by_cluster = {
+                r["cluster_id"]: [r[f"s{d}"] / r["_n"] for d in range(dim)]
+                for r in sum_rows
+            }
+            centroids = [
+                by_cluster[ci] if ci in by_cluster else centroids[ci]
+                for ci in range(k_eff)
+            ]
+        final = _assign_prepared(corpus, centroids, id_col=id_col).select(
+            id_col, "cluster_id", "sqdist"
+        )
+        final = final.localCheckpoint(eager=True)
+    finally:
+        corpus.unpersist()
+    return final, centroids
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],

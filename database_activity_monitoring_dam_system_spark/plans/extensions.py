@@ -1446,6 +1446,96 @@ def _q_kmeans_clusters(spark, sf_dir):
     )
 
 
+_KMEANS_EXACT_K = 8
+_KMEANS_EXACT_ITERS = 3
+_KMEANS_EXACT_DIM = 64
+
+
+def _q_kmeans_exact(spark, sf_dir):
+    """Lloyd k-means with order-independent (decimal-exact) centroid
+    updates — the reproducible twin of kmeans_clusters. Output is the
+    full integer assignment table, so the hash gate pins every round
+    of the iterative computation cross-engine."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = similarity.kmeans_lloyd_exact(
+        emb, k=_KMEANS_EXACT_K, iters=_KMEANS_EXACT_ITERS
+    )
+    return assigned.select(
+        "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
+    )
+
+
+def _kmeans_exact_sql() -> str:
+    """ANSI twin of kmeans_lloyd_exact with the rounds unrolled:
+    seeds = k lowest-id vectors; each round assigns by squared L2
+    (norm2 − 2·dot + cn2, same operation order as the Spark _sqdist
+    expression; ties → lowest centroid id, same as array_position of
+    the first min) and re-centers with DECIMAL(27,12)-exact component
+    sums divided as doubles — the same arithmetic the Spark side
+    performs, so assignments match bit-for-bit."""
+    k, iters, dim = _KMEANS_EXACT_K, _KMEANS_EXACT_ITERS, _KMEANS_EXACT_DIM
+
+    def mean_cols() -> str:
+        return ",\n         ".join(
+            f"CAST(sum(CAST(v[{d + 1}] AS DECIMAL(27,12))) AS DOUBLE)"
+            f" / count(*) AS m{d}"
+            for d in range(dim)
+        )
+
+    mean_list = "[" + ", ".join(f"m{d}" for d in range(dim)) + "]"
+    parts = [
+        f"""norms2 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS norm2
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid,
+         v AS cv, list_dot_product(v, v) AS cn2
+  FROM (SELECT vec_id, v FROM norms2 ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    # Spark runs ``iters`` (assign → update) cycles and then one FINAL
+    # assignment against the post-update centroids — so the unroll has
+    # iters+1 assignment stages and the output is the last one.
+    for r in range(1, iters + 2):
+        parts.append(
+            f"""a{r} AS (
+  SELECT vec_id, v, cid AS cluster_id
+  FROM (
+    SELECT n.vec_id, n.v, c.cid,
+           n.norm2 - 2.0 * list_dot_product(n.v, c.cv) + c.cn2 AS dist
+    FROM norms2 n CROSS JOIN c{r - 1} c
+  )
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+)"""
+        )
+        if r <= iters:
+            parts.append(
+                f"""m{r} AS (
+  SELECT cluster_id AS cid,
+         {mean_cols()}
+  FROM a{r} GROUP BY 1
+),
+c{r} AS (
+  SELECT c{r - 1}.cid,
+         COALESCE(mm.cv, c{r - 1}.cv) AS cv,
+         list_dot_product(COALESCE(mm.cv, c{r - 1}.cv),
+                          COALESCE(mm.cv, c{r - 1}.cv)) AS cn2
+  FROM c{r - 1}
+  LEFT JOIN (SELECT cid, {mean_list} AS cv FROM m{r}) mm USING (cid)
+)"""
+            )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM a{iters + 1}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "heavy_hitter_tokens": QuerySpec(
         _q_heavy_hitters, _HEAVY_HITTERS_SQL,
@@ -1488,6 +1578,11 @@ QUERIES: dict[str, QuerySpec] = {
         _q_cms_md5_heavy_hitters, _cms_md5_sql(),
         "count-min sketch with the md5 bucket family — same one-pass "
         "plan, full DuckDB oracle pinning buckets and min-over-depth",
+    ),
+    "kmeans_exact_clusters": QuerySpec(
+        _q_kmeans_exact, _kmeans_exact_sql(),
+        "Lloyd k-means with decimal-exact (order-independent) centroid "
+        "updates — full-assignment hash oracle across 3 unrolled rounds",
     ),
     "kmeans_clusters": QuerySpec(
         _q_kmeans_clusters, None,

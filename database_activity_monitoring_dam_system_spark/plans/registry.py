@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "semantic_dedup_reps",
     "cms_md5_heavy_hitters",
     "contamination_flags",
+    "kmeans_exact_clusters",
 )
 
 
