@@ -102,3 +102,63 @@ def stratified_cap(
         .filter(F.col("_rk") <= cap)
         .drop("_rk")
     )
+
+
+def temperature_rates(
+    counts: dict[str, int], *, alpha: float = 0.5
+) -> dict[str, float]:
+    """Per-stratum keep-rates for temperature-based rebalancing
+    (the multilingual-LM standard: sample stratum l with probability
+    ∝ (n_l/N)^α, α = 1/T < 1 flattening the distribution). Expressed
+    as per-ROW keep rates normalized so the rarest stratum keeps
+    everything: rate_l = (n_l / n_min)^(α−1) — monotonically
+    downsampling the head, rate 1 at the tail. Rounded to 6 dp so the
+    injected thresholds survive cross-engine pow() ulp differences.
+    """
+    if not counts:
+        return {}
+    n_min = min(counts.values())
+    return {
+        s: round((n / n_min) ** (alpha - 1.0), 6) for s, n in counts.items()
+    }
+
+
+def temperature_mix(
+    df: DataFrame,
+    *,
+    key_col: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    salt: str = "t1",
+) -> DataFrame:
+    """Temperature-rebalanced corpus: count strata (one tiny shuffle,
+    k rows collected — same driver-traffic shape as k-means centroids),
+    derive per-stratum keep rates, hash-filter. The filter itself is a
+    pure zero-shuffle projection, so re-mixing at a different
+    temperature is a re-filter of the scan, not a reshuffle; the
+    sampled subset is deterministic across runs, engines, and
+    partitionings (content-hash thresholds, not RNG).
+
+    Output carries the applied ``mix_rate`` per row so downstream
+    accounting (tokens per language after rebalancing) needs no
+    side-channel.
+    """
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+    }
+    rates = temperature_rates(counts, alpha=alpha)
+    sampled = hash_sample(
+        df,
+        key_col=key_col,
+        rates=rates,
+        strata_col=strata_col,
+        default_rate=1.0,
+        salt=salt,
+    )
+    rate_col = F.lit(1.0)
+    for stratum, rate in rates.items():
+        rate_col = F.when(
+            F.col(strata_col) == stratum, F.lit(rate)
+        ).otherwise(rate_col)
+    return sampled.withColumn("mix_rate", rate_col)

@@ -1446,6 +1446,40 @@ def _q_kmeans_clusters(spark, sf_dir):
     )
 
 
+_TEMP_MIX_ALPHA = 0.5
+
+
+def _q_temperature_mix(spark, sf_dir):
+    """Temperature rebalancing over lang strata at α=0.5 (T=2): the
+    head languages downsample toward the tail's share; the kept set
+    plus per-row applied rate is the gate output."""
+    return sampling.temperature_mix(
+        _docs(spark, sf_dir), key_col="doc_id", strata_col="lang",
+        alpha=_TEMP_MIX_ALPHA,
+    ).select("doc_id", "lang", "source", "mix_rate")
+
+
+_TEMP_MIX_SQL = f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+mn AS (SELECT min(n) AS n_min FROM counts),
+rates AS (
+  SELECT lang, round(pow(n * 1.0 / n_min, {_TEMP_MIX_ALPHA} - 1.0), 6) AS rate
+  FROM counts, mn
+),
+th AS (
+  SELECT lang, rate,
+         CASE WHEN rate >= 1.0 THEN 'g'
+              ELSE lpad(lower(to_hex(CAST(floor(rate * 4294967296) AS BIGINT))),
+                        8, '0')
+         END AS thr
+  FROM rates
+)
+SELECT d.doc_id, d.lang, d.source, t.rate AS mix_rate
+FROM documents d JOIN th t USING (lang)
+WHERE substr(md5('t1' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
+"""
+
+
 _KMEANS_EXACT_K = 8
 _KMEANS_EXACT_ITERS = 3
 _KMEANS_EXACT_DIM = 64
@@ -1646,6 +1680,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_training_mix, _TRAINING_MIX_SQL,
         "composed corpus selection: quality gate → exact dedup → "
         "deterministic per-(lang,source) quota",
+    ),
+    "temperature_mix": QuerySpec(
+        _q_temperature_mix, _TEMP_MIX_SQL,
+        "temperature (α=0.5) language rebalancing: per-stratum keep "
+        "rates (n_l/n_min)^(α−1) applied via deterministic hash "
+        "thresholds — full oracle",
     ),
     "winnow_fingerprints": QuerySpec(
         _q_winnow_fingerprints, _WINNOW_SQL,

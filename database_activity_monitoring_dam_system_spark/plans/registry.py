@@ -67,6 +67,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cms_md5_heavy_hitters",
     "contamination_flags",
     "kmeans_exact_clusters",
+    "temperature_mix",
 )
 
 

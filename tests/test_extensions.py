@@ -93,6 +93,32 @@ def test_minhash_md5_matches_hash_family_semantics(spark):
         assert recall >= 0.8, f"md5 minhash recall too low: {recall:.2f}"
 
 
+def test_temperature_mix_flattens_distribution(spark):
+    """α<1 rebalancing: the rarest stratum keeps everything (rate 1),
+    head strata downsample, and the post-mix share spread is strictly
+    narrower than pre-mix."""
+    from database_activity_monitoring_dam_system_spark.operators import sampling
+
+    docs = _docs(spark)
+    pre = {r.lang: r.cnt for r in docs.groupBy("lang").agg(
+        F.count("*").alias("cnt")).collect()}
+    mixed = sampling.temperature_mix(
+        docs, key_col="doc_id", strata_col="lang", alpha=0.5
+    )
+    post = {r.lang: r.cnt for r in mixed.groupBy("lang").agg(
+        F.count("*").alias("cnt")).collect()}
+    rarest = min(pre, key=pre.get)
+    assert post[rarest] == pre[rarest]  # tail kept fully
+    def spread(d):
+        tot = sum(d.values())
+        shares = [v / tot for v in d.values()]
+        return max(shares) - min(shares)
+    assert spread(post) < spread(pre)
+    rates = sampling.temperature_rates(pre, alpha=0.5)
+    assert rates[rarest] == 1.0
+    assert all(0 < r <= 1.0 for r in rates.values())
+
+
 def test_contamination_flags_verbatim_passage(spark):
     """The winnowing guarantee drives decontamination: a corpus doc
     embedding a benchmark passage of ≥ window + k − 1 tokens MUST
