@@ -1607,6 +1607,8 @@ QUERIES: dict[str, QuerySpec] = {
         _q_cms_heavy_hitters, None,
         "count-min sketch point estimates vs exact top-20 token counts "
         "(mergeable fixed-size frequency summary)",
+        expect_columns=("token", "cnt", "est_cnt"),
+        expect_rows=(20, 20),
     ),
     "cms_md5_heavy_hitters": QuerySpec(
         _q_cms_md5_heavy_hitters, _cms_md5_sql(),
@@ -1622,6 +1624,8 @@ QUERIES: dict[str, QuerySpec] = {
         _q_kmeans_clusters, None,
         "Lloyd k-means cluster sizes (literal-centroid assign; "
         "numpy-verified)",
+        expect_columns=("cluster_id", "n_points"),
+        expect_rows=(1, 8),
     ),
     "dedup_exact": QuerySpec(
         _q_dedup_exact, _DEDUP_EXACT_SQL,
@@ -1634,6 +1638,8 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(
         _q_minhash_near_dups, None,
         "MinHash+LSH banded candidates verified by exact Jaccard (scale path)",
+        expect_columns=("doc_a", "doc_b", "jaccard"),
+        expect_rows=(1, None),
     ),
     "dedup_minhash_md5": QuerySpec(
         _q_minhash_md5, _minhash_md5_sql(),
@@ -1643,6 +1649,8 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_simhash_pairs": QuerySpec(
         _q_simhash_pairs, None,
         "SimHash banded blocking, Hamming ≤8 near pairs",
+        expect_columns=("doc_a", "doc_b", "hamming"),
+        expect_rows=(1, None),
     ),
     "dedup_simhash_md5": QuerySpec(
         _q_simhash_md5, _simhash_md5_sql(),
@@ -1742,5 +1750,13 @@ QUERIES: dict[str, QuerySpec] = {
         _q_hll_distinct_sketch, None,
         "mergeable HLL++ distinct sketch per group (estimates are "
         "engine-specific; exact twin distinct_counts)",
+        expect_columns=("lang", "approx_sources", "cnt"),
+        expect_rows=(1, None),
+        # groupBy keeps a NULL-lang group; count(DISTINCT) does not.
+        rows_oracle=(
+            "SELECT count(DISTINCT lang)"
+            " + CASE WHEN count(*) FILTER (WHERE lang IS NULL) > 0"
+            " THEN 1 ELSE 0 END FROM documents"
+        ),
     ),
 }

@@ -22,6 +22,14 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None
     description: str = ""
+    # Rows-only entries (oracle=None) must still be pinned: declared
+    # output columns, an inclusive (min, max) row-count band (max=None
+    # for unbounded), and optionally a DuckDB scalar query whose single
+    # value is the EXACT expected row count.  test_oracle_parity
+    # enforces these so an oracle-less query can't silently regress.
+    expect_columns: tuple[str, ...] | None = None
+    expect_rows: tuple[int, int | None] | None = None
+    rows_oracle: str | None = None
 
 
 def sql_values(rows: list[tuple], alias: str, columns: list[str]) -> str:

@@ -58,7 +58,27 @@ def test_parity(spark, name):
     s_rows = [tuple(r) for r in sdf.collect()]
 
     if spec.oracle is None:
-        assert len(s_rows) >= 0  # rows-only check
+        # Rows-only entries still pin declared schema + row-count
+        # bounds (and, where expressible, an exact count via a DuckDB
+        # scalar) so they can't silently regress between rounds.
+        assert spec.expect_columns is not None, (
+            f"{name}: rows-only query must declare expect_columns"
+        )
+        assert tuple(s_cols) == spec.expect_columns, (
+            f"{name}: columns {s_cols} != declared {spec.expect_columns}"
+        )
+        assert spec.expect_rows is not None, (
+            f"{name}: rows-only query must declare expect_rows"
+        )
+        lo, hi = spec.expect_rows
+        assert len(s_rows) >= lo and (hi is None or len(s_rows) <= hi), (
+            f"{name}: {len(s_rows)} rows outside declared band [{lo}, {hi}]"
+        )
+        if spec.rows_oracle is not None:
+            expected = _duck(SF_SMOKE).execute(spec.rows_oracle).fetchone()[0]
+            assert len(s_rows) == expected, (
+                f"{name}: {len(s_rows)} rows != rows_oracle {expected}"
+            )
         return
 
     con = _duck(SF_SMOKE)
