@@ -71,9 +71,14 @@ def hash_sample(
         return df.filter(bucket < F.lit(rate_threshold(default_rate)))
     thr = F.lit(rate_threshold(default_rate))
     for stratum, rate in rates.items():
-        thr = F.when(
-            F.col(strata_col) == stratum, F.lit(rate_threshold(rate))
-        ).otherwise(thr)
+        # a NULL stratum is a real stratum (groupBy keeps it); a plain
+        # == would null out and silently fall through to default_rate
+        pred = (
+            F.col(strata_col).isNull()
+            if stratum is None
+            else F.col(strata_col) == stratum
+        )
+        thr = F.when(pred, F.lit(rate_threshold(rate))).otherwise(thr)
     return df.filter(bucket < thr)
 
 
@@ -147,6 +152,11 @@ def temperature_mix(
         r[strata_col]: r["n"]
         for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
     }
+    if not counts:
+        # empty input: no strata to rebalance — empty result with the
+        # declared schema (hash_sample would reject an empty rates
+        # dict alongside strata_col)
+        return df.withColumn("mix_rate", F.lit(1.0))
     rates = temperature_rates(counts, alpha=alpha)
     sampled = hash_sample(
         df,
@@ -158,7 +168,10 @@ def temperature_mix(
     )
     rate_col = F.lit(1.0)
     for stratum, rate in rates.items():
-        rate_col = F.when(
-            F.col(strata_col) == stratum, F.lit(rate)
-        ).otherwise(rate_col)
+        pred = (
+            F.col(strata_col).isNull()
+            if stratum is None
+            else F.col(strata_col) == stratum
+        )
+        rate_col = F.when(pred, F.lit(rate)).otherwise(rate_col)
     return sampled.withColumn("mix_rate", rate_col)

@@ -152,6 +152,14 @@ def hll_md5_distinct(
     then a tiny per-group rollup — the fixed-size-summary path for
     distinct counts over 100 TB, mergeable across partitions.
     """
+    if bucket_bits % 4 != 0 or not 4 <= bucket_bits <= 16:
+        # buckets come from whole md5 hex chars; a non-multiple-of-4
+        # width would leave (1<<bucket_bits) - 16^(bucket_bits//4)
+        # registers permanently empty, skewing both the harmonic
+        # estimate and the linear-counting branch
+        raise ValueError(
+            f"bucket_bits must be a multiple of 4 in [4, 16], got {bucket_bits}"
+        )
     m = 1 << bucket_bits
     hex_chars = bucket_bits // 4
     h = F.md5(F.col(value_col).cast("string"))

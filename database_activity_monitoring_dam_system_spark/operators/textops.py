@@ -62,12 +62,10 @@ def stopword_ratio(text_col: str, stopwords: tuple[str, ...]) -> Column:
     return hits / F.size(toks)
 
 
-def quality_scores(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Per-doc quality components + a bucketed verdict, mirroring the
-    length/punctuation/stopword heuristics used to filter web corpora.
-    """
+def quality_signal_cols(text_col: str = "text") -> dict[str, Column]:
+    """The raw quality-signal expressions (unrounded ratios), shared by
+    the batch operator and the streaming corpus filter so both paths
+    are the same Column tree by construction."""
     toks = _tokens(text_col)
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -81,48 +79,44 @@ def quality_scores(
         .when(sw_ratio < 0.01, "low_fluency")
         .otherwise("keep")
     )
+    return {
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "stopword_ratio": sw_ratio,
+        "punct_ratio": punct_ratio,
+        "verdict": verdict,
+    }
+
+
+def quality_scores(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc quality components + a bucketed verdict, mirroring the
+    length/punctuation/stopword heuristics used to filter web corpora.
+    """
+    c = quality_signal_cols(text_col)
     return docs.select(
         F.col(id_col),
-        n_tokens.cast("bigint").alias("n_tokens"),
-        n_chars.cast("bigint").alias("n_chars_measured"),
-        F.round(sw_ratio, 4).alias("stopword_ratio"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        verdict.alias("verdict"),
+        c["n_tokens"].cast("bigint").alias("n_tokens"),
+        c["n_chars"].cast("bigint").alias("n_chars_measured"),
+        F.round(c["stopword_ratio"], 4).alias("stopword_ratio"),
+        F.round(c["punct_ratio"], 4).alias("punct_ratio"),
+        c["verdict"].alias("verdict"),
     )
 
 
-def repetition_signals(
-    docs: DataFrame,
-    *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    top_bigram_max: float = 0.08,
-    dup_trigram_max: float = 0.60,
-) -> DataFrame:
-    """Gopher-style repetition filters (Rae et al. 2021, table A1 —
-    the word-n-gram family; the line-based family degenerates on
-    single-line docs): per doc,
-
-    * ``repeated_token_frac`` — 1 − distinct/total tokens;
-    * ``top_bigram_frac`` — chars covered by the most frequent token
-      bigram (count × bigram length / doc chars; ties broken by the
-      lexicographically smallest bigram, so the output is
-      deterministic). Overlapping occurrences ("a a a") double-count
-      the shared token — the standard implementation shortcut;
-    * ``dup_trigram_frac`` — chars covered by trigrams occurring more
-      than once, capped at 1.0 (same shortcut);
-    * ``verdict`` — first-match filter decision at the given caps.
-
-    Plan shape: a PURE PROJECTION — the signals are all per-doc, so no
-    cross-row aggregation exists to shuffle for. Each n-gram array is
+def repetition_mid_cols(text_col: str = "text") -> dict[str, Column]:
+    """The repetition fold expressions (first stage): n-gram arrays
     sorted and folded with ``F.aggregate`` (JVM higher-order function,
-    no Python): equal grams become adjacent runs, the top bigram is
+    no Python) — equal grams become adjacent runs, the top bigram is
     the first longest run (sorted order ⇒ lexicographically-smallest
-    tie-break, same deterministic order a rank window over counts
-    would give), and duplicated-trigram chars accumulate as runs pass
-    length 2. Zero shuffles, zero joins — scan-parallel at any corpus
-    size; per-row cost is O(k log k) for docs of k tokens.
-    """
+    tie-break), duplicated-trigram chars accumulate as runs pass
+    length 2.  Shared by the batch operator and the streaming corpus
+    filter; materialize these under the names ``n_chars``,
+    ``n_tokens``, ``n_distinct``, ``_t2``, ``_d3`` in one select, then
+    apply :func:`repetition_final_cols` in a second select so the
+    non-cheap folds are named once (CollapseProject would otherwise
+    inline them per referencing expression)."""
     toks = _tokens(text_col)
     sz = F.size(toks)
 
@@ -189,17 +183,20 @@ def repetition_signals(
         )
         return F.aggregate(F.array_sort(arr), init, step)
 
-    # two-stage select so the folds are named once and the derived
-    # fractions reference the named columns (CollapseProject keeps
-    # non-cheap expressions from being inlined twice)
-    mid = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.length(F.col(text_col)).alias("n_chars"),
-        sz.cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        top_fold(grams(2)).alias("_t2"),
-        dup_fold(grams(3)).alias("_d3"),
-    )
+    return {
+        "n_chars": F.length(F.col(text_col)),
+        "n_tokens": sz.cast("bigint"),
+        "n_distinct": F.size(F.array_distinct(toks)),
+        "_t2": top_fold(grams(2)),
+        "_d3": dup_fold(grams(3)),
+    }
+
+
+def repetition_final_cols(
+    *, top_bigram_max: float = 0.08, dup_trigram_max: float = 0.60
+) -> dict[str, Column]:
+    """Second-stage expressions over the materialized
+    :func:`repetition_mid_cols` names."""
     top_frac = F.round(
         (F.col("_t2.bestcnt") * F.length("_t2.bestgram")) / F.col("n_chars"), 4
     )
@@ -211,16 +208,64 @@ def repetition_signals(
         .when(dup_frac > dup_trigram_max, "trigram_dup")
         .otherwise("keep")
     )
+    return {
+        "repeated_token_frac": F.round(
+            F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens"), 4
+        ),
+        "top_bigram": F.col("_t2.bestgram"),
+        "top_bigram_frac": top_frac,
+        "dup_trigram_frac": dup_frac,
+        "verdict": verdict,
+    }
+
+
+def repetition_signals(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_bigram_max: float = 0.08,
+    dup_trigram_max: float = 0.60,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1 —
+    the word-n-gram family; the line-based family degenerates on
+    single-line docs): per doc,
+
+    * ``repeated_token_frac`` — 1 − distinct/total tokens;
+    * ``top_bigram_frac`` — chars covered by the most frequent token
+      bigram (count × bigram length / doc chars; ties broken by the
+      lexicographically smallest bigram, so the output is
+      deterministic). Overlapping occurrences ("a a a") double-count
+      the shared token — the standard implementation shortcut;
+    * ``dup_trigram_frac`` — chars covered by trigrams occurring more
+      than once, capped at 1.0 (same shortcut);
+    * ``verdict`` — first-match filter decision at the given caps.
+
+    Plan shape: a PURE PROJECTION — the signals are all per-doc, so no
+    cross-row aggregation exists to shuffle for.  Zero shuffles, zero
+    joins — scan-parallel at any corpus size; per-row cost is
+    O(k log k) for docs of k tokens (see repetition_mid_cols).
+    """
+    m = repetition_mid_cols(text_col)
+    mid = docs.select(
+        F.col(id_col).alias("doc_id"),
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens"].alias("n_tokens"),
+        m["n_distinct"].alias("n_distinct"),
+        m["_t2"].alias("_t2"),
+        m["_d3"].alias("_d3"),
+    )
+    f = repetition_final_cols(
+        top_bigram_max=top_bigram_max, dup_trigram_max=dup_trigram_max
+    )
     return mid.select(
         F.col("doc_id"),
         F.col("n_tokens"),
-        F.round(
-            F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens"), 4
-        ).alias("repeated_token_frac"),
-        F.col("_t2.bestgram").alias("top_bigram"),
-        top_frac.alias("top_bigram_frac"),
-        dup_frac.alias("dup_trigram_frac"),
-        verdict.alias("verdict"),
+        f["repeated_token_frac"].alias("repeated_token_frac"),
+        f["top_bigram"].alias("top_bigram"),
+        f["top_bigram_frac"].alias("top_bigram_frac"),
+        f["dup_trigram_frac"].alias("dup_trigram_frac"),
+        f["verdict"].alias("verdict"),
     )
 
 

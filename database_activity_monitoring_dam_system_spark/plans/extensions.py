@@ -1475,7 +1475,8 @@ th AS (
   FROM rates
 )
 SELECT d.doc_id, d.lang, d.source, t.rate AS mix_rate
-FROM documents d JOIN th t USING (lang)
+FROM documents d
+JOIN th t ON d.lang IS NOT DISTINCT FROM t.lang
 WHERE substr(md5('t1' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
 """
 

@@ -58,32 +58,46 @@ def score_documents(docs: DataFrame) -> DataFrame:
     ``verdict`` is the FIRST failing filter (quality short/noisy/
     low-fluency checks, then the repetition caps), 'keep' otherwise —
     the precedence a staged filter pipeline would apply.
+
+    All signals come from the SAME Column builders the standalone
+    batch operators use (textops.quality_signal_cols /
+    repetition_mid_cols / repetition_final_cols, dedup fingerprint),
+    selected from ``docs`` directly — genuinely stateless in a
+    streaming plan.  An earlier version joined three projections of
+    the stream on doc_id; Spark plans that as
+    StreamingSymmetricHashJoinExec, whose unwatermarked state retains
+    every row forever — the fused projection has no state operator at
+    all.
     """
-    quality = textops.quality_scores(docs).select(
-        "doc_id",
-        F.col("verdict").alias("_q_verdict"),
-        "stopword_ratio",
-        "punct_ratio",
+    q = textops.quality_signal_cols("text")
+    m = textops.repetition_mid_cols("text")
+    mid = docs.select(
+        "*",
+        F.md5(dedup.normalized_text("text")).alias("fingerprint"),
+        F.round(q["stopword_ratio"], 4).alias("stopword_ratio"),
+        F.round(q["punct_ratio"], 4).alias("punct_ratio"),
+        q["verdict"].alias("_q_verdict"),
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens"].alias("n_tokens"),
+        m["n_distinct"].alias("n_distinct"),
+        m["_t2"].alias("_t2"),
+        m["_d3"].alias("_d3"),
     )
-    repetition = textops.repetition_signals(docs).select(
-        "doc_id",
-        F.col("verdict").alias("_r_verdict"),
-        "repeated_token_frac",
-        "top_bigram_frac",
-        "dup_trigram_frac",
-    )
-    scored = (
-        dedup.doc_fingerprints(docs)
-        .join(quality, "doc_id")
-        .join(repetition, "doc_id")
-    )
+    f = textops.repetition_final_cols()
     verdict = (
         F.when(F.col("_q_verdict") != "keep", F.col("_q_verdict"))
-        .when(F.col("_r_verdict") != "keep", F.col("_r_verdict"))
+        .when(f["verdict"] != "keep", f["verdict"])
         .otherwise("keep")
     )
-    return scored.withColumn("verdict", verdict).drop(
-        "_q_verdict", "_r_verdict"
+    return mid.select(
+        *docs.columns,
+        "fingerprint",
+        "stopword_ratio",
+        "punct_ratio",
+        f["repeated_token_frac"].alias("repeated_token_frac"),
+        f["top_bigram_frac"].alias("top_bigram_frac"),
+        f["dup_trigram_frac"].alias("dup_trigram_frac"),
+        verdict.alias("verdict"),
     )
 
 
@@ -97,16 +111,12 @@ def start_corpus_filter(
     max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """End-to-end incremental corpus filter: stream → score → append to
-    a verdict-partitioned parquet sink. The whole pipeline is
-    stateless projections (repetition/quality/fingerprint), so there
-    is no state store to size and a restart resumes from the
-    checkpoint offsets alone.
-
-    NB: score_documents joins three projections of the same stream on
-    doc_id; Spark plans self-joins of one stream source without state
-    because the branches are partition-aligned reads of the same
-    batch. (Kept as a join for literal batch-parity with the three
-    standalone operators rather than one hand-fused projection.)
+    a verdict-partitioned parquet sink. The whole pipeline is one
+    stateless projection (repetition/quality/fingerprint expressions
+    selected straight from the stream — no joins, no state operator),
+    so there is no state store to size and a restart resumes from the
+    checkpoint offsets alone (asserted by
+    test_corpus_filter_stream_is_stateless).
     """
     stream = read_doc_stream(
         spark, source_dir, max_files_per_trigger=max_files_per_trigger

@@ -119,6 +119,65 @@ def test_temperature_mix_flattens_distribution(spark):
     assert all(0 < r <= 1.0 for r in rates.values())
 
 
+def test_temperature_mix_null_strata_and_empty_input(spark):
+    """NULL is a real stratum: NULL-lang rows get the rate computed
+    from their own count (not the default 1.0 fall-through), matching
+    the NULL-safe oracle join; empty input yields an empty frame with
+    the mix_rate column instead of a ValueError."""
+    from database_activity_monitoring_dam_system_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, None if i % 2 else "en") for i in range(400)],
+        "doc_id long, lang string",
+    )
+    mixed = sampling.temperature_mix(
+        docs, key_col="doc_id", strata_col="lang", alpha=0.5
+    )
+    rows = mixed.collect()
+    null_rates = {r.mix_rate for r in rows if r.lang is None}
+    # both strata have 200 rows → both rates are exactly 1.0, and the
+    # NULL stratum must NOT have been dropped
+    assert null_rates == {1.0}
+    assert len([r for r in rows if r.lang is None]) == 200
+
+    skewed = spark.createDataFrame(
+        [(i, None if i < 900 else "en") for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    skew_mixed = sampling.temperature_mix(
+        skewed, key_col="doc_id", strata_col="lang", alpha=0.5
+    )
+    null_rates = {r.mix_rate for r in skew_mixed.collect() if r.lang is None}
+    # the (dominant) NULL stratum downsamples: rate (900/100)^-0.5
+    assert null_rates == {round((900 / 100) ** -0.5, 6)}
+
+    empty = docs.filter(F.lit(False))
+    out = sampling.temperature_mix(
+        empty, key_col="doc_id", strata_col="lang", alpha=0.5
+    )
+    assert out.columns == ["doc_id", "lang", "mix_rate"]
+    assert out.count() == 0
+
+
+def test_hll_bucket_bits_guard(spark):
+    """Non-multiple-of-4 bucket_bits would leave most registers
+    permanently empty (hex-char buckets); rejected loudly."""
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import sketches
+
+    df = spark.range(10).select(
+        F.lit("g").alias("grp"), F.col("id")
+    )
+    for bad in (10, 3, 0, 20):
+        with _pytest.raises(ValueError, match="bucket_bits"):
+            sketches.hll_md5_distinct(df, ["grp"], "id", bucket_bits=bad)
+    # multiples of 4 in range still work
+    assert sketches.hll_md5_distinct(
+        df, ["grp"], "id", bucket_bits=4
+    ).count() == 1
+
+
 def test_contamination_flags_verbatim_passage(spark):
     """The winnowing guarantee drives decontamination: a corpus doc
     embedding a benchmark passage of ≥ window + k − 1 tokens MUST

@@ -587,5 +587,13 @@ def test_corpus_filter_stream_matches_batch(spark):
         )
         plan = kept._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan
+        # genuinely stateless: the fused projection must plan without
+        # ANY state operator (the earlier 3-way doc_id self-join was a
+        # StreamingSymmetricHashJoin retaining every row forever)
+        progresses = [json.loads(p.json) for p in q.recentProgress]
+        assert progresses, "no progress recorded"
+        assert all(not p.get("stateOperators") for p in progresses), (
+            [p.get("stateOperators") for p in progresses]
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
