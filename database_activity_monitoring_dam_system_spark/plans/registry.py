@@ -50,6 +50,7 @@ def _pin_utc(fn: QueryFn) -> QueryFn:
 # serving-mode frame sharing).  The rows-only members of that set are
 # instead DEFERRED (below), so every checked entry is full-oracle.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    "media_decode_features",
     "recent_activities",
     "latest_critical",
     "impossible_travel",
