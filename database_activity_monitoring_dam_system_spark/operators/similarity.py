@@ -174,25 +174,48 @@ def ivf_centroids(
     embeddings: DataFrame,
     *,
     n_centroids: int = 16,
+    refine_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[tuple]:
-    """Deterministic IVF coarse quantizer: the centroid set is the
-    ``n_centroids`` lowest-id vectors (collected with their norms).
+    """Deterministic IVF coarse quantizer: seed with the
+    ``n_centroids`` lowest-id vectors, then REFINE with
+    ``refine_iters`` Lloyd rounds using the decimal-exact centroid
+    updates of kmeans_lloyd_exact — trained like a real coarse
+    quantizer, yet still a deterministic function of the corpus and
+    therefore expressible in the DuckDB oracle (unrolled CTEs, the
+    kmeans_exact_clusters trick).  ``refine_iters=0`` keeps the raw
+    seed-by-id quantizer (the recall-comparison baseline).
 
-    A production build would refine these with a few Lloyd rounds (each
-    round = one broadcast-assign + one groupBy(cent) mean — cheap,
-    deterministic); seed-by-id keeps the operator reproducible AND
-    expressible in the DuckDB oracle, which is what pins the search
-    semantics. Returns [(cent_id, vec, norm)] sorted by cent_id.
+    Returns [(cent_idx, vec, norm)] with dense indices 0..C-1 (the
+    tie-break order), norms as the same sequential-fold double sum
+    the oracle's sqrt(list_dot_product) computes.
     """
-    cents = with_norm(
-        embeddings.select(
-            F.col(id_col).alias("cent_id"), _as_double(vec_col).alias("cvec")
-        ).orderBy("cent_id").limit(n_centroids),
-        vec_col="cvec",
-    ).collect()
-    return [(r["cent_id"], list(r["cvec"]), float(r["_norm"])) for r in cents]
+    import math
+
+    seeds = (
+        embeddings.select(F.col(id_col), _as_double(vec_col).alias("v"))
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("ivf_centroids: empty corpus")
+    centroids = [list(r["v"]) for r in seeds]
+    if refine_iters > 0:
+        corpus = _kmeans_prepare(
+            embeddings, id_col=id_col, vec_col=vec_col
+        ).persist()
+        try:
+            centroids = _lloyd_exact_rounds(
+                corpus, centroids, refine_iters, id_col=id_col
+            )
+        finally:
+            corpus.unpersist()
+    return [
+        (i, c, math.sqrt(sum(x * x for x in c)))
+        for i, c in enumerate(centroids)
+    ]
 
 
 def _centroid_scores(vec_sql: str, norm_sql: str, cents: list[tuple]) -> dict:
@@ -215,12 +238,16 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    refine_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF ANN top-k: assign every vector to its max-cosine centroid
     (ties → lowest cent_id), probe each query's ``n_probe`` nearest
-    lists, exact cosine re-rank inside the probed lists only.
+    lists, exact cosine re-rank inside the probed lists only.  The
+    coarse quantizer is Lloyd-refined (``refine_iters`` decimal-exact
+    rounds; 0 = raw seed-by-id) — better-balanced lists, higher recall
+    at equal n_probe (asserted in test_extensions).
 
     100 TB shape: assignment is a pure projection against LITERAL
     centroids (zero shuffle, O(N·C·d) flops — the standard IVF assign
@@ -230,7 +257,11 @@ def ivf_topk(
     force).
     """
     cents = ivf_centroids(
-        embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+        embeddings,
+        n_centroids=n_centroids,
+        refine_iters=refine_iters,
+        id_col=id_col,
+        vec_col=vec_col,
     )
     cent_ids = F.array(*[F.lit(c[0]) for c in cents])
     score_cols = [f"_cs{i}" for i in range(len(cents))]
@@ -430,6 +461,45 @@ def kmeans_lloyd(
     return final, centroids
 
 
+def _lloyd_exact_rounds(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    iters: int,
+    *,
+    id_col: str,
+) -> list[list[float]]:
+    """``iters`` Lloyd rounds with order-independent DECIMAL(27,12)
+    component sums (see kmeans_lloyd_exact); ``corpus`` must be the
+    persisted _kmeans_prepare projection. Returns the final centroid
+    list; empty clusters keep their previous centroid."""
+    k_eff = len(centroids)
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = _assign_prepared(corpus, centroids, id_col=id_col)
+        sum_rows = (
+            assigned.groupBy("cluster_id")
+            .agg(
+                F.count("*").alias("_n"),
+                *[
+                    F.sum(F.element_at("vec", d + 1).cast("decimal(27,12)"))
+                    .cast("double")
+                    .alias(f"s{d}")
+                    for d in range(dim)
+                ],
+            )
+            .collect()
+        )
+        by_cluster = {
+            r["cluster_id"]: [r[f"s{d}"] / r["_n"] for d in range(dim)]
+            for r in sum_rows
+        }
+        centroids = [
+            by_cluster[ci] if ci in by_cluster else centroids[ci]
+            for ci in range(k_eff)
+        ]
+    return centroids
+
+
 def kmeans_lloyd_exact(
     embeddings: DataFrame,
     *,
@@ -464,36 +534,12 @@ def kmeans_lloyd_exact(
     if not seeds:
         raise ValueError("kmeans_lloyd_exact: empty corpus")
     centroids = [list(r["v"]) for r in seeds]
-    k_eff = len(centroids)
-    dim = len(centroids[0])
     corpus = _kmeans_prepare(embeddings, id_col=id_col, vec_col=vec_col)
     corpus = corpus.persist()
     try:
-        for _ in range(iters):
-            assigned = _assign_prepared(corpus, centroids, id_col=id_col)
-            sum_rows = (
-                assigned.groupBy("cluster_id")
-                .agg(
-                    F.count("*").alias("_n"),
-                    *[
-                        F.sum(
-                            F.element_at("vec", d + 1).cast("decimal(27,12)")
-                        )
-                        .cast("double")
-                        .alias(f"s{d}")
-                        for d in range(dim)
-                    ],
-                )
-                .collect()
-            )
-            by_cluster = {
-                r["cluster_id"]: [r[f"s{d}"] / r["_n"] for d in range(dim)]
-                for r in sum_rows
-            }
-            centroids = [
-                by_cluster[ci] if ci in by_cluster else centroids[ci]
-                for ci in range(k_eff)
-            ]
+        centroids = _lloyd_exact_rounds(
+            corpus, centroids, iters, id_col=id_col
+        )
         final = _assign_prepared(corpus, centroids, id_col=id_col).select(
             id_col, "cluster_id", "sqdist"
         )

@@ -757,23 +757,30 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+_IVF_REFINE_ITERS = 2
+
+
 def _q_ivf_ann_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
-        emb, _QUERY_IDS, k=10, n_centroids=16, n_probe=4
+        emb, _QUERY_IDS, k=10, n_centroids=16, n_probe=4,
+        refine_iters=_IVF_REFINE_ITERS,
     )
 
 
-_IVF_SQL = f"""
-WITH corpus AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
+def _ivf_ann_sql() -> str:
+    """IVF oracle with the Lloyd-REFINED coarse quantizer: the
+    centroid chain is the same unrolled decimal-exact refinement the
+    kmeans_exact_clusters oracle uses (c0 = seed-by-id → c{iters}),
+    then cosine assignment / probing / re-rank as before."""
+    refine = _lloyd_refine_ctes(16, _IVF_REFINE_ITERS, _KMEANS_EXACT_DIM)
+    return f"""
+WITH {refine},
 norms AS (
-  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus
+  SELECT vec_id, v, sqrt(norm2) AS nrm FROM norms2
 ),
 cents AS (
-  SELECT vec_id AS cent_id, v AS cv, nrm AS cn
-  FROM norms ORDER BY vec_id LIMIT 16
+  SELECT cid AS cent_id, cv, sqrt(cn2) AS cn FROM c{_IVF_REFINE_ITERS}
 ),
 assign AS (
   SELECT vec_id, cent_id FROM (
@@ -1550,15 +1557,29 @@ def _q_kmeans_exact(spark, sf_dir):
     )
 
 
-def _kmeans_exact_sql() -> str:
-    """ANSI twin of kmeans_lloyd_exact with the rounds unrolled:
-    seeds = k lowest-id vectors; each round assigns by squared L2
-    (norm2 − 2·dot + cn2, same operation order as the Spark _sqdist
-    expression; ties → lowest centroid id, same as array_position of
-    the first min) and re-centers with DECIMAL(27,12)-exact component
-    sums divided as doubles — the same arithmetic the Spark side
-    performs, so assignments match bit-for-bit."""
-    k, iters, dim = _KMEANS_EXACT_K, _KMEANS_EXACT_ITERS, _KMEANS_EXACT_DIM
+def _lloyd_assign_cte(r: int) -> str:
+    """One unrolled assignment stage: squared L2 (norm2 − 2·dot + cn2,
+    same operation order as the Spark _sqdist expression; ties →
+    lowest centroid id, same as array_position of the first min)."""
+    return f"""a{r} AS (
+  SELECT vec_id, v, cid AS cluster_id
+  FROM (
+    SELECT n.vec_id, n.v, c.cid,
+           n.norm2 - 2.0 * list_dot_product(n.v, c.cv) + c.cn2 AS dist
+    FROM norms2 n CROSS JOIN c{r - 1} c
+  )
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+)"""
+
+
+def _lloyd_refine_ctes(k: int, iters: int, dim: int) -> str:
+    """Unrolled decimal-exact Lloyd refinement: seeds = k lowest-id
+    vectors (c0), then per round one L2 assignment and a re-center
+    with DECIMAL(27,12)-exact component sums divided as doubles — the
+    same arithmetic the Spark side performs, so centroids match
+    bit-for-bit.  The chain ends at ``c{iters}`` (cid, cv, cn2);
+    callers append their own final stage (assignment for k-means,
+    cosine probe for IVF)."""
 
     def mean_cols() -> str:
         return ",\n         ".join(
@@ -1581,24 +1602,10 @@ c0 AS (
   FROM (SELECT vec_id, v FROM norms2 ORDER BY vec_id LIMIT {k})
 )"""
     ]
-    # Spark runs ``iters`` (assign → update) cycles and then one FINAL
-    # assignment against the post-update centroids — so the unroll has
-    # iters+1 assignment stages and the output is the last one.
-    for r in range(1, iters + 2):
+    for r in range(1, iters + 1):
+        parts.append(_lloyd_assign_cte(r))
         parts.append(
-            f"""a{r} AS (
-  SELECT vec_id, v, cid AS cluster_id
-  FROM (
-    SELECT n.vec_id, n.v, c.cid,
-           n.norm2 - 2.0 * list_dot_product(n.v, c.cv) + c.cn2 AS dist
-    FROM norms2 n CROSS JOIN c{r - 1} c
-  )
-  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
-)"""
-        )
-        if r <= iters:
-            parts.append(
-                f"""m{r} AS (
+            f"""m{r} AS (
   SELECT cluster_id AS cid,
          {mean_cols()}
   FROM a{r} GROUP BY 1
@@ -1611,8 +1618,22 @@ c{r} AS (
   FROM c{r - 1}
   LEFT JOIN (SELECT cid, {mean_list} AS cv FROM m{r}) mm USING (cid)
 )"""
-            )
-    body = ",\n".join(parts)
+        )
+    return ",\n".join(parts)
+
+
+def _kmeans_exact_sql() -> str:
+    """ANSI twin of kmeans_lloyd_exact with the rounds unrolled (see
+    _lloyd_refine_ctes).  Spark runs ``iters`` (assign → update)
+    cycles and then one FINAL assignment against the post-update
+    centroids — so the unroll has iters+1 assignment stages and the
+    output is the last one."""
+    k, iters, dim = _KMEANS_EXACT_K, _KMEANS_EXACT_ITERS, _KMEANS_EXACT_DIM
+    body = (
+        _lloyd_refine_ctes(k, iters, dim)
+        + ",\n"
+        + _lloyd_assign_cte(iters + 1)
+    )
     return f"""
 WITH {body}
 SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM a{iters + 1}
@@ -1774,7 +1795,7 @@ QUERIES: dict[str, QuerySpec] = {
         "closed-form literals",
     ),
     "embedding_ann_ivf": QuerySpec(
-        _q_ivf_ann_topk, _IVF_SQL,
+        _q_ivf_ann_topk, _ivf_ann_sql(),
         "IVF ANN top-10: literal-centroid assign (zero shuffle) + "
         "probed-list exact re-rank, full DuckDB oracle",
     ),

@@ -334,6 +334,53 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     assert full == exact
 
 
+def test_ivf_refined_recall_beats_seeded_on_clustered_data(spark):
+    """Lloyd refinement is what makes seed-by-id a real coarse
+    quantizer: on a cluster-structured corpus whose ids are sorted by
+    cluster (the realistic worst case for seeding — the first
+    n_centroids vectors all come from the first clusters), the
+    refined quantizer recovers substantially more of the true top-k
+    at equal n_probe.  Fixture: 12 well-separated centers in R^16,
+    deterministic md5 noise; measured seeded ≈ 0.61 vs refined ≈ 0.95
+    recall.  (On uniform-random embeddings refinement is a wash by
+    construction — no structure to learn — which is why this test
+    builds structure instead of using the random testdata corpus.)"""
+    import hashlib
+
+    n, d, ktrue = 360, 16, 12
+    rows = []
+    for i in range(n):
+        c = (i * ktrue) // n  # sorted-by-cluster id order
+        h = hashlib.md5(f"p{i}".encode()).digest()
+        vec = [
+            ((h[j % len(h)] / 255.0) - 0.5) * 4.0 + (10.0 if j == c else 0.0)
+            for j in range(d)
+        ]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qids = list(range(0, n, 36))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, qids, k=10).collect()
+    }
+
+    def recall(refine_iters):
+        ann = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivf_topk(
+                emb, qids, k=10, n_centroids=16, n_probe=2,
+                refine_iters=refine_iters,
+            ).collect()
+        }
+        return len(ann & exact) / len(exact)
+
+    seeded, refined = recall(0), recall(2)
+    assert refined > seeded, (
+        f"refinement did not improve recall: {refined:.2f} <= {seeded:.2f}"
+    )
+    assert refined >= 0.85, f"refined recall too low: {refined:.2f}"
+
+
 def test_winnowing_shared_run_guarantee(spark):
     """Two docs sharing a token run of length >= window+k-1 (= 6 with
     defaults) must share a fingerprint; disjoint docs must not pair."""
