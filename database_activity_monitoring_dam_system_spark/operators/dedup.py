@@ -193,7 +193,7 @@ def minhash_signatures_arr(
     )
 
 
-def minhash_candidate_pairs(
+def minhash_bands(
     signatures: DataFrame,
     *,
     id_col: str = "doc_id",
@@ -201,11 +201,10 @@ def minhash_candidate_pairs(
     bands: int = 8,
     hex_buckets: bool = False,
 ) -> DataFrame:
-    """Banded LSH: docs agreeing on any full band become candidates.
-
-    Bands are exploded into (band_id, bucket) rows, then a self
-    equi-join on the bucket key — linear candidate generation, the
-    shuffle key is (band_id, bucket) so collisions co-locate.
+    """(id, band_id, bucket) band table of a signature frame — the
+    joinable form of the banded-LSH state.  Used by the self-join
+    candidate generator below and by the streaming near-dup gate
+    (stream bands joined against a broadcast reference band table).
 
     ``hex_buckets=True`` derives the bucket as md5 over the
     '|'-joined band values instead of xxhash64 — required for the
@@ -229,9 +228,34 @@ def minhash_candidate_pairs(
         )
         + ")"
     )
-    banded = (
+    return (
         signatures.select(F.col(id_col), F.explode(band_structs).alias("band"))
         .select(id_col, "band.band_id", "band.bucket")
+    )
+
+
+def minhash_candidate_pairs(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    hex_buckets: bool = False,
+) -> DataFrame:
+    """Banded LSH: docs agreeing on any full band become candidates.
+
+    Bands are exploded into (band_id, bucket) rows, then a self
+    equi-join on the bucket key — linear candidate generation, the
+    shuffle key is (band_id, bucket) so collisions co-locate.
+    """
+    banded = (
+        minhash_bands(
+            signatures,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            hex_buckets=hex_buckets,
+        )
         # Materialize before the self-join: both join branches would
         # otherwise recompute the full signature projection (the
         # expensive part). At scale this is the signature table a

@@ -101,6 +101,141 @@ def score_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def reference_band_state(
+    ref_docs: DataFrame,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Precompute the static reference-corpus state for the streaming
+    near-dup gate: the (ref_id, band_id, bucket) MinHash band table
+    and the (ref_id, ref_toks) shingle arrays for exact verification.
+    Both are persisted — the reference corpus is fixed for the life of
+    the stream (re-derive and restart to pick up a new corpus)."""
+    base = dedup.token_arrays(ref_docs, shingle=shingle)
+    sigs = dedup.minhash_signatures_arr(base, num_hashes=num_hashes)
+    band_tbl = (
+        dedup.minhash_bands(
+            sigs.drop("toks"), num_hashes=num_hashes, bands=bands
+        )
+        .withColumnRenamed("doc_id", "ref_id")
+        .persist()
+    )
+    ref_toks = (
+        base.select(
+            F.col("doc_id").alias("ref_id"), F.col("toks").alias("ref_toks")
+        ).persist()
+    )
+    return band_tbl, ref_toks
+
+
+def near_dup_flags(
+    docs: DataFrame,
+    ref_bands: DataFrame,
+    ref_toks: DataFrame,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Flag documents that near-duplicate the reference corpus: the
+    doc's MinHash bands probe the broadcast reference band table
+    (same broadcast-membership pattern as contamination_flags), and
+    band collisions are verified with exact shingle-set Jaccard
+    against the broadcast reference arrays — identical hash family,
+    banding, and verification arithmetic as the batch
+    minhash_near_duplicates, so stream and batch verdicts agree
+    structurally (pinned by test_streaming).
+
+    Output: the input rows + ``near_dup_of`` (lowest matching ref_id,
+    NULL when clean), ``near_dup_jaccard``, and ``verdict``
+    ('near_dup' | 'keep').  Scale shape: signatures are a pure
+    projection; both reference sides broadcast (no corpus-keyed
+    shuffle); candidate volume ∝ true collisions.  Pure batch
+    DataFrame ops — run it per micro-batch via foreachBatch (the
+    reference is static, so no cross-batch state is needed and the
+    stream stays stateless).
+    """
+    base = dedup.token_arrays(docs, shingle=shingle)
+    sigs = dedup.minhash_signatures_arr(base, num_hashes=num_hashes)
+    doc_bands = dedup.minhash_bands(
+        sigs.drop("toks"), num_hashes=num_hashes, bands=bands
+    )
+    cands = (
+        doc_bands.join(F.broadcast(ref_bands), ["band_id", "bucket"])
+        .select("doc_id", "ref_id")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("toks", "ref_toks"))
+    union = F.size("toks") + F.size("ref_toks") - inter
+    matched = (
+        cands.join(base.select("doc_id", "toks"), "doc_id")
+        .join(F.broadcast(ref_toks), "ref_id")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("doc_id")
+        .agg(
+            F.min("ref_id").alias("near_dup_of"),
+            F.round(F.max("jaccard"), 4).alias("near_dup_jaccard"),
+        )
+    )
+    return docs.join(F.broadcast(matched), "doc_id", "left").withColumn(
+        "verdict",
+        F.when(F.col("near_dup_of").isNotNull(), "near_dup").otherwise("keep"),
+    )
+
+
+def start_near_dup_filter(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    ref_docs: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+    threshold: float = 0.9,
+) -> StreamingQuery:
+    """Near-dup rejection at ingest: stream → MinHash bands → probe
+    the broadcast reference corpus → verdict-partitioned sink.  Runs
+    near_dup_flags per micro-batch under foreachBatch — the reference
+    state is computed ONCE up front; each batch is joins against
+    broadcast statics, so the streaming query itself holds no state
+    store and restarts resume from checkpoint offsets alone."""
+    ref_bands, ref_toks = reference_band_state(
+        ref_docs, num_hashes=num_hashes, bands=bands, shingle=shingle
+    )
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        flagged = near_dup_flags(
+            batch_df,
+            ref_bands,
+            ref_toks,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle=shingle,
+            threshold=threshold,
+        )
+        flagged.write.mode("append").partitionBy("verdict").parquet(sink_dir)
+
+    stream = read_doc_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_corpus_filter(
     spark: SparkSession,
     source_dir: str,

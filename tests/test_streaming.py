@@ -532,6 +532,99 @@ def test_interval_join_stream_static_parity(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_near_dup_filter_stream_matches_batch(spark):
+    """Streaming near-dup rejection ≡ batch minhash_near_duplicates:
+    a stream doc is flagged iff the batch self-join over (reference ∪
+    stream) pairs it with a reference doc at the same hash family,
+    banding, and Jaccard threshold — including the matched ref id
+    (lowest) and the (max, rounded) jaccard value."""
+    import json
+    import os
+
+    from database_activity_monitoring_dam_system_spark.operators import dedup
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        corpus_filter,
+    )
+
+    ref_rows = [
+        (1001, "the quick brown fox jumps over the lazy dog again and again"),
+        (1002, "spark filters join group sort merge window stream shuffle"),
+        (1003, "completely unrelated reference text about database monitoring"),
+    ]
+    stream_rows = [
+        # exact dup of ref 1001 → jaccard 1.0
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        # one-word change vs ref 1002 → high but < 1 jaccard
+        (2, "spark filters join group sort merge window stream shuffles"),
+        # unrelated → keep
+        (3, "totally novel document with no overlap whatsoever here now"),
+        # near-dup of ANOTHER STREAM doc only → must stay keep
+        (4, "totally novel document with no overlap whatsoever here now"),
+    ]
+    kw = dict(num_hashes=32, bands=8, shingle=3, threshold=0.5)
+
+    base = tempfile.mkdtemp(prefix="dam_neardup_")
+    src = f"{base}/src"
+    os.makedirs(src)
+    for chunk_id, chunk in enumerate([stream_rows[:2], stream_rows[2:]]):
+        with open(f"{src}/c{chunk_id}.json", "w") as fh:
+            for doc_id, text in chunk:
+                fh.write(json.dumps(
+                    {"doc_id": doc_id, "text": text, "lang": "en",
+                     "source": "s"}) + "\n")
+    try:
+        ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+        q = corpus_filter.start_near_dup_filter(
+            spark, src,
+            ref_docs=ref,
+            sink_dir=f"{base}/out",
+            checkpoint_dir=f"{base}/ck",
+            available_now=True,
+            max_files_per_trigger=1,
+            **kw,
+        )
+        q.awaitTermination(120)
+        streamed = {
+            r.doc_id: (r.verdict, r.near_dup_of, r.near_dup_jaccard)
+            for r in spark.read.parquet(f"{base}/out").collect()
+        }
+        assert set(streamed) == {1, 2, 3, 4}
+
+        # batch ground truth: self-join over reference ∪ stream, keep
+        # only cross pairs (one stream member, one reference member)
+        union = ref.union(
+            spark.createDataFrame(stream_rows, "doc_id long, text string")
+        )
+        pairs = dedup.minhash_near_duplicates(union, **kw).collect()
+        expect = {}
+        for p in pairs:
+            sid, rid = (
+                (p.doc_a, p.doc_b) if p.doc_b >= 1000 else (p.doc_b, p.doc_a)
+            )
+            if sid >= 1000 or rid < 1000:
+                continue  # ref-ref or stream-stream pair
+            cur = expect.get(sid)
+            if cur is None:
+                expect[sid] = (rid, p.jaccard)
+            else:
+                expect[sid] = (min(cur[0], rid), max(cur[1], p.jaccard))
+        assert expect, "fixture produced no cross near-dup pairs"
+        for doc_id, _text in stream_rows:
+            verdict, of, jac = streamed[doc_id]
+            if doc_id in expect:
+                assert verdict == "near_dup", (doc_id, streamed[doc_id])
+                assert (of, jac) == expect[doc_id], (doc_id, streamed[doc_id])
+            else:
+                assert verdict == "keep" and of is None, (
+                    doc_id, streamed[doc_id],
+                )
+        # doc 4 duplicates doc 3 (stream-internal) but no ref doc:
+        # the gate must NOT flag it
+        assert streamed[4][0] == "keep"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_corpus_filter_stream_matches_batch(spark):
     """The streaming corpus filter (quality + repetition + fingerprint,
     all stateless projections) writes exactly what the same scoring
