@@ -115,3 +115,107 @@ def test_pii_scrub_is_pure_projection(spark):
     plan = _plan(spark, "pii_scrub")
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_rule_battery_skew_join_parity_under_aqe(spark):
+    """The documented skew mitigation (SCALE.md §Skew) actually fires
+    and is result-neutral: a deliberately hot user key (120k of 126k
+    rows on one user) flows through the rule battery's rate window,
+    then a user-keyed sort-merge join downstream.  With the AQE skew
+    thresholds scaled to test data, OptimizeSkewedJoin must SPLIT the
+    hot partition (SortMergeJoin(skew=true) + skewed AQEShuffleRead
+    in the final adaptive plan) and the output must be row-identical
+    to the non-adaptive plan.  Note the window's own user_id exchange
+    is NOT splittable by design (the frame needs the whole user
+    co-located) — that residual skew is the salting escape hatch's
+    territory; the join boundary after it is where AQE takes over.
+    """
+    from pyspark.sql import functions as F
+
+    from database_activity_monitoring_dam_system_spark.operators import rules
+
+    n_hot, n_cold_users, per_cold = 120_000, 30, 200
+    n = n_hot + n_cold_users * per_cold
+    base = spark.range(n).select(
+        F.when(F.col("id") < n_hot, F.lit(1))
+        .otherwise((F.col("id") % n_cold_users) + 2)
+        .cast("long")
+        .alias("user_id"),
+        F.concat(F.lit("10.0.0."), (F.col("id") % 200).cast("string")).alias(
+            "ip_address"
+        ),
+        F.timestamp_seconds(F.lit(1700000000) + (F.col("id") % 3600)).alias(
+            "access_timestamp"
+        ),
+        F.when(F.col("id") % 997 == 0, "SELECT * FROM users WHERE 1=1 OR 1=1")
+        .when(F.col("id") % 31 == 0, "select password from accounts")
+        .otherwise(
+            F.concat(
+                F.lit("SELECT col FROM t WHERE id="), F.col("id").cast("string")
+            )
+        )
+        .alias("operation_details"),
+        F.element_at(
+            F.array(
+                F.lit("SELECT"), F.lit("INSERT"), F.lit("UPDATE"), F.lit("DELETE")
+            ),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("operation_type"),
+        F.element_at(
+            F.array(F.lit("users"), F.lit("orders"), F.lit("payments")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("table_name"),
+        (F.col("id") % 2000).cast("int").alias("rows_affected"),
+    )
+    battery = rules.apply_rule_battery(base)
+    dim = spark.range(2 + n_cold_users).select(
+        (F.col("id") + 1).alias("user_id"),
+        F.concat(F.lit("team-"), (F.col("id") % 3).cast("string")).alias("team"),
+    )
+
+    keys = [
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k) for k in keys}
+
+    def run(aqe: bool):
+        spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "256KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # round-robin repartition models a pipeline stage that broke
+        # the window's co-partitioning, so the join inserts a FRESH
+        # user_id exchange — the boundary AQE can split
+        joined = battery.repartition(64).join(
+            dim.hint("merge"), "user_id"
+        ).select(
+            "user_id", "team", "is_suspicious", "severity_level",
+            "queries_last_min", "operation_details",
+        )
+        rows = sorted(tuple(r) for r in joined.collect())
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        return rows, plan
+
+    try:
+        rows_aqe, plan_aqe = run(True)
+        rows_plain, plan_plain = run(False)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+    assert "skew=true" in plan_aqe, "OptimizeSkewedJoin did not fire"
+    assert "skewed" in plan_aqe  # AQEShuffleRead marks split partitions
+    assert "skew=true" not in plan_plain
+    assert rows_aqe == rows_plain and len(rows_aqe) == n
