@@ -48,9 +48,15 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    # local[N] runs everything in the driver JVM; the 1g default heap
+    # OOMs around sf1 (measured: contamination_flags at 50k docs).
+    # Only effective at JVM launch — a pre-existing session keeps its
+    # heap.  On a real cluster this maps to executor memory sizing.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config(
             "spark.sql.shuffle.partitions",
