@@ -5,12 +5,18 @@ cache — sequential, non-deterministic, unreplayable. The engine form
 is a precomputed ip→geo DIMENSION joined broadcast-style (SURVEY.md
 §2.10 'preferred: deterministic, testable'): at 100 TB the lookup is a
 map-side join against a GeoIP snapshot table, refreshed out-of-band.
+For the long tail where no snapshot exists, geo_enrich_external ships
+the enrichment-from-external-service pattern itself: Arrow-batched
+mapInPandas with a per-partition resolver cache.
 """
 
 from __future__ import annotations
 
+from collections.abc import Callable, Iterator
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def geo_enrich(
@@ -38,3 +44,80 @@ def top_countries(
         .orderBy(F.desc("cnt"), F.asc("country"))
         .limit(k)
     )
+
+
+def geo_enrich_external(
+    activity: DataFrame,
+    *,
+    ip_col: str = "ip_address",
+    resolver: Callable[[str], dict | None] | None = None,
+) -> DataFrame:
+    """Enrichment from an EXTERNAL lookup service, distributed form of
+    the reference's per-row HTTP GeoTracker (app.py:709-731): an
+    Arrow-batched mapInPandas stage where each partition keeps a local
+    resolver cache, so a hot IP resolves once per partition — and the
+    external service sees bounded concurrency (one in-flight resolver
+    per partition), not a per-row thundering herd.
+
+    ``resolver(ip) -> {"country": ..., "city": ...} | None``; None and
+    resolver exceptions leave NULL geo columns (the reference skips
+    failed lookups).  The default resolver is a deterministic offline
+    fake (md5-derived), so tests and air-gapped runs never touch the
+    network; plug a MaxMind/ip-api client in production — the Spark
+    plumbing (schema, batching, caching, partition-inherited
+    parallelism, no shuffle) is identical.
+
+    Prefer geo_enrich's broadcast dimension join whenever a snapshot
+    table CAN be materialized — this operator is for lookups that
+    genuinely must happen inline.
+    """
+    out_schema = T.StructType(
+        list(activity.schema.fields)
+        + [
+            T.StructField("country", T.StringType(), True),
+            T.StructField("city", T.StringType(), True),
+        ]
+    )
+    cols = [f.name for f in activity.schema.fields]
+
+    def batches(it: Iterator) -> Iterator:
+        import hashlib
+
+        def default_resolver(ip: str) -> dict | None:
+            h = hashlib.md5(ip.encode("utf-8")).digest()
+            countries = (
+                "US", "DE", "IN", "BR", "JP", "GB", "FR", "AU",
+                "CA", "NL", "SG", "KR",
+            )
+            return {
+                "country": countries[h[0] % len(countries)],
+                "city": f"city-{h[1:3].hex()}",
+            }
+
+        resolve = resolver or default_resolver
+        cache: dict[str, tuple[str | None, str | None]] = {}
+
+        def lookup(ip) -> tuple[str | None, str | None]:
+            if ip is None:
+                return (None, None)
+            ip = str(ip)
+            if ip not in cache:
+                try:
+                    geo = resolve(ip)
+                except Exception:
+                    geo = None
+                cache[ip] = (
+                    (geo.get("country"), geo.get("city"))
+                    if geo is not None
+                    else (None, None)
+                )
+            return cache[ip]
+
+        for pdf in it:
+            resolved = [lookup(ip) for ip in pdf[ip_col]]
+            out = pdf[cols].copy()
+            out["country"] = [r[0] for r in resolved]
+            out["city"] = [r[1] for r in resolved]
+            yield out
+
+    return activity.mapInPandas(batches, schema=out_schema)

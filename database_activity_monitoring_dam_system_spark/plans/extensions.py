@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import (
     dedup,
+    geo,
     multimodal,
     sampling,
     similarity,
@@ -1283,6 +1284,58 @@ GROUP BY doc_id
 """
 
 
+_GEO_COUNTRIES = (
+    "US", "DE", "IN", "BR", "JP", "GB", "FR", "AU",
+    "CA", "NL", "SG", "KR",
+)
+
+
+def _q_geo_external_top_countries(spark, sf_dir):
+    """The external-enrichment pattern end-to-end WITH an oracle:
+    a deterministic synthetic ip per event, resolved through
+    geo_enrich_external's mapInPandas + per-partition cache (default
+    md5 fake resolver), rolled up to country counts.  DuckDB derives
+    the same countries arithmetically from the md5 hex, so the hash
+    gate pins the whole Python enrichment path."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("10.0."),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit("."),
+            (F.col("event_id") % 250).cast("string"),
+        ).alias("ip_address"),
+    )
+    return (
+        geo.geo_enrich_external(act)
+        .groupBy("country")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _geo_external_sql() -> str:
+    country_list = ", ".join(f"'{c}'" for c in _GEO_COUNTRIES)
+    return f"""
+WITH act AS (
+  SELECT event_id,
+         '10.0.' || CAST(user_id % 20 AS VARCHAR) || '.'
+                 || CAST(event_id % 250 AS VARCHAR) AS ip
+  FROM events
+),
+resolved AS (
+  SELECT ([{country_list}])[
+           ((strpos('0123456789abcdef', substr(md5(ip), 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(ip), 2, 1)) - 1))
+           % {len(_GEO_COUNTRIES)} + 1] AS country
+  FROM act
+)
+SELECT country, count(*) AS cnt FROM resolved GROUP BY country
+"""
+
+
 def _q_bigram_logprob(spark, sf_dir):
     return textops.bigram_logprob_scores(_docs(spark, sf_dir))
 
@@ -1667,6 +1720,11 @@ QUERIES: dict[str, QuerySpec] = {
         _q_media_decode_features, _MEDIA_DECODE_SQL,
         "REAL PNG decode (stdlib inflate + Paeth unfilter) → "
         "per-channel pixel statistics, oracle-pinned byte-exactly",
+    ),
+    "geo_external_top_countries": QuerySpec(
+        _q_geo_external_top_countries, _geo_external_sql(),
+        "external-service enrichment pattern (mapInPandas + "
+        "per-partition resolver cache) → country rollup, full oracle",
     ),
     "bigram_logprob": QuerySpec(
         _q_bigram_logprob, _BIGRAM_LM_SQL,

@@ -51,6 +51,7 @@ def _pin_utc(fn: QueryFn) -> QueryFn:
 # instead DEFERRED (below), so every checked entry is full-oracle.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     "media_decode_features",
+    "geo_external_top_countries",
     "recent_activities",
     "latest_critical",
     "impossible_travel",

@@ -830,6 +830,55 @@ def test_real_decode_paths(spark):
     )
 
 
+def test_geo_enrich_external_caches_per_partition(spark):
+    """The external-enrichment pattern (reference GeoTracker's
+    per-row HTTP + cache, app.py:709-731, in distributed form): the
+    per-partition resolver cache memoizes hot keys — proven by a
+    deliberately NON-deterministic resolver whose value must still be
+    constant per ip within a partition; failures and NULL ips yield
+    NULL geo columns; the default resolver is deterministic."""
+    import hashlib
+
+    from database_activity_monitoring_dam_system_spark.operators import geo
+
+    rows = [(i, f"10.0.0.{i % 5}" if i % 17 else None) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "activity_id long, ip_address string"
+    ).repartition(1)
+
+    # non-deterministic resolver: without memoization, repeat lookups
+    # of the same ip would disagree
+    def flaky_resolver(ip):
+        import random
+
+        if ip.endswith(".4"):
+            raise RuntimeError("lookup failed")
+        return {"country": f"C{random.random()}", "city": None}
+
+    out = geo.geo_enrich_external(df, resolver=flaky_resolver).collect()
+    by_ip: dict = {}
+    for r in out:
+        by_ip.setdefault(r.ip_address, set()).add(r.country)
+    for ip, vals in by_ip.items():
+        assert len(vals) == 1, f"{ip}: resolver not memoized ({vals})"
+        if ip is None or ip.endswith(".4"):
+            assert vals == {None}  # NULL ip / failed lookup → NULL geo
+        else:
+            assert next(iter(vals)).startswith("C")
+
+    # default resolver: deterministic md5 fake, schema = input + geo
+    out2 = geo.geo_enrich_external(df)
+    assert out2.columns == ["activity_id", "ip_address", "country", "city"]
+    got = {r.ip_address: r.country for r in out2.collect() if r.ip_address}
+    countries = (
+        "US", "DE", "IN", "BR", "JP", "GB", "FR", "AU",
+        "CA", "NL", "SG", "KR",
+    )
+    for ip, country in got.items():
+        h = hashlib.md5(ip.encode()).digest()
+        assert country == countries[h[0] % len(countries)]
+
+
 def test_frame_sample_and_resize_plumbing(spark):
     import pytest as _pytest
 
