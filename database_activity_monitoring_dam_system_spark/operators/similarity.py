@@ -643,3 +643,84 @@ def lsh_topk(
             "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
         )
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``q_i = floor(x_i *
+    127/max|x| + 0.5)`` — 4× smaller vectors (int8 vs float32), the
+    standard serving-index compression.
+
+    ``floor(x*s + 0.5)`` instead of round(): both engines define floor
+    identically on doubles, while round()'s half-case tie rule is
+    engine-flavored. Zero vectors (max|x| = 0) are dropped — they have
+    no cosine direction to preserve.
+
+    Output: (id, qvec array<double>-valued integers, scale). Values
+    stay integral doubles so downstream folds are exact integer sums
+    (no float accumulation order anywhere) — the int8 RANGE is what
+    compresses on disk; in-plan width is free.
+    """
+    v = _as_double(vec_col)
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.lit(127.0) / F.col("_amax")
+    return (
+        embeddings.select(F.col(id_col), v.alias("_v"), amax.alias("_amax"))
+        .filter(F.col("_amax") > 0)
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col("_v"), lambda x: F.floor(x * scale + 0.5).cast("double")
+            ).alias("qvec"),
+            scale.alias("scale"),
+        )
+    )
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k under int8 quantization — the recall/compression
+    trade measured head-to-head against :func:`cosine_topk`.
+
+    Cosine is scale-invariant, so the per-vector scales cancel and the
+    score is computed straight on the integer codes: ``dot(qa, qb) /
+    (||qa||·||qb||)``. Every sum is an exact integer (≤ 127²·dim ≈
+    10⁶ ≪ 2⁵³), which makes this the one similarity query with NO
+    float-fold parity caveat at all.
+
+    Same plan shape as cosine_topk: corpus scans once, queries
+    broadcast, row_number ranking with neighbor_id tie-break.
+    """
+    quant = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col)
+    corpus = quant.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("vec"),
+        F.sqrt(_dot(F.col("qvec"), F.col("qvec"))).alias("n_norm"),
+    )
+    queries = quant.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("qv"),
+        F.sqrt(_dot(F.col("qvec"), F.col("qvec"))).alias("q_norm"),
+    )
+    cos = _dot(F.col("qv"), F.col("vec")) / (F.col("q_norm") * F.col("n_norm"))
+    scored = corpus.join(
+        F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("qcosine", cos)
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("qcosine", 6).alias("qcosine")
+        )
+    )

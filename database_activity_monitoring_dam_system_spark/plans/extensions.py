@@ -26,6 +26,7 @@ from ..operators import (
     dedup,
     geo,
     multimodal,
+    packing,
     sampling,
     similarity,
     sketches,
@@ -1693,7 +1694,161 @@ SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM a{iters + 1}
 """
 
 
+_CHUNK_SIZE, _CHUNK_STRIDE = 64, 48
+
+
+def _q_doc_chunks(spark, sf_dir):
+    return packing.chunk_documents(
+        _docs(spark, sf_dir), chunk_size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
+
+
+_DOC_CHUNKS_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= {_CHUNK_SIZE} THEN 1
+              ELSE CAST(ceil((len(toks) - {_CHUNK_SIZE}) * 1.0
+                             / {_CHUNK_STRIDE}) AS BIGINT) + 1
+         END AS n_chunks
+  FROM base
+),
+chunks AS (
+  SELECT doc_id, g.chunk_idx,
+         list_slice(toks, g.chunk_idx * {_CHUNK_STRIDE} + 1,
+                    g.chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}) AS ctoks
+  FROM sized, LATERAL unnest(generate_series(0, n_chunks - 1)) AS g(chunk_idx)
+)
+SELECT doc_id, chunk_idx, chunk_idx * {_CHUNK_STRIDE} AS start_tok,
+       CAST(len(ctoks) AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(ctoks, ' ')) AS chunk_fingerprint
+FROM chunks
+"""
+
+
+_PACK_BUDGET, _PACK_SHARDS = 2048, 8
+
+
+def _q_pack_manifest(spark, sf_dir):
+    return packing.pack_manifest(
+        _docs(spark, sf_dir), budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+
+
+_PACK_MANIFEST_SQL = rf"""
+WITH counted AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+offsets AS (
+  SELECT doc_id, shard_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard_id ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS tokens_before
+  FROM counted
+)
+SELECT shard_id, CAST(tokens_before // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+       count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc,
+       CAST(SUM(n_tokens) * 1000 // {_PACK_BUDGET} AS BIGINT) AS fill_permille
+FROM offsets GROUP BY 1, 2
+"""
+
+
+_SHARD_COUNT = 16
+
+
+def _q_shard_manifest(spark, sf_dir):
+    return packing.shard_manifest(_docs(spark, sf_dir), n_shards=_SHARD_COUNT)
+
+
+_SHARD_MANIFEST_SQL = f"""
+WITH keyed AS (
+  SELECT *,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+           % {_SHARD_COUNT} AS shard_id
+  FROM documents
+)
+SELECT shard_id, count(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_size,
+       count(DISTINCT lang) AS n_langs,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM keyed GROUP BY 1
+"""
+
+
+def _q_quantized_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantized_topk(emb, _QUERY_IDS, k=10)
+
+
+# Scale cancels out of cosine, so the oracle ranks on raw integer-code
+# dot products — every sum is an exact integer, making this the one
+# similarity oracle with no float-fold caveat at all.
+_QUANTIZED_TOPK_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+quant AS (
+  SELECT vec_id,
+         list_transform(v, x -> floor(x * (127.0 / amax) + 0.5)) AS q
+  FROM (
+    SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) AS amax
+    FROM corpus
+  )
+  WHERE amax > 0
+),
+norms AS (
+  SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nrm FROM quant
+),
+qs AS (
+  SELECT vec_id AS query_id, q AS qv, nrm AS qn
+  FROM norms WHERE vec_id IN ({", ".join(str(i) for i in _QUERY_IDS)})
+),
+scored AS (
+  SELECT qs.query_id, n.vec_id AS neighbor_id,
+         list_dot_product(qs.qv, n.q) / (qs.qn * n.nrm) AS qcosine
+  FROM qs JOIN norms n ON n.vec_id != qs.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, qcosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY qcosine DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(qcosine, 6) AS qcosine
+FROM ranked WHERE rank <= 10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "doc_chunks": QuerySpec(
+        _q_doc_chunks, _DOC_CHUNKS_SQL,
+        "overlapping token-window chunking (64/48), zero-shuffle "
+        "explode; chunk content pinned via md5 fingerprints",
+    ),
+    "pack_manifest": QuerySpec(
+        _q_pack_manifest, _PACK_MANIFEST_SQL,
+        "offset-based sequence packing into 2048-token budgets across "
+        "8 shards — per-pack doc/token/fill manifest, pure integer math",
+    ),
+    "shard_manifest": QuerySpec(
+        _q_shard_manifest, _SHARD_MANIFEST_SQL,
+        "md5-keyed output-shard assignment preview (writer layout "
+        "validation before the write)",
+    ),
+    "embedding_int8_topk": QuerySpec(
+        _q_quantized_topk, _QUANTIZED_TOPK_SQL,
+        "cosine top-10 under per-vector int8 quantization — integer "
+        "dot products (scales cancel), recall vs exact unit-tested",
+    ),
     "heavy_hitter_tokens": QuerySpec(
         _q_heavy_hitters, _HEAVY_HITTERS_SQL,
         "top-10 frequent tokens per language (corpus profiling)",

@@ -50,6 +50,10 @@ def _pin_utc(fn: QueryFn) -> QueryFn:
 # serving-mode frame sharing).  The rows-only members of that set are
 # instead DEFERRED (below), so every checked entry is full-oracle.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    "doc_chunks",
+    "pack_manifest",
+    "shard_manifest",
+    "embedding_int8_topk",
     "media_decode_features",
     "geo_external_top_countries",
     "recent_activities",

@@ -1,0 +1,177 @@
+"""Semantic tests for sequence assembly (operators/packing.py) and
+int8 embedding quantization (operators/similarity.py).
+
+The oracle-parity gates pin cross-engine value equality; these pin the
+SEMANTICS — coverage/overlap invariants for chunking, conservation and
+budget invariants for packing, balance for sharding, and recall vs the
+exact baseline for quantization.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_activity_monitoring_dam_system_spark.operators import (
+    packing,
+    similarity,
+)
+from database_activity_monitoring_dam_system_spark.sources.testdata import (
+    load_table,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _mkdocs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+class TestChunking:
+    def test_short_doc_single_chunk(self, spark):
+        out = packing.chunk_documents(
+            _mkdocs(spark, ["a b c"]), chunk_size=4, stride=2
+        ).collect()
+        assert len(out) == 1
+        assert out[0].chunk_idx == 0
+        assert out[0].start_tok == 0
+        assert out[0].chunk_tokens == 3
+
+    def test_window_layout(self, spark):
+        # 10 tokens, size 4, stride 3 → windows at 0,3,6 cover tokens
+        # 0-3, 3-6, 6-9: every token seen, no empty tail emitted.
+        text = " ".join(f"t{i}" for i in range(10))
+        out = sorted(
+            packing.chunk_documents(
+                _mkdocs(spark, [text]), chunk_size=4, stride=3
+            ).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        assert [r.start_tok for r in out] == [0, 3, 6]
+        assert [r.chunk_tokens for r in out] == [4, 4, 4]
+        # 11 tokens → one more stride lands a short tail window [9, 10].
+        text11 = " ".join(f"t{i}" for i in range(11))
+        out11 = sorted(
+            packing.chunk_documents(
+                _mkdocs(spark, [text11]), chunk_size=4, stride=3
+            ).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        assert [r.start_tok for r in out11] == [0, 3, 6, 9]
+        assert [r.chunk_tokens for r in out11] == [4, 4, 4, 2]
+
+    def test_every_token_covered_and_boundary_exact(self, spark):
+        # Tokens at chunk starts must appear: start positions cover
+        # [0, n) with stride gaps < chunk_size, so union of windows
+        # covers every token index.
+        n, size, stride = 23, 8, 5
+        text = " ".join(f"t{i}" for i in range(n))
+        rows = packing.chunk_documents(
+            _mkdocs(spark, [text]), chunk_size=size, stride=stride
+        ).collect()
+        covered = set()
+        for r in rows:
+            covered.update(range(r.start_tok, r.start_tok + r.chunk_tokens))
+        assert covered == set(range(n))
+
+    def test_exact_multiple_no_empty_tail(self, spark):
+        # n == size + k*stride must NOT emit an empty extra window.
+        text = " ".join(f"t{i}" for i in range(4 + 2 * 3))
+        rows = packing.chunk_documents(
+            _mkdocs(spark, [text]), chunk_size=4, stride=3
+        ).collect()
+        assert all(r.chunk_tokens > 0 for r in rows)
+        assert len(rows) == 3
+
+    def test_invalid_params(self, spark):
+        with pytest.raises(ValueError):
+            packing.chunk_documents(_mkdocs(spark, ["x"]), chunk_size=0)
+        with pytest.raises(ValueError):
+            packing.chunk_documents(_mkdocs(spark, ["x"]), stride=-1)
+
+
+class TestPacking:
+    def test_conservation_and_invariants(self, spark):
+        docs = load_table(spark, SF_SMOKE, "documents")
+        budget, shards = 512, 4
+        assigned = packing.pack_offsets(docs, budget=budget, n_shards=shards)
+        rows = assigned.collect()
+        # Every document assigned exactly once.
+        assert len(rows) == docs.count()
+        assert len({r.doc_id for r in rows}) == len(rows)
+        for r in rows:
+            assert 0 <= r.shard_id < shards
+            assert 0 <= r.offset_in_pack < budget
+            assert r.shard_id == r.doc_id % shards
+
+    def test_pack_token_mass(self, spark):
+        # Within a shard, every pack except the last must carry at
+        # least... precisely: a pack's mass is >= budget - (max doc
+        # overhang) is loose; the tight invariant of offset packing is
+        # that pack boundaries are cuts of the running stream: the
+        # total stream length equals sum of pack masses, and a pack's
+        # FIRST doc starts inside [pack_id*budget, (pack_id+1)*budget).
+        docs = load_table(spark, SF_SMOKE, "documents")
+        budget = 512
+        assigned = packing.pack_offsets(docs, budget=budget, n_shards=2)
+        rows = sorted(assigned.collect(), key=lambda r: (r.shard_id, r.doc_id))
+        running: dict[int, int] = {}
+        for r in rows:
+            before = running.get(r.shard_id, 0)
+            assert r.pack_id == before // budget
+            assert r.offset_in_pack == before % budget
+            running[r.shard_id] = before + r.n_tokens
+
+    def test_manifest_matches_offsets(self, spark):
+        docs = load_table(spark, SF_SMOKE, "documents")
+        manifest = packing.pack_manifest(docs, budget=512, n_shards=2)
+        total = manifest.agg(
+            F.sum("n_docs").alias("d"), F.sum("pack_tokens").alias("t")
+        ).collect()[0]
+        assigned = packing.pack_offsets(docs, budget=512, n_shards=2)
+        assert total.d == assigned.count()
+        assert total.t == assigned.agg(F.sum("n_tokens")).collect()[0][0]
+
+
+class TestShardManifest:
+    def test_partition_of_corpus(self, spark):
+        docs = load_table(spark, SF_SMOKE, "documents")
+        m = packing.shard_manifest(docs, n_shards=16).collect()
+        assert sum(r.n_docs for r in m) == docs.count()
+        assert all(0 <= r.shard_id < 16 for r in m)
+
+    def test_md5_key_balances_sequential_ids(self, spark):
+        # Sequential ids under the md5 key spread near-uniformly: no
+        # shard more than 3× the mean on 500+ docs.
+        docs = load_table(spark, SF_SMOKE, "documents")
+        m = packing.shard_manifest(docs, n_shards=8).collect()
+        mean = sum(r.n_docs for r in m) / len(m)
+        assert max(r.n_docs for r in m) < 3 * mean
+
+
+class TestQuantization:
+    def test_codes_in_int8_range(self, spark):
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        q = similarity.quantize_int8(emb)
+        bad = q.filter(
+            F.exists("qvec", lambda x: (x > 127) | (x < -127))
+        ).count()
+        assert bad == 0
+        # Max-magnitude component always quantizes to ±127.
+        at_max = q.filter(
+            F.array_max(F.transform("qvec", F.abs)) == 127
+        ).count()
+        assert at_max == q.count()
+
+    def test_recall_vs_exact(self, spark):
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        qids = [0, 1, 2, 3, 4]
+        exact = similarity.cosine_topk(emb, qids, k=10)
+        quant = similarity.quantized_topk(emb, qids, k=10)
+        hits = exact.join(quant, ["query_id", "neighbor_id"]).count()
+        recall = hits / exact.count()
+        # int8 keeps ~1% relative score error; on 64-dim random data
+        # top-10 overlap stays high. 0.7 is a loose determinism floor.
+        assert recall >= 0.7, f"quantized recall {recall:.2f} < 0.7"
