@@ -241,6 +241,7 @@ def ivf_topk(
     refine_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple] | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: assign every vector to its max-cosine centroid
     (ties → lowest cent_id), probe each query's ``n_probe`` nearest
@@ -249,6 +250,12 @@ def ivf_topk(
     rounds; 0 = raw seed-by-id) — better-balanced lists, higher recall
     at equal n_probe (asserted in test_extensions).
 
+    ``centroids`` accepts a pre-trained quantizer (the
+    :func:`ivf_centroids` return value): an IVF coarse quantizer is an
+    INDEX artifact — trained once per corpus snapshot, reused across
+    every query against it — so serving layers should train it once
+    and pass it in rather than re-running Lloyd per query.
+
     100 TB shape: assignment is a pure projection against LITERAL
     centroids (zero shuffle, O(N·C·d) flops — the standard IVF assign
     cost); the candidate join touches ~N·n_probe/C rows per query via
@@ -256,7 +263,7 @@ def ivf_topk(
     cosine_topk; recall < 1 by design (unit-tested floor vs brute
     force).
     """
-    cents = ivf_centroids(
+    cents = centroids if centroids is not None else ivf_centroids(
         embeddings,
         n_centroids=n_centroids,
         refine_iters=refine_iters,
@@ -433,20 +440,22 @@ def kmeans_lloyd(
     try:
         for _ in range(iters):
             assigned = _assign_prepared(corpus, centroids, id_col=id_col)
+            # Long-form update (see _lloyd_exact_rounds): a 2-column
+            # agg keyed by (cluster, dim) plans ~0.7 s/round cheaper
+            # than 64 wide avg buffers; same k·d partial sums shuffled.
             mean_rows = (
-                assigned.groupBy("cluster_id")
-                .agg(
-                    *[
-                        F.avg(F.element_at("vec", d + 1)).alias(f"m{d}")
-                        for d in range(dim)
-                    ]
+                assigned.select(
+                    "cluster_id", F.posexplode("vec").alias("_d", "_x")
                 )
+                .groupBy("cluster_id", "_d")
+                .agg(F.avg("_x").alias("_m"))
                 .collect()
             )
-            by_cluster = {
-                r["cluster_id"]: [r[f"m{d}"] for d in range(dim)]
-                for r in mean_rows
-            }
+            by_cluster: dict[int, list] = {}
+            for r in mean_rows:
+                by_cluster.setdefault(r["cluster_id"], [0.0] * dim)[
+                    r["_d"]
+                ] = r["_m"]
             centroids = [
                 by_cluster[ci] if ci in by_cluster else centroids[ci]
                 for ci in range(k_eff)
@@ -476,22 +485,34 @@ def _lloyd_exact_rounds(
     dim = len(centroids[0])
     for _ in range(iters):
         assigned = _assign_prepared(corpus, centroids, id_col=id_col)
+        # Update as a LONG aggregate — (cluster, dim) keys, one decimal
+        # sum column — instead of 64 wide decimal agg columns: the wide
+        # form costs ~0.7 s/round of driver-side planning + codegen for
+        # a 65-buffer aggregate, while the long form plans a 2-column
+        # agg and shuffles the same k·d partial sums. Values are
+        # identical: the same per-component DECIMAL(27,12) sums, merely
+        # keyed by (cluster_id, pos) instead of column position.
         sum_rows = (
-            assigned.groupBy("cluster_id")
+            assigned.select(
+                "cluster_id", F.posexplode("vec").alias("_d", "_x")
+            )
+            .groupBy("cluster_id", "_d")
             .agg(
                 F.count("*").alias("_n"),
-                *[
-                    F.sum(F.element_at("vec", d + 1).cast("decimal(27,12)"))
-                    .cast("double")
-                    .alias(f"s{d}")
-                    for d in range(dim)
-                ],
+                F.sum(F.col("_x").cast("decimal(27,12)"))
+                .cast("double")
+                .alias("_s"),
             )
             .collect()
         )
+        sums: dict[int, list] = {}
+        counts: dict[int, int] = {}
+        for r in sum_rows:
+            comp = sums.setdefault(r["cluster_id"], [0.0] * dim)
+            comp[r["_d"]] = r["_s"]
+            counts[r["cluster_id"]] = r["_n"]
         by_cluster = {
-            r["cluster_id"]: [r[f"s{d}"] / r["_n"] for d in range(dim)]
-            for r in sum_rows
+            ci: [s / counts[ci] for s in comp] for ci, comp in sums.items()
         }
         centroids = [
             by_cluster[ci] if ci in by_cluster else centroids[ci]
