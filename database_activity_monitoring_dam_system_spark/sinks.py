@@ -150,3 +150,40 @@ def compact_partitions(
         )
         compacted[part] = (len(files), n_after)
     return compacted
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_col: str,
+    buckets: int = 8,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a hash-bucketed, bucket-sorted parquet table — the
+    co-located-join layout for repeated large joins on a stable key.
+
+    At 100 TB a fact×fact join (e.g. activity_logs × alerts on
+    activity_id, or events × events on user_id) pays a full shuffle of
+    BOTH sides every query. Bucketing pays that shuffle ONCE at write
+    time: both tables hash-partitioned into the same ``buckets`` count
+    on the same key make every subsequent equi-join a zero-exchange
+    SortMergeJoin (asserted in test_plans — no Exchange node on either
+    side). The bucket count is the join parallelism; pick it for the
+    steady-state cluster, not the write job.
+
+    Bucketing metadata lives in the session catalog, so readers must go
+    through ``spark.table(table)`` — a raw ``spark.read.parquet(path)``
+    sees plain files and re-shuffles. ``path`` makes it an external
+    table (data survives catalog loss, metadata does not).
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(buckets, bucket_col)
+        .sortBy(bucket_col)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

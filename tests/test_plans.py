@@ -219,3 +219,49 @@ def test_rule_battery_skew_join_parity_under_aqe(spark):
     assert "skewed" in plan_aqe  # AQEShuffleRead marks split partitions
     assert "skew=true" not in plan_plain
     assert rows_aqe == rows_plain and len(rows_aqe) == n
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Bucketing pays the join shuffle once at WRITE time: two tables
+    bucketed into the same count on the join key must equi-join with
+    NO Exchange on either side (the repeated-fact-join layout for
+    100 TB), and the result must match the plain-parquet join."""
+    from pyspark.sql import functions as F
+
+    from database_activity_monitoring_dam_system_spark import sinks
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    per_user = events.groupBy("user_id").agg(F.sum("value").alias("total"))
+    try:
+        sinks.write_bucketed_table(
+            events, "b_events", bucket_col="user_id", buckets=8,
+            path=str(tmp_path / "b_events"),
+        )
+        sinks.write_bucketed_table(
+            per_user, "b_totals", bucket_col="user_id", buckets=8,
+            path=str(tmp_path / "b_totals"),
+        )
+        # force the non-broadcast path a real fact×fact join would take
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_events").join(
+            spark.table("b_totals"), "user_id"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        assert "SelectedBucketsCount" in plan  # scans are bucket-aware
+        expect = sorted(
+            tuple(r)
+            for r in events.join(per_user, "user_id").collect()
+        )
+        got = sorted(tuple(r) for r in joined.collect())
+        assert got == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS b_events")
+        spark.sql("DROP TABLE IF EXISTS b_totals")
