@@ -735,3 +735,44 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def best_keep_representatives(
+    clusters: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Quality-aware representative per duplicate cluster: keep the
+    LARGEST member (ties → lowest id) instead of the min-id default.
+
+    Min-id keeps whichever duplicate happened to be crawled first;
+    production dedup keeps the best copy — here "best" is the size
+    column (swap in any scoring column: quality_scores output, token
+    count, a model score). One hash aggregate over the cluster frame
+    joined to the per-doc score — the struct-max trick makes the
+    argmax deterministic without a rank window:
+    ``max(struct(size, -id))`` picks the largest size, then (via the
+    negated id) the lowest id among ties.
+
+    Output: (cluster_id, n_members, keep_id, keep_size) — one row per
+    duplicate cluster (singletons never enter ``clusters``).
+    """
+    members = clusters.join(
+        docs.select(F.col(id_col), F.col(size_col)), id_col
+    )
+    best = F.max(F.struct(F.col(size_col), (-F.col(id_col)).alias("_nid")))
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            best.alias("_best"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            (-F.col(f"_best._nid")).alias("keep_id"),
+            F.col(f"_best.{size_col}").alias("keep_size"),
+        )
+    )

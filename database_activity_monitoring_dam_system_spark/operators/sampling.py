@@ -175,3 +175,61 @@ def temperature_mix(
         )
         rate_col = F.when(pred, F.lit(rate)).otherwise(rate_col)
     return sampled.withColumn("mix_rate", rate_col)
+
+
+def epoch_plan(
+    docs: DataFrame,
+    targets: dict[str | None, int],
+    *,
+    max_epochs_permille: int = 4000,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Epoch (repeat) planning for corpus mixing: given a target token
+    budget per stratum, how many times must each stratum's corpus be
+    repeated per training epoch to hit it?
+
+    ``epochs_permille = min(target·1000 div available,
+    max_epochs_permille)`` — integer permille so the plan is pure
+    integer math (oracle-exact) and sub-1.0 repeats (downsampling) and
+    >1.0 repeats (upsampling low-resource strata) share one scale. The
+    cap bounds repetition of tiny strata: repeating a small corpus
+    beyond ~4 epochs degrades models faster than it adds tokens
+    (Muennighoff et al. 2023's data-constrained scaling result), so
+    the default cap is 4.0 epochs. Available tokens use the same
+    ceil(chars/4) BPE estimate as token_stats.
+
+    Strata absent from ``targets`` (including the NULL stratum unless
+    explicitly keyed) get target 0 — reported with epochs 0, not
+    dropped, so the plan is a complete census of the corpus.
+
+    Output: (stratum, available_tokens, target_tokens,
+    epochs_permille, capped). One hash aggregate.
+    """
+    tgt = F.lit(None).cast("bigint")
+    for lang_key, budget in sorted(
+        ((k, v) for k, v in targets.items() if k is not None),
+        key=lambda kv: kv[0],
+    ):
+        tgt = F.when(F.col(strata_col) == lang_key, F.lit(budget)).otherwise(tgt)
+    if None in targets:
+        tgt = F.when(
+            F.col(strata_col).isNull(), F.lit(targets[None])
+        ).otherwise(tgt)
+    tgt = F.coalesce(tgt, F.lit(0))
+    est_tokens = F.ceil(F.length(F.col(text_col)) / F.lit(4.0)).cast("bigint")
+    raw = F.expr("target_tokens * 1000 div available_tokens")
+    return (
+        docs.groupBy(F.col(strata_col).alias("stratum"))
+        .agg(
+            F.sum(est_tokens).alias("available_tokens"),
+            F.max(tgt).alias("target_tokens"),
+        )
+        .select(
+            "stratum",
+            "available_tokens",
+            "target_tokens",
+            F.least(raw, F.lit(max_epochs_permille)).alias("epochs_permille"),
+            (raw > max_epochs_permille).alias("capped"),
+        )
+    )

@@ -368,6 +368,81 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup.duplicate_clusters(pairs)
 
 
+def _q_dedup_best_keep(spark, sf_dir):
+    """Quality-aware dedup retention: same pair/closure machinery as
+    dedup_clusters, but the kept representative is the LARGEST member
+    (ties → lowest id) instead of min-id — the keep-the-best-copy
+    policy production dedup uses."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(
+        docs, block_col=["lang", "source"], threshold=0.9
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    return dedup.best_keep_representatives(clusters, docs)
+
+
+# Defined right after _CLUSTERS_SQL's CTE chain is (re)built below via
+# the same _JACCARD_CTES + recursive closure, extended with the
+# size-ranked representative pick.
+def _best_keep_sql() -> str:
+    return f"""
+WITH RECURSIVE {_JACCARD_CTES},
+pairs AS (SELECT doc_a, doc_b FROM scored_pairs WHERE j >= 0.9),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars,
+         row_number() OVER (
+           PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id ASC
+         ) AS rk,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM clusters c JOIN documents d USING (doc_id)
+)
+SELECT cluster_id, n_members, doc_id AS keep_id, n_chars AS keep_size
+FROM ranked WHERE rk = 1
+"""
+
+
+_EPOCH_TARGETS = {"en": 1000, "de": 100_000_000, "fr": 20_000}
+
+
+def _q_epoch_plan(spark, sf_dir):
+    return sampling.epoch_plan(_docs(spark, sf_dir), _EPOCH_TARGETS)
+
+
+def _epoch_plan_sql() -> str:
+    values = ", ".join(
+        f"('{k}', {v})" for k, v in sorted(_EPOCH_TARGETS.items())
+    )
+    return f"""
+WITH targets(lang, target) AS (VALUES {values}),
+census AS (
+  SELECT d.lang AS stratum,
+         CAST(SUM(ceil(length(d.text) / 4.0)) AS BIGINT) AS available_tokens,
+         CAST(COALESCE(MAX(t.target), 0) AS BIGINT) AS target_tokens
+  FROM documents d LEFT JOIN targets t ON d.lang = t.lang
+  GROUP BY 1
+)
+SELECT stratum, available_tokens, target_tokens,
+       CAST(least(target_tokens * 1000 // available_tokens, 4000) AS BIGINT)
+         AS epochs_permille,
+       target_tokens * 1000 // available_tokens > 4000 AS capped
+FROM census
+"""
+
+
 def _q_token_stats(spark, sf_dir):
     return textops.token_stats(_docs(spark, sf_dir))
 
@@ -1963,6 +2038,16 @@ QUERIES: dict[str, QuerySpec] = {
         _q_dedup_clusters, _CLUSTERS_SQL,
         "iterative connected components over near-dup pairs (cluster reps) "
         "vs recursive-CTE transitive closure",
+    ),
+    "dedup_best_keep": QuerySpec(
+        _q_dedup_best_keep, _best_keep_sql(),
+        "quality-aware dedup retention: largest member kept per "
+        "duplicate cluster (deterministic struct-max argmax)",
+    ),
+    "epoch_plan": QuerySpec(
+        _q_epoch_plan, _epoch_plan_sql(),
+        "epoch/repeat planning per language against token budgets "
+        "(integer permille, 4-epoch repetition cap)",
     ),
     "token_stats": QuerySpec(
         _q_token_stats, _TOKEN_STATS_SQL,

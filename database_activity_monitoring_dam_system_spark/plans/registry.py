@@ -50,6 +50,8 @@ def _pin_utc(fn: QueryFn) -> QueryFn:
 # serving-mode frame sharing).  The rows-only members of that set are
 # instead DEFERRED (below), so every checked entry is full-oracle.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    "dedup_best_keep",
+    "epoch_plan",
     "doc_chunks",
     "pack_manifest",
     "shard_manifest",

@@ -175,3 +175,67 @@ class TestQuantization:
         # int8 keeps ~1% relative score error; on 64-dim random data
         # top-10 overlap stays high. 0.7 is a loose determinism floor.
         assert recall >= 0.7, f"quantized recall {recall:.2f} < 0.7"
+
+
+class TestBestKeep:
+    def test_largest_wins_ties_to_lowest_id(self, spark):
+        from database_activity_monitoring_dam_system_spark.operators import dedup
+
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)],
+            "doc_id long, cluster_id long",
+        )
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 99), (3, 50), (5, 7), (6, 7), (9, 1000)],
+            "doc_id long, n_chars long",
+        )
+        out = {
+            r.cluster_id: r
+            for r in dedup.best_keep_representatives(clusters, docs).collect()
+        }
+        assert set(out) == {1, 5}  # doc 9 is a singleton, never enters
+        assert out[1].keep_id == 2 and out[1].keep_size == 99
+        assert out[1].n_members == 3
+        # equal sizes -> lowest id kept
+        assert out[5].keep_id == 5 and out[5].n_members == 2
+
+
+class TestEpochPlan:
+    def test_permille_cap_and_defaults(self, spark):
+        from database_activity_monitoring_dam_system_spark.operators import (
+            sampling,
+        )
+
+        # 'en': 100 chars -> 25 est tokens; 'xx' has no target; NULL
+        # stratum keyed explicitly.
+        docs = spark.createDataFrame(
+            [(1, "a" * 100, "en"), (2, "b" * 40, "xx"), (3, "c" * 20, None)],
+            "doc_id long, text string, lang string",
+        )
+        out = {
+            r.stratum: r
+            for r in sampling.epoch_plan(
+                docs, {"en": 50, "xx": 1_000_000, None: 5}
+            ).collect()
+        }
+        # en: 50*1000 div 25 = 2000 permille, uncapped
+        assert out["en"].available_tokens == 25
+        assert out["en"].epochs_permille == 2000 and not out["en"].capped
+        # xx: would be 100M permille -> capped at 4000
+        assert out["xx"].epochs_permille == 4000 and out["xx"].capped
+        # NULL stratum uses its explicit key: 5*1000 div 5 = 1000
+        assert out[None].available_tokens == 5
+        assert out[None].epochs_permille == 1000 and not out[None].capped
+
+    def test_absent_target_reports_zero(self, spark):
+        from database_activity_monitoring_dam_system_spark.operators import (
+            sampling,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "hello world", "de")], "doc_id long, text string, lang string"
+        )
+        [row] = sampling.epoch_plan(docs, {"en": 100}).collect()
+        assert row.stratum == "de"
+        assert row.target_tokens == 0 and row.epochs_permille == 0
+        assert not row.capped
