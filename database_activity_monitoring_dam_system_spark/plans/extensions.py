@@ -358,14 +358,27 @@ def _q_simhash_pairs(spark, sf_dir):
     )
 
 
+def _cluster_frame(spark, sf_dir):
+    """Jaccard pairs → connected components, shared in serving mode:
+    dedup_clusters and dedup_best_keep both consume this frame, and a
+    serving deployment materializes the cluster map once per corpus
+    snapshot (it IS the dedup index), not per downstream query."""
+    from .dam import _shared
+
+    def build():
+        pairs = dedup.jaccard_pairs(
+            _docs(spark, sf_dir), block_col=["lang", "source"], threshold=0.9
+        )
+        return dedup.duplicate_clusters(pairs)
+
+    return _shared("dedup_clusters", spark, sf_dir, build)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Iterative min-label propagation over near-dup pairs → duplicate
     clusters (genuinely non-SQL-expressible: driver-controlled
     iteration with lineage checkpointing)."""
-    pairs = dedup.jaccard_pairs(
-        _docs(spark, sf_dir), block_col=["lang", "source"], threshold=0.9
-    )
-    return dedup.duplicate_clusters(pairs)
+    return _cluster_frame(spark, sf_dir)
 
 
 def _q_dedup_best_keep(spark, sf_dir):
@@ -373,12 +386,9 @@ def _q_dedup_best_keep(spark, sf_dir):
     dedup_clusters, but the kept representative is the LARGEST member
     (ties → lowest id) instead of min-id — the keep-the-best-copy
     policy production dedup uses."""
-    docs = _docs(spark, sf_dir)
-    pairs = dedup.jaccard_pairs(
-        docs, block_col=["lang", "source"], threshold=0.9
+    return dedup.best_keep_representatives(
+        _cluster_frame(spark, sf_dir), _docs(spark, sf_dir)
     )
-    clusters = dedup.duplicate_clusters(pairs)
-    return dedup.best_keep_representatives(clusters, docs)
 
 
 # Defined right after _CLUSTERS_SQL's CTE chain is (re)built below via
