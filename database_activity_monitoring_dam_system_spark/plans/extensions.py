@@ -984,7 +984,21 @@ def _q_embedding_near_dups(spark, sf_dir):
     vectors are random (true near-dups don't exist), so the gate
     threshold sits at the top of the random-cosine distribution (0.4)
     to keep the verify path exercised with real output; production
-    near-dup dedup runs the same plan at ≥0.95."""
+    near-dup dedup runs the same plan at ≥0.95.
+
+    Serving mode shares the verified pair frame with
+    semantic_dedup_reps (which consumes exactly these pairs): like the
+    dedup cluster map, the near-dup pair set is an index-like artifact
+    of a corpus snapshot, built once per snapshot."""
+    from .dam import _shared
+
+    return _shared(
+        "emb_near_dups", spark, sf_dir,
+        lambda: _build_embedding_near_dups(spark, sf_dir),
+    )
+
+
+def _build_embedding_near_dups(spark, sf_dir):
     from pyspark.sql import functions as F
 
     emb = load_table(spark, sf_dir, "embeddings")
