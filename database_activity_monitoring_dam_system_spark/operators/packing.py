@@ -56,6 +56,12 @@ def chunk_documents(
     chunk_fingerprint) — the fingerprint is md5 of the space-rejoined
     window, so chunk CONTENT is pinned without shipping the text.
 
+    ``stride > chunk_size`` is sampling mode (gaps between windows are
+    intentionally skipped); there the ceil window count can place the
+    final start past the document, so empty windows are filtered out
+    (found by test_properties' model check — with stride <= chunk_size
+    no empty window can arise and the filter is a no-op).
+
     Scale: projection + generator, zero shuffles; the explode fan-out
     is bounded by n/stride per row, so output partitioning inherits
     the scan and AQE sizes the downstream exchange.
@@ -84,6 +90,7 @@ def chunk_documents(
             F.size(window).cast("bigint").alias("chunk_tokens"),
             F.md5(F.array_join(window, " ")).alias("chunk_fingerprint"),
         )
+        .filter(F.col("chunk_tokens") > 0)
     )
 
 

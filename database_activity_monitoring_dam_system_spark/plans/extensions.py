@@ -1839,6 +1839,7 @@ SELECT doc_id, chunk_idx, chunk_idx * {_CHUNK_STRIDE} AS start_tok,
        CAST(len(ctoks) AS BIGINT) AS chunk_tokens,
        md5(array_to_string(ctoks, ' ')) AS chunk_fingerprint
 FROM chunks
+WHERE len(ctoks) > 0
 """
 
 

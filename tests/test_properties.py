@@ -275,3 +275,91 @@ def test_hll_md5_registers_match_hashlib_model(spark, values):
     [row] = sketches.hll_md5_distinct(df, ["grp"], "id").collect()
     assert row.harmonic_scaled == harmonic, values
     assert row.zero_registers == 256 - len(regs), values
+
+
+@st.composite
+def _chunk_case(draw):
+    n_tokens = draw(st.integers(0, 40))
+    chunk_size = draw(st.integers(1, 12))
+    stride = draw(st.integers(1, 12))
+    return n_tokens, chunk_size, stride
+
+
+def _model_chunks(n_tokens, chunk_size, stride):
+    """Pure-Python model of chunk_documents window layout over a doc
+    of n_tokens distinct tokens."""
+    n = max(n_tokens, 1)  # split('') yields [''] — one empty token
+    if n <= chunk_size:
+        n_chunks = 1
+    else:
+        n_chunks = -(-(n - chunk_size) // stride) + 1
+    out = []
+    for i in range(n_chunks):
+        start = i * stride
+        length = min(chunk_size, n - start)
+        if length > 0:  # sampling mode (stride > size) clips the tail
+            out.append((i, start, length))
+    return out
+
+
+@given(st.lists(_chunk_case(), min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_chunk_layout_matches_model(spark, cases):
+    from database_activity_monitoring_dam_system_spark.operators import packing
+
+    for case_id, (n_tokens, chunk_size, stride) in enumerate(cases):
+        text = " ".join(f"w{j}" for j in range(n_tokens))
+        docs = spark.createDataFrame(
+            [(case_id, text)], "doc_id long, text string"
+        )
+        rows = sorted(
+            packing.chunk_documents(
+                docs, chunk_size=chunk_size, stride=stride
+            ).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        got = [(r.chunk_idx, r.start_tok, r.chunk_tokens) for r in rows]
+        assert got == _model_chunks(n_tokens, chunk_size, stride), (
+            f"n={n_tokens} size={chunk_size} stride={stride}"
+        )
+        # with stride <= size windows tile the doc: every token
+        # covered, none invented (stride > size is sampling mode —
+        # gaps are the point)
+        if stride <= chunk_size:
+            covered = set()
+            for _, start, ln in got:
+                covered.update(range(start, start + ln))
+            assert covered == set(range(max(n_tokens, 1)))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 60)),
+        min_size=1,
+        max_size=24,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 64),
+    st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_pack_offsets_matches_running_model(spark, docs_spec, budget, shards):
+    from database_activity_monitoring_dam_system_spark.operators import packing
+
+    frame = spark.createDataFrame(
+        [(i, n) for i, n in docs_spec], "doc_id long, n_tokens long"
+    )
+    rows = packing.pack_offsets(
+        frame, budget=budget, n_shards=shards, tokens_col="n_tokens"
+    ).collect()
+    assert len(rows) == len(docs_spec)
+    # model: running offset per shard in doc_id order
+    running: dict[int, int] = {}
+    for doc_id, n in sorted(docs_spec):
+        shard = doc_id % shards
+        before = running.get(shard, 0)
+        row = next(r for r in rows if r.doc_id == doc_id)
+        assert row.shard_id == shard
+        assert row.pack_id == before // budget
+        assert row.offset_in_pack == before % budget
+        running[shard] = before + n
