@@ -50,12 +50,19 @@ def _pin_utc(fn: QueryFn) -> QueryFn:
 # serving-mode frame sharing).  The rows-only members of that set are
 # instead DEFERRED (below), so every checked entry is full-oracle.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # Round 5: new gates first, then the queries whose execution paths
+    # round 5 touched (long-form Lloyd updates, shared index frames —
+    # correctness runs are uncached but the plans still changed).
     "dedup_best_keep",
     "epoch_plan",
     "doc_chunks",
     "pack_manifest",
     "shard_manifest",
     "embedding_int8_topk",
+    "embedding_ann_ivf",
+    "kmeans_exact_clusters",
+    "embedding_near_dups",
+    "semantic_dedup_reps",
     "media_decode_features",
     "geo_external_top_countries",
     "recent_activities",
