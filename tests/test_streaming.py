@@ -690,3 +690,58 @@ def test_corpus_filter_stream_matches_batch(spark):
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_chunking_stream_matches_batch(spark):
+    """chunk_documents is a stateless projection+generator, so it runs
+    unchanged on a streaming frame: chunks written by the stream must
+    equal the batch chunking of the same documents, with no state
+    operator in the streaming plan (explode keeps no state)."""
+    import os
+
+    from database_activity_monitoring_dam_system_spark.operators import packing
+
+    base = tempfile.mkdtemp(prefix="dam_chunkstream_")
+    src = f"{base}/src"
+    os.makedirs(src)
+    rows = [
+        {"doc_id": 1, "text": " ".join(f"w{i}" for i in range(150))},
+        {"doc_id": 2, "text": "tiny doc"},
+        {"doc_id": 3, "text": " ".join(f"x{i}" for i in range(64))},
+    ]
+    for chunk_id, chunk in enumerate([rows[:2], rows[2:]]):
+        with open(f"{src}/c{chunk_id}.json", "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps(r) + "\n")
+    try:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = (
+            packing.chunk_documents(stream)
+            .writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = spark.read.parquet(f"{base}/out")
+        batch = packing.chunk_documents(
+            spark.createDataFrame(
+                [(r["doc_id"], r["text"]) for r in rows],
+                "doc_id long, text string",
+            )
+        )
+        cols = sorted(batch.columns)
+        assert sorted(streamed.columns) == cols
+        s_rows = sorted(tuple(r) for r in streamed.select(*cols).collect())
+        b_rows = sorted(tuple(r) for r in batch.select(*cols).collect())
+        assert s_rows == b_rows and len(s_rows) > 3
+        progresses = [json.loads(p.json) for p in q.recentProgress]
+        assert progresses, "no progress recorded"
+        assert all(not p.get("stateOperators") for p in progresses)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
