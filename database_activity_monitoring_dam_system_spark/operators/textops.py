@@ -668,3 +668,61 @@ def fingerprint_overlap_pairs(
             ).alias("containment"),
         )
     )
+
+
+def corpus_card(
+    docs: DataFrame,
+    *,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus "data card": the health rollup a training
+    pipeline publishes alongside its shards (the corpus analogue of
+    the reference's compliance report, app.py:933-1004 — same
+    one-pass, no-N+1 aggregation discipline).
+
+    Per source: document and estimated-token census, what fraction the
+    quality gate keeps (integer permille — oracle-exact), language
+    count, and the Shannon entropy of the language mix in bits
+    (rounded to 4 dp AFTER the sum, the cross-engine float policy
+    every log-based gate here uses). Entropy ~0 flags single-language
+    sources; high entropy flags mixed crawls that need per-language
+    routing.
+
+    Two hash aggregates, both low-cardinality keys: (source, lang)
+    then source — the standard two-level rollup for distribution
+    stats; nothing touches the corpus twice.
+    """
+    sig = quality_signal_cols(text_col)
+    per_lang = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.col(lang_col).alias("lang"),
+            F.ceil(F.length(F.col(text_col)) / F.lit(4.0))
+            .cast("bigint")
+            .alias("_est"),
+            (sig["verdict"] == "keep").cast("int").alias("_keep"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum("_est").alias("_tok"),
+            F.sum("_keep").alias("_kept"),
+        )
+    )
+    n_total = F.sum("_n")
+    p = F.col("_n") / F.sum("_n").over(Window.partitionBy("source"))
+    return (
+        per_lang.withColumn("_p", p)
+        .groupBy("source")
+        .agg(
+            n_total.alias("n_docs"),
+            F.sum("_tok").alias("est_tokens"),
+            F.expr("sum(_kept) * 1000 div sum(_n)").alias("keep_permille"),
+            F.count("*").alias("n_langs"),
+            F.round(
+                -F.sum(F.col("_p") * F.log2("_p")), 4
+            ).alias("lang_entropy_bits"),
+        )
+    )

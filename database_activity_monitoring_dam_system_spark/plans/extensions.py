@@ -453,6 +453,42 @@ FROM census
 """
 
 
+def _q_corpus_card(spark, sf_dir):
+    return textops.corpus_card(_docs(spark, sf_dir))
+
+
+_CORPUS_CARD_SQL = r"""
+WITH scored AS (
+  SELECT source, lang,
+         CAST(ceil(length(text) / 4.0) AS BIGINT) AS est,
+         CASE WHEN len(string_split_regex(trim(text), '\s+')) < 10 THEN 0
+              WHEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+                     / length(text) > 0.3 THEN 0
+              WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x IN ('the','a','of','and','to'))) * 1.0
+                     / len(string_split_regex(trim(text), '\s+')) < 0.01 THEN 0
+              ELSE 1 END AS keep
+  FROM documents
+),
+per AS (
+  SELECT source, lang, count(*) AS n,
+         CAST(SUM(est) AS BIGINT) AS tok,
+         CAST(SUM(keep) AS BIGINT) AS kept
+  FROM scored GROUP BY 1, 2
+),
+probs AS (
+  SELECT *, n / SUM(n) OVER (PARTITION BY source) AS p FROM per
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS est_tokens,
+       CAST(SUM(kept) * 1000 // SUM(n) AS BIGINT) AS keep_permille,
+       count(*) AS n_langs,
+       round(-SUM(p * log2(p)), 4) AS lang_entropy_bits
+FROM probs GROUP BY 1
+"""
+
+
 def _q_token_stats(spark, sf_dir):
     return textops.token_stats(_docs(spark, sf_dir))
 
@@ -2073,6 +2109,11 @@ QUERIES: dict[str, QuerySpec] = {
         _q_epoch_plan, _epoch_plan_sql(),
         "epoch/repeat planning per language against token budgets "
         "(integer permille, 4-epoch repetition cap)",
+    ),
+    "corpus_card": QuerySpec(
+        _q_corpus_card, _CORPUS_CARD_SQL,
+        "per-source data card: doc/token census, quality keep rate, "
+        "language-mix entropy (two-level rollup, no N+1)",
     ),
     "token_stats": QuerySpec(
         _q_token_stats, _TOKEN_STATS_SQL,

@@ -55,6 +55,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # correctness runs are uncached but the plans still changed).
     "dedup_best_keep",
     "epoch_plan",
+    "corpus_card",
     "doc_chunks",
     "pack_manifest",
     "shard_manifest",

@@ -239,3 +239,30 @@ class TestEpochPlan:
         assert row.stratum == "de"
         assert row.target_tokens == 0 and row.epochs_permille == 0
         assert not row.capped
+
+
+class TestCorpusCard:
+    def test_census_and_entropy(self, spark):
+        from database_activity_monitoring_dam_system_spark.operators import (
+            textops,
+        )
+
+        keep_text = "the fast key of a sort and merge to the scan plan is here"
+        docs = spark.createDataFrame(
+            [
+                # s0: two langs 50/50 -> entropy exactly 1 bit
+                (1, keep_text, "en", "s0"),
+                (2, "xy", "de", "s0"),  # too_short -> dropped
+                # s1: single lang -> entropy 0
+                (3, keep_text, "en", "s1"),
+            ],
+            "doc_id long, text string, lang string, source string",
+        )
+        out = {r.source: r for r in textops.corpus_card(docs).collect()}
+        assert out["s0"].n_docs == 2 and out["s0"].n_langs == 2
+        assert out["s0"].lang_entropy_bits == 1.0
+        assert out["s0"].keep_permille == 500
+        assert out["s1"].n_langs == 1 and out["s1"].lang_entropy_bits == -0.0
+        assert out["s1"].keep_permille == 1000
+        # token census matches the ceil(chars/4) estimate
+        assert out["s1"].est_tokens == -(-len(keep_text) // 4)
