@@ -102,15 +102,20 @@ def geo_enrich_external(
                 return (None, None)
             ip = str(ip)
             if ip not in cache:
+                # the .get calls stay inside the try: a resolver that
+                # returns a non-dict (contract violation) degrades to
+                # NULL geo like a resolver that raises, instead of
+                # failing the task
                 try:
                     geo = resolve(ip)
+                    pair = (
+                        (geo.get("country"), geo.get("city"))
+                        if geo is not None
+                        else (None, None)
+                    )
                 except Exception:
-                    geo = None
-                cache[ip] = (
-                    (geo.get("country"), geo.get("city"))
-                    if geo is not None
-                    else (None, None)
-                )
+                    pair = (None, None)
+                cache[ip] = pair
             return cache[ip]
 
         for pdf in it:

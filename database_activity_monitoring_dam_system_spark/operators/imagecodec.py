@@ -14,7 +14,8 @@ fixture-shaped parser.  At 100 TB the per-image work stays inside the
 Arrow-batched ``mapInPandas`` operators in multimodal.py (this module
 is plain per-item Python the way PIL would be); a production cluster
 would swap in PIL/turbojpeg via the same optional-dependency seam
-(multimodal._HAVE_PIL) without touching the Spark plumbing.
+(the import-try in ``decode_image``) without touching the Spark
+plumbing.
 """
 
 from __future__ import annotations
@@ -182,23 +183,32 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
 
 def decode_image(raw: bytes, mime: str | None) -> tuple[int, int, int, bytes]:
     """(width, height, channels, pixel bytes) for a supported image
-    payload — PIL when installed (same pixels for this PNG class),
-    the stdlib decoder otherwise; NotImplementedError marks the
-    genuine codec boundary (JPEG without PIL, audio, video)."""
-    if mime != "image/png":
-        raise NotImplementedError(
-            f"no decoder for mime {mime!r} in this environment "
-            "(PNG via stdlib; JPEG/audio/video need PIL/ffmpeg)"
-        )
-    try:  # optional dependency seam — sys.modules makes this cheap
-        import io
+    payload.
 
-        from PIL import Image
-    except ImportError:
+    Decoder selection: PIL when installed handles every image/* mime
+    it knows (JPEG/GIF/WebP/... — and the same pixels as the stdlib
+    path for this PNG class); without PIL, PNG falls back to the
+    stdlib decoder and other image formats raise. Audio/video always
+    raise here — that is the genuine codec boundary (ffmpeg's job,
+    not an image codec's)."""
+    is_image = mime is not None and mime.startswith("image/")
+    if is_image:
+        try:  # optional dependency seam — sys.modules makes this cheap
+            import io
+
+            from PIL import Image
+        except ImportError:
+            pass
+        else:
+            img = Image.open(io.BytesIO(raw))
+            w, h = img.size
+            return w, h, len(img.getbands()), img.tobytes()
+    if mime == "image/png":
         return decode_png(raw)
-    img = Image.open(io.BytesIO(raw))
-    w, h = img.size
-    return w, h, len(img.getbands()), img.tobytes()
+    raise NotImplementedError(
+        f"no decoder for mime {mime!r} in this environment "
+        "(PNG via stdlib; other images need PIL; audio/video need ffmpeg)"
+    )
 
 
 def resize_nearest(

@@ -9,11 +9,12 @@ never round-trips row-at-a-time.
 Decode is REAL for PNG images: a pure-stdlib codec (imagecodec.py —
 zlib inflate + scanline unfiltering) backs ``decode_stub=False`` in
 extract_features / resize_media and the decode_image_features
-operator, with PIL used instead when installed (the optional-
-dependency seam ``_HAVE_PIL``).  Codecs the sandbox genuinely cannot
-host (JPEG entropy decode without PIL, audio, video keyframes) raise
-NotImplementedError at the mime check; ``decode_stub=True`` keeps the
-deterministic byte-level fake for plumbing tests.
+operator, with PIL used instead when installed (the import-try seam
+in ``imagecodec.decode_image`` — PIL also unlocks JPEG and the other
+image mimes).  Codecs the sandbox genuinely cannot host (JPEG entropy
+decode without PIL, audio, video keyframes) raise NotImplementedError
+at the mime check; ``decode_stub=True`` keeps the deterministic
+byte-level fake for plumbing tests.
 """
 
 from __future__ import annotations
@@ -178,13 +179,23 @@ def decode_image_features(media: DataFrame) -> DataFrame:
                 mins = arr.min(axis=0)
                 maxs = arr.max(axis=0)
                 cnt = arr.shape[0]
+
+                # greyscale (1) / grey+alpha (2) images have fewer
+                # channels than the fixed 3-channel stats schema —
+                # absent channels report NULL, not an IndexError
+                def chan(vals, c, cast):
+                    return cast(vals[c]) if c < ch else None
+
                 rows.append((
                     int(mid), w, h, ch,
-                    int(sums[0]), int(sums[1]), int(sums[2]),
-                    float(sums[0] / cnt), float(sums[1] / cnt),
-                    float(sums[2] / cnt),
-                    int(mins[0]), int(maxs[0]), int(mins[1]),
-                    int(maxs[1]), int(mins[2]), int(maxs[2]),
+                    chan(sums, 0, int), chan(sums, 1, int),
+                    chan(sums, 2, int),
+                    chan(sums, 0, lambda v: float(v / cnt)),
+                    chan(sums, 1, lambda v: float(v / cnt)),
+                    chan(sums, 2, lambda v: float(v / cnt)),
+                    chan(mins, 0, int), chan(maxs, 0, int),
+                    chan(mins, 1, int), chan(maxs, 1, int),
+                    chan(mins, 2, int), chan(maxs, 2, int),
                 ))
             yield pd.DataFrame(rows, columns=cols)
 
@@ -335,7 +346,11 @@ def extract_features(
         for pdf in it:
             feats = []
             n_bytes = []
-            for buf, meta in zip(pdf["payload"], pdf["meta"]):
+            # stub mode featurizes raw payload bytes and never reads
+            # meta — don't require the column there (plumbing frames
+            # may carry payload only)
+            metas = pdf["meta"] if "meta" in pdf.columns else [None] * len(pdf)
+            for buf, meta in zip(pdf["payload"], metas):
                 if buf is None:
                     feats.append(None)
                     n_bytes.append(None)

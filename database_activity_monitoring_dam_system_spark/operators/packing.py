@@ -192,6 +192,7 @@ def shard_manifest(
     n_shards: int = 16,
     id_col: str = "doc_id",
     size_col: str = "n_chars",
+    label_col: str | None = "lang",
 ) -> DataFrame:
     """Deterministic output-shard assignment preview.
 
@@ -203,14 +204,21 @@ def shard_manifest(
     output file would contain, which is how you validate balance
     BEFORE paying for the write.
 
-    Output: (shard_id, n_docs, total_size, n_langs, min_doc, max_doc).
-    One hash aggregate; map-side combine makes the exchange carry
-    n_shards rows per task regardless of corpus size.
+    Output: (shard_id, n_docs, total_size, n_langs, min_doc, max_doc);
+    ``label_col=None`` (for frames without a label column, e.g.
+    chunk_documents output) reports n_langs = 0. One hash aggregate;
+    map-side combine makes the exchange carry n_shards rows per task
+    regardless of corpus size.
     """
     shard = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
         .cast("bigint")
         % n_shards
+    )
+    n_labels = (
+        F.countDistinct(label_col)
+        if label_col is not None
+        else F.lit(0).cast("bigint")
     )
     return (
         docs.withColumn("shard_id", shard)
@@ -218,7 +226,7 @@ def shard_manifest(
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.col(size_col)).cast("bigint").alias("total_size"),
-            F.countDistinct("lang").alias("n_langs"),
+            n_labels.alias("n_langs"),
             F.min(id_col).alias("min_doc"),
             F.max(id_col).alias("max_doc"),
         )

@@ -219,17 +219,29 @@ def epoch_plan(
     tgt = F.coalesce(tgt, F.lit(0))
     est_tokens = F.ceil(F.length(F.col(text_col)) / F.lit(4.0)).cast("bigint")
     raw = F.expr("target_tokens * 1000 div available_tokens")
+    # A stratum with zero (or all-NULL) available tokens can't be
+    # repeated toward any budget: div-by-zero yields NULL and least()
+    # SKIPS NULLs, which would silently report a full-cap repeat plan
+    # for an unsatisfiable stratum — so the empty case pins to
+    # (0, false) explicitly.
+    has_tokens = F.col("available_tokens") > 0
     return (
         docs.groupBy(F.col(strata_col).alias("stratum"))
         .agg(
-            F.sum(est_tokens).alias("available_tokens"),
+            F.coalesce(F.sum(est_tokens), F.lit(0)).alias("available_tokens"),
             F.max(tgt).alias("target_tokens"),
         )
         .select(
             "stratum",
             "available_tokens",
             "target_tokens",
-            F.least(raw, F.lit(max_epochs_permille)).alias("epochs_permille"),
-            (raw > max_epochs_permille).alias("capped"),
+            F.when(
+                has_tokens, F.least(raw, F.lit(max_epochs_permille))
+            )
+            .otherwise(F.lit(0))
+            .alias("epochs_permille"),
+            F.when(has_tokens, raw > max_epochs_permille)
+            .otherwise(F.lit(False))
+            .alias("capped"),
         )
     )

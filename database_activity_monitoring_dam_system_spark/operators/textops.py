@@ -193,16 +193,24 @@ def repetition_mid_cols(text_col: str = "text") -> dict[str, Column]:
 
 
 def repetition_final_cols(
-    *, top_bigram_max: float = 0.08, dup_trigram_max: float = 0.60
+    *,
+    top_bigram_max: float = 0.08,
+    dup_trigram_max: float = 0.60,
+    prefix: str = "",
 ) -> dict[str, Column]:
     """Second-stage expressions over the materialized
-    :func:`repetition_mid_cols` names."""
+    :func:`repetition_mid_cols` names.
+
+    ``prefix`` renames the expected intermediate columns (e.g.
+    ``_cf_n_chars``) so callers embedding the mid stage into a frame
+    that ALREADY has an ``n_chars``/``n_tokens`` column (the
+    documents table does) can avoid ambiguous references."""
+    n_chars = F.col(f"{prefix}n_chars")
+    t2, d3 = F.col(f"{prefix}_t2"), F.col(f"{prefix}_d3")
     top_frac = F.round(
-        (F.col("_t2.bestcnt") * F.length("_t2.bestgram")) / F.col("n_chars"), 4
+        (t2["bestcnt"] * F.length(t2["bestgram"])) / n_chars, 4
     )
-    dup_frac = F.round(
-        F.least(F.lit(1.0), F.col("_d3.dup") / F.col("n_chars")), 4
-    )
+    dup_frac = F.round(F.least(F.lit(1.0), d3["dup"] / n_chars), 4)
     verdict = (
         F.when(top_frac > top_bigram_max, "bigram_loop")
         .when(dup_frac > dup_trigram_max, "trigram_dup")
@@ -210,9 +218,11 @@ def repetition_final_cols(
     )
     return {
         "repeated_token_frac": F.round(
-            F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens"), 4
+            F.lit(1.0)
+            - F.col(f"{prefix}n_distinct") / F.col(f"{prefix}n_tokens"),
+            4,
         ),
-        "top_bigram": F.col("_t2.bestgram"),
+        "top_bigram": t2["bestgram"],
         "top_bigram_frac": top_frac,
         "dup_trigram_frac": dup_frac,
         "verdict": verdict,

@@ -446,9 +446,12 @@ census AS (
   GROUP BY 1
 )
 SELECT stratum, available_tokens, target_tokens,
-       CAST(least(target_tokens * 1000 // available_tokens, 4000) AS BIGINT)
-         AS epochs_permille,
-       target_tokens * 1000 // available_tokens > 4000 AS capped
+       CAST(CASE WHEN available_tokens > 0
+                 THEN least(target_tokens * 1000 // available_tokens, 4000)
+                 ELSE 0 END AS BIGINT) AS epochs_permille,
+       CASE WHEN available_tokens > 0
+            THEN target_tokens * 1000 // available_tokens > 4000
+            ELSE FALSE END AS capped
 FROM census
 """
 
@@ -885,20 +888,27 @@ _IVF_REFINE_ITERS = 2
 # The Lloyd-refined coarse quantizer is an INDEX artifact: trained once
 # per corpus snapshot, reused by every query against it (exactly how
 # IVF serving works — FAISS trains the quantizer at build time, not per
-# search). Memoized per (sf_dir, k, iters); deterministic, so a cold
-# retrain yields the identical list and the cold-plan bench records the
-# honest build cost.
+# search). Memoized per (sf_dir, k, iters), but ONLY under serving mode
+# (SPARK_DAM_SHARE_FRAMES=1, same gate as _shared) — the correctness
+# driver and the cold-plan bench are documented to see raw un-cached
+# plans, so they retrain per call; deterministic, so a retrain yields
+# the identical list.
 _IVF_INDEX_CACHE: dict[tuple, list] = {}
 
 
 def _q_ivf_ann_topk(spark, sf_dir):
+    import os
+
     emb = load_table(spark, sf_dir, "embeddings")
-    key = (sf_dir, 16, _IVF_REFINE_ITERS)
-    cents = _IVF_INDEX_CACHE.get(key)
+    serving = os.environ.get("SPARK_DAM_SHARE_FRAMES") == "1"
+    key = (os.path.realpath(sf_dir), 16, _IVF_REFINE_ITERS)
+    cents = _IVF_INDEX_CACHE.get(key) if serving else None
     if cents is None:
-        cents = _IVF_INDEX_CACHE[key] = similarity.ivf_centroids(
+        cents = similarity.ivf_centroids(
             emb, n_centroids=16, refine_iters=_IVF_REFINE_ITERS
         )
+        if serving:
+            _IVF_INDEX_CACHE[key] = cents
     return similarity.ivf_topk(
         emb, _QUERY_IDS, k=10, n_centroids=16, n_probe=4,
         refine_iters=_IVF_REFINE_ITERS, centroids=cents,

@@ -116,7 +116,10 @@ def all_queries() -> dict[str, QuerySpec]:
         if name not in merged
     ]
     if missing:
-        raise ValueError(f"_DRIVER_PRIORITY names not in registry: {missing}")
+        raise ValueError(
+            "_DRIVER_PRIORITY/_DRIVER_DEFER names not in registry: "
+            f"{missing}"
+        )
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY}
     ordered.update(
         (name, spec)

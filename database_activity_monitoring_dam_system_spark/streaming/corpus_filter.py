@@ -69,21 +69,34 @@ def score_documents(docs: DataFrame) -> DataFrame:
     every row forever — the fused projection has no state operator at
     all.
     """
+    out_cols = (
+        "fingerprint", "stopword_ratio", "punct_ratio",
+        "repeated_token_frac", "top_bigram_frac", "dup_trigram_frac",
+        "verdict",
+    )
+    clash = [c for c in docs.columns if c in out_cols]
+    if clash:
+        raise ValueError(
+            f"score_documents: input already has output column(s) {clash}"
+        )
     q = textops.quality_signal_cols("text")
     m = textops.repetition_mid_cols("text")
+    # Intermediates carry a _cf_ prefix so inputs that already have an
+    # n_chars/n_tokens column (the documents table does) don't become
+    # ambiguous references in the second select.
     mid = docs.select(
         "*",
         F.md5(dedup.normalized_text("text")).alias("fingerprint"),
         F.round(q["stopword_ratio"], 4).alias("stopword_ratio"),
         F.round(q["punct_ratio"], 4).alias("punct_ratio"),
         q["verdict"].alias("_q_verdict"),
-        m["n_chars"].alias("n_chars"),
-        m["n_tokens"].alias("n_tokens"),
-        m["n_distinct"].alias("n_distinct"),
-        m["_t2"].alias("_t2"),
-        m["_d3"].alias("_d3"),
+        m["n_chars"].alias("_cf_n_chars"),
+        m["n_tokens"].alias("_cf_n_tokens"),
+        m["n_distinct"].alias("_cf_n_distinct"),
+        m["_t2"].alias("_cf__t2"),
+        m["_d3"].alias("_cf__d3"),
     )
-    f = textops.repetition_final_cols()
+    f = textops.repetition_final_cols(prefix="_cf_")
     verdict = (
         F.when(F.col("_q_verdict") != "keep", F.col("_q_verdict"))
         .when(f["verdict"] != "keep", f["verdict"])

@@ -266,3 +266,99 @@ class TestCorpusCard:
         assert out["s1"].keep_permille == 1000
         # token census matches the ceil(chars/4) estimate
         assert out["s1"].est_tokens == -(-len(keep_text) // 4)
+
+
+class TestReviewRegressions:
+    """Regressions surfaced by the round-5 self-review."""
+
+    def test_score_documents_accepts_documents_schema(self, spark):
+        # The documents table carries an n_chars column; the corpus
+        # filter's intermediate names must not collide with it.
+        from database_activity_monitoring_dam_system_spark.streaming import (
+            corpus_filter,
+        )
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        out = corpus_filter.score_documents(docs)
+        assert out.count() == docs.count()
+        assert "verdict" in out.columns and "n_chars" in out.columns
+
+    def test_score_documents_rejects_output_clash(self, spark):
+        from database_activity_monitoring_dam_system_spark.streaming import (
+            corpus_filter,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "some text", "keep")], "doc_id long, text string, verdict string"
+        )
+        with pytest.raises(ValueError, match="verdict"):
+            corpus_filter.score_documents(docs)
+
+    def test_greyscale_stats_null_absent_channels(self, spark):
+        from database_activity_monitoring_dam_system_spark.operators import (
+            imagecodec,
+            multimodal,
+        )
+
+        px = bytes(range(16))  # 4x4 greyscale
+        png = imagecodec.encode_png(4, 4, px, channels=1)
+        media = spark.createDataFrame(
+            [(1, bytearray(png), ("image/png", 4, 4, len(png)))],
+            multimodal.MEDIA_SCHEMA,
+        )
+        [row] = multimodal.decode_image_features(media).collect()
+        assert row.channels == 1
+        assert row.r_sum == sum(px) and row.r_min == 0 and row.r_max == 15
+        assert row.g_sum is None and row.b_sum is None
+        assert row.b_min is None and row.g_max is None
+
+    def test_extract_features_stub_without_meta(self, spark):
+        from database_activity_monitoring_dam_system_spark.operators import (
+            multimodal,
+        )
+
+        frame = spark.createDataFrame(
+            [(1, bytearray(b"\x10\x20\x30"))],
+            "media_id long, payload binary",
+        )
+        [row] = multimodal.extract_features(frame, decode_stub=True).collect()
+        assert row.n_bytes == 3
+        assert row.feature[0] == 0x10 / 255.0
+
+    def test_epoch_plan_zero_available_reports_zero(self, spark):
+        from database_activity_monitoring_dam_system_spark.operators import (
+            sampling,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "", "yy")], "doc_id long, text string, lang string"
+        )
+        [row] = sampling.epoch_plan(docs, {"yy": 1000}).collect()
+        assert row.available_tokens == 0
+        assert row.epochs_permille == 0 and row.capped is False
+
+    def test_shard_manifest_without_label_col(self, spark):
+        from database_activity_monitoring_dam_system_spark.operators import (
+            packing as pk,
+        )
+
+        chunks = pk.chunk_documents(
+            _mkdocs(spark, [" ".join(f"w{i}" for i in range(100))])
+        )
+        m = pk.shard_manifest(
+            chunks, n_shards=4, id_col="doc_id",
+            size_col="chunk_tokens", label_col=None,
+        ).collect()
+        assert sum(r.n_docs for r in m) == chunks.count()
+        assert all(r.n_langs == 0 for r in m)
+
+    def test_geo_resolver_contract_violation_degrades_to_null(self, spark):
+        from database_activity_monitoring_dam_system_spark.operators import geo
+
+        frame = spark.createDataFrame(
+            [(1, "1.2.3.4")], "activity_id long, ip_address string"
+        )
+        out = geo.geo_enrich_external(
+            frame, resolver=lambda ip: ("US", "nyc")  # non-dict return
+        ).collect()
+        assert out[0].country is None and out[0].city is None
