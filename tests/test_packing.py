@@ -362,3 +362,67 @@ class TestReviewRegressions:
             frame, resolver=lambda ip: ("US", "nyc")  # non-dict return
         ).collect()
         assert out[0].country is None and out[0].city is None
+
+
+class TestDocumentIngestion:
+    def test_jsonl_quarantine_split(self, spark, tmp_path):
+        from database_activity_monitoring_dam_system_spark.sources import (
+            documents as docsrc,
+        )
+
+        p = tmp_path / "corpus.jsonl"
+        p.write_text(
+            '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s0"}\n'
+            'this line is not json at all\n'
+            '{"doc_id": 2, "text": "zweite zeile", "lang": "de", "source": "s1"}\n'
+            '{"doc_id": 3, "text": "truncated...\n'
+            '{"unrelated": "fields only"}\n'
+        )
+        clean, quarantine = docsrc.read_documents_jsonl(spark, str(p))
+        crows = {r.doc_id: r for r in clean.collect()}
+        # drifted-but-valid JSON is clean (all-NULL fields), not corrupt
+        assert set(crows) == {1, 2, None}
+        assert crows[1].text == "hello world"
+        assert "_corrupt_record" not in clean.columns
+        qrows = [r.raw_line for r in quarantine.collect()]
+        assert len(qrows) == 2
+        assert any("not json" in ln for ln in qrows)
+        assert any(ln.startswith('{"doc_id": 3') for ln in qrows)
+        rep = docsrc.ingest_report(clean, quarantine)
+        assert rep == {
+            "rows_clean": 3,
+            "rows_quarantined": 2,
+            "malformed_permille": 400,
+        }
+
+    def test_clean_frame_feeds_operators(self, spark, tmp_path):
+        from database_activity_monitoring_dam_system_spark.operators import (
+            textops,
+        )
+        from database_activity_monitoring_dam_system_spark.sources import (
+            documents as docsrc,
+        )
+
+        p = tmp_path / "c.jsonl"
+        p.write_text(
+            '{"doc_id": 1, "text": "the quick brown fox of the field and a dog to", "lang": "en", "source": "s0"}\n'
+            'garbage\n'
+        )
+        clean, _ = docsrc.read_documents_jsonl(spark, str(p))
+        out = textops.quality_scores(clean).collect()
+        assert len(out) == 1 and out[0].verdict == "keep"
+
+    def test_csv_quarantine(self, spark, tmp_path):
+        from database_activity_monitoring_dam_system_spark.sources import (
+            documents as docsrc,
+        )
+
+        p = tmp_path / "corpus.csv"
+        p.write_text(
+            "doc_id,text,lang,source\n"
+            "1,hello,en,s0\n"
+            "not_a_number,broken,de,s1\n"
+        )
+        clean, quarantine = docsrc.read_documents_csv(spark, str(p))
+        assert [r.doc_id for r in clean.collect()] == [1]
+        assert len(quarantine.collect()) == 1
