@@ -231,3 +231,44 @@ def shard_manifest(
             F.max(id_col).alias("max_doc"),
         )
     )
+
+
+def write_packed_shards(
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    budget: int = 2048,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize :func:`pack_offsets` as training shards on disk:
+    ``out_dir/shard_id=K/`` holds shard K's assignment in (pack_id,
+    doc_id) order, so a sequential reader streams packs exactly as
+    the offset-cut semantics define them.
+
+    One repartition on shard_id (the write's only shuffle — the same
+    exchange the window already needed) + sortWithinPartitions, then a
+    partitionBy write: at 100 TB each shard directory is one loader's
+    input, written by one task, ordered on disk. Re-running with the
+    same inputs rewrites byte-identical shards (everything upstream is
+    deterministic), which is what makes packed data cachable across
+    training runs.
+    """
+    assigned = pack_offsets(
+        docs,
+        budget=budget,
+        n_shards=n_shards,
+        id_col=id_col,
+        tokens_col=tokens_col,
+        text_col=text_col,
+    )
+    (
+        assigned.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "pack_id", id_col)
+        .write.mode(mode)
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )

@@ -426,3 +426,34 @@ class TestDocumentIngestion:
         clean, quarantine = docsrc.read_documents_csv(spark, str(p))
         assert [r.doc_id for r in clean.collect()] == [1]
         assert len(quarantine.collect()) == 1
+
+
+class TestPackedShardWriter:
+    def test_layout_order_and_fidelity(self, spark, tmp_path):
+        docs = load_table(spark, SF_SMOKE, "documents")
+        out = str(tmp_path / "shards")
+        packing.write_packed_shards(docs, out, budget=512, n_shards=4)
+        expect = packing.pack_offsets(docs, budget=512, n_shards=4)
+        back = spark.read.parquet(out)
+        # fidelity: every assignment row survives the write exactly
+        cols = sorted(expect.columns)
+        assert sorted(back.columns) == cols
+        assert sorted(tuple(r) for r in back.select(*cols).collect()) == (
+            sorted(tuple(r) for r in expect.select(*cols).collect())
+        )
+        # layout: one directory per shard, prunable by shard predicate
+        import os
+
+        dirs = {d for d in os.listdir(out) if d.startswith("shard_id=")}
+        assert dirs == {f"shard_id={k}" for k in range(4)}
+        one = spark.read.parquet(out).filter(F.col("shard_id") == 2)
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        # order: within a shard's files, packs stream in order
+        for k in range(4):
+            rows = (
+                spark.read.parquet(f"{out}/shard_id={k}")
+                .select("pack_id", "doc_id")
+                .collect()
+            )
+            assert rows == sorted(rows, key=lambda r: (r.pack_id, r.doc_id))
