@@ -132,3 +132,48 @@ def _split_quarantine(
         F.col(witness).alias("parsed_" + witness),
     )
     return clean, quarantine
+
+
+def start_document_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    *,
+    clean_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType = DOCUMENT_SCHEMA,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming crawl ingest with the same quarantine contract as the
+    batch readers: a JSONL file stream splits per micro-batch into the
+    clean corpus sink and the malformed-line quarantine sink.
+
+    A streaming query has ONE sink, so the split runs in foreachBatch
+    — two filtered appends over each micro-batch frame (exactly-once
+    via the checkpoint as usual for idempotent parquet appends). The
+    quarantine sink is the replay queue: repair upstream, re-point the
+    reader at the quarantined lines, ingest again.
+    """
+    if not any(f.name == CORRUPT_COL for f in schema.fields):
+        raise ValueError(f"schema must include a {CORRUPT_COL} string field")
+    reader = (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(src_dir)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        clean, quarantine = _split_quarantine(batch, schema)
+        clean.write.mode("append").parquet(clean_dir)
+        quarantine.write.mode("append").parquet(quarantine_dir)
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

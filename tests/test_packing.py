@@ -457,3 +457,33 @@ class TestPackedShardWriter:
                 .collect()
             )
             assert rows == sorted(rows, key=lambda r: (r.pack_id, r.doc_id))
+
+    def test_streaming_ingest_quarantine(self, spark, tmp_path):
+        import os
+
+        from database_activity_monitoring_dam_system_spark.sources import (
+            documents as docsrc,
+        )
+
+        src = tmp_path / "src"
+        os.makedirs(src)
+        (src / "a.jsonl").write_text(
+            '{"doc_id": 1, "text": "first", "lang": "en", "source": "s"}\n'
+            "broken line one\n"
+        )
+        (src / "b.jsonl").write_text(
+            '{"doc_id": 2, "text": "second", "lang": "de", "source": "s"}\n'
+        )
+        q = docsrc.start_document_ingest(
+            spark, str(src),
+            clean_dir=str(tmp_path / "clean"),
+            quarantine_dir=str(tmp_path / "quar"),
+            checkpoint_dir=str(tmp_path / "ck"),
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+        clean = spark.read.parquet(str(tmp_path / "clean"))
+        assert sorted(r.doc_id for r in clean.collect()) == [1, 2]
+        quar = spark.read.parquet(str(tmp_path / "quar"))
+        assert [r.raw_line for r in quar.collect()] == ["broken line one"]
