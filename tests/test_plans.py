@@ -265,3 +265,30 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
         spark.sql("DROP TABLE IF EXISTS b_events")
         spark.sql("DROP TABLE IF EXISTS b_totals")
+
+
+def test_chunking_zero_shuffle(spark):
+    """doc_chunks is a scan-side projection + generator: any Exchange
+    means someone added a shuffle to a pipeline that must have none."""
+    plan = _plan(spark, "doc_chunks")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
+def test_packing_single_shard_exchange(spark):
+    """pack_manifest shuffles exactly once per stage boundary on the
+    shard key: one exchange for the running-sum window, one for the
+    pack rollup — never a global sort."""
+    plan = _plan(spark, "pack_manifest")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Exchange rangepartitioning" not in plan  # no global orderBy
+    assert "Window" in plan
+
+
+def test_corpus_card_rollup_shape(spark):
+    """corpus_card touches the corpus once: the (source, lang) census
+    aggregate is the only full-width exchange; everything after runs
+    on the tiny aggregated frame."""
+    plan = _plan(spark, "corpus_card")
+    assert plan.count("HashAggregate") >= 2  # partial + final stages
+    assert "Exchange rangepartitioning" not in plan
