@@ -1,0 +1,120 @@
+"""End-to-end corpus pipeline: raw documents → training shards.
+
+The operators compose into the standard pre-training data flow; this
+module IS that composition, as one job function a scheduler calls per
+corpus snapshot:
+
+    quality filter → near-dup dedup (best-copy retention)
+      → benchmark decontamination → epoch planning
+      → offset packing → sharded write → data card
+
+Every stage is the already-gated operator (quality_scores,
+minhash_near_duplicates, duplicate_clusters,
+best_keep_representatives, contamination_flags, epoch_plan,
+write_packed_shards, corpus_card) — the pipeline adds no new
+semantics, only the wiring and a stage-count report. The intermediate
+``kept`` frame is persisted across stages (each stage both filters it
+and feeds the next), and unpersisted before returning.
+
+Scale: the stages keep their individual shuffle inventories
+(SCALE.md); the composition adds no extra exchange — each filter is a
+broadcast semi/anti join against a small id set (survivor ids of
+dedup/decontamination are ∝ violations, not corpus size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators import dedup, packing, sampling, textops
+
+
+def run_corpus_pipeline(
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    benchmark: DataFrame | None = None,
+    epoch_targets: dict[str | None, int] | None = None,
+    dedup_threshold: float = 0.9,
+    dedup_shingle: int = 3,
+    budget: int = 2048,
+    n_shards: int = 8,
+) -> dict:
+    """Run the full corpus-preparation flow; returns the stage report.
+
+    Report keys: per-stage row counts (``n_raw`` → ``n_quality`` →
+    ``n_deduped`` → ``n_clean``), the dropped-row breakdown, the epoch
+    plan rows (when targets given), and the final per-source data
+    card. Shards land under ``out_dir`` via
+    :func:`packing.write_packed_shards`.
+    """
+    report: dict = {"n_raw": docs.count()}
+
+    # 1. quality gate — keep verdict only
+    keep_ids = (
+        textops.quality_scores(docs)
+        .filter(F.col("verdict") == "keep")
+        .select("doc_id")
+    )
+    kept = docs.join(keep_ids, "doc_id", "left_semi").persist()
+    report["n_quality"] = kept.count()
+
+    # 2. near-dup dedup with best-copy retention: drop every cluster
+    # member except the largest (ties → lowest id)
+    pairs = dedup.minhash_near_duplicates(
+        kept, threshold=dedup_threshold, shingle=dedup_shingle
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    keepers = dedup.best_keep_representatives(clusters, kept)
+    drop_ids = (
+        clusters.join(
+            keepers.select(F.col("keep_id").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+        .select("doc_id")
+    )
+    deduped = kept.join(drop_ids, "doc_id", "left_anti").persist()
+    report["n_deduped"] = deduped.count()
+    kept.unpersist()
+
+    # 3. benchmark decontamination (optional)
+    if benchmark is not None:
+        flags = textops.contamination_flags(deduped, benchmark)
+        dirty = flags.filter(F.col("verdict") == "contaminated").select(
+            "doc_id"
+        )
+        clean = deduped.join(dirty, "doc_id", "left_anti").persist()
+        report["n_clean"] = clean.count()
+        deduped.unpersist()
+    else:
+        clean = deduped
+        report["n_clean"] = report["n_deduped"]
+    report["n_dropped_quality"] = report["n_raw"] - report["n_quality"]
+    report["n_dropped_dedup"] = report["n_quality"] - report["n_deduped"]
+    report["n_dropped_contaminated"] = (
+        report["n_deduped"] - report["n_clean"]
+    )
+
+    # 4. epoch planning over the surviving corpus (optional)
+    if epoch_targets is not None:
+        report["epoch_plan"] = [
+            row.asDict()
+            for row in sampling.epoch_plan(clean, epoch_targets)
+            .orderBy("stratum")
+            .collect()
+        ]
+
+    # 5. pack + write shards
+    packing.write_packed_shards(
+        clean, out_dir, budget=budget, n_shards=n_shards
+    )
+
+    # 6. data card over what shipped
+    report["corpus_card"] = [
+        row.asDict()
+        for row in textops.corpus_card(clean).orderBy("source").collect()
+    ]
+    clean.unpersist()
+    return report

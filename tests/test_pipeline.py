@@ -1,0 +1,77 @@
+"""End-to-end corpus pipeline test: the full flow on real testdata +
+a synthetic case where every stage provably drops something."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database_activity_monitoring_dam_system_spark import pipeline
+from database_activity_monitoring_dam_system_spark.sources.testdata import (
+    load_table,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_pipeline_on_testdata(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # a benchmark set sampled FROM the corpus guarantees contamination
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    report = pipeline.run_corpus_pipeline(
+        docs,
+        str(tmp_path / "shards"),
+        benchmark=bench,
+        epoch_targets={"en": 100_000, "de": 100_000},
+        n_shards=4,
+    )
+    # monotone survivor counts, every stage accounted for
+    assert (
+        report["n_raw"]
+        >= report["n_quality"]
+        >= report["n_deduped"]
+        >= report["n_clean"]
+        > 0
+    )
+    assert report["n_dropped_quality"] + report["n_dropped_dedup"] + report[
+        "n_dropped_contaminated"
+    ] == report["n_raw"] - report["n_clean"]
+    # eval items verbatim in the corpus must have been dropped
+    assert report["n_dropped_contaminated"] > 0
+    # shards on disk hold exactly the survivors
+    back = spark.read.parquet(str(tmp_path / "shards"))
+    assert back.count() == report["n_clean"]
+    # the data card census agrees with the shipped corpus
+    assert sum(c["n_docs"] for c in report["corpus_card"]) == report["n_clean"]
+    langs_with_targets = {
+        e["stratum"] for e in report["epoch_plan"] if e["target_tokens"] > 0
+    }
+    assert langs_with_targets == {"en", "de"}
+
+
+def test_pipeline_dedup_keeps_best_copy(spark, tmp_path):
+    # Three near-identical docs (differing by one token) + one clean
+    # doc: the dedup stage must keep exactly one of the trio — the
+    # LARGEST (doc 3, which has an extra token), not the min-id.
+    base = (
+        "the quick brown fox jumps over a lazy dog and the cat sat on "
+        "the mat while a bird of prey watched them all from the tall tree"
+    )
+    rows = [
+        (1, base, "en", "s0"),
+        (2, base + " again", "en", "s0"),
+        (3, base + " again twice", "en", "s0"),
+        (4, "completely different content " * 5 + "the a of and to", "en", "s1"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+    report = pipeline.run_corpus_pipeline(
+        docs, str(tmp_path / "shards"), dedup_threshold=0.8, n_shards=2
+    )
+    assert report["n_raw"] == 4 and report["n_quality"] == 4
+    assert report["n_deduped"] == 2  # trio collapsed to one + doc 4
+    survivors = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "shards")).collect()
+    }
+    assert survivors == {3, 4}  # largest of the trio kept
