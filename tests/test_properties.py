@@ -363,3 +363,45 @@ def test_pack_offsets_matches_running_model(spark, docs_spec, budget, shards):
         assert row.pack_id == before // budget
         assert row.offset_in_pack == before % budget
         running[shard] = before + n
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from([0.25, 3.0, 17.5]),
+)
+@settings(**_SETTINGS)
+def test_int8_quantization_scale_invariant(spark, vecs, factor):
+    """Cosine (and therefore the int8 codes, which divide by the
+    per-vector max) is scale-invariant: multiplying every vector by a
+    positive constant must leave the quantized codes bit-identical."""
+    from database_activity_monitoring_dam_system_spark.operators import (
+        similarity,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    scaled = [(i, [float(x) * factor for x in v]) for i, v in enumerate(vecs)]
+    schema = "vec_id long, embedding array<float>"
+    q1 = {
+        r.vec_id: list(r.qvec)
+        for r in similarity.quantize_int8(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    }
+    q2 = {
+        r.vec_id: list(r.qvec)
+        for r in similarity.quantize_int8(
+            spark.createDataFrame(scaled, schema)
+        ).collect()
+    }
+    assert q1 == q2
