@@ -745,3 +745,56 @@ def quantized_topk(
             "query_id", "neighbor_id", "rank", F.round("qcosine", 6).alias("qcosine")
         )
     )
+
+
+def auto_band_bits(
+    corpus_size: int,
+    *,
+    planes: int = 48,
+    target_bucket_size: int = 8,
+    min_bits: int = 4,
+    max_bits: int = 16,
+) -> int:
+    """Pick the signature-band width for a corpus size.
+
+    Random-hyperplane buckets hold ~N/2^bits vectors, and the band
+    self-join generates ~bucket_size² candidate pairs per bucket — so
+    the rule from the sf1 probe (BASELINE.md: 8-bit bands were sized
+    for sf0.01 and degenerated 21× at sf1) is
+    ``bits ≈ log2(N / target_bucket_size)``: bucket occupancy, and
+    with it candidate volume per vector, stays constant as the corpus
+    grows. Clamped to [min_bits, max_bits] and to the plane budget
+    (a band cannot be wider than the signature).
+    """
+    if corpus_size <= 0:
+        raise ValueError("corpus_size must be positive")
+    bits = max(1, (max(corpus_size, 1) // max(target_bucket_size, 1)))
+    bits = bits.bit_length() - 1  # floor(log2)
+    return max(min_bits, min(bits, max_bits, planes))
+
+
+def minhash_params_for_threshold(
+    threshold: float, *, num_hashes: int = 32
+) -> tuple[int, int]:
+    """(bands, rows_per_band) whose LSH S-curve knee sits nearest the
+    Jaccard threshold.
+
+    Standard banding analysis (Leskovec/Rajaraman/Ullman, Mining of
+    Massive Datasets §3.4): with b bands of r rows the collision
+    probability for similarity s is 1−(1−s^r)^b, and the knee sits at
+    ``(1/b)^(1/r)``. Enumerates the divisors of num_hashes and picks
+    the (b, r) minimizing |knee − threshold| — ties to more bands
+    (higher recall at the threshold).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        knee = (1.0 / b) ** (1.0 / r) if b > 1 else 1.0
+        key = (abs(knee - threshold), -b)
+        if best is None or key < best[0]:
+            best = (key, (b, r))
+    return best[1]

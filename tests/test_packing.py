@@ -487,3 +487,39 @@ class TestPackedShardWriter:
         assert sorted(r.doc_id for r in clean.collect()) == [1, 2]
         quar = spark.read.parquet(str(tmp_path / "quar"))
         assert [r.raw_line for r in quar.collect()] == ["broken line one"]
+
+
+class TestLshTuning:
+    def test_auto_band_bits_tracks_corpus_growth(self, spark):
+        from database_activity_monitoring_dam_system_spark.operators import (
+            similarity,
+        )
+
+        # constant bucket occupancy: 10x corpus -> +log2(10) ~ 3 bits
+        b_small = similarity.auto_band_bits(2_000)
+        b_big = similarity.auto_band_bits(20_000)
+        assert b_big - b_small in (3, 4)
+        # clamps
+        assert similarity.auto_band_bits(10) == 4
+        assert similarity.auto_band_bits(10**12) == 16
+        assert similarity.auto_band_bits(10**12, planes=8, max_bits=32) == 8
+        with pytest.raises(ValueError):
+            similarity.auto_band_bits(0)
+        # the sf1 probe's manual findings are reproduced: ~5k vectors
+        # at bucket ~8 -> 9-bit bands (probe showed 8 degenerated,
+        # 12 recovered)
+        assert 8 <= similarity.auto_band_bits(5_000) <= 12
+
+    def test_minhash_params_knee(self, spark):
+        from database_activity_monitoring_dam_system_spark.operators import (
+            similarity,
+        )
+
+        # knee (1/b)^(1/r): 32 hashes, t=0.6 -> b=8, r=4 (knee .595)
+        assert similarity.minhash_params_for_threshold(0.6) == (8, 4)
+        # high threshold -> fewer, longer bands
+        b_hi, r_hi = similarity.minhash_params_for_threshold(0.95)
+        b_lo, r_lo = similarity.minhash_params_for_threshold(0.3)
+        assert r_hi > r_lo and b_hi < b_lo
+        with pytest.raises(ValueError):
+            similarity.minhash_params_for_threshold(1.0)
