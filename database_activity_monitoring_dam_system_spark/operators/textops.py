@@ -523,6 +523,98 @@ def bigram_logprob_scores(
     )
 
 
+def _doc_bigrams(text_col: str) -> Column:
+    toks = _norm_tokens(text_col)
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(2), n),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i - 1), F.element_at(toks, i)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bigram_lm_train(
+    ref_docs: DataFrame, *, text_col: str = "text", min_count: int = 1
+) -> dict:
+    """Train the add-one-smoothed bigram LM on a REFERENCE corpus:
+    returns ``{"unigrams", "bigrams", "vocab"}`` count frames for
+    :func:`bigram_lm_score` — the train/apply split
+    :func:`bigram_logprob_scores` collapses into one pass when model
+    corpus and scored corpus coincide.
+
+    This is the real KenLM filter pattern: train once on a trusted
+    reference (e.g. Wikipedia), score every crawl batch against it.
+    ``min_count`` prunes the bigram table before it ever reaches a
+    join — the heavy-tail lever at 100 TB (a trillion-token reference
+    has a bigram tail that dwarfs the useful mass).
+    """
+    base = ref_docs.select(
+        _norm_tokens(text_col).alias("_toks"),
+        _doc_bigrams(text_col).alias("_bgs"),
+    )
+    uni = (
+        base.select(F.explode("_toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c1"))
+    )
+    bic = (
+        base.select(F.explode("_bgs").alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("cbg"))
+        .filter(F.col("cbg") >= min_count)
+    )
+    return {"unigrams": uni, "bigrams": bic, "vocab": uni.agg(F.count("*").alias("vocab"))}
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    model: dict,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents under a trained bigram LM (see
+    :func:`bigram_lm_train`): mean over the doc's bigrams of
+    ``ln((C(w1,w2)+1) / (C(w1)+V))`` with counts from the MODEL
+    corpus — bigrams and unigrams unseen at training count 0 (the
+    smoothing floor ``ln(1/V)``-ish), which is exactly the
+    out-of-domain penalty the filter exists to apply.
+
+    Same output schema as bigram_logprob_scores; scoring the training
+    corpus itself reproduces it exactly (every count present → the
+    left joins behave as inner). The model-count joins shuffle the
+    doc bigram stream on bg / w1; at serving scale a pruned model
+    (min_count) usually broadcasts instead.
+    """
+    bi = docs.select(
+        F.col(id_col), F.explode(_doc_bigrams(text_col)).alias("bg")
+    )
+    scored = (
+        bi.join(model["bigrams"], "bg", "left")
+        .withColumn("cbg", F.coalesce(F.col("cbg"), F.lit(0)))
+        .join(
+            model["unigrams"],
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+            == model["unigrams"]["token"],
+            "left",
+        )
+        .withColumn("c1", F.coalesce(F.col("c1"), F.lit(0)))
+        .crossJoin(F.broadcast(model["vocab"]))
+        .withColumn(
+            "_logp",
+            F.log((F.col("cbg") + 1.0) / (F.col("c1") + F.col("vocab"))),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("_logp"), 4).alias("avg_logp"),
+    )
+
+
 # PII patterns chosen for identical semantics under Java regex (Spark)
 # and RE2 (DuckDB): ASCII classes, \b word boundaries, no backrefs,
 # inline (?i) where letters appear (addresses are case-insensitive —

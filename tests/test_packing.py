@@ -523,3 +523,51 @@ class TestLshTuning:
         assert r_hi > r_lo and b_hi < b_lo
         with pytest.raises(ValueError):
             similarity.minhash_params_for_threshold(1.0)
+
+
+class TestBigramLmTrainApply:
+    def test_self_scoring_matches_one_pass_form(self, spark):
+        from database_activity_monitoring_dam_system_spark.operators import (
+            textops,
+        )
+
+        docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+        one_pass = {
+            r.doc_id: (r.n_bigrams, r.avg_logp)
+            for r in textops.bigram_logprob_scores(docs).collect()
+        }
+        model = textops.bigram_lm_train(docs)
+        split = {
+            r.doc_id: (r.n_bigrams, r.avg_logp)
+            for r in textops.bigram_lm_score(docs, model).collect()
+        }
+        assert split == one_pass
+
+    def test_out_of_domain_scores_lower(self, spark):
+        from database_activity_monitoring_dam_system_spark.operators import (
+            textops,
+        )
+
+        ref = _mkdocs(
+            spark,
+            ["the cat sat on the mat and the cat ran to the mat again"] * 3,
+        )
+        model = textops.bigram_lm_train(ref)
+        probe = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat"),          # in-domain
+                (2, "zyx wvu tsr qpo nml kji"),          # unseen tokens
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.avg_logp for r in textops.bigram_lm_score(probe, model).collect()}
+        assert out[1] > out[2]
+
+    def test_min_count_prunes_model(self, spark):
+        from database_activity_monitoring_dam_system_spark.operators import (
+            textops,
+        )
+
+        ref = _mkdocs(spark, ["a b a b c d"])  # "a b" x2, others once
+        pruned = textops.bigram_lm_train(ref, min_count=2)
+        assert [r.bg for r in pruned["bigrams"].collect()] == ["a b"]
