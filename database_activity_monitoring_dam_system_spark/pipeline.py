@@ -5,12 +5,13 @@ module IS that composition, as one job function a scheduler calls per
 corpus snapshot:
 
     quality filter → near-dup dedup (best-copy retention)
-      → benchmark decontamination → epoch planning
+      → LM fluency gate → benchmark decontamination → epoch planning
       → offset packing → sharded write → data card
 
 Every stage is the already-gated operator (quality_scores,
 minhash_near_duplicates, duplicate_clusters,
-best_keep_representatives, contamination_flags, epoch_plan,
+best_keep_representatives, bigram_lm_train/score,
+contamination_flags, epoch_plan,
 write_packed_shards, corpus_card) — the pipeline adds no new
 semantics, only the wiring and a stage-count report. The intermediate
 ``kept`` frame is persisted across stages (each stage both filters it
@@ -35,6 +36,8 @@ def run_corpus_pipeline(
     out_dir: str,
     *,
     benchmark: DataFrame | None = None,
+    fluency_reference: DataFrame | None = None,
+    fluency_floor: float = -12.0,
     epoch_targets: dict[str | None, int] | None = None,
     dedup_threshold: float = 0.9,
     dedup_shingle: int = 3,
@@ -79,25 +82,43 @@ def run_corpus_pipeline(
     report["n_deduped"] = deduped.count()
     kept.unpersist()
 
-    # 3. benchmark decontamination (optional)
+    # 3. LM fluency gate (optional): score against a reference-trained
+    # bigram LM, drop docs below the floor. Docs with <2 tokens have
+    # no bigrams and no score — they pass (the length gate already
+    # judged them).
+    if fluency_reference is not None:
+        model = textops.bigram_lm_train(fluency_reference, min_count=1)
+        scores = textops.bigram_lm_score(deduped, model)
+        disfluent = scores.filter(
+            F.col("avg_logp") < fluency_floor
+        ).select("doc_id")
+        fluent = deduped.join(disfluent, "doc_id", "left_anti").persist()
+        report["n_fluent"] = fluent.count()
+        deduped.unpersist()
+    else:
+        fluent = deduped
+        report["n_fluent"] = report["n_deduped"]
+
+    # 4. benchmark decontamination (optional)
     if benchmark is not None:
-        flags = textops.contamination_flags(deduped, benchmark)
+        flags = textops.contamination_flags(fluent, benchmark)
         dirty = flags.filter(F.col("verdict") == "contaminated").select(
             "doc_id"
         )
-        clean = deduped.join(dirty, "doc_id", "left_anti").persist()
+        clean = fluent.join(dirty, "doc_id", "left_anti").persist()
         report["n_clean"] = clean.count()
-        deduped.unpersist()
+        fluent.unpersist()
     else:
-        clean = deduped
-        report["n_clean"] = report["n_deduped"]
+        clean = fluent
+        report["n_clean"] = report["n_fluent"]
     report["n_dropped_quality"] = report["n_raw"] - report["n_quality"]
     report["n_dropped_dedup"] = report["n_quality"] - report["n_deduped"]
+    report["n_dropped_disfluent"] = report["n_deduped"] - report["n_fluent"]
     report["n_dropped_contaminated"] = (
-        report["n_deduped"] - report["n_clean"]
+        report["n_fluent"] - report["n_clean"]
     )
 
-    # 4. epoch planning over the surviving corpus (optional)
+    # 5. epoch planning over the surviving corpus (optional)
     if epoch_targets is not None:
         report["epoch_plan"] = [
             row.asDict()
@@ -106,12 +127,12 @@ def run_corpus_pipeline(
             .collect()
         ]
 
-    # 5. pack + write shards
+    # 6. pack + write shards
     packing.write_packed_shards(
         clean, out_dir, budget=budget, n_shards=n_shards
     )
 
-    # 6. data card over what shipped
+    # 7. data card over what shipped
     report["corpus_card"] = [
         row.asDict()
         for row in textops.corpus_card(clean).orderBy("source").collect()

@@ -32,9 +32,12 @@ def test_pipeline_on_testdata(spark, tmp_path):
         >= report["n_clean"]
         > 0
     )
-    assert report["n_dropped_quality"] + report["n_dropped_dedup"] + report[
-        "n_dropped_contaminated"
-    ] == report["n_raw"] - report["n_clean"]
+    assert (
+        report["n_dropped_quality"]
+        + report["n_dropped_dedup"]
+        + report["n_dropped_disfluent"]
+        + report["n_dropped_contaminated"]
+    ) == report["n_raw"] - report["n_clean"]
     # eval items verbatim in the corpus must have been dropped
     assert report["n_dropped_contaminated"] > 0
     # shards on disk hold exactly the survivors
@@ -75,3 +78,51 @@ def test_pipeline_dedup_keeps_best_copy(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "shards")).collect()
     }
     assert survivors == {3, 4}  # largest of the trio kept
+
+
+def test_pipeline_fluency_gate(spark, tmp_path):
+    # reference LM trained on one domain; a gibberish doc (unseen
+    # bigrams everywhere) must fall below the floor while in-domain
+    # text survives.
+    domain = (
+        "the cat sat on the mat and the dog ran to the cat of a house "
+        "and the mat was near a door to the house of the dog"
+    )
+    ref = spark.createDataFrame(
+        [(i, domain, "en", "ref") for i in range(3)],
+        "doc_id long, text string, lang string, source string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, domain, "en", "s0"),
+            (2, "zq wv xj kp bn mr dl tz " * 3 + "the a of and to qq", "en", "s0"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).withColumn("n_chars", F.length("text"))
+    # the smoothing floor is ln(1/V) — with a toy vocabulary that is
+    # only ≈ -2.7, so derive the cut from the actual score gap instead
+    # of assuming a production-scale constant
+    from database_activity_monitoring_dam_system_spark.operators import (
+        textops,
+    )
+
+    model = textops.bigram_lm_train(ref)
+    scores = {
+        r.doc_id: r.avg_logp
+        for r in textops.bigram_lm_score(docs, model).collect()
+    }
+    assert scores[1] > scores[2]
+    floor = (scores[1] + scores[2]) / 2
+    report = pipeline.run_corpus_pipeline(
+        docs,
+        str(tmp_path / "shards"),
+        fluency_reference=ref,
+        fluency_floor=floor,
+        n_shards=2,
+    )
+    assert report["n_dropped_disfluent"] == 1
+    survivors = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "shards")).collect()
+    }
+    assert survivors == {1}
