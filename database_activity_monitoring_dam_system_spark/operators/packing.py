@@ -122,15 +122,37 @@ def pack_offsets(
     executor's window buffer (at 100 TB: thousands of shards, each a
     few GB). Never a global orderBy.
     """
+    return _pack_columns(
+        docs,
+        budget=budget,
+        n_shards=n_shards,
+        id_col=id_col,
+        tokens_col=tokens_col,
+        text_col=text_col,
+    ).select(
+        F.col(id_col), "shard_id", "pack_id", "n_tokens", "offset_in_pack"
+    )
+
+
+def _pack_columns(
+    docs: DataFrame,
+    *,
+    budget: int,
+    n_shards: int,
+    id_col: str,
+    tokens_col: str | None,
+    text_col: str,
+) -> DataFrame:
+    """``docs`` plus the assignment columns (shard_id, pack_id,
+    n_tokens, offset_in_pack), the FULL input row carried through —
+    :func:`pack_offsets` projects this down to the assignment (and
+    Catalyst prunes the payload out of its window exchange), while
+    :func:`write_packed_shards` keeps everything so the written shards
+    hold the documents themselves, not just metadata."""
     if tokens_col is None:
-        base = docs.select(
-            F.col(id_col), F.size(_tokens(text_col)).cast("bigint").alias("n_tokens")
-        )
+        n_tokens = F.size(_tokens(text_col)).cast("bigint")
     else:
-        base = docs.select(
-            F.col(id_col), F.col(tokens_col).cast("bigint").alias("n_tokens")
-        )
-    shard = (F.col(id_col) % n_shards).cast("bigint")
+        n_tokens = F.col(tokens_col).cast("bigint")
     w = (
         Window.partitionBy("shard_id")
         .orderBy(id_col)
@@ -138,15 +160,12 @@ def pack_offsets(
     )
     before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
     return (
-        base.withColumn("shard_id", shard)
+        docs.withColumn("n_tokens", n_tokens)
+        .withColumn("shard_id", (F.col(id_col) % n_shards).cast("bigint"))
         .withColumn("_before", before)
-        .select(
-            F.col(id_col),
-            "shard_id",
-            F.expr(f"_before div {budget}").alias("pack_id"),
-            "n_tokens",
-            (F.col("_before") % budget).alias("offset_in_pack"),
-        )
+        .withColumn("pack_id", F.expr(f"_before div {budget}"))
+        .withColumn("offset_in_pack", F.col("_before") % budget)
+        .drop("_before")
     )
 
 
@@ -244,10 +263,13 @@ def write_packed_shards(
     text_col: str = "text",
     mode: str = "overwrite",
 ) -> None:
-    """Materialize :func:`pack_offsets` as training shards on disk:
-    ``out_dir/shard_id=K/`` holds shard K's assignment in (pack_id,
-    doc_id) order, so a sequential reader streams packs exactly as
-    the offset-cut semantics define them.
+    """Materialize the packed corpus as training shards on disk:
+    ``out_dir/shard_id=K/`` holds shard K's DOCUMENTS (every input
+    column) plus their pack assignment, in (pack_id, doc_id) order —
+    so a sequential reader streams pack contents exactly as the
+    offset-cut semantics define them, with the payload in hand (a
+    metadata-only manifest would need a second corpus join at load
+    time; use :func:`pack_offsets` when that IS what you want).
 
     One repartition on shard_id (the write's only shuffle — the same
     exchange the window already needed) + sortWithinPartitions, then a
@@ -257,7 +279,7 @@ def write_packed_shards(
     deterministic), which is what makes packed data cachable across
     training runs.
     """
-    assigned = pack_offsets(
+    assigned = _pack_columns(
         docs,
         budget=budget,
         n_shards=n_shards,

@@ -770,7 +770,9 @@ def auto_band_bits(
         raise ValueError("corpus_size must be positive")
     bits = max(1, (max(corpus_size, 1) // max(target_bucket_size, 1)))
     bits = bits.bit_length() - 1  # floor(log2)
-    return max(min_bits, min(bits, max_bits, planes))
+    # plane budget clamps LAST: a band can never be wider than the
+    # signature, even when min_bits asks for more
+    return min(max(min_bits, min(bits, max_bits)), planes)
 
 
 def minhash_params_for_threshold(

@@ -485,18 +485,14 @@ def bigram_logprob_scores(
     table with a min-count filter before the join (same lever as
     fingerprint max_df).
     """
-    toks = _norm_tokens(text_col)
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(2), n),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i - 1), F.element_at(toks, i)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = docs.select(F.col(id_col), toks.alias("_toks"), bigrams.alias("_bgs"))
+    # same expression trees as the train/apply split (bigram_lm_train /
+    # bigram_lm_score) — sharing _doc_bigrams is what KEEPS the
+    # self-scoring-equivalence contract true under future edits
+    base = docs.select(
+        F.col(id_col),
+        _norm_tokens(text_col).alias("_toks"),
+        _doc_bigrams(text_col).alias("_bgs"),
+    )
     uni = (
         base.select(F.explode("_toks").alias("token"))
         .groupBy("token")

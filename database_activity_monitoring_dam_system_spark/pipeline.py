@@ -18,9 +18,11 @@ semantics, only the wiring and a stage-count report. The intermediate
 and feeds the next), and unpersisted before returning.
 
 Scale: the stages keep their individual shuffle inventories
-(SCALE.md); the composition adds no extra exchange — each filter is a
-broadcast semi/anti join against a small id set (survivor ids of
-dedup/decontamination are ∝ violations, not corpus size).
+(SCALE.md); the composition adds no extra exchange — the quality gate
+is a scan-side filter (pure projection predicate), and the remaining
+drops are broadcast anti joins against violation-sized id sets
+(near-dup members, disfluent docs, contaminated docs — ∝ violations,
+not corpus size).
 """
 
 from __future__ import annotations
@@ -28,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .operators import dedup, packing, sampling, textops
+from .operators import dedup, packing, sampling, similarity, textops
 
 
 def run_corpus_pipeline(
@@ -52,24 +54,56 @@ def run_corpus_pipeline(
     card. Shards land under ``out_dir`` via
     :func:`packing.write_packed_shards`.
     """
-    report: dict = {"n_raw": docs.count()}
+    # 0. census + id gate in ONE job: rows without an id can't ride
+    # the downstream id joins (NULL keys never match), so they are
+    # counted explicitly instead of vanishing into the quality number
+    # (the PERMISSIVE readers keep schema-drift rows as
+    # clean-but-all-NULL). Counting count(doc_id) alongside count(*)
+    # also keeps a data column in the scan — a bare count() over a
+    # reader's clean frame prunes down to the corrupt-record filter
+    # alone, which raw JSON/CSV scans reject
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+    census = docs.groupBy().agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count("doc_id").alias("n_with_id"),
+    ).collect()[0]
+    report: dict = {
+        "n_raw": census["n_raw"],
+        "n_with_id": census["n_with_id"],
+        "n_dropped_null_id": census["n_raw"] - census["n_with_id"],
+    }
+    docs = docs.filter(F.col("doc_id").isNotNull())
 
-    # 1. quality gate — keep verdict only
-    keep_ids = (
-        textops.quality_scores(docs)
-        .filter(F.col("verdict") == "keep")
-        .select("doc_id")
-    )
-    kept = docs.join(keep_ids, "doc_id", "left_semi").persist()
+    # 1. quality gate — a pure scan-side FILTER (quality_signal_cols
+    # is a projection; joining back through an id set would shuffle
+    # the whole corpus for nothing)
+    kept = docs.filter(
+        textops.quality_signal_cols("text")["verdict"] == "keep"
+    ).persist()
     report["n_quality"] = kept.count()
 
     # 2. near-dup dedup with best-copy retention: drop every cluster
-    # member except the largest (ties → lowest id)
+    # member except the largest (ties → lowest id). Banding derives
+    # from the threshold (S-curve knee), not a hardcoded constant —
+    # the auto-tuning the LSH helpers exist for.
+    bands, _rows = similarity.minhash_params_for_threshold(
+        dedup_threshold, num_hashes=32
+    )
     pairs = dedup.minhash_near_duplicates(
-        kept, threshold=dedup_threshold, shingle=dedup_shingle
+        kept,
+        threshold=dedup_threshold,
+        shingle=dedup_shingle,
+        num_hashes=32,
+        bands=bands,
     )
     clusters = dedup.duplicate_clusters(pairs)
-    keepers = dedup.best_keep_representatives(clusters, kept)
+    # score column derived from the text itself, so inputs without a
+    # precomputed n_chars (e.g. the JSONL readers' output) compose
+    keepers = dedup.best_keep_representatives(
+        clusters,
+        kept.withColumn("_doc_size", F.length("text")),
+        size_col="_doc_size",
+    )
     drop_ids = (
         clusters.join(
             keepers.select(F.col("keep_id").alias("doc_id")),
@@ -111,7 +145,7 @@ def run_corpus_pipeline(
     else:
         clean = fluent
         report["n_clean"] = report["n_fluent"]
-    report["n_dropped_quality"] = report["n_raw"] - report["n_quality"]
+    report["n_dropped_quality"] = report["n_with_id"] - report["n_quality"]
     report["n_dropped_dedup"] = report["n_quality"] - report["n_deduped"]
     report["n_dropped_disfluent"] = report["n_deduped"] - report["n_fluent"]
     report["n_dropped_contaminated"] = (

@@ -8,7 +8,7 @@ job must neither crash on them (FAILFAST) nor silently drop them
 (DROPMALFORMED): the engine reads PERMISSIVE with an explicit
 ``_corrupt_record`` column, splits the stream into clean rows and a
 quarantine frame, and reports the split — the reject-table pattern
-every warehouse loader uses, expressed as two filters over one scan.
+every warehouse loader uses, expressed as filters over one scan.
 
 Same reader settings work for ``spark.readStream`` (the corpus-filter
 ingest path): schema is explicit (never inferred — inference is a
@@ -17,6 +17,8 @@ quarantine frame can be sinked for replay after upstream repair.
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,19 +38,31 @@ DOCUMENT_SCHEMA = T.StructType([
 ])
 
 
+class Ingest(NamedTuple):
+    """Reader result: the split plus the raw parsed frame.
+
+    ``raw`` exists so summaries run as ONE job over one scan
+    (:func:`ingest_report`) instead of separate actions per side;
+    unpack ``clean, quarantine, raw = read_documents_jsonl(...)`` or
+    use the fields by name.
+    """
+
+    clean: DataFrame
+    quarantine: DataFrame
+    raw: DataFrame
+
+
 def read_documents_jsonl(
     spark: SparkSession,
     path: str,
     *,
     schema: T.StructType = DOCUMENT_SCHEMA,
-) -> tuple[DataFrame, DataFrame]:
-    """Read a JSONL corpus → (clean, quarantine).
+) -> Ingest:
+    """Read a JSONL corpus → Ingest(clean, quarantine, raw).
 
     ``clean`` holds fully-parsed rows (corrupt column dropped);
     ``quarantine`` holds one row per malformed line with the raw text
-    in ``_corrupt_record`` for replay. Both are filters over one scan
-    — Spark reads the files once per action, and a persisted parent or
-    a quarantine-first count keeps it to one pass where that matters.
+    in ``raw_line`` for replay. Both are filters over one scan.
 
     A row that parses as JSON but misses every schema field is NOT
     corrupt (it is all-NULL — schema drift, not damage); the
@@ -71,7 +85,7 @@ def read_documents_csv(
     *,
     schema: T.StructType = DOCUMENT_SCHEMA,
     header: bool = True,
-) -> tuple[DataFrame, DataFrame]:
+) -> Ingest:
     """CSV variant of :func:`read_documents_jsonl` — same PERMISSIVE +
     quarantine contract, for the delimited exports some corpus vendors
     ship."""
@@ -87,37 +101,36 @@ def read_documents_csv(
     return _split_quarantine(raw, schema)
 
 
-def ingest_report(clean: DataFrame, quarantine: DataFrame) -> dict:
+def ingest_report(ingest: Ingest) -> dict:
     """Load-summary dict for job logs: row counts and the malformed
     fraction in permille (integer — log-friendly and exact).
 
-    Both counts aggregate alongside a reference to a real data
-    column: a bare ``count()`` prunes every output column, leaving the
-    corrupt column (referenced by the split filter) as the scan's only
-    column — the exact shape QUERY_ONLY_CORRUPT_RECORD_COLUMN forbids
-    on raw JSON/CSV scans (same reason the quarantine frame carries a
-    witness column at all)."""
-
-    def counted(df: DataFrame, witness: str) -> int:
-        row = df.groupBy().agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count(witness).alias("_witness_ref"),
-        )
-        return row.collect()[0]["n"]
-
-    n_clean = counted(clean, clean.columns[0])
-    n_bad = counted(quarantine, quarantine.columns[-1])
-    total = n_clean + n_bad
+    ONE aggregation job over the raw frame — one scan for both counts
+    (separate ``count()`` actions per side would parse the source
+    twice, a full duplicate ingest pass at 100 TB). The agg references
+    a real data column alongside the corrupt predicate: a plan whose
+    only scan column is the corrupt-record column is the exact shape
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN forbids on raw JSON/CSV scans
+    (same reason the quarantine frame carries a witness column).
+    """
+    witness = next(
+        f.name for f in ingest.raw.schema.fields if f.name != CORRUPT_COL
+    )
+    row = ingest.raw.groupBy().agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col(CORRUPT_COL).isNotNull().cast("long")).alias("bad"),
+        F.count(witness).alias("_witness_ref"),
+    ).collect()[0]
+    total = row["total"]
+    n_bad = int(row["bad"] or 0)
     return {
-        "rows_clean": n_clean,
+        "rows_clean": total - n_bad,
         "rows_quarantined": n_bad,
         "malformed_permille": (n_bad * 1000 // total) if total else 0,
     }
 
 
-def _split_quarantine(
-    raw: DataFrame, schema: T.StructType
-) -> tuple[DataFrame, DataFrame]:
+def _split_quarantine(raw: DataFrame, schema: T.StructType) -> Ingest:
     clean = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     # Spark forbids a query whose only referenced column from a raw
     # JSON/CSV scan is the corrupt-record column
@@ -131,7 +144,7 @@ def _split_quarantine(
         F.col(CORRUPT_COL).alias("raw_line"),
         F.col(witness).alias("parsed_" + witness),
     )
-    return clean, quarantine
+    return Ingest(clean, quarantine, raw)
 
 
 def start_document_ingest(
@@ -149,9 +162,12 @@ def start_document_ingest(
     batch readers: a JSONL file stream splits per micro-batch into the
     clean corpus sink and the malformed-line quarantine sink.
 
-    A streaming query has ONE sink, so the split runs in foreachBatch
-    — two filtered appends over each micro-batch frame (exactly-once
-    via the checkpoint as usual for idempotent parquet appends). The
+    A streaming query has ONE sink, so the split runs in foreachBatch.
+    foreachBatch is AT-LEAST-ONCE — a failure between the two writes
+    (or before the checkpoint commit) replays the batch — so each
+    write is made idempotent by partitioning on the batch id with
+    dynamic partition overwrite: a replayed batch OVERWRITES its own
+    ``_batch_id=N`` partition instead of appending duplicates. The
     quarantine sink is the replay queue: repair upstream, re-point the
     reader at the quarantined lines, ingest again.
     """
@@ -167,9 +183,18 @@ def start_document_ingest(
     stream = reader.json(src_dir)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        clean, quarantine = _split_quarantine(batch, schema)
-        clean.write.mode("append").parquet(clean_dir)
-        quarantine.write.mode("append").parquet(quarantine_dir)
+        split = _split_quarantine(batch, schema)
+        for df, path in (
+            (split.clean, clean_dir),
+            (split.quarantine, quarantine_dir),
+        ):
+            (
+                df.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(path)
+            )
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

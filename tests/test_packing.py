@@ -378,7 +378,7 @@ class TestDocumentIngestion:
             '{"doc_id": 3, "text": "truncated...\n'
             '{"unrelated": "fields only"}\n'
         )
-        clean, quarantine = docsrc.read_documents_jsonl(spark, str(p))
+        clean, quarantine, _raw = docsrc.read_documents_jsonl(spark, str(p))
         crows = {r.doc_id: r for r in clean.collect()}
         # drifted-but-valid JSON is clean (all-NULL fields), not corrupt
         assert set(crows) == {1, 2, None}
@@ -388,7 +388,9 @@ class TestDocumentIngestion:
         assert len(qrows) == 2
         assert any("not json" in ln for ln in qrows)
         assert any(ln.startswith('{"doc_id": 3') for ln in qrows)
-        rep = docsrc.ingest_report(clean, quarantine)
+        rep = docsrc.ingest_report(
+            docsrc.read_documents_jsonl(spark, str(p))
+        )
         assert rep == {
             "rows_clean": 3,
             "rows_quarantined": 2,
@@ -408,7 +410,7 @@ class TestDocumentIngestion:
             '{"doc_id": 1, "text": "the quick brown fox of the field and a dog to", "lang": "en", "source": "s0"}\n'
             'garbage\n'
         )
-        clean, _ = docsrc.read_documents_jsonl(spark, str(p))
+        clean = docsrc.read_documents_jsonl(spark, str(p)).clean
         out = textops.quality_scores(clean).collect()
         assert len(out) == 1 and out[0].verdict == "keep"
 
@@ -423,7 +425,7 @@ class TestDocumentIngestion:
             "1,hello,en,s0\n"
             "not_a_number,broken,de,s1\n"
         )
-        clean, quarantine = docsrc.read_documents_csv(spark, str(p))
+        clean, quarantine, _raw = docsrc.read_documents_csv(spark, str(p))
         assert [r.doc_id for r in clean.collect()] == [1]
         assert len(quarantine.collect()) == 1
 
@@ -435,9 +437,12 @@ class TestPackedShardWriter:
         packing.write_packed_shards(docs, out, budget=512, n_shards=4)
         expect = packing.pack_offsets(docs, budget=512, n_shards=4)
         back = spark.read.parquet(out)
+        # the shards carry the DOCUMENTS, not just the assignment
+        assert set(docs.columns) <= set(back.columns)
+        texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+        assert all(r.text == texts[r.doc_id] for r in back.select("doc_id", "text").collect())
         # fidelity: every assignment row survives the write exactly
         cols = sorted(expect.columns)
-        assert sorted(back.columns) == cols
         assert sorted(tuple(r) for r in back.select(*cols).collect()) == (
             sorted(tuple(r) for r in expect.select(*cols).collect())
         )

@@ -33,7 +33,8 @@ def test_pipeline_on_testdata(spark, tmp_path):
         > 0
     )
     assert (
-        report["n_dropped_quality"]
+        report["n_dropped_null_id"]
+        + report["n_dropped_quality"]
         + report["n_dropped_dedup"]
         + report["n_dropped_disfluent"]
         + report["n_dropped_contaminated"]
@@ -67,7 +68,7 @@ def test_pipeline_dedup_keeps_best_copy(spark, tmp_path):
     ]
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string"
-    ).withColumn("n_chars", F.length("text"))
+    )
     report = pipeline.run_corpus_pipeline(
         docs, str(tmp_path / "shards"), dedup_threshold=0.8, n_shards=2
     )
@@ -126,3 +127,29 @@ def test_pipeline_fluency_gate(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "shards")).collect()
     }
     assert survivors == {1}
+
+
+def test_pipeline_composes_with_jsonl_reader(spark, tmp_path):
+    # the advertised flow: raw JSONL (with damage and drift) straight
+    # into the pipeline, no manual schema patching
+    from database_activity_monitoring_dam_system_spark.sources import (
+        documents as docsrc,
+    )
+
+    text = "the quick brown fox of the field and a dog to run far away"
+    p = tmp_path / "crawl.jsonl"
+    p.write_text(
+        f'{{"doc_id": 1, "text": "{text}", "lang": "en", "source": "s0"}}\n'
+        "garbage line\n"
+        '{"unrelated": "drift row"}\n'
+        f'{{"doc_id": 2, "text": "{text} twice", "lang": "en", "source": "s0"}}\n'
+    )
+    ing = docsrc.read_documents_jsonl(spark, str(p))
+    report = pipeline.run_corpus_pipeline(
+        ing.clean, str(tmp_path / "shards"), dedup_threshold=0.8, n_shards=2
+    )
+    assert report["n_raw"] == 3  # 2 documents + 1 drift row
+    assert report["n_dropped_null_id"] == 1  # the drift row, accounted
+    assert report["n_clean"] >= 1
+    back = spark.read.parquet(str(tmp_path / "shards"))
+    assert "text" in back.columns and back.count() == report["n_clean"]

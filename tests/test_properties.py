@@ -378,13 +378,20 @@ def test_pack_offsets_matches_running_model(spark, docs_spec, budget, shards):
         min_size=1,
         max_size=8,
     ),
-    st.sampled_from([0.25, 3.0, 17.5]),
+    st.sampled_from([0.25, 4.0, 32.0]),
 )
 @settings(**_SETTINGS)
 def test_int8_quantization_scale_invariant(spark, vecs, factor):
     """Cosine (and therefore the int8 codes, which divide by the
     per-vector max) is scale-invariant: multiplying every vector by a
-    positive constant must leave the quantized codes bit-identical."""
+    positive constant must leave the quantized codes bit-identical.
+
+    Factors are powers of two ON PURPOSE: they rescale doubles exactly
+    (exponent shift), so x*f/max(|x|*f) is bit-identical to x/max|x|.
+    An arbitrary factor perturbs the ratio by an ulp, which flips
+    codes sitting exactly on the floor(+0.5) half-integer boundary —
+    mathematically the property holds, in floating point only the
+    power-of-two form does."""
     from database_activity_monitoring_dam_system_spark.operators import (
         similarity,
     )
