@@ -776,3 +776,41 @@ def best_keep_representatives(
             F.col(f"_best.{size_col}").alias("keep_size"),
         )
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot-to-snapshot corpus delta: which documents were added,
+    removed, changed, or unchanged between two crawls.
+
+    Content comparison is by normalized-text fingerprint (the exact
+    dedup canonical form), so whitespace/case churn does not read as a
+    change. One full-outer equi-join on the id — at 100 TB this is the
+    cheap way to answer "what do I need to re-process since the last
+    snapshot": downstream stages (dedup, scoring, packing) re-run over
+    ``added ∪ changed`` only, not the whole corpus.
+
+    Output: (doc_id, verdict ∈ {added, removed, changed, unchanged},
+    old_fp, new_fp).
+    """
+    of = old.select(
+        F.col(id_col), F.md5(normalized_text(text_col)).alias("old_fp")
+    )
+    nf = new.select(
+        F.col(id_col), F.md5(normalized_text(text_col)).alias("new_fp")
+    )
+    verdict = (
+        F.when(F.col("old_fp").isNull(), "added")
+        .when(F.col("new_fp").isNull(), "removed")
+        .when(F.col("old_fp") != F.col("new_fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        of.join(nf, id_col, "full_outer")
+        .select(F.col(id_col), verdict.alias("verdict"), "old_fp", "new_fp")
+    )

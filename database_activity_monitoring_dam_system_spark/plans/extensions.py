@@ -492,6 +492,47 @@ FROM probs GROUP BY 1
 """
 
 
+def _q_corpus_diff(spark, sf_dir):
+    """Two deterministic 'snapshots' derived from the documents table:
+    old = ids not divisible by 10, new = ids not divisible by 7 with
+    the text of every id divisible by 5 revised — exercising all four
+    verdicts (added/removed/changed/unchanged)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return dedup.corpus_diff(old, new)
+
+
+_CORPUS_DIFF_SQL = r"""
+WITH old_snap AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS old_fp
+  FROM documents WHERE doc_id % 10 != 0
+),
+new_snap AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(
+           CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+         ), '\s+', ' ', 'g'))) AS new_fp
+  FROM documents WHERE doc_id % 7 != 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.old_fp IS NULL THEN 'added'
+            WHEN n.new_fp IS NULL THEN 'removed'
+            WHEN o.old_fp != n.new_fp THEN 'changed'
+            ELSE 'unchanged' END AS verdict,
+       o.old_fp, n.new_fp
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+"""
+
+
 def _q_token_stats(spark, sf_dir):
     return textops.token_stats(_docs(spark, sf_dir))
 
@@ -2124,6 +2165,11 @@ QUERIES: dict[str, QuerySpec] = {
         _q_corpus_card, _CORPUS_CARD_SQL,
         "per-source data card: doc/token census, quality keep rate, "
         "language-mix entropy (two-level rollup, no N+1)",
+    ),
+    "corpus_diff": QuerySpec(
+        _q_corpus_diff, _CORPUS_DIFF_SQL,
+        "snapshot-to-snapshot crawl delta by normalized fingerprint "
+        "(added/removed/changed/unchanged via one full-outer join)",
     ),
     "token_stats": QuerySpec(
         _q_token_stats, _TOKEN_STATS_SQL,

@@ -56,6 +56,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_best_keep",
     "epoch_plan",
     "corpus_card",
+    "corpus_diff",
     "doc_chunks",
     "pack_manifest",
     "shard_manifest",

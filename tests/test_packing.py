@@ -576,3 +576,24 @@ class TestBigramLmTrainApply:
         ref = _mkdocs(spark, ["a b a b c d"])  # "a b" x2, others once
         pruned = textops.bigram_lm_train(ref, min_count=2)
         assert [r.bg for r in pruned["bigrams"].collect()] == ["a b"]
+
+
+class TestCorpusDiff:
+    def test_all_four_verdicts(self, spark):
+        from database_activity_monitoring_dam_system_spark.operators import (
+            dedup,
+        )
+
+        old = spark.createDataFrame(
+            [(1, "same text"), (2, "will change"), (3, "gone soon")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, "  SAME   text "),  # normalization: not a change
+             (2, "did change"), (4, "brand new")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.verdict for r in dedup.corpus_diff(old, new).collect()}
+        assert out == {
+            1: "unchanged", 2: "changed", 3: "removed", 4: "added"
+        }
