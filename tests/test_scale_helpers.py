@@ -186,3 +186,81 @@ def test_shared_frame_mode_is_transparent(spark):
         for df in dam._FRAME_CACHE.values():
             df.unpersist()
         dam._FRAME_CACHE.clear()
+
+
+class TestPartitioningInvariance:
+    """The determinism claims say reduction order (and therefore input
+    partitioning) cannot change results for the decimal/integer-exact
+    operators — assert it by running identical queries over 1-partition
+    and 13-partition layouts of the same data."""
+
+    def _layouts(self, df):
+        return df.repartition(1), df.repartition(13)
+
+    def test_kmeans_exact_assignments_invariant(self, spark):
+        from database_activity_monitoring_dam_system_spark.operators import (
+            similarity,
+        )
+        from database_activity_monitoring_dam_system_spark.sources.testdata import (
+            load_table,
+        )
+
+        from .conftest import SF_SMOKE
+
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        outs = []
+        for layout in self._layouts(emb):
+            assigned, cents = similarity.kmeans_lloyd_exact(
+                layout, k=4, iters=2
+            )
+            outs.append((
+                sorted(tuple(r) for r in assigned.collect()),
+                cents,
+            ))
+        assert outs[0][0] == outs[1][0]
+        # centroids bit-identical, not merely close
+        assert outs[0][1] == outs[1][1]
+
+    def test_pack_offsets_invariant(self, spark):
+        from database_activity_monitoring_dam_system_spark.operators import (
+            packing,
+        )
+        from database_activity_monitoring_dam_system_spark.sources.testdata import (
+            load_table,
+        )
+
+        from .conftest import SF_SMOKE
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        outs = [
+            sorted(
+                tuple(r)
+                for r in packing.pack_offsets(
+                    layout, budget=512, n_shards=4
+                ).collect()
+            )
+            for layout in self._layouts(docs)
+        ]
+        assert outs[0] == outs[1]
+
+    def test_hll_md5_registers_invariant(self, spark):
+        from database_activity_monitoring_dam_system_spark.operators import (
+            sketches,
+        )
+        from database_activity_monitoring_dam_system_spark.sources.testdata import (
+            load_table,
+        )
+
+        from .conftest import SF_SMOKE
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        outs = [
+            sorted(
+                tuple(r)
+                for r in sketches.hll_md5_distinct(
+                    layout, ["lang"], "source"
+                ).collect()
+            )
+            for layout in self._layouts(docs)
+        ]
+        assert outs[0] == outs[1]
