@@ -797,17 +797,28 @@ def corpus_diff(
 
     Output: (doc_id, verdict ∈ {added, removed, changed, unchanged},
     old_fp, new_fp).
+
+    Presence is carried by explicit per-side markers, NOT inferred from
+    fingerprint nullness — a doc_id present in both snapshots with NULL
+    text has NULL fingerprints on both sides yet is genuinely
+    ``unchanged``; the content comparison itself is null-safe
+    (``eqNullSafe``), so NULL-text → text and text → NULL-text both
+    read as ``changed``.
     """
     of = old.select(
-        F.col(id_col), F.md5(normalized_text(text_col)).alias("old_fp")
+        F.col(id_col),
+        F.md5(normalized_text(text_col)).alias("old_fp"),
+        F.lit(True).alias("_in_old"),
     )
     nf = new.select(
-        F.col(id_col), F.md5(normalized_text(text_col)).alias("new_fp")
+        F.col(id_col),
+        F.md5(normalized_text(text_col)).alias("new_fp"),
+        F.lit(True).alias("_in_new"),
     )
     verdict = (
-        F.when(F.col("old_fp").isNull(), "added")
-        .when(F.col("new_fp").isNull(), "removed")
-        .when(F.col("old_fp") != F.col("new_fp"), "changed")
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
+        .when(~F.col("old_fp").eqNullSafe(F.col("new_fp")), "changed")
         .otherwise("unchanged")
     )
     return (

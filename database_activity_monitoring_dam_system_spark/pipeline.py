@@ -63,16 +63,27 @@ def run_corpus_pipeline(
     # reader's clean frame prunes down to the corrupt-record filter
     # alone, which raw JSON/CSV scans reject
     # (QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+    # NULL text is gated here too: size(split(trim(NULL))) is NULL, so
+    # every quality predicate would evaluate NULL and fall through to
+    # 'keep' — textless rows would then bypass dedup/fluency/
+    # decontamination (no shingles/bigrams/fingerprints to match) and
+    # land in the shards. Count them explicitly instead.
     census = docs.groupBy().agg(
         F.count(F.lit(1)).alias("n_raw"),
         F.count("doc_id").alias("n_with_id"),
+        F.count(
+            F.when(F.col("doc_id").isNotNull(), F.col("text"))
+        ).alias("n_with_text"),
     ).collect()[0]
     report: dict = {
         "n_raw": census["n_raw"],
         "n_with_id": census["n_with_id"],
         "n_dropped_null_id": census["n_raw"] - census["n_with_id"],
+        "n_dropped_null_text": census["n_with_id"] - census["n_with_text"],
     }
-    docs = docs.filter(F.col("doc_id").isNotNull())
+    docs = docs.filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
 
     # 1. quality gate — a pure scan-side FILTER (quality_signal_cols
     # is a projection; joining back through an id set would shuffle
@@ -145,7 +156,9 @@ def run_corpus_pipeline(
     else:
         clean = fluent
         report["n_clean"] = report["n_fluent"]
-    report["n_dropped_quality"] = report["n_with_id"] - report["n_quality"]
+    report["n_dropped_quality"] = (
+        census["n_with_text"] - report["n_quality"]
+    )
     report["n_dropped_dedup"] = report["n_quality"] - report["n_deduped"]
     report["n_dropped_disfluent"] = report["n_deduped"] - report["n_fluent"]
     report["n_dropped_contaminated"] = (

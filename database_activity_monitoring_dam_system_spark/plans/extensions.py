@@ -524,9 +524,9 @@ new_snap AS (
   FROM documents WHERE doc_id % 7 != 0
 )
 SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-       CASE WHEN o.old_fp IS NULL THEN 'added'
-            WHEN n.new_fp IS NULL THEN 'removed'
-            WHEN o.old_fp != n.new_fp THEN 'changed'
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.old_fp IS DISTINCT FROM n.new_fp THEN 'changed'
             ELSE 'unchanged' END AS verdict,
        o.old_fp, n.new_fp
 FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id

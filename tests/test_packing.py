@@ -597,3 +597,24 @@ class TestCorpusDiff:
         assert out == {
             1: "unchanged", 2: "changed", 3: "removed", 4: "added"
         }
+
+    def test_null_text_presence(self, spark):
+        # Presence comes from per-side row markers, not fingerprint
+        # nullness: a doc with NULL text on BOTH sides is unchanged
+        # (not 'added'), and NULL→text / text→NULL read as changed.
+        from database_activity_monitoring_dam_system_spark.operators import (
+            dedup,
+        )
+
+        old = spark.createDataFrame(
+            [(1, None), (2, None), (3, "had text")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, None), (2, "grew text"), (3, None), (4, None)],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.verdict for r in dedup.corpus_diff(old, new).collect()}
+        assert out == {
+            1: "unchanged", 2: "changed", 3: "changed", 4: "added"
+        }

@@ -34,6 +34,7 @@ def test_pipeline_on_testdata(spark, tmp_path):
     )
     assert (
         report["n_dropped_null_id"]
+        + report["n_dropped_null_text"]
         + report["n_dropped_quality"]
         + report["n_dropped_dedup"]
         + report["n_dropped_disfluent"]
@@ -50,6 +51,28 @@ def test_pipeline_on_testdata(spark, tmp_path):
         e["stratum"] for e in report["epoch_plan"] if e["target_tokens"] > 0
     }
     assert langs_with_targets == {"en", "de"}
+
+
+def test_pipeline_drops_null_text(spark, tmp_path):
+    # A NULL-text row must be counted and dropped at step 0, not slide
+    # through the quality gate on NULL predicates (it has no shingles,
+    # bigrams, or fingerprints, so every downstream stage is blind to
+    # it) and into the shards as a textless training entry.
+    good = "the quick brown fox of the field and a dog to run far away"
+    docs = spark.createDataFrame(
+        [(1, good, "en", "s0"), (2, None, "en", "s0"), (None, good, "en", "s0")],
+        "doc_id long, text string, lang string, source string",
+    )
+    report = pipeline.run_corpus_pipeline(
+        docs, str(tmp_path / "shards"), n_shards=2
+    )
+    assert report["n_raw"] == 3
+    assert report["n_dropped_null_id"] == 1
+    assert report["n_dropped_null_text"] == 1
+    assert report["n_quality"] == 1 and report["n_clean"] == 1
+    back = spark.read.parquet(str(tmp_path / "shards"))
+    assert [r.doc_id for r in back.collect()] == [1]
+    assert back.filter(F.col("text").isNull()).count() == 0
 
 
 def test_pipeline_dedup_keeps_best_copy(spark, tmp_path):
