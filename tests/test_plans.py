@@ -292,3 +292,26 @@ def test_corpus_card_rollup_shape(spark):
     plan = _plan(spark, "corpus_card")
     assert plan.count("HashAggregate") >= 2  # partial + final stages
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_driver_priority_is_generated():
+    """_DRIVER_PRIORITY must match what tools/rotate_priority.py emits
+    from the CORRECTNESS_r*.json history — the rotation is generated,
+    not curated (hand edits drift within a round and go stale)."""
+    import importlib.util
+    import pathlib
+
+    tool_path = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "tools"
+        / "rotate_priority.py"
+    )
+    spec = importlib.util.spec_from_file_location("rotate_priority", tool_path)
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+    from database_activity_monitoring_dam_system_spark.plans.registry import (
+        _DRIVER_PRIORITY,
+    )
+
+    ordered, _ = tool.generate()
+    assert list(_DRIVER_PRIORITY) == ordered
