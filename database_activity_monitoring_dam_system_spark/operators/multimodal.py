@@ -202,6 +202,136 @@ def decode_image_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=IMAGE_STATS_SCHEMA)
 
 
+def synth_wav_media(docs: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text", n_frames: int = 32,
+                    channels: int = 2,
+                    framerate: int = 8000) -> DataFrame:
+    """Deterministic REAL-audio fixture: a 16-bit PCM RIFF/WAV per
+    document (stdlib ``wave`` writer) whose sample stream is
+    ``md5(text)`` digest bytes tiled to ``n_frames·channels·2`` bytes
+    and read as little-endian int16 — so a DuckDB oracle can pin the
+    decoded per-channel statistics arithmetically from the md5 hex
+    without parsing WAV.  Mirrors :func:`synth_png_media`: the
+    image seam pattern applied to audio.
+
+    Arrow-batched mapInPandas, inherits partitioning, no shuffle.
+    """
+    nbytes = n_frames * channels * 2
+
+    def batches(it: Iterator) -> Iterator:
+        import hashlib
+        import io
+        import wave
+
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                digest = hashlib.md5(
+                    ("" if text is None else text).encode("utf-8")
+                ).digest()
+                pcm = (digest * (-(-nbytes // len(digest))))[:nbytes]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(channels)
+                    w.setsampwidth(2)
+                    w.setframerate(framerate)
+                    w.writeframes(pcm)
+                wav = buf.getvalue()
+                ids.append(int(mid))
+                payloads.append(wav)
+                metas.append(
+                    {
+                        "mime": "audio/wav",
+                        "width": None,
+                        "height": None,
+                        "n_bytes": len(wav),
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_channels", T.IntegerType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_frames", T.LongType(), True),
+    T.StructField("c0_min", T.IntegerType(), True),
+    T.StructField("c0_max", T.IntegerType(), True),
+    T.StructField("c0_sum", T.LongType(), True),
+    T.StructField("c0_sumsq", T.LongType(), True),
+    T.StructField("c1_min", T.IntegerType(), True),
+    T.StructField("c1_max", T.IntegerType(), True),
+    T.StructField("c1_sum", T.LongType(), True),
+    T.StructField("c1_sumsq", T.LongType(), True),
+])
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode → per-channel statistics: parse each RIFF/WAV
+    payload with the stdlib ``wave`` reader, de-interleave the 16-bit
+    PCM frames, and reduce to sample-rate/frame-count plus per-channel
+    min/max/sum/sum-of-squares.  Everything is exact integer math
+    (sum-of-squares is the RMS numerator, kept unrooted so the oracle
+    comparison never touches floats).
+
+    Mono payloads report NULL for the second channel (the image
+    operator's absent-channel convention); sample widths other than
+    16-bit raise at the codec boundary — the same honest seam as
+    non-PNG images.  Arrow-batched mapInPandas; no shuffle.
+    """
+    cols = list(AUDIO_STATS_SCHEMA.fieldNames())
+
+    def batches(it: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                if buf is None:
+                    rows.append((int(mid),) + (None,) * (len(cols) - 1))
+                    continue
+                with wave.open(io.BytesIO(bytes(buf)), "rb") as w:
+                    ch = w.getnchannels()
+                    width = w.getsampwidth()
+                    if width != 2:
+                        raise NotImplementedError(
+                            f"sample width {width * 8} bit unsupported "
+                            "(16-bit PCM only)"
+                        )
+                    rate = w.getframerate()
+                    nf = w.getnframes()
+                    pcm = w.readframes(nf)
+                arr = (
+                    np.frombuffer(pcm, dtype="<i2")
+                    .reshape(-1, ch)
+                    .astype(np.int64)
+                )
+
+                def chan(c, reducer):
+                    return int(reducer(arr[:, c])) if c < ch else None
+
+                rows.append((
+                    int(mid), ch, rate, nf,
+                    chan(0, np.min), chan(0, np.max),
+                    chan(0, np.sum), chan(0, lambda v: np.sum(v * v)),
+                    chan(1, np.min), chan(1, np.max),
+                    chan(1, np.sum), chan(1, lambda v: np.sum(v * v)),
+                ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, schema=AUDIO_STATS_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("frame_idx", T.IntegerType(), False),

@@ -1485,6 +1485,59 @@ GROUP BY doc_id
 """
 
 
+def _q_audio_decode_features(spark, sf_dir):
+    """REAL audio decode end-to-end: synth_wav_media writes a 16-bit
+    stereo PCM WAV per doc (stdlib wave writer; samples = md5(text)
+    digest tiled, little-endian int16), decode_audio_features parses
+    it back (stdlib wave reader) and reduces to per-channel
+    min/max/sum/sum-of-squares in exact integer math.  The oracle
+    derives the same stats arithmetically from the md5 hex pairs — a
+    hash match proves the WAV container round-trips byte-exactly."""
+    media = multimodal.synth_wav_media(_docs(spark, sf_dir))
+    return multimodal.decode_audio_features(media)
+
+
+# The stereo PCM stream is md5(text)'s 16 bytes = 8 little-endian
+# int16 samples (lane j: lo byte 2j, hi byte 2j+1), tiled 8× to 32
+# frames × 2 channels; channel = j % 2, so per-channel stats are the
+# lane stats with multiplicity 8 (sums ×8, min/max unchanged).
+_AUDIO_DECODE_SQL = r"""
+WITH samples AS (
+  SELECT d.doc_id, t.j,
+         (strpos('0123456789abcdef',
+                 substr(md5(coalesce(d.text, '')), (t.j * 4) + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef',
+                   substr(md5(coalesce(d.text, '')), (t.j * 4) + 2, 1)) - 1)
+         + 256 * (
+             (strpos('0123456789abcdef',
+                     substr(md5(coalesce(d.text, '')), (t.j * 4) + 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substr(md5(coalesce(d.text, '')), (t.j * 4) + 4, 1)) - 1)
+         ) AS v_raw
+  FROM documents d, generate_series(0, 7) t(j)
+),
+pcm AS (
+  SELECT doc_id, j,
+         CASE WHEN v_raw >= 32768 THEN v_raw - 65536 ELSE v_raw END AS v
+  FROM samples
+)
+SELECT doc_id AS media_id,
+       CAST(2 AS INTEGER) AS n_channels,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(32 AS BIGINT) AS n_frames,
+       CAST(min(CASE WHEN j % 2 = 0 THEN v END) AS INTEGER) AS c0_min,
+       CAST(max(CASE WHEN j % 2 = 0 THEN v END) AS INTEGER) AS c0_max,
+       CAST(8 * sum(CASE WHEN j % 2 = 0 THEN v END) AS BIGINT) AS c0_sum,
+       CAST(8 * sum(CASE WHEN j % 2 = 0 THEN v * v END) AS BIGINT) AS c0_sumsq,
+       CAST(min(CASE WHEN j % 2 = 1 THEN v END) AS INTEGER) AS c1_min,
+       CAST(max(CASE WHEN j % 2 = 1 THEN v END) AS INTEGER) AS c1_max,
+       CAST(8 * sum(CASE WHEN j % 2 = 1 THEN v END) AS BIGINT) AS c1_sum,
+       CAST(8 * sum(CASE WHEN j % 2 = 1 THEN v * v END) AS BIGINT) AS c1_sumsq
+FROM pcm
+GROUP BY doc_id
+"""
+
+
 _GEO_COUNTRIES = (
     "US", "DE", "IN", "BR", "JP", "GB", "FR", "AU",
     "CA", "NL", "SG", "KR",
@@ -2076,6 +2129,11 @@ QUERIES: dict[str, QuerySpec] = {
         _q_media_decode_features, _MEDIA_DECODE_SQL,
         "REAL PNG decode (stdlib inflate + Paeth unfilter) → "
         "per-channel pixel statistics, oracle-pinned byte-exactly",
+    ),
+    "audio_decode_features": QuerySpec(
+        _q_audio_decode_features, _AUDIO_DECODE_SQL,
+        "REAL WAV decode (stdlib wave reader, 16-bit stereo PCM) → "
+        "per-channel integer statistics, oracle-pinned byte-exactly",
     ),
     "geo_external_top_countries": QuerySpec(
         _q_geo_external_top_countries, _geo_external_sql(),

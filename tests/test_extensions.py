@@ -912,3 +912,69 @@ def test_frame_sample_and_resize_plumbing(spark):
         multimodal.sample_frames(media, decode_stub=False).collect()
     with _pytest.raises(Exception):
         multimodal.resize_media(media, width=2, height=2, decode_stub=False).collect()
+
+
+def test_wav_audio_roundtrip_and_seams(spark):
+    """synth_wav_media writes genuine RIFF/WAV containers (stdlib wave
+    can reopen them), decode_audio_features recovers the exact tiled
+    md5 PCM stats, mono reports NULL for the absent channel, and
+    non-16-bit payloads raise at the codec boundary."""
+    import hashlib
+    import io
+    import struct
+    import wave
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        multimodal,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha doc"), (2, None)], "doc_id long, text string"
+    )
+    media = multimodal.synth_wav_media(docs)
+    rows = {r.media_id: r for r in media.collect()}
+    assert rows[1].meta.mime == "audio/wav"
+    assert bytes(rows[1].payload)[:4] == b"RIFF"
+
+    stats = {
+        r.media_id: r
+        for r in multimodal.decode_audio_features(media).collect()
+    }
+    for doc_id, text in [(1, "alpha doc"), (2, None)]:
+        digest = hashlib.md5(("" if text is None else text).encode()).digest()
+        lanes = struct.unpack("<8h", digest)
+        row = stats[doc_id]
+        assert (row.n_channels, row.sample_rate, row.n_frames) == (2, 8000, 32)
+        for c in range(2):
+            vals = lanes[c::2]
+            assert getattr(row, f"c{c}_min") == min(vals)
+            assert getattr(row, f"c{c}_max") == max(vals)
+            assert getattr(row, f"c{c}_sum") == 8 * sum(vals)
+            assert getattr(row, f"c{c}_sumsq") == 8 * sum(v * v for v in vals)
+
+    # mono: second channel is NULL, stats cover the single channel
+    mono = multimodal.synth_wav_media(
+        docs.filter("doc_id = 1"), channels=1, n_frames=16
+    )
+    mrow = multimodal.decode_audio_features(mono).collect()[0]
+    digest = hashlib.md5(b"alpha doc").digest()
+    lanes = struct.unpack("<8h", digest)
+    assert mrow.n_channels == 1 and mrow.n_frames == 16
+    assert mrow.c0_min == min(lanes) and mrow.c0_max == max(lanes)
+    assert mrow.c1_min is None and mrow.c1_sumsq is None
+
+    # codec boundary: 8-bit PCM raises NotImplementedError
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(b"\x00" * 16)
+    eight_bit = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "media_id long, payload binary"
+    )
+    with _pytest.raises(PythonException, match="NotImplementedError"):
+        multimodal.decode_audio_features(eight_bit).collect()
