@@ -294,3 +294,55 @@ def write_packed_shards(
         .partitionBy("shard_id")
         .parquet(out_dir)
     )
+
+
+def read_packed_shards(spark, path: str) -> DataFrame:
+    """Reload a :func:`write_packed_shards` directory as the assigned
+    row-level frame (documents + shard_id/pack_id/n_tokens/
+    offset_in_pack) — the inverse of the write.
+
+    ``shard_id`` comes back from the ``shard_id=K`` directory names
+    (Spark's partition-column inference types it INT), so it is
+    restored to the bigint the writer assigned — round-tripping must
+    not drift the schema.  Reading stays partition-pruned: a loader
+    that wants one shard filters on shard_id and Spark lists only
+    that directory.
+    """
+    raw = spark.read.parquet(path)
+    return raw.withColumn("shard_id", F.col("shard_id").cast("bigint"))
+
+
+def pack_sequences(
+    packed: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Reconstruct the training-loader view from packed rows:
+    one row per (shard_id, pack_id) with the documents in EXACT pack
+    order — the order the offset-cut semantics define and the writer
+    laid down on disk.
+
+    ``seq`` is an array of structs ``(offset_in_pack, doc_id,
+    n_tokens, *payload_cols)`` sorted by in-pack offset (doc id breaks
+    the tie a zero-token document creates); ``pack_tokens``/``n_docs``
+    restate the manifest so conservation is checkable without a
+    second pass.  One hash aggregate on the (shard, pack) key — at
+    100 TB each group is ≤ budget tokens of metadata, so collect_list
+    is bounded by construction, and a loader typically runs this
+    per-shard after partition-pruned reads rather than corpus-wide.
+    """
+    seq_struct = F.struct(
+        F.col("offset_in_pack"),
+        F.col(id_col),
+        F.col("n_tokens"),
+        *[F.col(c) for c in payload_cols],
+    )
+    return (
+        packed.groupBy("shard_id", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.array_sort(F.collect_list(seq_struct)).alias("seq"),
+        )
+    )

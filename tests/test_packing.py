@@ -463,6 +463,47 @@ class TestPackedShardWriter:
             )
             assert rows == sorted(rows, key=lambda r: (r.pack_id, r.doc_id))
 
+    def test_read_side_roundtrip(self, spark, tmp_path):
+        """write → read_packed_shards → pack_sequences reconstructs
+        the loader view exactly: per-pack token conservation against
+        the pack_offsets manifest, document order ≡ offset order, and
+        the shard_id type survives partition-column inference."""
+        docs = load_table(spark, SF_SMOKE, "documents")
+        out = str(tmp_path / "shards")
+        packing.write_packed_shards(docs, out, budget=512, n_shards=4)
+
+        back = packing.read_packed_shards(spark, out)
+        assert dict(back.dtypes)["shard_id"] == "bigint"
+
+        seqs = {
+            (r.shard_id, r.pack_id): r
+            for r in packing.pack_sequences(back).collect()
+        }
+        manifest = {
+            (r.shard_id, r.pack_id): r
+            for r in packing.pack_manifest(
+                docs, budget=512, n_shards=4
+            ).collect()
+        }
+        assert seqs.keys() == manifest.keys()
+        expect_order = {}
+        for r in packing.pack_offsets(docs, budget=512, n_shards=4).collect():
+            expect_order.setdefault((r.shard_id, r.pack_id), []).append(
+                (r.offset_in_pack, r.doc_id, r.n_tokens)
+            )
+        for key, row in seqs.items():
+            # conservation: counts and token mass match the manifest
+            assert row.n_docs == manifest[key].n_docs
+            assert row.pack_tokens == manifest[key].pack_tokens
+            # order: the seq array IS the offset-sorted document list
+            got = [(s.offset_in_pack, s.doc_id, s.n_tokens) for s in row.seq]
+            assert got == sorted(expect_order[key])
+            # offsets are the running sum of the tokens before them
+            run = got[0][0]
+            for off, _, n in got:
+                assert off == run
+                run += n
+
     def test_streaming_ingest_quarantine(self, spark, tmp_path):
         import os
 
