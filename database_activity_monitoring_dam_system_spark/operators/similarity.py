@@ -218,6 +218,42 @@ def ivf_centroids(
     ]
 
 
+def save_ivf_index(spark, centroids: list[tuple], path: str) -> None:
+    """Persist an :func:`ivf_centroids` quantizer as parquet.
+
+    The coarse quantizer is the INDEX artifact of IVF serving —
+    trained once per corpus snapshot, reused by every query until the
+    next rebuild — so a restarted serving process should LOAD it, not
+    retrain (FAISS persists its quantizer in the index file for the
+    same reason).  Schema: (cent_id, vec array<double>, norm).  The
+    norm is stored rather than recomputed on load so the artifact is
+    self-contained; doubles round-trip parquet bit-exactly, making
+    loaded-index query plans literal-identical to fresh-trained ones.
+    """
+    rows = [
+        (int(cid), [float(x) for x in vec], float(norm))
+        for cid, vec, norm in centroids
+    ]
+    (
+        spark.createDataFrame(
+            rows, "cent_id int, vec array<double>, norm double"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_ivf_index(spark, path: str) -> list[tuple]:
+    """Load a :func:`save_ivf_index` artifact back into the
+    ``centroids=`` form :func:`ivf_topk` accepts (ordered by
+    cent_id)."""
+    return [
+        (r.cent_id, list(r.vec), r.norm)
+        for r in spark.read.parquet(path).orderBy("cent_id").collect()
+    ]
+
+
 def _centroid_scores(vec_sql: str, norm_sql: str, cents: list[tuple]) -> dict:
     """One cosine-vs-centroid column per centroid. Materialized as
     named columns (not inlined) so the downstream argmax is a fold over

@@ -59,6 +59,28 @@ def _anchor(spark: SparkSession, sf_dir: str) -> dt.datetime:
 
 _FRAME_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# Index-like _shared kinds: expensive artifacts a real deployment
+# builds once per corpus snapshot and PERSISTS — a restarted serving
+# process should load them from disk, not recompute. Battery/activity
+# derivations stay memory-only (they are cheap scans, not indexes).
+_DISK_KINDS = frozenset({"dedup_clusters", "emb_near_dups"})
+
+
+def _index_path(kind: str, sf_dir: str) -> str | None:
+    """Under SPARK_DAM_INDEX_DIR, the parquet location for a persisted
+    index artifact of ``kind`` over the corpus at ``sf_dir``."""
+    import hashlib
+    import os
+
+    idx_dir = os.environ.get("SPARK_DAM_INDEX_DIR")
+    if not idx_dir:
+        return None
+    real = os.path.realpath(sf_dir)
+    slug = hashlib.md5(real.encode()).hexdigest()[:10]
+    return os.path.join(
+        idx_dir, f"{kind}__{os.path.basename(real)}_{slug}"
+    )
+
 
 def _shared(kind: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
     """Optionally share one persisted frame per (kind, sf_dir).
@@ -69,6 +91,12 @@ def _shared(kind: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
     the materialized-view pattern a serving deployment would use. OFF
     by default so the correctness driver and the plan-invariant tests
     see the raw, un-cached plans.
+
+    Index-like kinds (_DISK_KINDS) additionally survive process
+    restarts when SPARK_DAM_INDEX_DIR is set: the first build writes
+    the artifact as parquet there, and a fresh process loads it
+    instead of rebuilding (same contract as similarity.save_ivf_index
+    for the IVF quantizer).
     """
     import os
 
@@ -78,7 +106,13 @@ def _shared(kind: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
     df = _FRAME_CACHE.get(key)
     if df is not None and df.sparkSession is spark:
         return df
-    df = build().persist()
+    path = _index_path(kind, sf_dir) if kind in _DISK_KINDS else None
+    if path is not None:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            build().write.mode("overwrite").parquet(path)
+        df = spark.read.parquet(path).persist()
+    else:
+        df = build().persist()
     _FRAME_CACHE[key] = df
     return df
 

@@ -940,14 +940,28 @@ _IVF_INDEX_CACHE: dict[tuple, list] = {}
 def _q_ivf_ann_topk(spark, sf_dir):
     import os
 
+    from .dam import _index_path
+
     emb = load_table(spark, sf_dir, "embeddings")
     serving = os.environ.get("SPARK_DAM_SHARE_FRAMES") == "1"
     key = (os.path.realpath(sf_dir), 16, _IVF_REFINE_ITERS)
     cents = _IVF_INDEX_CACHE.get(key) if serving else None
     if cents is None:
-        cents = similarity.ivf_centroids(
-            emb, n_centroids=16, refine_iters=_IVF_REFINE_ITERS
-        )
+        # under serving mode + SPARK_DAM_INDEX_DIR the trained
+        # quantizer persists across process restarts (parquet via
+        # save_ivf_index) — load beats retraining, and the loaded
+        # doubles are bit-identical to the trained ones
+        path = _index_path("ivf_quantizer", sf_dir) if serving else None
+        if path is not None and os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            cents = similarity.load_ivf_index(spark, path)
+        else:
+            cents = similarity.ivf_centroids(
+                emb, n_centroids=16, refine_iters=_IVF_REFINE_ITERS
+            )
+            if path is not None:
+                similarity.save_ivf_index(spark, cents, path)
         if serving:
             _IVF_INDEX_CACHE[key] = cents
     return similarity.ivf_topk(

@@ -978,3 +978,59 @@ def test_wav_audio_roundtrip_and_seams(spark):
     )
     with _pytest.raises(PythonException, match="NotImplementedError"):
         multimodal.decode_audio_features(eight_bit).collect()
+
+
+def test_ivf_index_save_load_identical(spark, tmp_path):
+    """A persisted IVF quantizer loads back bit-identical (doubles
+    round-trip parquet exactly), so ivf_topk over a loaded index
+    returns EXACTLY the fresh-trained results — a restarted serving
+    job skips retraining with zero drift."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = similarity.ivf_centroids(emb, n_centroids=8, refine_iters=1)
+    path = str(tmp_path / "ivf_index")
+    similarity.save_ivf_index(spark, cents, path)
+    loaded = similarity.load_ivf_index(spark, path)
+    assert loaded == cents  # exact float equality, not approx
+
+    qids = [0, 1, 2]
+    fresh = similarity.ivf_topk(
+        emb, qids, k=5, n_probe=3, centroids=cents
+    ).collect()
+    reload = similarity.ivf_topk(
+        emb, qids, k=5, n_probe=3, centroids=loaded
+    ).collect()
+    assert sorted(map(tuple, fresh)) == sorted(map(tuple, reload))
+
+
+def test_shared_index_artifacts_survive_restart(spark, tmp_path, monkeypatch):
+    """Under SPARK_DAM_INDEX_DIR, index-like _shared kinds persist as
+    parquet: after a simulated process restart (memo cache cleared),
+    the artifact is LOADED — the builder must not run again."""
+    from database_activity_monitoring_dam_system_spark.plans import dam
+
+    monkeypatch.setenv("SPARK_DAM_SHARE_FRAMES", "1")
+    monkeypatch.setenv("SPARK_DAM_INDEX_DIR", str(tmp_path / "idx"))
+
+    built = []
+
+    def build():
+        built.append(1)
+        return spark.createDataFrame(
+            [(1, 10), (2, 10)], "doc_id long, cluster_id long"
+        )
+
+    first = dam._shared("dedup_clusters", spark, str(tmp_path), build)
+    rows = sorted(map(tuple, first.collect()))
+    assert built == [1]
+
+    # simulate restart: in-memory memo gone, disk artifact remains
+    dam._FRAME_CACHE.pop(("dedup_clusters", __import__("os").path.realpath(
+        str(tmp_path))), None)
+
+    def must_not_build():
+        raise AssertionError("builder ran despite persisted artifact")
+
+    again = dam._shared("dedup_clusters", spark, str(tmp_path), must_not_build)
+    assert sorted(map(tuple, again.collect())) == rows
+    dam._FRAME_CACHE.pop(("dedup_clusters", __import__("os").path.realpath(
+        str(tmp_path))), None)
