@@ -784,6 +784,7 @@ def corpus_diff(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    normalize: bool = True,
 ) -> DataFrame:
     """Snapshot-to-snapshot corpus delta: which documents were added,
     removed, changed, or unchanged between two crawls.
@@ -795,6 +796,13 @@ def corpus_diff(
     snapshot": downstream stages (dedup, scoring, packing) re-run over
     ``added ∪ changed`` only, not the whole corpus.
 
+    ``normalize=False`` fingerprints the RAW text instead — the right
+    setting when the diff drives incremental REUSE of per-document
+    results (pipeline.run_corpus_pipeline): quality/fluency signals
+    are functions of the raw bytes (case and spacing move punctuation
+    and stopword ratios), so any byte change must re-process, while
+    for crawl analytics the normalized view correctly ignores churn.
+
     Output: (doc_id, verdict ∈ {added, removed, changed, unchanged},
     old_fp, new_fp).
 
@@ -805,14 +813,19 @@ def corpus_diff(
     (``eqNullSafe``), so NULL-text → text and text → NULL-text both
     read as ``changed``.
     """
+    fp = (
+        F.md5(normalized_text(text_col))
+        if normalize
+        else F.md5(F.col(text_col))
+    )
     of = old.select(
         F.col(id_col),
-        F.md5(normalized_text(text_col)).alias("old_fp"),
+        fp.alias("old_fp"),
         F.lit(True).alias("_in_old"),
     )
     nf = new.select(
         F.col(id_col),
-        F.md5(normalized_text(text_col)).alias("new_fp"),
+        fp.alias("new_fp"),
         F.lit(True).alias("_in_new"),
     )
     verdict = (

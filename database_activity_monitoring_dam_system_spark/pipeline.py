@@ -13,16 +13,37 @@ minhash_near_duplicates, duplicate_clusters,
 best_keep_representatives, bigram_lm_train/score,
 contamination_flags, epoch_plan,
 write_packed_shards, corpus_card) — the pipeline adds no new
-semantics, only the wiring and a stage-count report. The intermediate
-``kept`` frame is persisted across stages (each stage both filters it
-and feeds the next), and unpersisted before returning.
+semantics, only the wiring and a stage-count report.
+
+Structure: the PER-DOCUMENT judgements (quality verdict, fluency
+score, contamination flag — each a pure function of one document's
+text given the fixed reference model / benchmark set) are computed
+into one gate table first; the GLOBAL stages (near-dup clustering,
+epoch census, packing) then run over survivors.  That split is what
+makes incremental runs exact: per-doc gate rows carry forward for
+byte-identical documents, while the global stages always recompute
+over the merged survivor set (a new crawl batch can near-dup against
+an old document — cluster composition is corpus-global and is never
+carried).
+
+Incremental mode (the 100 TB crawl-refresh story): pass
+``state_dir=`` to persist the gate table with a run's outputs, then
+``old_snapshot=`` + ``old_state_dir=`` on the next snapshot — the
+pipeline diffs raw fingerprints (corpus_diff, normalize=False: ANY
+byte change re-processes), reuses gate rows for unchanged documents,
+and runs the per-doc text scans over added ∪ changed only.  Output is
+provably identical to a full recompute (asserted in test_pipeline)
+because gate rows are pure per-doc functions of unchanged bytes; the
+caller's obligation, checked by shape markers in the state table, is
+that the reference corpus and benchmark set are also unchanged.
 
 Scale: the stages keep their individual shuffle inventories
 (SCALE.md); the composition adds no extra exchange — the quality gate
-is a scan-side filter (pure projection predicate), and the remaining
-drops are broadcast anti joins against violation-sized id sets
-(near-dup members, disfluent docs, contaminated docs — ∝ violations,
-not corpus size).
+is a scan-side filter (pure projection predicate), the remaining
+drops are broadcast anti joins against violation-sized id sets, and
+the incremental path touches full-corpus TEXT only for the delta
+(the carried side moves ids + small gate columns through one id
+join).
 """
 
 from __future__ import annotations
@@ -31,6 +52,56 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .operators import dedup, packing, sampling, similarity, textops
+
+_GATE_COLS = ("doc_id", "fp", "q_keep", "avg_logp", "contaminated")
+
+
+def _gate_table(
+    docs: DataFrame,
+    fluency_reference: DataFrame | None,
+    benchmark: DataFrame | None,
+) -> DataFrame:
+    """Per-document gate rows: (doc_id, fp, q_keep, avg_logp,
+    contaminated).
+
+    Each column is a pure function of (text, reference model,
+    benchmark fingerprints) — document-local, hence carryable across
+    snapshots for byte-identical text.  Fluency/contamination are
+    scored over quality keepers only (a quality-dropped doc never
+    needs them — and a carried non-keeper is still dropped by
+    quality).  Docs with no bigrams / no fingerprints have NULL
+    avg_logp / absent flags and therefore PASS those gates, matching
+    the per-stage operators' documented semantics.
+    """
+    base = docs.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        (
+            textops.quality_signal_cols("text")["verdict"] == "keep"
+        ).alias("q_keep"),
+        "text",
+    )
+    keepers = base.filter("q_keep").select("doc_id", "text")
+    out = base.select("doc_id", "fp", "q_keep")
+    if fluency_reference is not None:
+        model = textops.bigram_lm_train(fluency_reference, min_count=1)
+        logp = textops.bigram_lm_score(keepers, model).select(
+            "doc_id", "avg_logp"
+        )
+        out = out.join(logp, "doc_id", "left")
+    else:
+        out = out.withColumn("avg_logp", F.lit(None).cast("double"))
+    if benchmark is not None:
+        flags = textops.contamination_flags(keepers, benchmark).select(
+            "doc_id",
+            (F.col("verdict") == "contaminated").alias("contaminated"),
+        )
+        out = out.join(flags, "doc_id", "left").withColumn(
+            "contaminated", F.coalesce("contaminated", F.lit(False))
+        )
+    else:
+        out = out.withColumn("contaminated", F.lit(None).cast("boolean"))
+    return out.select(*_GATE_COLS)
 
 
 def run_corpus_pipeline(
@@ -45,6 +116,9 @@ def run_corpus_pipeline(
     dedup_shingle: int = 3,
     budget: int = 2048,
     n_shards: int = 8,
+    state_dir: str | None = None,
+    old_snapshot: DataFrame | None = None,
+    old_state_dir: str | None = None,
 ) -> dict:
     """Run the full corpus-preparation flow; returns the stage report.
 
@@ -53,21 +127,32 @@ def run_corpus_pipeline(
     plan rows (when targets given), and the final per-source data
     card. Shards land under ``out_dir`` via
     :func:`packing.write_packed_shards`.
+
+    ``state_dir`` persists the per-doc gate table for the NEXT run;
+    ``old_snapshot`` + ``old_state_dir`` (both or neither) switch this
+    run to incremental: per-doc gates are computed for added∪changed
+    documents only and carried forward for byte-identical ones
+    (``n_carried``/``n_delta`` report the split), with identical
+    output to a full recompute.
     """
-    # 0. census + id gate in ONE job: rows without an id can't ride
-    # the downstream id joins (NULL keys never match), so they are
-    # counted explicitly instead of vanishing into the quality number
-    # (the PERMISSIVE readers keep schema-drift rows as
+    if (old_snapshot is None) != (old_state_dir is None):
+        raise ValueError(
+            "incremental runs need BOTH old_snapshot and old_state_dir"
+        )
+    has_fluency = fluency_reference is not None
+    has_benchmark = benchmark is not None
+
+    # 0. census + null gates in ONE job: rows without an id can't ride
+    # the downstream id joins (NULL keys never match), and NULL text
+    # would evaluate every quality predicate to NULL and fall through
+    # to 'keep' while carrying no shingles/bigrams/fingerprints for
+    # any later stage to catch — both are counted explicitly instead
+    # of vanishing (the PERMISSIVE readers keep schema-drift rows as
     # clean-but-all-NULL). Counting count(doc_id) alongside count(*)
     # also keeps a data column in the scan — a bare count() over a
     # reader's clean frame prunes down to the corrupt-record filter
     # alone, which raw JSON/CSV scans reject
     # (QUERY_ONLY_CORRUPT_RECORD_COLUMN).
-    # NULL text is gated here too: size(split(trim(NULL))) is NULL, so
-    # every quality predicate would evaluate NULL and fall through to
-    # 'keep' — textless rows would then bypass dedup/fluency/
-    # decontamination (no shingles/bigrams/fingerprints to match) and
-    # land in the shards. Count them explicitly instead.
     census = docs.groupBy().agg(
         F.count(F.lit(1)).alias("n_raw"),
         F.count("doc_id").alias("n_with_id"),
@@ -85,18 +170,51 @@ def run_corpus_pipeline(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
 
-    # 1. quality gate — a pure scan-side FILTER (quality_signal_cols
-    # is a projection; joining back through an id set would shuffle
-    # the whole corpus for nothing)
-    kept = docs.filter(
-        textops.quality_signal_cols("text")["verdict"] == "keep"
+    # 1. per-doc gate table — fresh for the delta, carried for
+    # byte-identical documents when incremental state is given
+    if old_snapshot is not None:
+        spark = docs.sparkSession
+        old_state = spark.read.parquet(old_state_dir)
+        marker = old_state.select("has_fluency", "has_benchmark").first()
+        if marker is not None and (
+            marker["has_fluency"] != has_fluency
+            or marker["has_benchmark"] != has_benchmark
+        ):
+            raise ValueError(
+                "old_state_dir was written with a different gate "
+                f"configuration (fluency={marker['has_fluency']}, "
+                f"benchmark={marker['has_benchmark']}) — carried rows "
+                "would not equal fresh ones; run a full pass instead"
+            )
+        diff = dedup.corpus_diff(old_snapshot, docs, normalize=False)
+        carried_ids = diff.filter(F.col("verdict") == "unchanged").select(
+            "doc_id"
+        )
+        carried = old_state.join(carried_ids, "doc_id").select(*_GATE_COLS)
+        fresh_docs = docs.join(
+            carried.select("doc_id"), "doc_id", "left_anti"
+        )
+        gates = _gate_table(
+            fresh_docs, fluency_reference, benchmark
+        ).unionByName(carried).persist()
+        report["n_carried"] = carried.count()
+        report["n_delta"] = census["n_with_text"] - report["n_carried"]
+    else:
+        gates = _gate_table(docs, fluency_reference, benchmark).persist()
+
+    # 2. quality gate: keep ids from the gate table (for fresh-only
+    # runs this is the same scan-side predicate as before, routed
+    # through the id set so full and incremental share one shape)
+    kept = docs.join(
+        gates.filter("q_keep").select("doc_id"), "doc_id"
     ).persist()
     report["n_quality"] = kept.count()
 
-    # 2. near-dup dedup with best-copy retention: drop every cluster
+    # 3. near-dup dedup with best-copy retention: drop every cluster
     # member except the largest (ties → lowest id). Banding derives
-    # from the threshold (S-curve knee), not a hardcoded constant —
-    # the auto-tuning the LSH helpers exist for.
+    # from the threshold (S-curve knee), not a hardcoded constant.
+    # ALWAYS corpus-global — a delta doc can near-dup an unchanged
+    # one, so clustering never reuses old state.
     bands, _rows = similarity.minhash_params_for_threshold(
         dedup_threshold, num_hashes=32
     )
@@ -127,14 +245,12 @@ def run_corpus_pipeline(
     report["n_deduped"] = deduped.count()
     kept.unpersist()
 
-    # 3. LM fluency gate (optional): score against a reference-trained
-    # bigram LM, drop docs below the floor. Docs with <2 tokens have
-    # no bigrams and no score — they pass (the length gate already
+    # 4. LM fluency gate (optional): drop docs scored below the floor
+    # by the reference-trained bigram LM. Docs with <2 tokens have no
+    # bigrams and a NULL score — they pass (the length gate already
     # judged them).
-    if fluency_reference is not None:
-        model = textops.bigram_lm_train(fluency_reference, min_count=1)
-        scores = textops.bigram_lm_score(deduped, model)
-        disfluent = scores.filter(
+    if has_fluency:
+        disfluent = gates.filter(
             F.col("avg_logp") < fluency_floor
         ).select("doc_id")
         fluent = deduped.join(disfluent, "doc_id", "left_anti").persist()
@@ -144,12 +260,9 @@ def run_corpus_pipeline(
         fluent = deduped
         report["n_fluent"] = report["n_deduped"]
 
-    # 4. benchmark decontamination (optional)
-    if benchmark is not None:
-        flags = textops.contamination_flags(fluent, benchmark)
-        dirty = flags.filter(F.col("verdict") == "contaminated").select(
-            "doc_id"
-        )
+    # 5. benchmark decontamination (optional)
+    if has_benchmark:
+        dirty = gates.filter("contaminated").select("doc_id")
         clean = fluent.join(dirty, "doc_id", "left_anti").persist()
         report["n_clean"] = clean.count()
         fluent.unpersist()
@@ -165,7 +278,16 @@ def run_corpus_pipeline(
         report["n_fluent"] - report["n_clean"]
     )
 
-    # 5. epoch planning over the surviving corpus (optional)
+    # 6. persist the gate table for the next (incremental) run
+    if state_dir is not None:
+        (
+            gates.withColumn("has_fluency", F.lit(has_fluency))
+            .withColumn("has_benchmark", F.lit(has_benchmark))
+            .write.mode("overwrite")
+            .parquet(state_dir)
+        )
+
+    # 7. epoch planning over the surviving corpus (optional)
     if epoch_targets is not None:
         report["epoch_plan"] = [
             row.asDict()
@@ -174,15 +296,16 @@ def run_corpus_pipeline(
             .collect()
         ]
 
-    # 6. pack + write shards
+    # 8. pack + write shards
     packing.write_packed_shards(
         clean, out_dir, budget=budget, n_shards=n_shards
     )
 
-    # 7. data card over what shipped
+    # 9. data card over what shipped
     report["corpus_card"] = [
         row.asDict()
         for row in textops.corpus_card(clean).orderBy("source").collect()
     ]
     clean.unpersist()
+    gates.unpersist()
     return report

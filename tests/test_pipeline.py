@@ -176,3 +176,104 @@ def test_pipeline_composes_with_jsonl_reader(spark, tmp_path):
     assert report["n_clean"] >= 1
     back = spark.read.parquet(str(tmp_path / "shards"))
     assert "text" in back.columns and back.count() == report["n_clean"]
+
+
+def test_pipeline_incremental_equals_full_recompute(spark, tmp_path):
+    """The crawl-refresh story: snapshot A runs with state_dir, then
+    snapshot B runs incrementally (old_snapshot + old_state_dir) —
+    per-doc gates are computed for the delta only, yet the OUTPUT
+    (stage counts, corpus card, shard contents) is identical to a
+    full recompute of B. The fixture forces the hard case: a document
+    ADDED in B near-dups an UNCHANGED document and, being larger,
+    displaces it as cluster keeper — carried docs must still flow
+    through the global dedup."""
+    base = (
+        "the quick brown fox jumps over a lazy dog and the cat sat on "
+        "the mat while a bird of prey watched them all from the tall tree"
+    )
+    eval_item = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    bench = spark.createDataFrame(
+        [(100, eval_item)], "doc_id long, text string"
+    )
+    snap_a = spark.createDataFrame(
+        [
+            (1, base, "en", "s0"),
+            (2, "this doc exists only in the first snapshot of the crawl "
+                "and talks about the sea and the sky for a while", "en", "s0"),
+            (3, "original words of the changed document with many plain "
+                "tokens that the gate will keep around today", "en", "s1"),
+            (5, "intro words here " + eval_item + " trailing text of the "
+                "contaminated document to keep the length fine", "en", "s1"),
+            (6, "whitespace churn document with  double  spacing between "
+                "some of the tokens and a steady tail of words", "en", "s0"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    snap_b = spark.createDataFrame(
+        [
+            (1, base, "en", "s0"),  # unchanged
+            (3, "revised words of the changed document with many plain "
+                "tokens that the gate will keep around today", "en", "s1"),
+            (4, base + " again bigger", "en", "s0"),  # added near-dup of 1
+            (5, "intro words here " + eval_item + " trailing text of the "
+                "contaminated document to keep the length fine", "en", "s1"),
+            (6, "whitespace churn document with double spacing between "
+                "some of the tokens and a steady tail of words", "en", "s0"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    common = dict(benchmark=bench, dedup_threshold=0.8, n_shards=2)
+
+    full = pipeline.run_corpus_pipeline(
+        snap_b, str(tmp_path / "full_shards"), **common
+    )
+    pipeline.run_corpus_pipeline(
+        snap_a, str(tmp_path / "a_shards"),
+        state_dir=str(tmp_path / "state_a"), **common
+    )
+    inc = pipeline.run_corpus_pipeline(
+        snap_b, str(tmp_path / "inc_shards"),
+        old_snapshot=snap_a,
+        old_state_dir=str(tmp_path / "state_a"),
+        state_dir=str(tmp_path / "state_b"),
+        **common,
+    )
+
+    # the per-doc scans ran over the delta only: 1 and 5 are
+    # byte-identical; 3 changed, 4 is new, 6 changed in raw bytes
+    # (whitespace churn MUST re-process — quality ratios see raw text)
+    assert inc["n_carried"] == 2
+    assert inc["n_delta"] == 3
+
+    for key in (
+        "n_quality", "n_deduped", "n_fluent", "n_clean",
+        "n_dropped_dedup", "n_dropped_contaminated", "corpus_card",
+    ):
+        assert inc[key] == full[key], key
+
+    cols = None
+    frames = []
+    for d in ("full_shards", "inc_shards"):
+        df = spark.read.parquet(str(tmp_path / d))
+        cols = cols or sorted(df.columns)
+        frames.append(sorted(tuple(r) for r in df.select(*cols).collect()))
+    assert frames[0] == frames[1]
+    survivors = {r[cols.index("doc_id")] for r in frames[1]}
+    assert 4 in survivors and 1 not in survivors  # added doc displaced 1
+    assert 5 not in survivors  # carried contamination flag applied
+
+    # state written with a different gate shape refuses to be reused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="gate configuration"):
+        pipeline.run_corpus_pipeline(
+            snap_b, str(tmp_path / "bad_shards"),
+            old_snapshot=snap_a,
+            old_state_dir=str(tmp_path / "state_a"),
+            dedup_threshold=0.8, n_shards=2,  # benchmark omitted
+        )
+    with _pytest.raises(ValueError, match="BOTH"):
+        pipeline.run_corpus_pipeline(
+            snap_b, str(tmp_path / "bad2_shards"),
+            old_snapshot=snap_a, **common,
+        )
