@@ -2028,6 +2028,71 @@ FROM offsets GROUP BY 1, 2
 """
 
 
+def _q_pack_read_sequences(spark, sf_dir):
+    """The loader-view reconstruction (packing.pack_sequences) pinned
+    ORDER-SENSITIVELY without nested types in the compared schema:
+    each per-pack seq array reduces to positional checksums
+    Σ (pos+1)·doc_id and Σ (pos+1)·n_tokens via array HOFs (no
+    explode, no extra exchange) — any reordering of the reconstructed
+    sequence changes the checksum, so a hash match pins the exact
+    offset order a training loader would stream."""
+    from pyspark.sql import functions as F
+
+    assigned = packing.pack_offsets(
+        _docs(spark, sf_dir), budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+    seqs = packing.pack_sequences(assigned)
+    checksum = (
+        "aggregate(zip_with(seq, sequence(1, size(seq)), "
+        "(s, i) -> CAST(i AS BIGINT) * s.{field}), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    return seqs.select(
+        "shard_id",
+        "pack_id",
+        "n_docs",
+        "pack_tokens",
+        F.expr(checksum.format(field="doc_id")).alias("order_checksum"),
+        F.expr(checksum.format(field="n_tokens")).alias(
+            "token_order_checksum"
+        ),
+    )
+
+
+# within a (shard, pack) the running offset is monotone in doc_id
+# (same running sum), so position rank ≡ row_number by doc_id
+_PACK_SEQUENCES_SQL = rf"""
+WITH counted AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+offsets AS (
+  SELECT doc_id, shard_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard_id ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS tokens_before
+  FROM counted
+),
+packs AS (
+  SELECT shard_id,
+         CAST(tokens_before // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+         doc_id, n_tokens,
+         row_number() OVER (
+           PARTITION BY shard_id, tokens_before // {_PACK_BUDGET}
+           ORDER BY doc_id
+         ) AS rn
+  FROM offsets
+)
+SELECT shard_id, pack_id, count(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       CAST(SUM(rn * doc_id) AS BIGINT) AS order_checksum,
+       CAST(SUM(rn * n_tokens) AS BIGINT) AS token_order_checksum
+FROM packs GROUP BY 1, 2
+"""
+
+
 _SHARD_COUNT = 16
 
 
@@ -2106,6 +2171,11 @@ QUERIES: dict[str, QuerySpec] = {
         _q_pack_manifest, _PACK_MANIFEST_SQL,
         "offset-based sequence packing into 2048-token budgets across "
         "8 shards — per-pack doc/token/fill manifest, pure integer math",
+    ),
+    "pack_read_sequences": QuerySpec(
+        _q_pack_read_sequences, _PACK_SEQUENCES_SQL,
+        "loader-view pack reconstruction with order-sensitive "
+        "positional checksums (array HOFs, no extra exchange)",
     ),
     "shard_manifest": QuerySpec(
         _q_shard_manifest, _SHARD_MANIFEST_SQL,
