@@ -6,14 +6,22 @@ resize / frame-sample run as Arrow-batched pandas functions via
 ``mapInPandas`` so the heavy per-item work is vectorized per batch and
 never round-trips row-at-a-time.
 
-Decode is REAL for PNG images: a pure-stdlib codec (imagecodec.py —
-zlib inflate + scanline unfiltering) backs ``decode_stub=False`` in
-extract_features / resize_media and the decode_image_features
-operator, with PIL used instead when installed (the import-try seam
-in ``imagecodec.decode_image`` — PIL also unlocks JPEG and the other
-image mimes).  Codecs the sandbox genuinely cannot host (JPEG entropy
-decode without PIL, audio, video keyframes) raise NotImplementedError
-at the mime check; ``decode_stub=True`` keeps the deterministic
+Decode is REAL for three modalities:
+
+- PNG images — pure-stdlib codec (imagecodec.py: zlib inflate +
+  numpy-vectorized scanline unfiltering) behind ``decode_stub=False``
+  in extract_features / resize_media / decode_image_features, with
+  PIL used instead when installed (the import-try seam in
+  ``imagecodec.decode_image`` — PIL also unlocks JPEG etc.).
+- WAV audio — stdlib ``wave`` 16-bit PCM round-trip
+  (synth_wav_media / decode_audio_features).
+- Y4M video — pure-stdlib YUV4MPEG2 parse (videocodec.py) behind
+  ``decode_stub=False`` in sample_frames (synth_y4m_media /
+  frame_pixel_stats).
+
+Codecs the sandbox genuinely cannot host (JPEG entropy decode without
+PIL, compressed video without ffmpeg/av) raise NotImplementedError at
+the mime/magic check; ``decode_stub=True`` keeps the deterministic
 byte-level fake for plumbing tests.
 """
 
@@ -25,16 +33,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from . import imagecodec
+from . import imagecodec, videocodec
 
-# The mapInPandas closures below reference imagecodec; the driver may
-# import this package from a path local-mode workers don't share, so
-# ship the (pure-stdlib, dependency-free) module INSIDE the pickled
-# closures instead of by reference.
+# The mapInPandas closures below reference imagecodec/videocodec; the
+# driver may import this package from a path local-mode workers don't
+# share, so ship the (pure-stdlib, dependency-free) modules INSIDE the
+# pickled closures instead of by reference.
 try:
     from pyspark import cloudpickle as _cloudpickle
 
     _cloudpickle.register_pickle_by_value(imagecodec)
+    _cloudpickle.register_pickle_by_value(videocodec)
 except (ImportError, AttributeError):  # older cloudpickle: fall back
     pass
 
@@ -340,6 +349,58 @@ FRAME_SCHEMA = T.StructType([
 ])
 
 
+def synth_y4m_media(docs: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text", n_frames: int = 8,
+                    width: int = 6, height: int = 4) -> DataFrame:
+    """Deterministic REAL-video fixture: a YUV4MPEG2 stream per
+    document (videocodec.encode_y4m, Cmono — one grayscale plane per
+    frame) whose concatenated pixel stream is ``md5(text)`` digest
+    bytes tiled to ``n_frames·width·height`` bytes.  With the default
+    6×4 plane (24 bytes, not a multiple of the 16-byte digest) the
+    tiling rotates across frames, so every frame is distinct and a
+    DuckDB oracle pins per-frame pixel statistics arithmetically from
+    the md5 hex — :func:`synth_png_media`'s seam pattern applied to
+    video.
+
+    Arrow-batched mapInPandas, inherits partitioning, no shuffle.
+    """
+    fsize = width * height
+    total = n_frames * fsize
+
+    def batches(it: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                digest = hashlib.md5(
+                    ("" if text is None else text).encode("utf-8")
+                ).digest()
+                stream = (digest * (-(-total // len(digest))))[:total]
+                frames = [
+                    stream[f * fsize:(f + 1) * fsize]
+                    for f in range(n_frames)
+                ]
+                y4m = videocodec.encode_y4m(
+                    frames, width=width, height=height, colorspace="mono"
+                )
+                ids.append(int(mid))
+                payloads.append(y4m)
+                metas.append({
+                    "mime": "video/x-yuv4mpeg",
+                    "width": width,
+                    "height": height,
+                    "n_bytes": len(y4m),
+                })
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def sample_frames(
     media: DataFrame,
     *,
@@ -352,35 +413,93 @@ def sample_frames(
     via mapInPandas, inheriting the input partitioning (no shuffle).
 
     Stub decode: frame i is the payload's i-th ``frame_bytes`` slice
-    (short payloads yield fewer frames) — deterministic, so the full
-    pipeline carries a DuckDB oracle; ``decode_stub=False`` raises
-    where ffmpeg-style keyframe extraction would plug in.
+    (short payloads yield fewer frames) — deterministic plumbing fake.
+
+    ``decode_stub=False`` is the REAL path for YUV4MPEG2 payloads
+    (magic-sniffed): videocodec parses the container and ``n_frames``
+    source frames are sampled uniformly over the stream
+    (``videocodec.sample_indices`` — floor(k·total/n), the integer
+    rule a SQL oracle reproduces), each emitted with its SOURCE frame
+    index and raw plane bytes.  Compressed codecs raise
+    NotImplementedError at the magic boundary, where PyAV/ffmpeg would
+    plug in — the imagecodec/wave seam pattern applied to video.
     """
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real frame sampling requires ffmpeg/av; "
-                    "run with decode_stub=True in this environment"
-                )
             rows = []
             for mid, buf in zip(pdf["media_id"], pdf["payload"]):
                 if buf is None:
                     continue
                 raw = bytes(buf)
-                for i in range(n_frames):
-                    seg = raw[i * frame_bytes:(i + 1) * frame_bytes]
-                    if not seg:
-                        break
-                    rows.append((int(mid), i, seg, len(seg)))
+                if decode_stub:
+                    for i in range(n_frames):
+                        seg = raw[i * frame_bytes:(i + 1) * frame_bytes]
+                        if not seg:
+                            break
+                        rows.append((int(mid), i, seg, len(seg)))
+                    continue
+                if not raw.startswith(videocodec.Y4M_MAGIC):
+                    raise NotImplementedError(
+                        "real frame sampling supports uncompressed "
+                        "YUV4MPEG2 only in this environment; compressed "
+                        "codecs need ffmpeg/av (plug in at this seam)"
+                    )
+                _, frames = videocodec.decode_y4m(raw)
+                for i in videocodec.sample_indices(len(frames), n_frames):
+                    rows.append((int(mid), i, frames[i], len(frames[i])))
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_idx", "frame", "n_bytes"]
             )
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+FRAME_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("p_min", T.IntegerType(), True),
+    T.StructField("p_max", T.IntegerType(), True),
+    T.StructField("p_sum", T.LongType(), True),
+    T.StructField("p_sumsq", T.LongType(), True),
+])
+
+
+def frame_pixel_stats(frames: DataFrame) -> DataFrame:
+    """Per-frame pixel statistics over sampled plane bytes: min / max /
+    sum / sum-of-squares of the grayscale plane, exact integer math
+    (the audio operator's unrooted-RMS convention), so a DuckDB oracle
+    can compare without float folds.  Arrow-batched mapInPandas over
+    whatever partitioning :func:`sample_frames` emitted — no shuffle.
+    """
+    cols = list(FRAME_STATS_SCHEMA.fieldNames())
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, idx, buf in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["frame"]
+            ):
+                if buf is None:
+                    rows.append((int(mid), int(idx)) + (None,) * 5)
+                    continue
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8).astype(
+                    np.int64
+                )
+                rows.append((
+                    int(mid), int(idx), len(arr),
+                    int(arr.min()), int(arr.max()),
+                    int(arr.sum()), int((arr * arr).sum()),
+                ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return frames.mapInPandas(batches, schema=FRAME_STATS_SCHEMA)
 
 
 def resize_media(

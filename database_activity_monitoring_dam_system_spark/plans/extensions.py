@@ -1552,6 +1552,50 @@ GROUP BY doc_id
 """
 
 
+def _q_video_frame_features(spark, sf_dir):
+    """REAL video decode end-to-end: synth_y4m_media writes a
+    YUV4MPEG2 stream per doc (videocodec.encode_y4m, 8 mono 6×4
+    frames; pixels = md5(text) digest tiled), sample_frames with
+    decode_stub=False parses the container back (videocodec.decode_y4m)
+    and uniformly samples 4 source frames (indices 0,2,4,6 by the
+    floor(k·total/n) rule), frame_pixel_stats reduces each sampled
+    plane to exact-integer statistics.  The oracle derives the same
+    per-frame stats arithmetically from the md5 hex — a hash match
+    proves the Y4M container round-trips byte-exactly AND the sampling
+    rule is the declared one."""
+    media = multimodal.synth_y4m_media(_docs(spark, sf_dir))
+    frames = multimodal.sample_frames(media, n_frames=4, decode_stub=False)
+    return multimodal.frame_pixel_stats(frames)
+
+
+# The mono pixel stream is md5(text)'s 16 bytes tiled to 8 frames ×
+# 24 bytes (6×4 plane): byte j of the stream is digest[j % 16]; frame
+# f covers j ∈ [24f, 24f+24); sampled source frames = floor(k·8/4) =
+# {0, 2, 4, 6}.
+_VIDEO_FRAME_SQL = r"""
+WITH bytes AS (
+  SELECT d.doc_id, t.j // 24 AS f,
+         (strpos('0123456789abcdef',
+                 substr(md5(coalesce(d.text, '')),
+                        ((t.j % 16) * 2) + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef',
+                   substr(md5(coalesce(d.text, '')),
+                          ((t.j % 16) * 2) + 2, 1)) - 1) AS b
+  FROM documents d, generate_series(0, 191) t(j)
+)
+SELECT doc_id AS media_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(24 AS BIGINT) AS n_bytes,
+       CAST(min(b) AS INTEGER) AS p_min,
+       CAST(max(b) AS INTEGER) AS p_max,
+       CAST(sum(b) AS BIGINT) AS p_sum,
+       CAST(sum(b * b) AS BIGINT) AS p_sumsq
+FROM bytes
+WHERE f % 2 = 0
+GROUP BY doc_id, f
+"""
+
+
 _GEO_COUNTRIES = (
     "US", "DE", "IN", "BR", "JP", "GB", "FR", "AU",
     "CA", "NL", "SG", "KR",
@@ -2218,6 +2262,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_audio_decode_features, _AUDIO_DECODE_SQL,
         "REAL WAV decode (stdlib wave reader, 16-bit stereo PCM) → "
         "per-channel integer statistics, oracle-pinned byte-exactly",
+    ),
+    "video_frame_features": QuerySpec(
+        _q_video_frame_features, _VIDEO_FRAME_SQL,
+        "REAL Y4M video decode (pure-stdlib YUV4MPEG2 parser) → "
+        "uniform frame sampling → per-frame integer pixel statistics, "
+        "oracle-pinned byte-exactly",
     ),
     "geo_external_top_countries": QuerySpec(
         _q_geo_external_top_countries, _geo_external_sql(),

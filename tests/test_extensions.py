@@ -914,6 +914,103 @@ def test_frame_sample_and_resize_plumbing(spark):
         multimodal.resize_media(media, width=2, height=2, decode_stub=False).collect()
 
 
+def test_y4m_codec_roundtrip_and_seams():
+    """videocodec round-trips YUV4MPEG2 byte-exactly, honors the spec
+    default colorspace, sizes every supported colorspace correctly,
+    raises on truncation/bad magic/unknown colorspace, and the uniform
+    sampling rule matches its documented floor(k·total/n) closed form."""
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        videocodec,
+    )
+
+    frames = [bytes(range(i, i + 24)) for i in range(5)]
+    payload = videocodec.encode_y4m(frames, width=6, height=4,
+                                    colorspace="mono", fps=(30, 1))
+    params, got = videocodec.decode_y4m(payload)
+    assert got == frames
+    assert params == {
+        "width": 6, "height": 4, "colorspace": "mono",
+        "fps_num": 30, "fps_den": 1, "n_frames": 5,
+    }
+
+    # spec default colorspace when C token is absent: 420jpeg
+    hdr = b"YUV4MPEG2 W4 H2 F25:1\n"
+    p2, g2 = videocodec.decode_y4m(hdr + b"FRAME\n" + bytes(12))
+    assert p2["colorspace"] == "420jpeg" and len(g2[0]) == 12
+
+    # frame sizes per colorspace
+    assert videocodec.frame_size(4, 2, "mono") == 8
+    assert videocodec.frame_size(4, 2, "420jpeg") == 12
+    assert videocodec.frame_size(4, 2, "422") == 16
+    assert videocodec.frame_size(4, 2, "444") == 24
+    with _pytest.raises(NotImplementedError):
+        videocodec.frame_size(4, 2, "h264")
+
+    # honesty contract: truncated stream / bad magic raise
+    with _pytest.raises(ValueError, match="truncated frame"):
+        videocodec.decode_y4m(payload[:-1])
+    with _pytest.raises(ValueError, match="bad magic"):
+        videocodec.decode_y4m(b"RIFF" + payload)
+    with _pytest.raises(ValueError, match="expected FRAME"):
+        videocodec.decode_y4m(payload + b"JUNK")
+    with _pytest.raises(ValueError):
+        videocodec.encode_y4m([bytes(23)], width=6, height=4,
+                              colorspace="mono")
+
+    # sampling rule: floor(k*total/n), deduped, ascending
+    assert videocodec.sample_indices(8, 4) == [0, 2, 4, 6]
+    assert videocodec.sample_indices(3, 4) == [0, 1, 2]
+    assert videocodec.sample_indices(10, 3) == [0, 3, 6]
+    assert videocodec.sample_indices(0, 4) == []
+
+
+def test_y4m_real_frame_sampling(spark):
+    """synth_y4m_media writes genuine Y4M containers, the real
+    sample_frames path recovers the exact tiled-md5 planes at the
+    uniform sample indices, frame_pixel_stats reduces them exactly,
+    and non-Y4M payloads raise at the magic boundary."""
+    import hashlib
+
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    docs = spark.createDataFrame(
+        [(1, "alpha doc"), (2, None)], "doc_id long, text string"
+    )
+    media = multimodal.synth_y4m_media(docs)
+    mrows = {r.media_id: r for r in media.collect()}
+    assert mrows[1].meta.mime == "video/x-yuv4mpeg"
+    assert bytes(mrows[1].payload).startswith(b"YUV4MPEG2 W6 H4")
+
+    frames = multimodal.sample_frames(media, n_frames=4, decode_stub=False)
+    by_media = {}
+    for r in frames.collect():
+        by_media.setdefault(r.media_id, {})[r.frame_idx] = bytes(r.frame)
+    for doc_id, text in [(1, "alpha doc"), (2, None)]:
+        digest = hashlib.md5(("" if text is None else text).encode()).digest()
+        stream = (digest * 12)[:192]
+        got = by_media[doc_id]
+        assert sorted(got) == [0, 2, 4, 6]
+        for f, plane in got.items():
+            assert plane == stream[f * 24:(f + 1) * 24]
+
+    stats = multimodal.frame_pixel_stats(frames).collect()
+    assert len(stats) == 8
+    for r in stats:
+        plane = by_media[r.media_id][r.frame_idx]
+        assert r.n_bytes == 24
+        assert r.p_min == min(plane) and r.p_max == max(plane)
+        assert r.p_sum == sum(plane)
+        assert r.p_sumsq == sum(b * b for b in plane)
+
+    # compressed/unknown codecs raise at the magic seam
+    fake = multimodal.synth_media(docs)
+    with _pytest.raises(PythonException, match="NotImplementedError"):
+        multimodal.sample_frames(fake, decode_stub=False).collect()
+
+
 def test_wav_audio_roundtrip_and_seams(spark):
     """synth_wav_media writes genuine RIFF/WAV containers (stdlib wave
     can reopen them), decode_audio_features recovers the exact tiled
