@@ -313,6 +313,50 @@ def minhash_near_duplicates(
     )
 
 
+def minhash_near_duplicates_from_sigs(
+    docs: DataFrame,
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.9,
+    shingle: int = 1,
+) -> DataFrame:
+    """Near-dup pairs from a PRECOMPUTED signature table — the
+    incremental-crawl form of :func:`minhash_near_duplicates`.
+
+    Signatures are pure per-doc functions of (text, shingle,
+    num_hashes), so a refresh run carries them forward for unchanged
+    documents (corpus_diff) and computes them for the delta only;
+    candidate generation stays corpus-global (a delta doc can collide
+    with an unchanged one).  Shingle arrays for the exact-Jaccard
+    verify are recomputed ONLY for documents that appear in candidate
+    pairs (semi-join before tokenization) — at crawl-refresh scale the
+    full-text scan touches delta ∪ candidates, never the whole corpus.
+
+    Output is identical to minhash_near_duplicates given signatures
+    computed with the same (shingle, num_hashes) — asserted in
+    test_pipeline's incremental-equals-full case.
+    """
+    cands = minhash_candidate_pairs(
+        signatures, id_col=id_col, num_hashes=num_hashes, bands=bands
+    ).localCheckpoint(eager=False)  # reused: id set + two verify joins
+    cand_ids = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .unionByName(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = docs.join(cand_ids, id_col, "left_semi")
+    arrs = token_arrays(
+        cand_docs, id_col=id_col, text_col=text_col, shingle=shingle
+    ).select(id_col, "toks")
+    return _verify_pairs_jaccard(
+        cands, arrs, id_col=id_col, threshold=threshold
+    )
+
+
 def minhash_signatures_md5(
     docs_with_toks: DataFrame,
     *,

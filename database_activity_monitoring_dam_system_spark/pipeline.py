@@ -27,15 +27,19 @@ an old document — cluster composition is corpus-global and is never
 carried).
 
 Incremental mode (the 100 TB crawl-refresh story): pass
-``state_dir=`` to persist the gate table with a run's outputs, then
-``old_snapshot=`` + ``old_state_dir=`` on the next snapshot — the
-pipeline diffs raw fingerprints (corpus_diff, normalize=False: ANY
-byte change re-processes), reuses gate rows for unchanged documents,
-and runs the per-doc text scans over added ∪ changed only.  Output is
-provably identical to a full recompute (asserted in test_pipeline)
-because gate rows are pure per-doc functions of unchanged bytes; the
-caller's obligation, checked by shape markers in the state table, is
-that the reference corpus and benchmark set are also unchanged.
+``state_dir=`` to persist the per-doc state with a run's outputs,
+then ``old_snapshot=`` + ``old_state_dir=`` on the next snapshot —
+the pipeline diffs raw fingerprints (corpus_diff, normalize=False:
+ANY byte change re-processes), reuses gate rows AND MinHash
+signatures for unchanged documents, and runs the per-doc text scans
+over added ∪ changed only (the Jaccard verify re-shingles candidate
+docs, nothing else).  Output is provably identical to a full
+recompute (asserted in test_pipeline) because gate rows and
+signatures are pure per-doc functions of unchanged bytes; the
+caller's obligation, checked by shape markers in the state tables, is
+that the reference corpus and benchmark set are also unchanged (a
+changed dedup config just drops the signature carry — outputs don't
+depend on where signatures came from).
 
 Scale: the stages keep their individual shuffle inventories
 (SCALE.md); the composition adds no extra exchange — the quality gate
@@ -54,6 +58,8 @@ from pyspark.sql import functions as F
 from .operators import dedup, packing, sampling, similarity, textops
 
 _GATE_COLS = ("doc_id", "fp", "q_keep", "avg_logp", "contaminated")
+_NUM_HASHES = 32
+_SIG_COLS = ("doc_id", *(f"mh{i}" for i in range(_NUM_HASHES)))
 
 
 def _gate_table(
@@ -172,9 +178,11 @@ def run_corpus_pipeline(
 
     # 1. per-doc gate table — fresh for the delta, carried for
     # byte-identical documents when incremental state is given
+    carried_ids = None
+    old_sigs = None
     if old_snapshot is not None:
         spark = docs.sparkSession
-        old_state = spark.read.parquet(old_state_dir)
+        old_state = spark.read.parquet(old_state_dir + "/gates")
         marker = old_state.select("has_fluency", "has_benchmark").first()
         if marker is not None and (
             marker["has_fluency"] != has_fluency
@@ -199,6 +207,23 @@ def run_corpus_pipeline(
         ).unionByName(carried).persist()
         report["n_carried"] = carried.count()
         report["n_delta"] = census["n_with_text"] - report["n_carried"]
+        # MinHash signatures are per-doc pure functions of (text,
+        # shingle, num_hashes) too — carry them for unchanged keepers
+        # when the stored sig configuration matches; a config change
+        # silently falls back to full recompute (output is identical
+        # either way, unlike the gate-shape case above).
+        try:
+            raw_sigs = spark.read.parquet(old_state_dir + "/sigs")
+            sig_marker = raw_sigs.select(
+                "sig_shingle", "sig_num_hashes"
+            ).first()
+            if sig_marker is not None and (
+                sig_marker["sig_shingle"] == dedup_shingle
+                and sig_marker["sig_num_hashes"] == _NUM_HASHES
+            ):
+                old_sigs = raw_sigs.select(*_SIG_COLS)
+        except Exception:  # state written before sigs were persisted
+            old_sigs = None
     else:
         gates = _gate_table(docs, fluency_reference, benchmark).persist()
 
@@ -216,13 +241,39 @@ def run_corpus_pipeline(
     # ALWAYS corpus-global — a delta doc can near-dup an unchanged
     # one, so clustering never reuses old state.
     bands, _rows = similarity.minhash_params_for_threshold(
-        dedup_threshold, num_hashes=32
+        dedup_threshold, num_hashes=_NUM_HASHES
     )
-    pairs = dedup.minhash_near_duplicates(
+    # Signature table: carried for unchanged keepers (per-doc pure
+    # function), fresh for the delta; candidate generation and the
+    # Jaccard verify stay corpus-global inside
+    # minhash_near_duplicates_from_sigs (verify re-shingles candidate
+    # docs only — the full-text scan touches delta ∪ candidates).
+    if old_sigs is not None:
+        carried_sigs = (
+            old_sigs.join(carried_ids, "doc_id")
+            .join(kept.select("doc_id"), "doc_id", "left_semi")
+            .select(*_SIG_COLS)
+        )
+        fresh_sig_docs = kept.join(
+            carried_sigs.select("doc_id"), "doc_id", "left_anti"
+        )
+        fresh_sigs = dedup.minhash_signatures_arr(
+            dedup.token_arrays(fresh_sig_docs, shingle=dedup_shingle),
+            num_hashes=_NUM_HASHES,
+        ).select(*_SIG_COLS)
+        sigs = fresh_sigs.unionByName(carried_sigs).persist()
+        report["n_sigs_carried"] = carried_sigs.count()
+    else:
+        sigs = dedup.minhash_signatures_arr(
+            dedup.token_arrays(kept, shingle=dedup_shingle),
+            num_hashes=_NUM_HASHES,
+        ).select(*_SIG_COLS).persist()
+    pairs = dedup.minhash_near_duplicates_from_sigs(
         kept,
+        sigs,
         threshold=dedup_threshold,
         shingle=dedup_shingle,
-        num_hashes=32,
+        num_hashes=_NUM_HASHES,
         bands=bands,
     )
     clusters = dedup.duplicate_clusters(pairs)
@@ -278,13 +329,20 @@ def run_corpus_pipeline(
         report["n_fluent"] - report["n_clean"]
     )
 
-    # 6. persist the gate table for the next (incremental) run
+    # 6. persist the per-doc state for the next (incremental) run:
+    # gate table + keeper signature table, each with its shape markers
     if state_dir is not None:
         (
             gates.withColumn("has_fluency", F.lit(has_fluency))
             .withColumn("has_benchmark", F.lit(has_benchmark))
             .write.mode("overwrite")
-            .parquet(state_dir)
+            .parquet(state_dir + "/gates")
+        )
+        (
+            sigs.withColumn("sig_shingle", F.lit(dedup_shingle))
+            .withColumn("sig_num_hashes", F.lit(_NUM_HASHES))
+            .write.mode("overwrite")
+            .parquet(state_dir + "/sigs")
         )
 
     # 7. epoch planning over the surviving corpus (optional)
@@ -308,4 +366,5 @@ def run_corpus_pipeline(
     ]
     clean.unpersist()
     gates.unpersist()
+    sigs.unpersist()
     return report

@@ -244,6 +244,11 @@ def test_pipeline_incremental_equals_full_recompute(spark, tmp_path):
     # (whitespace churn MUST re-process — quality ratios see raw text)
     assert inc["n_carried"] == 2
     assert inc["n_delta"] == 3
+    # ...and the MinHash signatures rode along for the unchanged
+    # keepers (1 and 5 are byte-identical AND quality-kept), so the
+    # dedup stage re-shingled only delta ∪ candidate docs
+    assert inc["n_sigs_carried"] == 2
+    assert "n_sigs_carried" not in full  # full runs compute all fresh
 
     for key in (
         "n_quality", "n_deduped", "n_fluent", "n_clean",
@@ -261,6 +266,18 @@ def test_pipeline_incremental_equals_full_recompute(spark, tmp_path):
     survivors = {r[cols.index("doc_id")] for r in frames[1]}
     assert 4 in survivors and 1 not in survivors  # added doc displaced 1
     assert 5 not in survivors  # carried contamination flag applied
+
+    # a changed dedup config silently drops the signature carry (the
+    # output doesn't depend on where signatures came from, unlike the
+    # gate-shape case below) — gates still ride, sigs recompute fresh
+    inc2 = pipeline.run_corpus_pipeline(
+        snap_b, str(tmp_path / "inc2_shards"),
+        old_snapshot=snap_a,
+        old_state_dir=str(tmp_path / "state_a"),
+        dedup_shingle=2, **common,
+    )
+    assert inc2["n_carried"] == 2
+    assert "n_sigs_carried" not in inc2
 
     # state written with a different gate shape refuses to be reused
     import pytest as _pytest
