@@ -783,6 +783,234 @@ def quantized_topk(
     )
 
 
+def _pq_slices(m: int, dim: int) -> list[tuple[int, int]]:
+    """(1-based start, length) of each contiguous PQ subspace."""
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    return [(j * dsub + 1, dsub) for j in range(m)]
+
+
+def pq_train(
+    embeddings: DataFrame,
+    *,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split the d-dim space
+    into ``m`` contiguous subspaces and run an independent
+    decimal-exact Lloyd (:func:`_lloyd_exact_rounds`) of ``ksub``
+    centroids in each — the Jégou et al. PQ construction (TPAMI 2011),
+    which is how FAISS builds its IndexPQ codebooks.
+
+    Seeding mirrors kmeans_lloyd_exact: the ksub lowest-id vectors'
+    sub-slices seed subspace j — deterministic, so the DuckDB oracle
+    can re-derive the identical codebooks by unrolling the same
+    rounds in SQL (plans/extensions.py `_pq_refine_ctes`).
+
+    Returns ``codebooks[j][c]`` = centroid c of subspace j
+    (m × ksub × d/m floats — the whole index structure is k·d
+    numbers, trivially broadcastable at any corpus size).
+    """
+    slices = _pq_slices(m, dim)
+    v = _as_double(vec_col)
+    seed_rows = (
+        embeddings.select(F.col(id_col), v.alias("v"))
+        .orderBy(id_col)
+        .limit(ksub)
+        .collect()
+    )
+    if len(seed_rows) < ksub:
+        raise ValueError("pq_train: corpus smaller than ksub")
+    codebooks: list[list[list[float]]] = []
+    for lo, ln in slices:
+        sub = F.slice(v, lo, ln)
+        corpus_j = embeddings.select(
+            F.col(id_col),
+            sub.alias("vec"),
+            _dot(sub, sub).alias("_norm2"),
+        ).persist()
+        try:
+            seeds_j = [
+                list(r["v"])[lo - 1 : lo - 1 + ln] for r in seed_rows
+            ]
+            codebooks.append(
+                _lloyd_exact_rounds(corpus_j, seeds_j, iters, id_col=id_col)
+            )
+        finally:
+            corpus_j.unpersist()
+    return codebooks
+
+
+def _pq_prepared(
+    embeddings: DataFrame,
+    m: int,
+    dim: int,
+    *,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One zero-shuffle projection with per-subspace slice + squared
+    norm columns (s{j}, n{j}) — shared by encode and query sides."""
+    v = _as_double(vec_col)
+    cols = [F.col(id_col)]
+    for j, (lo, ln) in enumerate(_pq_slices(m, dim)):
+        sub = F.slice(v, lo, ln)
+        cols.append(sub.alias(f"s{j}"))
+        cols.append(_dot(sub, sub).alias(f"n{j}"))
+    return embeddings.select(*cols)
+
+
+def _pq_sub_sqdist(j: int, cvec: list[float]) -> Column:
+    """Squared L2 of subspace slice s{j} to a literal sub-centroid —
+    the _sqdist expansion against the precomputed n{j} norm column."""
+    c_norm2 = sum(x * x for x in cvec)
+    return F.expr(
+        f"n{j} - 2.0D * {_dot_literal_sql(f's{j}', cvec)} + {c_norm2!r}D"
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as m uint8-range codes — per subspace the
+    argmin-distance codebook entry (ties → lowest code, same rule as
+    kmeans_assign). Pure projection against LITERAL codebooks: zero
+    shuffle, O(N·ksub·d) flops, and the output row is m small ints —
+    the 32×-ish compression (64×8B → 4×1B range) that lets a 100 TB
+    embedding corpus's codes live in memory across a cluster.
+
+    Output: (id, code0..code{m-1} int).
+    """
+    m = len(codebooks)
+    prepared = _pq_prepared(
+        embeddings, m, dim, id_col=id_col, vec_col=vec_col
+    )
+    out_cols = [F.col(id_col)]
+    for j, book in enumerate(codebooks):
+        dists = F.array(*[_pq_sub_sqdist(j, c) for c in book])
+        out_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(f"code{j}")
+        )
+    return prepared.select(*out_cols)
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the corpus is
+    compared through its codes only — dist(q, x) ≈ Σⱼ ‖q⁽ʲ⁾ −
+    Cⱼ[codeⱼ(x)]‖² — while queries stay full-precision (Jégou's ADC,
+    the variant with the better distance estimate).
+
+    Plan shape: corpus encoded in one zero-shuffle projection
+    (:func:`pq_encode`'s argmin against literal codebooks), queries
+    broadcast with raw sub-slices, per-subspace distance recovered
+    from the code by a CASE over the ksub literal centroids, summed
+    j-ascending. At production query volume the CASE becomes a
+    precomputed q×m×ksub lookup table — a few KB broadcast — but the
+    expression form is what both engines evaluate bit-identically,
+    which is what the driver's value-hash gate needs.
+
+    Ranking: ascending ADC distance, ties → lowest neighbor_id.
+    Output: (query_id, neighbor_id, rank, adc_dist round 6).
+    """
+    if codebooks is None:
+        codebooks = pq_train(
+            embeddings, m=m, ksub=ksub, iters=iters, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        )
+    m = len(codebooks)
+    codes = pq_encode(
+        embeddings, codebooks, dim=dim, id_col=id_col, vec_col=vec_col
+    ).withColumnRenamed(id_col, "neighbor_id")
+    queries = (
+        _pq_prepared(
+            embeddings.filter(F.col(id_col).isin(query_ids)),
+            m, dim, id_col=id_col, vec_col=vec_col,
+        )
+        .withColumnRenamed(id_col, "query_id")
+    )
+    joined = codes.join(
+        F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
+    )
+    dist = None
+    for j, book in enumerate(codebooks):
+        dj = F.when(F.col(f"code{j}") == 0, _pq_sub_sqdist(j, book[0]))
+        for c, cvec in enumerate(book[1:], start=1):
+            dj = dj.when(F.col(f"code{j}") == c, _pq_sub_sqdist(j, cvec))
+        dist = dj if dist is None else dist + dj
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist_raw"), F.asc("neighbor_id")
+    )
+    return (
+        joined.withColumn("adc_dist_raw", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("adc_dist_raw", 6).alias("adc_dist"),
+        )
+    )
+
+
+def save_pq_index(
+    spark, codebooks: list[list[list[float]]], path: str
+) -> None:
+    """Persist PQ codebooks as parquet — the same serving-artifact
+    contract as :func:`save_ivf_index`: train once per corpus
+    snapshot, every restarted serving job loads instead of retraining.
+    Schema: (subspace, code, centroid array<double>); doubles
+    round-trip parquet bit-exactly so loaded-index plans are
+    literal-identical to fresh-trained ones."""
+    rows = [
+        (j, c, [float(x) for x in cvec])
+        for j, book in enumerate(codebooks)
+        for c, cvec in enumerate(book)
+    ]
+    (
+        spark.createDataFrame(
+            rows, "subspace int, code int, centroid array<double>"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_pq_index(spark, path: str) -> list[list[list[float]]]:
+    """Load a :func:`save_pq_index` artifact back into the
+    ``codebooks=`` form :func:`pq_topk` accepts."""
+    rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
+    books: dict[int, list] = {}
+    for r in rows:
+        books.setdefault(r.subspace, []).append(list(r.centroid))
+    return [books[j] for j in sorted(books)]
+
+
 def auto_band_bits(
     corpus_size: int,
     *,

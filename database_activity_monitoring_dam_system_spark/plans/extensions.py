@@ -1029,6 +1029,175 @@ FROM ranked WHERE rank <= 10
 """
 
 
+_PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_DIM = 4, 16, 2, 64
+
+# PQ codebooks are an index artifact exactly like the IVF quantizer:
+# same serving-only memo + optional parquet persistence contract.
+_PQ_INDEX_CACHE: dict[tuple, list] = {}
+
+
+def _q_pq_ann_topk(spark, sf_dir):
+    import os
+
+    from .dam import _index_path
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    serving = os.environ.get("SPARK_DAM_SHARE_FRAMES") == "1"
+    key = (os.path.realpath(sf_dir), _PQ_M, _PQ_KSUB, _PQ_ITERS)
+    books = _PQ_INDEX_CACHE.get(key) if serving else None
+    if books is None:
+        path = _index_path("pq_codebooks", sf_dir) if serving else None
+        if path is not None and os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            books = similarity.load_pq_index(spark, path)
+        else:
+            books = similarity.pq_train(
+                emb, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, dim=_PQ_DIM
+            )
+            if path is not None:
+                similarity.save_pq_index(spark, books, path)
+        if serving:
+            _PQ_INDEX_CACHE[key] = books
+    return similarity.pq_topk(
+        emb, _QUERY_IDS, k=10, m=_PQ_M, ksub=_PQ_KSUB,
+        iters=_PQ_ITERS, dim=_PQ_DIM, codebooks=books,
+    )
+
+
+def _pq_sub_ctes(j: int, lo: int, dsub: int, ksub: int, iters: int) -> str:
+    """Unrolled decimal-exact Lloyd for ONE PQ subspace — the
+    _lloyd_refine_ctes construction applied to the slice
+    ``v[lo : lo+dsub-1]`` with prefixed CTE names (p{j}…), ending at
+    codebook ``p{j}c{iters}`` (cid, cv, cn2) and encode stage
+    ``p{j}e`` (vec_id, code). Seeds = the ksub lowest-id vectors'
+    sub-slices, identical to similarity.pq_train."""
+    hi = lo + dsub - 1
+    mean_cols = ",\n         ".join(
+        f"CAST(sum(CAST(v[{d + 1}] AS DECIMAL(27,12))) AS DOUBLE)"
+        f" / count(*) AS m{d}"
+        for d in range(dsub)
+    )
+    mean_list = "[" + ", ".join(f"m{d}" for d in range(dsub)) + "]"
+
+    def assign(r: int, out: str) -> str:
+        return f"""{out} AS (
+  SELECT vec_id, v, cid
+  FROM (
+    SELECT n.vec_id, n.v, c.cid,
+           n.norm2 - 2.0 * list_dot_product(n.v, c.cv) + c.cn2 AS dist
+    FROM p{j}n n CROSS JOIN p{j}c{r - 1} c
+  )
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+)"""
+
+    parts = [
+        f"""p{j}n AS (
+  SELECT vec_id, v, list_dot_product(v, v) AS norm2
+  FROM (SELECT vec_id,
+               (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS v
+        FROM embeddings)
+),
+p{j}c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid,
+         v AS cv, list_dot_product(v, v) AS cn2
+  FROM (SELECT vec_id, v FROM p{j}n ORDER BY vec_id LIMIT {ksub})
+)"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(assign(r, f"p{j}a{r}"))
+        parts.append(
+            f"""p{j}m{r} AS (
+  SELECT cid,
+         {mean_cols}
+  FROM p{j}a{r} GROUP BY 1
+),
+p{j}c{r} AS (
+  SELECT p{j}c{r - 1}.cid,
+         COALESCE(mm.cv, p{j}c{r - 1}.cv) AS cv,
+         list_dot_product(COALESCE(mm.cv, p{j}c{r - 1}.cv),
+                          COALESCE(mm.cv, p{j}c{r - 1}.cv)) AS cn2
+  FROM p{j}c{r - 1}
+  LEFT JOIN (SELECT cid, {mean_list} AS cv FROM p{j}m{r}) mm USING (cid)
+)"""
+        )
+    parts.append(
+        f"""p{j}e AS (
+  SELECT vec_id, cid AS code
+  FROM (
+    SELECT n.vec_id, c.cid,
+           n.norm2 - 2.0 * list_dot_product(n.v, c.cv) + c.cn2 AS dist
+    FROM p{j}n n CROSS JOIN p{j}c{iters} c
+  )
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+)"""
+    )
+    return ",\n".join(parts)
+
+
+def _pq_ann_sql() -> str:
+    """ADC oracle: per-subspace codebooks re-derived by the same
+    unrolled decimal Lloyd the Spark side runs (so they match
+    bit-for-bit), corpus encoded per subspace by argmin, and the
+    asymmetric distance recovered per subspace by joining the code
+    back to its centroid — summed j-ascending, the exact operation
+    order of similarity.pq_topk's CASE-sum expression."""
+    m, ksub, iters, dim = _PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_DIM
+    dsub = dim // m
+    subs = ",\n".join(
+        _pq_sub_ctes(j, j * dsub + 1, dsub, ksub, iters) for j in range(m)
+    )
+    qids = ", ".join(str(i) for i in _QUERY_IDS)
+    enc_joins = "\n  ".join(
+        f"JOIN p{j}e e{j} ON e{j}.vec_id = e0.vec_id" for j in range(1, m)
+    )
+    enc_cols = ", ".join(f"e{j}.code AS code{j}" for j in range(m))
+    q_cols = ", ".join(
+        f"q{j}.v AS qs{j}, q{j}.norm2 AS qn{j}" for j in range(m)
+    )
+    q_joins = "\n  ".join(
+        f"JOIN p{j}n q{j} ON q{j}.vec_id = q0.vec_id"
+        for j in range(1, m)
+    )
+    book_joins = "\n  ".join(
+        f"JOIN p{j}c{iters} b{j} ON b{j}.cid = e.code{j}" for j in range(m)
+    )
+    adc = " + ".join(
+        f"(q.qn{j} - 2.0 * list_dot_product(q.qs{j}, b{j}.cv) + b{j}.cn2)"
+        for j in range(m)
+    )
+    return f"""
+WITH {subs},
+enc AS (
+  SELECT e0.vec_id, {enc_cols}
+  FROM p0e e0
+  {enc_joins}
+),
+q AS (
+  SELECT q0.vec_id AS query_id, {q_cols}
+  FROM p0n q0
+  {q_joins}
+  WHERE q0.vec_id IN ({qids})
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {adc} AS adc
+  FROM enc e CROSS JOIN q
+  {book_joins}
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(adc, 6) AS adc_dist
+FROM ranked WHERE rank <= 10
+"""
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Registry projection of the media feature pipeline: the array
     column is element-projected (f0..f7) so the result is
@@ -2424,6 +2593,13 @@ QUERIES: dict[str, QuerySpec] = {
         _q_ivf_ann_topk, _ivf_ann_sql(),
         "IVF ANN top-10: literal-centroid assign (zero shuffle) + "
         "probed-list exact re-rank, full DuckDB oracle",
+    ),
+    "embedding_pq_topk": QuerySpec(
+        _q_pq_ann_topk, _pq_ann_sql(),
+        "product-quantization ADC top-10 (Jégou PQ / FAISS IndexPQ "
+        "shape): per-subspace decimal-exact codebooks, zero-shuffle "
+        "argmin encode, asymmetric distance from codes — full DuckDB "
+        "oracle re-deriving the codebooks by unrolled Lloyd",
     ),
     "multimodal_features": QuerySpec(
         _q_multimodal_features, _multimodal_sql(),

@@ -1131,3 +1131,89 @@ def test_shared_index_artifacts_survive_restart(spark, tmp_path, monkeypatch):
     assert sorted(map(tuple, again.collect())) == rows
     dam._FRAME_CACHE.pop(("dedup_clusters", __import__("os").path.realpath(
         str(tmp_path))), None)
+
+
+def test_pq_encode_shapes_and_determinism(spark):
+    """PQ codebooks have m × ksub × d/m structure, every vector gets m
+    in-range codes, and encode is deterministic (argmin with
+    lowest-code tie rule over literal codebooks — pure projection)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = similarity.pq_train(emb, m=4, ksub=8, iters=1, dim=64)
+    assert len(books) == 4
+    assert all(len(b) == 8 for b in books)
+    assert all(len(c) == 16 for b in books for c in b)
+    codes = similarity.pq_encode(emb, books, dim=64).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        for j in range(4):
+            assert 0 <= r[f"code{j}"] < 8
+    again = similarity.pq_encode(emb, books, dim=64).collect()
+    assert sorted(map(tuple, codes)) == sorted(map(tuple, again))
+
+
+def test_pq_topk_recall_vs_bruteforce(spark):
+    """ADC over 4×16 codebooks on a RANDOM 64-d corpus (worst case for
+    PQ — no subspace structure) still lands a usable fraction of the
+    true L2 top-10; and the ranking is k rows per query, self
+    excluded."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    # brute-force L2 top-10 (PQ approximates L2 distance, not cosine)
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select(F.col("vec_id"), v.alias("v"))
+    q = base.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    from pyspark.sql import Window
+
+    d2 = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in base.join(
+            F.broadcast(q), F.col("query_id") != F.col("vec_id")
+        )
+        .withColumn("d2", d2)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .collect()
+    }
+    pq = similarity.pq_topk(emb, qids, k=10, m=4, ksub=16, iters=2).collect()
+    got = {(r.query_id, r.neighbor_id) for r in pq}
+    assert len(pq) == 50
+    assert all(r.query_id != r.neighbor_id for r in pq)
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.2, f"PQ recall degenerate: {recall:.2f}"
+
+
+def test_pq_index_save_load_identical(spark, tmp_path):
+    """Persisted PQ codebooks load back bit-identical (doubles
+    round-trip parquet exactly): pq_topk over a loaded index returns
+    EXACTLY the fresh-trained results — same restart contract as the
+    IVF quantizer."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = similarity.pq_train(emb, m=4, ksub=8, iters=1, dim=64)
+    path = str(tmp_path / "pq_index")
+    similarity.save_pq_index(spark, books, path)
+    loaded = similarity.load_pq_index(spark, path)
+    assert loaded == books  # exact float equality, not approx
+    qids = [0, 1, 2]
+    fresh = similarity.pq_topk(
+        emb, qids, k=5, m=4, ksub=8, iters=1, codebooks=books
+    ).collect()
+    reload = similarity.pq_topk(
+        emb, qids, k=5, m=4, ksub=8, iters=1, codebooks=loaded
+    ).collect()
+    assert sorted(map(tuple, fresh)) == sorted(map(tuple, reload))
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_train(emb, m=5, ksub=4, iters=1, dim=64)
