@@ -977,6 +977,141 @@ def pq_topk(
     )
 
 
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    refine_iters: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    centroids: list[tuple] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the FAISS ``IndexIVFPQ`` shape re-expressed
+    relationally — the coarse quantizer prunes each query to
+    ``n_probe`` inverted lists (≈ n_probe/C of the corpus) and PQ
+    codes stand in for the raw vectors inside those lists, so a query
+    touches neither most of the corpus nor any full-precision corpus
+    vector. This is THE billion-scale serving composition: candidate
+    volume bounded by the probe, memory bounded by m-byte codes.
+
+    One zero-shuffle projection computes BOTH the coarse assignment
+    (max-cosine against literal centroids, :func:`ivf_topk`'s rule)
+    and the m PQ codes (argmin against literal codebooks) — the
+    corpus is scanned once and never re-materialized. Candidates come
+    from a broadcast join on cent_id; ranking is ascending ADC
+    distance (ties → lowest neighbor_id), computed from codes via the
+    same CASE-sum expression as :func:`pq_topk`.
+
+    Both index artifacts (quantizer, codebooks) accept pre-trained
+    values — serving layers train once per corpus snapshot
+    (save_ivf_index / save_pq_index) and pass them in.
+
+    Output: (query_id, neighbor_id, rank, adc_dist round 6).
+    """
+    cents = centroids if centroids is not None else ivf_centroids(
+        embeddings, n_centroids=n_centroids, refine_iters=refine_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    books = codebooks if codebooks is not None else pq_train(
+        embeddings, m=m, ksub=ksub, iters=iters, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    m = len(books)
+    cent_ids = F.array(*[F.lit(c[0]) for c in cents])
+    score_cols = [f"_cs{i}" for i in range(len(cents))]
+
+    v = _as_double(vec_col)
+    slice_cols = []
+    for j, (lo, ln) in enumerate(_pq_slices(m, dim)):
+        sub = F.slice(v, lo, ln)
+        slice_cols += [sub.alias(f"s{j}"), _dot(sub, sub).alias(f"n{j}")]
+    prepared = embeddings.select(
+        F.col(id_col),
+        v.alias("vec"),
+        F.sqrt(_dot(v, v)).alias("_norm"),
+        *slice_cols,
+    )
+
+    def with_cent(df: DataFrame) -> DataFrame:
+        scored = df.withColumns(_centroid_scores("vec", "_norm", cents))
+        arr = F.array(*[F.col(c) for c in score_cols])
+        return scored.withColumn(
+            "cent_id", cent_ids[F.array_position(arr, F.array_max(arr)) - 1]
+        )
+
+    code_cols = {}
+    for j, book in enumerate(books):
+        dists = F.array(*[_pq_sub_sqdist(j, c) for c in book])
+        code_cols[f"code{j}"] = (
+            F.array_position(dists, F.array_min(dists)) - 1
+        ).cast("int")
+    corpus = (
+        with_cent(prepared)
+        .withColumns(code_cols)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            "cent_id",
+            *[f"code{j}" for j in range(m)],
+        )
+    )
+
+    q_prep = prepared.filter(F.col(id_col).isin(query_ids))
+    q_scored = q_prep.withColumns(_centroid_scores("vec", "_norm", cents))
+    probe = (
+        q_scored.select(
+            F.col(id_col).alias("query_id"),
+            *[F.col(f"s{j}") for j in range(m)],
+            *[F.col(f"n{j}") for j in range(m)],
+            F.posexplode(
+                F.array(*[F.col(c) for c in score_cols])
+            ).alias("cent_pos", "cscore"),
+        )
+        .withColumn("cent_id", cent_ids[F.col("cent_pos")])
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cscore"), F.asc("cent_id")
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= n_probe)
+        .drop("cent_pos", "cscore", "_rn")
+    )
+
+    cands = corpus.join(F.broadcast(probe), "cent_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    dist = None
+    for j, book in enumerate(books):
+        dj = F.when(F.col(f"code{j}") == 0, _pq_sub_sqdist(j, book[0]))
+        for c, cvec in enumerate(book[1:], start=1):
+            dj = dj.when(F.col(f"code{j}") == c, _pq_sub_sqdist(j, cvec))
+        dist = dj if dist is None else dist + dj
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist_raw"), F.asc("neighbor_id")
+    )
+    return (
+        cands.withColumn("adc_dist_raw", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("adc_dist_raw", 6).alias("adc_dist"),
+        )
+    )
+
+
 def save_pq_index(
     spark, codebooks: list[list[list[float]]], path: str
 ) -> None:

@@ -1198,6 +1198,158 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def _q_ivf_pq_ann_topk(spark, sf_dir):
+    """IVF-PQ serving composition: both index artifacts shared with
+    their standalone gates (same params), so serving mode trains the
+    quantizer and codebooks once per corpus snapshot across all three
+    ANN gates."""
+    import os
+
+    from .dam import _index_path
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    serving = os.environ.get("SPARK_DAM_SHARE_FRAMES") == "1"
+    cents = books = None
+    if serving:
+        ck = (os.path.realpath(sf_dir), 16, _IVF_REFINE_ITERS)
+        cents = _IVF_INDEX_CACHE.get(ck)
+        pk = (os.path.realpath(sf_dir), _PQ_M, _PQ_KSUB, _PQ_ITERS)
+        books = _PQ_INDEX_CACHE.get(pk)
+        if cents is None:
+            path = _index_path("ivf_quantizer", sf_dir)
+            if path is not None and os.path.exists(
+                os.path.join(path, "_SUCCESS")
+            ):
+                cents = similarity.load_ivf_index(spark, path)
+                _IVF_INDEX_CACHE[ck] = cents
+        if books is None:
+            path = _index_path("pq_codebooks", sf_dir)
+            if path is not None and os.path.exists(
+                os.path.join(path, "_SUCCESS")
+            ):
+                books = similarity.load_pq_index(spark, path)
+                _PQ_INDEX_CACHE[pk] = books
+    if cents is None:
+        cents = similarity.ivf_centroids(
+            emb, n_centroids=16, refine_iters=_IVF_REFINE_ITERS
+        )
+        if serving:
+            _IVF_INDEX_CACHE[
+                (os.path.realpath(sf_dir), 16, _IVF_REFINE_ITERS)
+            ] = cents
+    if books is None:
+        books = similarity.pq_train(
+            emb, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, dim=_PQ_DIM
+        )
+        if serving:
+            _PQ_INDEX_CACHE[
+                (os.path.realpath(sf_dir), _PQ_M, _PQ_KSUB, _PQ_ITERS)
+            ] = books
+    return similarity.ivf_pq_topk(
+        emb, _QUERY_IDS, k=10, n_centroids=16, n_probe=4,
+        refine_iters=_IVF_REFINE_ITERS, m=_PQ_M, ksub=_PQ_KSUB,
+        iters=_PQ_ITERS, dim=_PQ_DIM, centroids=cents, codebooks=books,
+    )
+
+
+def _ivf_pq_ann_sql() -> str:
+    """IVF-PQ oracle = the IVF oracle's coarse chain (full-dim
+    unrolled decimal Lloyd → cosine assign + probe) composed with the
+    PQ oracle's per-subspace chains (codebooks + encode), candidates
+    from the probed lists, ranked by the same ADC sum as the PQ
+    oracle. CTE namespaces are disjoint by construction (norms2/c{r}
+    vs p{j}…)."""
+    m, ksub, iters, dim = _PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_DIM
+    dsub = dim // m
+    coarse = _lloyd_refine_ctes(16, _IVF_REFINE_ITERS, _KMEANS_EXACT_DIM)
+    subs = ",\n".join(
+        _pq_sub_ctes(j, j * dsub + 1, dsub, ksub, iters) for j in range(m)
+    )
+    qids = ", ".join(str(i) for i in _QUERY_IDS)
+    enc_joins = "\n  ".join(
+        f"JOIN p{j}e e{j} ON e{j}.vec_id = e0.vec_id" for j in range(1, m)
+    )
+    enc_cols = ", ".join(f"e{j}.code AS code{j}" for j in range(m))
+    q_cols = ", ".join(
+        f"q{j}.v AS qs{j}, q{j}.norm2 AS qn{j}" for j in range(m)
+    )
+    q_joins = "\n  ".join(
+        f"JOIN p{j}n q{j} ON q{j}.vec_id = q0.vec_id"
+        for j in range(1, m)
+    )
+    book_joins = "\n  ".join(
+        f"JOIN p{j}c{iters} b{j} ON b{j}.cid = e.code{j}" for j in range(m)
+    )
+    adc = " + ".join(
+        f"(qq.qn{j} - 2.0 * list_dot_product(qq.qs{j}, b{j}.cv) + b{j}.cn2)"
+        for j in range(m)
+    )
+    return f"""
+WITH {coarse},
+{subs},
+norms AS (
+  SELECT vec_id, v, sqrt(norm2) AS nrm FROM norms2
+),
+cents AS (
+  SELECT cid AS cent_id, cv, sqrt(cn2) AS cn FROM c{_IVF_REFINE_ITERS}
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT n.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, c.cv) / (c.cn * n.nrm) DESC,
+                      c.cent_id ASC) AS rn
+    FROM norms n CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT query_id, cent_id FROM (
+    SELECT n.vec_id AS query_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, c.cv) / (c.cn * n.nrm) DESC,
+                      c.cent_id ASC) AS rn
+    FROM norms n CROSS JOIN cents c
+    WHERE n.vec_id IN ({qids})
+  ) WHERE rn <= 4
+),
+enc AS (
+  SELECT e0.vec_id, {enc_cols}
+  FROM p0e e0
+  {enc_joins}
+),
+qq AS (
+  SELECT q0.vec_id AS query_id, {q_cols}
+  FROM p0n q0
+  {q_joins}
+  WHERE q0.vec_id IN ({qids})
+),
+cands AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM qprobe p JOIN assign a USING (cent_id)
+  WHERE a.vec_id != p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         {adc} AS adc
+  FROM cands c
+  JOIN enc e ON e.vec_id = c.neighbor_id
+  JOIN qq ON qq.query_id = c.query_id
+  {book_joins}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(adc, 6) AS adc_dist
+FROM ranked WHERE rank <= 10
+"""
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Registry projection of the media feature pipeline: the array
     column is element-projected (f0..f7) so the result is
@@ -2600,6 +2752,13 @@ QUERIES: dict[str, QuerySpec] = {
         "shape): per-subspace decimal-exact codebooks, zero-shuffle "
         "argmin encode, asymmetric distance from codes — full DuckDB "
         "oracle re-deriving the codebooks by unrolled Lloyd",
+    ),
+    "embedding_ivf_pq_topk": QuerySpec(
+        _q_ivf_pq_ann_topk, _ivf_pq_ann_sql(),
+        "IVF-PQ ANN top-10 (IndexIVFPQ shape): probe-pruned candidate "
+        "lists scored by ADC over PQ codes — one zero-shuffle corpus "
+        "projection computes coarse assign AND codes; full DuckDB "
+        "oracle composing both unrolled Lloyd chains",
     ),
     "multimodal_features": QuerySpec(
         _q_multimodal_features, _multimodal_sql(),

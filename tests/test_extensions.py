@@ -1217,3 +1217,28 @@ def test_pq_dim_not_divisible_raises(spark):
 
     with _pytest.raises(ValueError, match="not divisible"):
         similarity.pq_train(emb, m=5, ksub=4, iters=1, dim=64)
+
+
+def test_ivf_pq_reduces_to_pq_when_probing_all_lists(spark):
+    """With n_probe = n_centroids the probe prunes nothing, so IVF-PQ
+    must return EXACTLY pq_topk's ADC ranking (same codebooks); with a
+    partial probe it returns k rows per query drawn from the probed
+    lists only — the recall/candidate-volume trade."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qids = [0, 1, 2]
+    books = similarity.pq_train(emb, m=4, ksub=8, iters=1, dim=64)
+    cents = similarity.ivf_centroids(emb, n_centroids=8, refine_iters=1)
+    full = similarity.ivf_pq_topk(
+        emb, qids, k=5, n_centroids=8, n_probe=8,
+        centroids=cents, codebooks=books,
+    ).collect()
+    plain = similarity.pq_topk(
+        emb, qids, k=5, codebooks=books
+    ).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, plain))
+    partial = similarity.ivf_pq_topk(
+        emb, qids, k=5, n_centroids=8, n_probe=2,
+        centroids=cents, codebooks=books,
+    ).collect()
+    assert len(partial) == 15
+    assert all(r.query_id != r.neighbor_id for r in partial)
