@@ -882,3 +882,94 @@ def corpus_diff(
         of.join(nf, id_col, "full_outer")
         .select(F.col(id_col), verdict.alias("verdict"), "old_fp", "new_fp")
     )
+
+
+_HEX = "0123456789abcdef"
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    *,
+    k: int = 24,
+    sample_digits: int = 4,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document exact-substring duplication signal — the
+    fingerprint-approximated form of ExactSubstr dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL
+    2022): a sampled k-char window is duplicated when it occurs
+    verbatim in ≥ ``min_docs`` DISTINCT documents, and the per-doc
+    duplicated fraction of sampled windows is an unbiased estimate of
+    the duplicated-text fraction ExactSubstr cuts on.
+
+    Sampling is CONTENT-DEFINED, not position-strided: every window
+    position is fingerprinted, and a window is kept iff its
+    fingerprint's last hex digit falls in a fixed
+    ``sample_digits``/16 subset. Position-strided sampling would
+    silently miss passages shared at offsets that differ mod the
+    stride (two copies sample different windows); content-keyed
+    selection picks the SAME windows from the same text wherever it
+    appears — the winnowing/MOSS rationale, in its cheapest form. A
+    shared run of length ≥ k is detected iff it contains a sampled
+    window (probability 1 − (1−r)^(L−k+1), r = sample_digits/16 —
+    near-certain for passages a screen long).
+
+    Scale shape: one explode(sequence) projection (no shuffle; the
+    hash-per-position cost is the standard Rabin-Karp-style scan,
+    embarrassingly parallel), ONE fp-keyed aggregation for cross-doc
+    counts over the sampled subset, one fp-keyed equi-join back
+    (shuffle join — the dup-fp side is corpus-derived and cannot be
+    assumed broadcastable), one final doc_id aggregation. All
+    shuffles are equi-keyed on high-cardinality md5 fingerprints —
+    no skew pocket, no quadratic term.
+
+    Output: (doc_id, n_spans, n_dup_spans, dup_frac) for every doc
+    with at least one SAMPLED window (len ≥ k, text non-NULL).
+    """
+    if not 1 <= sample_digits <= 16:
+        raise ValueError("sample_digits must be in [1, 16]")
+    digits = [_HEX[i] for i in range(0, 16, 16 // sample_digits)][
+        :sample_digits
+    ]
+    t = F.col(text_col)
+    spans = (
+        docs.filter(t.isNotNull() & (F.length(t) >= k))
+        .select(
+            F.col(id_col),
+            t.alias("_t"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(t) - k + 1)
+            ).alias("pos"),
+        )
+        .select(
+            F.col(id_col),
+            F.md5(F.expr(f"substring(_t, pos, {k})")).alias("fp"),
+        )
+        .filter(F.substring("fp", 32, 1).isin(digits))
+    )
+    dup_fps = (
+        spans.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("fp", F.lit(1).alias("_dup"))
+    )
+    flagged = spans.join(dup_fps, "fp", "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("_dup").isNotNull(), 1).otherwise(0)
+            ).alias("n_dup_spans"),
+        )
+        .select(
+            F.col(id_col),
+            "n_spans",
+            "n_dup_spans",
+            F.round(
+                F.col("n_dup_spans") * 1.0 / F.col("n_spans"), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -46,6 +46,49 @@ def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
 
+_DUP_SPAN_K, _DUP_SPAN_DIGITS = 24, 4
+
+
+def _q_dup_span_stats(spark, sf_dir):
+    return dedup.dup_span_stats(
+        _docs(spark, sf_dir), k=_DUP_SPAN_K, sample_digits=_DUP_SPAN_DIGITS
+    )
+
+
+def _dup_span_sql() -> str:
+    k = _DUP_SPAN_K
+    digits = ", ".join(
+        f"'{dedup._HEX[i]}'" for i in range(0, 16, 16 // _DUP_SPAN_DIGITS)
+    )
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - {k} + 1)) AS p
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) >= {k}
+),
+spans AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, md5(substr(text, CAST(p AS INTEGER), {k})) AS fp
+    FROM pos
+  ) WHERE substr(fp, 32, 1) IN ({digits})
+),
+dup AS (
+  SELECT fp FROM spans GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+),
+flag AS (
+  SELECT s.doc_id,
+         CASE WHEN d.fp IS NULL THEN 0 ELSE 1 END AS isdup
+  FROM spans s LEFT JOIN dup d USING (fp)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(isdup) AS BIGINT) AS n_dup_spans,
+       round(sum(isdup) * 1.0 / count(*), 6) AS dup_frac
+FROM flag GROUP BY doc_id
+"""
+
+
 _DEDUP_EXACT_SQL = r"""
 SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
        count(*) AS cnt, min(doc_id) AS keep_id
@@ -2636,6 +2679,12 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_jaccard_pairs": QuerySpec(
         _q_jaccard_pairs, _JACCARD_SQL,
         "blocked token-set Jaccard ≥0.9 near-dup pairs (exact baseline)",
+    ),
+    "dup_span_stats": QuerySpec(
+        _q_dup_span_stats, _dup_span_sql(),
+        "ExactSubstr-style per-doc duplicated-span fraction: strided "
+        "k-char window fingerprints, cross-doc fp counts, fp-keyed "
+        "join back — full oracle",
     ),
     "dedup_minhash_lsh": QuerySpec(
         _q_minhash_near_dups, None,

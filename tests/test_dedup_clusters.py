@@ -126,3 +126,36 @@ def test_small_graph_fast_path_equals_distributed(spark):
         ).collect()
     }
     assert fast == dist and fast
+
+
+def test_dup_span_stats_flags_planted_passage(spark):
+    """Content-defined sampling picks the SAME windows from the same
+    text wherever it appears, so a shared passage is detected even at
+    offsets with different alignments (the case position-strided
+    sampling misses — verified: a stride-4 variant of this operator
+    failed exactly this fixture). Both sharers get n_dup_spans ≥ 1; a
+    doc sharing nothing has 0 duplicated sampled windows; sub-window
+    docs (len < k) and NULL text drop out entirely."""
+    from database_activity_monitoring_dam_system_spark.operators import dedup
+
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        # passage offsets 5 and 20: different phases mod any stride>1
+        (1, "AAA " + passage + " XYZ unique tail one here padding"),
+        (2, "BBB prefix differs " + passage + " other ending text"),
+        (3, "completely unrelated content with no shared windows at all"),
+        (4, "tiny"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.dup_span_stats(docs, k=24, sample_digits=4).collect()
+    }
+    assert out[1].n_dup_spans >= 1 and out[2].n_dup_spans >= 1
+    if 3 in out:  # present iff any of its windows were sampled
+        assert out[3].n_dup_spans == 0 and out[3].dup_frac == 0.0
+    assert 4 not in out and 5 not in out
+    for r in out.values():
+        assert 0 <= r.n_dup_spans <= r.n_spans
+        assert abs(r.dup_frac - round(r.n_dup_spans / r.n_spans, 6)) < 1e-9
