@@ -977,6 +977,45 @@ def pq_topk(
     )
 
 
+def kmeans_outliers(
+    embeddings: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    top_n: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The ``top_n`` vectors FARTHEST from their assigned k-means
+    centroid — the prototypicality-based pruning signal (Sorscher et
+    al., "Beyond neural scaling laws", NeurIPS 2022: distance to the
+    nearest cluster prototype ranks examples from easy/redundant to
+    hard/noisy; the far tail is where label noise and junk
+    concentrate, and trimming it is the standard embedding-space
+    curation pass before training).
+
+    Built on :func:`kmeans_lloyd_exact`, so the centroids — and
+    therefore every distance — are a deterministic decimal-exact
+    function of the corpus, reproducible engine-to-engine. The final
+    ranking is a TakeOrdered over (sqdist DESC, id ASC): per-partition
+    top-N then driver merge, no global sort.
+
+    Output: (id, cluster_id, sqdist round 6), farthest first.
+    """
+    assigned, _ = kmeans_lloyd_exact(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    return (
+        assigned.orderBy(F.desc("sqdist"), F.asc(id_col))
+        .limit(top_n)
+        .select(
+            id_col,
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.round("sqdist", 6).alias("sqdist"),
+        )
+    )
+
+
 def ivf_pq_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -5,7 +5,8 @@ module IS that composition, as one job function a scheduler calls per
 corpus snapshot:
 
     quality filter → near-dup dedup (best-copy retention)
-      → LM fluency gate → benchmark decontamination → epoch planning
+      → exact-substring trim (optional) → LM fluency gate
+      → benchmark decontamination → epoch planning
       → offset packing → sharded write → data card
 
 Every stage is the already-gated operator (quality_scores,
@@ -120,6 +121,7 @@ def run_corpus_pipeline(
     epoch_targets: dict[str | None, int] | None = None,
     dedup_threshold: float = 0.9,
     dedup_shingle: int = 3,
+    dup_span_max_frac: float | None = None,
     budget: int = 2048,
     n_shards: int = 8,
     state_dir: str | None = None,
@@ -296,6 +298,26 @@ def run_corpus_pipeline(
     report["n_deduped"] = deduped.count()
     kept.unpersist()
 
+    # 3b. exact-substring trim gate (optional): docs whose sampled
+    # duplicated-window fraction exceeds the cap drop — the
+    # ExactSubstr-style boilerplate/mirror trim that whole-doc near-dup
+    # can't see (two distinct pages sharing a big verbatim block).
+    # Corpus-GLOBAL like the near-dup stage: cross-doc fingerprint
+    # counts are corpus-wide state, recomputed per run over the dedup
+    # survivors exactly like cluster composition — never carried.
+    if dup_span_max_frac is not None:
+        spanful = (
+            dedup.dup_span_stats(deduped)
+            .filter(F.col("dup_frac") > dup_span_max_frac)
+            .select("doc_id")
+        )
+        span_ok = deduped.join(spanful, "doc_id", "left_anti").persist()
+        report["n_span_ok"] = span_ok.count()
+        deduped.unpersist()
+    else:
+        span_ok = deduped
+        report["n_span_ok"] = report["n_deduped"]
+
     # 4. LM fluency gate (optional): drop docs scored below the floor
     # by the reference-trained bigram LM. Docs with <2 tokens have no
     # bigrams and a NULL score — they pass (the length gate already
@@ -304,12 +326,12 @@ def run_corpus_pipeline(
         disfluent = gates.filter(
             F.col("avg_logp") < fluency_floor
         ).select("doc_id")
-        fluent = deduped.join(disfluent, "doc_id", "left_anti").persist()
+        fluent = span_ok.join(disfluent, "doc_id", "left_anti").persist()
         report["n_fluent"] = fluent.count()
-        deduped.unpersist()
+        span_ok.unpersist()
     else:
-        fluent = deduped
-        report["n_fluent"] = report["n_deduped"]
+        fluent = span_ok
+        report["n_fluent"] = report["n_span_ok"]
 
     # 5. benchmark decontamination (optional)
     if has_benchmark:
@@ -324,7 +346,10 @@ def run_corpus_pipeline(
         census["n_with_text"] - report["n_quality"]
     )
     report["n_dropped_dedup"] = report["n_quality"] - report["n_deduped"]
-    report["n_dropped_disfluent"] = report["n_deduped"] - report["n_fluent"]
+    report["n_dropped_dupspan"] = (
+        report["n_deduped"] - report["n_span_ok"]
+    )
+    report["n_dropped_disfluent"] = report["n_span_ok"] - report["n_fluent"]
     report["n_dropped_contaminated"] = (
         report["n_fluent"] - report["n_clean"]
     )

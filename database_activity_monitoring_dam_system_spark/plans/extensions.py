@@ -2369,6 +2369,43 @@ SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM a{iters + 1}
 """
 
 
+_OUTLIER_TOP_N = 50
+
+
+def _q_embedding_outliers(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_outliers(
+        emb, k=_KMEANS_EXACT_K, iters=_KMEANS_EXACT_ITERS,
+        top_n=_OUTLIER_TOP_N,
+    )
+
+
+def _embedding_outliers_sql() -> str:
+    """The kmeans_exact oracle's centroid chain with the FINAL assign
+    keeping its min distance (same ``norm2 − 2·dot + cn2`` expression
+    the Spark _sqdist computes, same operand order → bit-identical
+    doubles), then the far-tail top-N."""
+    k, iters, dim = _KMEANS_EXACT_K, _KMEANS_EXACT_ITERS, _KMEANS_EXACT_DIM
+    body = _lloyd_refine_ctes(k, iters, dim)
+    return f"""
+WITH {body},
+final AS (
+  SELECT vec_id, cid AS cluster_id, dist
+  FROM (
+    SELECT n.vec_id, c.cid,
+           n.norm2 - 2.0 * list_dot_product(n.v, c.cv) + c.cn2 AS dist
+    FROM norms2 n CROSS JOIN c{iters} c
+  )
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+)
+SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       round(dist, 6) AS sqdist
+FROM final
+ORDER BY dist DESC, vec_id ASC
+LIMIT {_OUTLIER_TOP_N}
+"""
+
+
 _CHUNK_SIZE, _CHUNK_STRIDE = 64, 48
 
 
@@ -2664,6 +2701,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_kmeans_exact, _kmeans_exact_sql(),
         "Lloyd k-means with decimal-exact (order-independent) centroid "
         "updates — full-assignment hash oracle across 3 unrolled rounds",
+    ),
+    "embedding_outliers": QuerySpec(
+        _q_embedding_outliers, _embedding_outliers_sql(),
+        "prototypicality pruning signal: top-N farthest vectors from "
+        "their decimal-exact k-means centroid (TakeOrdered far tail) — "
+        "full oracle with bit-identical distances",
     ),
     "kmeans_clusters": QuerySpec(
         _q_kmeans_clusters, None,

@@ -1242,3 +1242,23 @@ def test_ivf_pq_reduces_to_pq_when_probing_all_lists(spark):
     ).collect()
     assert len(partial) == 15
     assert all(r.query_id != r.neighbor_id for r in partial)
+
+
+def test_kmeans_outliers_are_the_far_tail(spark):
+    """kmeans_outliers returns exactly the top-N sqdist rows of the
+    decimal-exact assignment (ties → lowest id), farthest first — the
+    pruning tail is a deterministic function of the corpus."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assigned, _ = similarity.kmeans_lloyd_exact(emb, k=4, iters=1)
+    rows = assigned.collect()
+    expected = sorted(rows, key=lambda r: (-r.sqdist, r.vec_id))[:10]
+    out = similarity.kmeans_outliers(emb, k=4, iters=1, top_n=10).collect()
+    assert [r.vec_id for r in out] == [r.vec_id for r in expected]
+    assert [r.cluster_id for r in out] == [
+        r.cluster_id for r in expected
+    ]
+    for got, exp in zip(out, expected):
+        assert abs(got.sqdist - round(exp.sqdist, 6)) < 1e-9
+    # far tail is strictly ordered (desc) up to the rounding
+    ds = [r.sqdist for r in out]
+    assert ds == sorted(ds, reverse=True)

@@ -294,3 +294,53 @@ def test_pipeline_incremental_equals_full_recompute(spark, tmp_path):
             snap_b, str(tmp_path / "bad2_shards"),
             old_snapshot=snap_a, **common,
         )
+
+
+def test_pipeline_dup_span_trim_gate(spark, tmp_path):
+    """Two docs that are NOT whole-doc near-dups but share a large
+    verbatim block: the exact-substring stage trims the one(s) whose
+    sampled duplicated fraction exceeds the cap; with the flag off the
+    stage is a no-op (n_span_ok == n_deduped, no n_dropped_dupspan
+    rows lost)."""
+    shared = (
+        "this exact boilerplate navigation header appears verbatim on "
+        "every mirrored page of the site and dominates short articles "
+        "entirely from start to finish without any change at all"
+    )
+    rows = [
+        # doc 1: almost all shared block → high dup_frac
+        (1, shared + " tiny tail", "en", "s0"),
+        # doc 2: shared block + a long unique body → low dup_frac
+        (
+            2,
+            shared
+            + " but this page then continues with a long and entirely "
+            "unique body of text about something else altogether, "
+            "paragraph after paragraph of fresh material " * 3,
+            "en",
+            "s0",
+        ),
+        (3, "completely different content " * 5 + "the a of and to", "en", "s1"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    report = pipeline.run_corpus_pipeline(
+        docs, str(tmp_path / "shards"), dedup_threshold=0.95,
+        dup_span_max_frac=0.6, n_shards=2,
+    )
+    assert report["n_deduped"] == 3  # not whole-doc near-dups
+    assert report["n_span_ok"] == 2
+    assert report["n_dropped_dupspan"] == 1
+    survivors = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "shards")).collect()
+    }
+    assert survivors == {2, 3}
+
+    off = pipeline.run_corpus_pipeline(
+        docs, str(tmp_path / "shards_off"), dedup_threshold=0.95,
+        n_shards=2,
+    )
+    assert off["n_span_ok"] == off["n_deduped"] == 3
+    assert off["n_dropped_dupspan"] == 0
