@@ -817,6 +817,7 @@ def pq_train(
     numbers, trivially broadcastable at any corpus size).
     """
     slices = _pq_slices(m, dim)
+    dsub = dim // m
     v = _as_double(vec_col)
     seed_rows = (
         embeddings.select(F.col(id_col), v.alias("v"))
@@ -826,23 +827,83 @@ def pq_train(
     )
     if len(seed_rows) < ksub:
         raise ValueError("pq_train: corpus smaller than ksub")
-    codebooks: list[list[list[float]]] = []
-    for lo, ln in slices:
-        sub = F.slice(v, lo, ln)
-        corpus_j = embeddings.select(
-            F.col(id_col),
-            sub.alias("vec"),
-            _dot(sub, sub).alias("_norm2"),
-        ).persist()
-        try:
-            seeds_j = [
-                list(r["v"])[lo - 1 : lo - 1 + ln] for r in seed_rows
-            ]
-            codebooks.append(
-                _lloyd_exact_rounds(corpus_j, seeds_j, iters, id_col=id_col)
+    codebooks: list[list[list[float]]] = [
+        [list(r["v"])[lo - 1 : lo - 1 + ln] for r in seed_rows]
+        for lo, ln in slices
+    ]
+    # All m subspaces train in ONE aggregation per round: the per-
+    # subspace argmin assignments are independent projections, so one
+    # pass computes every code, a two-stage explode longs the
+    # components out to (subspace, code, dim) keys, and a single
+    # decimal-sum groupBy updates all m codebooks at once — iters
+    # jobs total instead of m·iters (the k-means long-form update
+    # trick, applied across subspaces too). Values are identical to
+    # per-subspace training: same argmin expressions, same
+    # DECIMAL(27,12) component sums, merely keyed by (sub, code, d).
+    prepared = _pq_prepared(
+        embeddings, m, dim, id_col=id_col, vec_col=vec_col
+    ).persist()
+    try:
+        for _ in range(iters):
+            assigned = prepared.withColumns(
+                {
+                    f"_kd{j}": F.array(
+                        *[_pq_sub_sqdist(j, c) for c in book]
+                    )
+                    for j, book in enumerate(codebooks)
+                }
+            ).withColumns(
+                {
+                    f"_c{j}": (
+                        F.array_position(
+                            F.col(f"_kd{j}"), F.array_min(f"_kd{j}")
+                        )
+                        - 1
+                    ).cast("int")
+                    for j in range(m)
+                }
             )
-        finally:
-            corpus_j.unpersist()
+            longf = assigned.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("sub"),
+                                F.col(f"_c{j}").alias("code"),
+                                F.col(f"s{j}").alias("sv"),
+                            )
+                            for j in range(m)
+                        ]
+                    )
+                ).alias("r")
+            ).select("r.sub", "r.code", F.posexplode("r.sv").alias("_d", "_x"))
+            sum_rows = (
+                longf.groupBy("sub", "code", "_d")
+                .agg(
+                    F.count("*").alias("_n"),
+                    F.sum(F.col("_x").cast("decimal(27,12)"))
+                    .cast("double")
+                    .alias("_s"),
+                )
+                .collect()
+            )
+            sums: dict[tuple, list] = {}
+            counts: dict[tuple, int] = {}
+            for r in sum_rows:
+                comp = sums.setdefault((r["sub"], r["code"]), [0.0] * dsub)
+                comp[r["_d"]] = r["_s"]
+                counts[(r["sub"], r["code"])] = r["_n"]
+            codebooks = [
+                [
+                    [s / counts[(j, c)] for s in sums[(j, c)]]
+                    if (j, c) in sums
+                    else codebooks[j][c]
+                    for c in range(ksub)
+                ]
+                for j in range(m)
+            ]
+    finally:
+        prepared.unpersist()
     return codebooks
 
 
