@@ -315,3 +315,39 @@ def test_driver_priority_is_generated():
 
     ordered, _ = tool.generate()
     assert list(_DRIVER_PRIORITY) == ordered
+
+
+def test_pq_encode_is_pure_projection(spark):
+    """PQ corpus encoding must stay a zero-shuffle, zero-join
+    projection against literal codebooks — the property that makes it
+    free to fuse into any corpus scan at 100 TB."""
+    from database_activity_monitoring_dam_system_spark.operators import similarity
+    from database_activity_monitoring_dam_system_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = similarity.pq_train(emb, m=4, ksub=8, iters=1, dim=64)
+    plan = (
+        similarity.pq_encode(emb, books, dim=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_ivf_pq_broadcasts_probe_and_never_sort_merges(spark):
+    """The IVF-PQ candidate join must be a BroadcastHashJoin on
+    cent_id (query-probe side broadcast) — a SortMergeJoin here would
+    shuffle the whole encoded corpus per query batch."""
+    plan = _plan(spark, "embedding_ivf_pq_topk")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_topk_single_ranking_shuffle(spark):
+    """Plain PQ ADC: queries broadcast (nested-loop on the != self
+    predicate is fine — the broadcast side is Q rows), corpus side
+    never hash-shuffles except for the final per-query ranking
+    window."""
+    plan = _plan(spark, "embedding_pq_topk")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # ranking window
