@@ -1006,16 +1006,54 @@ def pq_topk(
     codes = pq_encode(
         embeddings, codebooks, dim=dim, id_col=id_col, vec_col=vec_col
     ).withColumnRenamed(id_col, "neighbor_id")
-    queries = (
-        _pq_prepared(
-            embeddings.filter(F.col(id_col).isin(query_ids)),
-            m, dim, id_col=id_col, vec_col=vec_col,
-        )
-        .withColumnRenamed(id_col, "query_id")
+    queries = pq_prepare_queries(
+        embeddings.filter(F.col(id_col).isin(query_ids)),
+        codebooks, dim=dim, id_col=id_col, vec_col=vec_col,
     )
-    joined = codes.join(
-        F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
+    return pq_score_queries(
+        codes, queries, codebooks, k=k, exclude_self=True
     )
+
+
+def pq_prepare_queries(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project raw query vectors into the (query_id, s{j}, n{j})
+    sub-slice form :func:`pq_score_queries` consumes — one
+    zero-shuffle projection, shared by the batch and streaming
+    serving paths."""
+    return _pq_prepared(
+        queries, len(codebooks), dim, id_col=id_col, vec_col=vec_col
+    ).withColumnRenamed(id_col, "query_id")
+
+
+def pq_score_queries(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    k: int = 10,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """ADC top-k of prepared ``queries`` against an ENCODED corpus —
+    the serving core: ``codes`` is (neighbor_id, code0..code{m-1}),
+    typically a persisted parquet artifact (the 32×-compressed index),
+    and queries need not come from the corpus at all. The query side
+    broadcasts; the distance is recovered from codes by the CASE-sum
+    over literal centroids; ranking is one per-query window.
+
+    Output: (query_id, neighbor_id, rank, adc_dist round 6)."""
+    cond = (
+        F.col("query_id") != F.col("neighbor_id")
+        if exclude_self
+        else F.lit(True)
+    )
+    joined = codes.join(F.broadcast(queries), cond)
     dist = None
     for j, book in enumerate(codebooks):
         dj = F.when(F.col(f"code{j}") == 0, _pq_sub_sqdist(j, book[0]))

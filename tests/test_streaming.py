@@ -745,3 +745,71 @@ def test_chunking_stream_matches_batch(spark):
         assert all(not p.get("stateOperators") for p in progresses)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_pq_ann_stream_matches_batch(spark, tmp_path):
+    """Streaming PQ ADC serving ≡ the batch scorer: queries arriving
+    over two micro-batches against a persisted encoded corpus return
+    exactly the batch pq_score_queries results, and a replayed batch
+    id cannot duplicate rows (dynamic partition overwrite)."""
+    from database_activity_monitoring_dam_system_spark.operators import similarity
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        ann_serving,
+    )
+
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = similarity.pq_train(emb, m=4, ksub=8, iters=1, dim=64)
+    codes_path = str(tmp_path / "codes")
+    similarity.pq_encode(emb, books, dim=64).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    ).write.parquet(codes_path)
+    codes = spark.read.parquet(codes_path)
+
+    # two query files → two micro-batches (maxFilesPerTrigger=1)
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    q_all = emb.filter(F.col("vec_id").isin([0, 1, 2, 3])).toPandas()
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    for i, ids in enumerate([[0, 1], [2, 3]]):
+        part = q_all[q_all.vec_id.isin(ids)]
+        pq_.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            str(qdir / f"q{i}.parquet"),
+        )
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(qdir))
+    )
+    q = ann_serving.start_pq_ann_stream(
+        stream,
+        codes,
+        books,
+        out_path=str(tmp_path / "results"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        k=5,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(str(tmp_path / "results"))
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+        .collect()
+    )
+    batch_queries = similarity.pq_prepare_queries(
+        emb.filter(F.col("vec_id").isin([0, 1, 2, 3])), books, dim=64
+    )
+    want = similarity.pq_score_queries(
+        codes, batch_queries, books, k=5, exclude_self=False
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) == 20  # 4 queries × k
