@@ -327,7 +327,11 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
                 )
 
                 def chan(c, reducer):
-                    return int(reducer(arr[:, c])) if c < ch else None
+                    # zero-frame WAVs are legal RIFF; reducing an
+                    # empty lane would raise, so emit NULL stats
+                    if c >= ch or arr.shape[0] == 0:
+                        return None
+                    return int(reducer(arr[:, c]))
 
                 rows.append((
                     int(mid), ch, rate, nf,

@@ -218,25 +218,34 @@ def ivf_centroids(
     ]
 
 
-def save_ivf_index(spark, centroids: list[tuple], path: str) -> None:
+def save_ivf_index(
+    spark, centroids: list[tuple], path: str, *, n_corpus: int | None = None
+) -> None:
     """Persist an :func:`ivf_centroids` quantizer as parquet.
 
     The coarse quantizer is the INDEX artifact of IVF serving —
     trained once per corpus snapshot, reused by every query until the
     next rebuild — so a restarted serving process should LOAD it, not
     retrain (FAISS persists its quantizer in the index file for the
-    same reason).  Schema: (cent_id, vec array<double>, norm).  The
-    norm is stored rather than recomputed on load so the artifact is
-    self-contained; doubles round-trip parquet bit-exactly, making
-    loaded-index query plans literal-identical to fresh-trained ones.
+    same reason).  Schema: (cent_id, vec array<double>, norm,
+    n_corpus).  The norm is stored rather than recomputed on load so
+    the artifact is self-contained; doubles round-trip parquet
+    bit-exactly, making loaded-index query plans literal-identical to
+    fresh-trained ones.
+
+    ``n_corpus`` stamps the artifact with the training corpus's row
+    count — the cheap staleness fingerprint ``load_ivf_index`` checks
+    when the same path serves a REGENERATED corpus (a stale index
+    silently returns answers for the old corpus otherwise).
     """
     rows = [
-        (int(cid), [float(x) for x in vec], float(norm))
+        (int(cid), [float(x) for x in vec], float(norm), n_corpus)
         for cid, vec, norm in centroids
     ]
     (
         spark.createDataFrame(
-            rows, "cent_id int, vec array<double>, norm double"
+            rows,
+            "cent_id int, vec array<double>, norm double, n_corpus long",
         )
         .coalesce(1)
         .write.mode("overwrite")
@@ -244,14 +253,27 @@ def save_ivf_index(spark, centroids: list[tuple], path: str) -> None:
     )
 
 
-def load_ivf_index(spark, path: str) -> list[tuple]:
+def load_ivf_index(
+    spark, path: str, *, expect_n: int | None = None
+) -> list[tuple]:
     """Load a :func:`save_ivf_index` artifact back into the
-    ``centroids=`` form :func:`ivf_topk` accepts (ordered by
-    cent_id)."""
-    return [
-        (r.cent_id, list(r.vec), r.norm)
-        for r in spark.read.parquet(path).orderBy("cent_id").collect()
-    ]
+    ``centroids=`` form :func:`ivf_topk` accepts (ordered by cent_id).
+    With ``expect_n``, raise if the artifact was stamped with a
+    different corpus row count (stale index for a regenerated
+    corpus)."""
+    rows = spark.read.parquet(path).orderBy("cent_id").collect()
+    if (
+        expect_n is not None
+        and rows
+        and "n_corpus" in rows[0].__fields__
+        and rows[0].n_corpus is not None
+        and rows[0].n_corpus != expect_n
+    ):
+        raise ValueError(
+            f"stale IVF index at {path}: trained on "
+            f"{rows[0].n_corpus} rows, corpus now has {expect_n}"
+        )
+    return [(r.cent_id, list(r.vec), r.norm) for r in rows]
 
 
 def _centroid_scores(vec_sql: str, norm_sql: str, cents: list[tuple]) -> dict:
@@ -1048,12 +1070,32 @@ def pq_score_queries(
     over literal centroids; ranking is one per-query window.
 
     Output: (query_id, neighbor_id, rank, adc_dist round 6)."""
+    missing = [
+        f"code{j}"
+        for j in range(len(codebooks))
+        if f"code{j}" not in codes.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"pq_score_queries: codes table lacks {missing} — the code "
+            "table and codebooks artifacts are from different encodes"
+        )
     cond = (
         F.col("query_id") != F.col("neighbor_id")
         if exclude_self
         else F.lit(True)
     )
     joined = codes.join(F.broadcast(queries), cond)
+    return _adc_rank(joined, codebooks, k=k)
+
+
+def _adc_rank(joined: DataFrame, codebooks: list, *, k: int) -> DataFrame:
+    """Shared ADC scoring tail: CASE-sum distance from code columns,
+    per-query ranking, top-k projection. A NULL distance can only
+    mean a code outside the codebook (mismatched artifacts) or a NULL
+    code — such rows are DROPPED rather than ranked (NULLs would sort
+    first under ascending order and silently displace every real
+    neighbor)."""
     dist = None
     for j, book in enumerate(codebooks):
         dj = F.when(F.col(f"code{j}") == 0, _pq_sub_sqdist(j, book[0]))
@@ -1065,6 +1107,7 @@ def pq_score_queries(
     )
     return (
         joined.withColumn("adc_dist_raw", dist)
+        .filter(F.col("adc_dist_raw").isNotNull())
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
@@ -1228,45 +1271,33 @@ def ivf_pq_topk(
     cands = corpus.join(F.broadcast(probe), "cent_id").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    dist = None
-    for j, book in enumerate(books):
-        dj = F.when(F.col(f"code{j}") == 0, _pq_sub_sqdist(j, book[0]))
-        for c, cvec in enumerate(book[1:], start=1):
-            dj = dj.when(F.col(f"code{j}") == c, _pq_sub_sqdist(j, cvec))
-        dist = dj if dist is None else dist + dj
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_dist_raw"), F.asc("neighbor_id")
-    )
-    return (
-        cands.withColumn("adc_dist_raw", dist)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rank",
-            F.round("adc_dist_raw", 6).alias("adc_dist"),
-        )
-    )
+    return _adc_rank(cands, books, k=k)
 
 
 def save_pq_index(
-    spark, codebooks: list[list[list[float]]], path: str
+    spark,
+    codebooks: list[list[list[float]]],
+    path: str,
+    *,
+    n_corpus: int | None = None,
 ) -> None:
     """Persist PQ codebooks as parquet — the same serving-artifact
     contract as :func:`save_ivf_index`: train once per corpus
     snapshot, every restarted serving job loads instead of retraining.
-    Schema: (subspace, code, centroid array<double>); doubles
-    round-trip parquet bit-exactly so loaded-index plans are
-    literal-identical to fresh-trained ones."""
+    Schema: (subspace, code, centroid array<double>, n_corpus);
+    doubles round-trip parquet bit-exactly so loaded-index plans are
+    literal-identical to fresh-trained ones. ``n_corpus`` is the
+    staleness fingerprint (see save_ivf_index)."""
     rows = [
-        (j, c, [float(x) for x in cvec])
+        (j, c, [float(x) for x in cvec], n_corpus)
         for j, book in enumerate(codebooks)
         for c, cvec in enumerate(book)
     ]
     (
         spark.createDataFrame(
-            rows, "subspace int, code int, centroid array<double>"
+            rows,
+            "subspace int, code int, centroid array<double>, "
+            "n_corpus long",
         )
         .coalesce(1)
         .write.mode("overwrite")
@@ -1274,10 +1305,24 @@ def save_pq_index(
     )
 
 
-def load_pq_index(spark, path: str) -> list[list[list[float]]]:
+def load_pq_index(
+    spark, path: str, *, expect_n: int | None = None
+) -> list[list[list[float]]]:
     """Load a :func:`save_pq_index` artifact back into the
-    ``codebooks=`` form :func:`pq_topk` accepts."""
+    ``codebooks=`` form :func:`pq_topk` accepts. With ``expect_n``,
+    raise on a corpus-count mismatch (stale artifact)."""
     rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
+    if (
+        expect_n is not None
+        and rows
+        and "n_corpus" in rows[0].__fields__
+        and rows[0].n_corpus is not None
+        and rows[0].n_corpus != expect_n
+    ):
+        raise ValueError(
+            f"stale PQ index at {path}: trained on "
+            f"{rows[0].n_corpus} rows, corpus now has {expect_n}"
+        )
     books: dict[int, list] = {}
     for r in rows:
         books.setdefault(r.subspace, []).append(list(r.centroid))

@@ -43,9 +43,11 @@ changed dedup config just drops the signature carry — outputs don't
 depend on where signatures came from).
 
 Scale: the stages keep their individual shuffle inventories
-(SCALE.md); the composition adds no extra exchange — the quality gate
-is a scan-side filter (pure projection predicate), the remaining
-drops are broadcast anti joins against violation-sized id sets, and
+(SCALE.md); the composition adds no extra exchange — in FULL runs
+the quality gate is a scan-side filter (pure projection predicate;
+incremental runs route it through the carried gate table's id set,
+which is the join that merges parquet state with the delta), the
+remaining drops are anti joins against violation-sized id sets, and
 the incremental path touches full-corpus TEXT only for the delta
 (the carried side moves ids + small gate columns through one id
 join).
@@ -147,6 +149,21 @@ def run_corpus_pipeline(
         raise ValueError(
             "incremental runs need BOTH old_snapshot and old_state_dir"
         )
+    if state_dir is not None and old_state_dir is not None:
+        import os
+
+        if os.path.realpath(state_dir) == os.path.realpath(old_state_dir):
+            # the carried gate rows are read LAZILY from
+            # old_state_dir/gates while step 6 overwrites
+            # state_dir/gates — same path would hit Spark's
+            # cannot-overwrite-a-path-being-read-from error after all
+            # the gate work is done. State dirs rotate per snapshot
+            # (also the atomicity story: a failed run never corrupts
+            # the previous snapshot's state).
+            raise ValueError(
+                "state_dir must differ from old_state_dir — rotate "
+                "state directories per snapshot (e.g. state/r0042)"
+            )
     has_fluency = fluency_reference is not None
     has_benchmark = benchmark is not None
 
@@ -229,12 +246,20 @@ def run_corpus_pipeline(
     else:
         gates = _gate_table(docs, fluency_reference, benchmark).persist()
 
-    # 2. quality gate: keep ids from the gate table (for fresh-only
-    # runs this is the same scan-side predicate as before, routed
-    # through the id set so full and incremental share one shape)
-    kept = docs.join(
-        gates.filter("q_keep").select("doc_id"), "doc_id"
-    ).persist()
+    # 2. quality gate. FULL runs apply the predicate as a scan-side
+    # FILTER (pure projection, no exchange — the q_keep expression
+    # evaluated inline); only INCREMENTAL runs route through the gate
+    # table's id set, because carried gate rows come from parquet and
+    # the join is what merges them with the delta. The two forms are
+    # equivalent by construction: q_keep IS this predicate.
+    if old_snapshot is None:
+        kept = docs.filter(
+            textops.quality_signal_cols("text")["verdict"] == "keep"
+        ).persist()
+    else:
+        kept = docs.join(
+            gates.filter("q_keep").select("doc_id"), "doc_id"
+        ).persist()
     report["n_quality"] = kept.count()
 
     # 3. near-dup dedup with best-copy retention: drop every cluster

@@ -57,9 +57,12 @@ def _q_dup_span_stats(spark, sf_dir):
 
 def _dup_span_sql() -> str:
     k = _DUP_SPAN_K
-    digits = ", ".join(
-        f"'{dedup._HEX[i]}'" for i in range(0, 16, 16 // _DUP_SPAN_DIGITS)
-    )
+    # same TRIMMED digit subset as the operator (the range can yield
+    # one extra digit when sample_digits does not divide 16)
+    digit_list = [
+        dedup._HEX[i] for i in range(0, 16, 16 // _DUP_SPAN_DIGITS)
+    ][:_DUP_SPAN_DIGITS]
+    digits = ", ".join(f"'{d}'" for d in digit_list)
     return f"""
 WITH pos AS (
   SELECT doc_id, text,
@@ -980,33 +983,74 @@ _IVF_REFINE_ITERS = 2
 _IVF_INDEX_CACHE: dict[tuple, list] = {}
 
 
-def _q_ivf_ann_topk(spark, sf_dir):
+def _get_ivf_quantizer(spark, sf_dir, emb):
+    """Load-or-train the IVF coarse quantizer under the serving-mode
+    artifact contract: memoized per (sf_dir, C, iters); with
+    SPARK_DAM_INDEX_DIR it persists across process restarts (parquet
+    via save_ivf_index — loaded doubles are bit-identical to trained
+    ones). Correctness/cold runs (serving off) always retrain."""
     import os
 
     from .dam import _index_path
 
-    emb = load_table(spark, sf_dir, "embeddings")
     serving = os.environ.get("SPARK_DAM_SHARE_FRAMES") == "1"
     key = (os.path.realpath(sf_dir), 16, _IVF_REFINE_ITERS)
     cents = _IVF_INDEX_CACHE.get(key) if serving else None
     if cents is None:
-        # under serving mode + SPARK_DAM_INDEX_DIR the trained
-        # quantizer persists across process restarts (parquet via
-        # save_ivf_index) — load beats retraining, and the loaded
-        # doubles are bit-identical to the trained ones
         path = _index_path("ivf_quantizer", sf_dir) if serving else None
+        n = emb.count() if path is not None else None
         if path is not None and os.path.exists(
             os.path.join(path, "_SUCCESS")
         ):
-            cents = similarity.load_ivf_index(spark, path)
-        else:
+            try:
+                cents = similarity.load_ivf_index(spark, path, expect_n=n)
+            except ValueError:
+                cents = None  # stale artifact → retrain below
+        if cents is None:
             cents = similarity.ivf_centroids(
                 emb, n_centroids=16, refine_iters=_IVF_REFINE_ITERS
             )
             if path is not None:
-                similarity.save_ivf_index(spark, cents, path)
+                similarity.save_ivf_index(spark, cents, path, n_corpus=n)
         if serving:
             _IVF_INDEX_CACHE[key] = cents
+    return cents
+
+
+def _get_pq_codebooks(spark, sf_dir, emb):
+    """PQ codebooks under the same load-or-train artifact contract as
+    :func:`_get_ivf_quantizer` (save_pq_index / load_pq_index)."""
+    import os
+
+    from .dam import _index_path
+
+    serving = os.environ.get("SPARK_DAM_SHARE_FRAMES") == "1"
+    key = (os.path.realpath(sf_dir), _PQ_M, _PQ_KSUB, _PQ_ITERS)
+    books = _PQ_INDEX_CACHE.get(key) if serving else None
+    if books is None:
+        path = _index_path("pq_codebooks", sf_dir) if serving else None
+        n = emb.count() if path is not None else None
+        if path is not None and os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            try:
+                books = similarity.load_pq_index(spark, path, expect_n=n)
+            except ValueError:
+                books = None  # stale artifact → retrain below
+        if books is None:
+            books = similarity.pq_train(
+                emb, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, dim=_PQ_DIM
+            )
+            if path is not None:
+                similarity.save_pq_index(spark, books, path, n_corpus=n)
+        if serving:
+            _PQ_INDEX_CACHE[key] = books
+    return books
+
+
+def _q_ivf_ann_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _get_ivf_quantizer(spark, sf_dir, emb)
     return similarity.ivf_topk(
         emb, _QUERY_IDS, k=10, n_centroids=16, n_probe=4,
         refine_iters=_IVF_REFINE_ITERS, centroids=cents,
@@ -1080,28 +1124,8 @@ _PQ_INDEX_CACHE: dict[tuple, list] = {}
 
 
 def _q_pq_ann_topk(spark, sf_dir):
-    import os
-
-    from .dam import _index_path
-
     emb = load_table(spark, sf_dir, "embeddings")
-    serving = os.environ.get("SPARK_DAM_SHARE_FRAMES") == "1"
-    key = (os.path.realpath(sf_dir), _PQ_M, _PQ_KSUB, _PQ_ITERS)
-    books = _PQ_INDEX_CACHE.get(key) if serving else None
-    if books is None:
-        path = _index_path("pq_codebooks", sf_dir) if serving else None
-        if path is not None and os.path.exists(
-            os.path.join(path, "_SUCCESS")
-        ):
-            books = similarity.load_pq_index(spark, path)
-        else:
-            books = similarity.pq_train(
-                emb, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, dim=_PQ_DIM
-            )
-            if path is not None:
-                similarity.save_pq_index(spark, books, path)
-        if serving:
-            _PQ_INDEX_CACHE[key] = books
+    books = _get_pq_codebooks(spark, sf_dir, emb)
     return similarity.pq_topk(
         emb, _QUERY_IDS, k=10, m=_PQ_M, ksub=_PQ_KSUB,
         iters=_PQ_ITERS, dim=_PQ_DIM, codebooks=books,
@@ -1242,52 +1266,14 @@ FROM ranked WHERE rank <= 10
 
 
 def _q_ivf_pq_ann_topk(spark, sf_dir):
-    """IVF-PQ serving composition: both index artifacts shared with
-    their standalone gates (same params), so serving mode trains the
-    quantizer and codebooks once per corpus snapshot across all three
-    ANN gates."""
-    import os
-
-    from .dam import _index_path
-
+    """IVF-PQ serving composition: both index artifacts come from the
+    SAME load-or-train helpers as the standalone gates (same params,
+    same persistence), so one training pass per corpus snapshot —
+    whichever gate runs first — serves all three ANN query shapes,
+    in-process and across restarts."""
     emb = load_table(spark, sf_dir, "embeddings")
-    serving = os.environ.get("SPARK_DAM_SHARE_FRAMES") == "1"
-    cents = books = None
-    if serving:
-        ck = (os.path.realpath(sf_dir), 16, _IVF_REFINE_ITERS)
-        cents = _IVF_INDEX_CACHE.get(ck)
-        pk = (os.path.realpath(sf_dir), _PQ_M, _PQ_KSUB, _PQ_ITERS)
-        books = _PQ_INDEX_CACHE.get(pk)
-        if cents is None:
-            path = _index_path("ivf_quantizer", sf_dir)
-            if path is not None and os.path.exists(
-                os.path.join(path, "_SUCCESS")
-            ):
-                cents = similarity.load_ivf_index(spark, path)
-                _IVF_INDEX_CACHE[ck] = cents
-        if books is None:
-            path = _index_path("pq_codebooks", sf_dir)
-            if path is not None and os.path.exists(
-                os.path.join(path, "_SUCCESS")
-            ):
-                books = similarity.load_pq_index(spark, path)
-                _PQ_INDEX_CACHE[pk] = books
-    if cents is None:
-        cents = similarity.ivf_centroids(
-            emb, n_centroids=16, refine_iters=_IVF_REFINE_ITERS
-        )
-        if serving:
-            _IVF_INDEX_CACHE[
-                (os.path.realpath(sf_dir), 16, _IVF_REFINE_ITERS)
-            ] = cents
-    if books is None:
-        books = similarity.pq_train(
-            emb, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, dim=_PQ_DIM
-        )
-        if serving:
-            _PQ_INDEX_CACHE[
-                (os.path.realpath(sf_dir), _PQ_M, _PQ_KSUB, _PQ_ITERS)
-            ] = books
+    cents = _get_ivf_quantizer(spark, sf_dir, emb)
+    books = _get_pq_codebooks(spark, sf_dir, emb)
     return similarity.ivf_pq_topk(
         emb, _QUERY_IDS, k=10, n_centroids=16, n_probe=4,
         refine_iters=_IVF_REFINE_ITERS, m=_PQ_M, ksub=_PQ_KSUB,

@@ -1262,3 +1262,70 @@ def test_kmeans_outliers_are_the_far_tail(spark):
     # far tail is strictly ordered (desc) up to the rounding
     ds = [r.sqdist for r in out]
     assert ds == sorted(ds, reverse=True)
+
+
+def test_index_load_rejects_stale_corpus_count(spark, tmp_path):
+    """Disk index artifacts are stamped with the training corpus's row
+    count; loading against a corpus of a different size raises instead
+    of silently serving answers for the OLD corpus (the regenerated-
+    testdata-same-path trap)."""
+    import pytest as _pytest
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = similarity.ivf_centroids(emb, n_centroids=4, refine_iters=0)
+    p1 = str(tmp_path / "ivf")
+    similarity.save_ivf_index(spark, cents, p1, n_corpus=100)
+    assert similarity.load_ivf_index(spark, p1, expect_n=100) == cents
+    with _pytest.raises(ValueError, match="stale IVF index"):
+        similarity.load_ivf_index(spark, p1, expect_n=250)
+    # unstamped artifacts (n_corpus=None) stay loadable — back-compat
+    p2 = str(tmp_path / "ivf2")
+    similarity.save_ivf_index(spark, cents, p2)
+    assert similarity.load_ivf_index(spark, p2, expect_n=250) == cents
+
+    books = similarity.pq_train(emb, m=4, ksub=8, iters=1, dim=64)
+    p3 = str(tmp_path / "pq")
+    similarity.save_pq_index(spark, books, p3, n_corpus=100)
+    assert similarity.load_pq_index(spark, p3, expect_n=100) == books
+    with _pytest.raises(ValueError, match="stale PQ index"):
+        similarity.load_pq_index(spark, p3, expect_n=250)
+
+
+def test_pq_score_queries_rejects_mismatched_codes(spark):
+    """A code table missing the codebooks' code columns is a
+    mismatched-artifacts error, not k rows of NULL-distance garbage."""
+    import pytest as _pytest
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = similarity.pq_train(emb, m=4, ksub=8, iters=1, dim=64)
+    # codes encoded with m=2 codebooks → only code0/code1 columns
+    books2 = similarity.pq_train(emb, m=2, ksub=8, iters=1, dim=64)
+    codes2 = similarity.pq_encode(emb, books2, dim=64).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    queries = similarity.pq_prepare_queries(
+        emb.filter(F.col("vec_id") == 0), books, dim=64
+    )
+    with _pytest.raises(ValueError, match="code2"):
+        similarity.pq_score_queries(codes2, queries, books, k=5)
+
+
+def test_audio_decode_zero_frame_wav(spark):
+    """A legal zero-frame WAV yields a NULL-stats row, not a dead
+    mapInPandas task."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"")
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "media_id long, payload binary"
+    )
+    rows = multimodal.decode_audio_features(media).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_frames == 0 and r.c0_min is None and r.c0_sumsq is None

@@ -344,3 +344,22 @@ def test_pipeline_dup_span_trim_gate(spark, tmp_path):
     )
     assert off["n_span_ok"] == off["n_deduped"] == 3
     assert off["n_dropped_dupspan"] == 0
+
+
+def test_pipeline_rejects_same_state_dir(spark, tmp_path):
+    """Refreshing state in place would overwrite the parquet the
+    carried gate rows are lazily read from — rejected up front."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, "some document text here", "en", "s0")],
+        "doc_id long, text string, lang string, source string",
+    )
+    with _pytest.raises(ValueError, match="state_dir must differ"):
+        pipeline.run_corpus_pipeline(
+            docs,
+            str(tmp_path / "shards"),
+            state_dir=str(tmp_path / "state"),
+            old_snapshot=docs,
+            old_state_dir=str(tmp_path / "state"),
+        )
