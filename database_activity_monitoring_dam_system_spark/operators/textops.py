@@ -824,3 +824,74 @@ def corpus_card(
             ).alias("lang_entropy_bits"),
         )
     )
+
+
+def hash_embeddings(
+    docs: DataFrame,
+    *,
+    dim: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashing-trick document embeddings — the feature-hashing
+    vectorizer (Weinberger et al., ICML 2009; sklearn's
+    HashingVectorizer): each lowercased whitespace token hashes to a
+    bucket (first two md5 hex digits mod ``dim``) with a ±1 sign
+    (third digit's high bit), per-document signed counts are
+    L2-normalized. No vocabulary, no fitting, no state — the property
+    that makes it THE streaming/distributed featurizer: any executor
+    embeds any document independently, and the embedding of a corpus
+    is a pure projection + one hash aggregation (same plan shape as
+    SimHash's 64-sum agg).
+
+    This bridges the text table into embedding space: the ANN /
+    near-dup / outlier operators run on real documents through it
+    (hash_embeddings → cosine_topk/pq_topk/kmeans_outliers), not just
+    on a precomputed embedding column.
+
+    All arithmetic before the final normalization is exact integer
+    (signed counts, integer sum-of-squares), so the embedding is
+    bit-reproducible in any engine with md5 — the DuckDB oracle
+    re-derives it verbatim.
+
+    Output: (id, n_tokens, norm double, embedding array<double>
+    L2-normalized; NULL embedding when every bucket cancelled to
+    norm 0).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), _WS),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    hashed = toks.selectExpr(
+        id_col,
+        "CAST(conv(substring(md5(tok), 1, 2), 16, 10) AS INT) "
+        f"% {dim} AS bucket",
+        "CASE WHEN CAST(conv(substring(md5(tok), 3, 1), 16, 10) AS INT) "
+        ">= 8 THEN -1 ELSE 1 END AS sign",
+    )
+    counts = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        *[
+            F.sum(F.when(F.col("bucket") == i, F.col("sign")).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i in range(dim)
+        ],
+    )
+    norm2 = " + ".join(f"c{i} * c{i}" for i in range(dim))
+    return counts.selectExpr(
+        id_col,
+        "n_tokens",
+        f"sqrt(CAST({norm2} AS DOUBLE)) AS norm",
+        f"CASE WHEN {norm2} > 0 THEN array("
+        + ", ".join(
+            f"CAST(c{i} AS DOUBLE) / sqrt(CAST({norm2} AS DOUBLE))"
+            for i in range(dim)
+        )
+        + ") END AS embedding",
+    )

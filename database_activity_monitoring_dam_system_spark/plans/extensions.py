@@ -2355,6 +2355,71 @@ SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM a{iters + 1}
 """
 
 
+_HASH_EMB_DIM = 32
+
+
+def _q_doc_hash_embeddings(spark, sf_dir):
+    """Element-projected hashing-trick embeddings (first 8 dims + norm
+    + token count) so the result is scalar-sortable for the driver's
+    canonicalizer; the array-returning operator stays for API use."""
+    from pyspark.sql import functions as F
+
+    emb = textops.hash_embeddings(_docs(spark, sf_dir), dim=_HASH_EMB_DIM)
+    return emb.select(
+        "doc_id",
+        "n_tokens",
+        F.round("norm", 6).alias("norm"),
+        *[
+            F.round(F.col("embedding")[i], 6).alias(f"e{i}")
+            for i in range(8)
+        ],
+    )
+
+
+def _doc_hash_embeddings_sql() -> str:
+    d = _HASH_EMB_DIM
+    csum = ",\n         ".join(
+        f"CAST(sum(CASE WHEN bucket = {i} THEN sign ELSE 0 END) "
+        f"AS BIGINT) AS c{i}"
+        for i in range(d)
+    )
+    norm2 = " + ".join(f"c{i} * c{i}" for i in range(d))
+    dims = ", ".join(
+        f"CASE WHEN {norm2} > 0 THEN "
+        f"round(CAST(c{i} AS DOUBLE) / sqrt(CAST({norm2} AS DOUBLE)), 6) "
+        f"END AS e{i}"
+        for i in range(8)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents,
+       unnest(list_filter(
+         regexp_split_to_array(trim(lower(text)), '\\s+'),
+         x -> x != '')) AS t(tok)
+),
+hashed AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1))
+           % {d} AS bucket,
+         CASE WHEN strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1
+                   >= 8 THEN -1 ELSE 1 END AS sign
+  FROM toks
+),
+counts AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         {csum}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(sqrt(CAST({norm2} AS DOUBLE)), 6) AS norm,
+       {dims}
+FROM counts
+"""
+
+
 _OUTLIER_TOP_N = 50
 
 
@@ -2687,6 +2752,13 @@ QUERIES: dict[str, QuerySpec] = {
         _q_kmeans_exact, _kmeans_exact_sql(),
         "Lloyd k-means with decimal-exact (order-independent) centroid "
         "updates — full-assignment hash oracle across 3 unrolled rounds",
+    ),
+    "doc_hash_embeddings": QuerySpec(
+        _q_doc_hash_embeddings, _doc_hash_embeddings_sql(),
+        "hashing-trick document embeddings (feature hashing, no "
+        "vocabulary/fit): one explode + one hash agg, exact-integer "
+        "counts L2-normalized — bridges text into embedding space; "
+        "full oracle",
     ),
     "embedding_outliers": QuerySpec(
         _q_embedding_outliers, _embedding_outliers_sql(),

@@ -1329,3 +1329,46 @@ def test_audio_decode_zero_frame_wav(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r.n_frames == 0 and r.c0_min is None and r.c0_sumsq is None
+
+
+def test_hash_embeddings_properties_and_composition(spark):
+    """Feature-hashing embeddings: unit L2 norm of the output vector,
+    identical text → identical embedding, token-overlap → higher
+    cosine than unrelated text — and the vector column composes
+    directly with the similarity operators (cosine_topk over REAL
+    documents)."""
+    from database_activity_monitoring_dam_system_spark.operators import textops
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # identical
+        (3, "the quick brown fox leaps over the lazy dog"),  # 1 token off
+        (4, "completely different words about database monitoring systems"),
+        (5, "   "),  # whitespace only → no tokens → no row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = textops.hash_embeddings(docs, dim=32)
+    out = {r.doc_id: r for r in emb.collect()}
+    assert 5 not in out  # no tokens, no embedding row
+    for r in out.values():
+        if r.embedding is not None:
+            assert abs(sum(x * x for x in r.embedding) - 1.0) < 1e-9
+    assert out[1].embedding == out[2].embedding
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    near = cos(out[1].embedding, out[3].embedding)
+    far = cos(out[1].embedding, out[4].embedding)
+    assert near > far
+    assert near > 0.8  # 8/9 shared tokens
+
+    # composition: the embedding column drives the ANN operators
+    topk = similarity.cosine_topk(
+        emb.filter(F.col("embedding").isNotNull()),
+        [1],
+        k=2,
+        id_col="doc_id",
+        vec_col="embedding",
+    ).collect()
+    assert [r.neighbor_id for r in topk] == [2, 3]  # dup first, near second
