@@ -895,3 +895,174 @@ def hash_embeddings(
         )
         + ") END AS embedding",
     )
+
+
+def bpe_learn(
+    docs: DataFrame,
+    *,
+    n_merges: int = 200,
+    min_word_count: int = 1,
+    max_words: int = 50_000,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Learn a byte-pair-encoding merge table (Sennrich et al., ACL
+    2016) with the split that scales: the ONLY corpus-sized pass is a
+    distributed word-frequency aggregation (explode → groupBy word),
+    and the merge loop then runs driver-side over the compact
+    (word, count) vocabulary — exactly how production tokenizers
+    train (the vocab table is bounded by ``max_words``, not by corpus
+    size, so a 100 TB corpus and a 100 GB corpus hand the driver the
+    same-sized problem).
+
+    Determinism: words are capped top-``max_words`` by (count DESC,
+    word ASC); each merge picks the (count DESC, pair ASC) best
+    adjacent symbol pair; every step is a pure function of the word
+    frequencies. Returns merges in learned order (rank = position).
+    """
+    wf_rows = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col(text_col))), _WS),
+                    lambda t: t != "",
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_word_count)
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(max_words)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["word"]) + ("</w>",): r["cnt"] for r in wf_rows
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for sym, cnt in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + cnt
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] < 2:
+            break  # nothing repeats; further merges are memorization
+        merges.append(best)
+        merged: dict[tuple[str, ...], int] = {}
+        for sym, cnt in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if (
+                    i + 1 < len(sym)
+                    and sym[i] == best[0]
+                    and sym[i + 1] == best[1]
+                ):
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            merged[tuple(out)] = merged.get(tuple(out), 0) + cnt
+        vocab = merged
+    return merges
+
+
+def bpe_encode_word(word: str, rank: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy ranked BPE apply for one word: repeatedly merge every
+    occurrence of the LOWEST-RANK adjacent pair present (the
+    Sennrich/HF apply rule — mirrors the learner, so a word seen in
+    training re-segments identically)."""
+    sym = list(word) + ["</w>"]
+    while len(sym) > 1:
+        best_rank, best_pair = None, None
+        for a, b in zip(sym, sym[1:]):
+            r = rank.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (a, b)
+        if best_pair is None:
+            break
+        out = []
+        i = 0
+        while i < len(sym):
+            if (
+                i + 1 < len(sym)
+                and sym[i] == best_pair[0]
+                and sym[i + 1] == best_pair[1]
+            ):
+                out.append(sym[i] + sym[i + 1])
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document REAL BPE token counts under a learned merge table
+    — replaces the chars/4 heuristic wherever the token budget
+    matters (packing, epoch planning, mixture weights).
+
+    Arrow-batched mapInPandas with the merge-rank dict captured in
+    the closure (broadcast with the task — a merge table is KBs) and
+    a per-batch word→len memo: Zipf does the rest, most words in a
+    batch are repeats. Output: (id, n_words, n_bpe_tokens,
+    avg_tokens_per_word round 4) for docs with ≥1 token.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    rank = {pair: i for i, pair in enumerate(merges)}
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_words", T.LongType(), True),
+        T.StructField("n_bpe_tokens", T.LongType(), True),
+        T.StructField("avg_tokens_per_word", T.DoubleType(), True),
+    ])
+    src = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), _WS),
+            lambda t: t != "",
+        ).alias("_words"),
+    ).filter(F.size("_words") > 0)
+
+    def batches(parts):
+        cache: dict[str, int] = {}
+
+        def word_len(w: str) -> int:
+            n = cache.get(w)
+            if n is None:
+                n = len(bpe_encode_word(w, rank))
+                cache[w] = n
+            return n
+
+        for pdf in parts:
+            rows = []
+            for mid, words in zip(pdf["doc_id"], pdf["_words"]):
+                total = sum(word_len(w) for w in words)
+                rows.append((
+                    int(mid),
+                    len(words),
+                    total,
+                    round(total / len(words), 4),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_words", "n_bpe_tokens",
+                    "avg_tokens_per_word",
+                ],
+            )
+
+    return src.mapInPandas(batches, schema=schema)

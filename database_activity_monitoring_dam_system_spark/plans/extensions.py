@@ -2355,6 +2355,22 @@ SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM a{iters + 1}
 """
 
 
+_BPE_MERGES = 100
+
+
+def _q_bpe_token_counts(spark, sf_dir):
+    """Real BPE token counts under merges learned from the corpus
+    itself (deterministic: word-freq table → (count DESC, pair ASC)
+    merge rule). Iterative merge application is genuinely not
+    SQL-expressible, so this is a rows-only entry pinned by
+    expect_columns + an exact rows_oracle, with the full semantics
+    pinned by test_extensions (hand-computed classic merge sequence;
+    distributed counts ≡ driver-side re-encode)."""
+    docs = _docs(spark, sf_dir)
+    merges = textops.bpe_learn(docs, n_merges=_BPE_MERGES)
+    return textops.bpe_token_counts(docs, merges)
+
+
 _HASH_EMB_DIM = 32
 
 
@@ -2752,6 +2768,20 @@ QUERIES: dict[str, QuerySpec] = {
         _q_kmeans_exact, _kmeans_exact_sql(),
         "Lloyd k-means with decimal-exact (order-independent) centroid "
         "updates — full-assignment hash oracle across 3 unrolled rounds",
+    ),
+    "bpe_token_counts": QuerySpec(
+        _q_bpe_token_counts, None,
+        "REAL BPE token counts (Sennrich learn on the distributed "
+        "word-freq table, ranked greedy apply via mapInPandas) — "
+        "iterative, rows-only with exact-count oracle",
+        expect_columns=(
+            "doc_id", "n_words", "n_bpe_tokens", "avg_tokens_per_word"
+        ),
+        expect_rows=(1, None),
+        rows_oracle=(
+            "SELECT CAST(count(*) AS BIGINT) FROM documents "
+            "WHERE text IS NOT NULL AND trim(text) != ''"
+        ),
     ),
     "doc_hash_embeddings": QuerySpec(
         _q_doc_hash_embeddings, _doc_hash_embeddings_sql(),

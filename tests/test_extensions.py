@@ -1372,3 +1372,54 @@ def test_hash_embeddings_properties_and_composition(spark):
         vec_col="embedding",
     ).collect()
     assert [r.neighbor_id for r in topk] == [2, 3]  # dup first, near second
+
+
+def test_bpe_learn_classic_merge_sequence(spark):
+    """The Sennrich walk-through corpus: merge order is fully
+    determined by the frequency table and the (count DESC, pair ASC)
+    tie rule — the first six merges are hand-checkable."""
+    from database_activity_monitoring_dam_system_spark.operators import textops
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    merges = textops.bpe_learn(docs, n_merges=6)
+    assert merges == [
+        ("e", "s"), ("es", "t"), ("est", "</w>"),
+        ("l", "o"), ("lo", "w"), ("e", "w"),
+    ]
+    rank = {p: i for i, p in enumerate(merges)}
+    # the classic apply result: an UNSEEN word re-segments through the
+    # learned subwords
+    assert textops.bpe_encode_word("lowest", rank) == ["low", "est</w>"]
+    # seen words collapse to their trained segmentation
+    assert textops.bpe_encode_word("low", rank) == ["low", "</w>"]
+
+
+def test_bpe_token_counts_match_reference(spark):
+    """Distributed counts ≡ an independent driver-side re-encode of
+    every word; tokens always reconstruct the word + end marker."""
+    from database_activity_monitoring_dam_system_spark.operators import textops
+
+    docs = _docs(spark).limit(40)
+    merges = textops.bpe_learn(docs, n_merges=50)
+    rank = {p: i for i, p in enumerate(merges)}
+    out = {r.doc_id: r for r in textops.bpe_token_counts(docs, merges).collect()}
+    for row in docs.collect():
+        words = [w for w in row.text.strip().lower().split() if w]
+        if not words:
+            assert row.doc_id not in out
+            continue
+        expect = 0
+        for w in words:
+            toks = textops.bpe_encode_word(w, rank)
+            assert "".join(toks) == w + "</w>"
+            expect += len(toks)
+        got = out[row.doc_id]
+        assert got.n_words == len(words)
+        assert got.n_bpe_tokens == expect
+        assert abs(got.avg_tokens_per_word - round(expect / len(words), 4)) < 1e-9
+    # real merges compress: fewer BPE tokens than raw chars, more than words
+    any_doc = next(iter(out.values()))
+    assert any_doc.n_words <= any_doc.n_bpe_tokens
