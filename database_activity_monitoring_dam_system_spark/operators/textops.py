@@ -1066,3 +1066,101 @@ def bpe_token_counts(
             )
 
     return src.mapInPandas(batches, schema=schema)
+
+
+def vocab_drift(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    top_n: int = 500,
+    smoothing: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots — the
+    crawl-QA companion to :func:`~..operators.dedup.corpus_diff`:
+    where corpus_diff says WHICH documents changed, vocab_drift says
+    what the change DID to the language (a scraper picking up nav
+    boilerplate, a domain shift, a language mix swing all show up as
+    mass moving between tokens before any model ever trains on it).
+
+    Construction: each side's lowercased whitespace tokens are
+    counted; the comparison vocabulary is the UNION of each side's
+    top-``top_n`` tokens (rank by count DESC, token ASC —
+    deterministic); add-``smoothing`` probabilities over that shared
+    vocabulary give per-token KL(new ‖ old) contributions. Restricting
+    to the top-N union is what scales: the full vocabulary is
+    unbounded heavy-tail, the drift signal lives in the head, and the
+    output is ≤ 2·top_n rows regardless of corpus size.
+
+    Shuffle shape: one token-keyed aggregation per side (map-side
+    combined), two rank windows over the AGGREGATED vocab only, one
+    full-outer equi-join of two ≤top_n frames. All counts integer-
+    exact; probabilities and log terms are fixed-order double
+    expressions (oracle-reproducible).
+
+    Output per vocab token: (token, c_old, c_new, p_old, p_new,
+    kl_term = p_new·ln(p_new/p_old), verdict ∈
+    {new, vanished, shifted} by presence in the raw counts).
+    """
+
+    def side_counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    F.filter(
+                        F.split(F.trim(F.lower(F.col(text_col))), _WS),
+                        lambda t: t != "",
+                    )
+                ).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        )
+
+    oc = side_counts(old, "c_old")
+    nc = side_counts(new, "c_new")
+
+    def top(df: DataFrame, c: str) -> DataFrame:
+        w = Window.orderBy(F.desc(c), F.asc("token"))
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= top_n)
+            .select("token")
+        )
+
+    vocab = top(oc, "c_old").union(top(nc, "c_new")).distinct()
+    joined = (
+        vocab.join(oc, "token", "left")
+        .join(nc, "token", "left")
+        .select(
+            "token",
+            F.coalesce("c_old", F.lit(0)).alias("c_old"),
+            F.coalesce("c_new", F.lit(0)).alias("c_new"),
+        )
+    )
+    # totals over the restricted vocab (single-row frames, broadcast)
+    totals = joined.agg(
+        F.sum("c_old").alias("t_old"),
+        F.sum("c_new").alias("t_new"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    s = float(smoothing)
+    p_old = (F.col("c_old") + s) / (F.col("t_old") + s * F.col("v"))
+    p_new = (F.col("c_new") + s) / (F.col("t_new") + s * F.col("v"))
+    verdict = (
+        F.when(F.col("c_old") == 0, "new")
+        .when(F.col("c_new") == 0, "vanished")
+        .otherwise("shifted")
+    )
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            "c_old",
+            "c_new",
+            F.round(p_old, 8).alias("p_old"),
+            F.round(p_new, 8).alias("p_new"),
+            F.round(p_new * F.log(p_new / p_old), 8).alias("kl_term"),
+            verdict.alias("verdict"),
+        )
+    )

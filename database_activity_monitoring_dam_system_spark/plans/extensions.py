@@ -2355,6 +2355,97 @@ SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM a{iters + 1}
 """
 
 
+_VOCAB_DRIFT_TOP_N = 300
+
+
+def _q_vocab_drift(spark, sf_dir):
+    """Same deterministic snapshot split as corpus_diff (old = ids not
+    divisible by 10; new = ids not divisible by 7, every id divisible
+    by 5 revised with a ' v2' suffix) — the revision token guarantees
+    a 'new' verdict row, the removed ids shift mass."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return textops.vocab_drift(old, new, top_n=_VOCAB_DRIFT_TOP_N)
+
+
+_VOCAB_DRIFT_SQL = f"""
+WITH old_docs AS (
+  SELECT text FROM documents WHERE doc_id % 10 != 0
+),
+new_docs AS (
+  SELECT CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 != 0
+),
+oc AS (
+  SELECT t.tok AS token, CAST(count(*) AS BIGINT) AS c_old
+  FROM old_docs,
+       unnest(list_filter(
+         regexp_split_to_array(trim(lower(text)), '\\s+'),
+         x -> x != '')) AS t(tok)
+  GROUP BY 1
+),
+nc AS (
+  SELECT t.tok AS token, CAST(count(*) AS BIGINT) AS c_new
+  FROM new_docs,
+       unnest(list_filter(
+         regexp_split_to_array(trim(lower(text)), '\\s+'),
+         x -> x != '')) AS t(tok)
+  GROUP BY 1
+),
+otop AS (
+  SELECT token FROM (
+    SELECT token,
+           row_number() OVER (ORDER BY c_old DESC, token ASC) AS rk
+    FROM oc
+  ) WHERE rk <= {_VOCAB_DRIFT_TOP_N}
+),
+ntop AS (
+  SELECT token FROM (
+    SELECT token,
+           row_number() OVER (ORDER BY c_new DESC, token ASC) AS rk
+    FROM nc
+  ) WHERE rk <= {_VOCAB_DRIFT_TOP_N}
+),
+vocab AS (
+  SELECT DISTINCT token FROM (
+    SELECT token FROM otop UNION ALL SELECT token FROM ntop
+  )
+),
+j AS (
+  SELECT v.token,
+         COALESCE(oc.c_old, 0) AS c_old,
+         COALESCE(nc.c_new, 0) AS c_new
+  FROM vocab v
+  LEFT JOIN oc USING (token)
+  LEFT JOIN nc USING (token)
+),
+tot AS (
+  SELECT CAST(sum(c_old) AS BIGINT) AS t_old,
+         CAST(sum(c_new) AS BIGINT) AS t_new,
+         CAST(count(*) AS BIGINT) AS v
+  FROM j
+)
+SELECT token, c_old, c_new,
+       round((c_old + 0.5) / (t_old + 0.5 * v), 8) AS p_old,
+       round((c_new + 0.5) / (t_new + 0.5 * v), 8) AS p_new,
+       round(((c_new + 0.5) / (t_new + 0.5 * v))
+             * ln(((c_new + 0.5) / (t_new + 0.5 * v))
+                  / ((c_old + 0.5) / (t_old + 0.5 * v))), 8) AS kl_term,
+       CASE WHEN c_old = 0 THEN 'new'
+            WHEN c_new = 0 THEN 'vanished'
+            ELSE 'shifted' END AS verdict
+FROM j CROSS JOIN tot
+"""
+
+
 _BPE_MERGES = 100
 
 
@@ -2768,6 +2859,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_kmeans_exact, _kmeans_exact_sql(),
         "Lloyd k-means with decimal-exact (order-independent) centroid "
         "updates — full-assignment hash oracle across 3 unrolled rounds",
+    ),
+    "vocab_drift": QuerySpec(
+        _q_vocab_drift, _VOCAB_DRIFT_SQL,
+        "token-distribution drift between corpus snapshots: top-N "
+        "union vocab, smoothed per-token KL(new‖old) contributions + "
+        "new/vanished/shifted verdicts — full oracle",
     ),
     "bpe_token_counts": QuerySpec(
         _q_bpe_token_counts, None,

@@ -1423,3 +1423,37 @@ def test_bpe_token_counts_match_reference(spark):
     # real merges compress: fewer BPE tokens than raw chars, more than words
     any_doc = next(iter(out.values()))
     assert any_doc.n_words <= any_doc.n_bpe_tokens
+
+
+def test_vocab_drift_verdicts_and_kl(spark):
+    """All three verdicts fire on a planted drift (a vanished token, a
+    new boilerplate token, shifted mass); the restricted-vocabulary KL
+    is a true KL (both sides normalized over the same vocab) and
+    therefore non-negative; the injected boilerplate carries the
+    largest positive KL contribution."""
+    from database_activity_monitoring_dam_system_spark.operators import textops
+
+    old = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma obsolete alpha beta"),
+            (2, "alpha beta delta obsolete gamma gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma navbar navbar navbar navbar"),
+            (2, "alpha beta delta navbar navbar navbar gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.token: r for r in textops.vocab_drift(old, new, top_n=50).collect()}
+    assert rows["obsolete"].verdict == "vanished"
+    assert rows["navbar"].verdict == "new"
+    assert rows["alpha"].verdict == "shifted"
+    kl = sum(r.kl_term for r in rows.values())
+    assert kl >= -1e-6
+    assert max(rows.values(), key=lambda r: r.kl_term).token == "navbar"
+    # probabilities normalize over the shared vocab on each side
+    for col in ("p_old", "p_new"):
+        assert abs(sum(getattr(r, col) for r in rows.values()) - 1.0) < 1e-6
