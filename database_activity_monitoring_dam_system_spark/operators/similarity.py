@@ -1158,6 +1158,56 @@ def kmeans_outliers(
     )
 
 
+def pq_update_codes(
+    old_codes: DataFrame,
+    old_embeddings: DataFrame,
+    new_embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental PQ index refresh — the corpus_diff pattern applied
+    to the serving index: between snapshots, carry the stored codes of
+    every vector whose embedding is value-identical, re-encode ONLY
+    added ∪ changed, and drop removed. At 100 TB a crawl refresh
+    touches a few percent of vectors; re-encoding the delta instead of
+    the corpus is the difference between minutes and hours of index
+    build.
+
+    Correctness: encode is a pure per-row function of (vector,
+    codebooks), so carried codes are exactly what a full re-encode
+    would produce (asserted in test_extensions). Codebooks are held
+    FIXED — refreshing them is a retrain decision (quantization-error
+    drift policy), and changing them invalidates every carried code,
+    at which point callers should full re-encode.
+
+    Shuffle shape: one id-keyed full-outer join to classify, one
+    left-semi carry join, and the zero-shuffle encode projection over
+    the delta only.
+    """
+    v = _as_double(vec_col)
+    old_v = old_embeddings.select(F.col(id_col), v.alias("_ov"))
+    new_v = new_embeddings.select(F.col(id_col), v.alias("_nv"))
+    j = old_v.join(new_v, id_col, "full_outer")
+    unchanged = j.filter(
+        F.col("_nv").isNotNull() & F.col("_nv").eqNullSafe(F.col("_ov"))
+    ).select(id_col)
+    delta_ids = j.filter(
+        F.col("_nv").isNotNull() & ~F.col("_nv").eqNullSafe(F.col("_ov"))
+    ).select(id_col)
+    carried = old_codes.join(unchanged, id_col, "left_semi")
+    fresh = pq_encode(
+        new_embeddings.join(delta_ids, id_col, "left_semi"),
+        codebooks,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return carried.unionByName(fresh)
+
+
 def ivf_pq_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -1457,3 +1457,32 @@ def test_vocab_drift_verdicts_and_kl(spark):
     # probabilities normalize over the shared vocab on each side
     for col in ("p_old", "p_new"):
         assert abs(sum(getattr(r, col) for r in rows.values()) - 1.0) < 1e-6
+
+
+def test_pq_update_codes_equals_full_reencode(spark):
+    """Incremental index refresh ≡ full re-encode under fixed
+    codebooks: carried codes for value-identical vectors, fresh codes
+    for changed/added, removed ids gone."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = similarity.pq_train(emb, m=4, ksub=8, iters=1, dim=64)
+    old = emb.filter(F.col("vec_id") % 10 != 0)
+    # new snapshot: drop ids % 7 == 0, perturb ids % 5 == 0 (valid dim
+    # preserved), keep the rest byte-identical
+    new = emb.filter(F.col("vec_id") % 7 != 0).withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 5 == 0,
+            F.transform(
+                F.col("embedding").cast("array<double>"), lambda x: x + 0.25
+            ),
+        ).otherwise(F.col("embedding").cast("array<double>")),
+    )
+    old_codes = similarity.pq_encode(old, books, dim=64)
+    updated = similarity.pq_update_codes(old_codes, old, new, books, dim=64)
+    full = similarity.pq_encode(new, books, dim=64)
+    assert sorted(map(tuple, updated.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    # and the delta really was a delta: removed ids absent
+    got_ids = {r.vec_id for r in updated.collect()}
+    assert all(i % 7 != 0 for i in got_ids)
