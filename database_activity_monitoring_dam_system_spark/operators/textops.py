@@ -1164,3 +1164,116 @@ def vocab_drift(
             verdict.alias("verdict"),
         )
     )
+
+
+def nb_hashed_classify(
+    train_docs: DataFrame,
+    score_docs: DataFrame,
+    *,
+    label_col: str = "lang",
+    dim: int = 32,
+    smoothing: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed multinomial Naive Bayes — the model-based document
+    classifier/filter pattern (CCNet's fastText quality filter, domain
+    routers) in its fully-relational form: token features are the same
+    md5 buckets as :func:`hash_embeddings`, training is per-(label,
+    bucket) INTEGER counting, and scoring is a fixed-order expression
+    over the pivoted count columns — so train AND score are one
+    declarative plan with no driver-side model object, and the whole
+    classifier (training included) is oracle-reproducible.
+
+    score(doc, l) = ln((d_l + s) / (D + s·k))
+                  + Σᵢ cᵢ · ln((mₗᵢ + s) / (Mₗ + s·dim))
+
+    with d_l = docs of label l, D = total train docs, k = labels,
+    mₗᵢ = label-l tokens in bucket i, Mₗ = label-l tokens, cᵢ = the
+    scored doc's bucket counts. All counts integers; every float op
+    sits in one fixed left-to-right expression — no float fold over
+    rows anywhere.
+
+    Shuffle shape: one (label) agg over the train tokens + one (label)
+    doc-count agg (both k-row outputs, broadcast), one (doc) agg over
+    the score tokens, a crossJoin of N docs × k label rows, one
+    ranking window. At 100 TB the model side is k·(dim+2) integers —
+    nothing to persist, nothing to drift.
+
+    Output: (id, pred_label, score round 6, margin round 6 — NULL
+    when k = 1) for score docs with ≥1 token.
+    """
+    bucket = (
+        "CAST(conv(substring(md5(tok), 1, 2), 16, 10) AS INT) % " + str(dim)
+    )
+
+    def toks(df: DataFrame, *cols) -> DataFrame:
+        return df.select(
+            *cols,
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col(text_col))), _WS),
+                    lambda t: t != "",
+                )
+            ).alias("tok"),
+        ).selectExpr(*[str(c) for c in cols], f"{bucket} AS bucket")
+
+    train = train_docs.filter(F.col(label_col).isNotNull())
+    pivot = (
+        toks(train, label_col)
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m_tot"),
+            *[
+                F.sum(
+                    F.when(F.col("bucket") == i, 1).otherwise(0)
+                ).cast("bigint").alias(f"m{i}")
+                for i in range(dim)
+            ],
+        )
+    )
+    doc_counts_by_label = train.groupBy(label_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d_l")
+    )
+    model = pivot.join(doc_counts_by_label, label_col)
+    globals_ = model.agg(
+        F.sum("d_l").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    model = model.crossJoin(F.broadcast(globals_))
+
+    scored_counts = (
+        toks(score_docs, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            *[
+                F.sum(
+                    F.when(F.col("bucket") == i, 1).otherwise(0)
+                ).cast("bigint").alias(f"c{i}")
+                for i in range(dim)
+            ],
+        )
+    )
+    s = float(smoothing)
+    score_sql = f"ln((d_l + {s!r}D) / (n_docs + {s!r}D * k))" + "".join(
+        f" + c{i} * ln((m{i} + {s!r}D) / (m_tot + {s!r}D * {dim}))"
+        for i in range(dim)
+    )
+    paired = scored_counts.crossJoin(F.broadcast(model)).withColumn(
+        "_score", F.expr(score_sql)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_score"), F.asc(label_col)
+    )
+    return (
+        paired.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_next", F.lead("_score").over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col(label_col).alias("pred_label"),
+            F.round("_score", 6).alias("score"),
+            F.round(F.col("_score") - F.col("_next"), 6).alias("margin"),
+        )
+    )

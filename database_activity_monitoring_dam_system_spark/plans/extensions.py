@@ -2355,6 +2355,107 @@ SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM a{iters + 1}
 """
 
 
+_NB_DIM = 32
+
+
+def _q_nb_lang_classify(spark, sf_dir):
+    """Train on even doc_ids, score odd doc_ids — a genuine held-out
+    split, so the gate pins the classifier's generalization behavior,
+    not memorization."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    return textops.nb_hashed_classify(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        label_col="lang",
+        dim=_NB_DIM,
+    )
+
+
+def _nb_lang_sql() -> str:
+    d = _NB_DIM
+    msum = ",\n         ".join(
+        f"CAST(sum(CASE WHEN bucket = {i} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS m{i}"
+        for i in range(d)
+    )
+    csum = ",\n         ".join(
+        f"CAST(sum(CASE WHEN bucket = {i} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS c{i}"
+        for i in range(d)
+    )
+    score = "ln((d_l + 0.5) / (n_docs + 0.5 * k))" + "".join(
+        f" + c{i} * ln((m{i} + 0.5) / (m_tot + 0.5 * {d}))"
+        for i in range(d)
+    )
+    tok = (
+        "((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1))"
+        f" % {d}"
+    )
+    return f"""
+WITH train_toks AS (
+  SELECT lang, {tok} AS bucket
+  FROM (SELECT lang, t.tok
+        FROM documents,
+             unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               x -> x != '')) AS t(tok)
+        WHERE doc_id % 2 = 0 AND lang IS NOT NULL)
+),
+bcounts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS m_tot,
+         {msum}
+  FROM train_toks GROUP BY lang
+),
+dcounts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS d_l
+  FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+  GROUP BY lang
+),
+model AS (
+  SELECT p.*, d.d_l FROM bcounts p JOIN dcounts d USING (lang)
+),
+g AS (
+  SELECT CAST(sum(d_l) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS k
+  FROM model
+),
+score_toks AS (
+  SELECT doc_id, {tok} AS bucket
+  FROM (SELECT doc_id, t.tok
+        FROM documents,
+             unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               x -> x != '')) AS t(tok)
+        WHERE doc_id % 2 = 1)
+),
+doc_counts AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         {csum}
+  FROM score_toks GROUP BY doc_id
+),
+paired AS (
+  SELECT dc.doc_id, m.lang,
+         {score} AS _score
+  FROM doc_counts dc CROSS JOIN model m CROSS JOIN g
+),
+ranked AS (
+  SELECT doc_id, lang, _score,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY _score DESC, lang ASC) AS rn,
+         lead(_score) OVER (
+           PARTITION BY doc_id ORDER BY _score DESC, lang ASC) AS _next
+  FROM paired
+)
+SELECT doc_id, lang AS pred_label,
+       round(_score, 6) AS score,
+       round(_score - _next, 6) AS margin
+FROM ranked WHERE rn = 1
+"""
+
+
 _VOCAB_DRIFT_TOP_N = 300
 
 
@@ -2859,6 +2960,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_kmeans_exact, _kmeans_exact_sql(),
         "Lloyd k-means with decimal-exact (order-independent) centroid "
         "updates — full-assignment hash oracle across 3 unrolled rounds",
+    ),
+    "nb_lang_classify": QuerySpec(
+        _q_nb_lang_classify, _nb_lang_sql(),
+        "hashed multinomial Naive Bayes (model-based doc filter, "
+        "CCNet pattern): train on even ids, score held-out odd ids — "
+        "training AND scoring fully relational, full oracle",
     ),
     "vocab_drift": QuerySpec(
         _q_vocab_drift, _VOCAB_DRIFT_SQL,

@@ -1486,3 +1486,50 @@ def test_pq_update_codes_equals_full_reencode(spark):
     # and the delta really was a delta: removed ids absent
     got_ids = {r.vec_id for r in updated.collect()}
     assert all(i % 7 != 0 for i in got_ids)
+
+
+def test_nb_hashed_classify_separable_and_margins(spark):
+    """On a vocabulary-separable fixture the classifier is perfect on
+    held-out docs; margins are positive for confident predictions;
+    tokenless docs drop; training is fully relational (no driver-side
+    model state to go stale)."""
+    from database_activity_monitoring_dam_system_spark.operators import textops
+
+    train_rows = []
+    for i in range(20):
+        train_rows.append((i * 2, "aaa bbb ccc aaa bbb ccc ddd", "x"))
+        train_rows.append((i * 2 + 100, "qqq rrr sss qqq rrr sss ttt", "y"))
+    train = spark.createDataFrame(
+        train_rows, "doc_id long, text string, lang string"
+    )
+    score = spark.createDataFrame(
+        [
+            (1001, "aaa bbb aaa ccc"),
+            (1002, "rrr sss qqq ttt"),
+            (1003, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in textops.nb_hashed_classify(
+            train, score, label_col="lang"
+        ).collect()
+    }
+    assert out[1001].pred_label == "x" and out[1002].pred_label == "y"
+    assert out[1001].margin > 0 and out[1002].margin > 0
+    assert 1003 not in out
+
+    # on the synthetic corpus: a real (if weak) signal — beats chance
+    docs = _docs(spark)
+    pred = textops.nb_hashed_classify(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        label_col="lang",
+    )
+    joined = pred.join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select((F.col("pred_label") == F.col("lang")).cast("int").alias("hit"))
+    acc = joined.agg(F.avg("hit")).first()[0]
+    n_labels = docs.select("lang").distinct().count()
+    assert acc > 1.5 / n_labels, f"accuracy {acc:.3f} not above chance"
