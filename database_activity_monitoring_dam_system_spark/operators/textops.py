@@ -1277,3 +1277,59 @@ def nb_hashed_classify(
             F.round(F.col("_score") - F.col("_next"), 6).alias("margin"),
         )
     )
+
+
+def relative_quality_filter(
+    docs: DataFrame,
+    *,
+    keep_frac: float = 0.7,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum RELATIVE quality thresholding: rank documents
+    within each stratum (language/source) by a continuous quality
+    score and keep the top ``keep_frac`` of EACH stratum — the
+    language-fair alternative to one global cutoff, which
+    systematically deletes low-resource languages whose absolute
+    scores sit below the high-resource mode (the CCNet per-language
+    perplexity-bucket rationale).
+
+    Score: ``stopword_ratio − punct_ratio`` (fluency signal minus
+    noise signal, both already shared with the quality gate); ties →
+    lowest id, so the cut is deterministic. Keep count =
+    ``ceil(keep_frac · n_stratum)`` — exact integer arithmetic after
+    one float multiply evaluated identically by any IEEE engine.
+
+    Shuffle shape: one projection for the score, ONE rank window per
+    stratum (count via the companion window, no extra join), output
+    carries the kept flag rather than dropping rows — callers filter,
+    audits see both sides.
+
+    Output: (id, strata, q_score round 6, q_rank, n_stratum, kept).
+    """
+    c = quality_signal_cols(text_col)
+    scored = docs.select(
+        F.col(id_col),
+        F.col(strata_col),
+        (c["stopword_ratio"] - c["punct_ratio"]).alias("_q"),
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.desc("_q"), F.asc(id_col)
+    )
+    wc = Window.partitionBy(strata_col)
+    return (
+        scored.withColumn("q_rank", F.row_number().over(w))
+        .withColumn("n_stratum", F.count(F.lit(1)).over(wc))
+        .select(
+            id_col,
+            strata_col,
+            F.round("_q", 6).alias("q_score"),
+            F.col("q_rank").cast("bigint").alias("q_rank"),
+            F.col("n_stratum").cast("bigint").alias("n_stratum"),
+            (
+                F.col("q_rank")
+                <= F.ceil(F.lit(float(keep_frac)) * F.col("n_stratum"))
+            ).alias("kept"),
+        )
+    )

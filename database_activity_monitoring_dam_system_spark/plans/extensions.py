@@ -2355,6 +2355,46 @@ SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM a{iters + 1}
 """
 
 
+_REL_QUALITY_FRAC = 0.7
+
+
+def _q_relative_quality_keep(spark, sf_dir):
+    return textops.relative_quality_filter(
+        _docs(spark, sf_dir), keep_frac=_REL_QUALITY_FRAC, strata_col="lang"
+    )
+
+
+_REL_QUALITY_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, lang,
+         string_split_regex(trim(text), '\s+') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, x -> x IN ('the','a','of','and','to')))
+           * 1.0 / len(toks)
+         - n_punct * 1.0 / n_chars AS q
+  FROM base
+),
+ranked AS (
+  SELECT doc_id, lang, q,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY q DESC, doc_id ASC) AS q_rank,
+         count(*) OVER (PARTITION BY lang) AS n_stratum
+  FROM scored
+)
+SELECT doc_id, lang,
+       round(q, 6) AS q_score,
+       CAST(q_rank AS BIGINT) AS q_rank,
+       CAST(n_stratum AS BIGINT) AS n_stratum,
+       q_rank <= ceil({_REL_QUALITY_FRAC} * n_stratum) AS kept
+FROM ranked
+"""
+
+
 _NB_DIM = 32
 
 
@@ -2960,6 +3000,11 @@ QUERIES: dict[str, QuerySpec] = {
         _q_kmeans_exact, _kmeans_exact_sql(),
         "Lloyd k-means with decimal-exact (order-independent) centroid "
         "updates — full-assignment hash oracle across 3 unrolled rounds",
+    ),
+    "relative_quality_keep": QuerySpec(
+        _q_relative_quality_keep, _REL_QUALITY_SQL,
+        "per-language RELATIVE quality thresholding (top keep_frac of "
+        "each stratum — the language-fair CCNet cut) — full oracle",
     ),
     "nb_lang_classify": QuerySpec(
         _q_nb_lang_classify, _nb_lang_sql(),

@@ -1533,3 +1533,36 @@ def test_nb_hashed_classify_separable_and_margins(spark):
     acc = joined.agg(F.avg("hit")).first()[0]
     n_labels = docs.select("lang").distinct().count()
     assert acc > 1.5 / n_labels, f"accuracy {acc:.3f} not above chance"
+
+
+def test_relative_quality_filter_is_language_fair(spark):
+    """Each stratum keeps ceil(frac·n) of ITS OWN docs — a stratum
+    whose absolute scores are all terrible still keeps its top slice
+    (the failure mode of a global cutoff), and within a stratum the
+    kept set is exactly the top-ranked rows."""
+    from database_activity_monitoring_dam_system_spark.operators import textops
+
+    rows = []
+    # 'good' stratum: fluent docs (high stopword ratio, no punct)
+    for i in range(10):
+        rows.append((i, "the cat and the dog of the house went to a tree", "good"))
+    # 'bad' stratum: noisy docs — globally much worse scores
+    for i in range(10, 20):
+        rows.append((i, f"x{i}!!! ### $$$ %%% zz{i} @@@ !!! ??? *** ((()))", "bad"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = textops.relative_quality_filter(docs, keep_frac=0.5).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        kept = [r for r in rs if r.kept]
+        assert len(kept) == 5, f"{lang}: {len(kept)}"  # ceil(0.5 * 10)
+        # kept = exactly ranks 1..5
+        assert sorted(r.q_rank for r in kept) == [1, 2, 3, 4, 5]
+    # global-cutoff failure mode check: the bad stratum's best kept row
+    # scores worse than the good stratum's worst dropped row
+    best_bad = max(r.q_score for r in by_lang["bad"] if r.kept)
+    worst_good_dropped = min(
+        r.q_score for r in by_lang["good"] if not r.kept
+    )
+    assert best_bad < worst_good_dropped
