@@ -351,3 +351,22 @@ def test_pq_topk_single_ranking_shuffle(spark):
     plan = _plan(spark, "embedding_pq_topk")
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1  # ranking window
+
+
+def test_round6_text_ops_never_sort_merge(spark):
+    """The text-side round-6 operators keep their corpus-frame joins
+    broadcast (model/vocab sides are k-row or top-N-row frames): a
+    SortMergeJoin in any of them means a corpus-sized shuffle crept
+    into what should be small-side broadcasting."""
+    for name in ("nb_lang_classify", "vocab_drift", "dup_span_stats"):
+        plan = _plan(spark, name)
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_scan_bound_ops_single_exchange(spark):
+    """Pure scan-shaped operators (score projection + one agg/window):
+    exactly ONE hash exchange, nothing else."""
+    for name in ("relative_quality_keep", "doc_hash_embeddings"):
+        plan = _plan(spark, name)
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "Join" not in plan, name
