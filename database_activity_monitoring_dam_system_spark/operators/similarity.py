@@ -1379,6 +1379,72 @@ def load_pq_index(
     return [books[j] for j in sorted(books)]
 
 
+def ann_recall_report(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    methods: tuple[str, ...] = ("lsh", "ivf", "int8", "pq", "ivf_pq"),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[dict]:
+    """Evaluation harness for the ANN family: recall@k of each
+    approximate method against the exact cosine top-k on the SAME
+    queries — the measurement a serving team runs before picking an
+    operating point (probe width, band bits, code size), and after
+    every index rebuild as a regression check.
+
+    Returns a list of ``{"method", "recall_at_k", "n_hits",
+    "n_expected"}`` dicts (driver-sized: methods × 1 row). Note the
+    L2-based methods (pq, ivf_pq) are scored against the COSINE
+    ground truth — on unnormalized corpora their recall reads lower
+    for metric mismatch, which is exactly the kind of thing this
+    report exists to surface.
+    """
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(
+            embeddings, query_ids, k=k, id_col=id_col, vec_col=vec_col
+        ).collect()
+    }
+    runners = {
+        "lsh": lambda: lsh_topk(
+            embeddings, query_ids, k=k, id_col=id_col, vec_col=vec_col
+        ),
+        "ivf": lambda: ivf_topk(
+            embeddings, query_ids, k=k, id_col=id_col, vec_col=vec_col
+        ),
+        "int8": lambda: quantized_topk(
+            embeddings, query_ids, k=k, id_col=id_col, vec_col=vec_col
+        ),
+        "pq": lambda: pq_topk(
+            embeddings, query_ids, k=k, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        ),
+        "ivf_pq": lambda: ivf_pq_topk(
+            embeddings, query_ids, k=k, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        ),
+    }
+    report = []
+    for m in methods:
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in runners[m]().collect()
+        }
+        hits = len(got & exact)
+        report.append(
+            {
+                "method": m,
+                "recall_at_k": round(hits / len(exact), 4) if exact else None,
+                "n_hits": hits,
+                "n_expected": len(exact),
+            }
+        )
+    return report
+
+
 def auto_band_bits(
     corpus_size: int,
     *,

@@ -1566,3 +1566,21 @@ def test_relative_quality_filter_is_language_fair(spark):
         r.q_score for r in by_lang["good"] if not r.kept
     )
     assert best_bad < worst_good_dropped
+
+
+def test_ann_recall_report_structure_and_floors(spark):
+    """The evaluation harness measures every ANN variant against the
+    same exact ground truth: structurally complete rows, hits bounded
+    by expectations, and the exhaustive-scoring methods (int8) beat
+    the probe-pruned ones' worst case."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    report = similarity.ann_recall_report(emb, [0, 1, 2], k=5)
+    assert [r["method"] for r in report] == [
+        "lsh", "ivf", "int8", "pq", "ivf_pq"
+    ]
+    for r in report:
+        assert 0 <= r["n_hits"] <= r["n_expected"] == 15
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+    by = {r["method"]: r["recall_at_k"] for r in report}
+    # int8 is exhaustive exact-integer cosine — near-perfect recall
+    assert by["int8"] >= 0.9
