@@ -1183,23 +1183,34 @@ def pq_update_codes(
     drift policy), and changing them invalidates every carried code,
     at which point callers should full re-encode.
 
-    Shuffle shape: one id-keyed full-outer join to classify, one
-    left-semi carry join, and the zero-shuffle encode projection over
-    the delta only.
+    Shuffle shape: one id-keyed full-outer join to classify — run
+    ONCE and persisted as a tiny (id, flag) frame, since both the
+    carry branch and the delta branch consume it (without the persist
+    Spark would re-execute the corpus-sized join per branch) — then
+    one left-semi carry join and the zero-shuffle encode projection
+    over the delta only. The persisted frame is two columns and
+    LRU-evictable; long-lived callers can unpersist via the returned
+    plan's lineage going cold.
     """
     v = _as_double(vec_col)
     old_v = old_embeddings.select(F.col(id_col), v.alias("_ov"))
     new_v = new_embeddings.select(F.col(id_col), v.alias("_nv"))
-    j = old_v.join(new_v, id_col, "full_outer")
-    unchanged = j.filter(
-        F.col("_nv").isNotNull() & F.col("_nv").eqNullSafe(F.col("_ov"))
-    ).select(id_col)
-    delta_ids = j.filter(
-        F.col("_nv").isNotNull() & ~F.col("_nv").eqNullSafe(F.col("_ov"))
-    ).select(id_col)
-    carried = old_codes.join(unchanged, id_col, "left_semi")
+    cls = (
+        old_v.join(new_v, id_col, "full_outer")
+        .filter(F.col("_nv").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("_nv").eqNullSafe(F.col("_ov")).alias("_same"),
+        )
+        .persist()
+    )
+    carried = old_codes.join(
+        cls.filter("_same").select(id_col), id_col, "left_semi"
+    )
     fresh = pq_encode(
-        new_embeddings.join(delta_ids, id_col, "left_semi"),
+        new_embeddings.join(
+            cls.filter("NOT _same").select(id_col), id_col, "left_semi"
+        ),
         codebooks,
         dim=dim,
         id_col=id_col,

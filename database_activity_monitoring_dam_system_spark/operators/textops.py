@@ -30,6 +30,36 @@ def _tokens(text_col: str) -> Column:
     return F.split(F.trim(F.col(text_col)), _WS)
 
 
+def _lower_ws_tokens(text_col: str) -> Column:
+    """Lowercased whitespace tokens with empties dropped — the ONE
+    tokenization shared by the hashing/BPE/drift/NB family (their
+    oracles all assume it; changing it here changes all five in
+    lockstep)."""
+    return F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), _WS),
+        lambda t: t != "",
+    )
+
+
+def _md5_bucket_sql(dim: int) -> str:
+    """Spark-SQL snippet hashing a ``tok`` column into [0, dim) via
+    the first two md5 hex digits — 256 raw values, so ``dim`` must
+    not exceed 256 (callers validate) and divisors of 256 avoid
+    modulo bias."""
+    return (
+        "CAST(conv(substring(md5(tok), 1, 2), 16, 10) AS INT) % "
+        + str(dim)
+    )
+
+
+def _check_bucket_dim(dim: int) -> None:
+    if not 1 <= dim <= 256:
+        raise ValueError(
+            f"dim must be in [1, 256] (two md5 hex digits give 256 raw "
+            f"buckets; dim={dim} would leave buckets permanently empty)"
+        )
+
+
 def token_stats(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -858,19 +888,14 @@ def hash_embeddings(
     L2-normalized; NULL embedding when every bucket cancelled to
     norm 0).
     """
+    _check_bucket_dim(dim)
     toks = docs.select(
         F.col(id_col),
-        F.explode(
-            F.filter(
-                F.split(F.trim(F.lower(F.col(text_col))), _WS),
-                lambda t: t != "",
-            )
-        ).alias("tok"),
+        F.explode(_lower_ws_tokens(text_col)).alias("tok"),
     )
     hashed = toks.selectExpr(
         id_col,
-        "CAST(conv(substring(md5(tok), 1, 2), 16, 10) AS INT) "
-        f"% {dim} AS bucket",
+        f"{_md5_bucket_sql(dim)} AS bucket",
         "CASE WHEN CAST(conv(substring(md5(tok), 3, 1), 16, 10) AS INT) "
         ">= 8 THEN -1 ELSE 1 END AS sign",
     )
@@ -921,12 +946,7 @@ def bpe_learn(
     """
     wf_rows = (
         docs.select(
-            F.explode(
-                F.filter(
-                    F.split(F.trim(F.lower(F.col(text_col))), _WS),
-                    lambda t: t != "",
-                )
-            ).alias("word")
+            F.explode(_lower_ws_tokens(text_col)).alias("word")
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -1023,19 +1043,19 @@ def bpe_token_counts(
     from pyspark.sql import types as T
 
     rank = {pair: i for i, pair in enumerate(merges)}
+    src = docs.select(
+        F.col(id_col),
+        _lower_ws_tokens(text_col).alias("_words"),
+    ).filter(F.size("_words") > 0)
+    # the id column keeps the CALLER's name and type (string doc ids
+    # from the JSONL readers pass through untouched)
+    id_field = src.schema[id_col]
     schema = T.StructType([
-        T.StructField("doc_id", T.LongType(), False),
+        id_field,
         T.StructField("n_words", T.LongType(), True),
         T.StructField("n_bpe_tokens", T.LongType(), True),
         T.StructField("avg_tokens_per_word", T.DoubleType(), True),
     ])
-    src = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.filter(
-            F.split(F.trim(F.lower(F.col(text_col))), _WS),
-            lambda t: t != "",
-        ).alias("_words"),
-    ).filter(F.size("_words") > 0)
 
     def batches(parts):
         cache: dict[str, int] = {}
@@ -1049,10 +1069,10 @@ def bpe_token_counts(
 
         for pdf in parts:
             rows = []
-            for mid, words in zip(pdf["doc_id"], pdf["_words"]):
+            for mid, words in zip(pdf[id_col], pdf["_words"]):
                 total = sum(word_len(w) for w in words)
                 rows.append((
-                    int(mid),
+                    mid,
                     len(words),
                     total,
                     round(total / len(words), 4),
@@ -1060,7 +1080,7 @@ def bpe_token_counts(
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "doc_id", "n_words", "n_bpe_tokens",
+                    id_col, "n_words", "n_bpe_tokens",
                     "avg_tokens_per_word",
                 ],
             )
@@ -1105,14 +1125,7 @@ def vocab_drift(
 
     def side_counts(df: DataFrame, name: str) -> DataFrame:
         return (
-            df.select(
-                F.explode(
-                    F.filter(
-                        F.split(F.trim(F.lower(F.col(text_col))), _WS),
-                        lambda t: t != "",
-                    )
-                ).alias("token")
-            )
+            df.select(F.explode(_lower_ws_tokens(text_col)).alias("token"))
             .groupBy("token")
             .agg(F.count(F.lit(1)).cast("bigint").alias(name))
         )
@@ -1121,10 +1134,13 @@ def vocab_drift(
     nc = side_counts(new, "c_new")
 
     def top(df: DataFrame, c: str) -> DataFrame:
-        w = Window.orderBy(F.desc(c), F.asc("token"))
+        # TakeOrderedAndProject (per-partition top-N, driver merge) —
+        # same deterministic set as a global rank window with the
+        # (count DESC, token ASC) tie rule, without funnelling the
+        # whole vocabulary through one task
         return (
-            df.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= top_n)
+            df.orderBy(F.desc(c), F.asc("token"))
+            .limit(top_n)
             .select("token")
         )
 
@@ -1203,19 +1219,13 @@ def nb_hashed_classify(
     Output: (id, pred_label, score round 6, margin round 6 — NULL
     when k = 1) for score docs with ≥1 token.
     """
-    bucket = (
-        "CAST(conv(substring(md5(tok), 1, 2), 16, 10) AS INT) % " + str(dim)
-    )
+    _check_bucket_dim(dim)
+    bucket = _md5_bucket_sql(dim)
 
     def toks(df: DataFrame, *cols) -> DataFrame:
         return df.select(
             *cols,
-            F.explode(
-                F.filter(
-                    F.split(F.trim(F.lower(F.col(text_col))), _WS),
-                    lambda t: t != "",
-                )
-            ).alias("tok"),
+            F.explode(_lower_ws_tokens(text_col)).alias("tok"),
         ).selectExpr(*[str(c) for c in cols], f"{bucket} AS bucket")
 
     train = train_docs.filter(F.col(label_col).isNotNull())
@@ -1246,7 +1256,6 @@ def nb_hashed_classify(
         toks(score_docs, id_col)
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
             *[
                 F.sum(
                     F.when(F.col("bucket") == i, 1).otherwise(0)

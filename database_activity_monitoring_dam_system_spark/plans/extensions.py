@@ -2472,7 +2472,7 @@ score_toks AS (
         WHERE doc_id % 2 = 1)
 ),
 doc_counts AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+  SELECT doc_id,
          {csum}
   FROM score_toks GROUP BY doc_id
 ),

@@ -1584,3 +1584,28 @@ def test_ann_recall_report_structure_and_floors(spark):
     by = {r["method"]: r["recall_at_k"] for r in report}
     # int8 is exhaustive exact-integer cosine — near-perfect recall
     assert by["int8"] >= 0.9
+
+
+def test_bucket_dim_guard_and_id_passthrough(spark):
+    """dim > 256 would silently zero most buckets (two hex digits);
+    both bucket-hashing operators reject it. bpe_token_counts keeps
+    the caller's id column name and type (string ids pass through)."""
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [("a1", "some words here"), ("b2", "other words there")],
+        "uid string, text string",
+    )
+    with _pytest.raises(ValueError, match="256"):
+        textops.hash_embeddings(docs, dim=512, id_col="uid")
+    with _pytest.raises(ValueError, match="256"):
+        textops.nb_hashed_classify(
+            docs.withColumn("lang", F.lit("x")), docs,
+            id_col="uid", dim=300,
+        )
+    merges = textops.bpe_learn(docs, n_merges=5)
+    out = textops.bpe_token_counts(docs, merges, id_col="uid").collect()
+    assert {r.uid for r in out} == {"a1", "b2"}
+    assert out[0].n_words == 3
