@@ -245,3 +245,53 @@ def epoch_plan(
             .alias("capped"),
         )
     )
+
+
+def cluster_safe_splits(
+    docs: DataFrame,
+    clusters: DataFrame,
+    *,
+    fracs: tuple[float, float] = (0.9, 0.05),
+    salt: str = "split",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a hash of
+    the NEAR-DUP CLUSTER key, not the document id — every member of a
+    duplicate cluster lands in the same split, so a near-copy of a
+    training document can never leak into eval (the classic
+    contamination bug a per-doc split invites; Lee et al. 2022 measure
+    exactly this train-test overlap in real corpora).
+
+    ``clusters`` is the duplicate_clusters output (doc_id,
+    cluster_id); documents absent from it are singletons and key on
+    their own id (COALESCE after a left join — the cluster map only
+    carries clustered docs). ``fracs`` = (train, val); test takes the
+    remainder. Thresholds are the md5-prefix machinery of
+    :func:`hash_sample` — deterministic, engine-independent,
+    partitioning-independent.
+
+    Shuffle shape: one left equi-join against the cluster map (the
+    dedup index a serving deployment already materializes), then a
+    pure projection. Output: (id, split_key, split).
+    """
+    t_train = rate_threshold(fracs[0])
+    t_val = rate_threshold(fracs[0] + fracs[1])
+    keyed = docs.select(F.col(id_col)).join(
+        clusters.select(
+            F.col(id_col), F.col("cluster_id").alias("_cl")
+        ),
+        id_col,
+        "left",
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("_cl"), F.col(id_col)).alias("split_key"),
+    )
+    bucket = _bucket(F.col("split_key"), salt)
+    return keyed.select(
+        id_col,
+        "split_key",
+        F.when(bucket < F.lit(t_train), "train")
+        .when(bucket < F.lit(t_val), "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -2355,6 +2355,54 @@ SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM a{iters + 1}
 """
 
 
+_SPLIT_FRACS = (0.8, 0.1)
+
+
+def _q_cluster_safe_splits(spark, sf_dir):
+    """Splits keyed on the SHARED cluster frame (the dedup index a
+    serving deployment materializes once per snapshot)."""
+    return sampling.cluster_safe_splits(
+        _docs(spark, sf_dir),
+        _cluster_frame(spark, sf_dir),
+        fracs=_SPLIT_FRACS,
+    )
+
+
+def _cluster_safe_splits_sql() -> str:
+    from ..operators.sampling import rate_threshold
+
+    t_train = rate_threshold(_SPLIT_FRACS[0])
+    t_val = rate_threshold(_SPLIT_FRACS[0] + _SPLIT_FRACS[1])
+    bucket = (
+        "substr(md5('split' || CAST(COALESCE(cl.cluster_id, d.doc_id) "
+        "AS VARCHAR)), 1, 8)"
+    )
+    return f"""
+WITH RECURSIVE {_JACCARD_CTES},
+pairs AS (SELECT doc_a, doc_b FROM scored_pairs WHERE j >= 0.9),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+cl AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id,
+       COALESCE(cl.cluster_id, d.doc_id) AS split_key,
+       CASE WHEN {bucket} < '{t_train}' THEN 'train'
+            WHEN {bucket} < '{t_val}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN cl USING (doc_id)
+"""
+
+
 _REL_QUALITY_FRAC = 0.7
 
 
@@ -3000,6 +3048,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_kmeans_exact, _kmeans_exact_sql(),
         "Lloyd k-means with decimal-exact (order-independent) centroid "
         "updates — full-assignment hash oracle across 3 unrolled rounds",
+    ),
+    "cluster_safe_splits": QuerySpec(
+        _q_cluster_safe_splits, _cluster_safe_splits_sql(),
+        "leakage-safe train/val/test assignment keyed on the near-dup "
+        "CLUSTER (duplicates can never straddle train and eval) — "
+        "full oracle over the recursive-closure cluster map",
     ),
     "relative_quality_keep": QuerySpec(
         _q_relative_quality_keep, _REL_QUALITY_SQL,

@@ -1609,3 +1609,56 @@ def test_bucket_dim_guard_and_id_passthrough(spark):
     out = textops.bpe_token_counts(docs, merges, id_col="uid").collect()
     assert {r.uid for r in out} == {"a1", "b2"}
     assert out[0].n_words == 3
+
+
+def test_cluster_safe_splits_no_leakage(spark):
+    """Every member of a duplicate cluster lands in the SAME split —
+    the property a per-doc split violates; singletons key on their
+    own id; the split is deterministic and exhaustive."""
+    from database_activity_monitoring_dam_system_spark.operators import sampling
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 50, 51, 52]], "doc_id long"
+    )
+    out = sampling.cluster_safe_splits(
+        docs, clusters, fracs=(0.5, 0.25)
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(by_id) == 8
+    # leakage check: cluster members share one split
+    assert len({by_id[i].split for i in (1, 2, 3)}) == 1
+    assert len({by_id[i].split for i in (10, 11)}) == 1
+    # singleton keys are their own ids
+    assert by_id[50].split_key == 50
+    # deterministic on re-run
+    again = {
+        r.doc_id: r.split
+        for r in sampling.cluster_safe_splits(
+            docs, clusters, fracs=(0.5, 0.25)
+        ).collect()
+    }
+    assert again == {r.doc_id: r.split for r in out}
+    # on the corpus: every near-dup pair agrees across splits
+    docs_real = _docs(spark)
+    from database_activity_monitoring_dam_system_spark.operators import dedup
+
+    pairs = dedup.jaccard_pairs(
+        docs_real, block_col=["lang", "source"], threshold=0.9
+    )
+    cl = dedup.duplicate_clusters(pairs)
+    splits = sampling.cluster_safe_splits(docs_real, cl)
+    leak = (
+        pairs.join(
+            splits.select(F.col("doc_id").alias("doc_a"),
+                          F.col("split").alias("sa")), "doc_a")
+        .join(
+            splits.select(F.col("doc_id").alias("doc_b"),
+                          F.col("split").alias("sb")), "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert leak == 0
