@@ -262,23 +262,42 @@ def cluster_safe_splits(
     contamination bug a per-doc split invites; Lee et al. 2022 measure
     exactly this train-test overlap in real corpora).
 
-    ``clusters`` is the duplicate_clusters output (doc_id,
-    cluster_id); documents absent from it are singletons and key on
-    their own id (COALESCE after a left join — the cluster map only
-    carries clustered docs). ``fracs`` = (train, val); test takes the
-    remainder. Thresholds are the md5-prefix machinery of
+    ``clusters`` is the duplicate_clusters output — ALWAYS named
+    (doc_id, cluster_id) regardless of ``id_col``, which renames only
+    the ``docs`` side; documents absent from it are singletons and
+    key on their own id (COALESCE after a left join — the cluster map
+    only carries clustered docs). ``fracs`` = (train, val); test
+    takes the remainder. Thresholds are the md5-prefix machinery of
     :func:`hash_sample` — deterministic, engine-independent,
     partitioning-independent.
+
+    IMPORTANT THRESHOLD SEMANTICS: protection only extends down to
+    the similarity level the cluster map was built at. If the map
+    comes from the dedup stage, best-copy dedup leaves one member per
+    cluster and the split adds nothing — build the SPLIT map at a
+    LOOSER threshold than dedup (keep 0.8-similar docs together even
+    though only 0.9-similar ones deduplicate), which is what
+    run_corpus_pipeline(split_fracs=…) does.
 
     Shuffle shape: one left equi-join against the cluster map (the
     dedup index a serving deployment already materializes), then a
     pure projection. Output: (id, split_key, split).
     """
+    if (
+        not 0 <= fracs[0] <= 1
+        or not 0 <= fracs[1] <= 1
+        or fracs[0] + fracs[1] > 1
+    ):
+        raise ValueError(
+            f"fracs must be non-negative with sum <= 1, got {fracs} — "
+            "a typo here silently ships a corpus with no held-out data"
+        )
     t_train = rate_threshold(fracs[0])
     t_val = rate_threshold(fracs[0] + fracs[1])
     keyed = docs.select(F.col(id_col)).join(
         clusters.select(
-            F.col(id_col), F.col("cluster_id").alias("_cl")
+            F.col("doc_id").alias(id_col),
+            F.col("cluster_id").alias("_cl"),
         ),
         id_col,
         "left",

@@ -125,6 +125,7 @@ def run_corpus_pipeline(
     dedup_shingle: int = 3,
     dup_span_max_frac: float | None = None,
     split_fracs: tuple[float, float] | None = None,
+    split_cluster_threshold: float = 0.8,
     budget: int = 2048,
     n_shards: int = 8,
     state_dir: str | None = None,
@@ -406,31 +407,51 @@ def run_corpus_pipeline(
         ]
 
     # 8. pack + write shards — with split_fracs, assignment is keyed
-    # on the near-dup CLUSTER (cluster_safe_splits over the stage-3
-    # cluster map), and each split packs into its own subtree so a
-    # training loader can point at split=train without ever seeing an
-    # eval near-duplicate. Splits never mix inside a shard.
+    # on a near-dup cluster map built over the SURVIVORS at the
+    # LOOSER split_cluster_threshold. The stage-3 (dedup_threshold)
+    # map cannot protect anything here: best-copy dedup leaves one
+    # member per cluster, so every survivor would key on its own id
+    # and 0.85-similar docs could straddle train/eval. Splitting at
+    # 0.8-coherence while deduplicating at 0.9 is exactly the Lee et
+    # al. recommendation: drop only true duplicates, but never let a
+    # near-duplicate of a training doc into the held-out sets. Each
+    # split packs into its own subtree (all three subtrees always
+    # exist — an empty split is an empty shard tree, not a missing
+    # path a loader trips over at train time).
     if split_fracs is not None:
+        s_pairs = dedup.minhash_near_duplicates(
+            clean,
+            threshold=split_cluster_threshold,
+            shingle=dedup_shingle,
+            bands=similarity.minhash_params_for_threshold(
+                split_cluster_threshold, num_hashes=_NUM_HASHES
+            )[0],
+            num_hashes=_NUM_HASHES,
+        )
         split_assign = sampling.cluster_safe_splits(
-            clean, clusters, fracs=split_fracs
+            clean,
+            dedup.duplicate_clusters(s_pairs),
+            fracs=split_fracs,
         )
         labeled = clean.join(
             split_assign.select("doc_id", "split"), "doc_id"
         ).persist()
-        report["split_counts"] = {
+        counts = {
             r["split"]: r["n"]
             for r in labeled.groupBy("split")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+        report["split_counts"] = {
+            name: counts.get(name, 0) for name in ("train", "val", "test")
+        }
         for name in ("train", "val", "test"):
-            if report["split_counts"].get(name):
-                packing.write_packed_shards(
-                    labeled.filter(F.col("split") == name).drop("split"),
-                    f"{out_dir}/split={name}",
-                    budget=budget,
-                    n_shards=n_shards,
-                )
+            packing.write_packed_shards(
+                labeled.filter(F.col("split") == name).drop("split"),
+                f"{out_dir}/split={name}",
+                budget=budget,
+                n_shards=n_shards,
+            )
         labeled.unpersist()
     else:
         packing.write_packed_shards(

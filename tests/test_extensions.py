@@ -1662,3 +1662,25 @@ def test_cluster_safe_splits_no_leakage(spark):
         .count()
     )
     assert leak == 0
+
+
+def test_cluster_safe_splits_validation_and_id_col(spark):
+    """Out-of-range fracs raise instead of silently emptying the
+    held-out sets; a caller id_col applies to the docs side while the
+    cluster map keeps its fixed (doc_id, cluster_id) schema."""
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import sampling
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, cluster_id long"
+    )
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "uid long")
+    out = sampling.cluster_safe_splits(
+        docs, clusters, fracs=(0.5, 0.25), id_col="uid"
+    ).collect()
+    assert {r.uid for r in out} == {1, 2, 3}
+    assert len({r.split for r in out if r.uid in (1, 2)}) == 1
+    for bad in [(0.7, 0.5), (0.9, -0.1), (1.2, 0.0)]:
+        with _pytest.raises(ValueError, match="fracs"):
+            sampling.cluster_safe_splits(docs, clusters, fracs=bad, id_col="uid")

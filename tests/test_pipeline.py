@@ -368,34 +368,47 @@ def test_pipeline_rejects_same_state_dir(spark, tmp_path):
 def test_pipeline_split_output(spark, tmp_path):
     """split_fracs partitions the packed output into per-split
     subtrees: doc sets are disjoint, their union is exactly the clean
-    survivors, counts match the report, and near-dup cluster members
-    never straddle splits (they share a shard subtree)."""
+    survivors, counts match the report, all three subtrees exist even
+    when a split is empty — and the load-bearing property: a pair
+    whose similarity sits BETWEEN split_cluster_threshold and
+    dedup_threshold (both copies survive dedup) still shares a split,
+    which the stage-3 dedup map could never guarantee (best-copy
+    dedup leaves one member per cluster)."""
     base = (
         "the quick brown fox jumps over a lazy dog and the cat sat on "
-        "the mat while a bird of prey watched them all from a tall tree"
+        "the mat while a bird of prey watched them all from a tall tree "
+        "as evening light faded slowly across the quiet village green"
     )
     rows = []
     for i in range(12):
-        rows.append((i, base + f" tail{i} extra words of content here", "en", "s0"))
-    # one near-dup pair that MUST share a split
-    rows.append((100, base + " tail0 extra words of content here", "en", "s0"))
+        rows.append(
+            (i, f"document number {i} " + base + f" tail{i}", "en", "s0")
+        )
+    # the in-between pair: ONE changed trailing word → 3-shingle
+    # Jaccard ≈ 0.86 (above the 0.8 split threshold, below the 0.99
+    # dedup threshold) — both survive dedup, MUST share a split
+    rows.append((100, base + " ending alpha", "en", "s0"))
+    rows.append((101, base + " ending omega", "en", "s0"))
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string"
     )
     report = pipeline.run_corpus_pipeline(
         docs, str(tmp_path / "shards"), dedup_threshold=0.99,
-        split_fracs=(0.5, 0.25), n_shards=2,
+        split_fracs=(0.5, 0.25), split_cluster_threshold=0.8, n_shards=2,
     )
-    assert set(report["split_counts"]) <= {"train", "val", "test"}
+    assert set(report["split_counts"]) == {"train", "val", "test"}
     seen: dict[int, str] = {}
     for name in ("train", "val", "test"):
         p = tmp_path / "shards" / f"split={name}"
-        if not p.exists():
-            assert name not in report["split_counts"]
-            continue
+        assert p.exists()  # empty split = empty tree, never missing
+        if report["split_counts"][name] == 0:
+            continue  # zero-row parquet trees carry no readable footer
         ids = {r.doc_id for r in spark.read.parquet(str(p)).collect()}
         assert len(ids) == report["split_counts"][name]
         for i in ids:
             assert i not in seen  # disjoint
             seen[i] = name
     assert len(seen) == report["n_clean"]
+    # both in-between near-dups shipped, and in the SAME split
+    assert 100 in seen and 101 in seen
+    assert seen[100] == seen[101]
