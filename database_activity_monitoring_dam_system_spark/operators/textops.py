@@ -1342,3 +1342,62 @@ def relative_quality_filter(
             ).alias("kept"),
         )
     )
+
+
+def compression_signals(
+    docs: DataFrame,
+    *,
+    level: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document zlib compression ratio — the cheapest
+    whole-document repetition detector in the quality-filtering
+    toolbox: highly compressible text is boilerplate, template spam,
+    or keyword stuffing (the signal complements the n-gram repetition
+    caps, which see LOCAL repeats; DEFLATE's 32 KB window sees
+    document-scale structure). Low ratios flag near-random content
+    (minified blobs, encoded payloads) from the other tail.
+
+    Arrow-batched mapInPandas over UTF-8 bytes with stdlib zlib —
+    deterministic for a fixed zlib build and level, but the byte
+    stream is codec-version-specific, so this is a rows-only gate
+    (schema + exact row count pinned; semantics pytest-pinned), like
+    the xxhash64 sketch family.
+
+    Output: (id, n_bytes, n_compressed, ratio round 4 =
+    compressed/raw — LOWER means MORE compressible).
+    """
+    import pandas as pd
+    import zlib
+
+    from pyspark.sql import types as T
+
+    src = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.col(text_col).alias("_t")
+    )
+    id_field = src.schema[id_col]
+    schema = T.StructType([
+        id_field,
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("n_compressed", T.LongType(), True),
+        T.StructField("ratio", T.DoubleType(), True),
+    ])
+
+    def batches(parts):
+        for pdf in parts:
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf["_t"]):
+                raw = text.encode("utf-8")
+                comp = zlib.compress(raw, level)
+                rows.append((
+                    mid,
+                    len(raw),
+                    len(comp),
+                    round(len(comp) / len(raw), 4) if raw else None,
+                ))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_bytes", "n_compressed", "ratio"]
+            )
+
+    return src.mapInPandas(batches, schema=schema)

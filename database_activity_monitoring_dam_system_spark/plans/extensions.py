@@ -2355,6 +2355,10 @@ SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM a{iters + 1}
 """
 
 
+def _q_compression_signals(spark, sf_dir):
+    return textops.compression_signals(_docs(spark, sf_dir))
+
+
 _SPLIT_FRACS = (0.8, 0.1)
 
 
@@ -3048,6 +3052,19 @@ QUERIES: dict[str, QuerySpec] = {
         _q_kmeans_exact, _kmeans_exact_sql(),
         "Lloyd k-means with decimal-exact (order-independent) centroid "
         "updates — full-assignment hash oracle across 3 unrolled rounds",
+    ),
+    "compression_signals": QuerySpec(
+        _q_compression_signals, None,
+        "zlib compression-ratio repetition/entropy signal (DEFLATE "
+        "window sees document-scale structure the n-gram caps miss) — "
+        "codec-version-specific bytes, rows-only with exact-count "
+        "oracle",
+        expect_columns=("doc_id", "n_bytes", "n_compressed", "ratio"),
+        expect_rows=(1, None),
+        rows_oracle=(
+            "SELECT CAST(count(*) AS BIGINT) FROM documents "
+            "WHERE text IS NOT NULL"
+        ),
     ),
     "cluster_safe_splits": QuerySpec(
         _q_cluster_safe_splits, _cluster_safe_splits_sql(),

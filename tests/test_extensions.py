@@ -1684,3 +1684,35 @@ def test_cluster_safe_splits_validation_and_id_col(spark):
     for bad in [(0.7, 0.5), (0.9, -0.1), (1.2, 0.0)]:
         with _pytest.raises(ValueError, match="fracs"):
             sampling.cluster_safe_splits(docs, clusters, fracs=bad, id_col="uid")
+
+
+def test_compression_signals_orders_repetition(spark):
+    """Boilerplate compresses far better than diverse prose, which
+    compresses better than random hex; empty text yields NULL ratio;
+    the measure is deterministic."""
+    import hashlib
+
+    from database_activity_monitoring_dam_system_spark.operators import textops
+
+    rand = " ".join(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(40)
+    )
+    rows = [
+        (1, "copy paste boilerplate line here " * 40),
+        (2, "a reasonably varied sentence about engines, corpora, "
+            "shuffles, codecs, tokenizers, and the weather in between "
+            "with mostly distinct words appearing once each time"),
+        (3, rand),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.compression_signals(docs).collect()}
+    # boilerplate compresses far better than EITHER content class
+    # (hex is itself ~4 bits/char, so it beats short prose — ordering
+    # between the two is entropy, not repetition; the boilerplate
+    # floor is the signal)
+    assert out[1].ratio < min(out[2].ratio, out[3].ratio) - 0.3
+    assert out[1].ratio < 0.1  # 40× repeated line ≈ pure structure
+    assert out[4].ratio is None and out[4].n_bytes == 0
+    again = {r.doc_id: r.ratio for r in textops.compression_signals(docs).collect()}
+    assert again == {k: v.ratio for k, v in out.items()}
