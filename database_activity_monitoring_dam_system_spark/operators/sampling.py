@@ -314,3 +314,53 @@ def cluster_safe_splits(
         .otherwise("test")
         .alias("split"),
     )
+
+
+def curriculum_phases(
+    docs: DataFrame,
+    score: Column,
+    *,
+    n_phases: int = 4,
+    id_col: str = "doc_id",
+    ascending: bool = True,
+) -> DataFrame:
+    """Curriculum phase assignment: rank documents by a difficulty /
+    quality score and cut the ranking into ``n_phases`` equal-count
+    buckets — the data-side half of curriculum learning (train on
+    phase 0 first, feed later phases in as training progresses).
+
+    Phase = ``((rank − 1) · n_phases) div N`` — INTEGER division over
+    a deterministic (score, id) ranking, so the cut points are
+    engine-reproducible exactly (a float quotient that lands exactly
+    on an integer boundary could floor off-by-one; integer div
+    cannot). With
+    ``ascending=True`` phase 0 holds the LOWEST scores (score =
+    difficulty → easy-first); flip for score = quality.
+
+    Shuffle shape: one global rank — a single-partition sort of
+    (score, id) pairs only (two columns, not the documents; the rank
+    joins back by id if callers need the full rows). For corpora
+    where even that is too hot, pre-bucket by score range and rank
+    within buckets; at the scales this repo measures the two-column
+    sort is trivial.
+
+    Output: (id, curriculum_score round 6, phase_rank, phase).
+    """
+    if n_phases < 1:
+        raise ValueError("n_phases must be >= 1")
+    order = [F.asc("_cs") if ascending else F.desc("_cs"), F.asc(id_col)]
+    w = Window.orderBy(*order)
+    wc = Window.partitionBy()
+    return (
+        docs.select(F.col(id_col), score.alias("_cs"))
+        .withColumn("phase_rank", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .select(
+            id_col,
+            F.round("_cs", 6).alias("curriculum_score"),
+            F.col("phase_rank").cast("bigint").alias("phase_rank"),
+            F.expr(
+                f"CAST(((phase_rank - 1) * {n_phases}) DIV _n AS INT)"
+            ).alias("phase"),
+        )
+    )

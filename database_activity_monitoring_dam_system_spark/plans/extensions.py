@@ -2355,6 +2355,53 @@ SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM a{iters + 1}
 """
 
 
+_CURRICULUM_PHASES = 4
+
+
+def _q_curriculum_phases(spark, sf_dir):
+    """Curriculum cut by the continuous quality score (cleanest docs
+    = phase 0, via ascending=False on a higher-is-better score)."""
+    from pyspark.sql import functions as F
+
+    c = textops.quality_signal_cols("text")
+    return sampling.curriculum_phases(
+        _docs(spark, sf_dir),
+        c["stopword_ratio"] - c["punct_ratio"],
+        n_phases=_CURRICULUM_PHASES,
+        ascending=False,
+    )
+
+
+_CURRICULUM_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\s+') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x IN ('the','a','of','and','to')))
+           * 1.0 / len(toks)
+         - n_punct * 1.0 / n_chars AS q
+  FROM base
+),
+ranked AS (
+  SELECT doc_id, q,
+         row_number() OVER (ORDER BY q DESC, doc_id ASC) AS phase_rank,
+         count(*) OVER () AS n
+  FROM scored
+)
+SELECT doc_id,
+       round(q, 6) AS curriculum_score,
+       CAST(phase_rank AS BIGINT) AS phase_rank,
+       CAST(((phase_rank - 1) * {_CURRICULUM_PHASES}) // n AS INTEGER)
+         AS phase
+FROM ranked
+"""
+
+
 def _q_compression_signals(spark, sf_dir):
     return textops.compression_signals(_docs(spark, sf_dir))
 
@@ -3052,6 +3099,11 @@ QUERIES: dict[str, QuerySpec] = {
         _q_kmeans_exact, _kmeans_exact_sql(),
         "Lloyd k-means with decimal-exact (order-independent) centroid "
         "updates — full-assignment hash oracle across 3 unrolled rounds",
+    ),
+    "curriculum_phases": QuerySpec(
+        _q_curriculum_phases, _CURRICULUM_SQL,
+        "curriculum-learning phase assignment: equal-count quality "
+        "buckets via exact integer-division cuts — full oracle",
     ),
     "compression_signals": QuerySpec(
         _q_compression_signals, None,

@@ -1716,3 +1716,32 @@ def test_compression_signals_orders_repetition(spark):
     assert out[4].ratio is None and out[4].n_bytes == 0
     again = {r.doc_id: r.ratio for r in textops.compression_signals(docs).collect()}
     assert again == {k: v.ratio for k, v in out.items()}
+
+
+def test_curriculum_phases_equal_buckets_and_order(spark):
+    """Phases are equal-count (within 1), monotone in the score
+    direction (ascending=False → phase 0 holds the highest scores),
+    deterministic, and validate n_phases."""
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "doc_id long, s double"
+    )
+    out = sampling.curriculum_phases(
+        docs, F.col("s"), n_phases=3, ascending=False
+    ).collect()
+    by_phase = {}
+    for r in out:
+        by_phase.setdefault(r.phase, []).append(r)
+    sizes = sorted(len(v) for v in by_phase.values())
+    assert sizes == [3, 3, 4]
+    # ascending=False: phase 0 = highest scores
+    assert min(r.curriculum_score for r in by_phase[0]) > max(
+        r.curriculum_score for r in by_phase[max(by_phase)]
+    )
+    # full cover, ranks 1..N
+    assert sorted(r.phase_rank for r in out) == list(range(1, 11))
+    with _pytest.raises(ValueError, match="n_phases"):
+        sampling.curriculum_phases(docs, F.col("s"), n_phases=0)
