@@ -360,7 +360,10 @@ def curriculum_phases(
             F.round("_cs", 6).alias("curriculum_score"),
             F.col("phase_rank").cast("bigint").alias("phase_rank"),
             F.expr(
-                f"CAST(((phase_rank - 1) * {n_phases}) DIV _n AS INT)"
+                # BIGINT before the multiply: row_number() is 32-bit and
+                # rank*n_phases would wrap past ~2^31/n_phases documents.
+                f"CAST(((CAST(phase_rank AS BIGINT) - 1) * {n_phases})"
+                " DIV _n AS INT)"
             ).alias("phase"),
         )
     )

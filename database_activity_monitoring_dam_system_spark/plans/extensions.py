@@ -2361,8 +2361,6 @@ _CURRICULUM_PHASES = 4
 def _q_curriculum_phases(spark, sf_dir):
     """Curriculum cut by the continuous quality score (cleanest docs
     = phase 0, via ascending=False on a higher-is-better score)."""
-    from pyspark.sql import functions as F
-
     c = textops.quality_signal_cols("text")
     return sampling.curriculum_phases(
         _docs(spark, sf_dir),
@@ -2382,9 +2380,11 @@ WITH base AS (
 ),
 scored AS (
   SELECT doc_id,
+         -- NULLIF guards: Spark /0 yields NULL; DuckDB >= 1.1 would
+         -- yield NaN (sorts FIRST under DESC) without them.
          len(list_filter(toks, x -> x IN ('the','a','of','and','to')))
-           * 1.0 / len(toks)
-         - n_punct * 1.0 / n_chars AS q
+           * 1.0 / NULLIF(len(toks), 0)
+         - n_punct * 1.0 / NULLIF(n_chars, 0) AS q
   FROM base
 ),
 ranked AS (
