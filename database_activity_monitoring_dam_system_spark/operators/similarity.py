@@ -1219,6 +1219,58 @@ def pq_update_codes(
     return carried.unionByName(fresh)
 
 
+def ivf_pq_encode(
+    embeddings: DataFrame,
+    *,
+    centroids: list[tuple],
+    codebooks: list[list[list[float]]],
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The stored IVF-PQ index rows: coarse inverted-list assignment
+    (max-cosine against the literal quantizer, :func:`ivf_topk`'s
+    rule) plus the m PQ codes (argmin against literal codebooks), in
+    ONE zero-shuffle projection — the corpus is scanned once and
+    reduced to m+1 small ints per vector. This is the artifact a
+    serving deployment builds once per corpus snapshot and persists
+    alongside the quantizer/codebooks: queries touch these rows
+    (broadcast probe join + ADC over codes), never the raw vectors —
+    pass it to :func:`ivf_pq_topk` via ``encoded=``.
+
+    Output: (id, cent_id, code0..code{m-1} int)."""
+    m = len(codebooks)
+    cent_ids = F.array(*[F.lit(c[0]) for c in centroids])
+    score_cols = [f"_cs{i}" for i in range(len(centroids))]
+    v = _as_double(vec_col)
+    slice_cols = []
+    for j, (lo, ln) in enumerate(_pq_slices(m, dim)):
+        sub = F.slice(v, lo, ln)
+        slice_cols += [sub.alias(f"s{j}"), _dot(sub, sub).alias(f"n{j}")]
+    prepared = embeddings.select(
+        F.col(id_col),
+        v.alias("vec"),
+        F.sqrt(_dot(v, v)).alias("_norm"),
+        *slice_cols,
+    )
+    scored = prepared.withColumns(
+        _centroid_scores("vec", "_norm", centroids)
+    )
+    arr = F.array(*[F.col(c) for c in score_cols])
+    assigned = scored.withColumn(
+        "cent_id", cent_ids[F.array_position(arr, F.array_max(arr)) - 1]
+    )
+    code_cols = {}
+    for j, book in enumerate(codebooks):
+        dists = F.array(*[_pq_sub_sqdist(j, c) for c in book])
+        code_cols[f"code{j}"] = (
+            F.array_position(dists, F.array_min(dists)) - 1
+        ).cast("int")
+    return assigned.withColumns(code_cols).select(
+        F.col(id_col), "cent_id", *[f"code{j}" for j in range(m)]
+    )
+
+
 def ivf_pq_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -1233,6 +1285,7 @@ def ivf_pq_topk(
     dim: int = 64,
     centroids: list[tuple] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    encoded: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1254,7 +1307,11 @@ def ivf_pq_topk(
 
     Both index artifacts (quantizer, codebooks) accept pre-trained
     values — serving layers train once per corpus snapshot
-    (save_ivf_index / save_pq_index) and pass them in.
+    (save_ivf_index / save_pq_index) and pass them in. ``encoded=``
+    goes one further: pass a prebuilt :func:`ivf_pq_encode` frame
+    (keyed by ``id_col``) and the corpus is never re-scanned at query
+    time — only the handful of query rows are, which is the real
+    IndexIVFPQ serving posture (codes ARE the index).
 
     Output: (query_id, neighbor_id, rank, adc_dist round 6).
     """
@@ -1267,6 +1324,12 @@ def ivf_pq_topk(
         id_col=id_col, vec_col=vec_col,
     )
     m = len(books)
+    if encoded is None:
+        encoded = ivf_pq_encode(
+            embeddings, centroids=cents, codebooks=books, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        )
+    corpus = encoded.withColumnRenamed(id_col, "neighbor_id")
     cent_ids = F.array(*[F.lit(c[0]) for c in cents])
     score_cols = [f"_cs{i}" for i in range(len(cents))]
 
@@ -1275,37 +1338,12 @@ def ivf_pq_topk(
     for j, (lo, ln) in enumerate(_pq_slices(m, dim)):
         sub = F.slice(v, lo, ln)
         slice_cols += [sub.alias(f"s{j}"), _dot(sub, sub).alias(f"n{j}")]
-    prepared = embeddings.select(
+    q_prep = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col),
         v.alias("vec"),
         F.sqrt(_dot(v, v)).alias("_norm"),
         *slice_cols,
     )
-
-    def with_cent(df: DataFrame) -> DataFrame:
-        scored = df.withColumns(_centroid_scores("vec", "_norm", cents))
-        arr = F.array(*[F.col(c) for c in score_cols])
-        return scored.withColumn(
-            "cent_id", cent_ids[F.array_position(arr, F.array_max(arr)) - 1]
-        )
-
-    code_cols = {}
-    for j, book in enumerate(books):
-        dists = F.array(*[_pq_sub_sqdist(j, c) for c in book])
-        code_cols[f"code{j}"] = (
-            F.array_position(dists, F.array_min(dists)) - 1
-        ).cast("int")
-    corpus = (
-        with_cent(prepared)
-        .withColumns(code_cols)
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            "cent_id",
-            *[f"code{j}" for j in range(m)],
-        )
-    )
-
-    q_prep = prepared.filter(F.col(id_col).isin(query_ids))
     q_scored = q_prep.withColumns(_centroid_scores("vec", "_norm", cents))
     probe = (
         q_scored.select(

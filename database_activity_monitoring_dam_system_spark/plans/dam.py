@@ -63,7 +63,9 @@ _FRAME_CACHE: dict[tuple[str, str], DataFrame] = {}
 # builds once per corpus snapshot and PERSISTS — a restarted serving
 # process should load them from disk, not recompute. Battery/activity
 # derivations stay memory-only (they are cheap scans, not indexes).
-_DISK_KINDS = frozenset({"dedup_clusters", "emb_near_dups"})
+_DISK_KINDS = frozenset(
+    {"dedup_clusters", "emb_near_dups", "ivf_pq_codes"}
+)
 
 
 def _index_path(kind: str, sf_dir: str) -> str | None:

@@ -1123,9 +1123,48 @@ _PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_DIM = 4, 16, 2, 64
 _PQ_INDEX_CACHE: dict[tuple, list] = {}
 
 
+def _get_ivf_pq_codes(spark, sf_dir, emb):
+    """The encoded-corpus index artifact (serving mode only): one
+    (cent_id, code0..m-1) row per vector, built once per corpus
+    snapshot via ivf_pq_encode and shared by the PQ and IVF-PQ gates
+    — the codes ARE the stored index, so query time never re-scans
+    the raw vectors. Returns None when serving is off (correctness
+    driver / cold bench see the raw single-pass encode plan)."""
+    import os
+
+    if os.environ.get("SPARK_DAM_SHARE_FRAMES") != "1":
+        return None
+    from .dam import _shared
+
+    cents = _get_ivf_quantizer(spark, sf_dir, emb)
+    books = _get_pq_codebooks(spark, sf_dir, emb)
+    return _shared(
+        "ivf_pq_codes", spark, sf_dir,
+        lambda: similarity.ivf_pq_encode(
+            emb, centroids=cents, codebooks=books, dim=_PQ_DIM
+        ),
+    )
+
+
 def _q_pq_ann_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     books = _get_pq_codebooks(spark, sf_dir, emb)
+    codes = _get_ivf_pq_codes(spark, sf_dir, emb)
+    if codes is not None:
+        from pyspark.sql import functions as F
+
+        # Serving path: ADC over the persisted code table (cent_id is
+        # the IVF half of the shared artifact; PQ ignores it).
+        return similarity.pq_score_queries(
+            codes.drop("cent_id").withColumnRenamed(
+                "vec_id", "neighbor_id"
+            ),
+            similarity.pq_prepare_queries(
+                emb.filter(F.col("vec_id").isin(_QUERY_IDS)),
+                books, dim=_PQ_DIM,
+            ),
+            books, k=10, exclude_self=True,
+        )
     return similarity.pq_topk(
         emb, _QUERY_IDS, k=10, m=_PQ_M, ksub=_PQ_KSUB,
         iters=_PQ_ITERS, dim=_PQ_DIM, codebooks=books,
@@ -1278,6 +1317,7 @@ def _q_ivf_pq_ann_topk(spark, sf_dir):
         emb, _QUERY_IDS, k=10, n_centroids=16, n_probe=4,
         refine_iters=_IVF_REFINE_ITERS, m=_PQ_M, ksub=_PQ_KSUB,
         iters=_PQ_ITERS, dim=_PQ_DIM, centroids=cents, codebooks=books,
+        encoded=_get_ivf_pq_codes(spark, sf_dir, emb),
     )
 
 

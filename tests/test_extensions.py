@@ -1244,6 +1244,44 @@ def test_ivf_pq_reduces_to_pq_when_probing_all_lists(spark):
     assert all(r.query_id != r.neighbor_id for r in partial)
 
 
+def test_ivf_pq_encoded_serving_path_identical(spark):
+    """ivf_pq_topk(encoded=...) — the persisted-code-table serving
+    posture — must return EXACTLY the inline single-pass plan's rows,
+    and the same code table (cent_id dropped) must drive pq_topk's
+    ADC ranking bit-identically via pq_score_queries: one artifact,
+    both ANN shapes, zero corpus re-scan at query time."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qids = [0, 1, 2]
+    books = similarity.pq_train(emb, m=4, ksub=8, iters=1, dim=64)
+    cents = similarity.ivf_centroids(emb, n_centroids=8, refine_iters=1)
+    codes = similarity.ivf_pq_encode(
+        emb, centroids=cents, codebooks=books
+    )
+    assert codes.columns == ["vec_id", "cent_id"] + [
+        f"code{j}" for j in range(4)
+    ]
+    inline = similarity.ivf_pq_topk(
+        emb, qids, k=5, n_centroids=8, n_probe=2,
+        centroids=cents, codebooks=books,
+    ).collect()
+    served = similarity.ivf_pq_topk(
+        emb, qids, k=5, n_centroids=8, n_probe=2,
+        centroids=cents, codebooks=books, encoded=codes,
+    ).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, served))
+    pq_inline = similarity.pq_topk(
+        emb, qids, k=5, codebooks=books
+    ).collect()
+    pq_served = similarity.pq_score_queries(
+        codes.drop("cent_id").withColumnRenamed("vec_id", "neighbor_id"),
+        similarity.pq_prepare_queries(
+            emb.filter(F.col("vec_id").isin(qids)), books
+        ),
+        books, k=5, exclude_self=True,
+    ).collect()
+    assert sorted(map(tuple, pq_inline)) == sorted(map(tuple, pq_served))
+
+
 def test_kmeans_outliers_are_the_far_tail(spark):
     """kmeans_outliers returns exactly the top-N sqdist rows of the
     decimal-exact assignment (ties → lowest id), farthest first — the
