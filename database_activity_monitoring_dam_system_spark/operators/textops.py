@@ -135,6 +135,98 @@ def quality_scores(
     )
 
 
+# The Gopher/MassiveText document-filter stopword list (Rae et al.
+# 2021, "Scaling Language Models", table A1 rules): a doc must contain
+# at least two DISTINCT words from this list to pass the fluency rule.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> DataFrame:
+    """The Gopher/MassiveText word-level quality-rule battery — the
+    published doc-filter set complementing :func:`quality_scores`'
+    length/punct/stopword-ratio heuristics:
+
+    - word count in [50, 100 000]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio (``#`` or ``...`` occurrences) ≤ 0.1
+    - ≥ 80 % of words contain an alphabetic character
+    - ≥ 2 distinct ``stopwords`` (default :data:`GOPHER_STOPWORDS`;
+      pass a corpus/language-appropriate list — the published rule is
+      English-specific and a vocabulary that lacks the canonical
+      eight fails every document vacuously)
+
+    ``verdict`` is the FIRST failing rule in the order above (or
+    ``keep``) — the cheap-to-expensive short-circuit order a
+    production filter runs them in.
+
+    Plan shape: one zero-shuffle projection; every measure is a JVM
+    higher-order fold / length-arithmetic over the whitespace tokens
+    (no explode, no Python). Float parity: integer-exact counts until
+    ONE division per ratio, identical expression text in the oracle.
+
+    Output: (id, n_words, mean_word_len r6, symbol_word_ratio r6,
+    frac_alpha_words r6, n_stop_distinct, verdict).
+    """
+    toks = _tokens(text_col)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    txt = F.col(text_col)
+    # Non-overlapping greedy occurrence counts via replace-length
+    # arithmetic — same semantics in DuckDB's replace(), so the
+    # integer counts match exactly.
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+    ) / 3
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    n_stop = None
+    for w in stopwords:
+        hit = F.when(F.array_contains(toks, w), 1).otherwise(0)
+        n_stop = hit if n_stop is None else n_stop + hit
+    # Two-stage select (the repetition_mid_cols pattern): the token
+    # split/folds are named once here so CollapseProject can't inline
+    # each per referencing ratio/verdict expression downstream.
+    mid = docs.select(
+        F.col(id_col),
+        n_words.alias("_nw"),
+        sum_len.alias("_sumlen"),
+        (n_hash + n_ellipsis).alias("_nsym"),
+        n_alpha.alias("_nalpha"),
+        n_stop.alias("_nstop"),
+    )
+    nw = F.col("_nw")
+    mean_word_len = F.col("_sumlen") / nw
+    symbol_ratio = F.col("_nsym") / nw
+    frac_alpha = F.col("_nalpha") / nw
+    verdict = (
+        F.when((nw < 50) | (nw > 100000), "bad_word_count")
+        .when((mean_word_len < 3) | (mean_word_len > 10), "bad_mean_word_len")
+        .when(symbol_ratio > 0.1, "too_symbolic")
+        .when(frac_alpha < 0.8, "low_alpha")
+        .when(F.col("_nstop") < 2, "no_stopwords")
+        .otherwise("keep")
+    )
+    return mid.select(
+        F.col(id_col),
+        nw.cast("bigint").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(frac_alpha, 6).alias("frac_alpha_words"),
+        F.col("_nstop").cast("bigint").alias("n_stop_distinct"),
+        verdict.alias("verdict"),
+    )
+
+
 def repetition_mid_cols(text_col: str = "text") -> dict[str, Column]:
     """The repetition fold expressions (first stage): n-gram arrays
     sorted and folded with ``F.aggregate`` (JVM higher-order function,

@@ -626,6 +626,67 @@ FROM scored
 """
 
 
+# The synthetic vocabulary carries only the "en" profile's function
+# words — with the canonical English eight, the stopword rule fails
+# every document vacuously, so the gate exercises the rule with the
+# corpus-appropriate list (the operator's documented knob).
+_GOPHER_GATE_STOPWORDS = textops.STOPWORD_PROFILES["en"]
+
+
+def _q_gopher_rules(spark, sf_dir):
+    return textops.gopher_rules(
+        _docs(spark, sf_dir), stopwords=_GOPHER_GATE_STOPWORDS
+    )
+
+
+_GOPHER_STOP_SQL = " + ".join(
+    f"(CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END)"
+    for w in _GOPHER_GATE_STOPWORDS
+)
+
+_GOPHER_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\s+') AS toks,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3
+           AS n_ellipsis
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+           AS sum_len,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+           AS n_alpha,
+         {_GOPHER_STOP_SQL} AS n_stop,
+         n_hash, n_ellipsis
+  FROM base
+),
+scored AS (
+  SELECT doc_id, n_words, n_stop,
+         sum_len / n_words AS mwl,
+         (n_hash + n_ellipsis) / n_words AS sym,
+         n_alpha / n_words AS fa
+  FROM m
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(mwl, 6) AS mean_word_len,
+       round(sym, 6) AS symbol_word_ratio,
+       round(fa, 6) AS frac_alpha_words,
+       CAST(n_stop AS BIGINT) AS n_stop_distinct,
+       CASE WHEN n_words < 50 OR n_words > 100000 THEN 'bad_word_count'
+            WHEN mwl < 3 OR mwl > 10 THEN 'bad_mean_word_len'
+            WHEN sym > 0.1 THEN 'too_symbolic'
+            WHEN fa < 0.8 THEN 'low_alpha'
+            WHEN n_stop < 2 THEN 'no_stopwords'
+            ELSE 'keep' END AS verdict
+FROM scored
+"""
+
+
 def _q_winnow_fingerprints(spark, sf_dir):
     return textops.winnow_fingerprints(_docs(spark, sf_dir))
 
@@ -3288,6 +3349,12 @@ QUERIES: dict[str, QuerySpec] = {
     "quality_scores": QuerySpec(
         _q_quality_scores, _QUALITY_SQL,
         "per-doc quality heuristics + keep/drop verdict",
+    ),
+    "gopher_quality": QuerySpec(
+        _q_gopher_rules, _GOPHER_SQL,
+        "Gopher/MassiveText word-level rule battery: word count, "
+        "mean word length, symbol ratio, alpha fraction, stopword "
+        "presence + first-failing-rule verdict",
     ),
     "lang_agreement": QuerySpec(
         _q_lang_agreement, _lang_guess_sql(),

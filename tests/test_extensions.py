@@ -1783,3 +1783,39 @@ def test_curriculum_phases_equal_buckets_and_order(spark):
     assert sorted(r.phase_rank for r in out) == list(range(1, 11))
     with _pytest.raises(ValueError, match="n_phases"):
         sampling.curriculum_phases(docs, F.col("s"), n_phases=0)
+
+
+def test_gopher_rules_every_verdict_branch(spark):
+    """Hand-crafted docs hit each rule in the published short-circuit
+    order: word count, mean word length, symbol ratio, alpha
+    fraction, stopword presence, keep — and the measures are the
+    exact integer-arithmetic ratios."""
+    from database_activity_monitoring_dam_system_spark.operators import textops
+
+    keep = "the cat sat and the dog ran off to the big red barn " * 5
+    rows = [
+        (1, "too short"),  # n_words < 50
+        (2, " ".join(["a"] * 60)),  # mean word len 1 < 3
+        (3, " ".join(["word#tag"] * 30 + ["#"] * 30)),  # symbols
+        (4, " ".join(["123"] * 40 + ["the", "and"] * 10)),  # low alpha
+        (5, " ".join(["alpha", "beta", "gamma"] * 20)),  # no stopwords
+        (6, keep),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.gopher_rules(docs).collect()}
+    assert out[1].verdict == "bad_word_count"
+    assert out[2].verdict == "bad_mean_word_len"
+    assert out[3].verdict == "too_symbolic"
+    assert out[3].symbol_word_ratio > 0.1
+    assert out[4].verdict == "low_alpha"
+    assert out[4].frac_alpha_words == round(20 / 60, 6)
+    assert out[5].verdict == "no_stopwords"
+    assert out[5].n_stop_distinct == 0
+    assert out[6].verdict == "keep"
+    assert out[6].n_stop_distinct == 3  # the, and, to
+    assert out[2].mean_word_len == 1.0
+    # custom stoplist knob: doc 5's vocabulary becomes fluent
+    custom = textops.gopher_rules(
+        docs, stopwords=("alpha", "beta")
+    ).collect()
+    assert {r.verdict for r in custom if r.doc_id == 5} == {"keep"}
