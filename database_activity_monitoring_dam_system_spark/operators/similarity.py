@@ -1329,6 +1329,21 @@ def ivf_pq_topk(
             embeddings, centroids=cents, codebooks=books, dim=dim,
             id_col=id_col, vec_col=vec_col,
         )
+    else:
+        # Same loud-failure contract as pq_score_queries: a code table
+        # from a different encode would otherwise fail SILENTLY
+        # (_adc_rank drops out-of-codebook codes; foreign cent_ids
+        # just miss the probe join).
+        missing = [
+            c
+            for c in [id_col, "cent_id"] + [f"code{j}" for j in range(m)]
+            if c not in encoded.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"ivf_pq_topk: encoded table lacks {missing} — not an "
+                "ivf_pq_encode artifact for these m/id_col parameters"
+            )
     corpus = encoded.withColumnRenamed(id_col, "neighbor_id")
     cent_ids = F.array(*[F.lit(c[0]) for c in cents])
     score_cols = [f"_cs{i}" for i in range(len(cents))]

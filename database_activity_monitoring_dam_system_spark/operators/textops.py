@@ -185,9 +185,13 @@ def gopher_rules(
     # arithmetic — same semantics in DuckDB's replace(), so the
     # integer counts match exactly.
     n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    # Both ellipsis spellings the published filter targets: ASCII
+    # "..." (3 chars per occurrence) and the single U+2026 character.
     n_ellipsis = (
         F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
-    ) / 3
+    ) / 3 + (
+        F.length(txt) - F.length(F.replace(txt, F.lit("…"), F.lit("")))
+    )
     n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
     n_stop = None
     for w in stopwords:

@@ -84,7 +84,13 @@ def _index_path(kind: str, sf_dir: str) -> str | None:
     )
 
 
-def _shared(kind: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+def _shared(
+    kind: str,
+    spark: SparkSession,
+    sf_dir: str,
+    build,
+    expect_rows: int | None = None,
+) -> DataFrame:
     """Optionally share one persisted frame per (kind, sf_dir).
 
     Many gates compose the same activity/battery derivation; under
@@ -98,7 +104,12 @@ def _shared(kind: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
     restarts when SPARK_DAM_INDEX_DIR is set: the first build writes
     the artifact as parquet there, and a fresh process loads it
     instead of rebuilding (same contract as similarity.save_ivf_index
-    for the IVF quantizer).
+    for the IVF quantizer). ``expect_rows`` is the staleness
+    fingerprint for disk loads (same contract as the quantizer's
+    ``expect_n``): a disk artifact whose row count differs — a
+    regenerated corpus at the same path — is rebuilt and overwritten
+    instead of silently serving the old corpus's answers. Checked
+    once per process (the in-memory cache hit skips it).
     """
     import os
 
@@ -113,6 +124,10 @@ def _shared(kind: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             build().write.mode("overwrite").parquet(path)
         df = spark.read.parquet(path).persist()
+        if expect_rows is not None and df.count() != expect_rows:
+            df.unpersist()
+            build().write.mode("overwrite").parquet(path)
+            df = spark.read.parquet(path).persist()
     else:
         df = build().persist()
     _FRAME_CACHE[key] = df

@@ -650,6 +650,7 @@ WITH base AS (
          string_split_regex(trim(text), '\s+') AS toks,
          length(text) - length(replace(text, '#', '')) AS n_hash,
          (length(text) - length(replace(text, '...', ''))) / 3
+           + (length(text) - length(replace(text, '…', '')))
            AS n_ellipsis
   FROM documents
 ),
@@ -1190,20 +1191,26 @@ def _get_ivf_pq_codes(spark, sf_dir, emb):
     snapshot via ivf_pq_encode and shared by the PQ and IVF-PQ gates
     — the codes ARE the stored index, so query time never re-scans
     the raw vectors. Returns None when serving is off (correctness
-    driver / cold bench see the raw single-pass encode plan)."""
+    driver / cold bench see the raw single-pass encode plan). A
+    disk-persisted table is row-count-fingerprinted against the live
+    corpus (same staleness contract as the quantizer/codebook
+    artifacts) so a regenerated corpus rebuilds instead of joining
+    new-quantizer probes against old-corpus codes."""
     import os
 
     if os.environ.get("SPARK_DAM_SHARE_FRAMES") != "1":
         return None
-    from .dam import _shared
+    from .dam import _index_path, _shared
 
     cents = _get_ivf_quantizer(spark, sf_dir, emb)
     books = _get_pq_codebooks(spark, sf_dir, emb)
+    on_disk = _index_path("ivf_pq_codes", sf_dir) is not None
     return _shared(
         "ivf_pq_codes", spark, sf_dir,
         lambda: similarity.ivf_pq_encode(
             emb, centroids=cents, codebooks=books, dim=_PQ_DIM
         ),
+        expect_rows=emb.count() if on_disk else None,
     )
 
 

@@ -1133,6 +1133,71 @@ def test_shared_index_artifacts_survive_restart(spark, tmp_path, monkeypatch):
         str(tmp_path))), None)
 
 
+def test_shared_expect_rows_rebuilds_stale_artifact(spark, tmp_path, monkeypatch):
+    """The disk tier's staleness fingerprint: a persisted artifact
+    whose row count differs from expect_rows (regenerated corpus at
+    the same path) is REBUILT and overwritten, not silently served;
+    a matching count loads without rebuilding."""
+    import os
+
+    from database_activity_monitoring_dam_system_spark.plans import dam
+
+    monkeypatch.setenv("SPARK_DAM_SHARE_FRAMES", "1")
+    monkeypatch.setenv("SPARK_DAM_INDEX_DIR", str(tmp_path / "idx"))
+    key = ("ivf_pq_codes", os.path.realpath(str(tmp_path)))
+
+    def build_v1():
+        return spark.createDataFrame(
+            [(1, 0, 1), (2, 1, 2)], "vec_id long, cent_id int, code0 int"
+        )
+
+    first = dam._shared(
+        "ivf_pq_codes", spark, str(tmp_path), build_v1, expect_rows=2
+    )
+    assert first.count() == 2
+    dam._FRAME_CACHE.pop(key, None)
+
+    # same fingerprint -> loaded, builder must not run
+    def must_not_build():
+        raise AssertionError("builder ran despite fresh artifact")
+
+    again = dam._shared(
+        "ivf_pq_codes", spark, str(tmp_path), must_not_build, expect_rows=2
+    )
+    assert again.count() == 2
+    dam._FRAME_CACHE.pop(key, None)
+
+    # corpus regenerated (3 rows now) -> stale disk table rebuilt
+    def build_v2():
+        return spark.createDataFrame(
+            [(1, 0, 1), (2, 1, 2), (3, 0, 3)],
+            "vec_id long, cent_id int, code0 int",
+        )
+
+    rebuilt = dam._shared(
+        "ivf_pq_codes", spark, str(tmp_path), build_v2, expect_rows=3
+    )
+    assert rebuilt.count() == 3
+    dam._FRAME_CACHE.pop(key, None)
+
+
+def test_ivf_pq_topk_rejects_foreign_encoded_table(spark):
+    """The encoded= path fails LOUDLY on a table that is not an
+    ivf_pq_encode artifact for these params (missing cent_id or code
+    columns) instead of silently dropping every candidate."""
+    import pytest as _pytest
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = similarity.pq_train(emb, m=4, ksub=8, iters=1, dim=64)
+    cents = similarity.ivf_centroids(emb, n_centroids=8, refine_iters=1)
+    bad = spark.createDataFrame([(1, 0)], "vec_id long, cent_id int")
+    with _pytest.raises(ValueError, match="encoded table lacks"):
+        similarity.ivf_pq_topk(
+            emb, [0], k=5, n_centroids=8, centroids=cents,
+            codebooks=books, encoded=bad,
+        )
+
+
 def test_pq_encode_shapes_and_determinism(spark):
     """PQ codebooks have m × ksub × d/m structure, every vector gets m
     in-range codes, and encode is deterministic (argmin with
@@ -1800,6 +1865,7 @@ def test_gopher_rules_every_verdict_branch(spark):
         (4, " ".join(["123"] * 40 + ["the", "and"] * 10)),  # low alpha
         (5, " ".join(["alpha", "beta", "gamma"] * 20)),  # no stopwords
         (6, keep),
+        (7, " ".join(["word…"] * 30 + ["ok"] * 30)),  # U+2026
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in textops.gopher_rules(docs).collect()}
@@ -1813,6 +1879,8 @@ def test_gopher_rules_every_verdict_branch(spark):
     assert out[5].n_stop_distinct == 0
     assert out[6].verdict == "keep"
     assert out[6].n_stop_distinct == 3  # the, and, to
+    assert out[7].verdict == "too_symbolic"  # unicode ellipses count
+    assert out[7].symbol_word_ratio == 0.5
     assert out[2].mean_word_len == 1.0
     # custom stoplist knob: doc 5's vocabulary becomes fluent
     custom = textops.gopher_rules(
