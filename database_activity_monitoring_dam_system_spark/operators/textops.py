@@ -143,6 +143,82 @@ GOPHER_STOPWORDS: tuple[str, ...] = (
 )
 
 
+def _gopher_verdict(nw, mean_word_len, symbol_ratio, frac_alpha, n_stop):
+    """The one rule-order definition, parameterized by the five
+    measure Columns — shared by the materializing operator (which
+    feeds it named mid-columns) and the inline keep predicate (which
+    feeds it raw expressions), so the battery cannot drift between
+    the two forms."""
+    return (
+        F.when((nw < 50) | (nw > 100000), "bad_word_count")
+        .when((mean_word_len < 3) | (mean_word_len > 10), "bad_mean_word_len")
+        .when(symbol_ratio > 0.1, "too_symbolic")
+        .when(frac_alpha < 0.8, "low_alpha")
+        .when(n_stop < 2, "no_stopwords")
+        .otherwise("keep")
+    )
+
+
+def _gopher_measure_cols(
+    text_col: str, stopwords: tuple[str, ...]
+) -> dict[str, Column]:
+    """Raw integer measure expressions behind the Gopher battery
+    (pre-division, pre-naming): n_words, sum_len, n_sym, n_alpha,
+    n_stop."""
+    toks = _tokens(text_col)
+    txt = F.col(text_col)
+    # Non-overlapping greedy occurrence counts via replace-length
+    # arithmetic — same semantics in DuckDB's replace(), so the
+    # integer counts match exactly.
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    # Both ellipsis spellings the published filter targets: ASCII
+    # "..." (3 chars per occurrence) and the single U+2026 character.
+    n_ellipsis = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+    ) / 3 + (
+        F.length(txt) - F.length(F.replace(txt, F.lit("…"), F.lit("")))
+    )
+    n_stop = None
+    for w in stopwords:
+        hit = F.when(F.array_contains(toks, w), 1).otherwise(0)
+        n_stop = hit if n_stop is None else n_stop + hit
+    return {
+        "n_words": F.size(toks),
+        "sum_len": F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ),
+        "n_sym": n_hash + n_ellipsis,
+        "n_alpha": F.size(
+            F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+        ),
+        "n_stop": n_stop,
+    }
+
+
+def gopher_keep_col(
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> Column:
+    """The battery as ONE boolean Column (verdict == keep) for inline
+    filter predicates — the corpus pipeline's optional gate. Same
+    rule definition as :func:`gopher_rules` by construction
+    (:func:`_gopher_verdict`); evaluated once per row, so the
+    mid-select naming the materializing operator needs is
+    unnecessary here."""
+    m = _gopher_measure_cols(text_col, stopwords)
+    nw = m["n_words"]
+    return (
+        _gopher_verdict(
+            nw,
+            m["sum_len"] / nw,
+            m["n_sym"] / nw,
+            m["n_alpha"] / nw,
+            m["n_stop"],
+        )
+        == "keep"
+    )
+
+
 def gopher_rules(
     docs: DataFrame,
     *,
@@ -175,50 +251,24 @@ def gopher_rules(
     Output: (id, n_words, mean_word_len r6, symbol_word_ratio r6,
     frac_alpha_words r6, n_stop_distinct, verdict).
     """
-    toks = _tokens(text_col)
-    n_words = F.size(toks)
-    sum_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
-    )
-    txt = F.col(text_col)
-    # Non-overlapping greedy occurrence counts via replace-length
-    # arithmetic — same semantics in DuckDB's replace(), so the
-    # integer counts match exactly.
-    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
-    # Both ellipsis spellings the published filter targets: ASCII
-    # "..." (3 chars per occurrence) and the single U+2026 character.
-    n_ellipsis = (
-        F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
-    ) / 3 + (
-        F.length(txt) - F.length(F.replace(txt, F.lit("…"), F.lit("")))
-    )
-    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
-    n_stop = None
-    for w in stopwords:
-        hit = F.when(F.array_contains(toks, w), 1).otherwise(0)
-        n_stop = hit if n_stop is None else n_stop + hit
+    m = _gopher_measure_cols(text_col, stopwords)
     # Two-stage select (the repetition_mid_cols pattern): the token
     # split/folds are named once here so CollapseProject can't inline
     # each per referencing ratio/verdict expression downstream.
     mid = docs.select(
         F.col(id_col),
-        n_words.alias("_nw"),
-        sum_len.alias("_sumlen"),
-        (n_hash + n_ellipsis).alias("_nsym"),
-        n_alpha.alias("_nalpha"),
-        n_stop.alias("_nstop"),
+        m["n_words"].alias("_nw"),
+        m["sum_len"].alias("_sumlen"),
+        m["n_sym"].alias("_nsym"),
+        m["n_alpha"].alias("_nalpha"),
+        m["n_stop"].alias("_nstop"),
     )
     nw = F.col("_nw")
     mean_word_len = F.col("_sumlen") / nw
     symbol_ratio = F.col("_nsym") / nw
     frac_alpha = F.col("_nalpha") / nw
-    verdict = (
-        F.when((nw < 50) | (nw > 100000), "bad_word_count")
-        .when((mean_word_len < 3) | (mean_word_len > 10), "bad_mean_word_len")
-        .when(symbol_ratio > 0.1, "too_symbolic")
-        .when(frac_alpha < 0.8, "low_alpha")
-        .when(F.col("_nstop") < 2, "no_stopwords")
-        .otherwise("keep")
+    verdict = _gopher_verdict(
+        nw, mean_word_len, symbol_ratio, frac_alpha, F.col("_nstop")
     )
     return mid.select(
         F.col(id_col),

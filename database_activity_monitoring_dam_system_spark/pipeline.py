@@ -4,7 +4,8 @@ The operators compose into the standard pre-training data flow; this
 module IS that composition, as one job function a scheduler calls per
 corpus snapshot:
 
-    quality filter → near-dup dedup (best-copy retention)
+    quality filter (+ optional Gopher word-rule battery)
+      → near-dup dedup (best-copy retention)
       → exact-substring trim (optional) → LM fluency gate
       → benchmark decontamination → epoch planning
       → offset packing → sharded write → data card
@@ -69,6 +70,7 @@ def _gate_table(
     docs: DataFrame,
     fluency_reference: DataFrame | None,
     benchmark: DataFrame | None,
+    gopher_stopwords: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Per-document gate rows: (doc_id, fp, q_keep, avg_logp,
     contaminated).
@@ -82,12 +84,15 @@ def _gate_table(
     avg_logp / absent flags and therefore PASS those gates, matching
     the per-stage operators' documented semantics.
     """
+    q_keep = textops.quality_signal_cols("text")["verdict"] == "keep"
+    if gopher_stopwords is not None:
+        q_keep = q_keep & textops.gopher_keep_col(
+            "text", gopher_stopwords
+        )
     base = docs.select(
         "doc_id",
         F.md5("text").alias("fp"),
-        (
-            textops.quality_signal_cols("text")["verdict"] == "keep"
-        ).alias("q_keep"),
+        q_keep.alias("q_keep"),
         "text",
     )
     keepers = base.filter("q_keep").select("doc_id", "text")
@@ -120,6 +125,7 @@ def run_corpus_pipeline(
     benchmark: DataFrame | None = None,
     fluency_reference: DataFrame | None = None,
     fluency_floor: float = -12.0,
+    gopher_stopwords: tuple[str, ...] | None = None,
     epoch_targets: dict[str | None, int] | None = None,
     dedup_threshold: float = 0.9,
     dedup_shingle: int = 3,
@@ -168,6 +174,12 @@ def run_corpus_pipeline(
             )
     has_fluency = fluency_reference is not None
     has_benchmark = benchmark is not None
+    # Config fingerprint for the optional Gopher gate: the stoplist
+    # CONTENT, not just on/off — carried q_keep rows from a run with a
+    # different list would not equal fresh ones.
+    gopher_key = (
+        ",".join(gopher_stopwords) if gopher_stopwords is not None else None
+    )
 
     # 0. census + null gates in ONE job: rows without an id can't ride
     # the downstream id joins (NULL keys never match), and NULL text
@@ -204,15 +216,26 @@ def run_corpus_pipeline(
     if old_snapshot is not None:
         spark = docs.sparkSession
         old_state = spark.read.parquet(old_state_dir + "/gates")
-        marker = old_state.select("has_fluency", "has_benchmark").first()
+        marker_cols = ["has_fluency", "has_benchmark"]
+        old_has_gopher_col = "gopher_key" in old_state.columns
+        if old_has_gopher_col:
+            marker_cols.append("gopher_key")
+        marker = old_state.select(*marker_cols).first()
+        old_gopher_key = (
+            marker["gopher_key"]
+            if marker is not None and old_has_gopher_col
+            else None
+        )
         if marker is not None and (
             marker["has_fluency"] != has_fluency
             or marker["has_benchmark"] != has_benchmark
+            or old_gopher_key != gopher_key
         ):
             raise ValueError(
                 "old_state_dir was written with a different gate "
                 f"configuration (fluency={marker['has_fluency']}, "
-                f"benchmark={marker['has_benchmark']}) — carried rows "
+                f"benchmark={marker['has_benchmark']}, "
+                f"gopher={old_gopher_key!r}) — carried rows "
                 "would not equal fresh ones; run a full pass instead"
             )
         diff = dedup.corpus_diff(old_snapshot, docs, normalize=False)
@@ -224,7 +247,7 @@ def run_corpus_pipeline(
             carried.select("doc_id"), "doc_id", "left_anti"
         )
         gates = _gate_table(
-            fresh_docs, fluency_reference, benchmark
+            fresh_docs, fluency_reference, benchmark, gopher_stopwords
         ).unionByName(carried).persist()
         report["n_carried"] = carried.count()
         report["n_delta"] = census["n_with_text"] - report["n_carried"]
@@ -246,7 +269,9 @@ def run_corpus_pipeline(
         except Exception:  # state written before sigs were persisted
             old_sigs = None
     else:
-        gates = _gate_table(docs, fluency_reference, benchmark).persist()
+        gates = _gate_table(
+            docs, fluency_reference, benchmark, gopher_stopwords
+        ).persist()
 
     # 2. quality gate. FULL runs apply the predicate as a scan-side
     # FILTER (pure projection, no exchange — the q_keep expression
@@ -255,9 +280,12 @@ def run_corpus_pipeline(
     # the join is what merges them with the delta. The two forms are
     # equivalent by construction: q_keep IS this predicate.
     if old_snapshot is None:
-        kept = docs.filter(
-            textops.quality_signal_cols("text")["verdict"] == "keep"
-        ).persist()
+        keep_pred = textops.quality_signal_cols("text")["verdict"] == "keep"
+        if gopher_stopwords is not None:
+            keep_pred = keep_pred & textops.gopher_keep_col(
+                "text", gopher_stopwords
+            )
+        kept = docs.filter(keep_pred).persist()
     else:
         kept = docs.join(
             gates.filter("q_keep").select("doc_id"), "doc_id"
@@ -387,6 +415,7 @@ def run_corpus_pipeline(
         (
             gates.withColumn("has_fluency", F.lit(has_fluency))
             .withColumn("has_benchmark", F.lit(has_benchmark))
+            .withColumn("gopher_key", F.lit(gopher_key).cast("string"))
             .write.mode("overwrite")
             .parquet(state_dir + "/gates")
         )

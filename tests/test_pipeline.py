@@ -412,3 +412,75 @@ def test_pipeline_split_output(spark, tmp_path):
     # both in-between near-dups shipped, and in the SAME split
     assert 100 in seen and 101 in seen
     assert seen[100] == seen[101]
+
+
+def test_pipeline_gopher_gate_and_state_fingerprint(spark, tmp_path):
+    """gopher_stopwords= ANDs the Gopher battery into the quality
+    gate: a doc passing the length/punct/stopword heuristics but
+    failing a Gopher rule (mean word length < 3 here) is dropped; the
+    incremental path carries the COMBINED verdict and still equals a
+    full recompute; state written without the gate (or with a
+    different stoplist) refuses to be reused with it."""
+    import pytest as _pytest
+
+    good = " ".join(
+        ["the", "quick", "brown", "fox", "and", "some", "plain",
+         "words", "that", "keep", "flowing", "along"] * 5
+    )  # 60 words, mean len > 3, stopword-rich
+    shorty = " ".join((["aa", "to", "of", "a"] * 15))  # 60 words, mean len 2
+    rows_a = [(1, good, "en", "s0"), (2, shorty, "en", "s0")]
+    rows_b = rows_a + [(3, good + " extra tail words here", "en", "s1")]
+    snap_a = spark.createDataFrame(
+        rows_a, "doc_id long, text string, lang string, source string"
+    )
+    snap_b = spark.createDataFrame(
+        rows_b, "doc_id long, text string, lang string, source string"
+    )
+    stops = ("the", "a", "of", "and", "to")
+    common = dict(dedup_threshold=0.8, n_shards=1)
+
+    plain = pipeline.run_corpus_pipeline(
+        snap_a, str(tmp_path / "plain"), **common
+    )
+    assert plain["n_quality"] == 2  # both pass the base heuristics
+
+    gated = pipeline.run_corpus_pipeline(
+        snap_a, str(tmp_path / "gated"),
+        gopher_stopwords=stops,
+        state_dir=str(tmp_path / "state_a"), **common,
+    )
+    assert gated["n_quality"] == 1  # the mean-word-length rule bites
+
+    full = pipeline.run_corpus_pipeline(
+        snap_b, str(tmp_path / "full"), gopher_stopwords=stops, **common
+    )
+    inc = pipeline.run_corpus_pipeline(
+        snap_b, str(tmp_path / "inc"),
+        gopher_stopwords=stops,
+        old_snapshot=snap_a,
+        old_state_dir=str(tmp_path / "state_a"),
+        state_dir=str(tmp_path / "state_b"), **common,
+    )
+    assert inc["n_carried"] == 2 and inc["n_delta"] == 1
+    for key in ("n_quality", "n_deduped", "n_clean", "corpus_card"):
+        assert inc[key] == full[key], key
+
+    # state without the gate cannot serve a gated run, and vice versa
+    with _pytest.raises(ValueError, match="gate configuration"):
+        pipeline.run_corpus_pipeline(
+            snap_b, str(tmp_path / "bad"),
+            gopher_stopwords=("different", "list"),
+            old_snapshot=snap_a,
+            old_state_dir=str(tmp_path / "state_a"), **common,
+        )
+    pipeline.run_corpus_pipeline(
+        snap_a, str(tmp_path / "plain2"),
+        state_dir=str(tmp_path / "state_plain"), **common,
+    )
+    with _pytest.raises(ValueError, match="gate configuration"):
+        pipeline.run_corpus_pipeline(
+            snap_b, str(tmp_path / "bad2"),
+            gopher_stopwords=stops,
+            old_snapshot=snap_a,
+            old_state_dir=str(tmp_path / "state_plain"), **common,
+        )
