@@ -195,28 +195,34 @@ def _gopher_measure_cols(
     }
 
 
-def gopher_keep_col(
+def gopher_verdict_col(
     text_col: str = "text",
     stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
 ) -> Column:
-    """The battery as ONE boolean Column (verdict == keep) for inline
-    filter predicates — the corpus pipeline's optional gate. Same
-    rule definition as :func:`gopher_rules` by construction
+    """The battery as ONE string verdict Column for inline use (the
+    streaming corpus filter's staged-verdict chain). Same rule
+    definition as :func:`gopher_rules` by construction
     (:func:`_gopher_verdict`); evaluated once per row, so the
     mid-select naming the materializing operator needs is
     unnecessary here."""
     m = _gopher_measure_cols(text_col, stopwords)
     nw = m["n_words"]
-    return (
-        _gopher_verdict(
-            nw,
-            m["sum_len"] / nw,
-            m["n_sym"] / nw,
-            m["n_alpha"] / nw,
-            m["n_stop"],
-        )
-        == "keep"
+    return _gopher_verdict(
+        nw,
+        m["sum_len"] / nw,
+        m["n_sym"] / nw,
+        m["n_alpha"] / nw,
+        m["n_stop"],
     )
+
+
+def gopher_keep_col(
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> Column:
+    """The battery as ONE boolean Column (verdict == keep) for inline
+    filter predicates — the corpus pipeline's optional gate."""
+    return gopher_verdict_col(text_col, stopwords) == "keep"
 
 
 def gopher_rules(

@@ -50,7 +50,11 @@ def read_doc_stream(
     )
 
 
-def score_documents(docs: DataFrame) -> DataFrame:
+def score_documents(
+    docs: DataFrame,
+    *,
+    gopher_stopwords: tuple[str, ...] | None = None,
+) -> DataFrame:
     """The combined per-document filter projection: quality heuristics,
     repetition signals, exact-dedup fingerprint — one pass, no shuffle,
     identical in batch and streaming (it is only projections).
@@ -68,6 +72,12 @@ def score_documents(docs: DataFrame) -> DataFrame:
     StreamingSymmetricHashJoinExec, whose unwatermarked state retains
     every row forever — the fused projection has no state operator at
     all.
+
+    ``gopher_stopwords`` inserts the Gopher word-rule battery
+    (textops.gopher_verdict_col — the same rule definition the batch
+    operator and the pipeline gate use) between the quality heuristics
+    and the repetition caps, cheap-to-expensive, matching
+    run_corpus_pipeline's combined gate.
     """
     out_cols = (
         "fingerprint", "stopword_ratio", "punct_ratio",
@@ -90,6 +100,11 @@ def score_documents(docs: DataFrame) -> DataFrame:
         F.round(q["stopword_ratio"], 4).alias("stopword_ratio"),
         F.round(q["punct_ratio"], 4).alias("punct_ratio"),
         q["verdict"].alias("_q_verdict"),
+        (
+            textops.gopher_verdict_col("text", gopher_stopwords)
+            if gopher_stopwords is not None
+            else F.lit("keep")
+        ).alias("_g_verdict"),
         m["n_chars"].alias("_cf_n_chars"),
         m["n_tokens"].alias("_cf_n_tokens"),
         m["n_distinct"].alias("_cf_n_distinct"),
@@ -99,6 +114,7 @@ def score_documents(docs: DataFrame) -> DataFrame:
     f = textops.repetition_final_cols(prefix="_cf_")
     verdict = (
         F.when(F.col("_q_verdict") != "keep", F.col("_q_verdict"))
+        .when(F.col("_g_verdict") != "keep", F.col("_g_verdict"))
         .when(f["verdict"] != "keep", f["verdict"])
         .otherwise("keep")
     )
@@ -257,6 +273,7 @@ def start_corpus_filter(
     checkpoint_dir: str,
     available_now: bool = False,
     max_files_per_trigger: int | None = None,
+    gopher_stopwords: tuple[str, ...] | None = None,
 ) -> StreamingQuery:
     """End-to-end incremental corpus filter: stream → score → append to
     a verdict-partitioned parquet sink. The whole pipeline is one
@@ -264,12 +281,14 @@ def start_corpus_filter(
     selected straight from the stream — no joins, no state operator),
     so there is no state store to size and a restart resumes from the
     checkpoint offsets alone (asserted by
-    test_corpus_filter_stream_is_stateless).
+    test_corpus_filter_stream_is_stateless). ``gopher_stopwords``
+    adds the Gopher battery stage exactly as in batch
+    (score_documents) — still a pure projection.
     """
     stream = read_doc_stream(
         spark, source_dir, max_files_per_trigger=max_files_per_trigger
     )
-    scored = score_documents(stream)
+    scored = score_documents(stream, gopher_stopwords=gopher_stopwords)
     writer = (
         scored.writeStream.format("parquet")
         .option("path", sink_dir)

@@ -813,3 +813,53 @@ def test_pq_ann_stream_matches_batch(spark, tmp_path):
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert len(got) == 20  # 4 queries × k
+
+
+def test_corpus_filter_gopher_stage(spark):
+    """gopher_stopwords= inserts the Gopher battery between the
+    quality heuristics and the repetition caps: quality failures keep
+    precedence, a quality-passing doc failing a Gopher rule gets that
+    rule's verdict, and without the knob behavior is unchanged."""
+    from database_activity_monitoring_dam_system_spark.operators import textops
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        corpus_filter,
+    )
+
+    stops = ("the", "a", "of", "and", "to")
+    # 60 words, stopword-rich, every bigram unique (no repetition cap)
+    good = " ".join(
+        tok
+        for i in range(30)
+        for tok in (("the", "and", "of", "to")[i % 4], f"word{i:03d}")
+    )
+    # 60 words of len <= 2 (mean word len < 3), every bigram unique
+    shortwords = " ".join(
+        tok
+        for i in range(30)
+        for tok in (("to", "of", "a")[i % 3], f"a{i}")
+    )
+    docs = spark.createDataFrame(
+        [(1, good, "en", "s0"), (2, shortwords, "en", "s0"),
+         (3, "xy", "en", "s1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {
+        r.doc_id: r.verdict
+        for r in corpus_filter.score_documents(
+            docs, gopher_stopwords=stops
+        ).collect()
+    }
+    assert out[1] == "keep"
+    assert out[2] == "bad_mean_word_len"  # quality passed, gopher bit
+    assert out[3] == "too_short"  # quality precedence unchanged
+    plain = {
+        r.doc_id: r.verdict
+        for r in corpus_filter.score_documents(docs).collect()
+    }
+    assert plain[2] == "keep"  # knob off -> battery absent
+    # the stage IS the shared rule definition
+    g = docs.select(
+        "doc_id",
+        textops.gopher_verdict_col("text", stops).alias("g"),
+    ).collect()
+    assert {r.doc_id: r.g for r in g}[2] == "bad_mean_word_len"
