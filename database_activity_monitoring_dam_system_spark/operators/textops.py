@@ -178,10 +178,11 @@ def _gopher_measure_cols(
     ) / 3 + (
         F.length(txt) - F.length(F.replace(txt, F.lit("…"), F.lit("")))
     )
-    n_stop = None
+    # An empty stoplist means the stopword rule can never pass —
+    # n_stop is the literal 0 (vacuous fail), not a crash.
+    n_stop: Column = F.lit(0)
     for w in stopwords:
-        hit = F.when(F.array_contains(toks, w), 1).otherwise(0)
-        n_stop = hit if n_stop is None else n_stop + hit
+        n_stop = n_stop + F.when(F.array_contains(toks, w), 1).otherwise(0)
     return {
         "n_words": F.size(toks),
         "sum_len": F.aggregate(
@@ -202,9 +203,12 @@ def gopher_verdict_col(
     """The battery as ONE string verdict Column for inline use (the
     streaming corpus filter's staged-verdict chain). Same rule
     definition as :func:`gopher_rules` by construction
-    (:func:`_gopher_verdict`); evaluated once per row, so the
-    mid-select naming the materializing operator needs is
-    unnecessary here."""
+    (:func:`_gopher_verdict`). In a SELECT the named output is
+    evaluated once per row; inside a FILTER predicate the shared
+    subtrees (the token split, the length fold) are re-evaluated per
+    reference — measured +29 % on a full corpus scan at sf1 — so
+    prefer selecting the verdict/flag when the frame is about to be
+    materialized anyway (pipeline.py's step-2 note has the numbers)."""
     m = _gopher_measure_cols(text_col, stopwords)
     nw = m["n_words"]
     return _gopher_verdict(

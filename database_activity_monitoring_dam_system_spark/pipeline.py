@@ -66,6 +66,17 @@ _NUM_HASHES = 32
 _SIG_COLS = ("doc_id", *(f"mh{i}" for i in range(_NUM_HASHES)))
 
 
+def _keep_predicate(gopher_stopwords: tuple[str, ...] | None):
+    """THE quality-keep predicate — one definition consumed by both
+    the gate table (q_keep column) and the full-run scan-side filter,
+    so the step-2 guarantee "q_keep IS this predicate" is structural
+    rather than maintained by keeping two code sites in sync."""
+    pred = textops.quality_signal_cols("text")["verdict"] == "keep"
+    if gopher_stopwords is not None:
+        pred = pred & textops.gopher_keep_col("text", gopher_stopwords)
+    return pred
+
+
 def _gate_table(
     docs: DataFrame,
     fluency_reference: DataFrame | None,
@@ -84,11 +95,7 @@ def _gate_table(
     avg_logp / absent flags and therefore PASS those gates, matching
     the per-stage operators' documented semantics.
     """
-    q_keep = textops.quality_signal_cols("text")["verdict"] == "keep"
-    if gopher_stopwords is not None:
-        q_keep = q_keep & textops.gopher_keep_col(
-            "text", gopher_stopwords
-        )
+    q_keep = _keep_predicate(gopher_stopwords)
     base = docs.select(
         "doc_id",
         F.md5("text").alias("fp"),
@@ -177,8 +184,12 @@ def run_corpus_pipeline(
     # Config fingerprint for the optional Gopher gate: the stoplist
     # CONTENT, not just on/off — carried q_keep rows from a run with a
     # different list would not equal fresh ones.
+    import json as _json
+
     gopher_key = (
-        ",".join(gopher_stopwords) if gopher_stopwords is not None else None
+        _json.dumps(list(gopher_stopwords))
+        if gopher_stopwords is not None
+        else None
     )
 
     # 0. census + null gates in ONE job: rows without an id can't ride
@@ -274,18 +285,21 @@ def run_corpus_pipeline(
         ).persist()
 
     # 2. quality gate. FULL runs apply the predicate as a scan-side
-    # FILTER (pure projection, no exchange — the q_keep expression
-    # evaluated inline); only INCREMENTAL runs route through the gate
-    # table's id set, because carried gate rows come from parquet and
-    # the join is what merges them with the delta. The two forms are
-    # equivalent by construction: q_keep IS this predicate.
+    # FILTER (pure projection, no exchange); only INCREMENTAL runs
+    # route through the gate table's id set, because carried gate
+    # rows come from parquet and the join is what merges them with
+    # the delta. The two forms are equivalent by construction:
+    # q_keep IS _keep_predicate (one shared definition).
+    # Cost note, measured at sf1 (50 k docs): the inline predicate
+    # re-tokenizes per subexpression reference (FilterExec codegen has
+    # no common-subexpression elimination, and the
+    # project-flag-then-filter form is re-inlined by predicate
+    # pushdown — verified identical plans), adding ~29 % to this one
+    # scan with the Gopher gate on (0.38 s → 0.49 s). It is paid once:
+    # `kept` is persisted, so downstream stages reuse the
+    # materialized survivors.
     if old_snapshot is None:
-        keep_pred = textops.quality_signal_cols("text")["verdict"] == "keep"
-        if gopher_stopwords is not None:
-            keep_pred = keep_pred & textops.gopher_keep_col(
-                "text", gopher_stopwords
-            )
-        kept = docs.filter(keep_pred).persist()
+        kept = docs.filter(_keep_predicate(gopher_stopwords)).persist()
     else:
         kept = docs.join(
             gates.filter("q_keep").select("doc_id"), "doc_id"

@@ -1887,3 +1887,7 @@ def test_gopher_rules_every_verdict_branch(spark):
         docs, stopwords=("alpha", "beta")
     ).collect()
     assert {r.verdict for r in custom if r.doc_id == 5} == {"keep"}
+    # empty stoplist = the rule can never pass (vacuous fail, no crash)
+    empty = textops.gopher_rules(docs, stopwords=()).collect()
+    assert {r.verdict for r in empty if r.doc_id == 6} == {"no_stopwords"}
+    assert all(r.n_stop_distinct == 0 for r in empty)
