@@ -363,6 +363,7 @@ def minhash_signatures_md5(
     id_col: str = "doc_id",
     toks_col: str = "toks",
     num_hashes: int = 16,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Oracle-reproducible minhash: md5 each shingle ONCE to a hex
     string, derive the k hash functions as seeded md5 re-hashes, take
@@ -377,6 +378,7 @@ def minhash_signatures_md5(
     return base.selectExpr(
         id_col,
         toks_col,
+        *keep_cols,
         *[
             f"array_min(transform(_h0, h -> md5(concat('{i}|', h)))) AS mh{i}"
             for i in range(num_hashes)
@@ -411,6 +413,71 @@ def minhash_near_duplicates_md5(
     )
     arrs = base.select(F.col(id_col), F.col("toks"))
     return _verify_pairs_jaccard(cands, arrs, id_col=id_col, threshold=threshold)
+
+
+def source_minhash_overlap(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    num_hashes: int = 32,
+    shingle: int = 3,
+) -> DataFrame:
+    """Estimated pairwise Jaccard overlap BETWEEN corpus groups
+    (sources/dumps/crawls) from per-group MinHash UNION sketches —
+    "how much does source A duplicate source B", the corpus-level
+    acquisition/licensing question, without ever materializing a
+    shingle set.
+
+    This leans on the property that makes MinHash the right sketch at
+    100 TB: it is MERGEABLE. min over docs of the per-doc minhash IS
+    the minhash of the union of their shingle sets, so the per-group
+    sketch is one groupBy(group).agg(min(mh_i)…) over a
+    projection-only signature frame — a map-side-combining shuffle of
+    num_hashes small strings per group, never the shingles. The
+    pairwise comparison then touches G·(G−1)/2 sketch rows (a
+    broadcast self-join of a frame with one row per group).
+
+    ``est_jaccard`` = fraction of agreeing components (the standard
+    MinHash estimator, σ ≈ √(J(1−J)/k)). md5 hash family throughout →
+    DuckDB-oracle-exact (the xxhash64 production swap is mechanical).
+
+    Output: (group_a, group_b, n_agree, est_jaccard round 4),
+    group_a < group_b.
+    """
+    base = token_arrays(
+        docs.select(id_col, text_col, group_col),
+        id_col=id_col, text_col=text_col, shingle=shingle,
+    )
+    sigs = minhash_signatures_md5(
+        base, id_col=id_col, num_hashes=num_hashes,
+        keep_cols=(group_col,),
+    )
+    sketch = sigs.groupBy(group_col).agg(
+        *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(num_hashes)]
+    )
+    a = sketch.select(
+        F.col(group_col).alias("group_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    b = sketch.select(
+        F.col(group_col).alias("group_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    agree = None
+    for i in range(num_hashes):
+        hit = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        agree = hit if agree is None else agree + hit
+    return (
+        a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            agree.cast("bigint").alias("n_agree"),
+            F.round(agree / F.lit(num_hashes), 4).alias("est_jaccard"),
+        )
+    )
 
 
 def _verify_pairs_jaccard(

@@ -247,6 +247,57 @@ def _q_minhash_md5(spark, sf_dir):
     )
 
 
+_SOURCE_OVERLAP_K = 32
+
+
+def _q_source_overlap(spark, sf_dir):
+    """Corpus-level source-overlap matrix from mergeable per-source
+    MinHash union sketches (md5 family → full oracle)."""
+    return dedup.source_minhash_overlap(
+        _docs(spark, sf_dir), num_hashes=_SOURCE_OVERLAP_K, shingle=3
+    )
+
+
+def _source_overlap_sql() -> str:
+    """ANSI twin of source_minhash_overlap: same per-doc signature
+    CTE chain as _minhash_md5_sql, then min-per-source (the union
+    sketch) and a tiny source self-join."""
+    k = _SOURCE_OVERLAP_K
+    mh_cols = ",\n         ".join(
+        f"list_aggregate([md5('{i}|' || h) for h in h0], 'min') AS mh{i}"
+        for i in range(k)
+    )
+    sk_cols = ", ".join(f"min(mh{i}) AS mh{i}" for i in range(k))
+    agree = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(k)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct([array_to_string(t[i+1:i+3], ' ')
+                        for i in generate_series(0, greatest(len(t) - 3, 0))]
+                      ) AS sset
+  FROM toks
+),
+h0t AS (SELECT doc_id, source, [md5(s) for s in sset] AS h0 FROM sh),
+sigs AS (
+  SELECT doc_id, source,
+         {mh_cols}
+  FROM h0t
+),
+sk AS (SELECT source, {sk_cols} FROM sigs GROUP BY source)
+SELECT a.source AS group_a, b.source AS group_b,
+       CAST({agree} AS BIGINT) AS n_agree,
+       round(({agree}) / {k}, 4) AS est_jaccard
+FROM sk a JOIN sk b ON a.source < b.source
+"""
+
+
 def _minhash_md5_sql() -> str:
     """ANSI twin of minhash_near_duplicates_md5: list comprehensions
     reproduce the signature projection, a UNION ALL over bands the
@@ -3302,6 +3353,11 @@ QUERIES: dict[str, QuerySpec] = {
         "MinHash+LSH banded candidates verified by exact Jaccard (scale path)",
         expect_columns=("doc_a", "doc_b", "jaccard"),
         expect_rows=(1, None),
+    ),
+    "source_overlap": QuerySpec(
+        _q_source_overlap, _source_overlap_sql(),
+        "pairwise source-overlap matrix from mergeable per-source "
+        "MinHash union sketches (md5 family, full oracle)",
     ),
     "dedup_minhash_md5": QuerySpec(
         _q_minhash_md5, _minhash_md5_sql(),

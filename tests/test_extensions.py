@@ -1891,3 +1891,50 @@ def test_gopher_rules_every_verdict_branch(spark):
     empty = textops.gopher_rules(docs, stopwords=()).collect()
     assert {r.verdict for r in empty if r.doc_id == 6} == {"no_stopwords"}
     assert all(r.n_stop_distinct == 0 for r in empty)
+
+
+def test_source_overlap_estimates_and_mergeability(spark):
+    """The per-source union sketch estimates the TRUE Jaccard of the
+    sources' shingle-set unions (within MinHash tolerance at k=64),
+    identical sources agree on every component, and disjoint ones on
+    none; output is the strict upper triangle."""
+    from database_activity_monitoring_dam_system_spark.operators import dedup
+
+    a = ["alpha beta gamma delta epsilon zeta eta theta"]
+    b = ["iota kappa lamda mu nu xi omicron pi"]
+    rows = (
+        [(i, t, "sA") for i, t in enumerate(a * 3)]          # sA = set A
+        + [(10 + i, t, "sB") for i, t in enumerate(a + b)]   # sB = A ∪ B
+        + [(20 + i, t, "sC") for i, t in enumerate(b)]       # sC = set B
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = {
+        (r.group_a, r.group_b): r
+        for r in dedup.source_minhash_overlap(
+            docs, num_hashes=64, shingle=3
+        ).collect()
+    }
+    assert set(out) == {("sA", "sB"), ("sA", "sC"), ("sB", "sC")}
+    # sA ∩ sC = ∅ -> estimate 0
+    assert out[("sA", "sC")].n_agree == 0
+    # true J(A, A∪B) = |A| / |A∪B| = 6/12 = 0.5 (6 3-shingles each)
+    est = out[("sA", "sB")].est_jaccard
+    assert 0.25 < est < 0.75, est
+    # duplicates within a source don't change its union sketch:
+    # sA (3 copies of A) vs a single-copy source must agree fully
+    merged = {
+        (r.group_a, r.group_b): r.n_agree
+        for r in dedup.source_minhash_overlap(
+            docs.union(
+                spark.createDataFrame(
+                    [(30, a[0], "sD")],
+                    "doc_id long, text string, source string",
+                )
+            ),
+            num_hashes=64,
+            shingle=3,
+        ).collect()
+    }
+    assert merged[("sA", "sD")] == 64  # same underlying set -> all agree
