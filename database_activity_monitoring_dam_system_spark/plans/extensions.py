@@ -247,6 +247,36 @@ def _q_minhash_md5(spark, sf_dir):
     )
 
 
+def _md5_sig_ctes(k: int, extra: str = "") -> str:
+    """The shared toks→sh→h0t→sigs md5-MinHash signature CTE chain —
+    ONE source of truth for the shingle + hash derivation that both
+    _minhash_md5_sql and _source_overlap_sql must keep bit-identical
+    to dedup.token_arrays + dedup.minhash_signatures_md5. ``extra``
+    threads additional per-doc columns (e.g. ", source") through
+    every stage."""
+    mh_cols = ",\n         ".join(
+        f"list_aggregate([md5('{i}|' || h) for h in h0], 'min') AS mh{i}"
+        for i in range(k)
+    )
+    return rf"""toks AS (
+  SELECT doc_id{extra}, string_split_regex(trim(text), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id{extra},
+         list_distinct([array_to_string(t[i+1:i+3], ' ')
+                        for i in generate_series(0, greatest(len(t) - 3, 0))]
+                      ) AS sset
+  FROM toks
+),
+h0t AS (SELECT doc_id{extra}, sset, [md5(s) for s in sset] AS h0 FROM sh),
+sigs AS (
+  SELECT doc_id{extra},
+         {mh_cols}
+  FROM h0t
+)"""
+
+
 _SOURCE_OVERLAP_K = 32
 
 
@@ -259,37 +289,17 @@ def _q_source_overlap(spark, sf_dir):
 
 
 def _source_overlap_sql() -> str:
-    """ANSI twin of source_minhash_overlap: same per-doc signature
-    CTE chain as _minhash_md5_sql, then min-per-source (the union
-    sketch) and a tiny source self-join."""
+    """ANSI twin of source_minhash_overlap: the shared signature CTE
+    chain (with source threaded through), then min-per-source (the
+    union sketch) and a tiny source self-join."""
     k = _SOURCE_OVERLAP_K
-    mh_cols = ",\n         ".join(
-        f"list_aggregate([md5('{i}|' || h) for h in h0], 'min') AS mh{i}"
-        for i in range(k)
-    )
     sk_cols = ", ".join(f"min(mh{i}) AS mh{i}" for i in range(k))
     agree = " + ".join(
         f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
         for i in range(k)
     )
     return rf"""
-WITH toks AS (
-  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
-  FROM documents
-),
-sh AS (
-  SELECT doc_id, source,
-         list_distinct([array_to_string(t[i+1:i+3], ' ')
-                        for i in generate_series(0, greatest(len(t) - 3, 0))]
-                      ) AS sset
-  FROM toks
-),
-h0t AS (SELECT doc_id, source, [md5(s) for s in sset] AS h0 FROM sh),
-sigs AS (
-  SELECT doc_id, source,
-         {mh_cols}
-  FROM h0t
-),
+WITH {_md5_sig_ctes(k, extra=", source")},
 sk AS (SELECT source, {sk_cols} FROM sigs GROUP BY source)
 SELECT a.source AS group_a, b.source AS group_b,
        CAST({agree} AS BIGINT) AS n_agree,
@@ -299,15 +309,11 @@ FROM sk a JOIN sk b ON a.source < b.source
 
 
 def _minhash_md5_sql() -> str:
-    """ANSI twin of minhash_near_duplicates_md5: list comprehensions
-    reproduce the signature projection, a UNION ALL over bands the
-    band explode, list_intersect the verify."""
+    """ANSI twin of minhash_near_duplicates_md5: the shared signature
+    CTE chain, a UNION ALL over bands for the band explode,
+    list_intersect for the verify."""
     k, bands = _MINHASH_MD5_K, _MINHASH_MD5_BANDS
     rows = k // bands
-    mh_cols = ",\n         ".join(
-        f"list_aggregate([md5('{i}|' || h) for h in h0], 'min') AS mh{i}"
-        for i in range(k)
-    )
     band_selects = "\n  UNION ALL\n  ".join(
         "SELECT doc_id, {b} AS band_id, md5(concat_ws('|', {cols})) AS bucket "
         "FROM sigs".format(
@@ -317,22 +323,7 @@ def _minhash_md5_sql() -> str:
     )
     thr = _MINHASH_MD5_THRESHOLD
     return rf"""
-WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
-),
-sh AS (
-  SELECT doc_id,
-         list_distinct([array_to_string(t[i+1:i+3], ' ')
-                        for i in generate_series(0, greatest(len(t) - 3, 0))]
-                      ) AS sset
-  FROM toks
-),
-h0t AS (SELECT doc_id, sset, [md5(s) for s in sset] AS h0 FROM sh),
-sigs AS (
-  SELECT doc_id,
-         {mh_cols}
-  FROM h0t
-),
+WITH {_md5_sig_ctes(k)},
 banded AS (
   {band_selects}
 ),
