@@ -237,15 +237,22 @@ def save_ivf_index(
     count — the cheap staleness fingerprint ``load_ivf_index`` checks
     when the same path serves a REGENERATED corpus (a stale index
     silently returns answers for the old corpus otherwise).
+    ``content_md5`` (:func:`artifact_fingerprint` of the centroids)
+    identifies the quantizer by VALUE — compare it against a code
+    table's :func:`stamp_index` column to prove both artifacts came
+    from the same build.
     """
-    rows = [
-        (int(cid), [float(x) for x in vec], float(norm), n_corpus)
+    canonical = [
+        (int(cid), [float(x) for x in vec], float(norm))
         for cid, vec, norm in centroids
     ]
+    fp = artifact_fingerprint(canonical)
+    rows = [(cid, vec, norm, n_corpus, fp) for cid, vec, norm in canonical]
     (
         spark.createDataFrame(
             rows,
-            "cent_id int, vec array<double>, norm double, n_corpus long",
+            "cent_id int, vec array<double>, norm double, "
+            "n_corpus long, content_md5 string",
         )
         .coalesce(1)
         .write.mode("overwrite")
@@ -1054,6 +1061,83 @@ def pq_prepare_queries(
     ).withColumnRenamed(id_col, "query_id")
 
 
+CODEBOOK_STAMP = "_cb_md5"
+QUANTIZER_STAMP = "_ivf_md5"
+
+
+def artifact_fingerprint(obj) -> str:
+    """Content fingerprint of an index artifact (PQ codebooks, IVF
+    quantizer centroids): md5 of the canonical JSON serialization.
+    Floats serialize via repr (shortest round-trip), so two artifacts
+    fingerprint equal iff they are value-identical — the check that
+    catches codes produced under DIFFERENT codebooks with the same
+    m/ksub, which are in-range ints and score silently wrong through
+    ADC otherwise (the n_corpus row-count stamp can't see this)."""
+    import hashlib
+    import json
+
+    return hashlib.md5(
+        json.dumps(obj, separators=(",", ":"), default=float).encode()
+    ).hexdigest()
+
+
+def stamp_index(
+    codes: DataFrame,
+    *,
+    codebooks: list | None = None,
+    centroids: list | None = None,
+) -> DataFrame:
+    """Stamp a code table with the content fingerprint of the
+    artifact(s) it was encoded under (constant columns — free under
+    parquet RLE). :func:`pq_score_queries` / :func:`ivf_pq_topk`
+    verify the stamp against their supplied artifacts and fail loudly
+    on mismatch instead of scoring with wrong ADC distances."""
+    if codebooks is not None:
+        codes = codes.withColumn(
+            CODEBOOK_STAMP, F.lit(artifact_fingerprint(codebooks))
+        )
+    if centroids is not None:
+        codes = codes.withColumn(
+            QUANTIZER_STAMP, F.lit(artifact_fingerprint(centroids))
+        )
+    return codes
+
+
+def verify_index_stamp(
+    codes: DataFrame,
+    *,
+    codebooks: list | None = None,
+    centroids: list | None = None,
+    caller: str = "verify_index_stamp",
+) -> DataFrame:
+    """Check a :func:`stamp_index` stamp against the supplied
+    artifact(s); raise on mismatch, return the frame with stamp
+    columns dropped. Unstamped tables pass unchecked (backward
+    compatible with pre-stamp artifacts). Costs one limit(1) read of
+    the stamp columns only."""
+    checks = []
+    if codebooks is not None and CODEBOOK_STAMP in codes.columns:
+        checks.append(
+            (CODEBOOK_STAMP, artifact_fingerprint(codebooks), "codebooks")
+        )
+    if centroids is not None and QUANTIZER_STAMP in codes.columns:
+        checks.append(
+            (QUANTIZER_STAMP, artifact_fingerprint(centroids), "quantizer")
+        )
+    if checks:
+        rows = codes.select(*[c for c, _, _ in checks]).limit(1).collect()
+        for colname, want, what in checks:
+            got = rows[0][colname] if rows else None
+            if got is not None and got != want:
+                raise ValueError(
+                    f"{caller}: code table was encoded under different "
+                    f"{what} (stamp {got[:10]}… != supplied "
+                    f"{want[:10]}…) — load the matching artifact or "
+                    "rebuild the index"
+                )
+    return codes.drop(CODEBOOK_STAMP, QUANTIZER_STAMP)
+
+
 def pq_score_queries(
     codes: DataFrame,
     queries: DataFrame,
@@ -1070,6 +1154,9 @@ def pq_score_queries(
     over literal centroids; ranking is one per-query window.
 
     Output: (query_id, neighbor_id, rank, adc_dist round 6)."""
+    codes = verify_index_stamp(
+        codes, codebooks=codebooks, caller="pq_score_queries"
+    )
     missing = [
         f"code{j}"
         for j in range(len(codebooks))
@@ -1167,6 +1254,7 @@ def pq_update_codes(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Incremental PQ index refresh — the corpus_diff pattern applied
     to the serving index: between snapshots, carry the stored codes of
@@ -1188,10 +1276,21 @@ def pq_update_codes(
     carry branch and the delta branch consume it (without the persist
     Spark would re-execute the corpus-sized join per branch) — then
     one left-semi carry join and the zero-shuffle encode projection
-    over the delta only. The persisted frame is two columns and
-    LRU-evictable; long-lived callers can unpersist via the returned
-    plan's lineage going cold.
+    over the delta only. The persisted frame is appended to
+    ``persisted_out`` when given, so a long-lived driver can
+    ``.unpersist()`` it after materializing the refreshed codes
+    (repeated refreshes would otherwise accumulate cached frames
+    until LRU eviction).
+
+    A :func:`stamp_index`-stamped ``old_codes`` is verified against
+    ``codebooks`` (carrying codes from a different codebook set is
+    exactly the silent-ADC-corruption trap the stamp exists for) and
+    the refreshed table is re-stamped to match.
     """
+    stamped = CODEBOOK_STAMP in old_codes.columns
+    old_codes = verify_index_stamp(
+        old_codes, codebooks=codebooks, caller="pq_update_codes"
+    )
     v = _as_double(vec_col)
     old_v = old_embeddings.select(F.col(id_col), v.alias("_ov"))
     new_v = new_embeddings.select(F.col(id_col), v.alias("_nv"))
@@ -1204,6 +1303,8 @@ def pq_update_codes(
         )
         .persist()
     )
+    if persisted_out is not None:
+        persisted_out.append(cls)
     carried = old_codes.join(
         cls.filter("_same").select(id_col), id_col, "left_semi"
     )
@@ -1216,7 +1317,8 @@ def pq_update_codes(
         id_col=id_col,
         vec_col=vec_col,
     )
-    return carried.unionByName(fresh)
+    out = carried.unionByName(fresh)
+    return stamp_index(out, codebooks=codebooks) if stamped else out
 
 
 def ivf_pq_encode(
@@ -1334,6 +1436,10 @@ def ivf_pq_topk(
         # from a different encode would otherwise fail SILENTLY
         # (_adc_rank drops out-of-codebook codes; foreign cent_ids
         # just miss the probe join).
+        encoded = verify_index_stamp(
+            encoded, codebooks=books, centroids=cents,
+            caller="ivf_pq_topk",
+        )
         missing = [
             c
             for c in [id_col, "cent_id"] + [f"code{j}" for j in range(m)]
@@ -1401,9 +1507,14 @@ def save_pq_index(
     Schema: (subspace, code, centroid array<double>, n_corpus);
     doubles round-trip parquet bit-exactly so loaded-index plans are
     literal-identical to fresh-trained ones. ``n_corpus`` is the
-    staleness fingerprint (see save_ivf_index)."""
+    row-count staleness stamp (see save_ivf_index); ``content_md5``
+    is the CONTENT fingerprint (:func:`artifact_fingerprint` of the
+    serialized codebooks) — compare it against a code table's
+    :func:`stamp_index` column to prove the two artifacts belong to
+    the same encode without loading either."""
+    fp = artifact_fingerprint(codebooks)
     rows = [
-        (j, c, [float(x) for x in cvec], n_corpus)
+        (j, c, [float(x) for x in cvec], n_corpus, fp)
         for j, book in enumerate(codebooks)
         for c, cvec in enumerate(book)
     ]
@@ -1411,7 +1522,7 @@ def save_pq_index(
         spark.createDataFrame(
             rows,
             "subspace int, code int, centroid array<double>, "
-            "n_corpus long",
+            "n_corpus long, content_md5 string",
         )
         .coalesce(1)
         .write.mode("overwrite")

@@ -1249,8 +1249,15 @@ def _get_ivf_pq_codes(spark, sf_dir, emb):
     on_disk = _index_path("ivf_pq_codes", sf_dir) is not None
     return _shared(
         "ivf_pq_codes", spark, sf_dir,
-        lambda: similarity.ivf_pq_encode(
-            emb, centroids=cents, codebooks=books, dim=_PQ_DIM
+        # Content-stamped with the codebook/quantizer fingerprints so
+        # the scoring entrypoints fail LOUDLY if this table is ever
+        # paired with artifacts from a different build (the row-count
+        # fingerprint can't see a regenerated same-size corpus).
+        lambda: similarity.stamp_index(
+            similarity.ivf_pq_encode(
+                emb, centroids=cents, codebooks=books, dim=_PQ_DIM
+            ),
+            codebooks=books, centroids=cents,
         ),
         expect_rows=emb.count() if on_disk else None,
     )
@@ -2623,9 +2630,11 @@ WITH base AS (
 ),
 scored AS (
   SELECT doc_id, lang,
+         -- NULLIF guards: Spark /0 yields NULL; DuckDB >= 1.1 would
+         -- yield NaN (sorts FIRST under DESC) without them.
          len(list_filter(toks, x -> x IN ('the','a','of','and','to')))
-           * 1.0 / len(toks)
-         - n_punct * 1.0 / n_chars AS q
+           * 1.0 / NULLIF(len(toks), 0)
+         - n_punct * 1.0 / NULLIF(n_chars, 0) AS q
   FROM base
 ),
 ranked AS (
@@ -3335,9 +3344,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dup_span_stats": QuerySpec(
         _q_dup_span_stats, _dup_span_sql(),
-        "ExactSubstr-style per-doc duplicated-span fraction: strided "
-        "k-char window fingerprints, cross-doc fp counts, fp-keyed "
-        "join back — full oracle",
+        "ExactSubstr-style per-doc duplicated-span fraction: "
+        "content-keyed sampled k-char window fingerprints, cross-doc "
+        "fp counts, fp-keyed join back — full oracle",
     ),
     "dedup_minhash_lsh": QuerySpec(
         _q_minhash_near_dups, None,

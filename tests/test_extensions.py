@@ -1591,6 +1591,96 @@ def test_pq_update_codes_equals_full_reencode(spark):
     assert all(i % 7 != 0 for i in got_ids)
 
 
+def test_index_stamp_verifies_and_rejects(spark):
+    """Content-fingerprint stamping on persisted code tables: a
+    stamped table scores identically to an unstamped one under the
+    codebooks it was encoded with, and fails LOUDLY (not silently
+    wrong ADC distances) under codebooks from a different build —
+    including codebooks of the SAME m/ksub whose codes are all
+    in-range, the case the n_corpus row-count stamp cannot catch."""
+    import pytest as _pytest
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = similarity.pq_train(emb, m=4, ksub=8, iters=1, dim=64)
+    # same shape, different content: train on a disjoint corpus slice
+    other = similarity.pq_train(
+        emb.filter(F.col("vec_id") % 2 == 0), m=4, ksub=8, iters=2, dim=64
+    )
+    assert other != books
+    codes = similarity.pq_encode(emb, books, dim=64).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    stamped = similarity.stamp_index(codes, codebooks=books)
+    queries = similarity.pq_prepare_queries(
+        emb.filter(F.col("vec_id").isin([1, 2])), books, dim=64
+    )
+    plain = similarity.pq_score_queries(codes, queries, books, k=5)
+    via_stamp = similarity.pq_score_queries(stamped, queries, books, k=5)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, via_stamp.collect())
+    )
+    with _pytest.raises(ValueError, match="different codebooks"):
+        similarity.pq_score_queries(stamped, queries, other, k=5)
+    # ivf_pq_topk(encoded=...) checks BOTH artifact stamps
+    cents = similarity.ivf_centroids(emb, n_centroids=4, refine_iters=1)
+    enc = similarity.stamp_index(
+        similarity.ivf_pq_encode(emb, centroids=cents, codebooks=books),
+        codebooks=books, centroids=cents,
+    )
+    with _pytest.raises(ValueError, match="different codebooks"):
+        similarity.ivf_pq_topk(
+            emb, [1], k=5, centroids=cents, codebooks=other, encoded=enc
+        )
+    other_cents = similarity.ivf_centroids(
+        emb.filter(F.col("vec_id") % 2 == 0), n_centroids=4, refine_iters=2
+    )
+    with _pytest.raises(ValueError, match="different quantizer"):
+        similarity.ivf_pq_topk(
+            emb, [1], k=5, centroids=other_cents, codebooks=books,
+            encoded=enc,
+        )
+    # the saved codebook artifact carries the matching content_md5
+    fp = similarity.artifact_fingerprint(books)
+    assert (
+        stamped.select("_cb_md5").limit(1).collect()[0][0] == fp
+    )
+
+
+def test_pq_update_codes_stamp_and_unpersist_handle(spark):
+    """pq_update_codes verifies a stamped old_codes against the
+    supplied codebooks (carrying codes across a codebook change is the
+    silent-corruption trap), re-stamps its output, and exposes the
+    internal persisted classify frame so long-lived drivers can
+    unpersist it."""
+    import pytest as _pytest
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = similarity.pq_train(emb, m=4, ksub=8, iters=1, dim=64)
+    other = similarity.pq_train(
+        emb.filter(F.col("vec_id") % 2 == 0), m=4, ksub=8, iters=2, dim=64
+    )
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb
+    old_codes = similarity.stamp_index(
+        similarity.pq_encode(old, books, dim=64), codebooks=books
+    )
+    with _pytest.raises(ValueError, match="different codebooks"):
+        similarity.pq_update_codes(old_codes, old, new, other, dim=64)
+    handles: list = []
+    updated = similarity.pq_update_codes(
+        old_codes, old, new, books, dim=64, persisted_out=handles
+    )
+    # output is re-stamped and round-trips through the verifier
+    assert "_cb_md5" in updated.columns
+    full = similarity.pq_encode(new, books, dim=64)
+    assert sorted(map(tuple, updated.drop("_cb_md5").collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    assert len(handles) == 1 and handles[0].is_cached
+    handles[0].unpersist(blocking=True)
+    assert not handles[0].is_cached
+
+
 def test_nb_hashed_classify_separable_and_margins(spark):
     """On a vocabulary-separable fixture the classifier is perfect on
     held-out docs; margins are positive for confident predictions;
