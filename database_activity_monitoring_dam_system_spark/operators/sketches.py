@@ -201,3 +201,187 @@ def hll_md5_distinct(
         F.col("zero_registers"),
         F.col("harmonic_scaled"),
     )
+
+
+def _bloom_check(k: int, m_bits: int) -> None:
+    if not 1 <= k <= 4:
+        # positions come from disjoint 8-hex-char (32-bit) slices of
+        # one md5; a 32-char digest holds exactly 4 such slices
+        raise ValueError(f"bloom k must be in [1, 4], got {k}")
+    if m_bits % 4 != 0 or not 64 <= m_bits <= (1 << 22):
+        raise ValueError(
+            f"m_bits must be a multiple of 4 in [64, 2^22], got {m_bits}"
+        )
+
+
+def _bloom_hash(value: Column, already_hex: bool) -> Column:
+    return value if already_hex else F.md5(value.cast("string"))
+
+
+def _bloom_positions(value: Column, k: int, m_bits: int, already_hex: bool):
+    """The k bit positions of ``value``: disjoint 32-bit slices of its
+    md5, mod m_bits — deterministic, engine-neutral (DuckDB derives
+    the identical positions from the same hex arithmetic)."""
+    h = _bloom_hash(value, already_hex)
+    return [
+        F.pmod(
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long"),
+            F.lit(m_bits),
+        )
+        for i in range(k)
+    ]
+
+
+
+def _nibble_bit(p):
+    """2^(3 - p%4) as a small-int when-chain (big-endian bit order
+    within the nibble) — shiftleft() needs a literal shift, so the
+    four cases are enumerated."""
+    r = F.pmod(p, F.lit(4))
+    return (
+        F.when(r == 0, 8).when(r == 1, 4).when(r == 2, 2).otherwise(1)
+    )
+
+
+def bloom_bitmap(
+    values: DataFrame,
+    value_col: str,
+    *,
+    k: int = 3,
+    m_bits: int = 65536,
+    already_hex: bool = False,
+) -> DataFrame:
+    """Build a Bloom filter (Bloom, CACM 1970) over a value column as
+    ONE row holding the m-bit bitmap as a lowercase hex string
+    (m_bits/4 chars) plus ``n_values``.
+
+    Why a Bloom when the engine already broadcasts distinct-value
+    tables for semi-joins: the bitmap is FIXED-size regardless of the
+    set's cardinality — a 100 M-fingerprint eval set is ~3 GB as a
+    broadcast table but 8 KB–512 KB as a bitmap — and it merges
+    across shards/days by nibble-wise OR (:func:`bloom_merge`). The
+    price is one-sided error: membership answers are "maybe" (false
+    positives ≈ (1 − e^(−kn/m))^k), never false negatives.
+
+    Build shape: k-position explode (constant factor k) → one
+    map-side-combined groupBy on the nibble index (≤ m_bits/4 groups)
+    → one ordered concat into the single-row bitmap. ``already_hex``
+    skips the md5 when values are already uniform 32-char hex digests
+    (e.g. winnowing fingerprints) — their own hex IS the hash.
+    """
+    _bloom_check(k, m_bits)
+    spark = values.sparkSession
+    pos = values.select(
+        F.explode(
+            F.array(
+                *_bloom_positions(F.col(value_col), k, m_bits, already_hex)
+            )
+        ).alias("pos")
+    )
+    nibs = (
+        pos.withColumn("idx", (F.col("pos") / 4).cast("long"))
+        .withColumn("bit", _nibble_bit(F.col("pos")))
+        .groupBy("idx")
+        .agg(F.bit_or("bit").alias("v"))
+    )
+    filled = (
+        spark.range(m_bits // 4)
+        .withColumnRenamed("id", "idx")
+        .join(nibs, "idx", "left")
+        .select(
+            "idx",
+            F.lit("0123456789abcdef")
+            .substr(F.coalesce("v", F.lit(0)).cast("int") + 1, F.lit(1))
+            .alias("ch"),
+        )
+    )
+    n_values = values.select(value_col).count()
+    return filled.agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "ch"))),
+                lambda s: s.ch,
+            ),
+        ).alias("bitmap"),
+        F.lit(n_values).cast("long").alias("n_values"),
+        F.lit(k).alias("k"),
+        F.lit(m_bits).alias("m_bits"),
+    )
+
+
+def bloom_member_col(
+    value: Column, bitmap: Column, *, k: int, m_bits: int,
+    already_hex: bool = False,
+) -> Column:
+    """Membership predicate (pure codegen projection — no join): all
+    k bit positions of ``value`` are set in ``bitmap``."""
+    _bloom_check(k, m_bits)
+    cond = None
+    for p in _bloom_positions(value, k, m_bits, already_hex):
+        nib = F.conv(
+            bitmap.substr((p / 4).cast("int") + 1, F.lit(1)), 16, 10
+        ).cast("int")
+        bit = _nibble_bit(p)
+        c = nib.bitwiseAND(bit) != 0
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    value_col: str,
+    *,
+    already_hex: bool = False,
+) -> DataFrame:
+    """Probe every row's value against a :func:`bloom_bitmap` frame:
+    broadcast the one-row bitmap (a crossJoin of a single row — the
+    literal-parameter pattern), add ``maybe_member``. Zero shuffle on
+    ``df``."""
+    row = bloom.select("bitmap", "k", "m_bits")
+    out = df.crossJoin(F.broadcast(row))
+    first = bloom.select("k", "m_bits").first()
+    return out.withColumn(
+        "maybe_member",
+        bloom_member_col(
+            F.col(value_col), F.col("bitmap"),
+            k=int(first["k"]), m_bits=int(first["m_bits"]),
+            already_hex=already_hex,
+        ),
+    ).drop("bitmap", "k", "m_bits")
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two same-parameter Bloom bitmaps by nibble-wise OR — the
+    mergeable-sketch property (shards/days build independent bitmaps;
+    the union's bitmap is their OR, exactly)."""
+    pa = a.select(
+        F.col("bitmap").alias("ba"), F.col("n_values").alias("na"),
+        "k", "m_bits",
+    )
+    pb = b.select(
+        F.col("bitmap").alias("bb"), F.col("n_values").alias("nb"),
+        F.col("k").alias("kb"), F.col("m_bits").alias("mb"),
+    )
+    j = pa.crossJoin(pb)
+    merged_nib = F.transform(
+        F.zip_with(
+            F.split(F.col("ba"), ""),
+            F.split(F.col("bb"), ""),
+            lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+        ),
+        lambda s: F.lit("0123456789abcdef").substr(
+            F.conv(s.x, 16, 10)
+            .cast("int")
+            .bitwiseOR(F.conv(s.y, 16, 10).cast("int"))
+            + 1,
+            F.lit(1),
+        ),
+    )
+    return j.select(
+        F.concat_ws("", merged_nib).alias("bitmap"),
+        (F.col("na") + F.col("nb")).alias("n_values"),
+        "k",
+        "m_bits",
+    )

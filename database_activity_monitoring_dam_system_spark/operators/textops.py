@@ -889,6 +889,76 @@ def contamination_flags(
     )
 
 
+def bloom_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    k_hash: int = 3,
+    m_bits: int = 65536,
+    min_hits: int = 2,
+) -> DataFrame:
+    """:func:`contamination_flags` with the eval-set fingerprint table
+    compressed into a fixed-size Bloom bitmap (sketches.bloom_bitmap)
+    instead of broadcast as a distinct-fingerprint table.
+
+    Why: the exact path broadcasts one 32-char string per distinct
+    eval fingerprint — fine for thousands of eval items, but a
+    full benchmark SUITE (or a deny-list of previously-leaked
+    passages) can reach 10^8 fingerprints ≈ gigabytes, past broadcast
+    limits. The bitmap is m_bits/8 bytes REGARDLESS of eval size and
+    merges across eval shards by nibble-OR, so the 100 TB posture is:
+    build one bitmap per eval source, OR them, probe the corpus with
+    a pure zero-join projection.
+
+    The trade is one-sided error: ``maybe_fp`` over-counts with
+    probability ≈ (1 − e^(−k_hash·n/m_bits))^k_hash per fingerprint
+    (never under-counts), so verdicts here are a SUPERSET of the
+    exact path's — safe for decontamination, where a false positive
+    drops a clean doc but a false negative leaks the benchmark.
+
+    Positions come from the fingerprints' own md5 hex
+    (``already_hex``), so the DuckDB oracle reproduces the bitmap and
+    every probe bit-for-bit.
+    """
+    from . import sketches
+
+    corpus_fp = winnow_fingerprints(
+        docs, id_col=id_col, text_col=text_col, k=k, window=window
+    )
+    bench_fp = winnow_fingerprints(
+        benchmark, id_col=id_col, text_col=text_col, k=k, window=window
+    ).select("fingerprint").distinct()
+    bloom = sketches.bloom_bitmap(
+        bench_fp, "fingerprint", k=k_hash, m_bits=m_bits, already_hex=True
+    )
+    probed = corpus_fp.crossJoin(
+        F.broadcast(bloom.select("bitmap"))
+    ).withColumn(
+        "_maybe",
+        sketches.bloom_member_col(
+            F.col("fingerprint"), F.col("bitmap"),
+            k=k_hash, m_bits=m_bits, already_hex=True,
+        ),
+    )
+    per_doc = probed.groupBy(id_col).agg(
+        F.count("*").alias("n_fp"),
+        F.sum(F.col("_maybe").cast("bigint")).alias("maybe_fp"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_fp",
+        "maybe_fp",
+        F.round(F.col("maybe_fp") / F.col("n_fp"), 4).alias("maybe_frac"),
+        F.when(F.col("maybe_fp") >= min_hits, "maybe_contaminated")
+        .otherwise("clean")
+        .alias("verdict"),
+    )
+
+
 def fingerprint_overlap_pairs(
     docs: DataFrame,
     *,

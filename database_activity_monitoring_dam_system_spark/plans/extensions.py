@@ -831,6 +831,81 @@ FROM sizes s LEFT JOIN hits h USING (doc_id)
 """
 
 
+_BLOOM_K, _BLOOM_M = 3, 65536
+
+
+def _q_bloom_contamination(spark, sf_dir):
+    """contamination_flags with the eval-fingerprint set compressed
+    into a fixed-size Bloom bitmap (one-sided error — a SUPERSET of
+    the exact verdicts, never a miss). Same %50 benchmark split as
+    the exact gate so the two outputs are directly comparable."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return textops.bloom_contamination(
+        corpus, bench, k_hash=_BLOOM_K, m_bits=_BLOOM_M
+    )
+
+
+def _bloom_bit_test(pos_expr: str) -> str:
+    """DuckDB bit-test of position ``pos_expr`` against the bitmap —
+    the same nibble-index + big-endian-bit arithmetic the Spark side
+    (sketches._nibble_bit / bloom_member_col) evaluates."""
+    return (
+        "((strpos('0123456789abcdef', substr(bm.bitmap, "
+        f"CAST(({pos_expr}) // 4 AS INT) + 1, 1)) - 1) & "
+        f"(CASE ({pos_expr}) % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 "
+        "WHEN 2 THEN 2 ELSE 1 END)) != 0"
+    )
+
+
+_BLOOM_CONTAM_SQL = f"""
+WITH {_WINNOW_CTES},
+corpus AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 50 != 0),
+bench AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 50 = 0),
+bpos AS (
+  SELECT DISTINCT
+    ('0x' || substr(fingerprint, 1 + 8 * i, 8))::BIGINT % {_BLOOM_M} AS pos
+  FROM bench CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)
+),
+nibs AS (
+  SELECT CAST(pos // 4 AS INT) AS idx,
+         bit_or(CASE pos % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                WHEN 2 THEN 2 ELSE 1 END) AS v
+  FROM bpos GROUP BY 1
+),
+bm AS (
+  SELECT string_agg(substr('0123456789abcdef', coalesce(v, 0) + 1, 1),
+                    '' ORDER BY idx) AS bitmap
+  FROM (SELECT unnest(generate_series(0, {_BLOOM_M // 4 - 1})) AS idx)
+  LEFT JOIN nibs USING (idx)
+),
+cpos AS (
+  SELECT doc_id, fingerprint,
+         ('0x' || substr(fingerprint, 1 + 8 * i, 8))::BIGINT % {_BLOOM_M}
+           AS pos
+  FROM corpus CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)
+),
+chk AS (
+  SELECT doc_id, fingerprint, bool_and({_bloom_bit_test('pos')}) AS maybe
+  FROM cpos CROSS JOIN bm
+  GROUP BY 1, 2
+),
+perdoc AS (
+  SELECT doc_id, count(*) AS n_fp,
+         sum(CASE WHEN maybe THEN 1 ELSE 0 END)::BIGINT AS maybe_fp
+  FROM chk GROUP BY 1
+)
+SELECT doc_id, n_fp, maybe_fp,
+       round(maybe_fp * 1.0 / n_fp, 4) AS maybe_frac,
+       CASE WHEN maybe_fp >= 2 THEN 'maybe_contaminated' ELSE 'clean' END
+         AS verdict
+FROM perdoc
+"""
+
+
 _SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 0.05}
 _SAMPLE_DEFAULT = 0.1
 
@@ -3448,6 +3523,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_contamination, _CONTAMINATION_SQL,
         "benchmark decontamination: corpus docs sharing winnowing "
         "fingerprints with a broadcast eval set — count/frac/verdict",
+    ),
+    "bloom_contamination": QuerySpec(
+        _q_bloom_contamination, _BLOOM_CONTAM_SQL,
+        "Bloom-bitmap decontamination: eval fingerprints compressed "
+        "to a fixed 64 Kbit bitmap, corpus probed by a zero-join bit "
+        "projection — one-sided-error superset of the exact verdicts",
     ),
     "fingerprint_overlap": QuerySpec(
         _q_fingerprint_overlap, _OVERLAP_SQL,

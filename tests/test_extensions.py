@@ -656,6 +656,76 @@ def test_cms_overestimates_and_merges(spark):
     assert got == whole
 
 
+def test_bloom_no_false_negatives_and_merges(spark):
+    """Bloom filter invariants: every inserted value probes
+    maybe_member (NO false negatives — the property decontamination
+    relies on), the false-positive rate on fresh values stays near
+    the analytic bound, and bitmaps over disjoint shards OR-merge to
+    exactly the whole-set bitmap."""
+    from database_activity_monitoring_dam_system_spark.operators import sketches
+
+    vals = spark.range(0, 300).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("v")
+    )
+    bloom = sketches.bloom_bitmap(vals, "v", k=3, m_bits=4096)
+    row = bloom.collect()[0]
+    assert len(row.bitmap) == 4096 // 4 and row.n_values == 300
+    # no false negatives
+    probed = sketches.bloom_probe(vals, bloom, "v")
+    assert probed.filter(~F.col("maybe_member")).count() == 0
+    # false-positive rate on 600 non-members ≈ (1 - e^(-3*300/4096))^3
+    fresh = spark.range(0, 600).select(
+        F.concat(F.lit("absent-"), F.col("id")).alias("v")
+    )
+    fp = sketches.bloom_probe(fresh, bloom, "v").filter(
+        F.col("maybe_member")
+    ).count()
+    assert fp / 600 < 0.05  # analytic ≈ 0.008; generous slack
+    # mergeability: OR of shard bitmaps == whole-set bitmap
+    b1 = sketches.bloom_bitmap(
+        vals.filter(F.col("v").endswith("0")), "v", k=3, m_bits=4096
+    )
+    b2 = sketches.bloom_bitmap(
+        vals.filter(~F.col("v").endswith("0")), "v", k=3, m_bits=4096
+    )
+    merged = sketches.bloom_merge(b1, b2).collect()[0]
+    assert merged.bitmap == row.bitmap and merged.n_values == 300
+    # parameter guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        sketches.bloom_bitmap(vals, "v", k=5, m_bits=4096)
+    with _pytest.raises(ValueError, match="m_bits"):
+        sketches.bloom_bitmap(vals, "v", k=3, m_bits=30)
+
+
+def test_bloom_contamination_superset_of_exact(spark):
+    """The Bloom decontamination verdicts are a SUPERSET of the exact
+    path's on the same benchmark split: per-doc maybe_fp ≥
+    contaminated_fp everywhere (one-sided error), and every exact
+    'contaminated' doc is 'maybe_contaminated' under the Bloom."""
+    from database_activity_monitoring_dam_system_spark.operators import textops
+
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    exact = {
+        r.doc_id: r
+        for r in textops.contamination_flags(corpus, bench).collect()
+    }
+    bloom = {
+        r.doc_id: r
+        for r in textops.bloom_contamination(corpus, bench).collect()
+    }
+    assert set(exact) == set(bloom)
+    for d, e in exact.items():
+        b = bloom[d]
+        assert b.n_fp == e.n_fp
+        assert b.maybe_fp >= e.contaminated_fp
+        if e.verdict == "contaminated":
+            assert b.verdict == "maybe_contaminated"
+
+
 def test_semantic_dedup_partitions_corpus(spark):
     """Reps ∪ dropped = corpus; no near-dup pair survives with both
     endpoints kept (each component keeps exactly its min id)."""
