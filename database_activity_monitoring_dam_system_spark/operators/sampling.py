@@ -128,6 +128,85 @@ def temperature_rates(
     }
 
 
+def weighted_sample(
+    df: DataFrame,
+    *,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    strata_col: str | None = None,
+    salt: str = "w1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis, IPL 2006 — the exponential-race / A-ES
+    scheme): each row gets key = −ln(u)/w with u a uniform drawn from
+    its content hash, and the n SMALLEST keys win — exactly a
+    weighted draw without replacement, so a row's selection
+    probability is proportional to its weight (quality score, token
+    count, dedup cluster size…). The standard use: pick a
+    quality-weighted training subset reproducibly.
+
+    Determinism (the whole point, as with :func:`hash_sample`):
+    u = (int(md5(salt‖key)[:8], 16) + 1) / 2^32 — exact dyadic
+    rational, identical in any engine with md5; the only
+    transcendental step is one ln() whose cross-engine ulp
+    differences cannot reorder rows (ties require identical (u, w),
+    which yield IDENTICAL keys; those break by key_col asc).
+
+    Rows with NULL or non-positive weight are dropped — zero weight
+    means zero selection probability, and −ln(u)/w would otherwise
+    inject engine-specific ±Infinity ordering.
+
+    Scale shape: the key is a zero-shuffle projection. With
+    ``strata_col`` the top-n is one rank window per stratum (one
+    shuffle on the stratum key). Globally (strata_col=None) there is
+    NO single-reducer global sort: the n-th smallest key is found via
+    TakeOrderedAndProject (orderBy+limit), broadcast back as a
+    threshold filter, and only the ≤n surviving rows see the rank
+    window — the same prune that keeps top-k-by-revenue scale-safe.
+
+    Output: input columns + ``es_key`` (round 6) + ``rank``.
+    """
+    w = F.col(weight_col).cast("double")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+                1,
+                _PREFIX_LEN,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1)
+    ) / F.lit(float(_SPACE))
+    keyed = df.filter(w.isNotNull() & (w > 0)).withColumn(
+        "_es_key", -F.log(u) / w
+    )
+    if strata_col is not None:
+        win = Window.partitionBy(strata_col).orderBy(
+            F.asc("_es_key"), F.asc(key_col)
+        )
+        ranked = keyed.withColumn("rank", F.row_number().over(win))
+    else:
+        kth = (
+            keyed.select("_es_key")
+            .orderBy(F.asc("_es_key"))
+            .limit(n)
+            .agg(F.max("_es_key").alias("_thr"))
+        )
+        survivors = keyed.join(F.broadcast(kth)).filter(
+            F.col("_es_key") <= F.col("_thr")
+        ).drop("_thr")
+        win = Window.orderBy(F.asc("_es_key"), F.asc(key_col))
+        ranked = survivors.withColumn("rank", F.row_number().over(win))
+    return (
+        ranked.filter(F.col("rank") <= n)
+        .withColumn("es_key", F.round("_es_key", 6))
+        .drop("_es_key")
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     *,

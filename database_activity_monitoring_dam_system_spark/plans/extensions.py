@@ -2448,6 +2448,47 @@ def _q_kmeans_clusters(spark, sf_dir):
     )
 
 
+_WSAMPLE_N = 20
+
+
+def _q_weighted_sample(spark, sf_dir):
+    """Efraimidis–Spirakis weighted draw without replacement:
+    per-lang top-20 documents weighted by n_chars — the reproducible
+    quality-weighted subset pick. Weight and u are exact integers /
+    dyadic rationals; the single ln() is pinned by round 6 and
+    cannot reorder rows cross-engine (ties require identical (u, w)
+    → identical keys → doc_id tiebreak)."""
+    return sampling.weighted_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+        key_col="doc_id",
+        weight_col="n_chars",
+        n=_WSAMPLE_N,
+        strata_col="lang",
+        salt="w1",
+    )
+
+
+_WSAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         -ln((('0x' || substr(md5('w1' || CAST(doc_id AS VARCHAR)), 1, 8)
+              )::BIGINT + 1) / 4294967296.0)
+           / CAST(n_chars AS DOUBLE) AS es_key
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+ranked AS (
+  SELECT doc_id, lang, n_chars, es_key,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY es_key ASC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM keyed
+)
+SELECT doc_id, lang, n_chars, rank, round(es_key, 6) AS es_key
+FROM ranked WHERE rank <= {_WSAMPLE_N}
+"""
+
+
 _TEMP_MIX_ALPHA = 0.5
 
 
@@ -3507,6 +3548,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_training_mix, _TRAINING_MIX_SQL,
         "composed corpus selection: quality gate → exact dedup → "
         "deterministic per-(lang,source) quota",
+    ),
+    "weighted_sample": QuerySpec(
+        _q_weighted_sample, _WSAMPLE_SQL,
+        "Efraimidis-Spirakis weighted sampling without replacement: "
+        "-ln(u)/w exponential-race keys from content hashes, per-lang "
+        "top-20 by n_chars weight — reproducible quality-weighted pick",
     ),
     "temperature_mix": QuerySpec(
         _q_temperature_mix, _TEMP_MIX_SQL,

@@ -656,6 +656,77 @@ def test_cms_overestimates_and_merges(spark):
     assert got == whole
 
 
+def test_weighted_sample_bias_and_determinism(spark):
+    """A-ES weighted sampling: selection frequency tracks weight
+    (heavy rows win far more often across independent salts), the
+    global no-strata path (TakeOrdered prune) agrees with a plain
+    full-sort reference, non-positive/NULL weights drop, and the
+    pick is partitioning-invariant."""
+    from database_activity_monitoring_dam_system_spark.operators import sampling
+
+    rows = [(i, 100 if i < 10 else 1) for i in range(110)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    heavy_hits = 0
+    for salt in ("a", "b", "c", "d", "e"):
+        got = {
+            r.id
+            for r in sampling.weighted_sample(
+                df, key_col="id", weight_col="w", n=10, salt=salt
+            ).collect()
+        }
+        assert len(got) == 10
+        heavy_hits += len([i for i in got if i < 10])
+    # 10 heavy rows hold 50% of total weight; uniform would give ~0.9
+    # heavy picks per draw of 10 — require a clear multiple of that
+    assert heavy_hits >= 20, heavy_hits
+    # global path ≡ full-sort reference (same keys, same ranks)
+    ref = (
+        df.filter(F.col("w") > 0)
+        .withColumn(
+            "_k",
+            -F.log(
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit("a"), F.col("id").cast("string"))),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    + 1
+                )
+                / F.lit(float(16**8))
+            )
+            / F.col("w").cast("double"),
+        )
+        .orderBy("_k", "id")
+        .limit(10)
+    )
+    ref_ids = [r.id for r in ref.collect()]
+    got = sampling.weighted_sample(
+        df, key_col="id", weight_col="w", n=10, salt="a"
+    ).orderBy("rank")
+    assert [r.id for r in got.collect()] == ref_ids
+    # NULL / non-positive weights are dropped
+    df2 = spark.createDataFrame(
+        [(1, None), (2, 0), (3, -5), (4, 7)], "id long, w long"
+    )
+    kept = sampling.weighted_sample(
+        df2, key_col="id", weight_col="w", n=10
+    ).collect()
+    assert [r.id for r in kept] == [4]
+    # partitioning-invariant
+    a = sampling.weighted_sample(
+        df.repartition(17), key_col="id", weight_col="w", n=10, salt="a"
+    ).orderBy("rank").collect()
+    b = sampling.weighted_sample(
+        df.coalesce(1), key_col="id", weight_col="w", n=10, salt="a"
+    ).orderBy("rank").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_bloom_no_false_negatives_and_merges(spark):
     """Bloom filter invariants: every inserted value probes
     maybe_member (NO false negatives — the property decontamination
