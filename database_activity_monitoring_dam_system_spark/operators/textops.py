@@ -889,6 +889,60 @@ def contamination_flags(
     )
 
 
+def encoding_signals(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encoding-damage QA signals — the mojibake/corruption screen a
+    crawl pipeline runs before any text op trusts the bytes:
+
+    * ``n_replacement`` — U+FFFD replacement characters (a decoder
+      already gave up on those bytes);
+    * ``n_control``     — C0 control chars except tab/newline/CR, plus
+      DEL (binary-in-text witness);
+    * ``n_c1``          — C1 block U+0080–U+009F (the classic
+      cp1252-bytes-decoded-as-latin1 artifact);
+    * ``n_mojibake``    — double-encoding pair signatures ('Ã' +
+      latin-1 tail, 'â€' curly-quote wrecks): UTF-8 bytes decoded as
+      latin-1/cp1252;
+    * ``bad_ratio``     — damaged chars / total chars;
+    * ``verdict``       — first-failing-rule (the Gopher-battery
+      discipline): replacement → control → mojibake → ok.
+
+    All counts are replace-length / match-count integer arithmetic
+    over built-in regexps — a zero-shuffle projection, exact on any
+    engine (the same recipe as the Gopher battery), so the gate
+    hash-pins every count. 100 TB: runs in the scan, no state.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+
+    def _char_count(pattern: str) -> Column:
+        return n_chars - F.length(F.regexp_replace(t, pattern, ""))
+
+    n_repl = _char_count("\ufffd")
+    n_ctrl = _char_count("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")
+    n_c1 = _char_count("[\\u0080-\\u009F]")
+    n_moji = F.regexp_count(t, F.lit("Ã[\\u00A0-\\u00FF]|â€"))
+    bad = n_repl + n_ctrl + n_c1 + n_moji
+    return docs.select(
+        id_col,
+        n_chars.cast("bigint").alias("n_chars"),
+        n_repl.cast("bigint").alias("n_replacement"),
+        n_ctrl.cast("bigint").alias("n_control"),
+        n_c1.cast("bigint").alias("n_c1"),
+        n_moji.cast("bigint").alias("n_mojibake"),
+        F.round(bad / F.nullif(n_chars, F.lit(0)), 6).alias("bad_ratio"),
+        F.when(n_repl > 0, "replacement")
+        .when(n_ctrl > 0, "control")
+        .when((n_c1 > 0) | (n_moji > 0), "mojibake")
+        .otherwise("ok")
+        .alias("verdict"),
+    )
+
+
 def bloom_contamination(
     docs: DataFrame,
     benchmark: DataFrame,

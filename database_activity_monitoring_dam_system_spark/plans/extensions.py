@@ -2448,6 +2448,69 @@ def _q_kmeans_clusters(spark, sf_dir):
     )
 
 
+def _q_encoding_signals(spark, sf_dir):
+    """The synthetic corpus is clean ASCII, so both engines inject
+    the SAME deterministic damage per doc_id class (the pii_scrub
+    pattern): U+FFFD runs, C0 control bytes, cp1252-style mojibake
+    pairs, C1 block chars — then every count, ratio, and
+    first-failing-rule verdict must agree bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.repeat(F.lit("\ufffd"), (F.col("doc_id") % 3 + 1).cast("int")),
+            )
+            .when(F.col("doc_id") % 7 == 1, F.lit("\x07\x1f"))
+            .when(F.col("doc_id") % 7 == 2, F.lit("Ã©Ã¤ â€œquoteâ€"))
+            .when(F.col("doc_id") % 7 == 3, F.lit("\u0085\u0092"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textops.encoding_signals(docs)
+
+
+_ENCODING_SQL = """
+WITH injected AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 7 = 0 THEN repeat(chr(65533), CAST(doc_id % 3 + 1 AS INT))
+           WHEN doc_id % 7 = 1 THEN chr(7) || chr(31)
+           WHEN doc_id % 7 = 2 THEN 'Ã©Ã¤ â€œquoteâ€'
+           WHEN doc_id % 7 = 3 THEN chr(133) || chr(146)
+           ELSE '' END AS t
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, length(t) AS n_chars,
+         length(t) - length(regexp_replace(t, chr(65533), '', 'g'))
+           AS n_replacement,
+         length(t) - length(regexp_replace(t,
+           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')) AS n_control,
+         length(t) - length(regexp_replace(t,
+           '[\\x{80}-\\x{9F}]', '', 'g')) AS n_c1,
+         len(regexp_extract_all(t, 'Ã[\\x{A0}-\\x{FF}]|â€')) AS n_mojibake
+  FROM injected
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_replacement AS BIGINT) AS n_replacement,
+       CAST(n_control AS BIGINT) AS n_control,
+       CAST(n_c1 AS BIGINT) AS n_c1,
+       CAST(n_mojibake AS BIGINT) AS n_mojibake,
+       round((n_replacement + n_control + n_c1 + n_mojibake) * 1.0
+             / NULLIF(n_chars, 0), 6) AS bad_ratio,
+       CASE WHEN n_replacement > 0 THEN 'replacement'
+            WHEN n_control > 0 THEN 'control'
+            WHEN n_c1 > 0 OR n_mojibake > 0 THEN 'mojibake'
+            ELSE 'ok' END AS verdict
+FROM counted
+"""
+
+
 _WSAMPLE_N = 20
 
 
@@ -3548,6 +3611,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_training_mix, _TRAINING_MIX_SQL,
         "composed corpus selection: quality gate → exact dedup → "
         "deterministic per-(lang,source) quota",
+    ),
+    "encoding_signals": QuerySpec(
+        _q_encoding_signals, _ENCODING_SQL,
+        "encoding-damage QA: U+FFFD / control / C1 / mojibake-pair "
+        "counts with first-failing-rule verdict over injected damage "
+        "classes — zero-shuffle projection, integer-exact counts",
     ),
     "weighted_sample": QuerySpec(
         _q_weighted_sample, _WSAMPLE_SQL,

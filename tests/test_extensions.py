@@ -2169,3 +2169,38 @@ def test_source_overlap_estimates_and_mergeability(spark):
         ).collect()
     }
     assert merged[("sA", "sD")] == 64  # same underlying set -> all agree
+
+
+def test_encoding_signals_branches(spark):
+    """Every verdict branch and count on crafted docs: replacement
+    beats control beats mojibake in the first-failing-rule order;
+    tab/newline/CR are NOT control hits; empty text yields NULL
+    ratio; clean text is 'ok'."""
+    from database_activity_monitoring_dam_system_spark.operators import textops
+
+    R = chr(0xFFFD)
+    enc_rows = [
+        (1, "clean words only"),
+        (2, "bad " + R + R + " decode"),
+        (3, "bell " + chr(7) + " and " + chr(27) + " here"),
+        (4, "caf" + chr(0xE9) + " ok but " + chr(0x85) + " slipped"),
+        (5, "mojibake " + chr(0xC3) + chr(0xA9) + " and "
+            + chr(0xE2) + chr(0x20AC) + "quote"),
+        (6, "tabs\tand\nnewlines\rare fine"),
+        (7, ""),
+        (8, "mixed " + R + " " + chr(7) + " end"),
+    ]
+    df = spark.createDataFrame(enc_rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.encoding_signals(df).collect()}
+    assert out[1].verdict == "ok" and out[1].bad_ratio == 0.0
+    assert out[2].verdict == "replacement" and out[2].n_replacement == 2
+    assert out[3].verdict == "control" and out[3].n_control == 2
+    assert out[4].verdict == "mojibake" and out[4].n_c1 == 1
+    # 'A-tilde + copyright' is one double-encoding pair;
+    # 'a-circumflex + euro' is one more
+    assert out[5].verdict == "mojibake" and out[5].n_mojibake == 2
+    assert out[6].verdict == "ok" and out[6].n_control == 0
+    assert out[7].bad_ratio is None and out[7].verdict == "ok"
+    assert out[8].verdict == "replacement"
+    # e-acute alone is legitimate latin-1, not flagged as mojibake
+    assert out[4].n_mojibake == 0
