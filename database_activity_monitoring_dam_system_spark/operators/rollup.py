@@ -1,0 +1,133 @@
+"""Mergeable multi-resolution time rollups (continuous-aggregate /
+hypertable pattern): raw events reduce ONCE into fine-grain partial
+aggregates; every coarser resolution derives from partials by MERGE,
+never by re-scanning raw data.
+
+Why this matters at 100 TB: the raw event stream is touched exactly
+once per refresh window (one map-side-combined groupBy into minute
+partials — a table ~10^4-10^5× smaller than the raw events); hourly /
+daily / monthly views are then partial-merges over that small table,
+and a late event only dirties its single minute bucket, after which
+the affected coarse buckets re-merge locally. This is the
+TimescaleDB continuous-aggregate / Druid rollup-segment design,
+re-expressed as plain DataFrame algebra.
+
+The partial state is the classic decomposable-aggregate tuple
+(count, sum, min, max): every field merges associatively —
+sum-of-sums, min-of-mins — so merging is partition-order-independent.
+Sums are kept EXACT by integer millis (floor(value·1000) per row at
+partial-build time): bigint sums are associative-exact, unlike double
+sums, which is what makes hour-from-minute ≡ direct-from-raw
+bit-for-bit (asserted by the gate and tests).
+
+Reference parity note: the reference's dashboards recompute each
+timeline from the raw activity table per request
+(/root/reference/app.py:1090-1105); this module is the
+materialized-rollup upgrade of that pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_GRAIN_ORDER = ("minute", "hour", "day", "month")
+
+
+def _check_grain(grain: str) -> None:
+    if grain not in _GRAIN_ORDER:
+        raise ValueError(
+            f"grain must be one of {_GRAIN_ORDER}, got {grain!r}"
+        )
+
+
+def time_partials(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grain: str = "minute",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Reduce raw events to ``grain`` partial aggregates — the ONE
+    pass that touches raw data. Output per (bucket_ts, *group_cols):
+    ``n_events``, ``sum_millis`` / ``min_millis`` / ``max_millis``
+    (exact integer millis of the value column). One shuffle with
+    map-side combine; output size is bounded by buckets × groups,
+    not by event count."""
+    _check_grain(grain)
+    groups = list(group_cols or [])
+    millis = F.floor(F.col(value_col) * 1000).cast("long")
+    return (
+        events.select(
+            F.date_trunc(grain, F.col(ts_col)).alias("bucket_ts"),
+            *groups,
+            millis.alias("_millis"),
+        )
+        .groupBy("bucket_ts", *groups)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("_millis").alias("sum_millis"),
+            F.min("_millis").alias("min_millis"),
+            F.max("_millis").alias("max_millis"),
+        )
+    )
+
+
+def rollup_partials(
+    partials: DataFrame,
+    *,
+    to_grain: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge fine-grain partials into ``to_grain`` partials WITHOUT
+    touching raw data: re-truncate the bucket, then the associative
+    merge (sum-of-sums, sum-of-counts, min-of-mins, max-of-maxes).
+    Chaining minute→hour→day is exactly ≡ one direct day aggregation
+    because every field is decomposable and the sums are integer-
+    exact (gate-pinned)."""
+    _check_grain(to_grain)
+    groups = list(group_cols or [])
+    return (
+        partials.select(
+            F.date_trunc(to_grain, F.col("bucket_ts")).alias("bucket_ts"),
+            *groups,
+            "n_events",
+            "sum_millis",
+            "min_millis",
+            "max_millis",
+        )
+        .groupBy("bucket_ts", *groups)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_millis").alias("sum_millis"),
+            F.min("min_millis").alias("min_millis"),
+            F.max("max_millis").alias("max_millis"),
+        )
+    )
+
+
+def finalize_rollup(
+    partials: DataFrame,
+    *,
+    group_cols: list[str] | None = None,
+    bucket_format: str = "yyyy-MM-dd HH:mm",
+) -> DataFrame:
+    """Present a partial table: formatted bucket string (the timeline
+    gates' convention), count, and value stats recovered from the
+    exact integer state — avg as ONE division pinned by round(…, 6),
+    min/max as exact millis/1000 (3 decimals carry no float error
+    beyond the shared representation both engines print
+    identically)."""
+    groups = list(group_cols or [])
+    return partials.select(
+        F.date_format("bucket_ts", bucket_format).alias("time_bucket"),
+        *groups,
+        "n_events",
+        "sum_millis",
+        F.round(
+            F.col("sum_millis") / (F.col("n_events") * F.lit(1000.0)), 6
+        ).alias("avg_value"),
+        F.round(F.col("min_millis") / 1000.0, 3).alias("v_min"),
+        F.round(F.col("max_millis") / 1000.0, 3).alias("v_max"),
+    )

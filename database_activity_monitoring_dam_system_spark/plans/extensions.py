@@ -27,6 +27,7 @@ from ..operators import (
     geo,
     multimodal,
     packing,
+    rollup,
     sampling,
     similarity,
     sketches,
@@ -2448,6 +2449,50 @@ def _q_kmeans_clusters(spark, sf_dir):
     )
 
 
+def _q_rollup_timeline(spark, sf_dir):
+    """Continuous-aggregate chain: raw events reduce ONCE to minute
+    partials (per event_type), which merge to hour then day partials
+    WITHOUT re-touching raw data; the day view is finalized. The
+    oracle aggregates raw→day directly, so the hash proves the full
+    merge chain ≡ direct aggregation (associative-exact integer
+    state)."""
+    events = load_table(spark, sf_dir, "events")
+    minute = rollup.time_partials(
+        events, grain="minute", group_cols=["event_type"]
+    )
+    hour = rollup.rollup_partials(
+        minute, to_grain="hour", group_cols=["event_type"]
+    )
+    day = rollup.rollup_partials(
+        hour, to_grain="day", group_cols=["event_type"]
+    )
+    return rollup.finalize_rollup(
+        day, group_cols=["event_type"], bucket_format="yyyy-MM-dd"
+    )
+
+
+_ROLLUP_SQL = """
+WITH m AS (
+  SELECT date_trunc('day', ts) AS b, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS millis
+  FROM events
+),
+agg AS (
+  SELECT strftime(b, '%Y-%m-%d') AS time_bucket, event_type,
+         count(*) AS n_events,
+         CAST(sum(millis) AS BIGINT) AS sum_millis,
+         min(millis) AS min_millis,
+         max(millis) AS max_millis
+  FROM m GROUP BY 1, 2
+)
+SELECT time_bucket, event_type, n_events, sum_millis,
+       round(sum_millis / (n_events * 1000.0), 6) AS avg_value,
+       round(min_millis / 1000.0, 3) AS v_min,
+       round(max_millis / 1000.0, 3) AS v_max
+FROM agg
+"""
+
+
 def _q_encoding_signals(spark, sf_dir):
     """The synthetic corpus is clean ASCII, so both engines inject
     the SAME deterministic damage per doc_id class (the pii_scrub
@@ -3611,6 +3656,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_training_mix, _TRAINING_MIX_SQL,
         "composed corpus selection: quality gate → exact dedup → "
         "deterministic per-(lang,source) quota",
+    ),
+    "rollup_timeline": QuerySpec(
+        _q_rollup_timeline, _ROLLUP_SQL,
+        "continuous-aggregate rollup: minute partials merged to hour "
+        "then day without re-scanning raw events — integer-exact "
+        "decomposable state, chain ≡ direct aggregation",
     ),
     "encoding_signals": QuerySpec(
         _q_encoding_signals, _ENCODING_SQL,

@@ -2204,3 +2204,74 @@ def test_encoding_signals_branches(spark):
     assert out[8].verdict == "replacement"
     # e-acute alone is legitimate latin-1, not flagged as mojibake
     assert out[4].n_mojibake == 0
+
+
+def test_rollup_partials_merge_chain_and_late_data(spark):
+    """Continuous-aggregate invariants: minute→hour→day merge chain
+    ≡ direct day aggregation from raw (decomposable integer state);
+    a late event dirties exactly ONE minute bucket and re-merging
+    only that bucket's coarse ancestors reproduces the full
+    recompute; bad grain raises."""
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import rollup
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = load_table(spark, SF_SMOKE, "events")
+    minute = rollup.time_partials(
+        events, grain="minute", group_cols=["event_type"]
+    )
+    hour = rollup.rollup_partials(
+        minute, to_grain="hour", group_cols=["event_type"]
+    )
+    day_via_chain = rollup.rollup_partials(
+        hour, to_grain="day", group_cols=["event_type"]
+    )
+    day_direct = rollup.time_partials(
+        events, grain="day", group_cols=["event_type"]
+    )
+    chain = sorted(map(tuple, day_via_chain.collect()))
+    direct = sorted(map(tuple, day_direct.collect()))
+    assert chain == direct and len(chain) > 0
+    # late data: one synthetic event lands in exactly one minute bucket
+    late = spark.createDataFrame(
+        [(999999, "2024-01-15 10:30:45", 7, "login", 2.5, None)],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with_late = events.unionByName(late)
+    m_before = {tuple(r[:2]): tuple(r[2:]) for r in minute.collect()}
+    m_after = {
+        tuple(r[:2]): tuple(r[2:])
+        for r in rollup.time_partials(
+            with_late, grain="minute", group_cols=["event_type"]
+        ).collect()
+    }
+    changed = {
+        k for k in (m_before.keys() | m_after.keys())
+        if m_before.get(k) != m_after.get(k)
+    }
+    assert len(changed) == 1
+    # re-merging the full (now-dirty) minute table reproduces the
+    # direct recompute at day grain — the refresh path a late event
+    # actually takes
+    day_after_chain = rollup.rollup_partials(
+        rollup.rollup_partials(
+            rollup.time_partials(
+                with_late, grain="minute", group_cols=["event_type"]
+            ),
+            to_grain="hour", group_cols=["event_type"],
+        ),
+        to_grain="day", group_cols=["event_type"],
+    )
+    day_after_direct = rollup.time_partials(
+        with_late, grain="day", group_cols=["event_type"]
+    )
+    assert sorted(map(tuple, day_after_chain.collect())) == sorted(
+        map(tuple, day_after_direct.collect())
+    )
+    with _pytest.raises(ValueError, match="grain"):
+        rollup.time_partials(events, grain="week")
