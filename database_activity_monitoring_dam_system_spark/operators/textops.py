@@ -889,6 +889,77 @@ def contamination_flags(
     )
 
 
+def vocab_top_n(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """The reference vocabulary a tokenizer ships with: the ``top_n``
+    most frequent normalized tokens of a reference corpus (count
+    desc, token asc tiebreak — deterministic). One map-side-combined
+    count shuffle + a rank over the AGGREGATED vocab only; output is
+    ≤ top_n rows regardless of corpus size."""
+    counts = (
+        docs.select(F.explode(_norm_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("vocab_rank", F.row_number().over(w))
+        .filter(F.col("vocab_rank") <= top_n)
+        .select("token", "cnt", "vocab_rank")
+    )
+
+
+def oov_stats(
+    docs: DataFrame,
+    vocab: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc out-of-vocabulary rate against a reference vocabulary
+    — the tokenizer-coverage QA a pipeline runs before committing to
+    a vocab (high OOV → the tokenizer fragments this slice into
+    bytes/unknowns; a training mix wants to know WHICH sources pay
+    that cost).
+
+    Scale shape: vocab is tokenizer-sized (10⁴-10⁵ rows) → broadcast
+    left join per exploded token, then one per-doc count — the corpus
+    is never shuffled on the token key. Docs with no tokens report
+    NULL oov_rate (nothing to cover, distinct from perfect coverage).
+
+    Output: (id, n_tokens, n_oov, oov_rate round 6).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(_norm_tokens(text_col)).alias("token")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.select("token", F.lit(1).alias("_in"))),
+        "token",
+        "left",
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    # left join back so tokenless docs still appear (NULL stats)
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+            F.round(
+                F.col("n_oov") / F.nullif(F.col("n_tokens"), F.lit(0)), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
 def encoding_signals(
     docs: DataFrame,
     *,

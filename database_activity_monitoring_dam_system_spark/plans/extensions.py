@@ -2449,6 +2449,57 @@ def _q_kmeans_clusters(spark, sf_dir):
     )
 
 
+_OOV_TOP_N = 25
+
+
+def _q_oov_rate(spark, sf_dir):
+    """Tokenizer-coverage QA with a genuine reference/apply split:
+    the vocabulary is the top-25 tokens of the EVEN docs (the
+    synthetic corpus has ~31 distinct words, so ~6 land out-of-vocab)
+    and the ODD docs are scored against it — the bpe/NB held-out
+    discipline applied to vocab coverage."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    vocab = textops.vocab_top_n(
+        docs.filter(F.col("doc_id") % 2 == 0), top_n=_OOV_TOP_N
+    )
+    return textops.oov_stats(docs.filter(F.col("doc_id") % 2 == 1), vocab)
+
+
+_OOV_SQL = f"""
+WITH toks_all AS (
+  SELECT doc_id, t.token
+  FROM documents,
+       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(token)
+  WHERE t.token != ''
+),
+vcounts AS (
+  SELECT token, count(*) AS cnt FROM toks_all WHERE doc_id % 2 = 0
+  GROUP BY 1
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token,
+           row_number() OVER (ORDER BY cnt DESC, token ASC) AS r
+    FROM vcounts
+  ) WHERE r <= {_OOV_TOP_N}
+),
+perdoc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN token IN (SELECT token FROM vocab)
+             THEN 0 ELSE 1 END)::BIGINT AS n_oov
+  FROM toks_all WHERE doc_id % 2 = 1 GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(n_oov, 0)::BIGINT AS n_oov,
+       round(n_oov * 1.0 / NULLIF(n_tokens, 0), 6) AS oov_rate
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN perdoc USING (doc_id)
+"""
+
+
 def _q_rollup_timeline(spark, sf_dir):
     """Continuous-aggregate chain: raw events reduce ONCE to minute
     partials (per event_type), which merge to hour then day partials
@@ -3656,6 +3707,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_training_mix, _TRAINING_MIX_SQL,
         "composed corpus selection: quality gate → exact dedup → "
         "deterministic per-(lang,source) quota",
+    ),
+    "oov_rate": QuerySpec(
+        _q_oov_rate, _OOV_SQL,
+        "tokenizer-coverage QA: per-doc OOV rate of held-out docs "
+        "against a top-N vocabulary learned on the reference half — "
+        "broadcast vocab probe, corpus never shuffles on tokens",
     ),
     "rollup_timeline": QuerySpec(
         _q_rollup_timeline, _ROLLUP_SQL,

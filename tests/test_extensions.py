@@ -2275,3 +2275,33 @@ def test_rollup_partials_merge_chain_and_late_data(spark):
     )
     with _pytest.raises(ValueError, match="grain"):
         rollup.time_partials(events, grain="week")
+
+
+def test_oov_stats_coverage_semantics(spark):
+    """OOV rate on crafted docs: full-coverage doc → 0.0; unseen
+    tokens count; tokenless doc reports NULL rate (distinct from
+    perfect coverage); vocab ranking is deterministic under ties."""
+    from database_activity_monitoring_dam_system_spark.operators import textops
+
+    ref = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma"), (2, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    vocab = textops.vocab_top_n(ref, top_n=3)
+    vrows = {r.token: (r.cnt, r.vocab_rank) for r in vocab.collect()}
+    # alpha(3) > beta(2) > delta/gamma tie broken alphabetically
+    assert vrows["alpha"] == (3, 1) and vrows["beta"] == (2, 2)
+    assert set(vrows) == {"alpha", "beta", "delta"}
+    score = spark.createDataFrame(
+        [
+            (10, "alpha beta beta"),
+            (11, "alpha zeta zeta gamma"),
+            (12, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.oov_stats(score, vocab).collect()}
+    assert out[10].oov_rate == 0.0 and out[10].n_oov == 0
+    # zeta×2 and gamma (rank 4, cut) are OOV → 3/4
+    assert out[11].n_oov == 3 and out[11].oov_rate == 0.75
+    assert out[12].n_tokens == 0 and out[12].oov_rate is None
