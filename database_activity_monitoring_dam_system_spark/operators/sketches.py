@@ -250,6 +250,7 @@ def bloom_bitmap(
     k: int = 3,
     m_bits: int = 65536,
     already_hex: bool = False,
+    with_count: bool = True,
 ) -> DataFrame:
     """Build a Bloom filter (Bloom, CACM 1970) over a value column as
     ONE row holding the m-bit bitmap as a lowercase hex string
@@ -264,64 +265,86 @@ def bloom_bitmap(
     positives ≈ (1 − e^(−kn/m))^k), never false negatives.
 
     Build shape: k-position explode (constant factor k) → one
-    map-side-combined groupBy on the nibble index (≤ m_bits/4 groups)
-    → one ordered concat into the single-row bitmap. ``already_hex``
-    skips the md5 when values are already uniform 32-char hex digests
-    (e.g. winnowing fingerprints) — their own hex IS the hash.
+    map-side-combined DISTINCT on position (≤ m_bits rows by
+    construction — the output is fixed-size no matter the input
+    cardinality) → the bounded position set lands on the driver and
+    packs into the hex string there (the tiny-dimension pattern: the
+    filter fits in memory BY DESIGN, that is its entire point; a
+    relational nibble-join build measured 4 extra stages of pure
+    scheduling overhead on a 16 KB result). ``already_hex`` skips the
+    md5 when values are already uniform 32-char hex digests (e.g.
+    winnowing fingerprints) — their own hex IS the hash.
+    ``with_count=False`` skips the separate n_values count job
+    (reported as -1) when the caller doesn't need the load factor.
     """
     _bloom_check(k, m_bits)
     spark = values.sparkSession
-    pos = values.select(
-        F.explode(
-            F.array(
-                *_bloom_positions(F.col(value_col), k, m_bits, already_hex)
-            )
-        ).alias("pos")
-    )
-    nibs = (
-        pos.withColumn("idx", (F.col("pos") / 4).cast("long"))
-        .withColumn("bit", _nibble_bit(F.col("pos")))
-        .groupBy("idx")
-        .agg(F.bit_or("bit").alias("v"))
-    )
-    filled = (
-        spark.range(m_bits // 4)
-        .withColumnRenamed("id", "idx")
-        .join(nibs, "idx", "left")
-        .select(
-            "idx",
-            F.lit("0123456789abcdef")
-            .substr(F.coalesce("v", F.lit(0)).cast("int") + 1, F.lit(1))
-            .alias("ch"),
+    pos_rows = (
+        values.select(
+            F.explode(
+                F.array(
+                    *_bloom_positions(
+                        F.col(value_col), k, m_bits, already_hex
+                    )
+                )
+            ).alias("pos")
         )
+        .distinct()
+        .collect()
     )
-    n_values = values.select(value_col).count()
-    return filled.agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "ch"))),
-                lambda s: s.ch,
-            ),
-        ).alias("bitmap"),
-        F.lit(n_values).cast("long").alias("n_values"),
-        F.lit(k).alias("k"),
-        F.lit(m_bits).alias("m_bits"),
+    nibbles = bytearray(m_bits // 4)
+    for r in pos_rows:
+        p = int(r["pos"])
+        nibbles[p // 4] |= 1 << (3 - p % 4)
+    bitmap = "".join("0123456789abcdef"[v] for v in nibbles)
+    n_values = values.select(value_col).count() if with_count else -1
+    return spark.createDataFrame(
+        [(bitmap, n_values, k, m_bits)],
+        "bitmap string, n_values long, k int, m_bits int",
     )
+
+
+_BITMAP_CHUNK = 64
+
+
+def _nibble_at(bitmap, idx: Column) -> Column:
+    """Nibble value at 0-based index ``idx`` of a hex bitmap.
+
+    With a driver-side str bitmap the string is embedded as a literal
+    ARRAY of 64-char chunks: element_at is O(1), the in-chunk substr
+    walks ≤64 bytes. A single long string literal is the trap here —
+    Spark's UTF8String.substring counts chars from the START, so
+    substr(16 KB literal, pos) is O(pos) PER ROW (measured ~1.2 s of
+    pure byte-walking over the sf0.1 fingerprint table). A Column
+    bitmap (unknown at plan time) falls back to direct substr."""
+    if isinstance(bitmap, str):
+        chunks = [
+            bitmap[i : i + _BITMAP_CHUNK]
+            for i in range(0, len(bitmap), _BITMAP_CHUNK)
+        ]
+        arr = F.expr(
+            "array(" + ",".join("'" + c + "'" for c in chunks) + ")"
+        )
+        chunk = F.element_at(arr, (idx / _BITMAP_CHUNK).cast("int") + 1)
+        ch = chunk.substr(
+            F.pmod(idx, F.lit(_BITMAP_CHUNK)).cast("int") + 1, F.lit(1)
+        )
+    else:
+        ch = bitmap.substr(idx.cast("int") + 1, F.lit(1))
+    return F.conv(ch, 16, 10).cast("int")
 
 
 def bloom_member_col(
-    value: Column, bitmap: Column, *, k: int, m_bits: int,
+    value: Column, bitmap, *, k: int, m_bits: int,
     already_hex: bool = False,
 ) -> Column:
     """Membership predicate (pure codegen projection — no join): all
-    k bit positions of ``value`` are set in ``bitmap``."""
+    k bit positions of ``value`` are set in ``bitmap`` (a driver-side
+    hex str — preferred, see :func:`_nibble_at` — or a Column)."""
     _bloom_check(k, m_bits)
     cond = None
     for p in _bloom_positions(value, k, m_bits, already_hex):
-        nib = F.conv(
-            bitmap.substr((p / 4).cast("int") + 1, F.lit(1)), 16, 10
-        ).cast("int")
+        nib = _nibble_at(bitmap, (p / 4).cast("int"))
         bit = _nibble_bit(p)
         c = nib.bitwiseAND(bit) != 0
         cond = c if cond is None else (cond & c)
@@ -335,21 +358,21 @@ def bloom_probe(
     *,
     already_hex: bool = False,
 ) -> DataFrame:
-    """Probe every row's value against a :func:`bloom_bitmap` frame:
-    broadcast the one-row bitmap (a crossJoin of a single row — the
-    literal-parameter pattern), add ``maybe_member``. Zero shuffle on
-    ``df``."""
-    row = bloom.select("bitmap", "k", "m_bits")
-    out = df.crossJoin(F.broadcast(row))
-    first = bloom.select("k", "m_bits").first()
-    return out.withColumn(
+    """Probe every row's value against a :func:`bloom_bitmap` frame,
+    adding ``maybe_member``. The one-row bitmap is collected (m/8
+    bytes — the tiny-dimension pattern) and embedded as a LITERAL in
+    the bit-test expressions: one copy in the plan, not a per-row
+    16 KB string column that a crossJoin would materialize into
+    every output row. Zero shuffle, zero join on ``df``."""
+    row = bloom.select("bitmap", "k", "m_bits").first()
+    return df.withColumn(
         "maybe_member",
         bloom_member_col(
-            F.col(value_col), F.col("bitmap"),
-            k=int(first["k"]), m_bits=int(first["m_bits"]),
+            F.col(value_col), row["bitmap"],
+            k=int(row["k"]), m_bits=int(row["m_bits"]),
             already_hex=already_hex,
         ),
-    ).drop("bitmap", "k", "m_bits")
+    )
 
 
 def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:

@@ -1058,14 +1058,17 @@ def bloom_contamination(
         benchmark, id_col=id_col, text_col=text_col, k=k, window=window
     ).select("fingerprint").distinct()
     bloom = sketches.bloom_bitmap(
-        bench_fp, "fingerprint", k=k_hash, m_bits=m_bits, already_hex=True
+        bench_fp, "fingerprint", k=k_hash, m_bits=m_bits,
+        already_hex=True, with_count=False,
     )
-    probed = corpus_fp.crossJoin(
-        F.broadcast(bloom.select("bitmap"))
-    ).withColumn(
+    # Collected once (m/8 bytes) and embedded as a literal: a
+    # crossJoin would copy the bitmap string into EVERY corpus
+    # fingerprint row (measured ~2× the whole gate's cost at sf0.1).
+    bitmap = bloom.select("bitmap").first()[0]
+    probed = corpus_fp.withColumn(
         "_maybe",
         sketches.bloom_member_col(
-            F.col("fingerprint"), F.col("bitmap"),
+            F.col("fingerprint"), bitmap,
             k=k_hash, m_bits=m_bits, already_hex=True,
         ),
     )
