@@ -168,16 +168,10 @@ def weighted_sample(
     Output: input columns + ``es_key`` (round 6) + ``rank``.
     """
     w = F.col(weight_col).cast("double")
+    # same salted md5-prefix bucket as hash_sample/stratified_cap —
+    # one derivation, one determinism contract
     u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
-                1,
-                _PREFIX_LEN,
-            ),
-            16,
-            10,
-        ).cast("long")
+        F.conv(_bucket(F.col(key_col), salt), 16, 10).cast("long")
         + F.lit(1)
     ) / F.lit(float(_SPACE))
     keyed = df.filter(w.isNotNull() & (w > 0)).withColumn(

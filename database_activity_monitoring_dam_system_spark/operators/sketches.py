@@ -279,8 +279,12 @@ def bloom_bitmap(
     """
     _bloom_check(k, m_bits)
     spark = values.sparkSession
+    # NULL values carry no membership information (md5(NULL) is NULL,
+    # so every position would be NULL) — dropped, same as a NULL key
+    # never matching a semi-join.
+    vals = values.select(value_col).filter(F.col(value_col).isNotNull())
     pos_rows = (
-        values.select(
+        vals.select(
             F.explode(
                 F.array(
                     *_bloom_positions(
@@ -297,7 +301,9 @@ def bloom_bitmap(
         p = int(r["pos"])
         nibbles[p // 4] |= 1 << (3 - p % 4)
     bitmap = "".join("0123456789abcdef"[v] for v in nibbles)
-    n_values = values.select(value_col).count() if with_count else -1
+    # n (for the fp-rate formula) is the DISTINCT inserted-value
+    # count — duplicate rows insert nothing new.
+    n_values = vals.distinct().count() if with_count else -1
     return spark.createDataFrame(
         [(bitmap, n_values, k, m_bits)],
         "bitmap string, n_values long, k int, m_bits int",
@@ -378,14 +384,32 @@ def bloom_probe(
 def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Merge two same-parameter Bloom bitmaps by nibble-wise OR — the
     mergeable-sketch property (shards/days build independent bitmaps;
-    the union's bitmap is their OR, exactly)."""
+    the union's bitmap is their OR, exactly).
+
+    Raises on mismatched (k, m_bits): OR-ing bitmaps of different
+    geometry silently truncates to the shorter one and mixes
+    positions computed mod different m — a merged filter that yields
+    FALSE NEGATIVES, the one failure mode a Bloom must never have.
+
+    ``n_values`` of the merge is na + nb — an UPPER bound on the
+    union's cardinality (members present in both shards count twice);
+    the bitmap itself is exact for the union. Use the bound only for
+    conservative load-factor sizing."""
+    pa_row = a.select("k", "m_bits").first()
+    pb_row = b.select("k", "m_bits").first()
+    if (pa_row["k"], pa_row["m_bits"]) != (pb_row["k"], pb_row["m_bits"]):
+        raise ValueError(
+            "bloom_merge: mismatched filter parameters "
+            f"(k={pa_row['k']}, m_bits={pa_row['m_bits']}) vs "
+            f"(k={pb_row['k']}, m_bits={pb_row['m_bits']}) — bitmaps "
+            "of different geometry cannot be OR-merged"
+        )
     pa = a.select(
         F.col("bitmap").alias("ba"), F.col("n_values").alias("na"),
         "k", "m_bits",
     )
     pb = b.select(
         F.col("bitmap").alias("bb"), F.col("n_values").alias("nb"),
-        F.col("k").alias("kb"), F.col("m_bits").alias("mb"),
     )
     j = pa.crossJoin(pb)
     merged_nib = F.transform(

@@ -2305,3 +2305,32 @@ def test_oov_stats_coverage_semantics(spark):
     # zeta×2 and gamma (rank 4, cut) are OOV → 3/4
     assert out[11].n_oov == 3 and out[11].oov_rate == 0.75
     assert out[12].n_tokens == 0 and out[12].oov_rate is None
+
+
+def test_bloom_merge_guard_and_null_values(spark):
+    """bloom_merge refuses mismatched (k, m_bits) geometries (silent
+    truncation would create false negatives); NULL values are dropped
+    at build; n_values counts DISTINCT inserted values."""
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import sketches
+
+    vals = spark.createDataFrame(
+        [("x",), ("y",), ("y",), (None,)], "v string"
+    )
+    bm = sketches.bloom_bitmap(vals, "v", k=3, m_bits=4096)
+    row = bm.collect()[0]
+    assert row.n_values == 2  # distinct non-NULL
+    probed = {
+        r.v: r.maybe_member
+        for r in sketches.bloom_probe(
+            spark.createDataFrame([("x",), ("y",)], "v string"), bm, "v"
+        ).collect()
+    }
+    assert probed == {"x": True, "y": True}
+    other = sketches.bloom_bitmap(vals, "v", k=3, m_bits=8192)
+    with _pytest.raises(ValueError, match="mismatched filter parameters"):
+        sketches.bloom_merge(bm, other)
+    other_k = sketches.bloom_bitmap(vals, "v", k=2, m_bits=4096)
+    with _pytest.raises(ValueError, match="mismatched filter parameters"):
+        sketches.bloom_merge(bm, other_k)
