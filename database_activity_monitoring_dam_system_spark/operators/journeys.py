@@ -1,0 +1,167 @@
+"""User-journey analytics over the event stream: ordered-step funnel
+conversion and cohort retention — the two classic product-analytics
+operators (the reference's dashboards stop at per-user counts and
+timelines, app.py:1090-1105; these are their sequence-aware upgrades).
+
+Both are built to ONE shuffle on the user key:
+
+* funnel: the per-user step timestamps are LAYERED WINDOW functions
+  over the same `partitionBy(user)` — Spark reuses the single
+  exchange for every layer (no join per step, no self-join blowup),
+  and each step's "first time AFTER the previous step" is a
+  conditional min that references the previous layer's column.
+* cohort: first-event timestamp per user is a window min over the
+  same partitioning as the event rows, so cohort assignment rides
+  along without a dimension join; the final (cohort, offset) rollup
+  is a small second shuffle on a bounded key space (weeks × weeks).
+
+At 100 TB: both outputs are bounded (users for the per-user funnel
+frame — itself usually aggregated immediately; weeks² for retention),
+and neither ever pairs events with events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strictly-ordered funnel: for each user, the first timestamp of
+    step 1, then the first step-2 event STRICTLY AFTER it, and so on
+    — the sequence-sensitive semantics (a purchase before the first
+    view does not count) that a naive per-type min gets wrong.
+
+    Output: one row per user who completed ≥1 step —
+    (user, t_<step>… epoch seconds BIGINT, step_reached). Epochs, not
+    timestamps, so results are session-timezone-proof.
+
+    Plan: one shuffle on ``user_col``; each step is another window
+    layer over the SAME partitioning (no further exchange — asserted
+    in test_plans style by the single-shuffle battery pattern).
+    """
+    if len(steps) < 2:
+        raise ValueError(f"funnel needs >= 2 steps, got {steps!r}")
+    w = Window.partitionBy(user_col)
+    df = events.select(user_col, ts_col, type_col)
+    prev_t = None
+    t_cols = []
+    for step in steps:
+        name = f"t_{step}"
+        cond = F.col(type_col) == step
+        if prev_t is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev_t))
+        df = df.withColumn(
+            name, F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev_t = name
+        t_cols.append(name)
+    per_user = (
+        df.groupBy(user_col)
+        .agg(*[F.first(c).alias(c) for c in t_cols])
+        .select(
+            user_col,
+            *[
+                F.unix_timestamp(F.col(c)).cast("bigint").alias(c)
+                for c in t_cols
+            ],
+        )
+    )
+    reached_col = None
+    for i, name in enumerate(t_cols):
+        s = F.when(F.col(name).isNotNull(), i + 1).otherwise(0)
+        reached_col = s if reached_col is None else F.greatest(reached_col, s)
+    return per_user.withColumn(
+        "step_reached", reached_col.cast("int")
+    ).filter(F.col("step_reached") > 0)
+
+
+def funnel_summary(per_user: DataFrame, steps: list[str]) -> DataFrame:
+    """Aggregate a :func:`funnel_steps` frame into the conversion
+    table: (step_idx, step, n_users reaching ≥ that step,
+    conversion_from_first round 6). Bounded output (|steps| rows)."""
+    counts = per_user.agg(
+        *[
+            F.sum(
+                (F.col("step_reached") >= i + 1).cast("bigint")
+            ).alias(f"_n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("step_idx"),
+                        F.lit(s).alias("step"),
+                        F.col(f"_n{i}").alias("n_users"),
+                        F.round(
+                            F.col(f"_n{i}")
+                            / F.nullif(F.col("_n0"), F.lit(0)),
+                            6,
+                        ).alias("conversion_from_first"),
+                    )
+                    for i, s in enumerate(steps)
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select("r.*")
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the DATE PERIOD of
+    their first event (cohort), counted as active in each subsequent
+    period they produced any event. Output: (cohort_start date-string,
+    period_offset int, n_active bigint, cohort_size bigint,
+    retention round 6).
+
+    Cohort assignment is a window min over the same user partitioning
+    as the rows (no dimension join); the rollup key space is bounded
+    (periods × periods), so the final shuffle is tiny. Periods are
+    integer day-arithmetic from the cohort's own first-event date —
+    no week-start convention to disagree on across engines.
+    """
+    w = Window.partitionBy(user_col)
+    with_first = events.select(
+        user_col,
+        F.to_date(ts_col).alias("_d"),
+    ).withColumn("_first_d", F.min("_d").over(w))
+    periods = with_first.select(
+        user_col,
+        F.date_format("_first_d", "yyyy-MM-dd").alias("cohort_start"),
+        (F.datediff(F.col("_d"), F.col("_first_d")) / period_days)
+        .cast("int")
+        .alias("period_offset"),
+    ).distinct()
+    active = periods.groupBy("cohort_start", "period_offset").agg(
+        F.count("*").cast("bigint").alias("n_active")
+    )
+    sizes = (
+        periods.filter(F.col("period_offset") == 0)
+        .groupBy("cohort_start")
+        .agg(F.count("*").cast("bigint").alias("cohort_size"))
+    )
+    return active.join(F.broadcast(sizes), "cohort_start").select(
+        "cohort_start",
+        "period_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+            "retention"
+        ),
+    )

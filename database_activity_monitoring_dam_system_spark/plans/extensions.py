@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators import (
     dedup,
     geo,
+    journeys,
     multimodal,
     packing,
     rollup,
@@ -2500,6 +2501,85 @@ LEFT JOIN perdoc USING (doc_id)
 """
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _q_funnel_steps(spark, sf_dir):
+    """Strictly-ordered view→click→purchase funnel per user: each
+    step's first timestamp must be AFTER the previous step's (the
+    sequence semantics a naive per-type min gets wrong). Epoch-second
+    outputs keep the hash timezone-proof."""
+    events = load_table(spark, sf_dir, "events")
+    return journeys.funnel_steps(events, _FUNNEL_STEPS)
+
+
+_FUNNEL_SQL = """
+WITH l1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS tv
+  FROM events
+),
+l2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > tv THEN ts END)
+              OVER (PARTITION BY user_id) AS tc
+  FROM l1
+),
+l3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > tc THEN ts END)
+              OVER (PARTITION BY user_id) AS tp
+  FROM l2
+),
+pu AS (
+  SELECT user_id, any_value(tv) AS tv, any_value(tc) AS tc,
+         any_value(tp) AS tp
+  FROM l3 GROUP BY 1
+)
+SELECT user_id,
+       CAST(floor(epoch(tv)) AS BIGINT) AS t_view,
+       CAST(floor(epoch(tc)) AS BIGINT) AS t_click,
+       CAST(floor(epoch(tp)) AS BIGINT) AS t_purchase,
+       greatest(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END,
+                CASE WHEN tc IS NOT NULL THEN 2 ELSE 0 END,
+                CASE WHEN tp IS NOT NULL THEN 3 ELSE 0 END)::INTEGER
+         AS step_reached
+FROM pu
+WHERE greatest(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END,
+               CASE WHEN tc IS NOT NULL THEN 2 ELSE 0 END,
+               CASE WHEN tp IS NOT NULL THEN 3 ELSE 0 END) > 0
+"""
+
+
+def _q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix keyed on each user's first-event date,
+    7-day periods by integer day arithmetic (no week-start convention
+    to disagree on across engines)."""
+    events = load_table(spark, sf_dir, "events")
+    return journeys.cohort_retention(events, period_days=7)
+
+
+_COHORT_SQL = """
+WITH d AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+f AS (SELECT *, min(d) OVER (PARTITION BY user_id) AS fd FROM d),
+p AS (
+  SELECT DISTINCT user_id, strftime(fd, '%Y-%m-%d') AS cohort_start,
+         CAST((d - fd) // 7 AS INT) AS period_offset
+  FROM f
+),
+a AS (
+  SELECT cohort_start, period_offset, count(*)::BIGINT AS n_active
+  FROM p GROUP BY 1, 2
+),
+s AS (
+  SELECT cohort_start, count(*)::BIGINT AS cohort_size
+  FROM p WHERE period_offset = 0 GROUP BY 1
+)
+SELECT cohort_start, period_offset, n_active, cohort_size,
+       round(n_active * 1.0 / cohort_size, 6) AS retention
+FROM a JOIN s USING (cohort_start)
+"""
+
+
 def _q_rollup_timeline(spark, sf_dir):
     """Continuous-aggregate chain: raw events reduce ONCE to minute
     partials (per event_type), which merge to hour then day partials
@@ -3713,6 +3793,17 @@ QUERIES: dict[str, QuerySpec] = {
         "tokenizer-coverage QA: per-doc OOV rate of held-out docs "
         "against a top-N vocabulary learned on the reference half — "
         "broadcast vocab probe, corpus never shuffles on tokens",
+    ),
+    "funnel_steps": QuerySpec(
+        _q_funnel_steps, _FUNNEL_SQL,
+        "strictly-ordered per-user funnel (view→click→purchase): "
+        "layered conditional-min windows over ONE user-key shuffle, "
+        "epoch-second outputs",
+    ),
+    "cohort_retention": QuerySpec(
+        _q_cohort_retention, _COHORT_SQL,
+        "cohort retention matrix: first-event-date cohorts, 7-day "
+        "integer periods, bounded (periods x periods) rollup",
     ),
     "rollup_timeline": QuerySpec(
         _q_rollup_timeline, _ROLLUP_SQL,

@@ -2334,3 +2334,91 @@ def test_bloom_merge_guard_and_null_values(spark):
     other_k = sketches.bloom_bitmap(vals, "v", k=2, m_bits=4096)
     with _pytest.raises(ValueError, match="mismatched filter parameters"):
         sketches.bloom_merge(bm, other_k)
+
+
+def test_funnel_strict_ordering_semantics(spark):
+    """The funnel is sequence-sensitive: a purchase BEFORE the first
+    view does not convert; equal timestamps don't advance (strictly
+    after); users with no step-1 event report step_reached via later
+    impossible steps as 0 and are dropped; summary conversion is
+    monotone non-increasing."""
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import journeys
+
+    rows = [
+        # u1: clean view -> click -> purchase
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:10:00", "purchase"),
+        # u2: purchase BEFORE view — must NOT count
+        (2, "2024-01-01 09:00:00", "purchase"),
+        (2, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-01 10:30:00", "click"),
+        # u3: click at the SAME instant as view — strictly-after fails
+        (3, "2024-01-01 10:00:00", "view"),
+        (3, "2024-01-01 10:00:00", "click"),
+        # u4: never views — excluded entirely
+        (4, "2024-01-01 10:00:00", "click"),
+        (4, "2024-01-01 11:00:00", "purchase"),
+        # u5: two views; funnel anchors on the FIRST
+        (5, "2024-01-01 08:00:00", "view"),
+        (5, "2024-01-01 09:00:00", "click"),
+        (5, "2024-01-01 12:00:00", "view"),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    steps = ["view", "click", "purchase"]
+    out = {r.user_id: r for r in journeys.funnel_steps(events, steps).collect()}
+    assert out[1].step_reached == 3
+    assert out[2].step_reached == 2 and out[2].t_purchase is None
+    assert out[3].step_reached == 1 and out[3].t_click is None
+    assert 4 not in out
+    assert out[5].step_reached == 2
+    assert out[5].t_view < out[5].t_click
+    summary = {
+        r.step: r
+        for r in journeys.funnel_summary(
+            journeys.funnel_steps(events, steps), steps
+        ).collect()
+    }
+    assert summary["view"].n_users == 4
+    assert summary["click"].n_users == 3
+    assert summary["purchase"].n_users == 1
+    assert summary["view"].conversion_from_first == 1.0
+    with _pytest.raises(ValueError, match="steps"):
+        journeys.funnel_steps(events, ["view"])
+
+
+def test_cohort_retention_matrix(spark):
+    """Cohorts key on each user's own first-event date; offsets are
+    integer periods from THAT date; retention is bounded by 1 at
+    offset 0 and cohort counts are exact on a crafted fixture."""
+    from database_activity_monitoring_dam_system_spark.operators import journeys
+
+    rows = [
+        # cohort A (2024-01-01): u1 active periods 0,1; u2 only 0
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-09 10:00:00"),
+        (2, "2024-01-01 11:00:00"),
+        # cohort B (2024-01-03): u3 active periods 0 and 2
+        (3, "2024-01-03 10:00:00"), (3, "2024-01-18 10:00:00"),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        (r.cohort_start, r.period_offset): r
+        for r in journeys.cohort_retention(events, period_days=7).collect()
+    }
+    a0 = out[("2024-01-01", 0)]
+    assert a0.n_active == 2 and a0.cohort_size == 2 and a0.retention == 1.0
+    a1 = out[("2024-01-01", 1)]
+    assert a1.n_active == 1 and a1.retention == 0.5
+    b0 = out[("2024-01-03", 0)]
+    assert b0.cohort_size == 1
+    assert out[("2024-01-03", 2)].n_active == 1
+    assert set(out) == {
+        ("2024-01-01", 0), ("2024-01-01", 1),
+        ("2024-01-03", 0), ("2024-01-03", 2),
+    }
