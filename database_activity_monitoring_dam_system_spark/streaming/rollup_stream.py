@@ -1,0 +1,90 @@
+"""Streaming maintenance of the mergeable time-rollup partials
+(operators/rollup.py) — the incremental continuous-aggregate refresh.
+
+Design: each micro-batch reduces ITS OWN events to minute-grain
+partial rows (operators.rollup.time_partials — the associative
+(count, sum_millis, min, max) state) and appends them under a
+``_batch_id=N`` partition; a replayed batch overwrites exactly its
+own partition (dynamic partition overwrite — the engine's idempotent
+foreachBatch sink pattern, cf. ann_serving/ingest). Because the state
+is ASSOCIATIVE, batch fragments for the same minute bucket never need
+read-modify-write at ingest time: the reader
+(:func:`read_rollup`) merges fragments with the very same
+``rollup_partials`` groupBy that merges minutes into hours. No
+locking, no upsert, no state store — idempotence comes from the
+partition overwrite, correctness from associativity.
+
+100 TB posture: the partials table grows with buckets × groups ×
+batches, orders of magnitude smaller than raw events; periodic
+compaction (sinks.compact_partitions) can fold old ``_batch_id``
+fragments into one, and every coarser dashboard resolution derives
+from this one table without ever re-reading the event stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import rollup
+
+
+def start_rollup_stream(
+    events: DataFrame,
+    *,
+    out_path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grain: str = "minute",
+    group_cols: list[str] | None = None,
+    available_now: bool = False,
+):
+    """Maintain a ``grain`` partials table from an event stream.
+
+    Each micro-batch writes its own partial rows under
+    ``_batch_id=N`` (overwriting that partition on replay). Query the
+    result with :func:`read_rollup`.
+    """
+    groups = list(group_cols or [])
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        partials = rollup.time_partials(
+            batch,
+            ts_col=ts_col,
+            value_col=value_col,
+            grain=grain,
+            group_cols=groups,
+        )
+        (
+            partials.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
+
+    writer = events.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_rollup(
+    spark: SparkSession,
+    path: str,
+    *,
+    to_grain: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """The query-side view of a streamed partials table: merge the
+    per-batch fragments (and finer buckets) into ``to_grain``
+    partials — the same associative groupBy that makes hour-from-
+    minute exact in batch mode makes fragment-merge exact here."""
+    return rollup.rollup_partials(
+        spark.read.parquet(path).drop("_batch_id"),
+        to_grain=to_grain,
+        group_cols=group_cols,
+    )

@@ -863,3 +863,56 @@ def test_corpus_filter_gopher_stage(spark):
         textops.gopher_verdict_col("text", stops).alias("g"),
     ).collect()
     assert {r.doc_id: r.g for r in g}[2] == "bad_mean_word_len"
+
+
+def test_rollup_stream_matches_batch_and_replays_idempotently(spark, tmp_path):
+    """Streamed minute partials (per-batch fragments, _batch_id
+    partitions) merged by read_rollup ≡ batch time_partials directly
+    at day grain — associativity makes fragment-merge exact; a second
+    availableNow run with the same checkpoint adds nothing."""
+    from database_activity_monitoring_dam_system_spark.operators import rollup
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        rollup_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    # two files → at least two micro-batches with maxFilesPerTrigger=1
+    events.filter(F.col("event_id") % 2 == 0).write.parquet(src + "/a.parquet")
+    events.filter(F.col("event_id") % 2 == 1).write.parquet(src + "/b.parquet")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ckpt")
+    q = rollup_stream.start_rollup_stream(
+        stream, out_path=out, checkpoint_dir=ckpt,
+        group_cols=["event_type"], available_now=True,
+    )
+    q.awaitTermination(60)
+    frags = spark.read.parquet(out)
+    assert frags.select("_batch_id").distinct().count() >= 2
+    streamed_day = rollup_stream.read_rollup(
+        spark, out, to_grain="day", group_cols=["event_type"]
+    )
+    batch_day = rollup.time_partials(
+        events, grain="day", group_cols=["event_type"]
+    )
+    assert sorted(map(tuple, streamed_day.collect())) == sorted(
+        map(tuple, batch_day.collect())
+    )
+    # replay: same checkpoint, no new files → nothing changes
+    n_before = frags.count()
+    q2 = rollup_stream.start_rollup_stream(
+        stream, out_path=out, checkpoint_dir=ckpt,
+        group_cols=["event_type"], available_now=True,
+    )
+    q2.awaitTermination(60)
+    assert spark.read.parquet(out).count() == n_before
