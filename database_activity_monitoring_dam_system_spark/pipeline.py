@@ -82,6 +82,7 @@ def _gate_table(
     fluency_reference: DataFrame | None,
     benchmark: DataFrame | None,
     gopher_stopwords: tuple[str, ...] | None = None,
+    contamination_mode: str = "exact",
 ) -> DataFrame:
     """Per-document gate rows: (doc_id, fp, q_keep, avg_logp,
     contaminated).
@@ -113,10 +114,24 @@ def _gate_table(
     else:
         out = out.withColumn("avg_logp", F.lit(None).cast("double"))
     if benchmark is not None:
-        flags = textops.contamination_flags(keepers, benchmark).select(
-            "doc_id",
-            (F.col("verdict") == "contaminated").alias("contaminated"),
-        )
+        # "bloom": eval fingerprints compressed to a fixed-size bitmap
+        # (sketches.bloom_bitmap) — one-sided error, so the dropped
+        # set is a SUPERSET of the exact mode's (safe direction for
+        # decontamination); the mode is part of the incremental-state
+        # fingerprint because carried flags from the other mode would
+        # not equal fresh ones.
+        if contamination_mode == "bloom":
+            flags = textops.bloom_contamination(keepers, benchmark).select(
+                "doc_id",
+                (F.col("verdict") == "maybe_contaminated").alias(
+                    "contaminated"
+                ),
+            )
+        else:
+            flags = textops.contamination_flags(keepers, benchmark).select(
+                "doc_id",
+                (F.col("verdict") == "contaminated").alias("contaminated"),
+            )
         out = out.join(flags, "doc_id", "left").withColumn(
             "contaminated", F.coalesce("contaminated", F.lit(False))
         )
@@ -133,6 +148,7 @@ def run_corpus_pipeline(
     fluency_reference: DataFrame | None = None,
     fluency_floor: float = -12.0,
     gopher_stopwords: tuple[str, ...] | None = None,
+    contamination_mode: str = "exact",
     epoch_targets: dict[str | None, int] | None = None,
     dedup_threshold: float = 0.9,
     dedup_shingle: int = 3,
@@ -191,6 +207,11 @@ def run_corpus_pipeline(
         if gopher_stopwords is not None
         else None
     )
+    if contamination_mode not in ("exact", "bloom"):
+        raise ValueError(
+            f"contamination_mode must be 'exact' or 'bloom', got "
+            f"{contamination_mode!r}"
+        )
 
     # 0. census + null gates in ONE job: rows without an id can't ride
     # the downstream id joins (NULL keys never match), and NULL text
@@ -231,22 +252,34 @@ def run_corpus_pipeline(
         old_has_gopher_col = "gopher_key" in old_state.columns
         if old_has_gopher_col:
             marker_cols.append("gopher_key")
+        old_has_contam_col = "contam_mode" in old_state.columns
+        if old_has_contam_col:
+            marker_cols.append("contam_mode")
         marker = old_state.select(*marker_cols).first()
         old_gopher_key = (
             marker["gopher_key"]
             if marker is not None and old_has_gopher_col
             else None
         )
+        # state written before the mode marker existed was always
+        # exact-mode
+        old_contam_mode = (
+            marker["contam_mode"]
+            if marker is not None and old_has_contam_col
+            else "exact"
+        )
         if marker is not None and (
             marker["has_fluency"] != has_fluency
             or marker["has_benchmark"] != has_benchmark
             or old_gopher_key != gopher_key
+            or old_contam_mode != contamination_mode
         ):
             raise ValueError(
                 "old_state_dir was written with a different gate "
                 f"configuration (fluency={marker['has_fluency']}, "
                 f"benchmark={marker['has_benchmark']}, "
-                f"gopher={old_gopher_key!r}) — carried rows "
+                f"gopher={old_gopher_key!r}, "
+                f"contamination={old_contam_mode!r}) — carried rows "
                 "would not equal fresh ones; run a full pass instead"
             )
         diff = dedup.corpus_diff(old_snapshot, docs, normalize=False)
@@ -258,7 +291,8 @@ def run_corpus_pipeline(
             carried.select("doc_id"), "doc_id", "left_anti"
         )
         gates = _gate_table(
-            fresh_docs, fluency_reference, benchmark, gopher_stopwords
+            fresh_docs, fluency_reference, benchmark, gopher_stopwords,
+            contamination_mode,
         ).unionByName(carried).persist()
         report["n_carried"] = carried.count()
         report["n_delta"] = census["n_with_text"] - report["n_carried"]
@@ -281,7 +315,8 @@ def run_corpus_pipeline(
             old_sigs = None
     else:
         gates = _gate_table(
-            docs, fluency_reference, benchmark, gopher_stopwords
+            docs, fluency_reference, benchmark, gopher_stopwords,
+            contamination_mode,
         ).persist()
 
     # 2. quality gate. FULL runs apply the predicate as a scan-side
@@ -430,6 +465,7 @@ def run_corpus_pipeline(
             gates.withColumn("has_fluency", F.lit(has_fluency))
             .withColumn("has_benchmark", F.lit(has_benchmark))
             .withColumn("gopher_key", F.lit(gopher_key).cast("string"))
+            .withColumn("contam_mode", F.lit(contamination_mode))
             .write.mode("overwrite")
             .parquet(state_dir + "/gates")
         )

@@ -484,3 +484,47 @@ def test_pipeline_gopher_gate_and_state_fingerprint(spark, tmp_path):
             old_snapshot=snap_a,
             old_state_dir=str(tmp_path / "state_plain"), **common,
         )
+
+
+def test_pipeline_bloom_contamination_mode(spark, tmp_path):
+    """contamination_mode='bloom' drops a SUPERSET of the exact
+    mode's contaminated docs (one-sided error, the safe direction);
+    the mode is part of the incremental-state fingerprint — state
+    written under one mode refuses to serve the other."""
+    import pytest as _pytest
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    exact = pipeline.run_corpus_pipeline(
+        docs, str(tmp_path / "exact"), benchmark=bench, n_shards=2,
+    )
+    bloom = pipeline.run_corpus_pipeline(
+        docs, str(tmp_path / "bloom"), benchmark=bench, n_shards=2,
+        contamination_mode="bloom",
+        state_dir=str(tmp_path / "state_bloom"),
+    )
+    assert (
+        bloom["n_dropped_contaminated"]
+        >= exact["n_dropped_contaminated"]
+        > 0
+    )
+    with _pytest.raises(ValueError, match="contamination_mode"):
+        pipeline.run_corpus_pipeline(
+            docs, str(tmp_path / "bad"), benchmark=bench,
+            contamination_mode="fuzzy",
+        )
+    # exact-mode incremental run against bloom-mode state must refuse
+    with _pytest.raises(ValueError, match="different gate"):
+        pipeline.run_corpus_pipeline(
+            docs, str(tmp_path / "mix"), benchmark=bench, n_shards=2,
+            old_snapshot=docs,
+            old_state_dir=str(tmp_path / "state_bloom"),
+        )
+    # bloom-mode incremental against its own state reproduces itself
+    again = pipeline.run_corpus_pipeline(
+        docs, str(tmp_path / "again"), benchmark=bench, n_shards=2,
+        contamination_mode="bloom",
+        old_snapshot=docs,
+        old_state_dir=str(tmp_path / "state_bloom"),
+    )
+    assert again["n_clean"] == bloom["n_clean"]
