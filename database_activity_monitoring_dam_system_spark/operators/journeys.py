@@ -49,6 +49,18 @@ def funnel_steps(
     """
     if len(steps) < 2:
         raise ValueError(f"funnel needs >= 2 steps, got {steps!r}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be unique, got {steps!r}")
+    import re as _re
+
+    for st in steps:
+        # step names become t_<step> output columns; dots/backticks
+        # would parse as struct access / break column resolution
+        if not _re.fullmatch(r"[A-Za-z0-9_]+", st):
+            raise ValueError(
+                f"funnel step {st!r} is not a safe column suffix "
+                "(need [A-Za-z0-9_]+)"
+            )
     w = Window.partitionBy(user_col)
     df = events.select(user_col, ts_col, type_col)
     prev_t = None
@@ -89,8 +101,9 @@ def funnel_summary(per_user: DataFrame, steps: list[str]) -> DataFrame:
     conversion_from_first round 6). Bounded output (|steps| rows)."""
     counts = per_user.agg(
         *[
-            F.sum(
-                (F.col("step_reached") >= i + 1).cast("bigint")
+            F.coalesce(
+                F.sum((F.col("step_reached") >= i + 1).cast("bigint")),
+                F.lit(0),
             ).alias(f"_n{i}")
             for i in range(len(steps))
         ]

@@ -57,7 +57,8 @@ def start_rollup_stream(
             group_cols=groups,
         )
         (
-            partials.withColumn("_batch_id", F.lit(batch_id))
+            partials.withColumn("_grain", F.lit(grain))
+            .withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch_id")
@@ -82,9 +83,24 @@ def read_rollup(
     """The query-side view of a streamed partials table: merge the
     per-batch fragments (and finer buckets) into ``to_grain``
     partials — the same associative groupBy that makes hour-from-
-    minute exact in batch mode makes fragment-merge exact here."""
+    minute exact in batch mode makes fragment-merge exact here.
+
+    Refuses a ``to_grain`` FINER than the table's written grain
+    (recorded per row as ``_grain``): re-truncating day buckets to
+    'hour' is the identity and would return day data silently
+    labeled as hourly."""
+    df = spark.read.parquet(path)
+    if "_grain" in df.columns:
+        written = df.select("_grain").first()["_grain"]
+        order = rollup._GRAIN_ORDER
+        if order.index(to_grain) < order.index(written):
+            raise ValueError(
+                f"read_rollup: table was written at {written!r} grain; "
+                f"cannot derive finer {to_grain!r} partials from it"
+            )
+        df = df.drop("_grain")
     return rollup.rollup_partials(
-        spark.read.parquet(path).drop("_batch_id"),
+        df.drop("_batch_id"),
         to_grain=to_grain,
         group_cols=group_cols,
     )
