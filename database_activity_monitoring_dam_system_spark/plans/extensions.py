@@ -101,6 +101,53 @@ FROM documents GROUP BY 1
 """
 
 
+_PREFIX_T, _PREFIX_SHINGLE = 0.8, 3
+
+
+def _q_jaccard_prefix_pairs(spark, sf_dir):
+    """Prefix-filtered EXACT set-similarity join (PPJoin family) at
+    shingle=3, t=0.8, UNBLOCKED — the oracle computes the naive
+    all-pairs answer, so the hash proves the prefix filter is
+    lossless (finds every pair the quadratic join finds, including
+    cross-(lang,source) pairs the blocked baseline cannot see)."""
+    return dedup.jaccard_prefix_pairs(
+        _docs(spark, sf_dir),
+        threshold=_PREFIX_T,
+        shingle=_PREFIX_SHINGLE,
+    )
+
+
+_PREFIX_JACCARD_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, w,
+         unnest(generate_series(0, greatest(len(w) - {_PREFIX_SHINGLE}, 0)))
+           AS p
+  FROM t
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[p+1:p+{_PREFIX_SHINGLE}], ' ') AS tok
+  FROM pos
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE c * 1.0 / (sa.n + sb.n - c) >= {_PREFIX_T}
+"""
+
+
 def _q_jaccard_pairs(spark, sf_dir):
     """Quadratic exact baseline, bounded by composite (lang, source)
     blocking — buckets stay ~corpus/100 regardless of scale factor."""
@@ -3692,6 +3739,12 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(
         _q_dedup_exact, _DEDUP_EXACT_SQL,
         "exact dedup via normalized-md5 fingerprint groupBy",
+    ),
+    "jaccard_prefix_pairs": QuerySpec(
+        _q_jaccard_prefix_pairs, _PREFIX_JACCARD_SQL,
+        "prefix-filtered EXACT set-similarity join (PPJoin family): "
+        "rarest-first canonical prefixes prune candidates losslessly; "
+        "oracle is the unblocked all-pairs computation",
     ),
     "dedup_jaccard_pairs": QuerySpec(
         _q_jaccard_pairs, _JACCARD_SQL,

