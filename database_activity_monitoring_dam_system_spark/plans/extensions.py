@@ -26,6 +26,7 @@ from ..operators import (
     dedup,
     geo,
     journeys,
+    profile,
     multimodal,
     packing,
     rollup,
@@ -2548,6 +2549,95 @@ LEFT JOIN perdoc USING (doc_id)
 """
 
 
+def _q_key_skew_report(spark, sf_dir):
+    """Hot-key diagnostic over events.user_id: top-10 heaviest keys
+    with their share of all rows — the measurement that decides when
+    salting / AQE skew handling pays."""
+    events = load_table(spark, sf_dir, "events")
+    return profile.key_skew_report(events, ["user_id"], top_n=10)
+
+
+_SKEW_SQL = """
+WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+r AS (
+  SELECT user_id, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, user_id ASC)
+              AS INTEGER) AS rank
+  FROM c
+)
+SELECT rank, user_id, cnt, round(cnt * 1.0 / total, 6) AS share
+FROM r CROSS JOIN t WHERE rank <= 10
+"""
+
+
+_HIST_WIDTH = 25.0
+
+
+def _q_value_histogram(spark, sf_dir):
+    """Equi-width histogram of events.value per event_type: one
+    deterministic floor-division bin per row, map-side-combined
+    counts."""
+    events = load_table(spark, sf_dir, "events")
+    return profile.value_histogram(
+        events, "value", bin_width=_HIST_WIDTH, group_cols=["event_type"]
+    )
+
+
+_HIST_SQL = f"""
+SELECT event_type,
+       CAST(floor(value / {_HIST_WIDTH}) AS BIGINT) AS bin,
+       round(CAST(floor(value / {_HIST_WIDTH}) AS BIGINT)
+             * CAST({_HIST_WIDTH} AS DOUBLE), 6) AS bin_start,
+       count(*) AS cnt
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def _q_value_correlation(spark, sf_dir):
+    """Pearson r of (value, hour-of-day) per event_type via the
+    exact-integer-moments recipe: bigint sums of quantized values,
+    ONE fixed double expression, round 6 — the hash-pinnable corr()
+    (built-in corr's double sums are summation-order-dependent)."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    df = events.select(
+        "event_type", "value", F.hour("ts").cast("double").alias("hr")
+    )
+    return profile.pearson_corr_exact(
+        df, "value", "hr", group_cols=["event_type"]
+    )
+
+
+_CORR_SQL = """
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(value * 1000.0) AS BIGINT) AS x,
+         CAST(floor(CAST(hour(ts) AS DOUBLE) * 1000.0) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+a AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM b GROUP BY 1
+)
+SELECT event_type, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / NULLIF(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+                      0.0), 6) AS r
+FROM a
+"""
+
+
 _FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -3846,6 +3936,21 @@ QUERIES: dict[str, QuerySpec] = {
         "tokenizer-coverage QA: per-doc OOV rate of held-out docs "
         "against a top-N vocabulary learned on the reference half — "
         "broadcast vocab probe, corpus never shuffles on tokens",
+    ),
+    "key_skew_report": QuerySpec(
+        _q_key_skew_report, _SKEW_SQL,
+        "hot-key skew diagnostic: top-10 keys by count with share of "
+        "all rows — rank over the aggregated key table only",
+    ),
+    "value_histogram": QuerySpec(
+        _q_value_histogram, _HIST_SQL,
+        "equi-width value histogram per event_type: deterministic "
+        "floor-division bins, map-side-combined counts",
+    ),
+    "value_correlation": QuerySpec(
+        _q_value_correlation, _CORR_SQL,
+        "hash-pinnable Pearson r via exact bigint moments of "
+        "quantized values + one fixed double expression",
     ),
     "funnel_steps": QuerySpec(
         _q_funnel_steps, _FUNNEL_SQL,

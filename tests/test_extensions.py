@@ -2422,3 +2422,50 @@ def test_cohort_retention_matrix(spark):
         ("2024-01-01", 0), ("2024-01-01", 1),
         ("2024-01-03", 0), ("2024-01-03", 2),
     }
+
+
+def test_profile_operators_semantics(spark):
+    """Skew report shares sum to ≤1 and rank the heaviest first;
+    histogram bins cover all rows incl. a NULL bin; exact-moment
+    Pearson matches numpy's corrcoef on the quantized values and
+    returns NULL r for a zero-variance group."""
+    import numpy as np
+
+    from database_activity_monitoring_dam_system_spark.operators import profile
+
+    rows = [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
+            (4, "b", 5.0), (5, "b", 5.0), (6, "b", None)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    skew = profile.key_skew_report(df, ["g"], top_n=5).collect()
+    assert [r.g for r in skew] == ["a", "b"]
+    assert abs(sum(r.share for r in skew) - 1.0) < 1e-9
+    hist = {
+        (r.g, r.bin): r.cnt
+        for r in profile.value_histogram(
+            df, "v", bin_width=10.0, group_cols=["g"]
+        ).collect()
+    }
+    assert hist[("a", 1)] == 1 and hist[("a", 2)] == 1 and hist[("a", 3)] == 1
+    assert hist[("b", 0)] == 2 and hist[("b", None)] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bin_width"):
+        profile.value_histogram(df, "v", bin_width=0)
+    # correlation: y perfectly correlated with x in group a; constant
+    # x in group b -> NULL r
+    cdf = spark.createDataFrame(
+        [("a", 1.0, 2.5), ("a", 2.0, 4.5), ("a", 3.0, 6.5),
+         ("a", 4.25, 9.0), ("b", 7.0, 1.0), ("b", 7.0, 2.0)],
+        "g string, x double, y double",
+    )
+    out = {
+        r.g: r
+        for r in profile.pearson_corr_exact(
+            cdf, "x", "y", group_cols=["g"]
+        ).collect()
+    }
+    xs = np.floor(np.array([1.0, 2.0, 3.0, 4.25]) * 1000)
+    ys = np.floor(np.array([2.5, 4.5, 6.5, 9.0]) * 1000)
+    expect = np.corrcoef(xs, ys)[0, 1]
+    assert abs(out["a"].r - round(float(expect), 6)) < 2e-6
+    assert out["b"].r is None
