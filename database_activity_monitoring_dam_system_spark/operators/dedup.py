@@ -112,19 +112,36 @@ def jaccard_prefix_pairs(
     array_intersect verify. At 100 TB this is the exact-dedup
     fallback when MinHash recall bounds aren't acceptable.
     """
-    w_toks = F.split(F.trim(F.col(text_col)), _WS)
-    # ONE zero-shuffle projection produces the per-doc sorted distinct
-    # shingle array; every later stage (df counts, prefix ranking,
-    # exact verify) derives from it — the alternative (a shared
-    # exploded+distinct frame) re-ran its shuffle once per consuming
-    # subtree (measured 3 scans / 3 distinct-shuffles in the plan).
-    sharr = docs.select(
-        F.col(id_col),
-        F.array_sort(
-            F.array_distinct(_shingles(w_toks, shingle))
-        ).alias("_arr"),
-    ).withColumn("_n", F.size("_arr"))
-    toks = sharr.select(id_col, "_n", F.explode("_arr").alias("tok"))
+    sharr = token_arrays(
+        docs, id_col=id_col, text_col=text_col, shingle=shingle
+    ).select(id_col, "toks")
+    cands = jaccard_prefix_candidates(
+        sharr, id_col=id_col, threshold=threshold
+    )
+    return _verify_pairs_jaccard(
+        cands, sharr, id_col=id_col, threshold=threshold
+    )
+
+
+def jaccard_prefix_candidates(
+    sharr: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    threshold: float,
+) -> DataFrame:
+    """The candidate stage of :func:`jaccard_prefix_pairs`, exposed
+    for inspection/testing: distinct (doc_a, doc_b) pairs sharing a
+    PREFIX token under the rarest-first canonical order. The pruning
+    claim — |candidates| ≪ |all shared-token pairs| — is what the
+    operator exists for, and is asserted directly in tests against
+    this frame.
+
+    ``sharr``: (id, toks array) — the token_arrays substrate. No
+    sort needed on the arrays: canonical order comes from the
+    (_df, tok) window; the verify step is set-intersection.
+    """
+    sized = sharr.withColumn("_n", F.size("toks"))
+    toks = sized.select(id_col, "_n", F.explode("toks").alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("_df"))
     ranked = toks.join(dfreq, "tok").withColumn(
         "_pos",
@@ -137,7 +154,7 @@ def jaccard_prefix_pairs(
         <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
     ).select(id_col, "tok")
     a, b = prefix.alias("a"), prefix.alias("b")
-    cands = (
+    return (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
@@ -148,33 +165,6 @@ def jaccard_prefix_pairs(
             F.col(f"b.{id_col}").alias("doc_b"),
         )
         .distinct()
-    )
-    arrs = sharr
-    verified = (
-        cands.join(
-            arrs.select(
-                F.col(id_col).alias("doc_a"),
-                F.col("_arr").alias("_arr_a"),
-                F.col("_n").alias("n_a"),
-            ),
-            "doc_a",
-        )
-        .join(
-            arrs.select(
-                F.col(id_col).alias("doc_b"),
-                F.col("_arr").alias("_arr_b"),
-                F.col("_n").alias("n_b"),
-            ),
-            "doc_b",
-        )
-        .withColumn(
-            "inter", F.size(F.array_intersect("_arr_a", "_arr_b"))
-        )
-    )
-    j = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    return (
-        verified.filter(j >= threshold)
-        .select("doc_a", "doc_b", F.round(j, 4).alias("jaccard"))
     )
 
 

@@ -33,7 +33,11 @@ def key_skew_report(
     """
     counts = df.groupBy(*key_cols).agg(F.count("*").alias("cnt"))
     w_all = Window.partitionBy()
-    w_rank = Window.orderBy(F.desc("cnt"), *[F.asc(c) for c in key_cols])
+    # NULLS LAST to match the oracle convention (Spark's bare asc
+    # sorts NULL keys first; DuckDB's default sorts them last)
+    w_rank = Window.orderBy(
+        F.desc("cnt"), *[F.asc_nulls_last(c) for c in key_cols]
+    )
     return (
         counts.withColumn("_total", F.sum("cnt").over(w_all))
         .withColumn("rank", F.row_number().over(w_rank))
@@ -93,7 +97,7 @@ def pearson_corr_exact(
 ) -> DataFrame:
     """Pearson correlation with the engine's float-parity recipe:
     both variables quantize to integers (``floor(v·10^scale)``), the
-    five moments accumulate as EXACT bigint sums (associative,
+    five moments accumulate as EXACT DECIMAL(38,0) sums (associative,
     partition-order-independent — unlike a double sum, which is why
     built-in ``corr()`` can't be hash-pinned across engines), and r
     comes out of ONE fixed expression over those integers, rounded
@@ -112,13 +116,19 @@ def pearson_corr_exact(
     base = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     ).select(*groups, xi.alias("_x"), yi.alias("_y"))
+    # per-row products fit int64 (|v|·10^scale ≤ ~2^31 each); the
+    # SUMS accumulate as DECIMAL(38,0) — a bigint sum would silently
+    # wrap past 2^63 at ~10^7 rows × (5·10^5)² while the oracle's
+    # HUGEINT hard-errors: wrong on one engine, crash on the other.
+    # 38 digits bounds exactness at ~10^38, unreachable in practice.
+    dec = "decimal(38,0)"
     agg = base.groupBy(*groups).agg(
         F.count("*").alias("n"),
-        F.sum("_x").alias("sx"),
-        F.sum("_y").alias("sy"),
-        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
-        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
-        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x").cast(dec)).alias("sx"),
+        F.sum(F.col("_y").cast(dec)).alias("sy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("_y") * F.col("_y")).cast(dec)).alias("syy"),
+        F.sum((F.col("_x") * F.col("_y")).cast(dec)).alias("sxy"),
     )
     # ONE fixed left-assoc double expression over exact integers; the
     # bigint→double conversions are IEEE-defined and engine-identical

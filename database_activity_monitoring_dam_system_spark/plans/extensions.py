@@ -2619,11 +2619,12 @@ WITH b AS (
   FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
 ),
 a AS (
+  -- sums stay HUGEINT (exact 128-bit), mirroring the Spark side's
+  -- DECIMAL(38,0) accumulators; only the final expression converts
+  -- to DOUBLE
   SELECT event_type, count(*) AS n,
-         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         CAST(sum(x * x) AS BIGINT) AS sxx,
-         CAST(sum(y * y) AS BIGINT) AS syy,
-         CAST(sum(x * y) AS BIGINT) AS sxy
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
   FROM b GROUP BY 1
 )
 SELECT event_type, n,

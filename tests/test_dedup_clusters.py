@@ -167,6 +167,8 @@ def test_jaccard_prefix_pairs_lossless_and_pruned(spark):
     testdata AND on a crafted boundary fixture where a pair sits
     exactly at the threshold; and the prefix candidate set is
     genuinely smaller than all shared-token pairs."""
+    from pyspark.sql import functions as F
+
     from database_activity_monitoring_dam_system_spark.operators import dedup
     from database_activity_monitoring_dam_system_spark.sources.testdata import (
         load_table,
@@ -186,6 +188,26 @@ def test_jaccard_prefix_pairs_lossless_and_pruned(spark):
         ).collect()
     }
     assert fast == exact and len(fast) > 0
+    # the pruning claim, asserted directly: prefix candidates are a
+    # strict subset of all shared-token pairs (the quadratic join's
+    # candidate space)
+    sharr = dedup.token_arrays(docs, shingle=3).select("doc_id", "toks")
+    n_cands = dedup.jaccard_prefix_candidates(
+        sharr, threshold=0.8
+    ).count()
+    toks = dedup.distinct_tokens(docs, shingle=3)
+    a, b = toks.alias("a"), toks.alias("b")
+    n_all = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert 0 < n_cands < n_all / 2, (n_cands, n_all)
     # boundary: sets {a b c d e} vs {a b c d f} → J = 4/6 = 0.667;
     # with t = 2/3 the pair must survive (>=, not >)
     tiny = spark.createDataFrame(
