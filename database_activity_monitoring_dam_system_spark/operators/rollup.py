@@ -131,3 +131,62 @@ def finalize_rollup(
         F.round(F.col("min_millis") / 1000.0, 3).alias("v_min"),
         F.round(F.col("max_millis") / 1000.0, 3).alias("v_max"),
     )
+
+
+def distinct_partials(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    distinct_col: str = "user_id",
+    grain: str = "minute",
+    group_cols: list[str] | None = None,
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """DISTINCT-count rollup state: per fine-grain bucket, the HLL
+    registers of ``distinct_col`` (sketches.hll_registers). Raw
+    distinct counts are the one classic aggregate that does NOT
+    decompose — count_distinct(day) ≠ Σ count_distinct(minutes) —
+    but HLL registers DO (register-wise max), so this is the partial
+    that makes "distinct users per hour/day" a merge over the small
+    partials table instead of a re-scan of raw events. At most
+    2^bucket_bits register rows per (bucket, group)."""
+    _check_grain(grain)
+    from . import sketches
+
+    groups = list(group_cols or [])
+    df = events.select(
+        F.date_trunc(grain, F.col(ts_col)).alias("bucket_ts"),
+        *groups,
+        distinct_col,
+    )
+    return sketches.hll_registers(
+        df, ["bucket_ts", *groups], distinct_col, bucket_bits=bucket_bits
+    )
+
+
+def rollup_distinct(
+    partials: DataFrame,
+    *,
+    to_grain: str,
+    group_cols: list[str] | None = None,
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """Merge fine-grain HLL register partials into ``to_grain``
+    estimates: re-truncate the bucket, register-wise max, finalize.
+    EXACTLY ≡ running the HLL directly over raw events at the coarse
+    grain (the merge law; gate-pinned bit-for-bit on the
+    harmonic_scaled integer)."""
+    _check_grain(to_grain)
+    from . import sketches
+
+    groups = list(group_cols or [])
+    retrunc = partials.select(
+        F.date_trunc(to_grain, F.col("bucket_ts")).alias("bucket_ts"),
+        *groups,
+        "_bucket",
+        "_r",
+    )
+    merged = sketches.hll_merge_registers(retrunc, ["bucket_ts", *groups])
+    return sketches.hll_finalize(
+        merged, ["bucket_ts", *groups], bucket_bits=bucket_bits
+    )

@@ -152,6 +152,26 @@ def hll_md5_distinct(
     then a tiny per-group rollup — the fixed-size-summary path for
     distinct counts over 100 TB, mergeable across partitions.
     """
+    registers = hll_registers(
+        df, group_cols, value_col, bucket_bits=bucket_bits
+    )
+    return hll_finalize(registers, group_cols, bucket_bits=bucket_bits)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """The mergeable state of :func:`hll_md5_distinct`, exposed: one
+    (group, _bucket, _r) row per non-empty register. Registers over
+    ANY partition of the data — shards, days, micro-batches, finer
+    time buckets — merge by :func:`hll_merge_registers` (register-
+    wise max) into exactly the registers a direct pass produces,
+    which is what makes DISTINCT counts (non-decomposable as raw
+    counts) roll up like decomposable aggregates."""
     if bucket_bits % 4 != 0 or not 4 <= bucket_bits <= 16:
         # buckets come from whole md5 hex chars; a non-multiple-of-4
         # width would leave (1<<bucket_bits) - 16^(bucket_bits//4)
@@ -160,7 +180,6 @@ def hll_md5_distinct(
         raise ValueError(
             f"bucket_bits must be a multiple of 4 in [4, 16], got {bucket_bits}"
         )
-    m = 1 << bucket_bits
     hex_chars = bucket_bits // 4
     h = F.md5(F.col(value_col).cast("string"))
     bucket = F.conv(F.substring(h, 1, hex_chars), 16, 10).cast("int")
@@ -174,11 +193,35 @@ def hll_md5_distinct(
     rho = F.when(lead >= 8, F.lit(33)).otherwise(
         lead * 4 + nibble_lead + 1
     )
-    registers = (
+    return (
         df.select(*group_cols, bucket.alias("_bucket"), rho.alias("_rho"))
         .groupBy(*group_cols, "_bucket")
         .agg(F.max("_rho").alias("_r"))
     )
+
+
+def hll_merge_registers(
+    registers: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge register tables by register-wise max — the HLL merge
+    law. ``group_cols`` is the TARGET grouping: registers from finer
+    groups (e.g. minute buckets re-truncated to day) collapse into
+    the coarser group's registers exactly."""
+    return registers.groupBy(*group_cols, "_bucket").agg(
+        F.max("_r").alias("_r")
+    )
+
+
+def hll_finalize(
+    registers: DataFrame,
+    group_cols: list[str],
+    *,
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """Registers → (est_distinct, zero_registers, harmonic_scaled)
+    per group — the bias-corrected estimate with linear counting,
+    byte-identical to :func:`hll_md5_distinct`'s output."""
+    m = 1 << bucket_bits
     pow33 = F.lit(1 << 33).cast("long")
     per_group = registers.groupBy(*group_cols).agg(
         (

@@ -2762,6 +2762,87 @@ FROM agg
 """
 
 
+def _q_rollup_distinct_users(spark, sf_dir):
+    """Distinct-users-per-day rollup from MINUTE-grain HLL register
+    partials: distinct counts don't decompose as raw counts, but the
+    registers merge by max — the oracle runs the HLL DIRECTLY over
+    raw events at day grain, so the hash proves the register-merge
+    law bit-for-bit (incl. the exact harmonic_scaled integer)."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    minute = rollup.distinct_partials(
+        events, distinct_col="user_id", grain="minute",
+        group_cols=["event_type"],
+    )
+    day = rollup.rollup_distinct(
+        minute, to_grain="day", group_cols=["event_type"]
+    )
+    return day.select(
+        F.date_format("bucket_ts", "yyyy-MM-dd").alias("time_bucket"),
+        "event_type",
+        "est_distinct",
+        "zero_registers",
+        "harmonic_scaled",
+    )
+
+
+_ROLLUP_DISTINCT_SQL = r"""
+WITH hx AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS time_bucket,
+         event_type, md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+),
+parts AS (
+  SELECT time_bucket, event_type,
+         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+         substr(h, 3, 8) AS tail
+  FROM hx
+),
+leads AS (
+  SELECT time_bucket, event_type, bucket,
+         len(regexp_extract(tail, '^0*')) AS lead,
+         strpos('0123456789abcdef',
+                substr(tail, len(regexp_extract(tail, '^0*')) + 1, 1)) - 1 AS v
+  FROM parts
+),
+rhos AS (
+  SELECT time_bucket, event_type, bucket,
+         CASE WHEN lead >= 8 THEN 33
+              ELSE lead * 4
+                   + (CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1
+                           WHEN v >= 2 THEN 2 ELSE 3 END) + 1
+         END AS rho
+  FROM leads
+),
+regs AS (
+  SELECT time_bucket, event_type, bucket, max(rho) AS r
+  FROM rhos GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT time_bucket, event_type,
+         (sum(1::BIGINT << (33 - r))
+            + (256 - count(*)) * (1::BIGINT << 33))::BIGINT
+           AS harmonic_scaled,
+         (256 - count(*))::INTEGER AS zero_registers
+  FROM regs GROUP BY 1, 2
+),
+rawed AS (
+  SELECT time_bucket, event_type, zero_registers, harmonic_scaled,
+         (0.7213 / (1 + 1.079 / 256)) * 256 * 256 * (1::BIGINT << 33)
+           / harmonic_scaled AS raw
+  FROM agg
+)
+SELECT time_bucket, event_type,
+       round(CASE WHEN raw <= 640.0 AND zero_registers > 0
+                  THEN 256.0 * ln(256.0 / zero_registers)
+                  ELSE raw END, 2) AS est_distinct,
+       zero_registers, harmonic_scaled
+FROM rawed
+"""
+
+
 def _q_encoding_signals(spark, sf_dir):
     """The synthetic corpus is clean ASCII, so both engines inject
     the SAME deterministic damage per doc_id class (the pii_scrub
@@ -3969,6 +4050,12 @@ QUERIES: dict[str, QuerySpec] = {
         "continuous-aggregate rollup: minute partials merged to hour "
         "then day without re-scanning raw events — integer-exact "
         "decomposable state, chain ≡ direct aggregation",
+    ),
+    "rollup_distinct_users": QuerySpec(
+        _q_rollup_distinct_users, _ROLLUP_DISTINCT_SQL,
+        "distinct-users-per-day from minute-grain HLL register "
+        "partials (register-wise max merge) ≡ direct day-level HLL — "
+        "the non-decomposable aggregate made rollup-able",
     ),
     "encoding_signals": QuerySpec(
         _q_encoding_signals, _ENCODING_SQL,

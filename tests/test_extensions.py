@@ -2469,3 +2469,48 @@ def test_profile_operators_semantics(spark):
     expect = np.corrcoef(xs, ys)[0, 1]
     assert abs(out["a"].r - round(float(expect), 6)) < 2e-6
     assert out["b"].r is None
+
+
+def test_distinct_rollup_merge_law(spark):
+    """HLL register partials at minute grain merged to day ≡ the HLL
+    computed directly over raw events at day grain — register tables
+    EXACTLY equal (the merge law), and so are the finalized
+    estimates; hll_md5_distinct itself is unchanged by the
+    registers/finalize refactor (same output on the docs table)."""
+    from database_activity_monitoring_dam_system_spark.operators import (
+        rollup, sketches,
+    )
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = load_table(spark, SF_SMOKE, "events")
+    minute = rollup.distinct_partials(
+        events, distinct_col="user_id", grain="minute",
+        group_cols=["event_type"],
+    )
+    via_chain = rollup.rollup_distinct(
+        minute, to_grain="day", group_cols=["event_type"]
+    )
+    direct_regs = rollup.distinct_partials(
+        events, distinct_col="user_id", grain="day",
+        group_cols=["event_type"],
+    )
+    direct = sketches.hll_finalize(
+        direct_regs, ["bucket_ts", "event_type"]
+    )
+    assert sorted(map(tuple, via_chain.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # register-level equality too (stronger than estimate equality)
+    merged_regs = sketches.hll_merge_registers(
+        minute.selectExpr(
+            "date_trunc('day', bucket_ts) AS bucket_ts",
+            "event_type", "_bucket", "_r",
+        ),
+        ["bucket_ts", "event_type"],
+    )
+    assert sorted(map(tuple, merged_regs.collect())) == sorted(
+        map(tuple, direct_regs.collect())
+    )
