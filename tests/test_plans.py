@@ -370,3 +370,49 @@ def test_scan_bound_ops_single_exchange(spark):
         plan = _plan(spark, name)
         assert plan.count("Exchange hashpartitioning") == 1, name
         assert "Join" not in plan, name
+
+
+def test_funnel_layers_reuse_one_user_exchange(spark):
+    """funnel_steps' docstring claim made structural: the three
+    layered window steps + the per-user aggregate all ride ONE
+    hashpartitioning(user_id) exchange — no per-step join, no extra
+    shuffle per layer."""
+    plan = _plan(spark, "funnel_steps")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_rollup_chain_shuffle_bound(spark):
+    """The minute→hour→day rollup chain is three re-aggregations:
+    exactly one exchange per grain level, no raw-event re-scan
+    (a single parquet scan node) and no range partitioning."""
+    plan = _plan(spark, "rollup_timeline")
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_weighted_sample_per_stratum_single_shuffle(spark):
+    """weighted_sample's strata path: the ES key is computed in the
+    scan-side projection and the per-stratum rank is ONE exchange on
+    the stratum key — no global sort."""
+    plan = _plan(spark, "weighted_sample")
+    assert plan.count("Exchange hashpartitioning(lang") == 1, plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_encoding_signals_pure_projection(spark):
+    """All four damage counters are replace-length/match-count
+    expressions over the scan — any Exchange is a regression."""
+    plan = _plan(spark, "encoding_signals")
+    assert "Exchange" not in plan
+
+
+def test_bloom_probe_no_join(spark):
+    """The Bloom membership probe is a pure projection against the
+    embedded literal bitmap: the only joins in the gate plan belong
+    to the per-doc rollup, and the corpus fingerprint side is never
+    joined to an eval-set table (the exact path's broadcast semi-join
+    is exactly what the bitmap replaces)."""
+    plan = _plan(spark, "bloom_contamination")
+    assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan
