@@ -104,3 +104,66 @@ def read_rollup(
         to_grain=to_grain,
         group_cols=group_cols,
     )
+
+
+def compact_rollup_fragments(
+    spark: SparkSession,
+    path: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Fold a streamed partials table's per-batch fragments into one
+    fragment per bucket — the maintenance job that keeps the partials
+    table small after months of micro-batches (fragments grow with
+    batch count even though the merged state is bounded by buckets ×
+    groups).
+
+    Associativity makes this pure bookkeeping: the merged rows are
+    exactly ``rollup_partials`` at the table's own written grain, and
+    :func:`read_rollup` answers identically before and after
+    (asserted in tests). The rewritten table carries a single
+    ``_batch_id = -1`` so later stream batches keep appending their
+    own partitions alongside it and the next compaction folds them
+    in turn.
+
+    Crash safety is the whole-table retire→promote swap
+    (sinks.compact_partitions' discipline): the new table is written
+    aside, the live dir renamed away, the new one renamed in, and
+    only then is the old copy deleted — at least one complete copy
+    exists at every instant. Run it while the stream is NOT actively
+    writing (between availableNow runs, or on the stream's pause
+    schedule); a concurrent in-flight batch could land in the retired
+    copy and be lost.
+
+    Returns (fragments_before, fragments_after).
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_before = df.select("_batch_id").distinct().count()
+    grain_col = [c for c in df.columns if c == "_grain"]
+    written = (
+        df.select("_grain").first()["_grain"] if grain_col else "minute"
+    )
+    groups = list(group_cols or [])
+    merged = rollup.rollup_partials(
+        df.drop("_batch_id", *grain_col),
+        to_grain=written,
+        group_cols=groups,
+    )
+    out = merged.withColumn("_grain", F.lit(written)).withColumn(
+        "_batch_id", F.lit(-1)
+    )
+    tmp = path.rstrip("/") + "_compact_tmp"
+    old = path.rstrip("/") + "_compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        out.write.mode("overwrite")
+        .partitionBy("_batch_id")
+        .parquet(tmp)
+    )
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_before, 1

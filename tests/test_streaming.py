@@ -961,3 +961,76 @@ def test_rollup_stream_matches_batch_and_replays_idempotently(spark, tmp_path):
         rollup_stream.read_rollup(
             spark, out2, to_grain="hour", group_cols=["event_type"]
         )
+
+
+def test_rollup_fragment_compaction_preserves_views(spark, tmp_path):
+    """compact_rollup_fragments folds per-batch fragments into one
+    _batch_id=-1 fragment; read_rollup answers identically before and
+    after, and a resumed stream appends new fragments alongside the
+    compacted one (which the next compaction folds in turn)."""
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        rollup_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    half = events.filter(F.col("event_id") % 2 == 0)
+    half.write.parquet(src + "/a.parquet")
+    out, ckpt = str(tmp_path / "p"), str(tmp_path / "c")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = rollup_stream.start_rollup_stream(
+        stream, out_path=out, checkpoint_dir=ckpt,
+        group_cols=["event_type"], available_now=True,
+    )
+    assert q.awaitTermination(60)
+    q.stop()
+    before = sorted(
+        map(tuple, rollup_stream.read_rollup(
+            spark, out, to_grain="day", group_cols=["event_type"]
+        ).collect())
+    )
+    n_before, n_after = rollup_stream.compact_rollup_fragments(
+        spark, out, group_cols=["event_type"]
+    )
+    assert n_before >= 1 and n_after == 1
+    frags = spark.read.parquet(out)
+    assert {r._batch_id for r in frags.select("_batch_id").distinct().collect()} == {-1}
+    after = sorted(
+        map(tuple, rollup_stream.read_rollup(
+            spark, out, to_grain="day", group_cols=["event_type"]
+        ).collect())
+    )
+    assert after == before
+    # resume: second half arrives as a new file → new fragment lands
+    # beside the compacted one; the merged day view equals batch
+    events.filter(F.col("event_id") % 2 == 1).write.parquet(
+        src + "/b.parquet"
+    )
+    q2 = rollup_stream.start_rollup_stream(
+        stream, out_path=out, checkpoint_dir=ckpt,
+        group_cols=["event_type"], available_now=True,
+    )
+    assert q2.awaitTermination(60)
+    q2.stop()
+    from database_activity_monitoring_dam_system_spark.operators import rollup
+
+    streamed = sorted(
+        map(tuple, rollup_stream.read_rollup(
+            spark, out, to_grain="day", group_cols=["event_type"]
+        ).collect())
+    )
+    direct = sorted(
+        map(tuple, rollup.time_partials(
+            events, grain="day", group_cols=["event_type"]
+        ).collect())
+    )
+    assert streamed == direct
