@@ -149,7 +149,12 @@ def distinct_partials(
     but HLL registers DO (register-wise max), so this is the partial
     that makes "distinct users per hour/day" a merge over the small
     partials table instead of a re-scan of raw events. At most
-    2^bucket_bits register rows per (bucket, group)."""
+    2^bucket_bits register rows per (bucket, group).
+
+    The frame carries its geometry as a ``_bucket_bits`` column so a
+    later :func:`rollup_distinct` at mismatched ``bucket_bits`` fails
+    loudly instead of producing silently-wrong estimates (the same
+    discipline as sketches.bloom_merge's geometry check)."""
     _check_grain(grain)
     from . import sketches
 
@@ -161,7 +166,7 @@ def distinct_partials(
     )
     return sketches.hll_registers(
         df, ["bucket_ts", *groups], distinct_col, bucket_bits=bucket_bits
-    )
+    ).withColumn("_bucket_bits", F.lit(bucket_bits))
 
 
 def rollup_distinct(
@@ -175,17 +180,41 @@ def rollup_distinct(
     estimates: re-truncate the bucket, register-wise max, finalize.
     EXACTLY ≡ running the HLL directly over raw events at the coarse
     grain (the merge law; gate-pinned bit-for-bit on the
-    harmonic_scaled integer)."""
+    harmonic_scaled integer).
+
+    When the partials carry the ``_bucket_bits`` geometry column
+    (:func:`distinct_partials` always writes it), every row asserts
+    it equals the requested ``bucket_bits`` IN-PLAN (zero extra jobs;
+    the assert lives in a filter so Catalyst cannot prune it) —
+    finalizing 12-bit registers with the default m=256 would
+    otherwise yield negative zero-register counts and garbage
+    estimates with no error."""
     _check_grain(to_grain)
     from . import sketches
 
     groups = list(group_cols or [])
+    keep_meta = "_bucket_bits" in partials.columns
     retrunc = partials.select(
         F.date_trunc(to_grain, F.col("bucket_ts")).alias("bucket_ts"),
         *groups,
         "_bucket",
         "_r",
+        *(["_bucket_bits"] if keep_meta else []),
     )
+    if keep_meta:
+        retrunc = retrunc.where(
+            F.assert_true(
+                F.col("_bucket_bits") == F.lit(bucket_bits),
+                F.concat(
+                    F.lit(
+                        "rollup_distinct: partials were built with "
+                        "bucket_bits="
+                    ),
+                    F.col("_bucket_bits").cast("string"),
+                    F.lit(f", not the requested {bucket_bits}"),
+                ),
+            ).isNull()
+        ).drop("_bucket_bits")
     merged = sketches.hll_merge_registers(retrunc, ["bucket_ts", *groups])
     return sketches.hll_finalize(
         merged, ["bucket_ts", *groups], bucket_bits=bucket_bits

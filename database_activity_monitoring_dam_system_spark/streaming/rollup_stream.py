@@ -106,11 +106,36 @@ def read_rollup(
     )
 
 
+# the columns start_rollup_stream itself writes; everything else in a
+# partials table is a group dimension
+_METRIC_COLS = ("n_events", "sum_millis", "min_millis", "max_millis")
+_META_COLS = ("bucket_ts", *_METRIC_COLS, "_grain", "_batch_id")
+
+
+def _committed_batch_ids(fs, jvm, checkpoint_dir: str) -> set[int]:
+    """Batch ids with a commit marker in the stream's checkpoint —
+    the set the source will NEVER redeliver."""
+    commits = jvm.org.apache.hadoop.fs.Path(
+        checkpoint_dir.rstrip("/") + "/commits"
+    )
+    if not fs.exists(commits):
+        return set()
+    out: set[int] = set()
+    for st in fs.listStatus(commits):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith("."):
+            try:
+                out.add(int(name))
+            except ValueError:
+                continue
+    return out
+
+
 def compact_rollup_fragments(
     spark: SparkSession,
     path: str,
     *,
-    group_cols: list[str] | None = None,
+    checkpoint_dir: str | None = None,
 ) -> tuple[int, int]:
     """Fold a streamed partials table's per-batch fragments into one
     fragment per bucket — the maintenance job that keeps the partials
@@ -119,51 +144,105 @@ def compact_rollup_fragments(
     groups).
 
     Associativity makes this pure bookkeeping: the merged rows are
-    exactly ``rollup_partials`` at the table's own written grain, and
-    :func:`read_rollup` answers identically before and after
-    (asserted in tests). The rewritten table carries a single
+    exactly ``rollup_partials`` at the table's own written grain
+    (group columns are DERIVED from the table's own schema — passing
+    them would only add a way to silently aggregate a dimension
+    away), and :func:`read_rollup` answers identically before and
+    after (asserted in tests). The rewritten table carries a single
     ``_batch_id = -1`` so later stream batches keep appending their
     own partitions alongside it and the next compaction folds them
     in turn.
 
-    Crash safety is the whole-table retire→promote swap
-    (sinks.compact_partitions' discipline): the new table is written
-    aside, the live dir renamed away, the new one renamed in, and
-    only then is the old copy deleted — at least one complete copy
-    exists at every instant. Run it while the stream is NOT actively
-    writing (between availableNow runs, or on the stream's pause
-    schedule); a concurrent in-flight batch could land in the retired
-    copy and be lost.
+    Replay safety: pass the stream's ``checkpoint_dir`` and any
+    fragment whose batch id has NO commit marker is carried through
+    UNCHANGED instead of folded — a landed-but-uncommitted batch is
+    redelivered on restart, and folding it into ``-1`` first would
+    double-count it (the overwrite lands beside the fold, not over
+    it). Without a checkpoint, every fragment is folded; only do that
+    when the stream shut down cleanly.
+
+    Crash safety is sinks.compact_partitions' retire→promote swap on
+    the Hadoop FileSystem API (so hdfs:// and s3a:// table paths work
+    the same as file:): recovery sweep first (finish a crashed
+    promotion or restore a retired copy), write the new table aside,
+    rename the live dir away, rename the new one in, and only then
+    delete the old copy — at least one complete copy exists at every
+    instant. Run it while the stream is NOT actively writing (between
+    availableNow runs); a concurrent in-flight batch could land in
+    the retired copy and be lost.
 
     Returns (fragments_before, fragments_after).
     """
-    import os
-    import shutil
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = hpath(path)
+    fs = root.getFileSystem(hconf)
+    tmp = hpath(path.rstrip("/") + "_compact_tmp")
+    old = hpath(path.rstrip("/") + "_compact_old")
+
+    # recovery sweep: finish (or undo) the leftovers of a crashed run
+    if fs.exists(old):
+        if fs.exists(root):
+            fs.delete(old, True)  # crashed after promote → redundant
+        else:
+            fs.rename(old, root)  # crashed between retire and promote
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+
+    # fragment census from the partition listing — no data scan
+    batch_ids: list[int] = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("_batch_id="):
+            batch_ids.append(int(name.split("=", 1)[1]))
+    n_before = len(batch_ids)
+    uncommitted: list[int] = []
+    if checkpoint_dir is not None:
+        committed = _committed_batch_ids(fs, jvm, checkpoint_dir)
+        uncommitted = sorted(
+            b for b in batch_ids if b >= 0 and b not in committed
+        )
+    n_after = 1 + len(uncommitted)
+    if n_before <= n_after:
+        return n_before, n_before  # nothing to fold
 
     df = spark.read.parquet(path)
-    n_before = df.select("_batch_id").distinct().count()
-    grain_col = [c for c in df.columns if c == "_grain"]
-    written = (
-        df.select("_grain").first()["_grain"] if grain_col else "minute"
+    missing = [c for c in _META_COLS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"compact_rollup_fragments: {path!r} is not a streamed "
+            f"partials table (missing columns {missing})"
+        )
+    written = df.select("_grain").first()["_grain"]
+    groups = [c for c in df.columns if c not in _META_COLS]
+    foldable = (
+        df.filter(~F.col("_batch_id").isin(uncommitted))
+        if uncommitted
+        else df
     )
-    groups = list(group_cols or [])
     merged = rollup.rollup_partials(
-        df.drop("_batch_id", *grain_col),
+        foldable.drop("_batch_id", "_grain"),
         to_grain=written,
         group_cols=groups,
     )
     out = merged.withColumn("_grain", F.lit(written)).withColumn(
         "_batch_id", F.lit(-1)
     )
-    tmp = path.rstrip("/") + "_compact_tmp"
-    old = path.rstrip("/") + "_compact_old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    (
-        out.write.mode("overwrite")
-        .partitionBy("_batch_id")
-        .parquet(tmp)
+    if uncommitted:
+        out = out.unionByName(
+            df.filter(F.col("_batch_id").isin(uncommitted)).select(
+                *out.columns
+            )
+        )
+    out.write.mode("overwrite").partitionBy("_batch_id").parquet(
+        tmp.toString()
     )
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    return n_before, 1
+    marker = hpath(tmp, "_SUCCESS")
+    if fs.exists(marker):
+        fs.delete(marker, False)
+    # retire → promote → clear: one complete copy exists throughout
+    fs.rename(root, old)
+    fs.rename(tmp, root)
+    fs.delete(old, True)
+    return n_before, n_after

@@ -2512,5 +2512,5 @@ def test_distinct_rollup_merge_law(spark):
         ["bucket_ts", "event_type"],
     )
     assert sorted(map(tuple, merged_regs.collect())) == sorted(
-        map(tuple, direct_regs.collect())
+        map(tuple, direct_regs.drop("_bucket_bits").collect())
     )
