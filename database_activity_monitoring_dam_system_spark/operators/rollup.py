@@ -28,7 +28,7 @@ materialized-rollup upgrade of that pattern.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _GRAIN_ORDER = ("minute", "hour", "day", "month")
@@ -218,4 +218,202 @@ def rollup_distinct(
     merged = sketches.hll_merge_registers(retrunc, ["bucket_ts", *groups])
     return sketches.hll_finalize(
         merged, ["bucket_ts", *groups], bucket_bits=bucket_bits
+    )
+
+
+def value_quantile_partials(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grain: str = "minute",
+    group_cols: list[str] | None = None,
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    bins: int = 256,
+) -> DataFrame:
+    """Quantile rollup state: per fine-grain bucket, a fixed-bin
+    equi-width histogram of the value column. Quantiles are the other
+    classic non-decomposable aggregate (p99(day) is not a function of
+    per-minute p99s) — but histogram COUNTS are pure sums, so a
+    fixed, shared bin grid makes per-bucket histograms a mergeable
+    quantile state (the t-digest role, in exact integer arithmetic).
+
+    The grid is integer-exact end to end: values quantize to millis,
+    bin = clamp((millis - lo_millis)·bins DIV span, [0, bins-1]) —
+    no float division anywhere, so fold-of-minutes ≡ direct coarse
+    histogram bit-for-bit. Out-of-range values clamp into the edge
+    bins (their mass is counted; their position saturates). At most
+    ``bins`` rows per (bucket, group); estimate resolution is
+    span/bins (pick lo/hi for the column's working range).
+
+    Geometry travels WITH the frame (``_lo_millis``/``_span_millis``/
+    ``_bins`` columns) and :func:`rollup_quantiles` asserts it
+    in-plan, same discipline as the HLL ``_bucket_bits`` stamp."""
+    _check_grain(grain)
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    lo_m = int(lo * 1000)
+    hi_m = int(hi * 1000)
+    span = hi_m - lo_m
+    if span <= 0:
+        raise ValueError(f"need hi > lo, got lo={lo}, hi={hi}")
+    groups = list(group_cols or [])
+    millis = F.floor(F.col(value_col) * 1000).cast("long")
+    df = events.select(
+        F.date_trunc(grain, F.col(ts_col)).alias("bucket_ts"),
+        *groups,
+        millis.alias("_millis"),
+    )
+    bin_expr = F.expr(
+        f"least({bins - 1}L, greatest(0L, (_millis - {lo_m}L) * {bins}L div {span}L))"
+    )
+    return (
+        df.select("bucket_ts", *groups, bin_expr.alias("bin"))
+        .groupBy("bucket_ts", *groups, "bin")
+        .agg(F.count("*").alias("n"))
+        .withColumn("_lo_millis", F.lit(lo_m).cast("long"))
+        .withColumn("_span_millis", F.lit(span).cast("long"))
+        .withColumn("_bins", F.lit(bins))
+    )
+
+
+def rollup_quantiles(
+    partials: DataFrame,
+    *,
+    to_grain: str,
+    group_cols: list[str] | None = None,
+    percents: tuple[int, ...] = (50, 90, 99),
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    bins: int = 256,
+) -> DataFrame:
+    """Merge fine-grain histogram partials into ``to_grain`` quantile
+    estimates: re-truncate the bucket, sum the bins, then read each
+    percentile off the cumulative histogram. EXACTLY ≡ histogramming
+    raw events directly at the coarse grain (counts are sums; the
+    grid is shared), which is what the gate pins.
+
+    ``percents`` are INTEGER percents and the crossing threshold is
+    ceil(p·total/100) in pure integer math; the reported estimate is
+    the LOWER EDGE of the crossing bin (exact millis / 1000) — every
+    hashed byte is determined by integer arithmetic. One shuffle
+    (bucket, groups) shared by the merge and both windows.
+
+    Mismatched geometry (different lo/hi/bins than the partials were
+    built with) would silently shift every estimate — asserted
+    in-plan against the frame's own geometry stamp."""
+    _check_grain(to_grain)
+    if not percents or any(not 1 <= p <= 100 for p in percents):
+        raise ValueError(f"percents must be ints in [1, 100]: {percents}")
+    lo_m = int(lo * 1000)
+    span = int(hi * 1000) - lo_m
+    groups = list(group_cols or [])
+    meta = ("_lo_millis", "_span_millis", "_bins")
+    keep_meta = all(c in partials.columns for c in meta)
+    retrunc = partials.select(
+        F.date_trunc(to_grain, F.col("bucket_ts")).alias("bucket_ts"),
+        *groups,
+        "bin",
+        "n",
+        *(meta if keep_meta else ()),
+    )
+    if keep_meta:
+        retrunc = retrunc.where(
+            F.assert_true(
+                (F.col("_lo_millis") == F.lit(lo_m))
+                & (F.col("_span_millis") == F.lit(span))
+                & (F.col("_bins") == F.lit(bins)),
+                F.concat(
+                    F.lit(
+                        "rollup_quantiles: partials were built with "
+                        "(lo_millis, span_millis, bins)=("
+                    ),
+                    F.col("_lo_millis").cast("string"),
+                    F.lit(", "),
+                    F.col("_span_millis").cast("string"),
+                    F.lit(", "),
+                    F.col("_bins").cast("string"),
+                    F.lit(f"), not the requested ({lo_m}, {span}, {bins})"),
+                ),
+            ).isNull()
+        ).drop(*meta)
+    merged = retrunc.groupBy("bucket_ts", *groups, "bin").agg(
+        F.sum("n").alias("n")
+    )
+    keys = ["bucket_ts", *groups]
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    cum = merged.select(
+        *keys,
+        "bin",
+        F.sum("n").over(w_cum).alias("_cum"),
+        F.sum("n").over(w_all).alias("_total"),
+    )
+    # ceil(p*total/100) in integer math: (p*total + 99) div 100
+    agg_cols = [F.max("_total").alias("n_values")]
+    for p in percents:
+        thr = F.expr(f"(_total * {p}L + 99L) div 100L")
+        agg_cols.append(
+            F.min(F.when(F.col("_cum") >= thr, F.col("bin"))).alias(
+                f"_bin_p{p}"
+            )
+        )
+    per_group = cum.groupBy(*keys).agg(*agg_cols)
+    out_cols = [*keys, "n_values"]
+    for p in percents:
+        edge = F.expr(f"{lo_m}L + _bin_p{p} * {span}L div {bins}L")
+        out_cols.append(
+            F.round(edge / 1000.0, 3).alias(f"p{p}_value")
+        )
+    return per_group.select(*out_cols)
+
+
+def gapfill_buckets(
+    partials: DataFrame,
+    *,
+    grain: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Densify a partials timeline: emit EVERY ``grain`` bucket
+    between each group's first and last observed bucket, with
+    zero-filled metrics and an ``is_gap`` flag for the synthesized
+    rows — dashboards and downstream window functions (moving
+    averages, deltas) silently mis-compute over missing buckets
+    otherwise.
+
+    Shape: one tiny per-group span aggregate → sequence() explode of
+    the bucket grid (bounded by span/grain, never by event count) →
+    one left join back to the partials on (bucket, groups). All three
+    steps are partials-sized; raw events are never touched — gap
+    filling composes AFTER the rollup reduction, where the data is
+    small."""
+    _check_grain(grain)
+    groups = list(group_cols or [])
+    metrics = [c for c in partials.columns if c not in ("bucket_ts", *groups)]
+    spans = partials.groupBy(*groups).agg(
+        F.min("bucket_ts").alias("_b0"), F.max("bucket_ts").alias("_b1")
+    )
+    grid = spans.select(
+        *groups,
+        F.explode(
+            F.expr(f"sequence(_b0, _b1, interval 1 {grain})")
+        ).alias("bucket_ts"),
+    )
+    joined = grid.join(partials, on=["bucket_ts", *groups], how="left")
+    zero_filled = [
+        F.coalesce(F.col(c), F.lit(0)).alias(c)
+        if c in ("n_events", "sum_millis", "n")
+        else F.col(c)
+        for c in metrics
+    ]
+    return joined.select(
+        "bucket_ts",
+        *groups,
+        *zero_filled,
+        F.col(metrics[0]).isNull().alias("is_gap"),
     )

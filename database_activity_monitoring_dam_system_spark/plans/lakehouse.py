@@ -1,0 +1,147 @@
+"""Lakehouse-maintenance query family: mergeable quantile rollups,
+timeline densification, inverted-index build/search, CDC merge-upsert,
+and Z-order clustering keys.
+
+These extend the continuous-aggregate / table-maintenance surface
+(operators/rollup.py, streaming/rollup_stream.py, operators/cdc.py,
+operators/zorder.py, operators/invindex.py) with full DuckDB oracles.
+No reference analogue — the reference recomputes dashboards from raw
+MySQL tables per request (/root/reference/app.py:1090-1105) and has no
+index/upsert maintenance story; this family is the 100 TB upgrade of
+that pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import rollup
+from ..sources.testdata import load_table
+from .spec import QuerySpec
+
+# shared histogram geometry for the quantile gates: events.value sits
+# in [0, ~500); 200 bins over [0, 500) = 2.5-unit resolution
+_Q_LO, _Q_HI, _Q_BINS = 0.0, 500.0, 200
+_Q_LO_M, _Q_SPAN = int(_Q_LO * 1000), int(_Q_HI * 1000) - int(_Q_LO * 1000)
+
+
+def _q_rollup_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile rollup: minute-grain fixed-bin histogram
+    partials merge to day-grain p50/p90/p99 without re-touching raw
+    events. The oracle histograms raw events DIRECTLY at day grain,
+    so the hash pins the merge law (bin counts are sums; the grid and
+    all thresholds are integer-exact)."""
+    events = load_table(spark, sf_dir, "events")
+    kw = dict(group_cols=["event_type"], lo=_Q_LO, hi=_Q_HI, bins=_Q_BINS)
+    minute = rollup.value_quantile_partials(events, grain="minute", **kw)
+    day = rollup.rollup_quantiles(
+        minute, to_grain="day", percents=(50, 90, 99), **kw
+    )
+    return day.select(
+        F.date_format("bucket_ts", "yyyy-MM-dd").alias("time_bucket"),
+        "event_type",
+        "n_values",
+        "p50_value",
+        "p90_value",
+        "p99_value",
+    )
+
+
+_ROLLUP_QUANTILES_SQL = f"""
+WITH m AS (
+  SELECT date_trunc('day', ts) AS b, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS millis
+  FROM events
+),
+h AS (
+  SELECT b, event_type,
+         least({_Q_BINS - 1}, greatest(0,
+           (millis - {_Q_LO_M}) * {_Q_BINS} // {_Q_SPAN})) AS bin,
+         count(*)::BIGINT AS n
+  FROM m GROUP BY 1, 2, 3
+),
+c AS (
+  SELECT b, event_type, bin,
+         CAST(sum(n) OVER (PARTITION BY b, event_type
+                           ORDER BY bin) AS BIGINT) AS cum,
+         CAST(sum(n) OVER (PARTITION BY b, event_type) AS BIGINT) AS total
+  FROM h
+),
+q AS (
+  SELECT b, event_type,
+         CAST(max(total) AS BIGINT) AS n_values,
+         min(CASE WHEN cum >= (total * 50 + 99) // 100 THEN bin END) AS b50,
+         min(CASE WHEN cum >= (total * 90 + 99) // 100 THEN bin END) AS b90,
+         min(CASE WHEN cum >= (total * 99 + 99) // 100 THEN bin END) AS b99
+  FROM c GROUP BY 1, 2
+)
+SELECT strftime(b, '%Y-%m-%d') AS time_bucket, event_type, n_values,
+       round(({_Q_LO_M} + b50 * {_Q_SPAN} // {_Q_BINS}) / 1000.0, 3)
+         AS p50_value,
+       round(({_Q_LO_M} + b90 * {_Q_SPAN} // {_Q_BINS}) / 1000.0, 3)
+         AS p90_value,
+       round(({_Q_LO_M} + b99 * {_Q_SPAN} // {_Q_BINS}) / 1000.0, 3)
+         AS p99_value
+FROM q
+"""
+
+
+def _q_gapfill_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densified hourly timeline: every hour between each event
+    type's first and last bucket, zero-filled with an is_gap flag —
+    the moving-average-safe dashboard feed. Composes AFTER the
+    rollup reduction (grid explode + left join over partials-sized
+    frames only)."""
+    events = load_table(spark, sf_dir, "events")
+    hour = rollup.time_partials(
+        events, grain="hour", group_cols=["event_type"]
+    ).select("bucket_ts", "event_type", "n_events", "sum_millis")
+    filled = rollup.gapfill_buckets(
+        hour, grain="hour", group_cols=["event_type"]
+    )
+    return filled.select(
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm").alias("time_bucket"),
+        "event_type",
+        "n_events",
+        "sum_millis",
+        "is_gap",
+    )
+
+
+_GAPFILL_SQL = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS b, event_type,
+         count(*)::BIGINT AS n_events,
+         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+           AS sum_millis
+  FROM events GROUP BY 1, 2
+),
+s AS (SELECT event_type, min(b) AS b0, max(b) AS b1 FROM h GROUP BY 1),
+g AS (
+  SELECT event_type,
+         unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS b
+  FROM s
+)
+SELECT strftime(g.b, '%Y-%m-%d %H:%M') AS time_bucket, g.event_type,
+       coalesce(h.n_events, 0)::BIGINT AS n_events,
+       coalesce(h.sum_millis, 0)::BIGINT AS sum_millis,
+       (h.n_events IS NULL) AS is_gap
+FROM g LEFT JOIN h ON h.b = g.b AND h.event_type = g.event_type
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "rollup_value_quantiles": QuerySpec(
+        _q_rollup_value_quantiles, _ROLLUP_QUANTILES_SQL,
+        "mergeable quantile rollup: minute fixed-bin histogram "
+        "partials merged to day p50/p90/p99 ≡ direct day histogram — "
+        "integer-exact grid, thresholds, and bin edges",
+    ),
+    "gapfill_timeline": QuerySpec(
+        _q_gapfill_timeline, _GAPFILL_SQL,
+        "densified hourly timeline: per-type bucket grid via "
+        "sequence() explode over partials-sized spans, zero-filled "
+        "with is_gap flags — raw events touched once",
+    ),
+}

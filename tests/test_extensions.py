@@ -2514,3 +2514,120 @@ def test_distinct_rollup_merge_law(spark):
     assert sorted(map(tuple, merged_regs.collect())) == sorted(
         map(tuple, direct_regs.drop("_bucket_bits").collect())
     )
+
+
+def test_quantile_rollup_merge_law_and_geometry_guard(spark):
+    """Fixed-bin histogram partials make quantiles rollup-able:
+    minute→day merge ≡ direct day-grain histogram (counts are sums on
+    a shared integer grid); a mismatched grid must fail loudly; and
+    the reported edges bracket the true percentile within one bin
+    width."""
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        rollup,
+    )
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = load_table(spark, SF_SMOKE, "events")
+    kw = dict(group_cols=["event_type"], lo=0.0, hi=500.0, bins=200)
+    minute = rollup.value_quantile_partials(events, grain="minute", **kw)
+    via_chain = rollup.rollup_quantiles(
+        minute, to_grain="day", percents=(50, 90, 99), **kw
+    )
+    direct = rollup.rollup_quantiles(
+        rollup.value_quantile_partials(events, grain="day", **kw),
+        to_grain="day", percents=(50, 90, 99), **kw,
+    )
+    rows = sorted(map(tuple, via_chain.collect()))
+    assert rows == sorted(map(tuple, direct.collect()))
+    assert rows, "no day buckets produced"
+    # estimate semantics: the reported edge is the lower edge of the
+    # bin containing the NEAREST-RANK percentile element (index
+    # ceil(p·n/100) in the sorted group), for every group and p
+    import math
+
+    import pyspark.sql.functions as F
+
+    by_group: dict[tuple, list[float]] = {}
+    for r in events.select(
+        F.date_trunc("day", "ts").alias("b"), "event_type", "value"
+    ).collect():
+        by_group.setdefault((r["b"], r["event_type"]), []).append(
+            r["value"]
+        )
+    est = {
+        (r["bucket_ts"], r["event_type"]): r for r in via_chain.collect()
+    }
+    width = 500.0 / 200
+    for key, vals in by_group.items():
+        vals.sort()
+        row = est[key]
+        assert row["n_values"] == len(vals)
+        for p in (50, 90, 99):
+            # the operator quantizes to millis before binning
+            rank_val = (
+                math.floor(vals[math.ceil(p * len(vals) / 100) - 1] * 1000)
+                / 1000.0
+            )
+            e = row[f"p{p}_value"]
+            assert e <= rank_val < e + width, (key, p, e, rank_val)
+    # geometry guard: partials built on a different grid refuse to
+    # finalize
+    with _pytest.raises(Exception, match="rollup_quantiles"):
+        rollup.rollup_quantiles(
+            minute, to_grain="day", group_cols=["event_type"],
+            lo=0.0, hi=400.0, bins=200,
+        ).collect()
+
+
+def test_gapfill_buckets_invariants(spark):
+    """Gap filling emits exactly the per-group bucket grid: observed
+    rows keep their metrics bit-for-bit, synthesized rows are
+    zero-count and flagged, and row count per group equals the
+    span/grain quotient + 1."""
+    import pyspark.sql.functions as F
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        rollup,
+    )
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = load_table(spark, SF_SMOKE, "events")
+    hour = rollup.time_partials(
+        events, grain="hour", group_cols=["event_type"]
+    ).select("bucket_ts", "event_type", "n_events", "sum_millis")
+    filled = rollup.gapfill_buckets(
+        hour, grain="hour", group_cols=["event_type"]
+    )
+    observed = {
+        (r["bucket_ts"], r["event_type"]): (r["n_events"], r["sum_millis"])
+        for r in hour.collect()
+    }
+    spans = {
+        r["event_type"]: (r["b0"], r["b1"])
+        for r in hour.groupBy("event_type")
+        .agg(F.min("bucket_ts").alias("b0"), F.max("bucket_ts").alias("b1"))
+        .collect()
+    }
+    rows = filled.collect()
+    per_group: dict[str, int] = {}
+    for r in rows:
+        key = (r["bucket_ts"], r["event_type"])
+        per_group[r["event_type"]] = per_group.get(r["event_type"], 0) + 1
+        if key in observed:
+            assert not r["is_gap"]
+            assert (r["n_events"], r["sum_millis"]) == observed[key]
+        else:
+            assert r["is_gap"]
+            assert (r["n_events"], r["sum_millis"]) == (0, 0)
+    for etype, n in per_group.items():
+        b0, b1 = spans[etype]
+        expected = int((b1 - b0).total_seconds() // 3600) + 1
+        assert n == expected, (etype, n, expected)

@@ -56,18 +56,13 @@ def last_green_rounds() -> dict[str, int]:
 
 def generate() -> tuple[list[str], dict[str, int]]:
     sys.path.insert(0, str(REPO))
-    from database_activity_monitoring_dam_system_spark.plans import (
-        dam,
-        extensions,
-        relational,
-        scalars,
-    )
     from database_activity_monitoring_dam_system_spark.plans.registry import (
         _DRIVER_DEFER,
+        _SOURCE_MODULES,
     )
 
     merged: dict = {}
-    for mod in (relational, dam, scalars, extensions):
+    for mod in _SOURCE_MODULES:
         merged.update(mod.QUERIES)
     greens = last_green_rounds()
     full_oracle = [
