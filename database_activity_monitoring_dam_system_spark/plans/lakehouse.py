@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import rollup
+from ..operators import invindex, rollup
 from ..sources.testdata import load_table
 from .spec import QuerySpec
 
@@ -131,6 +131,67 @@ FROM g LEFT JOIN h ON h.b = g.b AND h.event_type = g.event_type
 """
 
 
+_SEARCH_TERMS = ("dup", "merge", "spark")  # 'dup' df ≈ 5% → selective
+
+
+def _q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token → document frequency + md5 of the
+    sorted posting list (the md5 pins every id and its order without
+    hashing megabyte-long CSV columns through the driver). min_df=2
+    exercises the df-bounds pruning."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings = invindex.build_postings(docs, min_df=2)
+    return postings.select(
+        "token",
+        "df",
+        F.md5(
+            F.array_join(
+                F.transform("postings", lambda x: x.cast("string")), ","
+            )
+        ).alias("postings_md5"),
+    )
+
+
+_POSTINGS_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.token
+  FROM documents,
+       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(token)
+  WHERE t.token != ''
+),
+p AS (
+  SELECT token, count(*)::BIGINT AS df,
+         md5(array_to_string(list_sort(list(doc_id)), ',')) AS postings_md5
+  FROM toks GROUP BY token
+)
+SELECT token, df, postings_md5 FROM p WHERE df >= 2
+"""
+
+
+def _q_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive search answered from the index alone: build the
+    posting table once, look up the three query tokens, intersect by
+    count — the corpus is never re-scanned at query time. The oracle
+    recomputes containment per doc, so the hash proves the index
+    path ≡ the brute-force scan it replaces."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings = invindex.build_postings(docs)
+    return invindex.search_all_terms(postings, list(_SEARCH_TERMS))
+
+
+_INDEX_SEARCH_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.token
+  FROM documents,
+       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(token)
+  WHERE t.token != ''
+)
+SELECT doc_id FROM toks
+WHERE token IN {_SEARCH_TERMS!r}
+GROUP BY doc_id HAVING count(*) = {len(_SEARCH_TERMS)}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "rollup_value_quantiles": QuerySpec(
         _q_rollup_value_quantiles, _ROLLUP_QUANTILES_SQL,
@@ -143,5 +204,16 @@ QUERIES: dict[str, QuerySpec] = {
         "densified hourly timeline: per-type bucket grid via "
         "sequence() explode over partials-sized spans, zero-filled "
         "with is_gap flags — raw events touched once",
+    ),
+    "inverted_postings": QuerySpec(
+        _q_inverted_postings, _POSTINGS_SQL,
+        "inverted-index build: token → df + md5-pinned sorted "
+        "posting list, one corpus pass, df-bounds stop-list pruning",
+    ),
+    "index_search": QuerySpec(
+        _q_index_search, _INDEX_SEARCH_SQL,
+        "conjunctive term search answered from the posting table "
+        "alone (token lookup + count intersection) ≡ brute-force "
+        "per-doc containment — the LIKE-scan upgrade",
     ),
 }

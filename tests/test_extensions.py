@@ -2631,3 +2631,56 @@ def test_gapfill_buckets_invariants(spark):
         b0, b1 = spans[etype]
         expected = int((b1 - b0).total_seconds() // 3600) + 1
         assert n == expected, (etype, n, expected)
+
+
+def test_inverted_index_search_equals_bruteforce(spark):
+    """Index-answered conjunctive search returns exactly the docs a
+    brute-force token-containment scan returns; posting lists are
+    sorted; df bounds prune; empty term lists refuse."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        invindex,
+    )
+    from database_activity_monitoring_dam_system_spark.operators.textops import (
+        _norm_tokens,
+    )
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    postings = invindex.build_postings(docs)
+    terms = ["dup", "merge", "spark"]
+    hits = invindex.search_docs(docs, postings, terms)
+    brute = docs.filter(
+        F.size(
+            F.array_intersect(
+                F.array_distinct(_norm_tokens("text")),
+                F.array([F.lit(t) for t in terms]),
+            )
+        )
+        == len(terms)
+    )
+    got = sorted(r.doc_id for r in hits.collect())
+    want = sorted(r.doc_id for r in brute.collect())
+    assert got == want and 0 < len(got) < docs.count()
+    # posting lists are sorted + df matches list length
+    for r in postings.collect():
+        assert r.postings == sorted(r.postings)
+        assert r.df == len(r.postings)
+    # df bounds prune (max_df drops the near-stopword tokens)
+    capped = invindex.build_postings(docs, min_df=2, max_df=100)
+    assert capped.filter(
+        (F.col("df") < 2) | (F.col("df") > 100)
+    ).count() == 0
+    assert capped.count() < postings.count()
+    # duplicate query terms must not inflate the intersection count
+    dup_hits = invindex.search_all_terms(postings, ["dup", "dup"])
+    one_hit = invindex.search_all_terms(postings, ["dup"])
+    assert sorted(r.doc_id for r in dup_hits.collect()) == sorted(
+        r.doc_id for r in one_hit.collect()
+    )
+    with _pytest.raises(ValueError, match="at least one term"):
+        invindex.search_all_terms(postings, [])
