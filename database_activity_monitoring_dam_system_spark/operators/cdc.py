@@ -1,0 +1,187 @@
+"""CDC merge-upsert: apply a keyed changelog (upserts + deletes with a
+monotone sequence) to a snapshot table — MERGE INTO semantics on plain
+parquet, batch and (via streaming/cdc_stream) micro-batch.
+
+The reference mutates state row-at-a-time through MySQL
+(INSERT/UPDATE/DELETE in /root/reference/app.py throughout); at 100 TB
+the analytics copy of that state is a partitioned parquet snapshot and
+changes arrive as a changelog. The merge here is the lakehouse
+MERGE/upsert pattern on plain files:
+
+- reduce the changelog to its LATEST change per key (one shuffle over
+  the CHANGES, which are batch-sized, not table-sized);
+- anti-join the snapshot against the (broadcast) changed-key set —
+  survivors pass through untouched;
+- union the non-delete latest changes in.
+
+``merge_upsert_partitioned`` adds the storage side: only partitions
+the changelog actually touches are read (partition-pruned scan) and
+rewritten (dynamic partition overwrite), so merge cost scales with the
+CHANGE set, not the table — the Hive/Delta upsert discipline on plain
+parquet. A partition whose rows are ALL deleted cannot be expressed by
+a dynamic overwrite (nothing is written there), so those are removed
+through the FileSystem API after the write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def latest_changes(
+    changes: DataFrame,
+    *,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """The winning (highest-``seq_col``) change per key. The sequence
+    must be unique per key (a changelog offset / LSN); equal
+    sequences would make the winner nondeterministic, so ties are
+    broken by op descending ('U' > 'D') only to keep reruns stable —
+    fix the upstream log if you ever rely on it."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    *,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Merged snapshot: base rows whose key has no change survive
+    untouched; changed keys take their latest non-delete row; deleted
+    keys vanish. ``changes`` must carry every base column (plus
+    ``op_col``); the changed-key set is broadcast for the anti-join,
+    so the snapshot never shuffles — the merge's only wide work is
+    the batch-sized changelog reduction."""
+    missing = [c for c in base.columns if c not in changes.columns]
+    if missing:
+        raise ValueError(
+            f"apply_changes: changes lack base columns {missing}"
+        )
+    latest = latest_changes(
+        changes, key_cols=key_cols, seq_col=seq_col, op_col=op_col
+    )
+    changed_keys = latest.select(*key_cols)
+    survivors = base.join(
+        F.broadcast(changed_keys), on=key_cols, how="left_anti"
+    )
+    if seq_col in base.columns:
+        # stale-replay guard: a change only wins if its sequence
+        # beats the snapshot row's — an at-least-once upstream can
+        # redeliver old changelog segments without regressing rows.
+        # Both sides of this arbitration are CHANGE-key-sized (the
+        # base side is a broadcast semi join), so the guard adds no
+        # table-sized work.
+        contested = base.join(
+            F.broadcast(changed_keys), on=key_cols, how="left_semi"
+        )
+        chg = latest.select(
+            *key_cols,
+            F.col(op_col).alias("_chg_op"),
+            *[
+                F.col(c).alias(f"_chg_{c}")
+                for c in base.columns
+                if c not in key_cols
+            ],
+        )
+        arb = contested.join(chg, on=key_cols, how="full_outer")
+        chg_seq = F.col(f"_chg_{seq_col}")
+        chg_wins = chg_seq.isNotNull() & (
+            F.col(seq_col).isNull() | (chg_seq > F.col(seq_col))
+        )
+        keep = arb.filter(
+            ~(chg_wins & (F.col("_chg_op") == delete_op))
+        )
+        merged_rows = keep.select(
+            *key_cols,
+            *[
+                F.when(chg_wins, F.col(f"_chg_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in base.columns
+                if c not in key_cols
+            ],
+        )
+        return survivors.unionByName(merged_rows)
+    upserts = latest.filter(F.col(op_col) != delete_op).select(
+        *base.columns
+    )
+    return survivors.unionByName(upserts)
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    *,
+    key_cols: list[str],
+    partition_col: str,
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> list[str]:
+    """Apply ``changes`` to the partitioned snapshot at ``path``,
+    touching only the partitions the changelog names: the snapshot
+    scan is pruned to those partitions, and the dynamic partition
+    overwrite rewrites exactly them. The key's partition value must
+    be FUNCTIONALLY DETERMINED by the key (rows never move between
+    partitions), which is what makes partition-scoped merge exact.
+
+    Returns the touched partition values (as strings). Partitions
+    left empty by deletes are removed via the FileSystem API — a
+    dynamic overwrite cannot express 'this partition is now empty'.
+    """
+    touched = [
+        r[0]
+        for r in changes.select(partition_col).distinct().collect()
+    ]
+    if not touched:
+        return []
+    base = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    merged = apply_changes(
+        base,
+        changes,
+        key_cols=key_cols,
+        seq_col=seq_col,
+        op_col=op_col,
+        delete_op=delete_op,
+    )
+    merged = merged.localCheckpoint(eager=True)  # sever self-read
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    # partitions whose rows were all deleted: nothing was written, so
+    # the stale files survive the dynamic overwrite — drop them
+    remaining = {
+        r[0]
+        for r in merged.select(partition_col).distinct().collect()
+    }
+    emptied = [p for p in touched if p not in remaining]
+    if emptied:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        root = hpath(path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        for p in emptied:
+            part_dir = hpath(root, f"{partition_col}={p}")
+            if fs.exists(part_dir):
+                fs.delete(part_dir, True)
+    return [str(p) for p in touched]

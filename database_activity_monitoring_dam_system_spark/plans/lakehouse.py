@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import invindex, rollup
+from ..operators import cdc, invindex, rollup
 from ..sources.testdata import load_table
 from .spec import QuerySpec
 
@@ -192,6 +192,86 @@ GROUP BY doc_id HAVING count(*) = {len(_SEARCH_TERMS)}
 """
 
 
+def _q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-upsert parity: a per-user snapshot (latest EVEN event)
+    has a changelog of every ODD event applied (ids ending in 5 are
+    deletes). Stale changes — odd seq below the snapshot's — must
+    lose, fresh ones win, fresh deletes remove: the oracle arbitrates
+    the same full-outer way, so the hash pins the whole merge
+    (winner choice, stale guard, delete semantics, insert-of-new-key)
+    bit-for-bit."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("millis"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    base = (
+        e.filter(F.col("event_id") % 2 == 0)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", "event_type", "millis",
+            F.col("event_id").alias("seq"),
+        )
+    )
+    changes = e.filter(F.col("event_id") % 2 == 1).select(
+        "user_id",
+        "event_type",
+        "millis",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 10 == 5, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return cdc.apply_changes(
+        base, changes, key_cols=["user_id"], seq_col="seq"
+    )
+
+
+_CDC_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS millis
+  FROM events
+),
+base AS (
+  SELECT user_id, event_type, millis, event_id AS seq FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY event_id DESC) AS rn
+    FROM e WHERE event_id % 2 = 0
+  ) WHERE rn = 1
+),
+chg AS (
+  SELECT user_id, event_type, millis, event_id AS seq,
+         CASE WHEN event_id % 10 = 5 THEN 'D' ELSE 'U' END AS op
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY event_id DESC) AS rn
+    FROM e WHERE event_id % 2 = 1
+  ) WHERE rn = 1
+),
+arb AS (
+  SELECT coalesce(b.user_id, c.user_id) AS user_id,
+         (c.seq IS NOT NULL AND (b.seq IS NULL OR c.seq > b.seq))
+           AS chg_wins,
+         b.event_type AS b_et, b.millis AS b_m, b.seq AS b_s,
+         c.event_type AS c_et, c.millis AS c_m, c.seq AS c_s, c.op
+  FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+)
+SELECT user_id,
+       CASE WHEN chg_wins THEN c_et ELSE b_et END AS event_type,
+       CASE WHEN chg_wins THEN c_m ELSE b_m END AS millis,
+       CASE WHEN chg_wins THEN c_s ELSE b_s END AS seq
+FROM arb
+WHERE NOT (chg_wins AND op = 'D')
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "rollup_value_quantiles": QuerySpec(
         _q_rollup_value_quantiles, _ROLLUP_QUANTILES_SQL,
@@ -215,5 +295,11 @@ QUERIES: dict[str, QuerySpec] = {
         "conjunctive term search answered from the posting table "
         "alone (token lookup + count intersection) ≡ brute-force "
         "per-doc containment — the LIKE-scan upgrade",
+    ),
+    "cdc_apply": QuerySpec(
+        _q_cdc_apply, _CDC_SQL,
+        "CDC merge-upsert: latest-change arbitration with a stale-"
+        "replay seq guard, deletes, and new-key inserts — snapshot "
+        "never shuffles, all wide work is changelog-sized",
     ),
 }

@@ -1179,3 +1179,147 @@ def test_rollup_distinct_bucket_bits_guard(spark):
     assert sorted(map(tuple, ok.collect())) == sorted(
         map(tuple, direct_fin.collect())
     )
+
+
+def test_merge_upsert_partitioned_touches_only_named_partitions(
+    spark, tmp_path
+):
+    """The batch CDC merge: only partitions the changelog names are
+    rewritten (others' files are byte-identical afterwards), stale
+    changes lose to the snapshot's seq, a delete that empties a
+    partition removes its directory, and new keys insert."""
+    import os
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        cdc,
+    )
+
+    path = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [
+            # (key, payload, seq, partition)
+            (1, "a", 100, 0),
+            (2, "b", 100, 0),
+            (3, "c", 100, 1),
+            (9, "z", 100, 2),  # partition 2: single row, will empty
+            (7, "g", 100, 3),  # partition 3: untouched
+        ],
+        "k INT, v STRING, seq INT, pb INT",
+    )
+    base.write.partitionBy("pb").parquet(path)
+    untouched = sorted(
+        str(p)
+        for p in (tmp_path / "snap" / "pb=3").glob("*.parquet")
+    )
+    before = [(p, os.path.getmtime(p)) for p in untouched]
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 150, 0, "U"),   # fresh update
+            (2, "b0", 50, 0, "U"),    # stale update — must lose
+            (3, "c2", 150, 1, "D"),   # fresh delete
+            (4, "d", 150, 1, "U"),    # new key insert
+            (9, "z", 150, 2, "D"),    # delete empties partition 2
+        ],
+        "k INT, v STRING, seq INT, pb INT, op STRING",
+    )
+    touched = cdc.merge_upsert_partitioned(
+        spark, path, changes,
+        key_cols=["k"], partition_col="pb", seq_col="seq",
+    )
+    assert sorted(touched) == ["0", "1", "2"]
+    got = {
+        (r.k, r.v, r.seq, r.pb)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, "a2", 150, 0),
+        (2, "b", 100, 0),   # stale change lost
+        (4, "d", 150, 1),
+        (7, "g", 100, 3),
+    }
+    assert not (tmp_path / "snap" / "pb=2").exists()
+    after = [(p, os.path.getmtime(p)) for p in untouched]
+    assert before == after  # partition 3 files never rewritten
+
+
+def test_cdc_stream_maintains_snapshot(spark, tmp_path):
+    """Streaming CDC apply: micro-batches of changelog files fold
+    into the snapshot; the final table equals one batch apply of the
+    whole changelog, and replaying the last (uncommitted) batch is
+    the identity thanks to the seq guard."""
+    from database_activity_monitoring_dam_system_spark.operators import (
+        cdc,
+    )
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        cdc_stream,
+    )
+
+    schema = "k INT, v STRING, seq INT, pb INT, op STRING"
+    path = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 0, i % 3) for i in range(12)],
+        "k INT, v STRING, seq INT, pb INT",
+    )
+    base.write.partitionBy("pb").parquet(path)
+    src = str(tmp_path / "chglog")
+    batch1 = [(3, "u3", 10, 0, "U"), (4, "u4", 11, 1, "D")]
+    batch2 = [(3, "u3b", 20, 0, "U"), (5, "x", 21, 2, "U"),
+              (20, "new", 22, 2, "U")]
+    spark.createDataFrame(batch1, schema).write.parquet(src + "/b1.parquet")
+    stream = (
+        spark.readStream.schema(base.sparkSession.createDataFrame([], schema).schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = cdc_stream.start_cdc_stream(
+        stream, table_path=path, checkpoint_dir=ckpt,
+        key_cols=["k"], partition_col="pb", seq_col="seq",
+        available_now=True,
+    )
+    assert q.awaitTermination(60)
+    q.stop()
+    spark.createDataFrame(batch2, schema).write.parquet(src + "/b2.parquet")
+    q2 = cdc_stream.start_cdc_stream(
+        stream, table_path=path, checkpoint_dir=ckpt,
+        key_cols=["k"], partition_col="pb", seq_col="seq",
+        available_now=True,
+    )
+    assert q2.awaitTermination(60)
+    q2.stop()
+    all_changes = spark.createDataFrame(batch1 + batch2, schema)
+    expected = {
+        (r.k, r.v, r.seq, r.pb)
+        for r in cdc.apply_changes(
+            base, all_changes, key_cols=["k"], seq_col="seq"
+        ).collect()
+    }
+    got = {
+        (r.k, r.v, r.seq, r.pb)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == expected
+    # forge a crash-before-commit of the LAST batch and restart: the
+    # replayed merge must be the identity (seq guard)
+    commits = sorted(
+        int(p.name) for p in (tmp_path / "ckpt" / "commits").iterdir()
+        if p.name.isdigit()
+    )
+    last = commits[-1]
+    (tmp_path / "ckpt" / "commits" / str(last)).unlink()
+    crc = tmp_path / "ckpt" / "commits" / f".{last}.crc"
+    if crc.exists():
+        crc.unlink()
+    q3 = cdc_stream.start_cdc_stream(
+        stream, table_path=path, checkpoint_dir=ckpt,
+        key_cols=["k"], partition_col="pb", seq_col="seq",
+        available_now=True,
+    )
+    assert q3.awaitTermination(60)
+    q3.stop()
+    got2 = {
+        (r.k, r.v, r.seq, r.pb)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got2 == expected
