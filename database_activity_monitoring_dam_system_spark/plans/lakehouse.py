@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import cdc, invindex, rollup
+from ..operators import cdc, invindex, rollup, zorder
 from ..sources.testdata import load_table
 from .spec import QuerySpec
 
@@ -272,6 +272,40 @@ WHERE NOT (chg_wins AND op = 'D')
 """
 
 
+# fixed grid for the z-order gate: x = event_id mod 1024 (exact 10-bit
+# range), y = value millis over the [0, 500) working range
+_Z = dict(x_lo=0, x_hi=1023, y_lo=0, y_hi=499_999, bits=10)
+
+
+def _q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton clustering keys per row — pure bit-algebra projection
+    (the write-side re-layout is write_zordered; this gate pins the
+    key itself, the part both engines must agree on bit-for-bit)."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id",
+        (F.col("event_id") % 1024).alias("x"),
+        F.floor(F.col("value") * 1000).cast("long").alias("y"),
+    )
+    return e.select(
+        "event_id",
+        zorder.zorder_key("x", "y", **_Z).cast("long").alias("zkey"),
+    )
+
+
+_ZORDER_SQL = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1024 AS x,
+         CAST(floor(value * 1000) AS BIGINT) AS y
+  FROM events
+)
+SELECT event_id,
+       CAST({zorder.zorder_sql("x", "y", duck=True, **_Z)} AS BIGINT)
+         AS zkey
+FROM e
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "rollup_value_quantiles": QuerySpec(
         _q_rollup_value_quantiles, _ROLLUP_QUANTILES_SQL,
@@ -301,5 +335,11 @@ QUERIES: dict[str, QuerySpec] = {
         "CDC merge-upsert: latest-change arbitration with a stale-"
         "replay seq guard, deletes, and new-key inserts — snapshot "
         "never shuffles, all wide work is changelog-sized",
+    ),
+    "zorder_keys": QuerySpec(
+        _q_zorder_keys, _ZORDER_SQL,
+        "Morton (Z-order) clustering keys: bit-interleaved 2-D grid "
+        "coords — the multi-dimension file-clustering sort key, pure "
+        "integer projection",
     ),
 }
