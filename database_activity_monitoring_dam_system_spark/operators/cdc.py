@@ -84,7 +84,9 @@ def apply_changes(
         # redeliver old changelog segments without regressing rows.
         # Both sides of this arbitration are CHANGE-key-sized (the
         # base side is a broadcast semi join), so the guard adds no
-        # table-sized work.
+        # table-sized work; the full-outer arbitration itself is the
+        # one sort-merge in the plan (full outer cannot broadcast)
+        # and both its inputs are changelog-bounded (plan-guarded).
         contested = base.join(
             F.broadcast(changed_keys), on=key_cols, how="left_semi"
         )

@@ -95,3 +95,133 @@ def search_docs(
         "doc_id", id_col
     )
     return docs.join(F.broadcast(hits), on=id_col, how="left_semi")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-ranked disjunctive search: every doc containing at least
+    one query term, scored by Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b
+    + b·dl·N/Σdl)) — the index family upgraded from boolean
+    containment to real relevance ranking.
+
+    Shape at scale: term frequencies shuffle once on (doc, token)
+    restricted to the QUERY terms (the filter sits under the
+    aggregation, so the corpus reduces map-side to candidate rows);
+    document lengths are a second map-side-combined aggregate whose
+    join back is bounded by the candidate set. The corpus-wide
+    constants (N, Σdl, per-term df) are tiny aggregates.
+
+    Cross-engine float parity (the gate's hash): every input to the
+    score is an exact integer (tf, df, dl, N, Σdl); each per-term
+    score is ONE fixed arithmetic expression over those integers, and
+    the final score sums the per-term scores in the FIXED order of
+    ``terms`` (a float sum over a data-dependent row order would not
+    hash) — then one round(…, 6). The idf factor is computed
+    DRIVER-SIDE with Python's libm ``log`` and embedded as a literal:
+    JVM ``ln`` differs from libm by 1 ulp on some inputs, which the
+    idf×saturation product amplifies into 6th-decimal flips (measured
+    on ~10 of 500 sf0.001 docs), while Python and DuckDB share the
+    same libm on the same host."""
+    if not terms:
+        raise ValueError("bm25_scores: need at least one term")
+    if len(set(terms)) != len(terms):
+        raise ValueError("bm25_scores: terms must be distinct")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_norm_tokens(text_col)).alias("token"),
+    )
+    # corpus constants: doc count, total token count (Σdl)
+    n_docs, sum_dl = docs.select(
+        F.count("*"), F.sum(F.size(_norm_tokens(text_col)))
+    ).first()
+    # per-term document frequency (tiny: |terms| rows)
+    df_rows = {
+        r["token"]: r["df"]
+        for r in toks.filter(F.col("token").isin(terms))
+        .groupBy("token")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .collect()
+    }
+    # candidate term frequencies + doc lengths
+    tf = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dl"),
+            *[
+                F.sum(
+                    F.when(F.col("token") == t, F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ).alias(f"_tf_{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        .filter(
+            sum(
+                (F.col(f"_tf_{i}") for i in range(1, len(terms))),
+                F.col("_tf_0"),
+            )
+            > 0
+        )
+    )
+    # ONE fixed expression per term, summed in fixed term order.
+    # Every float constant goes through CAST(… AS DOUBLE): a bare
+    # decimal literal parses as DECIMAL in BOTH engines, and their
+    # decimal-propagation rules differ — mixed decimal/double
+    # evaluation produced ~1e-8 divergences (measured).
+    import math
+
+    def d(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    parts = []
+    for i, t in enumerate(terms):
+        dfi = int(df_rows.get(t, 0))
+        if dfi == 0:
+            continue  # absent term contributes exactly 0
+        idf = math.log(
+            (float(n_docs) - dfi + 0.5) / (dfi + 0.5)
+        )
+        parts.append(
+            f"({d(idf)}"
+            f" * (_tf_{i} * {d(k1 + 1.0)})"
+            f" / (_tf_{i} + {d(k1)} * ({d(1.0 - b)} + {d(b)} * dl *"
+            f" {d(float(n_docs))} / {d(float(sum_dl))})))"
+        )
+    if not parts:
+        return tf.select("doc_id").withColumn(
+            "score", F.lit(0.0)
+        ).limit(0)
+    score = F.round(F.expr(" + ".join(parts)), 6)
+    return tf.select("doc_id", score.alias("score"))
+
+
+def bm25_sql_expr(
+    terms: list[str], *, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """The oracle-side BM25 score as DuckDB SQL text over columns
+    ``_tf_{i}``/``dl`` and scalars ``n_docs``/``sum_dl``/``df_{i}``
+    (provided by the oracle's own CTEs) — generated from the SAME
+    arithmetic template as :func:`bm25_scores` so both engines
+    evaluate the identical expression tree. CAST pins every operand
+    to DOUBLE exactly where the Spark side holds a double literal."""
+    def d(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    parts = []
+    for i in range(len(terms)):
+        parts.append(
+            f"(ln((CAST(n_docs AS DOUBLE) - df_{i} + {d(0.5)})"
+            f" / (df_{i} + {d(0.5)}))"
+            f" * (_tf_{i} * {d(k1 + 1.0)})"
+            f" / (_tf_{i} + {d(k1)} * ({d(1.0 - b)} + {d(b)} * dl *"
+            f" CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))))"
+        )
+    return " + ".join(parts)

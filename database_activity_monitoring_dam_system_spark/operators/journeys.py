@@ -178,3 +178,55 @@ def cohort_retention(
             "retention"
         ),
     )
+
+
+def transition_counts(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    each (from_type, to_type) pair of CONSECUTIVE events within a
+    user's timeline, the transition count and probability — what
+    "users who view usually click next" dashboards and journey
+    anomaly baselines consume.
+
+    Ordering is (ts, id) so equal-timestamp events sequence
+    deterministically (the same discipline as the funnel's
+    strictness — a data-dependent tie order would make the matrix
+    nondeterministic). The terminal event of each user contributes no
+    transition.
+
+    Plan: ONE shuffle on the user key for the lead() window, then a
+    rollup on the bounded (from, to) key space — types², independent
+    of event volume; the probability is each count over its from-row
+    total via one window over that tiny frame and ONE division
+    (round(…, 6), cross-engine-stable)."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), F.col(id_col)
+    )
+    pairs = (
+        events.select(user_col, ts_col, id_col, type_col)
+        .withColumn("_next", F.lead(type_col).over(w))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_type"),
+            F.col("_next").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.sum("n_transitions").over(w_from).alias("from_total"),
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(w_from),
+            6,
+        ).alias("probability"),
+    )

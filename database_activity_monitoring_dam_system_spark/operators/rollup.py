@@ -389,11 +389,20 @@ def gapfill_buckets(
     Shape: one tiny per-group span aggregate → sequence() explode of
     the bucket grid (bounded by span/grain, never by event count) →
     one left join back to the partials on (bucket, groups). All three
-    steps are partials-sized; raw events are never touched — gap
-    filling composes AFTER the rollup reduction, where the data is
-    small."""
+    steps are partials-sized — gap filling composes AFTER the rollup
+    reduction, where the data is small.
+
+    The partials frame is consumed by TWO branches (the span
+    aggregate and the join), and Spark re-executes a shared subtree
+    per consumer — for inline-computed partials that would re-scan
+    the raw events twice (measured: two parquet scans in the plan).
+    The frame is therefore materialized once via an eager
+    localCheckpoint: partials are bounded by buckets × groups by
+    contract, so the materialization is small, and the plan test
+    asserts the raw scan count stays at zero afterwards."""
     _check_grain(grain)
     groups = list(group_cols or [])
+    partials = partials.localCheckpoint(eager=True)
     metrics = [c for c in partials.columns if c not in ("bucket_ts", *groups)]
     spans = partials.groupBy(*groups).agg(
         F.min("bucket_ts").alias("_b0"), F.max("bucket_ts").alias("_b1")

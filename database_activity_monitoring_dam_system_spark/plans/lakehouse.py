@@ -1,6 +1,7 @@
-"""Lakehouse-maintenance query family: mergeable quantile rollups,
-timeline densification, inverted-index build/search, CDC merge-upsert,
-and Z-order clustering keys.
+"""Lakehouse-maintenance and search query family: mergeable quantile
+rollups, timeline densification, inverted-index build / conjunctive
+search / BM25 ranking, CDC merge-upsert, Z-order clustering keys, and
+event-transition matrices.
 
 These extend the continuous-aggregate / table-maintenance surface
 (operators/rollup.py, streaming/rollup_stream.py, operators/cdc.py,
@@ -16,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import cdc, invindex, rollup, zorder
+from ..operators import cdc, invindex, journeys, rollup, zorder
 from ..sources.testdata import load_table
 from .spec import QuerySpec
 
@@ -272,6 +273,86 @@ WHERE NOT (chg_wins AND op = 'D')
 """
 
 
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions between consecutive events per
+    user: one user-key window shuffle, bounded types² rollup, one
+    rounded division — the journey-analytics matrix."""
+    events = load_table(spark, sf_dir, "events")
+    return journeys.transition_counts(events)
+
+
+_TRANSITIONS_SQL = """
+WITH p AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
+  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(sum(n_transitions) OVER (PARTITION BY from_type)
+            AS BIGINT) AS from_total,
+       round(n_transitions /
+             CAST(sum(n_transitions) OVER (PARTITION BY from_type)
+                  AS BIGINT), 6) AS probability
+FROM c
+"""
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance ranking over the query terms (disjunctive
+    candidates). Every score input is an exact integer and the
+    per-term expressions sum in fixed term order, so the hash pins
+    the full ranking math — idf, length norm, saturation — across
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return invindex.bm25_scores(docs, list(_SEARCH_TERMS))
+
+
+def _bm25_oracle() -> str:
+    terms = _SEARCH_TERMS
+    df_cols = ",\n         ".join(
+        f"count(DISTINCT CASE WHEN token = '{t}' THEN doc_id END)"
+        f"::BIGINT AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    tf_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN token = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS _tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    any_term = " + ".join(f"_tf_{i}" for i in range(len(terms)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.token
+  FROM documents,
+       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(token)
+  WHERE t.token != ''
+),
+consts AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         count(*)::BIGINT AS sum_dl
+  FROM toks
+),
+dfs AS (
+  SELECT {df_cols}
+  FROM toks
+),
+tf AS (
+  SELECT doc_id, count(*)::BIGINT AS dl,
+         {tf_cols}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+       round({invindex.bm25_sql_expr(list(terms))}, 6) AS score
+FROM tf, consts, dfs
+WHERE {any_term} > 0
+"""
+
+
 # fixed grid for the z-order gate: x = event_id mod 1024 (exact 10-bit
 # range), y = value millis over the [0, 500) working range
 _Z = dict(x_lo=0, x_hi=1023, y_lo=0, y_hi=499_999, bits=10)
@@ -335,6 +416,18 @@ QUERIES: dict[str, QuerySpec] = {
         "CDC merge-upsert: latest-change arbitration with a stale-"
         "replay seq guard, deletes, and new-key inserts — snapshot "
         "never shuffles, all wide work is changelog-sized",
+    ),
+    "event_transitions": QuerySpec(
+        _q_event_transitions, _TRANSITIONS_SQL,
+        "first-order Markov transition matrix of consecutive events "
+        "per user: deterministic (ts, id) sequencing, types²-bounded "
+        "rollup, one rounded division",
+    ),
+    "bm25_search": QuerySpec(
+        _q_bm25_search, _bm25_oracle(),
+        "BM25-ranked search over the query terms: integer tf/df/dl "
+        "inputs, fixed-order per-term expression sum — relevance "
+        "ranking with cross-engine float parity",
     ),
     "zorder_keys": QuerySpec(
         _q_zorder_keys, _ZORDER_SQL,

@@ -2783,3 +2783,117 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(zpath).collect()))
     b = sorted(map(tuple, e.collect()))
     assert a == b
+
+
+def test_bm25_matches_python_reference(spark):
+    """bm25_scores ≡ a pure-Python BM25 over the same tokenization
+    (6-dp), candidates are exactly the docs containing ≥1 query
+    term, an absent term contributes 0, and degenerate inputs
+    refuse."""
+    import math
+    import re
+
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        invindex,
+    )
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    terms = ["dup", "merge", "spark"]
+    got = {
+        r.doc_id: r.score
+        for r in invindex.bm25_scores(docs, terms).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    toks = {
+        r.doc_id: [
+            t
+            for t in re.split(r"[^a-z0-9]+", (r.text or "").lower())
+            if t
+        ]
+        for r in rows
+    }
+    n = len(rows)
+    sum_dl = sum(len(v) for v in toks.values())
+    dfs = {
+        t: sum(1 for v in toks.values() if t in v) for t in terms
+    }
+    k1, b = 1.2, 0.75
+    want = {}
+    for doc_id, v in toks.items():
+        dl = len(v)
+        s = 0.0
+        for t in terms:
+            tf = sum(1 for x in v if x == t)
+            if dfs[t] == 0:
+                continue
+            s += (
+                math.log((float(n) - dfs[t] + 0.5) / (dfs[t] + 0.5))
+                * (tf * (k1 + 1.0))
+                / (tf + k1 * ((1.0 - b) + b * dl * float(n) / float(sum_dl)))
+            )
+        if any(t in v for t in terms):
+            want[doc_id] = round(s, 6)
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9, (d, got[d], want[d])
+    # a term absent from the corpus contributes exactly 0
+    with_ghost = {
+        r.doc_id: r.score
+        for r in invindex.bm25_scores(
+            docs, terms + ["zzzznotaterm"]
+        ).collect()
+    }
+    assert with_ghost == got
+    with _pytest.raises(ValueError, match="at least one term"):
+        invindex.bm25_scores(docs, [])
+    with _pytest.raises(ValueError, match="distinct"):
+        invindex.bm25_scores(docs, ["dup", "dup"])
+
+
+def test_transition_counts_semantics(spark):
+    """Crafted sequences: consecutive-pair counts, deterministic
+    equal-timestamp ordering by event id, terminal events excluded,
+    per-from probabilities summing to 1."""
+    import datetime as dt
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        journeys,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def row(eid, uid, secs, etype):
+        return (eid, uid, t0 + dt.timedelta(seconds=secs), etype)
+
+    events = spark.createDataFrame(
+        [
+            # user 1: view -> click -> purchase
+            row(1, 1, 0, "view"),
+            row(2, 1, 10, "click"),
+            row(3, 1, 20, "purchase"),
+            # user 2: equal timestamps — id order decides:
+            # view(4) -> view(5) -> click(6)
+            row(5, 2, 0, "view"),
+            row(4, 2, 0, "view"),
+            row(6, 2, 0, "click"),
+            # user 3: single event — no transitions
+            row(7, 3, 0, "view"),
+        ],
+        "event_id LONG, user_id LONG, ts TIMESTAMP, event_type STRING",
+    )
+    got = {
+        (r.from_type, r.to_type): (
+            r.n_transitions, r.from_total, r.probability,
+        )
+        for r in journeys.transition_counts(events).collect()
+    }
+    assert got == {
+        ("view", "click"): (2, 3, round(2 / 3, 6)),
+        ("view", "view"): (1, 3, round(1 / 3, 6)),
+        ("click", "purchase"): (1, 1, 1.0),
+    }

@@ -416,3 +416,65 @@ def test_bloom_probe_no_join(spark):
     is exactly what the bitmap replaces)."""
     plan = _plan(spark, "bloom_contamination")
     assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan
+
+
+def test_zorder_key_pure_projection(spark):
+    """The Morton key is bit algebra in the scan projection — any
+    Exchange is a regression."""
+    plan = _plan(spark, "zorder_keys")
+    assert "Exchange" not in plan
+
+
+def test_event_transitions_two_bounded_exchanges(spark):
+    """transition_counts' docstring made structural: one user-key
+    window shuffle over the events, then everything else (pair agg +
+    from-type window) runs on the bounded types² frame — two hash
+    exchange keys total, no joins."""
+    plan = _plan(spark, "event_transitions")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "Join" not in plan
+
+
+def test_cdc_apply_snapshot_never_sort_merges(spark):
+    """The merge's contract: survivors and the contested-key split
+    ride broadcast joins (the snapshot side never shuffles on the
+    merge key); the ONLY sort-merge allowed is the full-outer
+    arbitration of the two change-key-sized frames — full outer
+    cannot broadcast, and both its inputs are changelog-bounded."""
+    plan = _plan(spark, "cdc_apply")
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert "FullOuter" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_gapfill_composes_after_reduction(spark):
+    """Gap filling consumes the partials twice (span agg + join);
+    the operator materializes them once, so the executed plan never
+    re-reads raw events — zero parquet scans after the reduction."""
+    plan = _plan(spark, "gapfill_timeline")
+    assert plan.count("Scan parquet") == 0, plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
+
+
+def test_quantile_rollup_single_scan_no_join(spark):
+    """The histogram-partials chain re-aggregates partials; raw
+    events are scanned once and nothing joins."""
+    plan = _plan(spark, "rollup_value_quantiles")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan
+
+
+def test_inverted_postings_single_token_exchange(spark):
+    """Index build is one shuffle on the token key."""
+    plan = _plan(spark, "inverted_postings")
+    assert plan.count("Exchange hashpartitioning(token") == 1, plan
+    assert "Join" not in plan
+
+
+def test_bm25_no_joins_single_doc_exchange(spark):
+    """BM25's corpus constants are driver-collected literals and the
+    per-doc tf/dl reduction is ONE exchange on doc_id — no join
+    anywhere in the scoring plan."""
+    plan = _plan(spark, "bm25_search")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
