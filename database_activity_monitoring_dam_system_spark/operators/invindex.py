@@ -23,7 +23,7 @@ word stream every text-family oracle reproduces bit-identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .textops import _norm_tokens
@@ -225,3 +225,49 @@ def bm25_sql_expr(
             f" CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))))"
         )
     return " + ".join(parts)
+
+
+def save_postings(
+    postings: DataFrame,
+    path: str,
+    *,
+    n_docs: int,
+    buckets: int = 0,
+) -> None:
+    """Persist a posting table — the index artifact of the search
+    path, built once per corpus snapshot and served until the next
+    rebuild. Every row carries the corpus's document count as the
+    staleness fingerprint :func:`load_postings` checks (the
+    save_ivf_index discipline: a stale index silently answers for
+    the OLD corpus otherwise).
+
+    ``buckets`` > 0 writes the table bucketed-by-convention: one
+    repartition on the token key + sortWithinPartitions, so a term
+    lookup at serving time touches one file's worth of rows instead
+    of scanning every posting (plain-parquet approximation of a
+    token-keyed index layout; exact file pruning needs the query
+    engine's min/max stats, which the in-file token sort gives)."""
+    out = postings.withColumn("_n_docs", F.lit(int(n_docs)))
+    if buckets > 0:
+        out = out.repartition(buckets, "token").sortWithinPartitions(
+            "token"
+        )
+    out.write.mode("overwrite").parquet(path)
+
+
+def load_postings(
+    spark: SparkSession, path: str, *, expect_docs: int | None = None
+) -> DataFrame:
+    """Load a persisted posting table for serving. With
+    ``expect_docs``, refuse an artifact stamped with a different
+    corpus document count — the regenerated-corpus staleness trap."""
+    df = spark.read.parquet(path)
+    if expect_docs is not None and "_n_docs" in df.columns:
+        stamped = df.select("_n_docs").first()
+        if stamped is not None and stamped["_n_docs"] != expect_docs:
+            raise ValueError(
+                f"load_postings: index at {path!r} was built over "
+                f"{stamped['_n_docs']} docs, corpus now has "
+                f"{expect_docs} — rebuild the index"
+            )
+    return df.drop("_n_docs")

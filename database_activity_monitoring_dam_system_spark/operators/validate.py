@@ -78,3 +78,43 @@ def domain_violations(df: DataFrame, table: str) -> DataFrame:
         "violations", F.filter(reasons, lambda x: x.isNotNull())
     )
     return out.filter(F.size("violations") > 0)
+
+
+def table_checksum(
+    df: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """Order-independent content fingerprint of a table — the
+    replication / migration verification primitive: two copies are
+    value-identical (as multisets) iff their digests match, WITHOUT
+    sorting or shipping either side (compare one 3-number row, not
+    2xN rows).
+
+    Per row: md5 over the '|'-joined, NULL-sentineled string forms of
+    ``cols`` (sorted column order, so projections with reordered
+    columns agree); the leading 12 hex chars parse to a 48-bit
+    integer. The table digest is (row count, SUM of those integers,
+    their MAX) — sum and max are commutative and associative, so the
+    digest is partition- and row-order-independent and merges
+    shard-by-shard. 48-bit values keep the bigint sum exact up to
+    2^15 billion rows, and every input is an exact integer — the
+    digest hashes identically cross-engine.
+
+    A multiset DIFFERENCE can cancel in the sum alone (sum+max is a
+    probabilistic equality check, like any checksum); adversarial
+    settings should compare per-bucket sub-digests instead (group
+    the same 48-bit integers by a hash prefix and compare the
+    bounded digest table)."""
+    use = sorted(cols or df.columns)
+    joined = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(" NULL"))
+            for c in use
+        ],
+    )
+    h48 = F.conv(F.substring(F.md5(joined), 1, 12), 16, 10).cast("long")
+    return df.select(h48.alias("_h")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("_h").alias("sum_h48"),
+        F.max("_h").alias("max_h48"),
+    )

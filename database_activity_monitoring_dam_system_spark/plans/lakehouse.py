@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import cdc, invindex, journeys, rollup, zorder
+from ..operators import cdc, invindex, journeys, rollup, validate, zorder
 from ..sources.testdata import load_table
 from .spec import QuerySpec
 
@@ -273,6 +273,44 @@ WHERE NOT (chg_wins AND op = 'D')
 """
 
 
+def _q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table digest over the events rows (exact
+    integer projection — doubles and timestamps stringify
+    engine-specifically, so the value column enters as exact millis).
+    The oracle computes the digest from scratch: matching hashes
+    prove the whole (row hash, 48-bit parse, commutative reduce)
+    chain."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("millis"),
+    )
+    return validate.table_checksum(e)
+
+
+_CHECKSUM_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS millis
+  FROM events
+),
+h AS (
+  SELECT ('0x' || substr(md5(concat_ws('|',
+           coalesce(event_id::VARCHAR, ' NULL'),
+           coalesce(event_type, ' NULL'),
+           coalesce(millis::VARCHAR, ' NULL'),
+           coalesce(user_id::VARCHAR, ' NULL'))), 1, 12))::BIGINT AS hh
+  FROM e
+)
+SELECT count(*)::BIGINT AS n_rows,
+       CAST(sum(hh) AS BIGINT) AS sum_h48,
+       max(hh) AS max_h48
+FROM h
+"""
+
+
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transitions between consecutive events per
     user: one user-key window shuffle, bounded types² rollup, one
@@ -416,6 +454,12 @@ QUERIES: dict[str, QuerySpec] = {
         "CDC merge-upsert: latest-change arbitration with a stale-"
         "replay seq guard, deletes, and new-key inserts — snapshot "
         "never shuffles, all wide work is changelog-sized",
+    ),
+    "table_checksum": QuerySpec(
+        _q_table_checksum, _CHECKSUM_SQL,
+        "order-independent table digest (count + sum/max of 48-bit "
+        "row hashes): replication verification without sorting or "
+        "shipping rows — merges shard-by-shard",
     ),
     "event_transitions": QuerySpec(
         _q_event_transitions, _TRANSITIONS_SQL,

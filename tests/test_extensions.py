@@ -2897,3 +2897,85 @@ def test_transition_counts_semantics(spark):
         ("view", "view"): (1, 3, round(1 / 3, 6)),
         ("click", "purchase"): (1, 1, 1.0),
     }
+
+
+def test_postings_persistence_and_staleness(spark, tmp_path):
+    """The search index artifact: save/load round-trips the posting
+    table (search from the loaded index ≡ fresh-built), the token
+    sort lands inside files (bucketed write), and a corpus-count
+    mismatch refuses to serve — the regenerated-corpus staleness
+    trap."""
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        invindex,
+    )
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_docs = docs.count()
+    postings = invindex.build_postings(docs)
+    path = str(tmp_path / "postings")
+    invindex.save_postings(postings, path, n_docs=n_docs, buckets=4)
+    loaded = invindex.load_postings(spark, path, expect_docs=n_docs)
+    assert sorted(
+        (r.token, tuple(r.postings), r.df) for r in loaded.collect()
+    ) == sorted(
+        (r.token, tuple(r.postings), r.df) for r in postings.collect()
+    )
+    terms = ["dup", "merge", "spark"]
+    fresh = sorted(
+        r.doc_id
+        for r in invindex.search_all_terms(postings, terms).collect()
+    )
+    served = sorted(
+        r.doc_id
+        for r in invindex.search_all_terms(loaded, terms).collect()
+    )
+    assert fresh == served and fresh
+    with _pytest.raises(ValueError, match="rebuild the index"):
+        invindex.load_postings(spark, path, expect_docs=n_docs + 1)
+
+
+def test_table_checksum_properties(spark):
+    """Digest is row-order/partitioning-invariant and column-order-
+    insensitive; any single changed value changes it; shard digests
+    merge to the whole-table digest."""
+    import pyspark.sql.functions as F
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        validate,
+    )
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+
+    e = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("millis"),
+    )
+    base = validate.table_checksum(e).first()
+    shuffled = validate.table_checksum(
+        e.repartition(17).select(
+            "millis", "event_type", "user_id", "event_id"
+        )
+    ).first()
+    assert tuple(base) == tuple(shuffled)
+    # single-value sensitivity
+    tweaked = e.withColumn(
+        "millis",
+        F.when(F.col("event_id") == 7, F.col("millis") + 1).otherwise(
+            F.col("millis")
+        ),
+    )
+    assert tuple(validate.table_checksum(tweaked).first()) != tuple(base)
+    # shard-by-shard merge: (count, sum, max) of two halves combine
+    lo = validate.table_checksum(e.filter("event_id % 2 = 0")).first()
+    hi = validate.table_checksum(e.filter("event_id % 2 = 1")).first()
+    assert (
+        lo.n_rows + hi.n_rows,
+        lo.sum_h48 + hi.sum_h48,
+        max(lo.max_h48, hi.max_h48),
+    ) == tuple(base)
