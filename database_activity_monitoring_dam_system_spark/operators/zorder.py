@@ -104,6 +104,126 @@ def zorder_key(
     )
 
 
+def _quantile_grid_map(
+    df: DataFrame, col: str, lo: int, hi: int, bits: int, fine_bins: int
+) -> tuple[DataFrame, str]:
+    """Per-dimension mass-uniform grid map: histogram the integer
+    column into ``fine_bins`` fixed cells, cumulate the counts
+    DRIVER-SIDE (the histogram is ≤ fine_bins rows), and assign each
+    cell the grid coordinate rows-strictly-before·2^bits DIV n. Rows
+    in the same fine cell share a coordinate — the resolution
+    trade every sampled-boundary scheme makes — but unlike sampled
+    boundaries the assignment is DETERMINISTIC (pure arithmetic over
+    exact counts), so the key is reproducible and oracle-able.
+    Returns (bin→coord map frame, the bin expression SQL)."""
+    m = 1 << bits
+    span = hi - lo + 1
+    bin_sql = (
+        f"least({fine_bins - 1}L, greatest(0L, "
+        f"(CAST({col} AS LONG) - {lo}L) * {fine_bins}L div {span}L))"
+    )
+    hist = (
+        df.select(F.expr(bin_sql).alias("_bin"))
+        .groupBy("_bin")
+        .count()
+        .orderBy("_bin")
+        .collect()
+    )
+    n = sum(r["count"] for r in hist)
+    rows, before = [], 0
+    for r in hist:
+        rows.append((int(r["_bin"]), before * m // n))
+        before += r["count"]
+    spark = df.sparkSession
+    gmap = spark.createDataFrame(rows, "_bin long, _g long")
+    return gmap, bin_sql
+
+
+def zorder_rank_key(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    bits: int = 16,
+    out_col: str = "zkey",
+    x_lo: int | None = None,
+    x_hi: int | None = None,
+    y_lo: int | None = None,
+    y_hi: int | None = None,
+    fine_bins: int = 4096,
+) -> DataFrame:
+    """The skew-proof Morton key: each dimension's grid coordinate is
+    its (approximate) RANK scaled onto the 2^bits grid, so any
+    distribution — the exponential value column included — fills the
+    grid uniformly and the curve keeps locality. This is the
+    executable form of the quantile-transform caveat in the module
+    docstring, and the per-column range-id idea behind Delta's
+    OPTIMIZE ZORDER.
+
+    Ranks come from a fixed fine-grained histogram (``fine_bins``
+    cells over [lo, hi], defaulting to the column's observed min/max)
+    cumulated into rows-before counts: one bounded map-side-combined
+    aggregate per dimension plus one broadcast map join — NO global
+    sort. (A row_number() formulation is exact to the row but plans
+    as an Exchange SinglePartition: every row through one reducer,
+    a measured 100 TB non-starter. The histogram transform keeps the
+    mass-uniformity property — cells are ≤ 1/fine_bins of the data
+    apart in rank — at scale-safe cost, and deterministically, which
+    sampled range boundaries are not.)"""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    bounds = {}
+    need = [
+        ("x", x_col, x_lo, x_hi),
+        ("y", y_col, y_lo, y_hi),
+    ]
+    agg = []
+    for tag, col, lo, hi in need:
+        if lo is None or hi is None:
+            agg += [F.min(col).alias(f"{tag}_lo"), F.max(col).alias(f"{tag}_hi")]
+    observed = df.agg(*agg).first() if agg else None
+    for tag, col, lo, hi in need:
+        bounds[tag] = (
+            int(observed[f"{tag}_lo"]) if lo is None else lo,
+            int(observed[f"{tag}_hi"]) if hi is None else hi,
+        )
+    xmap, xbin = _quantile_grid_map(
+        df, x_col, bounds["x"][0], bounds["x"][1], bits, fine_bins
+    )
+    ymap, ybin = _quantile_grid_map(
+        df, y_col, bounds["y"][0], bounds["y"][1], bits, fine_bins
+    )
+    g = (
+        df.withColumn("_xbin", F.expr(xbin))
+        .withColumn("_ybin", F.expr(ybin))
+        .join(
+            F.broadcast(
+                xmap.select(
+                    F.col("_bin").alias("_xbin"), F.col("_g").alias("_xg")
+                )
+            ),
+            "_xbin",
+        )
+        .join(
+            F.broadcast(
+                ymap.select(
+                    F.col("_bin").alias("_ybin"), F.col("_g").alias("_yg")
+                )
+            ),
+            "_ybin",
+        )
+    )
+    terms = []
+    for i in range(bits):
+        terms.append(f"shiftleft(shiftright(_xg, {i}) & 1, {2 * i})")
+        terms.append(
+            f"shiftleft(shiftright(_yg, {i}) & 1, {2 * i + 1})"
+        )
+    return g.withColumn(out_col, F.expr(" + ".join(terms))).drop(
+        "_xbin", "_ybin", "_xg", "_yg"
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

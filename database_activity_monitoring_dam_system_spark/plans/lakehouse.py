@@ -425,6 +425,64 @@ FROM e
 """
 
 
+def _q_zorder_rank_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof Morton keys: histogram-rank grid coords over the
+    EXPONENTIALLY-distributed value column (the case the fixed grid
+    measurably loses) interleaved with event time — deterministic
+    integer arithmetic end to end, no global sort (the row_number
+    formulation plans as Exchange SinglePartition)."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("x"),
+        F.unix_timestamp("ts").alias("y"),
+    )
+    keyed = zorder.zorder_rank_key(e, "x", "y", bits=10)
+    return keyed.select(
+        "event_id", F.col("zkey").cast("long").alias("zkey")
+    )
+
+
+def _zorder_rank_oracle() -> str:
+    terms = []
+    for i in range(10):
+        terms.append(f"(((xg >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((yg >> {i}) & 1) << {2 * i + 1})")
+    z = " + ".join(terms)
+    return f"""
+WITH e AS (
+  SELECT event_id, CAST(floor(value * 1000) AS BIGINT) AS x,
+         CAST(floor(epoch(ts)) AS BIGINT) AS y
+  FROM events
+),
+n AS (SELECT count(*)::BIGINT AS n FROM e),
+bx AS (SELECT min(x) AS lo, max(x) AS hi FROM e),
+byy AS (SELECT min(y) AS lo, max(y) AS hi FROM e),
+eb AS (
+  SELECT e.event_id,
+         least(4095, greatest(0,
+           (e.x - bx.lo) * 4096 // (bx.hi - bx.lo + 1))) AS xbin,
+         least(4095, greatest(0,
+           (e.y - byy.lo) * 4096 // (byy.hi - byy.lo + 1))) AS ybin
+  FROM e, bx, byy
+),
+cx AS (
+  SELECT xbin,
+         CAST((sum(count(*)) OVER (ORDER BY xbin) - count(*))
+              * 1024 // (SELECT n FROM n) AS BIGINT) AS xg
+  FROM eb GROUP BY xbin
+),
+cy AS (
+  SELECT ybin,
+         CAST((sum(count(*)) OVER (ORDER BY ybin) - count(*))
+              * 1024 // (SELECT n FROM n) AS BIGINT) AS yg
+  FROM eb GROUP BY ybin
+)
+SELECT eb.event_id, CAST({z} AS BIGINT) AS zkey
+FROM eb JOIN cx USING (xbin) JOIN cy USING (ybin)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "rollup_value_quantiles": QuerySpec(
         _q_rollup_value_quantiles, _ROLLUP_QUANTILES_SQL,
@@ -478,5 +536,11 @@ QUERIES: dict[str, QuerySpec] = {
         "Morton (Z-order) clustering keys: bit-interleaved 2-D grid "
         "coords — the multi-dimension file-clustering sort key, pure "
         "integer projection",
+    ),
+    "zorder_rank_keys": QuerySpec(
+        _q_zorder_rank_keys, _zorder_rank_oracle(),
+        "skew-proof Morton keys: rank-scaled grid coordinates "
+        "(deterministic (value, id) ranking) interleaved — the "
+        "quantile-transform fix for skewed clustering dimensions",
     ),
 }

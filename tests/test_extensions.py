@@ -2979,3 +2979,82 @@ def test_table_checksum_properties(spark):
         lo.sum_h48 + hi.sum_h48,
         max(lo.max_h48, hi.max_h48),
     ) == tuple(base)
+
+
+def test_zorder_rank_transform_fixes_skewed_dimension(spark, tmp_path):
+    """The documented fixed-grid failure case (exponential value
+    column) under the RANK-scaled key: worst-case stripe pruning
+    beats the 1-D sort, which the uniform grid measurably lost."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        zorder,
+    )
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.01", "events")
+    e = events.select(
+        "event_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("x"),
+        F.unix_timestamp("ts").alias("y"),
+    )
+    n_files = 64
+    keyed = zorder.zorder_rank_key(e, "x", "y", bits=10)
+    zpath, npath = str(tmp_path / "zrank"), str(tmp_path / "xsorted")
+    (
+        keyed.repartitionByRange(n_files, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.mode("overwrite")
+        .parquet(zpath)
+    )
+    (
+        e.repartitionByRange(n_files, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(npath)
+    )
+
+    def footprints(path):
+        boxes = []
+        for f in sorted(glob.glob(path + "/*.parquet")):
+            st = (
+                spark.read.parquet(f)
+                .agg(
+                    F.min("x"), F.max("x"), F.min("y"), F.max("y"),
+                    F.count("*"),
+                )
+                .first()
+            )
+            if st[4]:
+                boxes.append((st[0], st[1], st[2], st[3]))
+        return boxes
+
+    zb, nb = footprints(zpath), footprints(npath)
+    # stripes in RAW space from data quantiles (10% of mass each)
+    qx = tuple(
+        int(v * 1000)
+        for v in events.approxQuantile("value", [0.4, 0.5], 0.0)
+    )
+    ys = sorted(r[0] for r in e.select("y").collect())
+    qy = (ys[int(0.4 * len(ys))], ys[int(0.5 * len(ys))])
+
+    def hits(boxes, qx=None, qy=None):
+        n = 0
+        for x0, x1, y0, y1 in boxes:
+            if qx and (x1 < qx[0] or x0 > qx[1]):
+                continue
+            if qy and (y1 < qy[0] or y0 > qy[1]):
+                continue
+            n += 1
+        return n
+
+    worst_z = max(hits(zb, qx=qx), hits(zb, qy=qy))
+    worst_n = max(hits(nb, qx=qx), hits(nb, qy=qy))
+    assert hits(nb, qy=qy) == len(nb)
+    assert worst_z <= worst_n // 2, (worst_z, worst_n, len(zb))
+    assert hits(zb, qx=qx, qy=qy) <= len(zb) // 4

@@ -478,3 +478,16 @@ def test_bm25_no_joins_single_doc_exchange(spark):
     plan = _plan(spark, "bm25_search")
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
+
+
+def test_zorder_rank_no_global_sort(spark):
+    """The histogram-rank Morton key must NEVER plan a global sort:
+    the row_number formulation funnels every row through one reducer
+    (Exchange SinglePartition — measured), which is exactly what the
+    histogram transform exists to avoid. The fact-side plan is the
+    scan plus two broadcast map joins."""
+    plan = _plan(spark, "zorder_rank_keys")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan
