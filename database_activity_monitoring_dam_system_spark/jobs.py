@@ -177,3 +177,25 @@ def run_compaction_job(
     return sinks.compact_partitions(
         spark, activity_path, target_bytes=target_bytes, cold_before=today
     )
+
+
+def run_retention_job(
+    spark: SparkSession,
+    activity_path: str,
+    *,
+    retain_days: int,
+    now: dt.datetime | None = None,
+) -> list[str]:
+    """Retention maintenance entry point: drop activity partitions
+    older than ``retain_days`` (the audit-retention policy as a
+    partition-level delete — no data is ever read). Scheduling is
+    external (cron/Airflow), same policy as the compaction job."""
+    from . import sinks
+
+    if retain_days < 1:
+        raise ValueError(f"retain_days must be >= 1, got {retain_days}")
+    cutoff = ((now or dt.datetime.now()).date()
+              - dt.timedelta(days=retain_days - 1))
+    return sinks.retire_cold_partitions(
+        spark, activity_path, older_than=cutoff
+    )

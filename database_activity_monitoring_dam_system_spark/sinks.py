@@ -152,6 +152,52 @@ def compact_partitions(
     return compacted
 
 
+def retire_cold_partitions(
+    spark: SparkSession,
+    path: str,
+    *,
+    older_than: dt.date,
+    dry_run: bool = False,
+) -> list[str]:
+    """Retention/TTL enforcement over the date-partitioned activity
+    table: DROP every ``event_date=<d>`` partition with d strictly
+    older than ``older_than`` — the compliance-driven twin of
+    :func:`compact_partitions` (the reference keeps MySQL rows
+    forever; a 100 TB deployment's audit-retention policy is a
+    partition-level delete, never a row-level scan).
+
+    Partition-level deletion is what makes TTL free at scale: no
+    data is read, each drop is one directory delete, and a crash
+    between drops just leaves the remainder for the next run
+    (re-running is idempotent). Readers racing a drop see parquet's
+    usual file-listing semantics — run it on the same maintenance
+    schedule as compaction. ``dry_run`` returns the candidate
+    partitions without touching them.
+
+    Returns the partition names dropped (or would-be dropped)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = hpath(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    dropped: list[str] = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(f"{PARTITION_COL}=")):
+            continue
+        date_str = name.split("=", 1)[1]
+        try:
+            if dt.date.fromisoformat(date_str) >= older_than:
+                continue
+        except ValueError:
+            continue  # __HIVE_DEFAULT_PARTITION__ etc: leave alone
+        dropped.append(name)
+        if not dry_run:
+            fs.delete(st.getPath(), True)
+    return sorted(dropped)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

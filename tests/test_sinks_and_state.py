@@ -309,3 +309,64 @@ def test_rate_state_retention_and_reseed(spark):
         assert [r.recent_epochs for r in prior.collect()] == [[104]]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_retention_drops_only_expired_partitions(spark, tmp_path):
+    """TTL enforcement: partitions strictly older than the cutoff
+    vanish (directory-level, no data read), newer ones are
+    byte-untouched, dry_run is a no-op, re-running is idempotent,
+    and the jobs-level policy derives the cutoff from retain_days."""
+    import datetime as dt
+    import os
+
+    from database_activity_monitoring_dam_system_spark import (
+        jobs, sinks,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "activity")
+    rows = []
+    for day in (1, 2, 3, 4):
+        rows += [
+            (i, dt.datetime(2026, 8, day, 12, 0, 0))
+            for i in range(day * 10, day * 10 + 3)
+        ]
+    df = spark.createDataFrame(
+        rows, "activity_id LONG, access_timestamp TIMESTAMP"
+    )
+    sinks.write_activity_partitioned(df, path)
+    survivors = sorted(
+        str(p)
+        for p in (tmp_path / "activity" / "event_date=2026-08-03").glob(
+            "*.parquet"
+        )
+    )
+    before = [(p, os.path.getmtime(p)) for p in survivors]
+    # dry run names the candidates, touches nothing
+    preview = sinks.retire_cold_partitions(
+        spark, path, older_than=dt.date(2026, 8, 3), dry_run=True
+    )
+    assert preview == [
+        "event_date=2026-08-01", "event_date=2026-08-02",
+    ]
+    assert (tmp_path / "activity" / "event_date=2026-08-01").exists()
+    dropped = jobs.run_retention_job(
+        spark, path, retain_days=2,
+        now=dt.datetime(2026, 8, 4, 1, 0, 0),
+    )
+    assert dropped == [
+        "event_date=2026-08-01", "event_date=2026-08-02",
+    ]
+    left = {
+        r.event_date.isoformat()
+        for r in spark.read.parquet(path)
+        .select("event_date").distinct().collect()
+    }
+    assert left == {"2026-08-03", "2026-08-04"}
+    after = [(p, os.path.getmtime(p)) for p in survivors]
+    assert before == after
+    # idempotent re-run
+    assert jobs.run_retention_job(
+        spark, path, retain_days=2,
+        now=dt.datetime(2026, 8, 4, 1, 0, 0),
+    ) == []
