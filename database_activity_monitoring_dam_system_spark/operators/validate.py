@@ -95,9 +95,12 @@ def table_checksum(
     integer. The table digest is (row count, SUM of those integers,
     their MAX) — sum and max are commutative and associative, so the
     digest is partition- and row-order-independent and merges
-    shard-by-shard. 48-bit values keep the bigint sum exact up to
-    2^15 billion rows, and every input is an exact integer — the
-    digest hashes identically cross-engine.
+    shard-by-shard. The sum accumulates in DECIMAL(38,0): a bigint
+    sum of 48-bit values wraps past 2^15 rows-worth of headroom
+    (caught by measurement at sf0.1 — ANSI mode raised
+    ARITHMETIC_OVERFLOW at 100 k rows), while the decimal
+    accumulator stays exact beyond 10^23 rows; every input is an
+    exact integer, so the digest hashes identically cross-engine.
 
     A multiset DIFFERENCE can cancel in the sum alone (sum+max is a
     probabilistic equality check, like any checksum); adversarial
@@ -115,6 +118,6 @@ def table_checksum(
     h48 = F.conv(F.substring(F.md5(joined), 1, 12), 16, 10).cast("long")
     return df.select(h48.alias("_h")).agg(
         F.count("*").alias("n_rows"),
-        F.sum("_h").alias("sum_h48"),
+        F.sum(F.col("_h").cast("decimal(38,0)")).alias("sum_h48"),
         F.max("_h").alias("max_h48"),
     )

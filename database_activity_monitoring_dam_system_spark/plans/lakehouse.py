@@ -305,7 +305,7 @@ h AS (
   FROM e
 )
 SELECT count(*)::BIGINT AS n_rows,
-       CAST(sum(hh) AS BIGINT) AS sum_h48,
+       CAST(sum(hh) AS DECIMAL(38,0)) AS sum_h48,
        max(hh) AS max_h48
 FROM h
 """
