@@ -271,3 +271,49 @@ def load_postings(
                 f"{expect_docs} — rebuild the index"
             )
     return df.drop("_n_docs")
+
+
+def search_snippets(
+    docs: DataFrame,
+    postings: DataFrame,
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 40,
+) -> DataFrame:
+    """Keyword-in-context snippets for conjunctive search hits: for
+    each matching doc and each query term, the character position of
+    the term's FIRST occurrence (1-based, in the lowercased text) and
+    the surrounding ``width``-char window — what a results page
+    renders under each hit.
+
+    Candidates come from the index (search_all_terms), so the
+    per-term locate/substring projection runs over hit rows only —
+    at 100 TB the snippet pass touches len(hits)·len(terms) rows, not
+    the corpus. Position math is deterministic integer arithmetic
+    (locate + greatest + substring), directly oracle-able via
+    DuckDB's strpos/substr with the same 1-based convention."""
+    hits = search_docs(docs, postings, terms, id_col=id_col)
+    lowered = F.lower(F.col(text_col))
+    rows = []
+    for t in sorted(set(terms)):
+        pos = F.locate(t, lowered)
+        start = F.greatest(pos - F.lit(width // 2), F.lit(1))
+        rows.append(
+            hits.select(
+                F.col(id_col).alias("doc_id"),
+                F.lit(t).alias("term"),
+                pos.alias("pos"),
+                F.substring(lowered, start, F.lit(width)).alias(
+                    "snippet"
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    # locate() = 0 would mean a hit doc without the term — impossible
+    # for conjunctive hits under the same tokenization, except where
+    # the term occurs only as a sub-token; keep the row (pos pins it)
+    return out

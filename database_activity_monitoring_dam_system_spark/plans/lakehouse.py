@@ -193,6 +193,47 @@ GROUP BY doc_id HAVING count(*) = {len(_SEARCH_TERMS)}
 """
 
 
+def _q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippets for the conjunctive hits: first-
+    occurrence position + 40-char window per (hit, term) — the
+    results-page rendering pass, index-bounded (hits × terms rows,
+    never the corpus). Integer position math, substring windows —
+    byte-exact oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings = invindex.build_postings(docs)
+    snips = invindex.search_snippets(
+        docs, postings, list(_SEARCH_TERMS), width=40
+    )
+    return snips.select(
+        "doc_id", "term", F.col("pos").cast("int").alias("pos"),
+        "snippet",
+    )
+
+
+_SNIPPETS_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.token
+  FROM documents,
+       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(token)
+  WHERE t.token != ''
+),
+hits AS (
+  SELECT doc_id FROM toks
+  WHERE token IN {_SEARCH_TERMS!r}
+  GROUP BY doc_id HAVING count(*) = {len(_SEARCH_TERMS)}
+),
+d AS (
+  SELECT documents.doc_id, lower(text) AS lt
+  FROM documents JOIN hits ON documents.doc_id = hits.doc_id
+)
+SELECT doc_id, t.term,
+       strpos(lt, t.term)::INTEGER AS pos,
+       substr(lt, greatest(strpos(lt, t.term) - 20, 1), 40) AS snippet
+FROM d, (VALUES {", ".join(f"('{t}')" for t in sorted(_SEARCH_TERMS))})
+       AS t(term)
+"""
+
+
 def _q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-upsert parity: a per-user snapshot (latest EVEN event)
     has a changelog of every ODD event applied (ids ending in 5 are
@@ -506,6 +547,12 @@ QUERIES: dict[str, QuerySpec] = {
         "conjunctive term search answered from the posting table "
         "alone (token lookup + count intersection) ≡ brute-force "
         "per-doc containment — the LIKE-scan upgrade",
+    ),
+    "search_snippets": QuerySpec(
+        _q_search_snippets, _SNIPPETS_SQL,
+        "keyword-in-context snippets for index hits: first-occurrence "
+        "position + fixed window per (hit, term) — results-page pass "
+        "bounded by hits x terms, never the corpus",
     ),
     "cdc_apply": QuerySpec(
         _q_cdc_apply, _CDC_SQL,
