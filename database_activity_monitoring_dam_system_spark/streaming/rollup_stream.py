@@ -106,10 +106,96 @@ def read_rollup(
     )
 
 
+def start_distinct_rollup_stream(
+    events: DataFrame,
+    *,
+    out_path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    distinct_col: str = "user_id",
+    grain: str = "minute",
+    group_cols: list[str] | None = None,
+    bucket_bits: int = 8,
+    available_now: bool = False,
+):
+    """The distinct-count twin of :func:`start_rollup_stream`: each
+    micro-batch reduces ITS OWN events to ``grain`` HLL register
+    partials (rollup.distinct_partials) under a ``_batch_id=N``
+    partition. Registers merge by max — associative like the time
+    partials — so fragments never need read-modify-write and
+    :func:`read_distinct_rollup` answers exactly as a batch pass
+    would. This closes the streaming side of the continuous-aggregate
+    story for the one classic aggregate raw counts can't decompose.
+    """
+    groups = list(group_cols or [])
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        partials = rollup.distinct_partials(
+            batch,
+            ts_col=ts_col,
+            distinct_col=distinct_col,
+            grain=grain,
+            group_cols=groups,
+            bucket_bits=bucket_bits,
+        )
+        (
+            partials.withColumn("_grain", F.lit(grain))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
+
+    writer = events.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_distinct_rollup(
+    spark: SparkSession,
+    path: str,
+    *,
+    to_grain: str,
+    group_cols: list[str] | None = None,
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """Query-side view of a streamed register-partials table: merge
+    per-batch fragments (and finer buckets) into ``to_grain``
+    distinct-count estimates — register-wise max is the one merge
+    law for fragments and grains alike, so stream ≡ batch exactly.
+    Same finer-grain guard as :func:`read_rollup`; the frame's own
+    ``_bucket_bits`` stamp guards the geometry in-plan."""
+    df = spark.read.parquet(path)
+    if "_grain" in df.columns:
+        written = df.select("_grain").first()["_grain"]
+        order = rollup._GRAIN_ORDER
+        if order.index(to_grain) < order.index(written):
+            raise ValueError(
+                f"read_distinct_rollup: table was written at "
+                f"{written!r} grain; cannot derive finer "
+                f"{to_grain!r} partials from it"
+            )
+        df = df.drop("_grain")
+    return rollup.rollup_distinct(
+        df.drop("_batch_id"),
+        to_grain=to_grain,
+        group_cols=group_cols,
+        bucket_bits=bucket_bits,
+    )
+
+
 # the columns start_rollup_stream itself writes; everything else in a
 # partials table is a group dimension
 _METRIC_COLS = ("n_events", "sum_millis", "min_millis", "max_millis")
 _META_COLS = ("bucket_ts", *_METRIC_COLS, "_grain", "_batch_id")
+# the distinct-rollup (HLL register) twin's schema
+_DIST_META_COLS = (
+    "bucket_ts", "_bucket", "_r", "_bucket_bits", "_grain", "_batch_id",
+)
 
 
 def _committed_batch_ids(fs, jvm, checkpoint_dir: str) -> set[int]:
@@ -208,24 +294,38 @@ def compact_rollup_fragments(
         return n_before, n_before  # nothing to fold
 
     df = spark.read.parquet(path)
-    missing = [c for c in _META_COLS if c not in df.columns]
+    # two streamed-partials schemas share this maintenance job: the
+    # (count, sum, min, max) time partials and the HLL register
+    # partials — both merge associatively, only the merge op differs
+    is_registers = "_bucket" in df.columns and "_r" in df.columns
+    meta = _DIST_META_COLS if is_registers else _META_COLS
+    missing = [c for c in meta if c not in df.columns]
     if missing:
         raise ValueError(
             f"compact_rollup_fragments: {path!r} is not a streamed "
             f"partials table (missing columns {missing})"
         )
     written = df.select("_grain").first()["_grain"]
-    groups = [c for c in df.columns if c not in _META_COLS]
+    groups = [c for c in df.columns if c not in meta]
     foldable = (
         df.filter(~F.col("_batch_id").isin(uncommitted))
         if uncommitted
         else df
     )
-    merged = rollup.rollup_partials(
-        foldable.drop("_batch_id", "_grain"),
-        to_grain=written,
-        group_cols=groups,
-    )
+    if is_registers:
+        from ..operators import sketches
+
+        bits = df.select("_bucket_bits").first()["_bucket_bits"]
+        merged = sketches.hll_merge_registers(
+            foldable.drop("_batch_id", "_grain", "_bucket_bits"),
+            ["bucket_ts", *groups],
+        ).withColumn("_bucket_bits", F.lit(bits))
+    else:
+        merged = rollup.rollup_partials(
+            foldable.drop("_batch_id", "_grain"),
+            to_grain=written,
+            group_cols=groups,
+        )
     out = merged.withColumn("_grain", F.lit(written)).withColumn(
         "_batch_id", F.lit(-1)
     )

@@ -1323,3 +1323,78 @@ def test_cdc_stream_maintains_snapshot(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert got2 == expected
+
+
+def test_distinct_rollup_stream_matches_batch_and_compacts(
+    spark, tmp_path
+):
+    """Streamed HLL register partials: two micro-batches' fragments
+    merge (register-wise max) to EXACTLY the batch distinct rollup —
+    including the harmonic_scaled integer — and the shared
+    compaction job folds register fragments the same way it folds
+    time partials, views unchanged."""
+    from database_activity_monitoring_dam_system_spark.operators import (
+        rollup,
+    )
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        rollup_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src + "/a.parquet")
+    out, ckpt = str(tmp_path / "p"), str(tmp_path / "c")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = rollup_stream.start_distinct_rollup_stream(
+        stream, out_path=out, checkpoint_dir=ckpt,
+        group_cols=["event_type"], available_now=True,
+    )
+    assert q.awaitTermination(60)
+    q.stop()
+    streamed = sorted(
+        map(tuple, rollup_stream.read_distinct_rollup(
+            spark, out, to_grain="day", group_cols=["event_type"]
+        ).collect())
+    )
+    batch = sorted(
+        map(tuple, rollup.rollup_distinct(
+            rollup.distinct_partials(
+                events, grain="minute", group_cols=["event_type"]
+            ),
+            to_grain="day", group_cols=["event_type"],
+        ).collect())
+    )
+    assert streamed == batch
+    n_before, n_after = rollup_stream.compact_rollup_fragments(
+        spark, out, checkpoint_dir=ckpt
+    )
+    assert n_before > 1 and n_after == 1
+    after = sorted(
+        map(tuple, rollup_stream.read_distinct_rollup(
+            spark, out, to_grain="day", group_cols=["event_type"]
+        ).collect())
+    )
+    assert after == batch
+    # finer-grain guard carried over
+    import pytest as _pytest
+
+    out2, ckpt2 = str(tmp_path / "p2"), str(tmp_path / "c2")
+    q2 = rollup_stream.start_distinct_rollup_stream(
+        stream, out_path=out2, checkpoint_dir=ckpt2,
+        grain="day", available_now=True,
+    )
+    assert q2.awaitTermination(60)
+    q2.stop()
+    with _pytest.raises(ValueError, match="finer"):
+        rollup_stream.read_distinct_rollup(
+            spark, out2, to_grain="hour"
+        )
