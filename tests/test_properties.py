@@ -368,10 +368,17 @@ def test_pack_offsets_matches_running_model(spark, docs_spec, budget, shards):
 @given(
     st.lists(
         st.lists(
+            # quantized to 6 dp: components are 0 or >= 1e-6, so the
+            # float32 storage schema can't underflow them to zero
+            # under the smallest factor (hypothesis found the real
+            # counterexample: a subnormal-float32 component times
+            # 0.25 rounds to 0, max|x| collapses, and the scaled
+            # vector is dropped — scale invariance genuinely holds
+            # only away from the subnormal floor)
             st.floats(
                 min_value=-100, max_value=100,
                 allow_nan=False, allow_infinity=False,
-            ),
+            ).map(lambda x: round(x, 6)),
             min_size=4,
             max_size=4,
         ),
