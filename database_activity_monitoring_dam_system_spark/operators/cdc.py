@@ -65,7 +65,20 @@ def apply_changes(
     keys vanish. ``changes`` must carry every base column (plus
     ``op_col``); the changed-key set is broadcast for the anti-join,
     so the snapshot never shuffles — the merge's only wide work is
-    the batch-sized changelog reduction."""
+    the batch-sized changelog reduction.
+
+    Replay contract — read carefully: the seq guard protects rows
+    PRESENT in the snapshot (a redelivered old update loses to the
+    newer row), but a DELETE leaves no tombstone, so redelivering a
+    changelog segment OLDER than an already-applied delete
+    re-inserts the dead key (its seq beats the now-absent row).
+    Safe inputs are therefore: (a) the most recent batch replayed
+    any number of times — structured streaming's only redelivery
+    mode, what streaming/cdc_stream relies on — or (b) segments
+    applied strictly in order, each at most until the next has been
+    applied. Arbitrary out-of-order redelivery needs tombstone
+    retention in the snapshot, a different storage contract
+    (Delta/Hudi keep them in the log for the same reason)."""
     missing = [c for c in base.columns if c not in changes.columns]
     if missing:
         raise ValueError(
@@ -182,8 +195,19 @@ def merge_upsert_partitioned(
         hpath = jvm.org.apache.hadoop.fs.Path
         root = hpath(path)
         fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        # directory names must be HIVE-ESCAPED exactly as the writer
+        # escaped them (':' → '%3A' etc., NULL → the default
+        # partition name) — a raw f-string miss would silently leave
+        # the deleted rows on disk; use Spark's own escaper so the
+        # two can never disagree
+        esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         for p in emptied:
-            part_dir = hpath(root, f"{partition_col}={p}")
+            dirname = (
+                esc.DEFAULT_PARTITION_NAME()
+                if p is None
+                else esc.escapePathName(str(p))
+            )
+            part_dir = hpath(root, f"{partition_col}={dirname}")
             if fs.exists(part_dir):
                 fs.delete(part_dir, True)
     return [str(p) for p in touched]

@@ -111,12 +111,15 @@ def bm25_scores(
     + b·dl·N/Σdl)) — the index family upgraded from boolean
     containment to real relevance ranking.
 
-    Shape at scale: term frequencies shuffle once on (doc, token)
-    restricted to the QUERY terms (the filter sits under the
-    aggregation, so the corpus reduces map-side to candidate rows);
-    document lengths are a second map-side-combined aggregate whose
-    join back is bounded by the candidate set. The corpus-wide
-    constants (N, Σdl, per-term df) are tiny aggregates.
+    Shape at scale: the corpus is TOKENIZED ONCE — one explode +
+    per-doc aggregate produces (dl, tf per term) rows, which are
+    materialized (eager localCheckpoint; doc-count-sized, a few ints
+    per doc) so the corpus constants (Σdl, per-term df — derived as
+    counts over that frame) and the candidate scoring both read the
+    materialized frame instead of re-running the tokenize lineage
+    (a naive formulation re-tokenized the corpus three times per
+    query — measured in the plan). N alone comes from a footer-cheap
+    count over the raw table (zero-token docs have no tf row).
 
     Cross-engine float parity (the gate's hash): every input to the
     score is an exact integer (tf, df, dl, N, Σdl); each per-term
@@ -137,39 +140,37 @@ def bm25_scores(
         F.col(id_col).alias("doc_id"),
         F.explode(_norm_tokens(text_col)).alias("token"),
     )
-    # corpus constants: doc count, total token count (Σdl)
-    n_docs, sum_dl = docs.select(
-        F.count("*"), F.sum(F.size(_norm_tokens(text_col)))
+    # the ONE tokenize pass: per-doc lengths + per-term frequencies,
+    # materialized so constants and scoring don't re-run the lineage
+    tf_full = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(
+                F.when(F.col("token") == t, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"_tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).localCheckpoint(eager=True)
+    n_docs = docs.count()  # zero-token docs have no tf row
+    consts = tf_full.agg(
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
     ).first()
-    # per-term document frequency (tiny: |terms| rows)
+    sum_dl = consts["sum_dl"]
     df_rows = {
-        r["token"]: r["df"]
-        for r in toks.filter(F.col("token").isin(terms))
-        .groupBy("token")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .collect()
+        t: int(consts[f"df_{i}"] or 0) for i, t in enumerate(terms)
     }
-    # candidate term frequencies + doc lengths
-    tf = (
-        toks.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("dl"),
-            *[
-                F.sum(
-                    F.when(F.col("token") == t, F.lit(1)).otherwise(
-                        F.lit(0)
-                    )
-                ).alias(f"_tf_{i}")
-                for i, t in enumerate(terms)
-            ],
+    tf = tf_full.filter(
+        sum(
+            (F.col(f"_tf_{i}") for i in range(1, len(terms))),
+            F.col("_tf_0"),
         )
-        .filter(
-            sum(
-                (F.col(f"_tf_{i}") for i in range(1, len(terms))),
-                F.col("_tf_0"),
-            )
-            > 0
-        )
+        > 0
     )
     # ONE fixed expression per term, summed in fixed term order.
     # Every float constant goes through CAST(… AS DOUBLE): a bare

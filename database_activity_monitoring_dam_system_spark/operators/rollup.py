@@ -269,7 +269,14 @@ def value_quantile_partials(
         f"least({bins - 1}L, greatest(0L, (_millis - {lo_m}L) * {bins}L div {span}L))"
     )
     return (
-        df.select("bucket_ts", *groups, bin_expr.alias("bin"))
+        # NULL values are EXCLUDED, not binned: a NULL bin would sort
+        # NULLS FIRST under Spark's cumulative window but NULLS LAST
+        # in SQL engines' default (the documented cross-engine
+        # ordering trap), silently dragging every percentile — a
+        # quantile of the non-null values is also the only
+        # well-defined semantics
+        df.filter(F.col("_millis").isNotNull())
+        .select("bucket_ts", *groups, bin_expr.alias("bin"))
         .groupBy("bucket_ts", *groups, "bin")
         .agg(F.count("*").alias("n"))
         .withColumn("_lo_millis", F.lit(lo_m).cast("long"))

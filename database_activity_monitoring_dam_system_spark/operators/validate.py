@@ -89,10 +89,13 @@ def table_checksum(
     sorting or shipping either side (compare one 3-number row, not
     2xN rows).
 
-    Per row: md5 over the '|'-joined, NULL-sentineled string forms of
-    ``cols`` (sorted column order, so projections with reordered
-    columns agree); the leading 12 hex chars parse to a 48-bit
-    integer. The table digest is (row count, SUM of those integers,
+    Per row: md5 over the '|'-joined string forms of ``cols``
+    (sorted column order, so projections with reordered columns
+    agree), each value LENGTH-PREFIXED (``len:value``, NULL → ``N``)
+    — a bare join is delimiter-injectable (('a|b','c') and
+    ('a','b|c') would hash identically, a systematic false
+    "replication verified"), while length prefixes pin every
+    boundary. The leading 12 hex chars parse to a 48-bit integer. The table digest is (row count, SUM of those integers,
     their MAX) — sum and max are commutative and associative, so the
     digest is partition- and row-order-independent and merges
     shard-by-shard. The sum accumulates in DECIMAL(38,0): a bigint
@@ -108,13 +111,14 @@ def table_checksum(
     the same 48-bit integers by a hash prefix and compare the
     bounded digest table)."""
     use = sorted(cols or df.columns)
-    joined = F.concat_ws(
-        "|",
-        *[
-            F.coalesce(F.col(c).cast("string"), F.lit(" NULL"))
-            for c in use
-        ],
-    )
+
+    def token(c: str):
+        s = F.col(c).cast("string")
+        return F.when(s.isNull(), F.lit("N")).otherwise(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s)
+        )
+
+    joined = F.concat_ws("|", *[token(c) for c in use])
     h48 = F.conv(F.substring(F.md5(joined), 1, 12), 16, 10).cast("long")
     return df.select(h48.alias("_h")).agg(
         F.count("*").alias("n_rows"),

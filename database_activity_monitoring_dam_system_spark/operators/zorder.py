@@ -40,10 +40,37 @@ def _scale_expr(col: str, lo: int, hi: int, bits: int, *, duck: bool) -> str:
     m = 1 << bits
     span = hi - lo + 1
     div = "//" if duck else "div"
+    # widen to 64-bit BEFORE the multiply: an INT column with values
+    # past 2^31/2^bits silently wraps the (col-lo)*m product (garbage
+    # keys non-ANSI, ARITHMETIC_OVERFLOW under ANSI) while DuckDB
+    # auto-promotes — the divergence the gate would otherwise hide
+    cast = "CAST({c} AS BIGINT)" if duck else "CAST({c} AS LONG)"
+    wide = cast.format(c=col)
     return (
         f"least({m - 1}, greatest(0, "
-        f"(({col}) - {lo}) * {m} {div} {span}))"
+        f"(({wide}) - {lo}) * {m} {div} {span}))"
     )
+
+
+def morton_terms(
+    bits: int, *, duck: bool, x: str = "_xg", y: str = "_yg"
+) -> str:
+    """The ONE bit-interleave template both dialects and every caller
+    share: z = Σ_i ((x>>i)&1)<<2i + ((y>>i)&1)<<(2i+1). Keeping a
+    single generator is what makes 'same arithmetic on both engines'
+    a structural fact instead of three hand-synced copies."""
+    terms = []
+    for i in range(bits):
+        if duck:
+            # fully parenthesized: DuckDB binds + tighter than <<
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+        else:
+            terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+            terms.append(
+                f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})"
+            )
+    return " + ".join(terms)
 
 
 def zorder_sql(
@@ -64,20 +91,7 @@ def zorder_sql(
         raise ValueError(f"bits must be in [1, 31], got {bits}")
     xg = _scale_expr(x_col, x_lo, x_hi, bits, duck=duck)
     yg = _scale_expr(y_col, y_lo, y_hi, bits, duck=duck)
-    terms = []
-    for i in range(bits):
-        if duck:
-            # fully parenthesized: DuckDB binds + tighter than <<
-            terms.append(f"(((_xg >> {i}) & 1) << {2 * i})")
-            terms.append(f"(((_yg >> {i}) & 1) << {2 * i + 1})")
-        else:
-            terms.append(
-                f"shiftleft(shiftright(_xg, {i}) & 1, {2 * i})"
-            )
-            terms.append(
-                f"shiftleft(shiftright(_yg, {i}) & 1, {2 * i + 1})"
-            )
-    z = " + ".join(terms)
+    z = morton_terms(bits, duck=duck)
     # inline the grid coords via a scalar subquery-free rewrite: both
     # engines accept the full textual substitution
     return z.replace("_xg", f"({xg})").replace("_yg", f"({yg})")
@@ -104,39 +118,64 @@ def zorder_key(
     )
 
 
-def _quantile_grid_map(
-    df: DataFrame, col: str, lo: int, hi: int, bits: int, fine_bins: int
-) -> tuple[DataFrame, str]:
-    """Per-dimension mass-uniform grid map: histogram the integer
-    column into ``fine_bins`` fixed cells, cumulate the counts
-    DRIVER-SIDE (the histogram is ≤ fine_bins rows), and assign each
-    cell the grid coordinate rows-strictly-before·2^bits DIV n. Rows
-    in the same fine cell share a coordinate — the resolution
-    trade every sampled-boundary scheme makes — but unlike sampled
-    boundaries the assignment is DETERMINISTIC (pure arithmetic over
-    exact counts), so the key is reproducible and oracle-able.
-    Returns (bin→coord map frame, the bin expression SQL)."""
-    m = 1 << bits
+def _fine_bin_sql(col: str, lo: int, hi: int, fine_bins: int) -> str:
+    """The fixed fine-cell assignment (Spark dialect, LONG-widened)."""
     span = hi - lo + 1
-    bin_sql = (
+    return (
         f"least({fine_bins - 1}L, greatest(0L, "
         f"(CAST({col} AS LONG) - {lo}L) * {fine_bins}L div {span}L))"
     )
+
+
+def _quantile_grid_maps(
+    df: DataFrame,
+    dims: list[tuple[str, str, int, int]],
+    bits: int,
+    fine_bins: int,
+) -> dict[str, DataFrame]:
+    """Mass-uniform grid maps for EVERY dimension in one corpus pass:
+    each row explodes into one (dim, fine-cell) pair per dimension,
+    one map-side-combined groupBy counts all dims' histograms
+    together (≤ dims·fine_bins rows), and the counts cumulate
+    DRIVER-SIDE into rows-strictly-before·2^bits DIV n coordinates.
+    Rows in the same fine cell share a coordinate — the resolution
+    trade every sampled-boundary scheme makes — but unlike sampled
+    boundaries the assignment is DETERMINISTIC (pure arithmetic over
+    exact counts), so the key is reproducible and oracle-able.
+    ``dims``: (tag, col, lo, hi) tuples; returns tag → map frame."""
+    m = 1 << bits
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(tag).alias("_dim"),
+                    F.expr(
+                        _fine_bin_sql(col, lo, hi, fine_bins)
+                    ).alias("_bin"),
+                )
+                for tag, col, lo, hi in dims
+            ]
+        )
+    )
     hist = (
-        df.select(F.expr(bin_sql).alias("_bin"))
-        .groupBy("_bin")
+        df.select(pairs.alias("_p"))
+        .select("_p._dim", "_p._bin")
+        .groupBy("_dim", "_bin")
         .count()
-        .orderBy("_bin")
+        .orderBy("_dim", "_bin")
         .collect()
     )
-    n = sum(r["count"] for r in hist)
-    rows, before = [], 0
-    for r in hist:
-        rows.append((int(r["_bin"]), before * m // n))
-        before += r["count"]
     spark = df.sparkSession
-    gmap = spark.createDataFrame(rows, "_bin long, _g long")
-    return gmap, bin_sql
+    out: dict[str, DataFrame] = {}
+    for tag, _col, _lo, _hi in dims:
+        rows_d = [r for r in hist if r["_dim"] == tag]
+        n = sum(r["count"] for r in rows_d)
+        rows, before = [], 0
+        for r in rows_d:
+            rows.append((int(r["_bin"]), before * m // n))
+            before += r["count"]
+        out[tag] = spark.createDataFrame(rows, "_bin long, _g long")
+    return out
 
 
 def zorder_rank_key(
@@ -162,14 +201,18 @@ def zorder_rank_key(
 
     Ranks come from a fixed fine-grained histogram (``fine_bins``
     cells over [lo, hi], defaulting to the column's observed min/max)
-    cumulated into rows-before counts: one bounded map-side-combined
-    aggregate per dimension plus one broadcast map join — NO global
-    sort. (A row_number() formulation is exact to the row but plans
-    as an Exchange SinglePartition: every row through one reducer,
-    a measured 100 TB non-starter. The histogram transform keeps the
+    cumulated into rows-before counts: BOTH dimensions' histograms
+    ride one map-side-combined aggregate (a (dim, cell) explode per
+    row), then one broadcast map join each — NO global sort. (A
+    row_number() formulation is exact to the row but plans as an
+    Exchange SinglePartition: every row through one reducer, a
+    measured 100 TB non-starter. The histogram transform keeps the
     mass-uniformity property — cells are ≤ 1/fine_bins of the data
     apart in rank — at scale-safe cost, and deterministically, which
-    sampled range boundaries are not.)"""
+    sampled range boundaries are not.) Total raw passes: one for the
+    combined histograms, plus the bounds min/max pass ONLY when lo/hi
+    are not supplied — fix the grid per table to skip it, same rule
+    as the fixed-grid key."""
     if not 1 <= bits <= 31:
         raise ValueError(f"bits must be in [1, 31], got {bits}")
     bounds = {}
@@ -187,12 +230,14 @@ def zorder_rank_key(
             int(observed[f"{tag}_lo"]) if lo is None else lo,
             int(observed[f"{tag}_hi"]) if hi is None else hi,
         )
-    xmap, xbin = _quantile_grid_map(
-        df, x_col, bounds["x"][0], bounds["x"][1], bits, fine_bins
-    )
-    ymap, ybin = _quantile_grid_map(
-        df, y_col, bounds["y"][0], bounds["y"][1], bits, fine_bins
-    )
+    dims = [
+        ("x", x_col, bounds["x"][0], bounds["x"][1]),
+        ("y", y_col, bounds["y"][0], bounds["y"][1]),
+    ]
+    gmaps = _quantile_grid_maps(df, dims, bits, fine_bins)
+    xmap, ymap = gmaps["x"], gmaps["y"]
+    xbin = _fine_bin_sql(x_col, *bounds["x"], fine_bins)
+    ybin = _fine_bin_sql(y_col, *bounds["y"], fine_bins)
     g = (
         df.withColumn("_xbin", F.expr(xbin))
         .withColumn("_ybin", F.expr(ybin))
@@ -213,15 +258,9 @@ def zorder_rank_key(
             "_ybin",
         )
     )
-    terms = []
-    for i in range(bits):
-        terms.append(f"shiftleft(shiftright(_xg, {i}) & 1, {2 * i})")
-        terms.append(
-            f"shiftleft(shiftright(_yg, {i}) & 1, {2 * i + 1})"
-        )
-    return g.withColumn(out_col, F.expr(" + ".join(terms))).drop(
-        "_xbin", "_ybin", "_xg", "_yg"
-    )
+    return g.withColumn(
+        out_col, F.expr(morton_terms(bits, duck=False))
+    ).drop("_xbin", "_ybin", "_xg", "_yg")
 
 
 def write_zordered(

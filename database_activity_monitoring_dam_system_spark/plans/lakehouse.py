@@ -60,7 +60,7 @@ h AS (
          least({_Q_BINS - 1}, greatest(0,
            (millis - {_Q_LO_M}) * {_Q_BINS} // {_Q_SPAN})) AS bin,
          count(*)::BIGINT AS n
-  FROM m GROUP BY 1, 2, 3
+  FROM m WHERE millis IS NOT NULL GROUP BY 1, 2, 3
 ),
 c AS (
   SELECT b, event_type, bin,
@@ -339,10 +339,18 @@ WITH e AS (
 ),
 h AS (
   SELECT ('0x' || substr(md5(concat_ws('|',
-           coalesce(event_id::VARCHAR, ' NULL'),
-           coalesce(event_type, ' NULL'),
-           coalesce(millis::VARCHAR, ' NULL'),
-           coalesce(user_id::VARCHAR, ' NULL'))), 1, 12))::BIGINT AS hh
+           CASE WHEN event_id IS NULL THEN 'N'
+                ELSE length(event_id::VARCHAR)::VARCHAR || ':'
+                     || event_id::VARCHAR END,
+           CASE WHEN event_type IS NULL THEN 'N'
+                ELSE length(event_type)::VARCHAR || ':'
+                     || event_type END,
+           CASE WHEN millis IS NULL THEN 'N'
+                ELSE length(millis::VARCHAR)::VARCHAR || ':'
+                     || millis::VARCHAR END,
+           CASE WHEN user_id IS NULL THEN 'N'
+                ELSE length(user_id::VARCHAR)::VARCHAR || ':'
+                     || user_id::VARCHAR END)), 1, 12))::BIGINT AS hh
   FROM e
 )
 SELECT count(*)::BIGINT AS n_rows,
@@ -485,11 +493,7 @@ def _q_zorder_rank_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _zorder_rank_oracle() -> str:
-    terms = []
-    for i in range(10):
-        terms.append(f"(((xg >> {i}) & 1) << {2 * i})")
-        terms.append(f"(((yg >> {i}) & 1) << {2 * i + 1})")
-    z = " + ".join(terms)
+    z = zorder.morton_terms(10, duck=True, x="xg", y="yg")
     return f"""
 WITH e AS (
   SELECT event_id, CAST(floor(value * 1000) AS BIGINT) AS x,

@@ -198,12 +198,16 @@ _DIST_META_COLS = (
 )
 
 
-def _committed_batch_ids(fs, jvm, checkpoint_dir: str) -> set[int]:
+def _committed_batch_ids(hconf, jvm, checkpoint_dir: str) -> set[int]:
     """Batch ids with a commit marker in the stream's checkpoint —
-    the set the source will NEVER redeliver."""
+    the set the source will NEVER redeliver. The FileSystem is
+    derived from the CHECKPOINT path, not the table's: a table on
+    s3a:// with a checkpoint on hdfs:// (a common split) would
+    otherwise throw Hadoop's 'Wrong FS'."""
     commits = jvm.org.apache.hadoop.fs.Path(
         checkpoint_dir.rstrip("/") + "/commits"
     )
+    fs = commits.getFileSystem(hconf)
     if not fs.exists(commits):
         return set()
     out: set[int] = set()
@@ -275,6 +279,10 @@ def compact_rollup_fragments(
             fs.rename(old, root)  # crashed between retire and promote
     if fs.exists(tmp):
         fs.delete(tmp, True)
+    if not fs.exists(root):
+        # maintenance fired before the stream's first batch landed —
+        # same no-op contract as sinks.compact_partitions
+        return 0, 0
 
     # fragment census from the partition listing — no data scan
     batch_ids: list[int] = []
@@ -285,7 +293,7 @@ def compact_rollup_fragments(
     n_before = len(batch_ids)
     uncommitted: list[int] = []
     if checkpoint_dir is not None:
-        committed = _committed_batch_ids(fs, jvm, checkpoint_dir)
+        committed = _committed_batch_ids(hconf, jvm, checkpoint_dir)
         uncommitted = sorted(
             b for b in batch_ids if b >= 0 and b not in committed
         )

@@ -471,13 +471,15 @@ def test_inverted_postings_single_token_exchange(spark):
     assert "Join" not in plan
 
 
-def test_bm25_no_joins_single_doc_exchange(spark):
+def test_bm25_no_joins_no_rescan(spark):
     """BM25's corpus constants are driver-collected literals and the
-    per-doc tf/dl reduction is ONE exchange on doc_id — no join
-    anywhere in the scoring plan."""
+    per-doc tf/dl frame is tokenized once and MATERIALIZED — the
+    scoring plan has no join, no exchange, and no raw re-scan (it
+    reads the checkpointed frame)."""
     plan = _plan(spark, "bm25_search")
     assert "Join" not in plan, plan
-    assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert plan.count("Scan parquet") == 0, plan
 
 
 def test_zorder_rank_no_global_sort(spark):

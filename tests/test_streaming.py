@@ -1398,3 +1398,43 @@ def test_distinct_rollup_stream_matches_batch_and_compacts(
         rollup_stream.read_distinct_rollup(
             spark, out2, to_grain="hour"
         )
+
+
+def test_merge_upsert_escaped_partition_and_missing_table(
+    spark, tmp_path
+):
+    """Two review-found edges: a delete that empties a partition
+    whose VALUE needs Hive path escaping (':' → '%3A') must still
+    remove the directory, and fragment compaction against a
+    not-yet-written table is a (0, 0) no-op instead of a raw Java
+    FileNotFoundException."""
+    from database_activity_monitoring_dam_system_spark.operators import (
+        cdc,
+    )
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        rollup_stream,
+    )
+
+    path = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(1, "a", 100, "2024-01-01 00:00:00"),
+         (2, "b", 100, "2024-01-02 00:00:00")],
+        "k INT, v STRING, seq INT, pb STRING",
+    )
+    base.write.partitionBy("pb").parquet(path)
+    escaped = tmp_path / "snap" / "pb=2024-01-01 00%3A00%3A00"
+    assert escaped.exists()
+    changes = spark.createDataFrame(
+        [(1, "a", 150, "2024-01-01 00:00:00", "D")],
+        "k INT, v STRING, seq INT, pb STRING, op STRING",
+    )
+    cdc.merge_upsert_partitioned(
+        spark, path, changes,
+        key_cols=["k"], partition_col="pb", seq_col="seq",
+    )
+    assert not escaped.exists()
+    assert {r.k for r in spark.read.parquet(path).collect()} == {2}
+    # compaction no-op contract on a missing table
+    assert rollup_stream.compact_rollup_fragments(
+        spark, str(tmp_path / "never_written")
+    ) == (0, 0)
