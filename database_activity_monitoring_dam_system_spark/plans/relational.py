@@ -264,6 +264,192 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def _customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many orders
+    they placed, INCLUDING the zero-order customers only an OUTER
+    join can see (the reason Q13 can't be an inner-join rollup).
+    Two-level aggregate: per-customer count → count of customers per
+    count. Both levels map-side combine; the second level's key space
+    is bounded by max orders per customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def _large_volume_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q18 shape: the aggregate-then-semi-join decorrelation —
+    orders whose total lineitem quantity exceeds a threshold, joined
+    back to their customer. The HAVING aggregate reduces lineitem to
+    qualifying order keys FIRST (a tiny set), so the orders/customer
+    joins touch qualifiers only. Quantities sum as exact integer
+    millis — the threshold can never flip on float fold order."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_m = F.floor(F.col("l_quantity") * 1000).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_m).alias("sum_qty_millis"))
+        .filter(F.col("sum_qty_millis") > 150_000)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "sum_qty_millis",
+            F.round(F.col("sum_qty_millis") / 1000.0, 3).alias(
+                "total_qty"
+            ),
+        )
+    )
+
+
+_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_quantity * 1000) AS BIGINT)) AS BIGINT)
+           AS sum_qty_millis
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum_qty_millis > 150000
+)
+SELECT c_custkey, c_name, o_orderkey, sum_qty_millis,
+       round(sum_qty_millis / 1000.0, 3) AS total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+def _small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q17 shape: the correlated-aggregate subquery
+    (l_quantity < 0.2 · avg quantity of the same part) decorrelated
+    into a per-part aggregate joined back. The comparison is EXACT
+    integer algebra — qty < 0.2·(sum/cnt) ⟺ 5·qty·cnt < sum on
+    millis — so no row can flip on cross-engine float division, and
+    the revenue output is an exact millis sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_m = F.floor(F.col("l_quantity") * 1000).cast("long")
+    price_m = F.floor(F.col("l_extendedprice") * 1000).cast("long")
+    base = li.select(
+        "l_partkey", qty_m.alias("qty_m"), price_m.alias("price_m")
+    )
+    per_part = base.groupBy("l_partkey").agg(
+        F.sum("qty_m").alias("sum_q"), F.count("*").alias("cnt_q")
+    )
+    picked = base.join(per_part, "l_partkey").filter(
+        F.col("qty_m") * 5 * F.col("cnt_q") < F.col("sum_q")
+    )
+    return picked.agg(
+        F.count("*").alias("n_lines"),
+        F.sum("price_m").alias("revenue_millis"),
+        F.round((F.sum("price_m") / 7.0) / 1000.0, 3).alias(
+            "avg_yearly"
+        ),
+    )
+
+
+_Q17_SQL = """
+WITH base AS (
+  SELECT l_partkey,
+         CAST(floor(l_quantity * 1000) AS BIGINT) AS qty_m,
+         CAST(floor(l_extendedprice * 1000) AS BIGINT) AS price_m
+  FROM lineitem
+),
+per_part AS (
+  SELECT l_partkey, CAST(sum(qty_m) AS BIGINT) AS sum_q,
+         count(*)::BIGINT AS cnt_q
+  FROM base GROUP BY l_partkey
+)
+SELECT count(*)::BIGINT AS n_lines,
+       CAST(sum(price_m) AS BIGINT) AS revenue_millis,
+       round((CAST(sum(price_m) AS BIGINT) / 7.0) / 1000.0, 3)
+         AS avg_yearly
+FROM base JOIN per_part USING (l_partkey)
+WHERE qty_m * 5 * cnt_q < sum_q
+"""
+
+
+def _sole_returning_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS double correlation —
+    suppliers who returned a line on a multi-supplier order where NO
+    OTHER supplier returned one (the 'who alone kept the order
+    waiting' pattern). Decorrelated to ONE per-order aggregate
+    (distinct suppliers, distinct returning suppliers) joined back to
+    the returning rows — the quadruple self-join the literal SQL
+    implies never happens."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    returning = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole = (
+        returning.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
+    )
+    return sole.groupBy("l_suppkey").agg(
+        F.count("*").alias("numwait")
+    )
+
+
+_Q21_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey)::BIGINT AS n_supp,
+         count(DISTINCT CASE WHEN l_returnflag = 'R'
+                             THEN l_suppkey END)::BIGINT AS n_ret_supp
+  FROM lineitem GROUP BY l_orderkey
+),
+ret AS (
+  -- 'returning' is a reserved word (RETURNING clause)
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT l_suppkey, count(*)::BIGINT AS numwait
+FROM ret JOIN per_order USING (l_orderkey)
+WHERE n_supp >= 2 AND n_ret_supp = 1
+GROUP BY l_suppkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "revenue_rollup": QuerySpec(
         _revenue_rollup, _ROLLUP_SQL,
@@ -272,6 +458,29 @@ QUERIES: dict[str, QuerySpec] = {
     "customers_without_orders": QuerySpec(
         _customers_without_orders, _ANTI_SQL,
         "left-anti join (NOT EXISTS)",
+    ),
+    "customer_order_distribution": QuerySpec(
+        _customer_order_distribution, _Q13_SQL,
+        "TPC-H Q13 shape: outer-join order-count distribution incl. "
+        "zero-order customers, two map-side-combined levels",
+    ),
+    "large_volume_customers": QuerySpec(
+        _large_volume_customers, _Q18_SQL,
+        "TPC-H Q18 shape: aggregate-then-semi decorrelation — "
+        "HAVING reduces lineitem to qualifying keys before any join; "
+        "integer-millis threshold",
+    ),
+    "small_quantity_revenue": QuerySpec(
+        _small_quantity_revenue, _Q17_SQL,
+        "TPC-H Q17 shape: correlated avg subquery decorrelated to a "
+        "per-part aggregate join; qty < 0.2*avg as exact integer "
+        "algebra (5*qty*cnt < sum)",
+    ),
+    "sole_returning_suppliers": QuerySpec(
+        _sole_returning_suppliers, _Q21_SQL,
+        "TPC-H Q21 shape: EXISTS + NOT EXISTS double correlation as "
+        "ONE per-order aggregate joined back — no quadruple "
+        "self-join",
     ),
     "status_priority_pivot": QuerySpec(
         _status_priority_pivot, _PIVOT_SQL,
