@@ -493,3 +493,46 @@ def test_zorder_rank_no_global_sort(spark):
     assert "Exchange rangepartitioning" not in plan, plan
     assert plan.count("BroadcastHashJoin") == 2, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q18_aggregate_reduces_before_joins(spark):
+    """The Q18 shape's point: the HAVING aggregate runs BELOW the
+    joins (lineitem reduces to qualifying keys first), and the
+    qualifying side broadcasts — no fact-fact sort-merge."""
+    plan = _plan(spark, "large_volume_customers")
+    agg_at = plan.index("HashAggregate")
+    join_at = plan.index("Join")
+    assert join_at < agg_at  # consumers print first: join ABOVE agg
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q13_outer_join_two_level_aggregate(spark):
+    """Q13 keeps zero-order customers: a LEFT outer join feeding two
+    aggregate levels — losing the outer side (an inner join) would
+    silently drop the zero bucket."""
+    plan = _plan(spark, "customer_order_distribution")
+    assert "LeftOuter" in plan, plan
+    assert plan.count("HashAggregate") >= 4  # 2 levels x partial+final
+
+
+def test_q17_decorrelated_no_cartesian(spark):
+    """The correlated-avg subquery must stay a decorrelated equi-join
+    on l_partkey — a nested-loop/cartesian here is the O(N*M)
+    regression the rewrite exists to avoid."""
+    plan = _plan(spark, "small_quantity_revenue")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert plan.count("Scan parquet") == 2  # base + per-part agg side
+
+
+def test_q21_single_per_order_aggregate(spark):
+    """The double correlation collapses to ONE per-order aggregate —
+    more than one l_orderkey exchange on the aggregate side means
+    the decorrelation regressed toward self-joins."""
+    plan = _plan(spark, "sole_returning_suppliers")
+    # 3 order-keyed exchanges total: the two-phase expand of the
+    # double count-distinct (its own two) + the distinct returning
+    # side — all aggregate-bounded; more means self-joins came back
+    assert plan.count("Exchange hashpartitioning(l_orderkey") <= 3
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
