@@ -159,10 +159,20 @@ def merge_upsert_partitioned(
     left empty by deletes are removed via the FileSystem API — a
     dynamic overwrite cannot express 'this partition is now empty'.
     """
-    touched = [
-        r[0]
-        for r in changes.select(partition_col).distinct().collect()
-    ]
+    # collect each touched value TWICE: typed (for the pruned-scan
+    # filter) and as Spark's own cast-to-string (for directory names
+    # — Python's str() disagrees with Spark's rendering for e.g.
+    # booleans: dir 'pb=true' vs str(True) == 'True')
+    touched_rows = (
+        changes.select(
+            F.col(partition_col).alias("_v"),
+            F.col(partition_col).cast("string").alias("_s"),
+        )
+        .distinct()
+        .collect()
+    )
+    touched = [r["_v"] for r in touched_rows]
+    touched_str = {r["_v"]: r["_s"] for r in touched_rows}
     if not touched:
         return []
     base = spark.read.parquet(path).filter(
@@ -197,17 +207,22 @@ def merge_upsert_partitioned(
         fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
         # directory names must be HIVE-ESCAPED exactly as the writer
         # escaped them (':' → '%3A' etc., NULL → the default
-        # partition name) — a raw f-string miss would silently leave
-        # the deleted rows on disk; use Spark's own escaper so the
-        # two can never disagree
+        # partition name), over SPARK's string rendering of the value
+        # (not Python's) — both halves use Spark's own machinery so
+        # neither can disagree with what the writer produced
         esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         for p in emptied:
             dirname = (
                 esc.DEFAULT_PARTITION_NAME()
                 if p is None
-                else esc.escapePathName(str(p))
+                else esc.escapePathName(touched_str[p])
             )
             part_dir = hpath(root, f"{partition_col}={dirname}")
             if fs.exists(part_dir):
                 fs.delete(part_dir, True)
-    return [str(p) for p in touched]
+    return [
+        touched_str[p]
+        if touched_str[p] is not None
+        else "__HIVE_DEFAULT_PARTITION__"
+        for p in touched
+    ]

@@ -105,11 +105,19 @@ def bm25_scores(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """BM25-ranked disjunctive search: every doc containing at least
     one query term, scored by Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b
     + b·dl·N/Σdl)) — the index family upgraded from boolean
     containment to real relevance ranking.
+
+    ``persisted_out``: pass a list to receive the materialized
+    per-doc tf/dl frame so a long-lived serving driver can
+    ``.unpersist()`` it after consuming the scores — each call pins a
+    doc-count-sized checkpoint in executor storage otherwise, freed
+    only by nondeterministic ContextCleaner GC (the pq_update_codes
+    convention).
 
     Shape at scale: the corpus is TOKENIZED ONCE — one explode +
     per-doc aggregate produces (dl, tf per term) rows, which are
@@ -153,6 +161,8 @@ def bm25_scores(
             for i, t in enumerate(terms)
         ],
     ).localCheckpoint(eager=True)
+    if persisted_out is not None:
+        persisted_out.append(tf_full)
     n_docs = docs.count()  # zero-token docs have no tf row
     consts = tf_full.agg(
         F.sum("dl").alias("sum_dl"),

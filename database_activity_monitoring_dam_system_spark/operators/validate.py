@@ -125,3 +125,15 @@ def table_checksum(
         F.sum(F.col("_h").cast("decimal(38,0)")).alias("sum_h48"),
         F.max("_h").alias("max_h48"),
     )
+
+
+def checksum_token_sql(col_sql: str) -> str:
+    """The DuckDB-dialect twin of table_checksum's length-prefixed
+    value token, generated from ONE place so the oracle can never
+    drift from the implementation (the morton_terms discipline).
+    ``col_sql`` must already be VARCHAR-typed SQL (cast at the call
+    site, where the column's type is known)."""
+    return (
+        f"CASE WHEN {col_sql} IS NULL THEN 'N' "
+        f"ELSE length({col_sql})::VARCHAR || ':' || {col_sql} END"
+    )

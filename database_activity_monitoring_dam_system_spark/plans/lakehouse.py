@@ -331,7 +331,19 @@ def _q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate.table_checksum(e)
 
 
-_CHECKSUM_SQL = """
+# token text generated by the implementation's own twin — the oracle
+# can't drift from table_checksum's encoding (sorted column order!)
+_CHECKSUM_TOKENS = ",\n           ".join(
+    validate.checksum_token_sql(c)
+    for c in (
+        "event_id::VARCHAR",
+        "event_type",
+        "millis::VARCHAR",
+        "user_id::VARCHAR",
+    )
+)
+
+_CHECKSUM_SQL = f"""
 WITH e AS (
   SELECT event_id, user_id, event_type,
          CAST(floor(value * 1000) AS BIGINT) AS millis
@@ -339,18 +351,7 @@ WITH e AS (
 ),
 h AS (
   SELECT ('0x' || substr(md5(concat_ws('|',
-           CASE WHEN event_id IS NULL THEN 'N'
-                ELSE length(event_id::VARCHAR)::VARCHAR || ':'
-                     || event_id::VARCHAR END,
-           CASE WHEN event_type IS NULL THEN 'N'
-                ELSE length(event_type)::VARCHAR || ':'
-                     || event_type END,
-           CASE WHEN millis IS NULL THEN 'N'
-                ELSE length(millis::VARCHAR)::VARCHAR || ':'
-                     || millis::VARCHAR END,
-           CASE WHEN user_id IS NULL THEN 'N'
-                ELSE length(user_id::VARCHAR)::VARCHAR || ':'
-                     || user_id::VARCHAR END)), 1, 12))::BIGINT AS hh
+           {_CHECKSUM_TOKENS})), 1, 12))::BIGINT AS hh
   FROM e
 )
 SELECT count(*)::BIGINT AS n_rows,
