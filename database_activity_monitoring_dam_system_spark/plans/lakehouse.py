@@ -135,6 +135,70 @@ FROM g LEFT JOIN h ON h.b = g.b AND h.event_type = g.event_type
 _SEARCH_TERMS = ("dup", "merge", "spark")  # 'dup' df ≈ 5% → selective
 
 
+def _q_timeline_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-bucket moving average over the GAP-FILLED hourly
+    timeline — the composition gap filling exists for: a ROWS-frame
+    window over a sparse timeline silently averages over whatever
+    buckets happen to exist (3 'adjacent' rows can span days); over
+    the densified grid the frame is exactly 3 hours. Counts stay
+    integers until one rounded division."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hour = rollup.time_partials(
+        events, grain="hour", group_cols=["event_type"]
+    ).select("bucket_ts", "event_type", "n_events")
+    filled = rollup.gapfill_buckets(
+        hour, grain="hour", group_cols=["event_type"]
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(-2, 0)
+    )
+    return filled.select(
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm").alias(
+            "time_bucket"
+        ),
+        "event_type",
+        "n_events",
+        F.sum("n_events").over(w).alias("window_sum"),
+        F.count("*").over(w).alias("window_n"),
+        F.round(
+            F.sum("n_events").over(w) / F.count("*").over(w), 6
+        ).alias("moving_avg"),
+    )
+
+
+_MOVING_AVG_SQL = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS b, event_type,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+s AS (SELECT event_type, min(b) AS b0, max(b) AS b1 FROM h GROUP BY 1),
+g AS (
+  SELECT event_type,
+         unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS b
+  FROM s
+),
+f AS (
+  SELECT g.b, g.event_type,
+         coalesce(h.n_events, 0)::BIGINT AS n_events
+  FROM g LEFT JOIN h ON h.b = g.b AND h.event_type = g.event_type
+)
+SELECT strftime(b, '%Y-%m-%d %H:%M') AS time_bucket, event_type,
+       n_events,
+       CAST(sum(n_events) OVER w AS BIGINT) AS window_sum,
+       CAST(count(*) OVER w AS BIGINT) AS window_n,
+       round(CAST(sum(n_events) OVER w AS BIGINT)
+             / CAST(count(*) OVER w AS BIGINT), 6) AS moving_avg
+FROM f
+WINDOW w AS (PARTITION BY event_type ORDER BY b
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 def _q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build: token → document frequency + md5 of the
     sorted posting list (the md5 pins every id and its order without
@@ -541,6 +605,12 @@ QUERIES: dict[str, QuerySpec] = {
         "densified hourly timeline: per-type bucket grid via "
         "sequence() explode over partials-sized spans, zero-filled "
         "with is_gap flags — raw events touched once",
+    ),
+    "timeline_moving_avg": QuerySpec(
+        _q_timeline_moving_avg, _MOVING_AVG_SQL,
+        "trailing 3-hour moving average over the gap-filled timeline "
+        "— the window math densification exists for (a sparse ROWS "
+        "frame averages across arbitrary gaps)",
     ),
     "inverted_postings": QuerySpec(
         _q_inverted_postings, _POSTINGS_SQL,
