@@ -175,9 +175,19 @@ def merge_upsert_partitioned(
     touched_str = {r["_v"]: r["_s"] for r in touched_rows}
     if not touched:
         return []
-    base = spark.read.parquet(path).filter(
-        F.col(partition_col).isin(touched)
+    # NULL needs its own predicate: `NULL IN (...)` is SQL NULL, so a
+    # bare isin() would silently EXCLUDE the NULL partition's base
+    # rows — the merge would then rewrite (or delete) that partition
+    # from the changes alone, destroying its untouched keys
+    non_null = [v for v in touched if v is not None]
+    pred = (
+        F.col(partition_col).isin(non_null)
+        if non_null
+        else F.lit(False)
     )
+    if any(v is None for v in touched):
+        pred = pred | F.col(partition_col).isNull()
+    base = spark.read.parquet(path).filter(pred)
     merged = apply_changes(
         base,
         changes,

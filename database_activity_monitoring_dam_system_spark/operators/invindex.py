@@ -112,16 +112,19 @@ def bm25_scores(
     + b·dl·N/Σdl)) — the index family upgraded from boolean
     containment to real relevance ranking.
 
-    ``persisted_out``: pass a list to receive the materialized
-    per-doc tf/dl frame so a long-lived serving driver can
-    ``.unpersist()`` it after consuming the scores — each call pins a
-    doc-count-sized checkpoint in executor storage otherwise, freed
-    only by nondeterministic ContextCleaner GC (the pq_update_codes
-    convention).
+    ``persisted_out``: pass a list to receive the persisted per-doc
+    tf/dl frame so a long-lived serving driver can ``.unpersist()``
+    it after consuming the scores — each call pins a doc-count-sized
+    cache in executor storage otherwise, freed only by
+    nondeterministic GC (the pq_update_codes convention). The
+    materialization is ``.persist()``, NOT localCheckpoint:
+    Dataset.unpersist() only releases CacheManager entries, so a
+    checkpoint-based handle would be a no-op escape hatch.
 
     Shape at scale: the corpus is TOKENIZED ONCE — one explode +
     per-doc aggregate produces (dl, tf per term) rows, which are
-    materialized (eager localCheckpoint; doc-count-sized, a few ints
+    persisted (cache populated by the constants aggregate's own
+    action; doc-count-sized, a few ints
     per doc) so the corpus constants (Σdl, per-term df — derived as
     counts over that frame) and the candidate scoring both read the
     materialized frame instead of re-running the tokenize lineage
@@ -160,7 +163,7 @@ def bm25_scores(
             ).alias(f"_tf_{i}")
             for i, t in enumerate(terms)
         ],
-    ).localCheckpoint(eager=True)
+    ).persist()
     if persisted_out is not None:
         persisted_out.append(tf_full)
     n_docs = docs.count()  # zero-token docs have no tf row

@@ -110,7 +110,10 @@ def _q_gapfill_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GAPFILL_SQL = """
+# the densification CTE prefix both gapfill-family oracles share —
+# one definition, no hand-synced copies (the checksum_token_sql /
+# morton_terms discipline)
+_GAPFILL_CTES = """
 WITH h AS (
   SELECT date_trunc('hour', ts) AS b, event_type,
          count(*)::BIGINT AS n_events,
@@ -124,6 +127,10 @@ g AS (
          unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS b
   FROM s
 )
+"""
+
+_GAPFILL_SQL = f"""
+{_GAPFILL_CTES}
 SELECT strftime(g.b, '%Y-%m-%d %H:%M') AS time_bucket, g.event_type,
        coalesce(h.n_events, 0)::BIGINT AS n_events,
        coalesce(h.sum_millis, 0)::BIGINT AS sum_millis,
@@ -170,18 +177,8 @@ def _q_timeline_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MOVING_AVG_SQL = """
-WITH h AS (
-  SELECT date_trunc('hour', ts) AS b, event_type,
-         count(*)::BIGINT AS n_events
-  FROM events GROUP BY 1, 2
-),
-s AS (SELECT event_type, min(b) AS b0, max(b) AS b1 FROM h GROUP BY 1),
-g AS (
-  SELECT event_type,
-         unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS b
-  FROM s
-),
+_MOVING_AVG_SQL = f"""
+{_GAPFILL_CTES.rstrip()},
 f AS (
   SELECT g.b, g.event_type,
          coalesce(h.n_events, 0)::BIGINT AS n_events

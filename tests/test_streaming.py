@@ -1438,3 +1438,55 @@ def test_merge_upsert_escaped_partition_and_missing_table(
     assert rollup_stream.compact_rollup_fragments(
         spark, str(tmp_path / "never_written")
     ) == (0, 0)
+
+
+def test_merge_upsert_boolean_and_null_partitions(spark, tmp_path):
+    """The partition-value rendering fixes pinned: a BOOLEAN
+    partition column (Spark writes 'pb=true'; Python str(True) is
+    'True') gets its delete-emptied directory removed, and the NULL
+    partition is merged — not silently excluded by a bare isin()
+    (NULL IN (...) is SQL NULL) — so its untouched keys survive a
+    targeted delete."""
+    from database_activity_monitoring_dam_system_spark.operators import (
+        cdc,
+    )
+
+    # boolean partitions: delete empties pb=true
+    bpath = str(tmp_path / "bsnap")
+    spark.createDataFrame(
+        [(1, "a", 100, True), (2, "b", 100, False)],
+        "k INT, v STRING, seq INT, pb BOOLEAN",
+    ).write.partitionBy("pb").parquet(bpath)
+    assert (tmp_path / "bsnap" / "pb=true").exists()
+    touched = cdc.merge_upsert_partitioned(
+        spark,
+        bpath,
+        spark.createDataFrame(
+            [(1, "a", 150, True, "D")],
+            "k INT, v STRING, seq INT, pb BOOLEAN, op STRING",
+        ),
+        key_cols=["k"], partition_col="pb", seq_col="seq",
+    )
+    assert touched == ["true"]
+    assert not (tmp_path / "bsnap" / "pb=true").exists()
+    assert {r.k for r in spark.read.parquet(bpath).collect()} == {2}
+    # NULL partition: delete one key, the partition's OTHER key must
+    # survive (a bare isin() filter would exclude the whole NULL
+    # partition from the base scan and the merge would destroy it)
+    npath = str(tmp_path / "nsnap")
+    spark.createDataFrame(
+        [(1, "a", 100, None), (2, "b", 100, None), (3, "c", 100, "p1")],
+        "k INT, v STRING, seq INT, pb STRING",
+    ).write.partitionBy("pb").parquet(npath)
+    touched = cdc.merge_upsert_partitioned(
+        spark,
+        npath,
+        spark.createDataFrame(
+            [(1, "a", 150, None, "D")],
+            "k INT, v STRING, seq INT, pb STRING, op STRING",
+        ),
+        key_cols=["k"], partition_col="pb", seq_col="seq",
+    )
+    assert touched == ["__HIVE_DEFAULT_PARTITION__"]
+    got = {(r.k, r.pb) for r in spark.read.parquet(npath).collect()}
+    assert got == {(2, None), (3, "p1")}
