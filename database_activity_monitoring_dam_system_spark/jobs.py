@@ -199,3 +199,22 @@ def run_retention_job(
     return sinks.retire_cold_partitions(
         spark, activity_path, older_than=cutoff
     )
+
+
+def run_rollup_maintenance(
+    spark: SparkSession,
+    partials_path: str,
+    *,
+    checkpoint_dir: str,
+) -> tuple[int, int]:
+    """Maintenance entry point for a streamed rollup partials table
+    (time or distinct-count — the compactor detects the schema):
+    fold per-batch fragments into one, carrying any landed-but-
+    uncommitted batch unchanged. Run on the same external schedule
+    as compaction/retention, while the stream is not actively
+    writing (between availableNow runs)."""
+    from .streaming import rollup_stream
+
+    return rollup_stream.compact_rollup_fragments(
+        spark, partials_path, checkpoint_dir=checkpoint_dir
+    )

@@ -3073,3 +3073,26 @@ def test_zorder_rank_transform_fixes_skewed_dimension(spark, tmp_path):
     assert hits(nb, qy=qy) == len(nb)
     assert worst_z <= worst_n // 2, (worst_z, worst_n, len(zb))
     assert hits(zb, qx=qx, qy=qy) <= len(zb) // 4
+
+
+def test_table_checksum_delimiter_injection_closed(spark):
+    """The review-found false-equality: ('a|b', 'c') and
+    ('a', 'b|c') serialize identically under a bare join — the
+    length-prefixed tokens must give them different digests; NULL
+    and the literal strings 'N'/' NULL' must also stay distinct."""
+    from database_activity_monitoring_dam_system_spark.operators import (
+        validate,
+    )
+
+    a = spark.createDataFrame([("a|b", "c")], "x STRING, y STRING")
+    b = spark.createDataFrame([("a", "b|c")], "x STRING, y STRING")
+    assert tuple(validate.table_checksum(a).first()) != tuple(
+        validate.table_checksum(b).first()
+    )
+    n1 = spark.createDataFrame([(None, "z")], "x STRING, y STRING")
+    n2 = spark.createDataFrame([("N", "z")], "x STRING, y STRING")
+    n3 = spark.createDataFrame([(" NULL", "z")], "x STRING, y STRING")
+    digests = {
+        tuple(validate.table_checksum(f).first()) for f in (n1, n2, n3)
+    }
+    assert len(digests) == 3
