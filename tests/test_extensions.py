@@ -3096,3 +3096,29 @@ def test_table_checksum_delimiter_injection_closed(spark):
         tuple(validate.table_checksum(f).first()) for f in (n1, n2, n3)
     }
     assert len(digests) == 3
+
+
+def test_bm25_persisted_handle_releases(spark):
+    """The persisted_out escape hatch must actually release storage:
+    a localCheckpoint-based handle made unpersist() a silent no-op
+    (review-found), so pin that the handed-out frame is CACHED while
+    scores compute and FREED after unpersist()."""
+    from database_activity_monitoring_dam_system_spark.operators import (
+        invindex,
+    )
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    handles: list = []
+    scores = invindex.bm25_scores(
+        docs, ["dup", "merge"], persisted_out=handles
+    )
+    assert scores.count() > 0
+    (handle,) = handles
+    assert handle.storageLevel.useMemory or handle.storageLevel.useDisk
+    handle.unpersist(blocking=True)
+    assert not (
+        handle.storageLevel.useMemory or handle.storageLevel.useDisk
+    )
