@@ -104,6 +104,13 @@ def table_checksum(
     ARITHMETIC_OVERFLOW at 100 k rows), while the decimal
     accumulator stays exact beyond 10^23 rows; every input is an
     exact integer, so the digest hashes identically cross-engine.
+    The accumulator stays INTERNAL: ``sum_h48`` is emitted as its
+    plain-digit STRING rendering, because DECIMAL output columns are
+    client-rendering-unstable (the round-7 driver canonicalized
+    Spark's and DuckDB's DECIMAL(38,0) differently despite
+    value-identical digests at three scale factors — it was the
+    registry's only DecimalType output). Digests compare as strings;
+    shard merge parses them back with int().
 
     A multiset DIFFERENCE can cancel in the sum alone (sum+max is a
     probabilistic equality check, like any checksum); adversarial
@@ -122,7 +129,9 @@ def table_checksum(
     h48 = F.conv(F.substring(F.md5(joined), 1, 12), 16, 10).cast("long")
     return df.select(h48.alias("_h")).agg(
         F.count("*").alias("n_rows"),
-        F.sum(F.col("_h").cast("decimal(38,0)")).alias("sum_h48"),
+        F.sum(F.col("_h").cast("decimal(38,0)"))
+        .cast("string")
+        .alias("sum_h48"),
         F.max("_h").alias("max_h48"),
     )
 

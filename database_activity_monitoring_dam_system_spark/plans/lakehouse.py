@@ -416,7 +416,7 @@ h AS (
   FROM e
 )
 SELECT count(*)::BIGINT AS n_rows,
-       CAST(sum(hh) AS DECIMAL(38,0)) AS sum_h48,
+       CAST(CAST(sum(hh) AS DECIMAL(38,0)) AS VARCHAR) AS sum_h48,
        max(hh) AS max_h48
 FROM h
 """

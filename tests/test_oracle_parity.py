@@ -55,6 +55,17 @@ def test_parity(spark, name):
     spec = _SPECS[name]
     sdf = spec.fn(spark, SF_SMOKE)
     s_cols = sdf.columns
+    # NEVER a DecimalType output: the driver's value canonicalizer
+    # renders DECIMAL differently per client library (round-7
+    # table_checksum flagged hash-red despite value-identical digests
+    # at three scale factors), while this harness's str(v) canon is
+    # Decimal-transparent and stays green. Keep decimal accumulators
+    # internal; emit strings or BIGINTs.
+    decimal_cols = [(c, t) for c, t in sdf.dtypes if "decimal" in t.lower()]
+    assert not decimal_cols, (
+        f"{name}: gate outputs DecimalType columns {decimal_cols} — "
+        "driver-unstable rendering; emit string/bigint instead"
+    )
     s_rows = [tuple(r) for r in sdf.collect()]
 
     if spec.oracle is None:
