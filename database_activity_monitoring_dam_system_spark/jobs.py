@@ -173,7 +173,8 @@ def run_compaction_job(
     as the report job above."""
     from . import sinks
 
-    today = (now or dt.datetime.now()).date()
+    # UTC like the retention job: event_date partitions are UTC-derived
+    today = (now or dt.datetime.now(dt.timezone.utc)).date()
     return sinks.compact_partitions(
         spark, activity_path, target_bytes=target_bytes, cold_before=today
     )
@@ -189,12 +190,19 @@ def run_retention_job(
     """Retention maintenance entry point: drop activity partitions
     older than ``retain_days`` (the audit-retention policy as a
     partition-level delete — no data is ever read). Scheduling is
-    external (cron/Airflow), same policy as the compaction job."""
+    external (cron/Airflow), same policy as the compaction job.
+
+    The default ``now`` is UTC (jobs.py's stamp convention): the
+    event_date partitions derive from UTC-pinned timestamps, so a
+    driver-local clock on a non-UTC host near midnight would retire
+    (or retain) one day off the stated policy — a compliance-
+    sensitive off-by-one. Pass ``now`` explicitly if the partition
+    column was derived in another timezone."""
     from . import sinks
 
     if retain_days < 1:
         raise ValueError(f"retain_days must be >= 1, got {retain_days}")
-    cutoff = ((now or dt.datetime.now()).date()
+    cutoff = ((now or dt.datetime.now(dt.timezone.utc)).date()
               - dt.timedelta(days=retain_days - 1))
     return sinks.retire_cold_partitions(
         spark, activity_path, older_than=cutoff

@@ -42,7 +42,16 @@ def build_postings(
     the index is deterministic and mergeable by concatenation-free
     re-sort). ``min_df``/``max_df`` bound the df range — max_df is
     the stop-list cap that keeps posting lists (and the groupBy's
-    per-key state) bounded at corpus scale."""
+    per-key state) bounded at corpus scale.
+
+    A CAPPED index carries ``_min_df``/``_max_df`` stamp columns
+    (the ``_n_docs`` discipline; -1 = no max cap): a pruned term is
+    indistinguishable from an absent one in the posting table, so a
+    conjunctive search over a capped index would silently return an
+    EMPTY result for a query containing a stop-listed term even
+    though every doc contains it. :func:`search_all_terms` reads the
+    stamps and refuses such queries instead. Uncapped builds stay
+    stamp-free (schema unchanged — absence IS absence there)."""
     tokens = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(_norm_tokens(text_col))).alias("token"),
@@ -55,6 +64,13 @@ def build_postings(
         postings = postings.filter(F.col("df") >= min_df)
     if max_df is not None:
         postings = postings.filter(F.col("df") <= max_df)
+    if min_df > 1 or max_df is not None:
+        postings = postings.withColumns(
+            {
+                "_min_df": F.lit(int(min_df)),
+                "_max_df": F.lit(-1 if max_df is None else int(max_df)),
+            }
+        )
     return postings
 
 
@@ -66,10 +82,34 @@ def search_all_terms(
     token-key lookup — partition-pruned if the index is stored
     partitioned by token), explode only those lists, and keep doc
     ids seen ``len(terms)`` times. Output: one ``doc_id`` column,
-    exact conjunctive semantics under the index's tokenization."""
+    exact conjunctive semantics under the index's tokenization.
+
+    Over a df-CAPPED index (``_min_df``/``_max_df`` stamps present)
+    a queried term missing from the posting table is ambiguous —
+    genuinely in no doc, or pruned by the caps — and treating it as
+    absent breaks the brute-force-containment contract (a query
+    containing a stop-listed term would return empty even though
+    every doc contains it). Such queries raise ValueError naming the
+    missing terms; the lookup that detects them is bounded by
+    ``len(terms)`` rows."""
     if not terms:
         raise ValueError("search_all_terms: need at least one term")
     uniq = sorted(set(terms))
+    if "_min_df" in postings.columns or "_max_df" in postings.columns:
+        present = {
+            r["token"]
+            for r in postings.filter(F.col("token").isin(uniq))
+            .select("token")
+            .collect()
+        }
+        missing = sorted(set(uniq) - present)
+        if missing:
+            raise ValueError(
+                "search_all_terms: index was built with df caps "
+                f"and terms {missing} are not in it — pruned terms "
+                "are indistinguishable from absent ones; rebuild "
+                "without caps or drop those terms"
+            )
     return (
         postings.filter(F.col("token").isin(uniq))
         .select(F.explode("postings").alias("doc_id"))

@@ -437,7 +437,12 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     ``n_values`` of the merge is na + nb — an UPPER bound on the
     union's cardinality (members present in both shards count twice);
     the bitmap itself is exact for the union. Use the bound only for
-    conservative load-factor sizing."""
+    conservative load-factor sizing. A bitmap built with
+    ``with_count=False`` carries the -1 sentinel instead of a count;
+    summing it would yield a nonsense negative/understated bound, so
+    the sentinel PROPAGATES: if either input is uncounted, the merge
+    is uncounted (-1) — the documented na+nb bound only holds when
+    both sides counted."""
     pa_row = a.select("k", "m_bits").first()
     pb_row = b.select("k", "m_bits").first()
     if (pa_row["k"], pa_row["m_bits"]) != (pb_row["k"], pb_row["m_bits"]):
@@ -469,9 +474,12 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
             F.lit(1),
         ),
     )
+    merged_n = F.when(
+        (F.col("na") < 0) | (F.col("nb") < 0), F.lit(-1).cast("long")
+    ).otherwise(F.col("na") + F.col("nb"))
     return j.select(
         F.concat_ws("", merged_nib).alias("bitmap"),
-        (F.col("na") + F.col("nb")).alias("n_values"),
+        merged_n.alias("n_values"),
         "k",
         "m_bits",
     )

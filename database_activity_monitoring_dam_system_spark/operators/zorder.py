@@ -119,11 +119,17 @@ def zorder_key(
 
 
 def _fine_bin_sql(col: str, lo: int, hi: int, fine_bins: int) -> str:
-    """The fixed fine-cell assignment (Spark dialect, LONG-widened)."""
+    """The fixed fine-cell assignment (Spark dialect, LONG-widened).
+    NULL-transparent by construction: Spark's greatest() SKIPS null
+    arguments, so without the CASE a NULL value would silently land
+    in bin 0 (keyed as if it were the minimum) instead of surfacing
+    — the grid-map builder detects the NULL bin and raises a named
+    error."""
     span = hi - lo + 1
     return (
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
         f"least({fine_bins - 1}L, greatest(0L, "
-        f"(CAST({col} AS LONG) - {lo}L) * {fine_bins}L div {span}L))"
+        f"(CAST({col} AS LONG) - {lo}L) * {fine_bins}L div {span}L)) END"
     )
 
 
@@ -167,9 +173,24 @@ def _quantile_grid_maps(
     )
     spark = df.sparkSession
     out: dict[str, DataFrame] = {}
-    for tag, _col, _lo, _hi in dims:
+    for tag, col, _lo, _hi in dims:
         rows_d = [r for r in hist if r["_dim"] == tag]
+        # NULL dimension values produce a NULL fine-bin row; NULL has
+        # no rank, so surface it as a named error instead of a
+        # TypeError deep in the cumulation (and note that the inner
+        # grid-map join downstream would silently DROP those rows).
+        if any(r["_bin"] is None for r in rows_d):
+            raise ValueError(
+                f"zorder grid: dimension {col!r} contains NULL "
+                "values — filter or impute them before keying "
+                "(NULL has no rank coordinate)"
+            )
         n = sum(r["count"] for r in rows_d)
+        if n == 0:
+            raise ValueError(
+                f"zorder grid: dimension {col!r} has no rows — "
+                "cannot build a rank grid over an empty dimension"
+            )
         rows, before = [], 0
         for r in rows_d:
             rows.append((int(r["_bin"]), before * m // n))
@@ -226,6 +247,13 @@ def zorder_rank_key(
             agg += [F.min(col).alias(f"{tag}_lo"), F.max(col).alias(f"{tag}_hi")]
     observed = df.agg(*agg).first() if agg else None
     for tag, col, lo, hi in need:
+        if (lo is None or hi is None) and observed[f"{tag}_lo"] is None:
+            # min/max over an empty or all-NULL column is NULL —
+            # name the column instead of TypeError-ing on int(None)
+            raise ValueError(
+                f"zorder_rank_key: dimension {col!r} is empty or "
+                "all-NULL — no observable bounds"
+            )
         bounds[tag] = (
             int(observed[f"{tag}_lo"]) if lo is None else lo,
             int(observed[f"{tag}_hi"]) if hi is None else hi,

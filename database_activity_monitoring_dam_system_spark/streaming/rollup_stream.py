@@ -29,6 +29,28 @@ from pyspark.sql import functions as F
 from ..operators import rollup
 
 
+def _single_stamp(df: DataFrame, col: str, ctx: str):
+    """The one value of a geometry stamp column (``_grain``,
+    ``_bucket_bits``) across the WHOLE table — not a sampled first()
+    row: a stream restarted into the same out_path with different
+    parameters leaves fragments of mixed geometry coexisting, and a
+    merge that checks only one arbitrary row silently mixes grains
+    (finer-grain guards then pass or fail by sampling luck). One
+    distinct over a stamp column of a partials table is cheap; a
+    wrong merge is not."""
+    vals = sorted(
+        r[0] for r in df.select(col).distinct().limit(3).collect()
+    )
+    if len(vals) > 1:
+        raise ValueError(
+            f"{ctx}: table holds fragments with mixed {col} values "
+            f"{vals} — a stream was restarted into the same path "
+            "with different parameters; rebuild or split the table "
+            "before merging"
+        )
+    return vals[0] if vals else None
+
+
 def start_rollup_stream(
     events: DataFrame,
     *,
@@ -91,7 +113,7 @@ def read_rollup(
     labeled as hourly."""
     df = spark.read.parquet(path)
     if "_grain" in df.columns:
-        written = df.select("_grain").first()["_grain"]
+        written = _single_stamp(df, "_grain", "read_rollup")
         order = rollup._GRAIN_ORDER
         if order.index(to_grain) < order.index(written):
             raise ValueError(
@@ -171,7 +193,7 @@ def read_distinct_rollup(
     ``_bucket_bits`` stamp guards the geometry in-plan."""
     df = spark.read.parquet(path)
     if "_grain" in df.columns:
-        written = df.select("_grain").first()["_grain"]
+        written = _single_stamp(df, "_grain", "read_distinct_rollup")
         order = rollup._GRAIN_ORDER
         if order.index(to_grain) < order.index(written):
             raise ValueError(
@@ -313,7 +335,7 @@ def compact_rollup_fragments(
             f"compact_rollup_fragments: {path!r} is not a streamed "
             f"partials table (missing columns {missing})"
         )
-    written = df.select("_grain").first()["_grain"]
+    written = _single_stamp(df, "_grain", "compact_rollup_fragments")
     groups = [c for c in df.columns if c not in meta]
     foldable = (
         df.filter(~F.col("_batch_id").isin(uncommitted))
@@ -323,7 +345,9 @@ def compact_rollup_fragments(
     if is_registers:
         from ..operators import sketches
 
-        bits = df.select("_bucket_bits").first()["_bucket_bits"]
+        bits = _single_stamp(
+            df, "_bucket_bits", "compact_rollup_fragments"
+        )
         merged = sketches.hll_merge_registers(
             foldable.drop("_batch_id", "_grain", "_bucket_bits"),
             ["bucket_ts", *groups],

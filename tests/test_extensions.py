@@ -3125,3 +3125,122 @@ def test_bm25_persisted_handle_releases(spark):
     assert not (
         handle.storageLevel.useMemory or handle.storageLevel.useDisk
     )
+
+
+def test_capped_index_refuses_pruned_term_queries(spark):
+    """A df-capped index stamps its caps (_min_df/_max_df); a
+    conjunctive query containing a term MISSING from a capped index
+    raises — pruned and absent are indistinguishable there, and
+    treating a stop-listed term as absent returns an empty result
+    even though every doc contains it. Surviving-term queries answer
+    normally; uncapped indexes keep the plain missing→empty
+    contract."""
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        invindex,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the alpha system"),
+            (2, "the beta system"),
+            (3, "the alpha protocol"),
+            (4, "the gamma run"),
+        ],
+        "doc_id long, text string",
+    )
+    capped = invindex.build_postings(docs, max_df=3)  # prunes 'the'
+    assert {"_min_df", "_max_df"} <= set(capped.columns)
+    # 'the' is in EVERY doc but was pruned — refusing beats an
+    # empty answer that contradicts brute-force containment
+    with _pytest.raises(ValueError, match="df caps.*the"):
+        invindex.search_all_terms(capped, ["alpha", "the"])
+    hits = sorted(
+        r.doc_id
+        for r in invindex.search_all_terms(capped, ["alpha"]).collect()
+    )
+    assert hits == [1, 3]
+    # uncapped: absence IS absence — empty result, no stamps, no raise
+    plain = invindex.build_postings(docs)
+    assert "_min_df" not in plain.columns
+    assert invindex.search_all_terms(plain, ["nonexistent"]).count() == 0
+    # stamps survive the save/load round-trip so SERVED capped
+    # indexes keep the guard too
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        invindex.save_postings(capped, d + "/idx", n_docs=4)
+        loaded = invindex.load_postings(spark, d + "/idx", expect_docs=4)
+        with _pytest.raises(ValueError, match="df caps"):
+            invindex.search_all_terms(loaded, ["the"])
+
+
+def test_zorder_rank_key_null_and_empty_guards(spark):
+    """NULL dimension values and empty/all-NULL dimensions fail with
+    named errors instead of TypeError/ZeroDivisionError deep in the
+    grid cumulation (the inner grid-map join would otherwise also
+    silently DROP the NULL rows from the keyed output)."""
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        zorder,
+    )
+
+    with_nulls = spark.createDataFrame(
+        [(1, 10, 100), (2, None, 200), (3, 30, 300)],
+        "id long, x int, y int",
+    )
+    with _pytest.raises(ValueError, match="'x' contains NULL"):
+        zorder.zorder_rank_key(
+            with_nulls, "x", "y", bits=8, x_lo=0, x_hi=100,
+            y_lo=0, y_hi=1000,
+        )
+    empty = spark.createDataFrame([], "id long, x int, y int")
+    with _pytest.raises(ValueError, match="'x' is empty or all-NULL"):
+        zorder.zorder_rank_key(empty, "x", "y", bits=8)
+    all_null_y = spark.createDataFrame(
+        [(1, 10, None), (2, 20, None)], "id long, x int, y int"
+    )
+    with _pytest.raises(ValueError, match="'y' is empty or all-NULL"):
+        zorder.zorder_rank_key(all_null_y, "x", "y", bits=8)
+    # clean input still keys fine under explicit bounds
+    clean = with_nulls.filter("x IS NOT NULL")
+    out = zorder.zorder_rank_key(
+        clean, "x", "y", bits=8, x_lo=0, x_hi=100, y_lo=0, y_hi=1000
+    )
+    assert out.count() == 2 and "zkey" in out.columns
+
+
+def test_bloom_merge_propagates_uncounted_sentinel(spark):
+    """Merging a with_count=False bitmap (n_values = -1 sentinel)
+    must not sum the sentinel into a nonsense understated bound —
+    the merge is uncounted (-1) unless BOTH sides counted; the
+    merged BITMAP stays exact for the union either way."""
+    from database_activity_monitoring_dam_system_spark.operators import (
+        sketches,
+    )
+
+    a = spark.createDataFrame([("x",), ("y",)], "v string")
+    b = spark.createDataFrame([("z",), ("y",)], "v string")
+    counted_a = sketches.bloom_bitmap(a, "v", k=3, m_bits=4096)
+    counted_b = sketches.bloom_bitmap(b, "v", k=3, m_bits=4096)
+    uncounted_b = sketches.bloom_bitmap(
+        b, "v", k=3, m_bits=4096, with_count=False
+    )
+    assert uncounted_b.first().n_values == -1
+    both = sketches.bloom_merge(counted_a, counted_b).first()
+    assert both.n_values == 4  # na + nb upper bound
+    mixed = sketches.bloom_merge(counted_a, uncounted_b).first()
+    assert mixed.n_values == -1
+    flipped = sketches.bloom_merge(uncounted_b, counted_a).first()
+    assert flipped.n_values == -1
+    # the bitmap itself is the exact OR regardless of count mode
+    assert mixed.bitmap == both.bitmap
+    probe = spark.createDataFrame([("x",), ("y",), ("z",)], "v string")
+    merged_df = sketches.bloom_merge(counted_a, uncounted_b)
+    got = {
+        r.v: r.maybe_member
+        for r in sketches.bloom_probe(probe, merged_df, "v").collect()
+    }
+    assert got == {"x": True, "y": True, "z": True}

@@ -93,3 +93,59 @@ def test_compaction_job_scopes_to_cold(spark):
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_maintenance_jobs_default_now_is_utc(monkeypatch):
+    """The retention/compaction cutoffs derive from UTC 'now' by
+    default, matching the UTC-pinned event_date partitions: a
+    driver-local clock past midnight in a TZ ahead of UTC would
+    otherwise retire (or compact) one extra day — a compliance-
+    sensitive off-by-one."""
+    import datetime as real_dt
+    import types
+
+    from database_activity_monitoring_dam_system_spark import jobs, sinks
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        rollup_stream,  # noqa: F401 (imported for parity of namespace)
+    )
+
+    class _FrozenDT(real_dt.datetime):
+        @classmethod
+        def now(cls, tz=None):
+            if tz is None:
+                # local wall clock already past midnight...
+                return real_dt.datetime(2024, 1, 2, 0, 30)
+            # ...while UTC is still on the previous day
+            return real_dt.datetime(2024, 1, 1, 23, 30, tzinfo=tz)
+
+    fake_dt = types.SimpleNamespace(
+        datetime=_FrozenDT,
+        timedelta=real_dt.timedelta,
+        timezone=real_dt.timezone,
+    )
+    monkeypatch.setattr(jobs, "dt", fake_dt)
+
+    seen = {}
+    monkeypatch.setattr(
+        sinks,
+        "retire_cold_partitions",
+        lambda spark, path, older_than: seen.setdefault(
+            "retention_cutoff", older_than
+        )
+        and [],
+    )
+    monkeypatch.setattr(
+        sinks,
+        "compact_partitions",
+        lambda spark, path, target_bytes, cold_before: seen.setdefault(
+            "compaction_today", cold_before
+        )
+        and [],
+    )
+    jobs.run_retention_job(None, "/unused", retain_days=7)
+    jobs.run_compaction_job(None, "/unused")
+    # UTC date 2024-01-01 (not the local 2024-01-02)
+    assert seen["retention_cutoff"] == real_dt.date(
+        2024, 1, 1
+    ) - real_dt.timedelta(days=6)
+    assert seen["compaction_today"] == real_dt.date(2024, 1, 1)

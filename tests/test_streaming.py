@@ -1490,3 +1490,58 @@ def test_merge_upsert_boolean_and_null_partitions(spark, tmp_path):
     assert touched == ["__HIVE_DEFAULT_PARTITION__"]
     got = {(r.k, r.pb) for r in spark.read.parquet(npath).collect()}
     assert got == {(2, None), (3, "p1")}
+
+
+def test_read_rollup_refuses_mixed_grain_fragments(spark, tmp_path):
+    """A stream restarted into the same out_path with a different
+    grain leaves fragments of mixed geometry; the readers and the
+    compactor must check the _grain stamp across the WHOLE table,
+    not one sampled row — a first()-based guard passes or fails by
+    sampling luck and the merge silently mixes grains."""
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import rollup
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        rollup_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = spark.createDataFrame(
+        [
+            (1, 7, "login", "2024-03-01 10:00:30", 1.5),
+            (2, 7, "login", "2024-03-01 10:01:10", 2.5),
+            (3, 8, "query", "2024-03-01 11:00:00", 4.0),
+        ],
+        "event_id long, user_id long, event_type string, "
+        "ts_s string, value double",
+    ).selectExpr(
+        "event_id", "user_id", "event_type",
+        "CAST(ts_s AS TIMESTAMP) AS ts", "value",
+    )
+    out = str(tmp_path / "mixed")
+    for grain, batch_id in (("minute", 0), ("hour", 1)):
+        (
+            rollup.time_partials(events, grain=grain)
+            .withColumn("_grain", F.lit(grain))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+    with _pytest.raises(ValueError, match="mixed _grain"):
+        rollup_stream.read_rollup(spark, out, to_grain="day")
+    with _pytest.raises(ValueError, match="mixed _grain"):
+        rollup_stream.compact_rollup_fragments(spark, out)
+    # single-grain fragments still merge fine
+    clean = str(tmp_path / "clean")
+    for batch_id in (0, 1):
+        (
+            rollup.time_partials(events, grain="minute")
+            .withColumn("_grain", F.lit("minute"))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("_batch_id")
+            .parquet(clean)
+        )
+    merged = rollup_stream.read_rollup(spark, clean, to_grain="hour")
+    assert merged.count() == 2  # two distinct hours
