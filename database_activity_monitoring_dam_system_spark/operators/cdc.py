@@ -25,6 +25,8 @@ through the FileSystem API after the write.
 
 from __future__ import annotations
 
+import datetime as dt
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -59,6 +61,7 @@ def apply_changes(
     seq_col: str,
     op_col: str = "op",
     delete_op: str = "D",
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Merged snapshot: base rows whose key has no change survive
     untouched; changed keys take their latest non-delete row; deleted
@@ -76,9 +79,20 @@ def apply_changes(
     any number of times — structured streaming's only redelivery
     mode, what streaming/cdc_stream relies on — or (b) segments
     applied strictly in order, each at most until the next has been
-    applied. Arbitrary out-of-order redelivery needs tombstone
-    retention in the snapshot, a different storage contract
-    (Delta/Hudi keep them in the log for the same reason)."""
+    applied — or (c) ANY redelivery order, provided a tombstone
+    journal is maintained and passed as ``tombstones``: a frame of
+    ``key_cols`` + ``seq_col`` (plus a ``deleted_at`` retention
+    stamp, ignored here) recording applied deletes. A change loses
+    to a tombstone with an equal-or-higher sequence — a stale
+    pre-delete UPDATE can no longer re-insert the dead key — while
+    a change sequenced ABOVE the tombstone legitimately resurrects
+    it (a real re-insert after the delete). Maintain the journal
+    with :func:`extract_tombstones` / :func:`merge_tombstones` and
+    bound it with :func:`prune_tombstones` (Delta/Hudi keep delete
+    markers in the log for exactly this; the horizon must cover the
+    maximum redelivery lag). The tombstone join is change-keyed on
+    one side and horizon-bounded on the other — never table-sized;
+    AQE picks the build side at runtime."""
     missing = [c for c in base.columns if c not in changes.columns]
     if missing:
         raise ValueError(
@@ -87,6 +101,22 @@ def apply_changes(
     latest = latest_changes(
         changes, key_cols=key_cols, seq_col=seq_col, op_col=op_col
     )
+    if tombstones is not None:
+        # delete-journal arbitration BEFORE the merge: a change whose
+        # sequence does not beat its key's tombstone is a stale
+        # pre-delete row redelivered out of order — discard it
+        # wholesale (the key stays dead and its partition untouched)
+        tomb = tombstones.select(
+            *key_cols, F.col(seq_col).alias("_tomb_seq")
+        )
+        latest = (
+            latest.join(tomb, on=key_cols, how="left")
+            .filter(
+                F.col("_tomb_seq").isNull()
+                | (F.col(seq_col) > F.col("_tomb_seq"))
+            )
+            .drop("_tomb_seq")
+        )
     changed_keys = latest.select(*key_cols)
     survivors = base.join(
         F.broadcast(changed_keys), on=key_cols, how="left_anti"
@@ -137,6 +167,66 @@ def apply_changes(
     return survivors.unionByName(upserts)
 
 
+def extract_tombstones(
+    changes: DataFrame,
+    *,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    deleted_at: dt.datetime,
+) -> DataFrame:
+    """The delete journal rows a changelog batch contributes:
+    (key, highest delete seq, ``deleted_at``). Extract AFTER applying
+    the batch and fold into the persisted journal with
+    :func:`merge_tombstones`; ``deleted_at`` is the retention stamp
+    :func:`prune_tombstones` ages out — pass it explicitly (wall
+    clock is the caller's, not the engine's, same contract as the
+    maintenance jobs). Change-batch-sized work: one filter + one
+    keyed aggregate over the batch."""
+    return (
+        changes.filter(F.col(op_col) == delete_op)
+        .groupBy(*key_cols)
+        .agg(F.max(seq_col).alias(seq_col))
+        .withColumn("deleted_at", F.lit(deleted_at).cast("timestamp"))
+    )
+
+
+def merge_tombstones(
+    journal: DataFrame,
+    new: DataFrame,
+    *,
+    key_cols: list[str],
+    seq_col: str,
+) -> DataFrame:
+    """Fold a batch's tombstones into the journal: one row per key,
+    highest delete sequence wins, newest ``deleted_at`` stamp kept
+    (so re-deleting a resurrected key RENEWS its retention). Both
+    inputs are journal-shaped (key + seq + deleted_at); the result
+    replaces the journal table."""
+    return (
+        journal.unionByName(new)
+        .groupBy(*key_cols)
+        .agg(
+            F.max(seq_col).alias(seq_col),
+            F.max("deleted_at").alias("deleted_at"),
+        )
+    )
+
+
+def prune_tombstones(
+    journal: DataFrame, *, older_than: dt.datetime
+) -> DataFrame:
+    """Retention: drop journal rows whose ``deleted_at`` predates
+    ``older_than``. The horizon must cover the upstream's maximum
+    redelivery lag — a pruned tombstone reopens the re-insert window
+    for changelog segments older than it (the documented trade every
+    log-compacted CDC store makes)."""
+    return journal.filter(
+        F.col("deleted_at") >= F.lit(older_than).cast("timestamp")
+    )
+
+
 def merge_upsert_partitioned(
     spark: SparkSession,
     path: str,
@@ -147,6 +237,7 @@ def merge_upsert_partitioned(
     seq_col: str,
     op_col: str = "op",
     delete_op: str = "D",
+    tombstones: DataFrame | None = None,
 ) -> list[str]:
     """Apply ``changes`` to the partitioned snapshot at ``path``,
     touching only the partitions the changelog names: the snapshot
@@ -158,6 +249,10 @@ def merge_upsert_partitioned(
     Returns the touched partition values (as strings). Partitions
     left empty by deletes are removed via the FileSystem API — a
     dynamic overwrite cannot express 'this partition is now empty'.
+    With ``tombstones``, a partition named ONLY by journal-blocked
+    stale changes is still rewritten (as an identity) — touched
+    partitions are derived from the raw changelog before the
+    arbitration runs.
     """
     # collect each touched value TWICE: typed (for the pruned-scan
     # filter) and as Spark's own cast-to-string (for directory names
@@ -195,6 +290,7 @@ def merge_upsert_partitioned(
         seq_col=seq_col,
         op_col=op_col,
         delete_op=delete_op,
+        tombstones=tombstones,
     )
     merged = merged.localCheckpoint(eager=True)  # sever self-read
     (

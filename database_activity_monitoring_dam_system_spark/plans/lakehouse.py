@@ -375,6 +375,130 @@ WHERE NOT (chg_wins AND op = 'D')
 """
 
 
+def _q_cdc_tombstone_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The out-of-order replay the bare seq guard cannot survive,
+    fixed by the delete journal: a delete batch (every user_id ≡ 3
+    mod 7, sequenced above the whole changelog) is applied and its
+    tombstones extracted; then a STALE changelog segment (the odd
+    events, pre-delete sequences) is redelivered. Without the journal
+    every stale update would re-insert its dead key; with it the keys
+    stay dead — except users ≡ 3 mod 14, whose redelivered changes
+    are sequenced ABOVE the tombstone and legitimately resurrect
+    (the one path a journal must NOT block). The oracle recomputes
+    delete, journal arbitration, and merge relationally, so the hash
+    pins both the stays-dead and the resurrection semantics."""
+    import datetime as dtm
+
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("millis"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    base = (
+        e.filter(F.col("event_id") % 2 == 0)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", "event_type", "millis",
+            F.col("event_id").alias("seq"),
+        )
+    )
+    dels = base.filter(F.col("user_id") % 7 == 3).select(
+        "user_id",
+        "event_type",
+        "millis",
+        (F.col("user_id") + F.lit(10_000_000)).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    base2 = cdc.apply_changes(
+        base, dels, key_cols=["user_id"], seq_col="seq"
+    )
+    journal = cdc.extract_tombstones(
+        dels,
+        key_cols=["user_id"],
+        seq_col="seq",
+        deleted_at=dtm.datetime(2024, 1, 1, tzinfo=dtm.timezone.utc),
+    )
+    stale = e.filter(F.col("event_id") % 2 == 1).select(
+        "user_id",
+        "event_type",
+        "millis",
+        F.when(
+            F.col("user_id") % 14 == 3,
+            F.col("event_id") + F.lit(20_000_000),
+        )
+        .otherwise(F.col("event_id"))
+        .alias("seq"),
+        F.when(F.col("event_id") % 10 == 5, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return cdc.apply_changes(
+        base2,
+        stale,
+        key_cols=["user_id"],
+        seq_col="seq",
+        tombstones=journal,
+    )
+
+
+_CDC_TOMBSTONE_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS millis
+  FROM events
+),
+base AS (
+  SELECT user_id, event_type, millis, event_id AS seq FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY event_id DESC) AS rn
+    FROM e WHERE event_id % 2 = 0
+  ) WHERE rn = 1
+),
+dels AS (
+  SELECT user_id, 10000000 + user_id AS tomb_seq
+  FROM base WHERE user_id % 7 = 3
+),
+base2 AS (
+  SELECT * FROM base WHERE user_id % 7 != 3
+),
+chg AS (
+  SELECT user_id, event_type, millis,
+         CASE WHEN user_id % 14 = 3 THEN event_id + 20000000
+              ELSE event_id END AS seq,
+         CASE WHEN event_id % 10 = 5 THEN 'D' ELSE 'U' END AS op
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY event_id DESC) AS rn
+    FROM e WHERE event_id % 2 = 1
+  ) WHERE rn = 1
+),
+chg2 AS (
+  SELECT c.* FROM chg c LEFT JOIN dels d ON c.user_id = d.user_id
+  WHERE d.user_id IS NULL OR c.seq > d.tomb_seq
+),
+arb AS (
+  SELECT coalesce(b.user_id, c.user_id) AS user_id,
+         (c.seq IS NOT NULL AND (b.seq IS NULL OR c.seq > b.seq))
+           AS chg_wins,
+         b.event_type AS b_et, b.millis AS b_m, b.seq AS b_s,
+         c.event_type AS c_et, c.millis AS c_m, c.seq AS c_s, c.op
+  FROM base2 b FULL OUTER JOIN chg2 c ON b.user_id = c.user_id
+)
+SELECT user_id,
+       CASE WHEN chg_wins THEN c_et ELSE b_et END AS event_type,
+       CASE WHEN chg_wins THEN c_m ELSE b_m END AS millis,
+       CASE WHEN chg_wins THEN c_s ELSE b_s END AS seq
+FROM arb
+WHERE NOT (chg_wins AND op = 'D')
+"""
+
+
 def _q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent table digest over the events rows (exact
     integer projection — doubles and timestamps stringify
@@ -631,6 +755,12 @@ QUERIES: dict[str, QuerySpec] = {
         "CDC merge-upsert: latest-change arbitration with a stale-"
         "replay seq guard, deletes, and new-key inserts — snapshot "
         "never shuffles, all wide work is changelog-sized",
+    ),
+    "cdc_tombstone_replay": QuerySpec(
+        _q_cdc_tombstone_replay, _CDC_TOMBSTONE_SQL,
+        "delete-journal CDC arbitration: a stale pre-delete segment "
+        "redelivered out of order cannot re-insert dead keys, while "
+        "changes sequenced above the tombstone still resurrect them",
     ),
     "table_checksum": QuerySpec(
         _q_table_checksum, _CHECKSUM_SQL,

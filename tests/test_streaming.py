@@ -1545,3 +1545,90 @@ def test_read_rollup_refuses_mixed_grain_fragments(spark, tmp_path):
         )
     merged = rollup_stream.read_rollup(spark, clean, to_grain="hour")
     assert merged.count() == 2  # two distinct hours
+
+
+def test_cdc_tombstone_journal_blocks_stale_resurrections(spark):
+    """The delete journal closes the documented out-of-order replay
+    gap: a stale pre-delete UPDATE redelivered after the delete
+    cannot re-insert the dead key, a change sequenced ABOVE the
+    tombstone still resurrects it, and the journal helpers merge by
+    max-seq / newest-stamp and prune by retention horizon."""
+    import datetime as real_dt
+
+    from database_activity_monitoring_dam_system_spark.operators import cdc
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, v string, seq long",
+    )
+    # in-order delete of k=1 (seq 100) and k=3 (seq 110)
+    dels = spark.createDataFrame(
+        [(1, "a", 100, "D"), (3, "c", 110, "D")],
+        "k long, v string, seq long, op string",
+    )
+    base2 = cdc.apply_changes(base, dels, key_cols=["k"], seq_col="seq")
+    assert {r.k for r in base2.collect()} == {2}
+    journal = cdc.extract_tombstones(
+        dels,
+        key_cols=["k"],
+        seq_col="seq",
+        deleted_at=real_dt.datetime(2024, 6, 1),
+    )
+    assert {(r.k, r.seq) for r in journal.collect()} == {(1, 100), (3, 110)}
+    # out-of-order redelivery: stale updates for the dead keys (seqs
+    # 50/60 < tombstones), a legit post-delete re-insert for k=3
+    # (seq 200 > 110), and a normal update for the live k=2
+    stale = spark.createDataFrame(
+        [
+            (1, "zombie", 50, "U"),
+            (3, "zombie", 60, "U"),
+            (3, "reborn", 200, "U"),
+            (2, "fresh", 90, "U"),
+        ],
+        "k long, v string, seq long, op string",
+    )
+    # WITHOUT the journal the seq guard cannot protect dead keys —
+    # the documented limitation this feature exists for
+    unguarded = cdc.apply_changes(
+        base2, stale, key_cols=["k"], seq_col="seq"
+    )
+    assert {r.k for r in unguarded.collect()} == {1, 2, 3}
+    got = {
+        r.k: (r.v, r.seq)
+        for r in cdc.apply_changes(
+            base2, stale, key_cols=["k"], seq_col="seq",
+            tombstones=journal,
+        ).collect()
+    }
+    # k=1 stays dead; k=2 updated; k=3 resurrected by the higher seq
+    assert got == {2: ("fresh", 90), 3: ("reborn", 200)}
+    # a stale DELETE for an already-dead key is also a no-op
+    stale_del = spark.createDataFrame(
+        [(1, "a", 55, "D")], "k long, v string, seq long, op string"
+    )
+    still = cdc.apply_changes(
+        base2, stale_del, key_cols=["k"], seq_col="seq",
+        tombstones=journal,
+    )
+    assert {r.k for r in still.collect()} == {2}
+    # journal maintenance: merge keeps max seq + newest stamp; prune
+    # ages rows out by the retention horizon
+    newer = cdc.extract_tombstones(
+        spark.createDataFrame(
+            [(3, "reborn", 300, "D")],
+            "k long, v string, seq long, op string",
+        ),
+        key_cols=["k"],
+        seq_col="seq",
+        deleted_at=real_dt.datetime(2024, 7, 1),
+    )
+    merged = cdc.merge_tombstones(
+        journal, newer, key_cols=["k"], seq_col="seq"
+    )
+    rows = {r.k: (r.seq, r.deleted_at) for r in merged.collect()}
+    assert rows[3] == (300, real_dt.datetime(2024, 7, 1))
+    assert rows[1][0] == 100
+    pruned = cdc.prune_tombstones(
+        merged, older_than=real_dt.datetime(2024, 6, 15)
+    )
+    assert {r.k for r in pruned.collect()} == {3}
