@@ -327,6 +327,128 @@ def load_postings(
     return df.drop("_n_docs")
 
 
+def update_postings(
+    postings: DataFrame,
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incrementally fold a corpus snapshot change into an existing
+    UNCAPPED posting table: the pq_update_codes carry pattern applied
+    to the index. The result is row-identical to a fresh
+    :func:`build_postings` over ``new_docs`` (gate-pinned), at
+    delta-proportional cost.
+
+    How the delta stays bounded: which posting rows mention a removed
+    or changed doc is answerable WITHOUT scanning the index — they
+    are exactly the tokens of those docs' OLD text. So the removal
+    side tokenizes old text of ``removed ∪ changed`` docs, the
+    insertion side tokenizes new text of ``added ∪ changed`` docs
+    (verdicts from dedup.corpus_diff on RAW fingerprints — any byte
+    change retokenizes), and the merge is per-token ARRAY surgery
+    (array_except + concat + re-sort) over one equi-join of the
+    index against the two broadcast delta frames — the corpus is
+    never re-tokenized and the index never re-exploded. Tokens whose
+    lists empty out drop; tokens seen first in the delta append.
+
+    Refuses a CAPPED index (``_min_df``/``_max_df`` stamps): a token
+    pruned by max_df at build time has no posting list to repair —
+    after deletions it may fall back under the cap, and the merged
+    index would silently disagree with a fresh capped build. BM25
+    serving needs no extra carry: its constants (N, Σdl, df) derive
+    from the corpus at query time, not from this artifact."""
+    if "_min_df" in postings.columns or "_max_df" in postings.columns:
+        raise ValueError(
+            "update_postings: index was built with df caps — pruned "
+            "tokens cannot be repaired incrementally; rebuild fresh"
+        )
+    from .dedup import corpus_diff
+
+    diff = corpus_diff(
+        old_docs, new_docs, id_col=id_col, text_col=text_col,
+        normalize=False,
+    )
+    gone_ids = diff.filter(
+        F.col("verdict").isin("removed", "changed")
+    ).select(F.col(id_col))
+    new_ids = diff.filter(
+        F.col("verdict").isin("added", "changed")
+    ).select(F.col(id_col))
+
+    def _token_pairs(docs: DataFrame, ids: DataFrame) -> DataFrame:
+        return docs.join(F.broadcast(ids), on=id_col, how="left_semi").select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(_norm_tokens(text_col))
+            ).alias("token"),
+        )
+
+    rm = (
+        _token_pairs(old_docs, gone_ids)
+        .groupBy("token")
+        .agg(F.collect_set("doc_id").alias("_rm_ids"))
+    )
+    ad = (
+        _token_pairs(new_docs, new_ids)
+        .groupBy("token")
+        .agg(F.collect_set("doc_id").alias("_add_ids"))
+    )
+    empty = F.array().cast(postings.schema["postings"].dataType)
+    patched = (
+        postings.join(F.broadcast(rm), on="token", how="left")
+        .join(F.broadcast(ad), on="token", how="left")
+        .select(
+            "token",
+            F.sort_array(
+                F.concat(
+                    F.array_except(
+                        "postings", F.coalesce("_rm_ids", empty)
+                    ),
+                    F.coalesce("_add_ids", empty),
+                )
+            ).alias("postings"),
+        )
+    )
+    fresh_tokens = (
+        ad.join(postings.select("token"), on="token", how="left_anti")
+        .select("token", F.sort_array("_add_ids").alias("postings"))
+    )
+    return (
+        patched.unionByName(fresh_tokens)
+        .withColumn("df", F.size("postings").cast("long"))
+        .filter(F.col("df") > 0)
+    )
+
+
+def update_postings_artifact(
+    spark: SparkSession,
+    path: str,
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_docs: int,
+    buckets: int = 0,
+) -> None:
+    """The persisted-artifact form of :func:`update_postings`: load
+    the index at ``path`` (stamp-checked against the OLD corpus's
+    document count — refusing an artifact that already drifted),
+    fold the snapshot delta in, and re-save stamped with the NEW
+    count (``n_docs``). The merged frame is localCheckpoint-ed
+    before the overwrite severs the self-read (the
+    merge_upsert_partitioned discipline); the index is vocab-bounded,
+    orders of magnitude under the corpus."""
+    expect_old = old_docs.count()
+    idx = load_postings(spark, path, expect_docs=expect_old)
+    merged = update_postings(
+        idx, old_docs, new_docs, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=True)
+    save_postings(merged, path, n_docs=n_docs, buckets=buckets)
+
+
 def search_snippets(
     docs: DataFrame,
     postings: DataFrame,

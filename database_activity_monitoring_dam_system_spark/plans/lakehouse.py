@@ -230,6 +230,65 @@ SELECT token, df, postings_md5 FROM p WHERE df >= 2
 """
 
 
+def _q_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance ≡ fresh rebuild, md5-pinned: an
+    OLD corpus snapshot is synthesized with every change class —
+    docs ≡ 3 mod 10 absent (added), docs ≡ 7 mod 10 carrying an
+    extra token (changed: the token must vanish from the merged
+    index), and ephemeral high-id rows not in the real corpus
+    (removed). The index built over that snapshot is folded forward
+    with update_postings; the oracle builds the NEW corpus's index
+    from scratch — matching hashes prove the delta surgery
+    (array_except / append / empty-drop / new-token insert) is
+    lossless."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = (
+        docs.filter(F.col("doc_id") % 10 != 3)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 7,
+                F.concat(F.col("text"), F.lit(" vanishingtoken")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 1).select(
+                (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                F.concat(
+                    F.lit("ephemeral snapshot rows "), F.col("text")
+                ).alias("text"),
+            )
+        )
+    )
+    base_idx = invindex.build_postings(old)
+    merged = invindex.update_postings(base_idx, old, docs)
+    return merged.select(
+        "token",
+        "df",
+        F.md5(
+            F.array_join(
+                F.transform("postings", lambda x: x.cast("string")), ","
+            )
+        ).alias("postings_md5"),
+    )
+
+
+# fresh build over the new corpus — incremental must be identical
+_INCR_POSTINGS_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.token
+  FROM documents,
+       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(token)
+  WHERE t.token != ''
+)
+SELECT token, count(*)::BIGINT AS df,
+       md5(array_to_string(list_sort(list(doc_id)), ',')) AS postings_md5
+FROM toks GROUP BY token
+"""
+
+
 def _q_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive search answered from the index alone: build the
     posting table once, look up the three query tokens, intersect by
@@ -737,6 +796,13 @@ QUERIES: dict[str, QuerySpec] = {
         _q_inverted_postings, _POSTINGS_SQL,
         "inverted-index build: token → df + md5-pinned sorted "
         "posting list, one corpus pass, df-bounds stop-list pruning",
+    ),
+    "incremental_postings": QuerySpec(
+        _q_incremental_postings, _INCR_POSTINGS_SQL,
+        "incremental inverted-index maintenance: per-token array "
+        "surgery over the added/changed/removed delta ≡ fresh "
+        "rebuild of the new corpus, md5-pinned — the corpus is never "
+        "re-tokenized and the index never re-exploded",
     ),
     "index_search": QuerySpec(
         _q_index_search, _INDEX_SEARCH_SQL,

@@ -3244,3 +3244,90 @@ def test_bloom_merge_propagates_uncounted_sentinel(spark):
         for r in sketches.bloom_probe(probe, merged_df, "v").collect()
     }
     assert got == {"x": True, "y": True, "z": True}
+
+
+def test_incremental_index_artifact_roundtrip(spark, tmp_path):
+    """update_postings_artifact folds an added/changed/removed
+    snapshot delta into the persisted index: the merged artifact is
+    row-identical to a fresh build over the new corpus, a served
+    search over it answers exactly as a fresh search, the stamp
+    check refuses a drifted artifact, and capped indexes refuse the
+    incremental path outright."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        invindex,
+    )
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    old = (
+        docs.filter(F.col("doc_id") % 10 != 3)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 7,
+                F.concat(F.col("text"), F.lit(" vanishingtoken")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 1).select(
+                (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                F.lit("ephemeral snapshot row").alias("text"),
+            )
+        )
+    )
+    n_old, n_new = old.count(), docs.count()
+    path = str(tmp_path / "idx")
+    invindex.save_postings(
+        invindex.build_postings(old), path, n_docs=n_old
+    )
+    # drifted-stamp refusal: the claimed old corpus (10 docs) does
+    # not match the artifact's n_old stamp
+    with _pytest.raises(ValueError, match="rebuild the index"):
+        invindex.update_postings_artifact(
+            spark, path, docs.limit(10), docs, n_docs=n_new
+        )
+    invindex.update_postings_artifact(
+        spark, path, old, docs, n_docs=n_new
+    )
+    merged = invindex.load_postings(spark, path, expect_docs=n_new)
+    fresh = invindex.build_postings(docs)
+
+    def canon(df):
+        return sorted(
+            (r.token, r.df, tuple(r.postings)) for r in df.collect()
+        )
+
+    assert canon(merged) == canon(fresh)
+    # the vanished token (changed docs' old text) must be gone, and
+    # no ephemeral doc id may survive anywhere
+    assert merged.filter(F.col("token") == "vanishingtoken").count() == 0
+    assert (
+        merged.select(F.explode("postings").alias("d"))
+        .filter(F.col("d") >= 10_000_000)
+        .count()
+        == 0
+    )
+    # served search over the merged artifact ≡ fresh search
+    terms = ["dup", "merge"]
+    served = sorted(
+        r.doc_id
+        for r in invindex.search_docs(docs, merged, terms).collect()
+    )
+    fresh_hits = sorted(
+        r.doc_id
+        for r in invindex.search_docs(docs, fresh, terms).collect()
+    )
+    assert served == fresh_hits and served
+    # capped indexes cannot be incrementally repaired
+    capped = invindex.build_postings(docs, min_df=2)
+    with _pytest.raises(ValueError, match="df caps"):
+        invindex.update_postings(capped, old, docs)
