@@ -285,6 +285,62 @@ def value_quantile_partials(
     )
 
 
+def _merged_bins(
+    partials: DataFrame,
+    *,
+    to_grain: str,
+    group_cols: list[str] | None,
+    percents: tuple[int, ...],
+    lo: float,
+    hi: float,
+    bins: int,
+    caller: str,
+):
+    """Shared front half of the quantile serving paths: validate,
+    re-truncate to ``to_grain`` with the in-plan geometry-stamp
+    assert, and merge the bin counts. Returns
+    (merged frame, group keys, lo_millis, span_millis)."""
+    _check_grain(to_grain)
+    if not percents or any(not 1 <= p <= 100 for p in percents):
+        raise ValueError(f"percents must be ints in [1, 100]: {percents}")
+    lo_m = int(lo * 1000)
+    span = int(hi * 1000) - lo_m
+    groups = list(group_cols or [])
+    meta = ("_lo_millis", "_span_millis", "_bins")
+    keep_meta = all(c in partials.columns for c in meta)
+    retrunc = partials.select(
+        F.date_trunc(to_grain, F.col("bucket_ts")).alias("bucket_ts"),
+        *groups,
+        "bin",
+        "n",
+        *(meta if keep_meta else ()),
+    )
+    if keep_meta:
+        retrunc = retrunc.where(
+            F.assert_true(
+                (F.col("_lo_millis") == F.lit(lo_m))
+                & (F.col("_span_millis") == F.lit(span))
+                & (F.col("_bins") == F.lit(bins)),
+                F.concat(
+                    F.lit(
+                        f"{caller}: partials were built with "
+                        "(lo_millis, span_millis, bins)=("
+                    ),
+                    F.col("_lo_millis").cast("string"),
+                    F.lit(", "),
+                    F.col("_span_millis").cast("string"),
+                    F.lit(", "),
+                    F.col("_bins").cast("string"),
+                    F.lit(f"), not the requested ({lo_m}, {span}, {bins})"),
+                ),
+            ).isNull()
+        ).drop(*meta)
+    merged = retrunc.groupBy("bucket_ts", *groups, "bin").agg(
+        F.sum("n").alias("n")
+    )
+    return merged, ["bucket_ts", *groups], lo_m, span
+
+
 def rollup_quantiles(
     partials: DataFrame,
     *,
@@ -310,45 +366,11 @@ def rollup_quantiles(
     Mismatched geometry (different lo/hi/bins than the partials were
     built with) would silently shift every estimate — asserted
     in-plan against the frame's own geometry stamp."""
-    _check_grain(to_grain)
-    if not percents or any(not 1 <= p <= 100 for p in percents):
-        raise ValueError(f"percents must be ints in [1, 100]: {percents}")
-    lo_m = int(lo * 1000)
-    span = int(hi * 1000) - lo_m
-    groups = list(group_cols or [])
-    meta = ("_lo_millis", "_span_millis", "_bins")
-    keep_meta = all(c in partials.columns for c in meta)
-    retrunc = partials.select(
-        F.date_trunc(to_grain, F.col("bucket_ts")).alias("bucket_ts"),
-        *groups,
-        "bin",
-        "n",
-        *(meta if keep_meta else ()),
+    merged, keys, lo_m, span = _merged_bins(
+        partials, to_grain=to_grain, group_cols=group_cols,
+        percents=percents, lo=lo, hi=hi, bins=bins,
+        caller="rollup_quantiles",
     )
-    if keep_meta:
-        retrunc = retrunc.where(
-            F.assert_true(
-                (F.col("_lo_millis") == F.lit(lo_m))
-                & (F.col("_span_millis") == F.lit(span))
-                & (F.col("_bins") == F.lit(bins)),
-                F.concat(
-                    F.lit(
-                        "rollup_quantiles: partials were built with "
-                        "(lo_millis, span_millis, bins)=("
-                    ),
-                    F.col("_lo_millis").cast("string"),
-                    F.lit(", "),
-                    F.col("_span_millis").cast("string"),
-                    F.lit(", "),
-                    F.col("_bins").cast("string"),
-                    F.lit(f"), not the requested ({lo_m}, {span}, {bins})"),
-                ),
-            ).isNull()
-        ).drop(*meta)
-    merged = retrunc.groupBy("bucket_ts", *groups, "bin").agg(
-        F.sum("n").alias("n")
-    )
-    keys = ["bucket_ts", *groups]
     w_cum = (
         Window.partitionBy(*keys)
         .orderBy("bin")
@@ -378,6 +400,136 @@ def rollup_quantiles(
             F.round(edge / 1000.0, 3).alias(f"p{p}_value")
         )
     return per_group.select(*out_cols)
+
+
+def rollup_quantiles_interp(
+    partials: DataFrame,
+    *,
+    to_grain: str,
+    group_cols: list[str] | None = None,
+    percents: tuple[int, ...] = (50, 90, 99),
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    bins: int = 256,
+) -> DataFrame:
+    """The INTERPOLATED twin of :func:`rollup_quantiles` over the
+    very same partials: instead of snapping to the crossing bin's
+    lower edge (a one-sided estimator that can sit a full bin width
+    below the true quantile), this reads the weighted-multiset
+    linear-interpolation percentile of the bin edges — the estimator
+    lands BETWEEN edges, with |estimate − true quantile| ≤ one bin
+    width (span/bins) always, because every value's distance to its
+    bin edge is under one bin. Users pick: hash-stable lower edges
+    (``rollup_quantiles``) for alert thresholds that must never
+    flap, interpolation here for dashboards that want the smoother
+    curve; :func:`quantiles_gk` is the third option when no partials
+    are maintained at all.
+
+    Rank math stays integer-exact: the 0-indexed position
+    p·(total−1)/100 splits into lower rank (integer div), upper rank
+    (integer ceil) and an EXACT rational fraction (mod)/100 — no
+    float floor anywhere — and the two edge lookups are the same
+    cumulative-crossing min() trick as the grid estimator. The ONLY
+    float arithmetic is one fixed expression per percent
+    (edge_lo + (edge_hi − edge_lo)·frac/100, then /1000, round 6)
+    written with identical text in the oracle, so the gate is a full
+    hash comparison despite the interpolation."""
+    merged, keys, lo_m, span = _merged_bins(
+        partials, to_grain=to_grain, group_cols=group_cols,
+        percents=percents, lo=lo, hi=hi, bins=bins,
+        caller="rollup_quantiles_interp",
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    cum = merged.select(
+        *keys,
+        "bin",
+        F.sum("n").over(w_cum).alias("_cum"),
+        F.sum("n").over(w_all).alias("_total"),
+    )
+    agg_cols = [F.max("_total").alias("n_values")]
+    for p in percents:
+        # 0-indexed interpolation position p*(total-1)/100, kept as
+        # exact integers: lower rank, upper rank, fraction*100
+        lo_rank = F.expr(f"(_total - 1L) * {p}L div 100L")
+        hi_rank = F.expr(f"((_total - 1L) * {p}L + 99L) div 100L")
+        agg_cols += [
+            F.min(
+                F.when(F.col("_cum") >= lo_rank + 1, F.col("bin"))
+            ).alias(f"_bl_p{p}"),
+            F.min(
+                F.when(F.col("_cum") >= hi_rank + 1, F.col("bin"))
+            ).alias(f"_bh_p{p}"),
+            F.max(F.expr(f"(_total - 1L) * {p}L % 100L")).alias(
+                f"_f_p{p}"
+            ),
+        ]
+    per_group = cum.groupBy(*keys).agg(*agg_cols)
+    out_cols = [*keys, "n_values"]
+    for p in percents:
+        vl = f"({lo_m}L + _bl_p{p} * {span}L div {bins}L)"
+        vh = f"({lo_m}L + _bh_p{p} * {span}L div {bins}L)"
+        out_cols.append(
+            F.expr(
+                f"round((CAST({vl} AS DOUBLE) + CAST({vh} - {vl} AS "
+                f"DOUBLE) * CAST(_f_p{p} AS DOUBLE) / CAST(100 AS "
+                f"DOUBLE)) / CAST(1000 AS DOUBLE), 6)"
+            ).alias(f"p{p}_interp")
+        )
+    return per_group.select(*out_cols)
+
+
+def quantiles_gk(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grain: str = "day",
+    group_cols: list[str] | None = None,
+    percents: tuple[int, ...] = (50, 90, 99),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The no-partials quantile path: Spark's Greenwald-Khanna sketch
+    (``percentile_approx``) straight over raw events at the serving
+    grain. Error is bounded in RANK — the returned value's rank is
+    within total/``accuracy`` of the target rank (the GK guarantee),
+    at O(accuracy) state per group regardless of data volume —
+    where the histogram rollup's error is bounded in VALUE (one bin
+    width) and costs maintained partials. Pick by what you can
+    bound: known value range → partials + :func:`rollup_quantiles` /
+    :func:`rollup_quantiles_interp`; unknown range or ad-hoc column
+    → this. Engine-internal sketch ⇒ rows-only oracle (the gate pins
+    schema, group count, and the rank bound is test-asserted)."""
+    _check_grain(grain)
+    if not percents or any(not 1 <= p <= 100 for p in percents):
+        raise ValueError(f"percents must be ints in [1, 100]: {percents}")
+    groups = list(group_cols or [])
+    pcts = ", ".join(f"CAST({p} AS DOUBLE) / CAST(100 AS DOUBLE)" for p in percents)
+    df = events.select(
+        F.date_trunc(grain, F.col(ts_col)).alias("bucket_ts"),
+        *groups,
+        F.col(value_col).alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    aggs = [
+        F.count("*").alias("n_values"),
+        F.expr(
+            f"percentile_approx(_v, array({pcts}), {accuracy})"
+        ).alias("_q"),
+    ]
+    out = df.groupBy("bucket_ts", *groups).agg(*aggs)
+    return out.select(
+        "bucket_ts",
+        *groups,
+        "n_values",
+        *[
+            F.round(F.col("_q").getItem(i), 6).alias(f"p{p}_gk")
+            for i, p in enumerate(percents)
+        ],
+    )
 
 
 def gapfill_buckets(

@@ -88,6 +88,114 @@ FROM q
 """
 
 
+def _q_rollup_quantiles_interp(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interpolated quantile serving over the SAME minute partials as
+    `rollup_value_quantiles`: weighted-multiset linear interpolation
+    between bin edges — |estimate − true quantile| ≤ one bin width,
+    vs the grid estimator's one-sided lower edge. Rank math is
+    integer-exact (div/mod — no float floor), the single float
+    interpolation expression is written with identical text in the
+    oracle, so even the interpolated path is a full hash gate."""
+    events = load_table(spark, sf_dir, "events")
+    kw = dict(group_cols=["event_type"], lo=_Q_LO, hi=_Q_HI, bins=_Q_BINS)
+    minute = rollup.value_quantile_partials(events, grain="minute", **kw)
+    day = rollup.rollup_quantiles_interp(
+        minute, to_grain="day", percents=(50, 90, 99), **kw
+    )
+    return day.select(
+        F.date_format("bucket_ts", "yyyy-MM-dd").alias("time_bucket"),
+        "event_type",
+        "n_values",
+        "p50_interp",
+        "p90_interp",
+        "p99_interp",
+    )
+
+
+def _interp_expr(p: int) -> str:
+    """One percentile's oracle-side interpolation — generated so the
+    expression TEXT cannot drift from the Spark side's (the
+    bm25_sql_expr discipline): edge(bl) + (edge(bh) − edge(bl)) ·
+    frac/100, all-double with CAST-pinned literals."""
+    vl = f"({_Q_LO_M} + bl{p} * {_Q_SPAN} // {_Q_BINS})"
+    vh = f"({_Q_LO_M} + bh{p} * {_Q_SPAN} // {_Q_BINS})"
+    return (
+        f"round((CAST({vl} AS DOUBLE) + CAST({vh} - {vl} AS DOUBLE)"
+        f" * CAST(f{p} AS DOUBLE) / CAST(100 AS DOUBLE))"
+        f" / CAST(1000 AS DOUBLE), 6) AS p{p}_interp"
+    )
+
+
+_INTERP_RANKS = ",\n         ".join(
+    f"min(CASE WHEN cum >= (((total - 1) * {p}) // 100) + 1 "
+    f"THEN bin END) AS bl{p}, "
+    f"min(CASE WHEN cum >= (((total - 1) * {p} + 99) // 100) + 1 "
+    f"THEN bin END) AS bh{p}, "
+    f"CAST(max(((total - 1) * {p}) % 100) AS BIGINT) AS f{p}"
+    for p in (50, 90, 99)
+)
+_INTERP_OUTS = ",\n       ".join(_interp_expr(p) for p in (50, 90, 99))
+
+_INTERP_QUANTILES_SQL = f"""
+WITH m AS (
+  SELECT date_trunc('day', ts) AS b, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS millis
+  FROM events
+),
+h AS (
+  SELECT b, event_type,
+         least({_Q_BINS - 1}, greatest(0,
+           (millis - {_Q_LO_M}) * {_Q_BINS} // {_Q_SPAN})) AS bin,
+         count(*)::BIGINT AS n
+  FROM m WHERE millis IS NOT NULL GROUP BY 1, 2, 3
+),
+c AS (
+  SELECT b, event_type, bin,
+         CAST(sum(n) OVER (PARTITION BY b, event_type
+                           ORDER BY bin) AS BIGINT) AS cum,
+         CAST(sum(n) OVER (PARTITION BY b, event_type) AS BIGINT) AS total
+  FROM h
+),
+q AS (
+  SELECT b, event_type,
+         CAST(max(total) AS BIGINT) AS n_values,
+         {_INTERP_RANKS}
+  FROM c GROUP BY 1, 2
+)
+SELECT strftime(b, '%Y-%m-%d') AS time_bucket, event_type, n_values,
+       {_INTERP_OUTS}
+FROM q
+"""
+
+
+def _q_quantiles_gk_timeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The no-partials quantile path: Greenwald-Khanna sketches
+    (percentile_approx) straight over raw events at day grain —
+    rank-bounded error at O(accuracy) state per group, no maintained
+    state. Engine-internal sketch ⇒ rows-only oracle; the rank bound
+    itself is test-asserted against the exact percentiles."""
+    events = load_table(spark, sf_dir, "events")
+    out = rollup.quantiles_gk(
+        events,
+        grain="day",
+        group_cols=["event_type"],
+        percents=(50, 90, 99),
+        accuracy=10_000,
+    )
+    return out.select(
+        F.date_format("bucket_ts", "yyyy-MM-dd").alias("time_bucket"),
+        "event_type",
+        "n_values",
+        "p50_gk",
+        "p90_gk",
+        "p99_gk",
+    )
+
+
 def _q_gapfill_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Densified hourly timeline: every hour between each event
     type's first and last bucket, zero-filled with an is_gap flag —
@@ -779,6 +887,29 @@ QUERIES: dict[str, QuerySpec] = {
         "mergeable quantile rollup: minute fixed-bin histogram "
         "partials merged to day p50/p90/p99 ≡ direct day histogram — "
         "integer-exact grid, thresholds, and bin edges",
+    ),
+    "rollup_quantiles_interp": QuerySpec(
+        _q_rollup_quantiles_interp, _INTERP_QUANTILES_SQL,
+        "interpolated quantile serving over the same histogram "
+        "partials: weighted-multiset linear interpolation between "
+        "bin edges (error ≤ one bin width) — integer rank math, one "
+        "text-identical float expression, full hash oracle",
+    ),
+    "quantiles_gk_timeline": QuerySpec(
+        _q_quantiles_gk_timeline, None,
+        "Greenwald-Khanna quantile sketch (percentile_approx) over "
+        "raw events at day grain — the no-partials, rank-bounded "
+        "path; engine-internal sketch, rows-only oracle with the "
+        "rank bound test-asserted",
+        expect_columns=(
+            "time_bucket", "event_type", "n_values",
+            "p50_gk", "p90_gk", "p99_gk",
+        ),
+        expect_rows=(1, None),
+        rows_oracle=(
+            "SELECT count(*) FROM (SELECT DISTINCT date_trunc('day', ts),"
+            " event_type FROM events WHERE value IS NOT NULL)"
+        ),
     ),
     "gapfill_timeline": QuerySpec(
         _q_gapfill_timeline, _GAPFILL_SQL,

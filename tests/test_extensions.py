@@ -3331,3 +3331,108 @@ def test_incremental_index_artifact_roundtrip(spark, tmp_path):
     capped = invindex.build_postings(docs, min_df=2)
     with _pytest.raises(ValueError, match="df caps"):
         invindex.update_postings(capped, old, docs)
+
+
+def test_quantile_serving_paths_error_bounds(spark):
+    """The three quantile estimators' promised bounds, asserted
+    against the TRUE exact percentiles: the grid edge sits within one
+    bin width BELOW the truth, the interpolated estimate within one
+    bin width either side, and the GK sketch's value has rank within
+    n/accuracy of the target rank. Also: interp over the SAME
+    partials as the grid path (one partials build serves both)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        rollup,
+    )
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = load_table(spark, "/root/testdata/sf0.01", "events")
+    lo, hi, bins = 0.0, 500.0, 200
+    bin_w = (hi - lo) / bins
+    kw = dict(lo=lo, hi=hi, bins=bins)
+    minute = rollup.value_quantile_partials(events, grain="minute", **kw)
+    grid = {
+        r.bucket_ts: r
+        for r in rollup.rollup_quantiles(
+            minute, to_grain="day", percents=(50, 90, 99), **kw
+        ).collect()
+    }
+    interp = {
+        r.bucket_ts: r
+        for r in rollup.rollup_quantiles_interp(
+            minute, to_grain="day", percents=(50, 90, 99), **kw
+        ).collect()
+    }
+    accuracy = 1000
+    gk = {
+        r.bucket_ts: r
+        for r in rollup.quantiles_gk(
+            events, grain="day", percents=(50, 90, 99),
+            accuracy=accuracy,
+        ).collect()
+    }
+    # true exact percentiles per day (Spark's exact percentile over
+    # the SAME millis quantization the partials use)
+    truth = {
+        r.bucket_ts: r
+        for r in events.filter(F.col("value").isNotNull())
+        .select(
+            F.date_trunc("day", "ts").alias("bucket_ts"),
+            (F.floor(F.col("value") * 1000) / 1000.0).alias("v"),
+            F.col("value").alias("raw"),
+        )
+        .groupBy("bucket_ts")
+        .agg(
+            *[
+                F.expr(
+                    f"percentile(v, CAST({p} AS DOUBLE)"
+                    " / CAST(100 AS DOUBLE))"
+                ).alias(f"t{p}")
+                for p in (50, 90, 99)
+            ],
+            F.sort_array(F.collect_list("v")).alias("vals"),
+            # GK consumes the RAW values (no millis quantization) and
+            # rounds its answer to 6 decimals — rank-check against
+            # the raw list with a rounding-tolerant bracket
+            F.sort_array(F.collect_list("raw")).alias("rvals"),
+        )
+        .collect()
+    }
+    assert grid and set(grid) == set(interp) == set(gk) == set(truth)
+    for day, t in truth.items():
+        n = len(t.vals)
+        for p in (50, 90, 99):
+            tv = t[f"t{p}"]
+            ge = grid[day][f"p{p}_value"]
+            iv = interp[day][f"p{p}_interp"]
+            gv = gk[day][f"p{p}_gk"]
+            # the grid estimator answers a DIFFERENT rank definition
+            # (value at 1-indexed rank ceil(p·n/100), snapped to its
+            # bin's lower edge) — in a sparse tail that rank's value
+            # can sit many units from the interpolated percentile, so
+            # its bound is against ITS OWN rank's value: the edge's
+            # bin contains it
+            v_rank = t.vals[math.ceil(p * n / 100) - 1]
+            assert ge - 1e-9 <= v_rank <= ge + bin_w + 1e-9, (
+                day, p, ge, v_rank,
+            )
+            # interpolation: within one bin width either side
+            assert abs(iv - tv) <= bin_w, (day, p, iv, tv)
+            # GK: the returned value's RANK is within n/accuracy + 1
+            # of the target rank (the sketch's actual guarantee —
+            # value distance depends on local density)
+            target = math.floor(p / 100 * (n - 1))
+            import bisect
+
+            r_lo = bisect.bisect_left(t.rvals, gv - 1e-6)
+            r_hi = bisect.bisect_right(t.rvals, gv + 1e-6) - 1
+            tol = n / accuracy + 1
+            assert r_lo - tol <= target <= r_hi + tol, (
+                day, p, gv, target, r_lo, r_hi, n,
+            )
