@@ -230,3 +230,109 @@ def transition_counts(
             6,
         ).alias("probability"),
     )
+
+
+def transition_pairs(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """The raw consecutive-pair stream under :func:`transition_counts`'
+    ordering: one row per (from event, next event) within a user's
+    (ts, id)-ordered timeline, carrying the FROM event's timestamp
+    and the gap to the next event in seconds (millisecond-quantized).
+    This is the event form the transition-rollup partials reduce —
+    exposed so the streaming maintainer and the batch twin provably
+    share one pairing definition."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    return (
+        events.select(user_col, ts_col, id_col, type_col)
+        .withColumn("_next_type", F.lead(type_col).over(w))
+        .withColumn("_next_ts", F.lead(ts_col).over(w))
+        .filter(F.col("_next_type").isNotNull())
+        .select(
+            F.col(ts_col).alias("ts"),
+            F.col(type_col).alias("from_type"),
+            F.col("_next_type").alias("to_type"),
+            (
+                (
+                    F.unix_millis("_next_ts") - F.unix_millis(ts_col)
+                )
+                / F.lit(1000.0)
+            ).alias("gap_seconds"),
+        )
+    )
+
+
+def transition_partials(
+    events: DataFrame,
+    *,
+    grain: str = "day",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-bucketed transition state in the MERGEABLE time-partials
+    shape: each consecutive pair becomes an event at the FROM
+    event's timestamp (the bucketing convention — a transition
+    belongs to the bucket it started in) with the gap as its value,
+    reduced by rollup.time_partials grouped on (from_type, to_type).
+    So ``n_events`` is the transition count and the millis fields
+    carry dwell-time stats (mean/min/max seconds between events) —
+    and because the shape IS the rollup-partials shape, the whole
+    existing maintenance stack applies unchanged: read_rollup merges
+    fragments/grains, compact_rollup_fragments folds them, and the
+    streaming maintainer (streaming/journey_stream.py) appends
+    per-batch fragments."""
+    from . import rollup
+
+    pairs = transition_pairs(
+        events, user_col=user_col, ts_col=ts_col,
+        type_col=type_col, id_col=id_col,
+    )
+    return rollup.time_partials(
+        pairs,
+        ts_col="ts",
+        value_col="gap_seconds",
+        grain=grain,
+        group_cols=["from_type", "to_type"],
+    )
+
+
+def transition_matrix(
+    partials: DataFrame,
+    *,
+    to_grain: str = "day",
+) -> DataFrame:
+    """Per-bucket transition matrix served from maintained partials:
+    merge (fragments and finer grains) to ``to_grain``, then derive
+    per-bucket from-totals and probabilities — the
+    :func:`transition_counts` output shape, time-sliced, WITHOUT
+    re-touching raw events. Also surfaces mean dwell seconds per
+    transition (sum/count of the carried gap millis)."""
+    from . import rollup
+
+    merged = rollup.rollup_partials(
+        partials, to_grain=to_grain, group_cols=["from_type", "to_type"]
+    )
+    w_from = Window.partitionBy("bucket_ts", "from_type")
+    return merged.select(
+        "bucket_ts",
+        "from_type",
+        "to_type",
+        F.col("n_events").alias("n_transitions"),
+        F.sum("n_events").over(w_from).alias("from_total"),
+        F.round(
+            F.col("n_events") / F.sum("n_events").over(w_from), 6
+        ).alias("probability"),
+        F.round(
+            F.col("sum_millis")
+            / F.col("n_events")
+            / F.lit(1000.0),
+            3,
+        ).alias("mean_gap_seconds"),
+    )

@@ -1632,3 +1632,189 @@ def test_cdc_tombstone_journal_blocks_stale_resurrections(spark):
         merged, older_than=real_dt.datetime(2024, 6, 15)
     )
     assert {r.k for r in pruned.collect()} == {3}
+
+
+def test_transition_stream_matches_batch_and_compacts(spark, tmp_path):
+    """Streamed transition partials (boundary pairs closed via the
+    per-user last-event state table) merged by read_rollup ≡ batch
+    transition_partials at day grain — including the pairs that SPAN
+    micro-batch boundaries; transition_matrix serves identical
+    probabilities from either; replay is the identity; and the
+    existing rollup compaction job folds the fragments unchanged."""
+    from database_activity_monitoring_dam_system_spark.operators import (
+        journeys,
+    )
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        journey_stream, rollup_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    # split by TIME (not hash) so per-user order holds across batches
+    # and the boundary pairs genuinely exist
+    cut = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "src")
+    events.filter(F.col("event_id") <= cut).write.parquet(src + "/a.parquet")
+    events.filter(F.col("event_id") > cut).write.parquet(src + "/b.parquet")
+    # events are ts-ordered by event_id in the testdata? assert the
+    # contract the stream needs instead of assuming it
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    disorder = (
+        events.withColumn("_le", F.lead("event_id").over(w))
+        .filter(
+            (F.col("_le").isNotNull())
+            & (F.col("event_id") <= cut)
+            & (F.col("_le") > cut)
+        )
+        .count()
+    )
+    assert disorder > 0  # the split really does create boundary pairs
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = str(tmp_path / "trans")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = journey_stream.start_transition_stream(
+            stream, out_path=out, checkpoint_dir=ckpt,
+            state_path=state, grain="day", available_now=True,
+        )
+        assert q.awaitTermination(60)
+        q.stop()
+
+    run()
+    frags = spark.read.parquet(out)
+    assert frags.select("_batch_id").distinct().count() >= 2
+    streamed = rollup_stream.read_rollup(
+        spark, out, to_grain="day",
+        group_cols=["from_type", "to_type"],
+    )
+    batch = journeys.transition_partials(events, grain="day")
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert canon(streamed) == canon(batch)
+    # the boundary really went through the state table: without it,
+    # per-batch pairing alone undercounts
+    per_batch_only = sum(
+        r.n_events for r in frags.filter("_batch_id >= 0").collect()
+    )
+    assert per_batch_only == sum(r.n_events for r in batch.collect())
+    # served matrix equality (probabilities derived per bucket)
+    assert canon(journeys.transition_matrix(streamed)) == canon(
+        journeys.transition_matrix(batch)
+    )
+    # replay: forge a redelivery of the LAST batch — identity
+    import os
+
+    commits = sorted(
+        c for c in os.listdir(ckpt + "/commits") if not c.startswith(".")
+    )
+    os.remove(ckpt + "/commits/" + commits[-1])
+    crc = ckpt + "/commits/." + commits[-1] + ".crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    assert canon(
+        rollup_stream.read_rollup(
+            spark, out, to_grain="day",
+            group_cols=["from_type", "to_type"],
+        )
+    ) == canon(batch)
+    # the EXISTING maintenance job folds the fragments; views survive
+    before, after = rollup_stream.compact_rollup_fragments(
+        spark, out, checkpoint_dir=ckpt
+    )
+    assert before >= 2 and after == 1
+    assert canon(
+        rollup_stream.read_rollup(
+            spark, out, to_grain="day",
+            group_cols=["from_type", "to_type"],
+        )
+    ) == canon(batch)
+
+
+def test_session_stream_matches_batch(spark, tmp_path):
+    """ST8 streaming twin: session_window over a two-file stream —
+    sessions spanning the micro-batch boundary merge in the state
+    store — emits, under a 0-second watermark, exactly the batch
+    sessions the watermark has CLOSED (last_ts + gap behind the max
+    event time); everything emitted matches batch bit-for-bit and
+    the withheld remainder is exactly the still-open tail."""
+    import datetime as real_dt
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        sessions,
+    )
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    # time-split files so sessions genuinely straddle the batch seam
+    cut = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "src")
+    events.filter(F.col("event_id") <= cut).write.parquet(src + "/a.parquet")
+    events.filter(F.col("event_id") > cut).write.parquet(src + "/b.parquet")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    gap = "30 minutes"
+    agg = sessions.session_stats_stream(
+        stream, gap=gap, watermark_delay="0 seconds",
+        ts_col="ts", key_col="user_id",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(60)
+    q.stop()
+    got = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM session_stream_test").collect()
+    }
+    batch_full = sessions.session_stats(
+        events, gap=gap, ts_col="ts", key_col="user_id"
+    )
+    # sessions the 0-second watermark must have closed: last event +
+    # gap strictly behind the stream's max event time
+    max_ts = events.agg(F.max("ts")).first()[0]
+    horizon = max_ts - real_dt.timedelta(minutes=30)
+    closed = {
+        tuple(r)
+        for r in batch_full.filter(
+            (
+                F.col("session_start")
+                + F.expr("make_interval(0, 0, 0, 0, 0, 0, duration_sec)")
+            )
+            < F.lit(horizon)
+        ).collect()
+    }
+    everything = {tuple(r) for r in batch_full.collect()}
+    assert got <= everything
+    assert closed <= got
+    # the stream really sessionized (many users, many sessions) and
+    # the withheld tail is small
+    assert len(got) > 100
+    assert len(everything) - len(got) <= events.select(
+        "user_id"
+    ).distinct().count()
