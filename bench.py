@@ -77,17 +77,30 @@ def main() -> None:
         for name in order
     }
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": SF_DIR.rstrip("/").rsplit("/", 1)[-1],
-            }
-        )
+    payload = {
+        "metric": "suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("/", 1)[-1],
+    }
+    # Sidecar with the FULL per-query dict: the recorded BENCH_r{N}
+    # line gets tail-truncated once the registry outgrows the capture
+    # buffer (~72 of 127 queries survived in round 7), which silently
+    # hides the alphabetically-late queries from the 2×-regression
+    # check. The sidecar is the complete record; the printed line
+    # remains the driver contract.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    with open(sidecar, "w") as fh:
+        json.dump(
+            {**payload, "n_queries": len(timings), "runs": RUNS},
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
