@@ -366,9 +366,18 @@ def update_postings(
         )
     from .dedup import corpus_diff
 
-    diff = corpus_diff(
-        old_docs, new_docs, id_col=id_col, text_col=text_col,
-        normalize=False,
+    # the diff's full-outer join is consumed by BOTH delta sides and
+    # Spark re-runs a shared subtree per consumer — materialize the
+    # (delta-bounded) verdict ids once; unchanged docs never leave
+    # the join
+    diff = (
+        corpus_diff(
+            old_docs, new_docs, id_col=id_col, text_col=text_col,
+            normalize=False,
+        )
+        .filter(F.col("verdict") != "unchanged")
+        .select(id_col, "verdict")
+        .localCheckpoint(eager=True)
     )
     gone_ids = diff.filter(
         F.col("verdict").isin("removed", "changed")
@@ -390,10 +399,13 @@ def update_postings(
         .groupBy("token")
         .agg(F.collect_set("doc_id").alias("_rm_ids"))
     )
+    # consumed twice (the patch join AND the new-token anti join) —
+    # materialize so the tokenize-explode lineage runs once
     ad = (
         _token_pairs(new_docs, new_ids)
         .groupBy("token")
         .agg(F.collect_set("doc_id").alias("_add_ids"))
+        .localCheckpoint(eager=True)
     )
     empty = F.array().cast(postings.schema["postings"].dataType)
     patched = (
