@@ -300,8 +300,14 @@ def save_postings(
     lookup at serving time touches one file's worth of rows instead
     of scanning every posting (plain-parquet approximation of a
     token-keyed index layout; exact file pruning needs the query
-    engine's min/max stats, which the in-file token sort gives)."""
-    out = postings.withColumn("_n_docs", F.lit(int(n_docs)))
+    engine's min/max stats, which the in-file token sort gives).
+    The bucket count is stamped on the artifact (``_buckets``) so
+    incremental updates re-save with the SAME layout by default —
+    an update that silently dropped the bucketing would leave every
+    term lookup scanning all posting files with no error."""
+    out = postings.withColumn(
+        "_n_docs", F.lit(int(n_docs))
+    ).withColumn("_buckets", F.lit(int(buckets)))
     if buckets > 0:
         out = out.repartition(buckets, "token").sortWithinPartitions(
             "token"
@@ -324,7 +330,7 @@ def load_postings(
                 f"{stamped['_n_docs']} docs, corpus now has "
                 f"{expect_docs} — rebuild the index"
             )
-    return df.drop("_n_docs")
+    return df.drop("_n_docs", "_buckets")
 
 
 def update_postings(
@@ -443,16 +449,26 @@ def update_postings_artifact(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_docs: int,
-    buckets: int = 0,
+    buckets: int | None = None,
 ) -> None:
     """The persisted-artifact form of :func:`update_postings`: load
     the index at ``path`` (stamp-checked against the OLD corpus's
     document count — refusing an artifact that already drifted),
     fold the snapshot delta in, and re-save stamped with the NEW
-    count (``n_docs``). The merged frame is localCheckpoint-ed
-    before the overwrite severs the self-read (the
-    merge_upsert_partitioned discipline); the index is vocab-bounded,
-    orders of magnitude under the corpus."""
+    count (``n_docs``). ``buckets=None`` (the default) re-saves with
+    the artifact's OWN stamped bucket layout — an incremental update
+    must not silently flatten a token-bucketed serving index; pass
+    an explicit count only to deliberately re-layout. The merged
+    frame is localCheckpoint-ed before the overwrite severs the
+    self-read (the merge_upsert_partitioned discipline); the index
+    is vocab-bounded, orders of magnitude under the corpus."""
+    if buckets is None:
+        raw = spark.read.parquet(path)
+        buckets = (
+            int(raw.select("_buckets").first()["_buckets"])
+            if "_buckets" in raw.columns
+            else 0
+        )
     expect_old = old_docs.count()
     idx = load_postings(spark, path, expect_docs=expect_old)
     merged = update_postings(

@@ -239,31 +239,47 @@ def transition_pairs(
     ts_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    carry_col: str | None = None,
 ) -> DataFrame:
     """The raw consecutive-pair stream under :func:`transition_counts`'
     ordering: one row per (from event, next event) within a user's
     (ts, id)-ordered timeline, carrying the FROM event's timestamp
     and the gap to the next event in seconds (millisecond-quantized).
-    This is the event form the transition-rollup partials reduce —
-    exposed so the streaming maintainer and the batch twin provably
-    share one pairing definition."""
+    This is the ONE pairing definition (ordering, tie-break, gap
+    quantization) the batch twin and the streaming maintainer share —
+    a change here propagates to both, so stream ≡ batch cannot
+    silently drift.
+
+    ``carry_col`` names an optional boolean column marking rows
+    CARRIED IN from earlier micro-batches (the streaming boundary
+    seam): a carried row may serve as a pair's FROM (the boundary
+    pair) but never as its TO — that pair was already counted when
+    the carried row was itself fresh. Batch callers leave it None."""
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
-    return (
-        events.select(user_col, ts_col, id_col, type_col)
+    cols = [user_col, ts_col, id_col, type_col]
+    if carry_col is not None:
+        cols.append(carry_col)
+    paired = (
+        events.select(*cols)
         .withColumn("_next_type", F.lead(type_col).over(w))
         .withColumn("_next_ts", F.lead(ts_col).over(w))
-        .filter(F.col("_next_type").isNotNull())
-        .select(
-            F.col(ts_col).alias("ts"),
-            F.col(type_col).alias("from_type"),
-            F.col("_next_type").alias("to_type"),
+    )
+    keep = F.col("_next_type").isNotNull()
+    if carry_col is not None:
+        # window expressions can't sit inside filter() — project the
+        # lead first
+        paired = paired.withColumn("_next_carry", F.lead(carry_col).over(w))
+        keep = keep & ~F.col("_next_carry")
+    return paired.filter(keep).select(
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("from_type"),
+        F.col("_next_type").alias("to_type"),
+        (
             (
-                (
-                    F.unix_millis("_next_ts") - F.unix_millis(ts_col)
-                )
-                / F.lit(1000.0)
-            ).alias("gap_seconds"),
-        )
+                F.unix_millis("_next_ts") - F.unix_millis(ts_col)
+            )
+            / F.lit(1000.0)
+        ).alias("gap_seconds"),
     )
 
 

@@ -298,8 +298,11 @@ def _merged_bins(
 ):
     """Shared front half of the quantile serving paths: validate,
     re-truncate to ``to_grain`` with the in-plan geometry-stamp
-    assert, and merge the bin counts. Returns
-    (merged frame, group keys, lo_millis, span_millis)."""
+    assert, merge the bin counts, and cumulate them (the per-group
+    running and total sums BOTH estimators read their crossings
+    from — shared here so the two paths cannot drift over the same
+    partials). Returns (cum frame, group keys, lo_millis,
+    span_millis); the cum frame carries bin, _cum, _total."""
     _check_grain(to_grain)
     if not percents or any(not 1 <= p <= 100 for p in percents):
         raise ValueError(f"percents must be ints in [1, 100]: {percents}")
@@ -338,7 +341,20 @@ def _merged_bins(
     merged = retrunc.groupBy("bucket_ts", *groups, "bin").agg(
         F.sum("n").alias("n")
     )
-    return merged, ["bucket_ts", *groups], lo_m, span
+    keys = ["bucket_ts", *groups]
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    cum = merged.select(
+        *keys,
+        "bin",
+        F.sum("n").over(w_cum).alias("_cum"),
+        F.sum("n").over(w_all).alias("_total"),
+    )
+    return cum, keys, lo_m, span
 
 
 def rollup_quantiles(
@@ -366,22 +382,10 @@ def rollup_quantiles(
     Mismatched geometry (different lo/hi/bins than the partials were
     built with) would silently shift every estimate — asserted
     in-plan against the frame's own geometry stamp."""
-    merged, keys, lo_m, span = _merged_bins(
+    cum, keys, lo_m, span = _merged_bins(
         partials, to_grain=to_grain, group_cols=group_cols,
         percents=percents, lo=lo, hi=hi, bins=bins,
         caller="rollup_quantiles",
-    )
-    w_cum = (
-        Window.partitionBy(*keys)
-        .orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy(*keys)
-    cum = merged.select(
-        *keys,
-        "bin",
-        F.sum("n").over(w_cum).alias("_cum"),
-        F.sum("n").over(w_all).alias("_total"),
     )
     # ceil(p*total/100) in integer math: (p*total + 99) div 100
     agg_cols = [F.max("_total").alias("n_values")]
@@ -434,22 +438,10 @@ def rollup_quantiles_interp(
     (edge_lo + (edge_hi − edge_lo)·frac/100, then /1000, round 6)
     written with identical text in the oracle, so the gate is a full
     hash comparison despite the interpolation."""
-    merged, keys, lo_m, span = _merged_bins(
+    cum, keys, lo_m, span = _merged_bins(
         partials, to_grain=to_grain, group_cols=group_cols,
         percents=percents, lo=lo, hi=hi, bins=bins,
         caller="rollup_quantiles_interp",
-    )
-    w_cum = (
-        Window.partitionBy(*keys)
-        .orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy(*keys)
-    cum = merged.select(
-        *keys,
-        "bin",
-        F.sum("n").over(w_cum).alias("_cum"),
-        F.sum("n").over(w_all).alias("_total"),
     )
     agg_cols = [F.max("_total").alias("n_values")]
     for p in percents:

@@ -575,11 +575,18 @@ def _q_cdc_tombstone_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("seq"),
         )
     )
+    # sequence offsets DERIVE from the data's own max event id — a
+    # fixed constant stops dominating event_id at some scale factor
+    # and the delete would silently start LOSING in the engine while
+    # the oracle still drops the row (caught in review at the sf10
+    # horizon). Tombstones sit at 2·mx + uid; a resurrection seq adds
+    # event_id on top, beating its own tombstone by ≥ 1 at any scale.
+    mx = int(e.agg(F.max("event_id")).first()[0])
     dels = base.filter(F.col("user_id") % 7 == 3).select(
         "user_id",
         "event_type",
         "millis",
-        (F.col("user_id") + F.lit(10_000_000)).alias("seq"),
+        (F.col("user_id") + F.lit(2 * mx)).alias("seq"),
         F.lit("D").alias("op"),
     )
     base2 = cdc.apply_changes(
@@ -597,7 +604,7 @@ def _q_cdc_tombstone_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "millis",
         F.when(
             F.col("user_id") % 14 == 3,
-            F.col("event_id") + F.lit(20_000_000),
+            F.col("event_id") + F.col("user_id") + F.lit(2 * mx),
         )
         .otherwise(F.col("event_id"))
         .alias("seq"),
@@ -627,8 +634,11 @@ base AS (
     FROM e WHERE event_id % 2 = 0
   ) WHERE rn = 1
 ),
+mxe AS (
+  SELECT max(event_id) AS mx FROM e
+),
 dels AS (
-  SELECT user_id, 10000000 + user_id AS tomb_seq
+  SELECT user_id, (2 * (SELECT mx FROM mxe)) + user_id AS tomb_seq
   FROM base WHERE user_id % 7 = 3
 ),
 base2 AS (
@@ -636,7 +646,8 @@ base2 AS (
 ),
 chg AS (
   SELECT user_id, event_type, millis,
-         CASE WHEN user_id % 14 = 3 THEN event_id + 20000000
+         CASE WHEN user_id % 14 = 3
+              THEN event_id + user_id + (2 * (SELECT mx FROM mxe))
               ELSE event_id END AS seq,
          CASE WHEN event_id % 10 = 5 THEN 'D' ELSE 'U' END AS op
   FROM (

@@ -7,16 +7,26 @@ Why transitions stream and funnels don't: a transition COUNT is a sum
 over consecutive pairs, so per-batch pair counts merge exactly — but
 forming the pairs needs the pair that SPANS the batch boundary (last
 event of the previous batches, first of this one), which no single
-batch contains. That boundary is closed with a tiny per-user
-last-event STATE table: each batch writes "my last event per user"
-under its own ``_batch_id`` partition (dynamic overwrite — replay
-rewrites exactly its own state, and the carry-in read filters
-``_batch_id < current``, so a replayed batch sees exactly the state
-it saw the first time). Funnels are the honest seam: step attribution
-needs each user's FULL ordered window (an early step arriving late
-can re-label every later step), so there is no bounded carry state —
+batch contains. That boundary is closed with a per-user last-event
+SNAPSHOT table maintained the write_rate_state way (streaming/
+stateful.py): each batch writes the FULL per-user snapshot (previous
+snapshot merged with its own last events) under its own partition,
+the reader takes the LATEST partition strictly before the current
+batch id, and partitions more than ``keep_batches`` behind are
+deleted — state stays O(users × keep_batches) with no small-files
+growth, retries re-seed from the predecessor snapshot, and pruning
+is SAFE because every partition is a complete snapshot (unlike a
+per-batch delta journal, where pruning would lose idle users'
+last events). Funnels are the honest seam: step attribution needs
+each user's FULL ordered window (an early step arriving late can
+re-label every later step), so there is no bounded carry state —
 funnels stay batch (or re-derive from these maintained partials'
 source events); documenting that beats pretending.
+
+Pairing definition is journeys.transition_pairs — the SAME function
+the batch twin reduces, with its ``carry_col`` seam marking carried
+rows (valid as a pair's FROM, never its TO) — so stream ≡ batch holds
+by construction, not by parallel implementations.
 
 Correctness contract: exact ≡ batch when each user's events arrive in
 event-time order ACROSS batches (in-batch disorder is fine — the
@@ -37,9 +47,69 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
-from ..operators import journeys
+from ..operators import journeys, rollup
+
+
+def _read_last_events(
+    spark, state_path: str, batch_id: int, cols: list[str], user_col: str
+) -> DataFrame | None:
+    """Latest per-user last-event snapshot strictly before
+    ``batch_id`` (a retried batch re-seeds from its predecessor, not
+    its own failed attempt). Existence is probed through the Hadoop
+    FileSystem API — read_rate_state's discipline: depending on the
+    source a missing path can surface lazily as FileNotFoundException
+    inside the foreachBatch action (killing the stream) rather than
+    as AnalysisException at read time, and a blanket except would
+    also silently misread a REAL state error as 'first batch',
+    dropping boundary pairs forever. Duplicate rows from a
+    half-written retry partition collapse by read-side dedup."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    snap = spark.read.parquet(state_path)
+    prior = snap.filter(F.col("_batch_id") < batch_id)
+    latest = prior.agg(F.max("_batch_id")).first()[0]
+    if latest is None:
+        return None
+    return (
+        prior.filter(F.col("_batch_id") == latest)
+        .dropDuplicates([user_col])
+        .select(*cols)
+    )
+
+
+def _write_last_events(
+    snapshot: DataFrame,
+    state_path: str,
+    batch_id: int,
+    *,
+    keep_batches: int,
+) -> None:
+    """Append this batch's FULL snapshot under its own partition,
+    then prune partitions more than ``keep_batches`` behind — the
+    write_rate_state retention contract (new snapshot durable before
+    anything is removed; a retried batch's predecessor is always
+    inside the keep window)."""
+    spark = snapshot.sparkSession
+    snapshot.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+        "append"
+    ).partitionBy("_batch_id").parquet(state_path)
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not name.startswith("_batch_id="):
+            continue
+        try:
+            old_id = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if old_id <= batch_id - keep_batches:
+            fs.delete(status.getPath(), True)
 
 
 def start_transition_stream(
@@ -53,77 +123,42 @@ def start_transition_stream(
     id_col: str = "event_id",
     user_col: str = "user_id",
     type_col: str = "event_type",
+    keep_batches: int = 3,
     available_now: bool = False,
 ):
     """Maintain ``grain`` transition partials from an event stream.
 
-    Each micro-batch forms its OWN pairs plus the boundary pairs
-    against the carried last-event state, reduces them to
-    time-partials fragments under ``_batch_id=N`` at ``out_path``,
-    and records its per-user last events under ``_batch_id=N`` at
-    ``state_path`` — both dynamic partition overwrites, so replays
-    are the identity. Query with rollup_stream.read_rollup
-    (group_cols=['from_type', 'to_type']) and serve probabilities
-    with journeys.transition_matrix; compact fragments with the
-    existing rollup maintenance job.
-
-    The state table is bounded by DISTINCT USERS × retained batches
-    (one row per user per batch that saw them) — compacting the
-    fragments does not touch it; prune old ``_batch_id`` state
-    partitions once their batches can no longer replay (same horizon
-    reasoning as the CDC tombstone journal)."""
+    Each micro-batch forms its pairs (own rows plus the boundary
+    pairs against the carried snapshot) with the SHARED pairing
+    definition, reduces them to time-partials fragments under
+    ``_batch_id=N`` at ``out_path`` (dynamic overwrite — replay
+    rewrites exactly its own fragment), and rolls the per-user
+    last-event snapshot forward at ``state_path``. Query with
+    rollup_stream.read_rollup (group_cols=['from_type', 'to_type'])
+    and serve probabilities with journeys.transition_matrix; compact
+    fragments with the existing rollup maintenance job (the state
+    table needs no compaction — it is retention-pruned in-line)."""
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         cols = [user_col, ts_col, id_col, type_col]
         batch = batch.select(*cols)
+        carry_in = _read_last_events(
+            spark, state_path, batch_id, cols, user_col
+        )
         src = batch.withColumn("_carry", F.lit(False))
-        try:
-            prior = spark.read.parquet(state_path).filter(
-                F.col("_batch_id") < batch_id
+        if carry_in is not None:
+            src = src.unionByName(
+                carry_in.withColumn("_carry", F.lit(True))
             )
-            w_last = Window.partitionBy(user_col).orderBy(
-                F.col(ts_col).desc(), F.col(id_col).desc()
-            )
-            carry_in = (
-                prior.withColumn("_rn", F.row_number().over(w_last))
-                .filter(F.col("_rn") == 1)
-                .select(*cols)
-                .withColumn("_carry", F.lit(True))
-            )
-            src = src.unionByName(carry_in)
-        except AnalysisException:
-            pass  # first batch — no state yet
-        w = Window.partitionBy(user_col).orderBy(
-            F.col(ts_col), F.col(id_col)
+        pairs = journeys.transition_pairs(
+            src,
+            user_col=user_col,
+            ts_col=ts_col,
+            type_col=type_col,
+            id_col=id_col,
+            carry_col="_carry",
         )
-        # a pair counts in THIS batch iff its 'to' event is a batch
-        # row: within-batch pairs, plus the one boundary pair per
-        # user whose 'from' is the carried last event. Carried rows
-        # as 'to' are pairs an earlier batch already counted.
-        pairs = (
-            src.withColumn("_next_type", F.lead(type_col).over(w))
-            .withColumn("_next_ts", F.lead(ts_col).over(w))
-            .withColumn("_next_carry", F.lead("_carry").over(w))
-            .filter(
-                F.col("_next_type").isNotNull()
-                & ~F.col("_next_carry")
-            )
-            .select(
-                F.col(ts_col).alias("ts"),
-                F.col(type_col).alias("from_type"),
-                F.col("_next_type").alias("to_type"),
-                (
-                    (
-                        F.unix_millis("_next_ts")
-                        - F.unix_millis(ts_col)
-                    )
-                    / F.lit(1000.0)
-                ).alias("gap_seconds"),
-            )
-        )
-        from ..operators import rollup
-
         partials = rollup.time_partials(
             pairs,
             ts_col="ts",
@@ -139,20 +174,21 @@ def start_transition_stream(
             .partitionBy("_batch_id")
             .parquet(out_path)
         )
-        w_batch_last = Window.partitionBy(user_col).orderBy(
+        # roll the snapshot forward: previous snapshot ∪ this batch,
+        # latest event per user (ts, id)-desc — a COMPLETE snapshot,
+        # so retention pruning can never lose an idle user's last
+        # event
+        merged = src.drop("_carry")
+        w_last = Window.partitionBy(user_col).orderBy(
             F.col(ts_col).desc(), F.col(id_col).desc()
         )
-        last = (
-            batch.withColumn("_rn", F.row_number().over(w_batch_last))
+        snapshot = (
+            merged.withColumn("_rn", F.row_number().over(w_last))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
-            .withColumn("_batch_id", F.lit(batch_id))
         )
-        (
-            last.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(state_path)
+        _write_last_events(
+            snapshot, state_path, batch_id, keep_batches=keep_batches
         )
 
     writer = events.writeStream.foreachBatch(write_batch).option(
@@ -161,9 +197,3 @@ def start_transition_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
-
-
-# journeys.transition_pairs is the shared pairing definition the
-# batch twin uses; re-exported so callers see one module for the
-# journey-streaming surface
-transition_pairs = journeys.transition_pairs

@@ -1705,12 +1705,19 @@ def test_transition_stream_matches_batch_and_compacts(spark, tmp_path):
         return sorted(map(tuple, df.collect()))
 
     assert canon(streamed) == canon(batch)
-    # the boundary really went through the state table: without it,
-    # per-batch pairing alone undercounts
-    per_batch_only = sum(
-        r.n_events for r in frags.filter("_batch_id >= 0").collect()
+    # NEGATIVE CONTROL: pairing each batch's file alone (no carried
+    # state) strictly undercounts — the boundary pairs exist only
+    # via the state table, so stream == batch above proves the carry
+    # path genuinely ran
+    solo = sum(
+        r.n_events
+        for f in ("a.parquet", "b.parquet")
+        for r in journeys.transition_partials(
+            spark.read.parquet(src + "/" + f), grain="day"
+        ).collect()
     )
-    assert per_batch_only == sum(r.n_events for r in batch.collect())
+    full_total = sum(r.n_events for r in batch.collect())
+    assert solo < full_total
     # served matrix equality (probabilities derived per bucket)
     assert canon(journeys.transition_matrix(streamed)) == canon(
         journeys.transition_matrix(batch)
