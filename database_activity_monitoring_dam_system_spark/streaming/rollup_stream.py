@@ -210,6 +210,110 @@ def read_distinct_rollup(
     )
 
 
+def start_quantile_rollup_stream(
+    events: DataFrame,
+    *,
+    out_path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grain: str = "minute",
+    group_cols: list[str] | None = None,
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    bins: int = 256,
+    available_now: bool = False,
+):
+    """The QUANTILE twin of :func:`start_rollup_stream`: each
+    micro-batch reduces ITS OWN events to ``grain`` fixed-bin
+    histogram partials (rollup.value_quantile_partials — bin counts
+    are sums on a shared integer grid, the mergeable quantile state)
+    under a ``_batch_id=N`` partition. Fragments merge by the very
+    same bin-sum groupBy that merges minutes into days, so
+    :func:`read_quantile_rollup` answers exactly as a batch pass
+    would — closing the streaming side for the SECOND classic
+    non-decomposable aggregate (percentiles) the way the HLL stream
+    closed COUNT DISTINCT. The grid geometry (lo/hi/bins) rides
+    every row as the stamp columns the read path asserts in-plan;
+    restarting into the same out_path with a different grid is
+    caught, not merged."""
+    groups = list(group_cols or [])
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        partials = rollup.value_quantile_partials(
+            batch,
+            ts_col=ts_col,
+            value_col=value_col,
+            grain=grain,
+            group_cols=groups,
+            lo=lo,
+            hi=hi,
+            bins=bins,
+        )
+        (
+            partials.withColumn("_grain", F.lit(grain))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
+
+    writer = events.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_quantile_rollup(
+    spark: SparkSession,
+    path: str,
+    *,
+    to_grain: str,
+    group_cols: list[str] | None = None,
+    percents: tuple[int, ...] = (50, 90, 99),
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    bins: int = 256,
+    interp: bool = False,
+) -> DataFrame:
+    """Quantile estimates served from a streamed histogram-partials
+    table: fragment merge and grain merge are the one bin-sum
+    groupBy inside rollup_quantiles, so stream ≡ batch exactly.
+    ``interp`` picks the interpolated estimator
+    (rollup_quantiles_interp) over the hash-stable lower-edge one —
+    both read the same fragments. Same whole-table ``_grain`` guard
+    as :func:`read_rollup`; the grid geometry is asserted IN-PLAN
+    against the rows' own stamps (a fragment written under a
+    different lo/hi/bins fails the assert instead of silently
+    shifting every percentile)."""
+    df = spark.read.parquet(path)
+    if "_grain" in df.columns:
+        written = _single_stamp(df, "_grain", "read_quantile_rollup")
+        order = rollup._GRAIN_ORDER
+        if order.index(to_grain) < order.index(written):
+            raise ValueError(
+                f"read_quantile_rollup: table was written at "
+                f"{written!r} grain; cannot derive finer "
+                f"{to_grain!r} partials from it"
+            )
+        df = df.drop("_grain")
+    fn = (
+        rollup.rollup_quantiles_interp if interp else rollup.rollup_quantiles
+    )
+    return fn(
+        df.drop("_batch_id"),
+        to_grain=to_grain,
+        group_cols=group_cols,
+        percents=percents,
+        lo=lo,
+        hi=hi,
+        bins=bins,
+    )
+
+
 # the columns start_rollup_stream itself writes; everything else in a
 # partials table is a group dimension
 _METRIC_COLS = ("n_events", "sum_millis", "min_millis", "max_millis")
@@ -217,6 +321,11 @@ _META_COLS = ("bucket_ts", *_METRIC_COLS, "_grain", "_batch_id")
 # the distinct-rollup (HLL register) twin's schema
 _DIST_META_COLS = (
     "bucket_ts", "_bucket", "_r", "_bucket_bits", "_grain", "_batch_id",
+)
+# the quantile-rollup (fixed-bin histogram) twin's schema
+_QUANT_META_COLS = (
+    "bucket_ts", "bin", "n", "_lo_millis", "_span_millis", "_bins",
+    "_grain", "_batch_id",
 )
 
 
@@ -324,11 +433,19 @@ def compact_rollup_fragments(
         return n_before, n_before  # nothing to fold
 
     df = spark.read.parquet(path)
-    # two streamed-partials schemas share this maintenance job: the
-    # (count, sum, min, max) time partials and the HLL register
-    # partials — both merge associatively, only the merge op differs
+    # three streamed-partials schemas share this maintenance job:
+    # (count, sum, min, max) time partials, HLL register partials,
+    # and fixed-bin quantile histograms — all merge associatively,
+    # only the merge op differs
     is_registers = "_bucket" in df.columns and "_r" in df.columns
-    meta = _DIST_META_COLS if is_registers else _META_COLS
+    is_quantiles = "bin" in df.columns and "_lo_millis" in df.columns
+    meta = (
+        _DIST_META_COLS
+        if is_registers
+        else _QUANT_META_COLS
+        if is_quantiles
+        else _META_COLS
+    )
     missing = [c for c in meta if c not in df.columns]
     if missing:
         raise ValueError(
@@ -352,6 +469,34 @@ def compact_rollup_fragments(
             foldable.drop("_batch_id", "_grain", "_bucket_bits"),
             ["bucket_ts", *groups],
         ).withColumn("_bucket_bits", F.lit(bits))
+    elif is_quantiles:
+        # bin counts are sums on a shared grid; the geometry stamps
+        # must be single-valued across the table (a mixed-grid merge
+        # would silently shift every percentile)
+        geom = {
+            c: _single_stamp(df, c, "compact_rollup_fragments")
+            for c in ("_lo_millis", "_span_millis", "_bins")
+        }
+        merged = (
+            foldable.drop(
+                "_batch_id", "_grain",
+                "_lo_millis", "_span_millis", "_bins",
+            )
+            .groupBy("bucket_ts", *groups, "bin")
+            .agg(F.sum("n").alias("n"))
+            # type-pinned like value_quantile_partials writes them —
+            # a bare int literal would be INT where the fragments
+            # hold LONG, and the mixed parquet schemas break reads
+            .withColumns(
+                {
+                    "_lo_millis": F.lit(geom["_lo_millis"]).cast("long"),
+                    "_span_millis": F.lit(geom["_span_millis"]).cast(
+                        "long"
+                    ),
+                    "_bins": F.lit(geom["_bins"]).cast("int"),
+                }
+            )
+        )
     else:
         merged = rollup.rollup_partials(
             foldable.drop("_batch_id", "_grain"),

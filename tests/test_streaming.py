@@ -1825,3 +1825,112 @@ def test_session_stream_matches_batch(spark, tmp_path):
     assert len(everything) - len(got) <= events.select(
         "user_id"
     ).distinct().count()
+
+
+def test_quantile_rollup_stream_matches_batch(spark, tmp_path):
+    """Streamed fixed-bin histogram fragments merged by
+    read_quantile_rollup ≡ batch quantiles computed directly — both
+    estimators (grid edge and interpolated) — the continuous-
+    aggregate story closed for percentiles the way the HLL stream
+    closed COUNT DISTINCT; replay is the identity; the shared
+    compaction job folds the third fragment schema; a restart with a
+    DIFFERENT grid geometry is caught, not merged."""
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        rollup,
+    )
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        rollup_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    events.filter(F.col("event_id") % 2 == 0).write.parquet(src + "/a.parquet")
+    events.filter(F.col("event_id") % 2 == 1).write.parquet(src + "/b.parquet")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out, ckpt = str(tmp_path / "qparts"), str(tmp_path / "ckpt")
+    kw = dict(lo=0.0, hi=500.0, bins=200)
+
+    def run():
+        q = rollup_stream.start_quantile_rollup_stream(
+            stream, out_path=out, checkpoint_dir=ckpt,
+            grain="minute", group_cols=["event_type"],
+            available_now=True, **kw,
+        )
+        assert q.awaitTermination(60)
+        q.stop()
+
+    run()
+    frags = spark.read.parquet(out)
+    assert frags.select("_batch_id").distinct().count() >= 2
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    batch_minute = rollup.value_quantile_partials(
+        events, grain="minute", group_cols=["event_type"], **kw
+    )
+    for interp in (False, True):
+        fn = (
+            rollup.rollup_quantiles_interp
+            if interp
+            else rollup.rollup_quantiles
+        )
+        assert canon(
+            rollup_stream.read_quantile_rollup(
+                spark, out, to_grain="day",
+                group_cols=["event_type"], interp=interp, **kw,
+            )
+        ) == canon(
+            fn(
+                batch_minute, to_grain="day",
+                group_cols=["event_type"], **kw,
+            )
+        )
+    # replay: forge a redelivery of the last batch — identity
+    import os
+
+    commits = sorted(
+        c for c in os.listdir(ckpt + "/commits") if not c.startswith(".")
+    )
+    os.remove(ckpt + "/commits/" + commits[-1])
+    crc = ckpt + "/commits/." + commits[-1] + ".crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    expected = canon(
+        rollup.rollup_quantiles(
+            batch_minute, to_grain="day", group_cols=["event_type"], **kw
+        )
+    )
+    assert canon(
+        rollup_stream.read_quantile_rollup(
+            spark, out, to_grain="day", group_cols=["event_type"], **kw
+        )
+    ) == expected
+    # the shared maintenance job folds the third fragment schema
+    before, after = rollup_stream.compact_rollup_fragments(
+        spark, out, checkpoint_dir=ckpt
+    )
+    assert before >= 2 and after == 1
+    assert canon(
+        rollup_stream.read_quantile_rollup(
+            spark, out, to_grain="day", group_cols=["event_type"], **kw
+        )
+    ) == expected
+    # geometry guard: serving with a different grid fails in-plan
+    with _pytest.raises(Exception, match="partials were built with"):
+        rollup_stream.read_quantile_rollup(
+            spark, out, to_grain="day", group_cols=["event_type"],
+            lo=0.0, hi=500.0, bins=100,
+        ).collect()
