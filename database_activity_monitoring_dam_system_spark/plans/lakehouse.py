@@ -838,6 +838,48 @@ FROM e
 """
 
 
+# 3-D grid: 10 bits/dim = 30-bit key; user × time-of-day × value —
+# the three predicates a security dashboard combines
+_Z3 = [
+    ("u", 0, 1023),
+    ("h", 0, 86_399),
+    ("v", 0, 499_999),
+]
+
+
+def _q_zorder3_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-dimensional Morton keys (user × second-of-day × value):
+    the k-D generalization — bit i of dim j at position i·k+j — so
+    one sort key bounds every file's footprint in all THREE predicate
+    dimensions. Still a pure integer projection; the oracle is the
+    same generated expression text."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id",
+        (F.col("user_id") % 1024).alias("u"),
+        (F.unix_timestamp("ts") % 86_400).alias("h"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    return e.select(
+        "event_id",
+        zorder.zorder_nd_key(_Z3, bits=10).cast("long").alias("zkey"),
+    )
+
+
+_ZORDER3_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id % 1024 AS u,
+         CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS h,
+         CAST(floor(value * 1000) AS BIGINT) AS v
+  FROM events
+)
+SELECT event_id,
+       CAST({zorder.zorder_nd_sql(_Z3, bits=10, duck=True)} AS BIGINT)
+         AS zkey
+FROM e
+"""
+
+
 def _q_zorder_rank_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof Morton keys: histogram-rank grid coords over the
     EXPONENTIALLY-distributed value column (the case the fixed grid
@@ -993,6 +1035,12 @@ QUERIES: dict[str, QuerySpec] = {
         "Morton (Z-order) clustering keys: bit-interleaved 2-D grid "
         "coords — the multi-dimension file-clustering sort key, pure "
         "integer projection",
+    ),
+    "zorder3_keys": QuerySpec(
+        _q_zorder3_keys, _ZORDER3_SQL,
+        "3-D Morton clustering keys (user x second-of-day x value): "
+        "round-robin bit interleave generalized to k dimensions "
+        "under the 63-bit key budget — pure integer projection",
     ),
     "zorder_rank_keys": QuerySpec(
         _q_zorder_rank_keys, _zorder_rank_oracle(),

@@ -3436,3 +3436,45 @@ def test_quantile_serving_paths_error_bounds(spark):
             assert r_lo - tol <= target <= r_hi + tol, (
                 day, p, gv, target, r_lo, r_hi, n,
             )
+
+
+def test_zorder_nd_key_interleaves_and_validates(spark):
+    """The k-D Morton key is an exact round-robin interleave: decode
+    bit i·k+j back to dimension j's grid coordinate and recover the
+    inputs; k=2 agrees with the dedicated 2-D generator; the BIGINT
+    bit-budget and dimension-count guards refuse out-of-range
+    geometry."""
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        zorder,
+    )
+
+    bits, k = 5, 3
+    dims = [("a", 0, 31), ("b", 0, 31), ("c", 0, 31)]
+    rows = [(3, 17, 30), (0, 0, 0), (31, 31, 31), (1, 2, 4)]
+    df = spark.createDataFrame(rows, "a int, b int, c int")
+    keyed = df.select(
+        "a", "b", "c",
+        zorder.zorder_nd_key(dims, bits=bits).alias("z"),
+    ).collect()
+    for r in keyed:
+        # de-interleave: bit position p carries dimension p % k
+        coords = [0, 0, 0]
+        for p in range(bits * k):
+            coords[p % k] |= ((r.z >> p) & 1) << (p // k)
+        # lo=0, hi=31, bits=5 → the grid coord IS the value
+        assert coords == [r.a, r.b, r.c], (r, coords)
+    # k=2 reduces to the dedicated 2-D generator exactly
+    two = zorder.zorder_sql(
+        "x", "y", x_lo=0, x_hi=1023, y_lo=0, y_hi=499_999,
+        bits=10, duck=True,
+    )
+    nd = zorder.zorder_nd_sql(
+        [("x", 0, 1023), ("y", 0, 499_999)], bits=10, duck=True
+    )
+    assert two == nd
+    with _pytest.raises(ValueError, match="need >= 2"):
+        zorder.zorder_nd_sql([("a", 0, 1)], bits=4)
+    with _pytest.raises(ValueError, match="BIGINT key budget"):
+        zorder.zorder_nd_sql(dims, bits=21)  # 63 bits
