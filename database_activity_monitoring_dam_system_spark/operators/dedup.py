@@ -219,6 +219,182 @@ def jaccard_pairs(
     )
 
 
+def edit_distance_pairs(
+    strings: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    str_col: str = "key",
+    max_dist: int = 2,
+) -> DataFrame:
+    """EXACT edit-distance self-join with segment filtering (the
+    PassJoin family — Li/Deng/Feng ICDE'11): every pair of rows whose
+    ``str_col`` values are within Levenshtein distance ``max_dist``,
+    WITHOUT the quadratic all-pairs DP. The fuzzy-matching sibling of
+    :func:`jaccard_prefix_pairs` — titles, usernames, SKUs, near-
+    identical short strings where token-set similarity is too coarse.
+
+    The pruning theorem (pigeonhole): partition the SHORTER string of
+    a pair into d+1 contiguous segments; if ed ≤ d, the longer string
+    contains at least one segment VERBATIM, starting within ±d of its
+    source position. So each string indexes its d+1 segments, each
+    string probes the substrings a matching segment could occupy
+    (a bounded literal enumeration: (d+1)² length-deltas × segments ×
+    (2d+1) shifts), candidates come from one equi-join on segment
+    text, and every candidate is verified with ONE exact levenshtein.
+    Lossless: output ≡ the naive all-pairs computation (gate-pinned
+    against exactly that oracle). Strings shorter than d+1 chars have
+    degenerate (empty) segments — their qualifying partners are all
+    ≤ 2d chars, so that bounded pool is all-paired directly.
+
+    Shuffle shape: two corpus-sized projections (segments, probes),
+    one equi-join on (segment text, index, source length) whose
+    candidate count scales with SHARED segments (not pairs), one
+    id-keyed fetch join, zero-shuffle verify. Output:
+    (doc_a < doc_b, dist)."""
+    d = int(max_dist)
+    if d < 1:
+        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+    k = d + 1
+    s = strings.select(
+        F.col(id_col).alias("_id"), F.col(str_col).alias("_k")
+    ).filter(F.col("_k").isNotNull() & (F.length("_k") > 0))
+    s = s.withColumn("_l", F.length("_k"))
+
+    def seg_len(j: str, l: str) -> str:
+        # first (k - rem) segments get base chars, the rest base + 1
+        return (
+            f"({l} div {k}) + (CASE WHEN {j} >= {k} - ({l} % {k}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+
+    def seg_start(j: str, l: str) -> str:
+        # 0-based: j*base + overflow of the longer segments before j
+        return (
+            f"{j} * ({l} div {k}) + "
+            f"greatest(0, {j} - ({k} - ({l} % {k})))"
+        )
+
+    # index side: each string (as the potential SHORTER, length >= k
+    # so segments are non-empty) emits its d+1 segments
+    idx = (
+        s.filter(F.col("_l") >= k)
+        .select(
+            "_id",
+            "_l",
+            "_k",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(k)])
+            ).alias("_j"),
+        )
+        .select(
+            F.col("_id").alias("_id_s"),
+            F.col("_l").alias("_ls"),
+            "_j",
+            F.expr(
+                f"substring(_k, ({seg_start('_j', '_ls')}) + 1, "
+                f"{seg_len('_j', '_ls')})"
+            ).alias("_seg"),
+        )
+    )
+    # probe side: each string (as the potential LONGER) emits, for
+    # every compatible shorter-length l_s = l - dl and segment j, the
+    # substrings at the pigeonhole window's positions
+    combos = [
+        (dl, j, sh)
+        for dl in range(d + 1)
+        for j in range(k)
+        for sh in range(-d, d + 1)
+    ]
+    probe = (
+        s.select(
+            "_id",
+            "_l",
+            "_k",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(dl).alias("dl"),
+                            F.lit(j).alias("j"),
+                            F.lit(sh).alias("sh"),
+                        )
+                        for dl, j, sh in combos
+                    ]
+                )
+            ).alias("_c"),
+        )
+        .select(
+            F.col("_id").alias("_id_t"),
+            F.col("_l").alias("_lt"),
+            "_k",
+            (F.col("_l") - F.col("_c.dl")).alias("_ls"),
+            F.col("_c.j").alias("_j"),
+            F.col("_c.sh").alias("_sh"),
+        )
+        .filter(F.col("_ls") >= k)
+        .withColumn(
+            "_p", F.expr(seg_start("_j", "_ls")) + F.col("_sh")
+        )
+        .withColumn("_len", F.expr(seg_len("_j", "_ls")))
+        .filter(
+            (F.col("_p") >= 0) & (F.col("_p") + F.col("_len") <= F.col("_lt"))
+        )
+        .select(
+            "_id_t",
+            "_lt",
+            "_ls",
+            "_j",
+            F.expr("substring(_k, _p + 1, _len)").alias("_seg"),
+        )
+    )
+    cands = (
+        idx.join(probe, on=["_seg", "_j", "_ls"])
+        .filter(
+            # orient: shorter strictly shorter, or same length with
+            # id order — each unordered pair survives exactly once
+            (F.col("_ls") < F.col("_lt"))
+            | ((F.col("_ls") == F.col("_lt")) & (F.col("_id_s") < F.col("_id_t")))
+        )
+        .select(
+            F.least("_id_s", "_id_t").alias("doc_a"),
+            F.greatest("_id_s", "_id_t").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ka = s.select(F.col("_id").alias("doc_a"), F.col("_k").alias("_ka"))
+    kb = s.select(F.col("_id").alias("doc_b"), F.col("_k").alias("_kb"))
+    verified = (
+        cands.join(ka, "doc_a")
+        .join(kb, "doc_b")
+        .withColumn("dist", F.levenshtein("_ka", "_kb"))
+        .filter(F.col("dist") <= d)
+        .select("doc_a", "doc_b", F.col("dist").cast("int").alias("dist"))
+    )
+    # degenerate pool: a shorter side under k chars pigeonholes into
+    # empty segments; its qualifying partners are all <= 2d chars, so
+    # all-pair that bounded pool directly
+    pool = s.filter(F.col("_l") <= 2 * d)
+    pa = pool.select(
+        F.col("_id").alias("doc_a"), F.col("_k").alias("_ka"),
+        F.col("_l").alias("_la"),
+    )
+    pb = pool.select(
+        F.col("_id").alias("doc_b"), F.col("_k").alias("_kb"),
+        F.col("_l").alias("_lb"),
+    )
+    short_pairs = (
+        pa.join(pb, pa["doc_a"] < pb["doc_b"])
+        .filter(
+            (F.abs(F.col("_la") - F.col("_lb")) <= d)
+            & (F.least("_la", "_lb") < k)
+        )
+        .withColumn("dist", F.levenshtein("_ka", "_kb"))
+        .filter(F.col("dist") <= d)
+        .select("doc_a", "doc_b", F.col("dist").cast("int").alias("dist"))
+    )
+    return verified.unionByName(short_pairs)
+
+
 def token_arrays(
     docs: DataFrame,
     *,

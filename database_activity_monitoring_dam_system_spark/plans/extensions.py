@@ -149,6 +149,44 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= {_PREFIX_T}
 """
 
 
+_EDIT_D = 2
+
+
+def _q_edit_distance_pairs(spark, sf_dir):
+    """Segment-filtered EXACT edit-distance self-join (PassJoin
+    family) over variable-length normalized prefixes (24 + id%9
+    chars, so the length bands and degenerate paths are exercised) —
+    the oracle computes naive all-pairs levenshtein, so the hash
+    proves the pigeonhole candidate filter lossless."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    keyed = docs.select(
+        "doc_id",
+        F.expr(
+            "substring(regexp_replace(lower(text), '[^a-z0-9 ]', ''),"
+            " 1, 24 + CAST(doc_id % 9 AS INT))"
+        ).alias("key"),
+    )
+    return dedup.edit_distance_pairs(keyed, max_dist=_EDIT_D)
+
+
+_EDIT_PAIRS_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                1, CAST(24 + (doc_id % 9) AS INT)) AS k
+  FROM documents
+),
+f AS (SELECT doc_id, k FROM s WHERE k IS NOT NULL AND length(k) > 0)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.k, b.k)::INTEGER AS dist
+FROM f a JOIN f b ON a.doc_id < b.doc_id
+WHERE abs(length(a.k) - length(b.k)) <= {_EDIT_D}
+  AND levenshtein(a.k, b.k) <= {_EDIT_D}
+"""
+
+
 def _q_jaccard_pairs(spark, sf_dir):
     """Quadratic exact baseline, bounded by composite (lang, source)
     blocking — buckets stay ~corpus/100 regardless of scale factor."""
@@ -3921,6 +3959,12 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_jaccard_pairs": QuerySpec(
         _q_jaccard_pairs, _JACCARD_SQL,
         "blocked token-set Jaccard ≥0.9 near-dup pairs (exact baseline)",
+    ),
+    "edit_distance_pairs": QuerySpec(
+        _q_edit_distance_pairs, _EDIT_PAIRS_SQL,
+        "segment-filtered EXACT edit-distance self-join (PassJoin "
+        "family): pigeonhole segments prune candidates losslessly, "
+        "one levenshtein per candidate; oracle is naive all-pairs",
     ),
     "dup_span_stats": QuerySpec(
         _q_dup_span_stats, _dup_span_sql(),

@@ -3478,3 +3478,54 @@ def test_zorder_nd_key_interleaves_and_validates(spark):
         zorder.zorder_nd_sql([("a", 0, 1)], bits=4)
     with _pytest.raises(ValueError, match="BIGINT key budget"):
         zorder.zorder_nd_sql(dims, bits=21)  # 63 bits
+
+
+def test_edit_distance_pairs_lossless_and_degenerate_paths(spark):
+    """PassJoin segment filter ≡ brute-force all-pairs at d=1..3 over
+    adversarial strings (empty, single-char, shorter-than-segment,
+    equal-length, planted near-dups) — the pigeonhole window and the
+    short-pool seam both exercised."""
+    import itertools
+    import random
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        dedup,
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    random.seed(7)
+    rows = [
+        (i, "".join(random.choice("abc") for _ in range(random.randint(1, 12))))
+        for i in range(120)
+    ]
+    rows += [
+        (200, "hello world xyz"),
+        (201, "hello w0rld xyz"),
+        (202, "hello w0rld xyzq"),
+        (203, "ab"),
+        (204, "a"),
+        (205, ""),  # empty keys are excluded by contract
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+    for d in (1, 2, 3):
+        got = sorted(
+            (r.doc_a, r.doc_b, r.dist)
+            for r in dedup.edit_distance_pairs(df, max_dist=d).collect()
+        )
+        want = sorted(
+            (a, b, lev(ka, kb))
+            for (a, ka), (b, kb) in itertools.combinations(
+                [r for r in rows if r[1]], 2
+            )
+            if lev(ka, kb) <= d
+        )
+        assert got == want, f"d={d}: {len(got)} vs {len(want)}"
