@@ -258,7 +258,10 @@ def edit_distance_pairs(
     s = strings.select(
         F.col(id_col).alias("_id"), F.col(str_col).alias("_k")
     ).filter(F.col("_k").isNotNull() & (F.length("_k") > 0))
-    s = s.withColumn("_l", F.length("_k"))
+    # consumed by SIX branches (index, probe, both fetch sides, both
+    # pool sides) and Spark re-runs a shared subtree per consumer —
+    # materialize the (id, key)-narrow projection once
+    s = s.withColumn("_l", F.length("_k")).localCheckpoint(eager=False)
 
     def seg_len(j: str, l: str) -> str:
         # first (k - rem) segments get base chars, the rest base + 1

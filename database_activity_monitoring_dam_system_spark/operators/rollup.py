@@ -285,6 +285,29 @@ def value_quantile_partials(
     )
 
 
+def merge_quantile_partials(
+    partials: DataFrame, *, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Fold fragments of a quantile-partials table at its OWN grain:
+    bin counts are sums on a shared grid, so the merge is one
+    groupBy — with the geometry stamps (``_lo_millis`` /
+    ``_span_millis`` / ``_bins``) kept as GROUP KEYS, which preserves
+    their exact types and means mixed-geometry fragments come out as
+    separate rows instead of silently summed (the caller's
+    single-valued stamp check still decides whether that's an
+    error). The one merge law shared by the streaming compactor and
+    any fragment consumer."""
+    groups = list(group_cols or [])
+    stamps = [
+        c
+        for c in ("_lo_millis", "_span_millis", "_bins")
+        if c in partials.columns
+    ]
+    return partials.groupBy(
+        "bucket_ts", *groups, "bin", *stamps
+    ).agg(F.sum("n").alias("n"))
+
+
 def _merged_bins(
     partials: DataFrame,
     *,

@@ -55,22 +55,12 @@ def _scale_expr(col: str, lo: int, hi: int, bits: int, *, duck: bool) -> str:
 def morton_terms(
     bits: int, *, duck: bool, x: str = "_xg", y: str = "_yg"
 ) -> str:
-    """The ONE bit-interleave template both dialects and every caller
-    share: z = Σ_i ((x>>i)&1)<<2i + ((y>>i)&1)<<(2i+1). Keeping a
-    single generator is what makes 'same arithmetic on both engines'
-    a structural fact instead of three hand-synced copies."""
-    terms = []
-    for i in range(bits):
-        if duck:
-            # fully parenthesized: DuckDB binds + tighter than <<
-            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
-            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
-        else:
-            terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
-            terms.append(
-                f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})"
-            )
-    return " + ".join(terms)
+    """The 2-D bit-interleave template — :func:`morton_terms_nd` at
+    k=2 (x even positions, y odd), kept as a named entry point for
+    the 2-D callers. Delegating (rather than a parallel hand-synced
+    copy) is what makes 'same arithmetic on both engines and at
+    every k' a structural fact: a dialect fix lands once."""
+    return morton_terms_nd(bits, [x, y], duck=duck)
 
 
 def zorder_sql(
@@ -89,23 +79,23 @@ def zorder_sql(
     z = Σ_i ((xg>>i)&1)<<2i | ((yg>>i)&1)<<(2i+1)."""
     if not 1 <= bits <= 31:
         raise ValueError(f"bits must be in [1, 31], got {bits}")
-    xg = _scale_expr(x_col, x_lo, x_hi, bits, duck=duck)
-    yg = _scale_expr(y_col, y_lo, y_hi, bits, duck=duck)
-    z = morton_terms(bits, duck=duck)
-    # inline the grid coords via a scalar subquery-free rewrite: both
-    # engines accept the full textual substitution
-    return z.replace("_xg", f"({xg})").replace("_yg", f"({yg})")
+    return zorder_nd_sql(
+        [(x_col, x_lo, x_hi), (y_col, y_lo, y_hi)], bits=bits, duck=duck
+    )
 
 
 def morton_terms_nd(
     bits: int, names: list[str], *, duck: bool
 ) -> str:
-    """The k-dimensional bit-interleave template: bit i of dimension
-    j lands at position i·k + j (round-robin interleave — every
-    dimension contributes equally at every scale level, the same
-    layout Delta's multi-column OPTIMIZE ZORDER produces). The 2-D
-    :func:`morton_terms` is this with k=2; both dialects and the
-    oracle share this one generator."""
+    """The ONE k-dimensional bit-interleave template every caller and
+    both dialects share: bit i of dimension j lands at position
+    i·k + j (round-robin interleave — every dimension contributes
+    equally at every scale level, the same layout Delta's
+    multi-column OPTIMIZE ZORDER produces). ``names`` are embedded
+    VERBATIM as the coordinate expressions — pass full parenthesized
+    SQL, not placeholders to substitute later (a textual replace
+    corrupts any column expression that happens to contain the
+    placeholder string)."""
     k = len(names)
     terms = []
     for i in range(bits):
@@ -142,15 +132,14 @@ def zorder_nd_sql(
             f"bits*k must be in [1, 62] (BIGINT key budget), got "
             f"{bits}*{k} = {bits * k}"
         )
-    names = [f"_g{j}" for j in range(k)]
-    z = morton_terms_nd(bits, names, duck=duck)
-    # substitute highest index first: '_g1' is a prefix of '_g12'
-    for j in reversed(range(k)):
-        col, lo, hi = dims[j]
-        z = z.replace(
-            names[j], f"({_scale_expr(col, lo, hi, bits, duck=duck)})"
-        )
-    return z
+    # inline each dimension's scale expression directly — no
+    # placeholder substitution pass that could rewrite a column
+    # expression containing the placeholder text
+    coords = [
+        f"({_scale_expr(col, lo, hi, bits, duck=duck)})"
+        for col, lo, hi in dims
+    ]
+    return morton_terms_nd(bits, coords, duck=duck)
 
 
 def zorder_nd_key(

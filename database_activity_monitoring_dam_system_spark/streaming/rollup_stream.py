@@ -470,32 +470,14 @@ def compact_rollup_fragments(
             ["bucket_ts", *groups],
         ).withColumn("_bucket_bits", F.lit(bits))
     elif is_quantiles:
-        # bin counts are sums on a shared grid; the geometry stamps
-        # must be single-valued across the table (a mixed-grid merge
-        # would silently shift every percentile)
-        geom = {
-            c: _single_stamp(df, c, "compact_rollup_fragments")
-            for c in ("_lo_millis", "_span_millis", "_bins")
-        }
-        merged = (
-            foldable.drop(
-                "_batch_id", "_grain",
-                "_lo_millis", "_span_millis", "_bins",
-            )
-            .groupBy("bucket_ts", *groups, "bin")
-            .agg(F.sum("n").alias("n"))
-            # type-pinned like value_quantile_partials writes them —
-            # a bare int literal would be INT where the fragments
-            # hold LONG, and the mixed parquet schemas break reads
-            .withColumns(
-                {
-                    "_lo_millis": F.lit(geom["_lo_millis"]).cast("long"),
-                    "_span_millis": F.lit(geom["_span_millis"]).cast(
-                        "long"
-                    ),
-                    "_bins": F.lit(geom["_bins"]).cast("int"),
-                }
-            )
+        # the geometry stamps must be single-valued across the table
+        # (a mixed-grid merge would silently shift every percentile);
+        # the merge itself is the shared bin-sum law, which keeps the
+        # stamps as group keys so their exact types survive
+        for c in ("_lo_millis", "_span_millis", "_bins"):
+            _single_stamp(df, c, "compact_rollup_fragments")
+        merged = rollup.merge_quantile_partials(
+            foldable.drop("_batch_id", "_grain"), group_cols=groups
         )
     else:
         merged = rollup.rollup_partials(
