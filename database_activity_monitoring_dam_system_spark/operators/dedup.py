@@ -498,6 +498,127 @@ def minhash_bands(
     )
 
 
+def update_minhash_bands(
+    band_table: DataFrame,
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    hex_buckets: bool = True,
+) -> DataFrame:
+    """Incrementally fold a corpus snapshot change into a persisted
+    LSH band table — the near-dup index given the same maintenance
+    story as the posting table (update_postings) and the PQ code
+    table (pq_update_codes): row-identical to a fresh
+    token_arrays→minhash→bands build over ``new_docs`` (gate-pinned)
+    at delta-proportional SIGNATURE cost.
+
+    The fold is pure set algebra on the band rows: removed∪changed
+    docs' rows anti-join away by id (band rows are id-keyed — no
+    signature work to find them), added∪changed docs are
+    freshly shingled/signed/banded (the only hashing done), and the
+    union is the new table. The LSH parameters must match the
+    table's build — pass the same (num_hashes, bands, shingle,
+    hex_buckets) or the merged table silently mixes incompatible
+    bucket spaces; :func:`save_band_table` stamps them so the
+    artifact path refuses a mismatch instead."""
+    diff = (
+        corpus_diff(
+            old_docs, new_docs, id_col=id_col, text_col=text_col,
+            normalize=False,
+        )
+        .filter(F.col("verdict") != "unchanged")
+        .select(id_col, "verdict")
+        .localCheckpoint(eager=False)
+    )
+    gone = diff.filter(
+        F.col("verdict").isin("removed", "changed")
+    ).select(id_col)
+    fresh = diff.filter(
+        F.col("verdict").isin("added", "changed")
+    ).select(id_col)
+    kept = band_table.join(F.broadcast(gone), on=id_col, how="left_anti")
+    delta_docs = new_docs.join(
+        F.broadcast(fresh), on=id_col, how="left_semi"
+    )
+    delta_sigs = minhash_signatures_md5(
+        token_arrays(
+            delta_docs, id_col=id_col, text_col=text_col, shingle=shingle
+        ),
+        id_col=id_col,
+        num_hashes=num_hashes,
+    )
+    delta_bands = minhash_bands(
+        delta_sigs,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        hex_buckets=hex_buckets,
+    )
+    return kept.unionByName(delta_bands)
+
+
+_BAND_STAMPS = ("_n_docs", "_num_hashes", "_bands", "_shingle")
+
+
+def save_band_table(
+    band_table: DataFrame,
+    path: str,
+    *,
+    n_docs: int,
+    num_hashes: int,
+    bands: int,
+    shingle: int,
+) -> None:
+    """Persist an LSH band table stamped with its corpus size AND its
+    LSH geometry (the save_postings discipline, plus parameters —
+    band buckets from different (k, bands, shingle) are incomparable,
+    and a silent mix would manufacture or hide candidate pairs)."""
+    out = band_table
+    for c, v in zip(
+        _BAND_STAMPS, (n_docs, num_hashes, bands, shingle)
+    ):
+        out = out.withColumn(c, F.lit(int(v)))
+    out.write.mode("overwrite").parquet(path)
+
+
+def load_band_table(
+    spark,
+    path: str,
+    *,
+    expect_docs: int | None = None,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    shingle: int | None = None,
+) -> DataFrame:
+    """Load a persisted band table, refusing a stale corpus stamp or
+    mismatched LSH geometry."""
+    df = spark.read.parquet(path)
+    stamped = (
+        df.select(*[c for c in _BAND_STAMPS if c in df.columns]).first()
+    )
+    checks = (
+        ("_n_docs", expect_docs, "corpus document count"),
+        ("_num_hashes", num_hashes, "num_hashes"),
+        ("_bands", bands, "bands"),
+        ("_shingle", shingle, "shingle"),
+    )
+    for col, want, what in checks:
+        if want is None or stamped is None or col not in df.columns:
+            continue
+        if stamped[col] != want:
+            raise ValueError(
+                f"load_band_table: artifact at {path!r} was built "
+                f"with {what}={stamped[col]}, caller expects {want} "
+                "— rebuild the band table"
+            )
+    return df.drop(*[c for c in _BAND_STAMPS if c in df.columns])
+
+
 def minhash_candidate_pairs(
     signatures: DataFrame,
     *,

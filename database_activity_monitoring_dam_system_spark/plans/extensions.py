@@ -365,6 +365,77 @@ sigs AS (
 )"""
 
 
+def _q_incremental_minhash_bands(spark, sf_dir):
+    """Incremental LSH band-table maintenance ≡ fresh rebuild: the
+    same synthesized added/changed/removed snapshot as
+    incremental_postings, folded into a band table built over the
+    OLD corpus — the oracle builds the NEW corpus's bands from
+    scratch, so the hash proves the id-keyed fold (anti-join gone
+    rows, append freshly-signed delta bands) lossless, with only the
+    delta ever re-signed."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    old = (
+        docs.filter(F.col("doc_id") % 10 != 3)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 7,
+                F.concat(F.col("text"), F.lit(" vanishingtoken")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 1).select(
+                (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                F.concat(
+                    F.lit("ephemeral snapshot rows "), F.col("text")
+                ).alias("text"),
+            )
+        )
+    )
+    base = dedup.minhash_bands(
+        dedup.minhash_signatures_md5(
+            dedup.token_arrays(old, shingle=3),
+            num_hashes=_MINHASH_MD5_K,
+        ),
+        num_hashes=_MINHASH_MD5_K,
+        bands=_MINHASH_MD5_BANDS,
+        hex_buckets=True,
+    )
+    return dedup.update_minhash_bands(
+        base,
+        old,
+        docs.select("doc_id", "text"),
+        num_hashes=_MINHASH_MD5_K,
+        bands=_MINHASH_MD5_BANDS,
+        shingle=3,
+        hex_buckets=True,
+    )
+
+
+def _incr_bands_sql() -> str:
+    """Fresh band build over the new corpus — incremental must be
+    identical (same signature CTE chain as the near-dup oracle)."""
+    k, bands = _MINHASH_MD5_K, _MINHASH_MD5_BANDS
+    rows = k // bands
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band_id, md5(concat_ws('|', {cols})) AS bucket "
+        "FROM sigs".format(
+            b=b, cols=", ".join(f"mh{b * rows + j}" for j in range(rows))
+        )
+        for b in range(bands)
+    )
+    return rf"""
+WITH {_md5_sig_ctes(k)}
+SELECT doc_id, band_id, bucket FROM (
+  {band_selects}
+)
+"""
+
+
 _SOURCE_OVERLAP_K = 32
 
 
@@ -3982,6 +4053,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_source_overlap, _source_overlap_sql(),
         "pairwise source-overlap matrix from mergeable per-source "
         "MinHash union sketches (md5 family, full oracle)",
+    ),
+    "incremental_minhash_bands": QuerySpec(
+        _q_incremental_minhash_bands, _incr_bands_sql(),
+        "incremental LSH band-table maintenance: id-keyed fold of an "
+        "added/changed/removed delta (only the delta re-signed) ≡ "
+        "fresh rebuild of the new corpus's bands, md5-pinned",
     ),
     "dedup_minhash_md5": QuerySpec(
         _q_minhash_md5, _minhash_md5_sql(),

@@ -3529,3 +3529,58 @@ def test_edit_distance_pairs_lossless_and_degenerate_paths(spark):
             if lev(ka, kb) <= d
         )
         assert got == want, f"d={d}: {len(got)} vs {len(want)}"
+
+
+def test_band_table_artifact_roundtrip_and_stamps(spark, tmp_path):
+    """save/load_band_table stamp corpus size AND LSH geometry;
+    update_minhash_bands folds a delta into the loaded artifact
+    identically to a fresh build, and candidate pairs served from
+    the merged table equal fresh candidates; mismatched geometry or
+    corpus stamps refuse."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        dedup,
+    )
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    old = docs.filter(F.col("doc_id") % 10 != 3)
+    k, b, sh = 16, 4, 3
+
+    def build(frame):
+        return dedup.minhash_bands(
+            dedup.minhash_signatures_md5(
+                dedup.token_arrays(frame, shingle=sh), num_hashes=k
+            ),
+            num_hashes=k,
+            bands=b,
+            hex_buckets=True,
+        )
+
+    n_old = old.count()
+    path = str(tmp_path / "bands")
+    dedup.save_band_table(
+        build(old), path, n_docs=n_old, num_hashes=k, bands=b, shingle=sh
+    )
+    with _pytest.raises(ValueError, match="num_hashes"):
+        dedup.load_band_table(spark, path, num_hashes=32)
+    with _pytest.raises(ValueError, match="document count"):
+        dedup.load_band_table(spark, path, expect_docs=n_old + 1)
+    loaded = dedup.load_band_table(
+        spark, path, expect_docs=n_old, num_hashes=k, bands=b, shingle=sh
+    )
+    merged = dedup.update_minhash_bands(
+        loaded, old, docs, num_hashes=k, bands=b, shingle=sh
+    )
+    fresh = build(docs)
+
+    def canon(df):
+        return sorted(map(tuple, df.select("doc_id", "band_id", "bucket").collect()))
+
+    assert canon(merged) == canon(fresh)
