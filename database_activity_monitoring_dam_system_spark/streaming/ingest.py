@@ -270,6 +270,35 @@ def start_ingest(
     return writer.start()
 
 
+def dedup_stream(
+    normalized: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("query_hash", "username"),
+    ts_col: str = "access_timestamp",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once-per-event view of an at-least-once source: drop
+    redelivered copies of an event (same ``key_cols``) whose
+    duplicates arrive within ``watermark_delay`` of each other —
+    Spark's dropDuplicatesWithinWatermark state store, which (unlike
+    a bare streaming dropDuplicates) EVICTS each key once the
+    watermark passes it, so state is bounded by the horizon's
+    distinct keys instead of growing with history. The agent's HTTP
+    ingest retries on timeout (at-least-once by design); this is the
+    seam that makes the activity table effectively-once without a
+    read-side dedup on 100 TB.
+
+    Honest contract: a duplicate arriving LATER than the watermark
+    horizon after its original is NOT caught (its key's state was
+    evicted) — size ``watermark_delay`` to the upstream's maximum
+    redelivery lag, the same horizon reasoning as the CDC tombstone
+    journal. The batch arbiter is plain dropDuplicates over the same
+    keys."""
+    return normalized.withWatermark(
+        ts_col, watermark_delay
+    ).dropDuplicatesWithinWatermark([*key_cols, ts_col])
+
+
 def timeline_stream(
     normalized: DataFrame, *, watermark_delay: str = "10 minutes"
 ) -> DataFrame:

@@ -1934,3 +1934,65 @@ def test_quantile_rollup_stream_matches_batch(spark, tmp_path):
             spark, out, to_grain="day", group_cols=["event_type"],
             lo=0.0, hi=500.0, bins=100,
         ).collect()
+
+
+def test_dedup_stream_drops_redelivered_copies(spark, tmp_path):
+    """At-least-once ingest made effectively-once: duplicated events
+    (same keys, within the watermark horizon, split ACROSS
+    micro-batches) collapse to one row ≡ batch dropDuplicates; a
+    distinct event sharing a key but at a different timestamp
+    survives."""
+    import json as _json
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = {
+        "user_host": "u[u] @ h []",
+        "argument": "SELECT 1 FROM products",
+    }
+    ev = [
+        dict(base, event_time="2026-08-01T10:00:00"),
+        dict(base, event_time="2026-08-01T10:00:00"),  # dup, same file
+        dict(base, event_time="2026-08-01T10:02:00"),  # distinct ts
+        dict(
+            base,
+            event_time="2026-08-01T10:03:00",
+            argument="SELECT 2 FROM products",
+        ),
+    ]
+    with open(src + "/a.json", "w") as fh:
+        for e in ev:
+            fh.write(_json.dumps(e) + "\n")
+    with open(src + "/b.json", "w") as fh:
+        # cross-batch redelivery of the first two events
+        fh.write(_json.dumps(ev[0]) + "\n")
+        fh.write(_json.dumps(ev[3]) + "\n")
+    stream = ingest.read_agent_stream(spark, src)
+    normalized = normalize_agent_events(stream)
+    deduped = ingest.dedup_stream(normalized, watermark_delay="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(60)
+    q.stop()
+    got = spark.sql(
+        "SELECT access_timestamp, query_hash FROM dedup_stream_test"
+    ).collect()
+    raw = _raw_batch_df(spark, ev + [ev[0], ev[3]])
+    batch = (
+        normalize_agent_events(raw)
+        .dropDuplicates(["query_hash", "username", "access_timestamp"])
+        .select("access_timestamp", "query_hash")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    # 3 distinct (key, ts) events out of 6 deliveries: the same-file
+    # dup, the cross-batch redelivery, and the duplicate of ev[3]
+    # all dropped; the same-key-different-ts event survives
+    assert len(got) == 3
