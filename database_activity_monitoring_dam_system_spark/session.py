@@ -67,6 +67,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Runtime bloom-filter join pruning: when a selective dim side
+        # can't broadcast, Catalyst builds a bloom filter over its
+        # join keys and pushes might_contain() into the fact scan —
+        # the fact table is pre-filtered BEFORE its shuffle, the
+        # classic semi-join reduction at 100 TB. Off by default in
+        # Spark; on here (test_plans pins the injection). Thresholds
+        # stay at Spark defaults — the filter only builds when the
+        # creation side is small enough to be worth it.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # InferFiltersFromGenerate duplicates each explode's generator
         # expression into a size()>0 filter on the scan (interpreted,
         # pre-split) — measured 5× slowdown on shingle pipelines whose

@@ -536,3 +536,59 @@ def test_q21_single_per_order_aggregate(spark):
     assert plan.count("Exchange hashpartitioning(l_orderkey") <= 3
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") == 1
+
+
+def test_runtime_bloom_filter_injects_for_selective_shuffle_join(spark):
+    """The session profile enables Catalyst's runtime bloom-filter
+    join pruning: when a selective dim side cannot broadcast, a bloom
+    filter over its join keys is pushed into the FACT side as a
+    might_contain() predicate — the fact table is pre-filtered before
+    its shuffle (semi-join reduction, the 100 TB lever for
+    non-broadcastable dims). Pinned here with the build thresholds
+    lowered to fire at test scale; production keeps Spark's defaults
+    so the filter only builds when worth it."""
+    from pyspark.sql import functions as F
+
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    olds = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "10GB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        events = load_table(spark, SF_SMOKE, "events")
+        dim = (
+            load_table(spark, SF_SMOKE, "events")
+            .select("user_id")
+            .distinct()
+            .filter(F.col("user_id") % 50 == 3)
+        )
+        j = events.join(dim, "user_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        # and the result is unaffected by the filter (it only prunes)
+        expected = events.filter(F.col("user_id") % 50 == 3).count()
+        assert j.count() == expected
+    finally:
+        for k, v in olds.items():
+            spark.conf.set(k, v)
