@@ -285,6 +285,99 @@ def value_quantile_partials(
     )
 
 
+def variance_partials(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grain: str = "minute",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Mergeable MOMENT state per time bucket — (n, Σx, Σx²) in exact
+    integer millis — the third classic rollup state beside histogram
+    bins (quantiles) and HLL registers (distincts): mean, variance,
+    stddev, and z-scores all derive from sums, so hour-from-minute is
+    exact by the same fold law. Σx² accumulates in DECIMAL(38,0)
+    (millis² × row counts wraps BIGINT at real scale — the
+    table-checksum lesson); Σx stays BIGINT (5e5 millis × 10^12 rows
+    still fits). The DECIMAL column lives only in the PARTIALS
+    table — :func:`rollup_variance` emits doubles, never a
+    DecimalType gate output."""
+    _check_grain(grain)
+    groups = list(group_cols or [])
+    millis = F.floor(F.col(value_col) * 1000).cast("long")
+    return (
+        events.select(
+            F.date_trunc(grain, F.col(ts_col)).alias("bucket_ts"),
+            *groups,
+            millis.alias("_m"),
+        )
+        .filter(F.col("_m").isNotNull())
+        .groupBy("bucket_ts", *groups)
+        .agg(
+            F.count("*").alias("n_values"),
+            F.sum("_m").alias("sum_millis"),
+            F.sum(
+                (F.col("_m").cast("decimal(38,0)") * F.col("_m"))
+            ).alias("_sumsq_millis"),
+        )
+    )
+
+
+def rollup_variance(
+    partials: DataFrame,
+    *,
+    to_grain: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Serve mean / population-stddev per ``to_grain`` bucket from
+    merged moment partials — no raw re-scan. Everything is exact
+    integer sums until ONE fixed float expression per statistic
+    (identical text in the oracle): mean = Σx/n, var = Σx²/n −
+    (Σx/n)², guarded non-negative against rounding, sqrt is IEEE
+    correctly-rounded in both engines. The DOUBLE cast of the
+    DECIMAL Σx² rounds identically cross-engine (nearest double of
+    the same exact integer — the value_correlation discipline), so
+    the gate is a full hash comparison."""
+    _check_grain(to_grain)
+    groups = list(group_cols or [])
+    merged = (
+        partials.select(
+            F.date_trunc(to_grain, F.col("bucket_ts")).alias("bucket_ts"),
+            *groups,
+            "n_values",
+            "sum_millis",
+            "_sumsq_millis",
+        )
+        .groupBy("bucket_ts", *groups)
+        .agg(
+            F.sum("n_values").alias("n_values"),
+            F.sum("sum_millis").alias("sum_millis"),
+            F.sum("_sumsq_millis").alias("_sumsq_millis"),
+        )
+    )
+    mean = (
+        "CAST(sum_millis AS DOUBLE) / CAST(n_values AS DOUBLE)"
+        " / CAST(1000 AS DOUBLE)"
+    )
+    var_m = (
+        "CAST(_sumsq_millis AS DOUBLE) / CAST(n_values AS DOUBLE)"
+        " - (CAST(sum_millis AS DOUBLE) / CAST(n_values AS DOUBLE))"
+        " * (CAST(sum_millis AS DOUBLE) / CAST(n_values AS DOUBLE))"
+    )
+    std = (
+        f"sqrt(greatest(CAST(0 AS DOUBLE), {var_m}))"
+        " / CAST(1000 AS DOUBLE)"
+    )
+    return merged.select(
+        "bucket_ts",
+        *groups,
+        "n_values",
+        F.expr(f"round({mean}, 6)").alias("mean_value"),
+        F.expr(f"round({std}, 6)").alias("std_value"),
+    )
+
+
 def merge_quantile_partials(
     partials: DataFrame, *, group_cols: list[str] | None = None
 ) -> DataFrame:

@@ -196,6 +196,53 @@ def _q_quantiles_gk_timeline(
     )
 
 
+def _q_rollup_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/stddev served from mergeable moment partials: minute
+    (n, Σx, Σx²) state folded to day — the third rollup state family
+    (moments) beside histogram bins and HLL registers. The oracle
+    recomputes the moments directly at day grain, so the hash pins
+    the fold law AND the fixed float expressions (incl. the
+    DECIMAL→DOUBLE rounding of Σx², identical in both engines)."""
+    events = load_table(spark, sf_dir, "events")
+    minute = rollup.variance_partials(
+        events, grain="minute", group_cols=["event_type"]
+    )
+    day = rollup.rollup_variance(
+        minute, to_grain="day", group_cols=["event_type"]
+    )
+    return day.select(
+        F.date_format("bucket_ts", "yyyy-MM-dd").alias("time_bucket"),
+        "event_type",
+        "n_values",
+        "mean_value",
+        "std_value",
+    )
+
+
+_ROLLUP_VARIANCE_SQL = """
+WITH m AS (
+  SELECT date_trunc('day', ts) AS b, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS mm
+  FROM events
+),
+g AS (
+  SELECT b, event_type, count(*)::BIGINT AS n_values,
+         CAST(sum(mm) AS BIGINT) AS sum_millis,
+         sum(CAST(mm AS HUGEINT) * mm) AS sq
+  FROM m WHERE mm IS NOT NULL GROUP BY 1, 2
+)
+SELECT strftime(b, '%Y-%m-%d') AS time_bucket, event_type, n_values,
+       round(CAST(sum_millis AS DOUBLE) / CAST(n_values AS DOUBLE)
+             / CAST(1000 AS DOUBLE), 6) AS mean_value,
+       round(sqrt(greatest(CAST(0 AS DOUBLE),
+               CAST(sq AS DOUBLE) / CAST(n_values AS DOUBLE)
+               - (CAST(sum_millis AS DOUBLE) / CAST(n_values AS DOUBLE))
+               * (CAST(sum_millis AS DOUBLE) / CAST(n_values AS DOUBLE))))
+             / CAST(1000 AS DOUBLE), 6) AS std_value
+FROM g
+"""
+
+
 def _q_gapfill_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Densified hourly timeline: every hour between each event
     type's first and last bucket, zero-filled with an is_gap flag —
@@ -963,6 +1010,12 @@ QUERIES: dict[str, QuerySpec] = {
             "SELECT count(*) FROM (SELECT DISTINCT date_trunc('day', ts),"
             " event_type FROM events WHERE value IS NOT NULL)"
         ),
+    ),
+    "rollup_variance_stats": QuerySpec(
+        _q_rollup_variance, _ROLLUP_VARIANCE_SQL,
+        "mean/stddev from mergeable moment partials (n, Σx, Σx² — "
+        "DECIMAL accumulator internal): minute state folds to day "
+        "exactly; one fixed float expression per statistic",
     ),
     "gapfill_timeline": QuerySpec(
         _q_gapfill_timeline, _GAPFILL_SQL,
