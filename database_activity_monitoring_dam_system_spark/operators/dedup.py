@@ -522,10 +522,13 @@ def update_minhash_bands(
     signature work to find them), added∪changed docs are
     freshly shingled/signed/banded (the only hashing done), and the
     union is the new table. The LSH parameters must match the
-    table's build — pass the same (num_hashes, bands, shingle,
-    hex_buckets) or the merged table silently mixes incompatible
-    bucket spaces; :func:`save_band_table` stamps them so the
-    artifact path refuses a mismatch instead."""
+    table's build — and the delta is ALWAYS signed with the md5
+    family, so the table must be one too: load a persisted artifact
+    with ``load_band_table(..., sig_family='md5',
+    hex_buckets=<match>)`` first and the stamp check refuses any
+    incompatible table by name (an unchecked mix of bucket spaces
+    silently loses every kept-vs-delta candidate pair, or dies
+    mid-union on a type coercion)."""
     diff = (
         corpus_diff(
             old_docs, new_docs, id_col=id_col, text_col=text_col,
@@ -562,7 +565,10 @@ def update_minhash_bands(
     return kept.unionByName(delta_bands)
 
 
-_BAND_STAMPS = ("_n_docs", "_num_hashes", "_bands", "_shingle")
+_BAND_STAMPS = (
+    "_n_docs", "_num_hashes", "_bands", "_shingle", "_sig_family",
+    "_hex_buckets",
+)
 
 
 def save_band_table(
@@ -573,16 +579,27 @@ def save_band_table(
     num_hashes: int,
     bands: int,
     shingle: int,
+    sig_family: str = "md5",
+    hex_buckets: bool = True,
 ) -> None:
     """Persist an LSH band table stamped with its corpus size AND its
-    LSH geometry (the save_postings discipline, plus parameters —
-    band buckets from different (k, bands, shingle) are incomparable,
-    and a silent mix would manufacture or hide candidate pairs)."""
+    full hash identity (the save_postings discipline): the grid
+    geometry (k, bands, shingle), the SIGNATURE family
+    (``sig_family`` — 'md5' for minhash_signatures_md5, 'xxhash64'
+    for minhash_signatures_arr) and the bucket derivation
+    (``hex_buckets``). Band buckets from any differing parameter are
+    disjoint spaces — a silent mix manufactures or hides candidate
+    pairs — so :func:`load_band_table` refuses a mismatch by stamp,
+    not by crash."""
     out = band_table
     for c, v in zip(
-        _BAND_STAMPS, (n_docs, num_hashes, bands, shingle)
+        _BAND_STAMPS,
+        (
+            int(n_docs), int(num_hashes), int(bands), int(shingle),
+            str(sig_family), int(bool(hex_buckets)),
+        ),
     ):
-        out = out.withColumn(c, F.lit(int(v)))
+        out = out.withColumn(c, F.lit(v))
     out.write.mode("overwrite").parquet(path)
 
 
@@ -594,21 +611,39 @@ def load_band_table(
     num_hashes: int | None = None,
     bands: int | None = None,
     shingle: int | None = None,
+    sig_family: str | None = None,
+    hex_buckets: bool | None = None,
 ) -> DataFrame:
-    """Load a persisted band table, refusing a stale corpus stamp or
-    mismatched LSH geometry."""
+    """Load a persisted band table, refusing a stale corpus stamp,
+    mismatched LSH geometry, or a different hash family. A ZERO-ROW
+    artifact carries no stamp rows to verify — if the caller asked
+    for any check, that is a refusal too (silently returning an
+    unverifiable empty frame would let an update serve a near-dup
+    index containing only the delta)."""
     df = spark.read.parquet(path)
-    stamped = (
-        df.select(*[c for c in _BAND_STAMPS if c in df.columns]).first()
-    )
+    present = [c for c in _BAND_STAMPS if c in df.columns]
+    stamped = df.select(*present).first() if present else None
     checks = (
         ("_n_docs", expect_docs, "corpus document count"),
         ("_num_hashes", num_hashes, "num_hashes"),
         ("_bands", bands, "bands"),
         ("_shingle", shingle, "shingle"),
+        ("_sig_family", sig_family, "signature family"),
+        (
+            "_hex_buckets",
+            None if hex_buckets is None else int(bool(hex_buckets)),
+            "bucket derivation (hex_buckets)",
+        ),
     )
-    for col, want, what in checks:
-        if want is None or stamped is None or col not in df.columns:
+    wanted = [c for c in checks if c[1] is not None]
+    if wanted and stamped is None:
+        raise ValueError(
+            f"load_band_table: artifact at {path!r} has no rows to "
+            "verify its stamps against the caller's expectations — "
+            "rebuild the band table"
+        )
+    for col, want, what in wanted:
+        if col not in df.columns:
             continue
         if stamped[col] != want:
             raise ValueError(
@@ -616,7 +651,7 @@ def load_band_table(
                 f"with {what}={stamped[col]}, caller expects {want} "
                 "— rebuild the band table"
             )
-    return df.drop(*[c for c in _BAND_STAMPS if c in df.columns])
+    return df.drop(*present)
 
 
 def minhash_candidate_pairs(

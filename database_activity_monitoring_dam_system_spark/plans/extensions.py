@@ -373,29 +373,10 @@ def _q_incremental_minhash_bands(spark, sf_dir):
     scratch, so the hash proves the id-keyed fold (anti-join gone
     rows, append freshly-signed delta bands) lossless, with only the
     delta ever re-signed."""
-    from pyspark.sql import functions as F
+    from .lakehouse import synth_old_snapshot
 
     docs = _docs(spark, sf_dir)
-    old = (
-        docs.filter(F.col("doc_id") % 10 != 3)
-        .select(
-            "doc_id",
-            F.when(
-                F.col("doc_id") % 10 == 7,
-                F.concat(F.col("text"), F.lit(" vanishingtoken")),
-            )
-            .otherwise(F.col("text"))
-            .alias("text"),
-        )
-        .unionByName(
-            docs.filter(F.col("doc_id") % 10 == 1).select(
-                (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
-                F.concat(
-                    F.lit("ephemeral snapshot rows "), F.col("text")
-                ).alias("text"),
-            )
-        )
-    )
+    old = synth_old_snapshot(docs.select("doc_id", "text"))
     base = dedup.minhash_bands(
         dedup.minhash_signatures_md5(
             dedup.token_arrays(old, shingle=3),

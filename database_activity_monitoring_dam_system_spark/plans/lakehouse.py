@@ -385,19 +385,16 @@ SELECT token, df, postings_md5 FROM p WHERE df >= 2
 """
 
 
-def _q_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental index maintenance ≡ fresh rebuild, md5-pinned: an
-    OLD corpus snapshot is synthesized with every change class —
-    docs ≡ 3 mod 10 absent (added), docs ≡ 7 mod 10 carrying an
-    extra token (changed: the token must vanish from the merged
-    index), and ephemeral high-id rows not in the real corpus
-    (removed). The index built over that snapshot is folded forward
-    with update_postings; the oracle builds the NEW corpus's index
-    from scratch — matching hashes prove the delta surgery
-    (array_except / append / empty-drop / new-token insert) is
-    lossless."""
-    docs = load_table(spark, sf_dir, "documents")
-    old = (
+def synth_old_snapshot(docs: DataFrame) -> DataFrame:
+    """The ONE synthesized old-corpus snapshot every incremental-
+    maintenance gate folds forward from, exercising all change
+    classes against the real corpus: docs ≡ 3 mod 10 absent (they
+    become 'added'), docs ≡ 7 mod 10 carrying an extra token
+    ('changed' — the token must vanish from merged artifacts), and
+    ephemeral high-id rows not in the real corpus ('removed').
+    Shared (incremental_postings, incremental_minhash_bands) so the
+    two gates cannot drift to different delta-coverage stories."""
+    return (
         docs.filter(F.col("doc_id") % 10 != 3)
         .select(
             "doc_id",
@@ -417,6 +414,21 @@ def _q_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def _q_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance ≡ fresh rebuild, md5-pinned: an
+    OLD corpus snapshot is synthesized with every change class —
+    docs ≡ 3 mod 10 absent (added), docs ≡ 7 mod 10 carrying an
+    extra token (changed: the token must vanish from the merged
+    index), and ephemeral high-id rows not in the real corpus
+    (removed). The index built over that snapshot is folded forward
+    with update_postings; the oracle builds the NEW corpus's index
+    from scratch — matching hashes prove the delta surgery
+    (array_except / append / empty-drop / new-token insert) is
+    lossless."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = synth_old_snapshot(docs)
     base_idx = invindex.build_postings(old)
     merged = invindex.update_postings(base_idx, old, docs)
     return merged.select(

@@ -3572,6 +3572,21 @@ def test_band_table_artifact_roundtrip_and_stamps(spark, tmp_path):
         dedup.load_band_table(spark, path, num_hashes=32)
     with _pytest.raises(ValueError, match="document count"):
         dedup.load_band_table(spark, path, expect_docs=n_old + 1)
+    # the hash FAMILY is part of the artifact identity: a different
+    # signature family or bucket derivation is a disjoint bucket
+    # space — refused by stamp, not by silent union
+    with _pytest.raises(ValueError, match="signature family"):
+        dedup.load_band_table(spark, path, sig_family="xxhash64")
+    with _pytest.raises(ValueError, match="hex_buckets"):
+        dedup.load_band_table(spark, path, hex_buckets=False)
+    # a zero-row artifact cannot verify ANY requested stamp — refuse
+    empty_path = str(tmp_path / "empty_bands")
+    dedup.save_band_table(
+        build(docs.filter(F.lit(False))), empty_path,
+        n_docs=0, num_hashes=k, bands=b, shingle=sh,
+    )
+    with _pytest.raises(ValueError, match="no rows to"):
+        dedup.load_band_table(spark, empty_path, expect_docs=n_old)
     loaded = dedup.load_band_table(
         spark, path, expect_docs=n_old, num_hashes=k, bands=b, shingle=sh
     )

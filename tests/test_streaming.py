@@ -1968,7 +1968,10 @@ def test_dedup_stream_drops_redelivered_copies(spark, tmp_path):
         # cross-batch redelivery of the first two events
         fh.write(_json.dumps(ev[0]) + "\n")
         fh.write(_json.dumps(ev[3]) + "\n")
-    stream = ingest.read_agent_stream(spark, src)
+    # one file per micro-batch — the redelivery in b.json must be
+    # caught by the state STORE across batches, not by a within-batch
+    # dedup (which a stateless implementation would also pass)
+    stream = ingest.read_agent_stream(spark, src, max_files_per_trigger=1)
     normalized = normalize_agent_events(stream)
     deduped = ingest.dedup_stream(normalized, watermark_delay="1 hour")
     q = (
