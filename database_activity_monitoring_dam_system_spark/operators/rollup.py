@@ -341,20 +341,15 @@ def rollup_variance(
     the gate is a full hash comparison."""
     _check_grain(to_grain)
     groups = list(group_cols or [])
-    merged = (
+    merged = merge_variance_partials(
         partials.select(
             F.date_trunc(to_grain, F.col("bucket_ts")).alias("bucket_ts"),
             *groups,
             "n_values",
             "sum_millis",
             "_sumsq_millis",
-        )
-        .groupBy("bucket_ts", *groups)
-        .agg(
-            F.sum("n_values").alias("n_values"),
-            F.sum("sum_millis").alias("sum_millis"),
-            F.sum("_sumsq_millis").alias("_sumsq_millis"),
-        )
+        ),
+        group_cols=groups,
     )
     mean = (
         "CAST(sum_millis AS DOUBLE) / CAST(n_values AS DOUBLE)"
@@ -375,6 +370,20 @@ def rollup_variance(
         "n_values",
         F.expr(f"round({mean}, 6)").alias("mean_value"),
         F.expr(f"round({std}, 6)").alias("std_value"),
+    )
+
+
+def merge_variance_partials(
+    partials: DataFrame, *, group_cols: list[str] | None = None
+) -> DataFrame:
+    """The moment fold law in one place (grain merge in
+    rollup_variance, fragment merge in the streaming compactor):
+    all three moments are sums."""
+    groups = list(group_cols or [])
+    return partials.groupBy("bucket_ts", *groups).agg(
+        F.sum("n_values").alias("n_values"),
+        F.sum("sum_millis").alias("sum_millis"),
+        F.sum("_sumsq_millis").alias("_sumsq_millis"),
     )
 
 

@@ -314,6 +314,78 @@ def read_quantile_rollup(
     )
 
 
+def start_variance_rollup_stream(
+    events: DataFrame,
+    *,
+    out_path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grain: str = "minute",
+    group_cols: list[str] | None = None,
+    available_now: bool = False,
+):
+    """The MOMENT twin of :func:`start_rollup_stream`: per-batch
+    (n, Σx, Σx²) fragments (rollup.variance_partials) under
+    ``_batch_id=N`` — the fourth streamed partials schema, closing
+    mean/stddev serving the way histograms closed percentiles and
+    HLL closed COUNT DISTINCT. Moments are pure sums, so fragments
+    and grains merge by the same fold; the Σx² DECIMAL accumulator
+    lives only in the fragments (never a served output column)."""
+    groups = list(group_cols or [])
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        partials = rollup.variance_partials(
+            batch,
+            ts_col=ts_col,
+            value_col=value_col,
+            grain=grain,
+            group_cols=groups,
+        )
+        (
+            partials.withColumn("_grain", F.lit(grain))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
+
+    writer = events.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_variance_rollup(
+    spark: SparkSession,
+    path: str,
+    *,
+    to_grain: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Mean/stddev served from a streamed moment-partials table:
+    fragment merge and grain merge are the one sum-fold inside
+    rollup_variance, so stream ≡ batch exactly. Same whole-table
+    ``_grain`` guard as the other readers."""
+    df = spark.read.parquet(path)
+    if "_grain" in df.columns:
+        written = _single_stamp(df, "_grain", "read_variance_rollup")
+        order = rollup._GRAIN_ORDER
+        if order.index(to_grain) < order.index(written):
+            raise ValueError(
+                f"read_variance_rollup: table was written at "
+                f"{written!r} grain; cannot derive finer "
+                f"{to_grain!r} partials from it"
+            )
+        df = df.drop("_grain")
+    return rollup.rollup_variance(
+        df.drop("_batch_id"), to_grain=to_grain, group_cols=group_cols
+    )
+
+
 # the columns start_rollup_stream itself writes; everything else in a
 # partials table is a group dimension
 _METRIC_COLS = ("n_events", "sum_millis", "min_millis", "max_millis")
@@ -325,6 +397,11 @@ _DIST_META_COLS = (
 # the quantile-rollup (fixed-bin histogram) twin's schema
 _QUANT_META_COLS = (
     "bucket_ts", "bin", "n", "_lo_millis", "_span_millis", "_bins",
+    "_grain", "_batch_id",
+)
+# the moment-rollup (n, Σx, Σx²) twin's schema
+_VAR_META_COLS = (
+    "bucket_ts", "n_values", "sum_millis", "_sumsq_millis",
     "_grain", "_batch_id",
 )
 
@@ -433,17 +510,20 @@ def compact_rollup_fragments(
         return n_before, n_before  # nothing to fold
 
     df = spark.read.parquet(path)
-    # three streamed-partials schemas share this maintenance job:
+    # four streamed-partials schemas share this maintenance job:
     # (count, sum, min, max) time partials, HLL register partials,
-    # and fixed-bin quantile histograms — all merge associatively,
-    # only the merge op differs
+    # fixed-bin quantile histograms, and (n, Σx, Σx²) moments — all
+    # merge associatively, only the merge op differs
     is_registers = "_bucket" in df.columns and "_r" in df.columns
     is_quantiles = "bin" in df.columns and "_lo_millis" in df.columns
+    is_moments = "_sumsq_millis" in df.columns
     meta = (
         _DIST_META_COLS
         if is_registers
         else _QUANT_META_COLS
         if is_quantiles
+        else _VAR_META_COLS
+        if is_moments
         else _META_COLS
     )
     missing = [c for c in meta if c not in df.columns]
@@ -477,6 +557,10 @@ def compact_rollup_fragments(
         for c in ("_lo_millis", "_span_millis", "_bins"):
             _single_stamp(df, c, "compact_rollup_fragments")
         merged = rollup.merge_quantile_partials(
+            foldable.drop("_batch_id", "_grain"), group_cols=groups
+        )
+    elif is_moments:
+        merged = rollup.merge_variance_partials(
             foldable.drop("_batch_id", "_grain"), group_cols=groups
         )
     else:

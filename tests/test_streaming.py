@@ -1999,3 +1999,67 @@ def test_dedup_stream_drops_redelivered_copies(spark, tmp_path):
     # dup, the cross-batch redelivery, and the duplicate of ev[3]
     # all dropped; the same-key-different-ts event survives
     assert len(got) == 3
+
+
+def test_variance_rollup_stream_matches_batch(spark, tmp_path):
+    """Streamed (n, Σx, Σx²) moment fragments merged by
+    read_variance_rollup ≡ batch rollup_variance — the fourth
+    streamed partials schema; the shared compaction job folds it and
+    views survive."""
+    from database_activity_monitoring_dam_system_spark.operators import (
+        rollup,
+    )
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        rollup_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    events.filter(F.col("event_id") % 2 == 0).write.parquet(src + "/a.parquet")
+    events.filter(F.col("event_id") % 2 == 1).write.parquet(src + "/b.parquet")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out, ckpt = str(tmp_path / "vparts"), str(tmp_path / "ckpt")
+    q = rollup_stream.start_variance_rollup_stream(
+        stream, out_path=out, checkpoint_dir=ckpt,
+        grain="minute", group_cols=["event_type"], available_now=True,
+    )
+    assert q.awaitTermination(60)
+    q.stop()
+    assert (
+        spark.read.parquet(out).select("_batch_id").distinct().count() >= 2
+    )
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    batch = rollup.rollup_variance(
+        rollup.variance_partials(
+            events, grain="minute", group_cols=["event_type"]
+        ),
+        to_grain="day",
+        group_cols=["event_type"],
+    )
+    expected = canon(batch)
+    assert canon(
+        rollup_stream.read_variance_rollup(
+            spark, out, to_grain="day", group_cols=["event_type"]
+        )
+    ) == expected
+    before, after = rollup_stream.compact_rollup_fragments(
+        spark, out, checkpoint_dir=ckpt
+    )
+    assert before >= 2 and after == 1
+    assert canon(
+        rollup_stream.read_variance_rollup(
+            spark, out, to_grain="day", group_cols=["event_type"]
+        )
+    ) == expected
