@@ -51,6 +51,60 @@ def _single_stamp(df: DataFrame, col: str, ctx: str):
     return vals[0] if vals else None
 
 
+def _check_written_grain(df: DataFrame, to_grain: str, ctx: str) -> DataFrame:
+    """The ONE reader-side grain guard all four partials schemas
+    share: assert the table's ``_grain`` stamp is single-valued, then
+    refuse a ``to_grain`` FINER than it (re-truncating coarse buckets
+    is the identity — the result would be coarse data silently
+    labeled finer). Returns the frame with the stamp dropped."""
+    if "_grain" not in df.columns:
+        return df
+    written = _single_stamp(df, "_grain", ctx)
+    order = rollup._GRAIN_ORDER
+    if order.index(to_grain) < order.index(written):
+        raise ValueError(
+            f"{ctx}: table was written at {written!r} grain; cannot "
+            f"derive finer {to_grain!r} partials from it"
+        )
+    return df.drop("_grain")
+
+
+def _start_partials_stream(
+    events: DataFrame,
+    partials_fn,
+    *,
+    out_path: str,
+    checkpoint_dir: str,
+    grain: str,
+    available_now: bool,
+    extra_stamps: dict[str, object] | None = None,
+):
+    """The ONE foreachBatch writer scaffold all four partials streams
+    share: reduce the batch with ``partials_fn(batch)``, stamp
+    ``_grain`` (+ any schema-specific stamps), and land the fragment
+    under its own ``_batch_id`` partition via dynamic overwrite — so
+    a replayed batch rewrites exactly its own fragment (idempotent)."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        out = partials_fn(batch).withColumn("_grain", F.lit(grain))
+        for c, v in (extra_stamps or {}).items():
+            out = out.withColumn(c, F.lit(v))
+        (
+            out.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
+
+    writer = events.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_rollup_stream(
     events: DataFrame,
     *,
@@ -69,30 +123,17 @@ def start_rollup_stream(
     result with :func:`read_rollup`.
     """
     groups = list(group_cols or [])
-
-    def write_batch(batch: DataFrame, batch_id: int) -> None:
-        partials = rollup.time_partials(
-            batch,
-            ts_col=ts_col,
-            value_col=value_col,
-            grain=grain,
+    return _start_partials_stream(
+        events,
+        lambda batch: rollup.time_partials(
+            batch, ts_col=ts_col, value_col=value_col, grain=grain,
             group_cols=groups,
-        )
-        (
-            partials.withColumn("_grain", F.lit(grain))
-            .withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(out_path)
-        )
-
-    writer = events.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", checkpoint_dir
+        ),
+        out_path=out_path,
+        checkpoint_dir=checkpoint_dir,
+        grain=grain,
+        available_now=available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def read_rollup(
@@ -111,16 +152,9 @@ def read_rollup(
     (recorded per row as ``_grain``): re-truncating day buckets to
     'hour' is the identity and would return day data silently
     labeled as hourly."""
-    df = spark.read.parquet(path)
-    if "_grain" in df.columns:
-        written = _single_stamp(df, "_grain", "read_rollup")
-        order = rollup._GRAIN_ORDER
-        if order.index(to_grain) < order.index(written):
-            raise ValueError(
-                f"read_rollup: table was written at {written!r} grain; "
-                f"cannot derive finer {to_grain!r} partials from it"
-            )
-        df = df.drop("_grain")
+    df = _check_written_grain(
+        spark.read.parquet(path), to_grain, "read_rollup"
+    )
     return rollup.rollup_partials(
         df.drop("_batch_id"),
         to_grain=to_grain,
@@ -150,31 +184,17 @@ def start_distinct_rollup_stream(
     story for the one classic aggregate raw counts can't decompose.
     """
     groups = list(group_cols or [])
-
-    def write_batch(batch: DataFrame, batch_id: int) -> None:
-        partials = rollup.distinct_partials(
-            batch,
-            ts_col=ts_col,
-            distinct_col=distinct_col,
-            grain=grain,
-            group_cols=groups,
-            bucket_bits=bucket_bits,
-        )
-        (
-            partials.withColumn("_grain", F.lit(grain))
-            .withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(out_path)
-        )
-
-    writer = events.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", checkpoint_dir
+    return _start_partials_stream(
+        events,
+        lambda batch: rollup.distinct_partials(
+            batch, ts_col=ts_col, distinct_col=distinct_col,
+            grain=grain, group_cols=groups, bucket_bits=bucket_bits,
+        ),
+        out_path=out_path,
+        checkpoint_dir=checkpoint_dir,
+        grain=grain,
+        available_now=available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def read_distinct_rollup(
@@ -191,17 +211,9 @@ def read_distinct_rollup(
     law for fragments and grains alike, so stream ≡ batch exactly.
     Same finer-grain guard as :func:`read_rollup`; the frame's own
     ``_bucket_bits`` stamp guards the geometry in-plan."""
-    df = spark.read.parquet(path)
-    if "_grain" in df.columns:
-        written = _single_stamp(df, "_grain", "read_distinct_rollup")
-        order = rollup._GRAIN_ORDER
-        if order.index(to_grain) < order.index(written):
-            raise ValueError(
-                f"read_distinct_rollup: table was written at "
-                f"{written!r} grain; cannot derive finer "
-                f"{to_grain!r} partials from it"
-            )
-        df = df.drop("_grain")
+    df = _check_written_grain(
+        spark.read.parquet(path), to_grain, "read_distinct_rollup"
+    )
     return rollup.rollup_distinct(
         df.drop("_batch_id"),
         to_grain=to_grain,
@@ -238,33 +250,17 @@ def start_quantile_rollup_stream(
     restarting into the same out_path with a different grid is
     caught, not merged."""
     groups = list(group_cols or [])
-
-    def write_batch(batch: DataFrame, batch_id: int) -> None:
-        partials = rollup.value_quantile_partials(
-            batch,
-            ts_col=ts_col,
-            value_col=value_col,
-            grain=grain,
-            group_cols=groups,
-            lo=lo,
-            hi=hi,
-            bins=bins,
-        )
-        (
-            partials.withColumn("_grain", F.lit(grain))
-            .withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(out_path)
-        )
-
-    writer = events.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", checkpoint_dir
+    return _start_partials_stream(
+        events,
+        lambda batch: rollup.value_quantile_partials(
+            batch, ts_col=ts_col, value_col=value_col, grain=grain,
+            group_cols=groups, lo=lo, hi=hi, bins=bins,
+        ),
+        out_path=out_path,
+        checkpoint_dir=checkpoint_dir,
+        grain=grain,
+        available_now=available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def read_quantile_rollup(
@@ -289,17 +285,9 @@ def read_quantile_rollup(
     against the rows' own stamps (a fragment written under a
     different lo/hi/bins fails the assert instead of silently
     shifting every percentile)."""
-    df = spark.read.parquet(path)
-    if "_grain" in df.columns:
-        written = _single_stamp(df, "_grain", "read_quantile_rollup")
-        order = rollup._GRAIN_ORDER
-        if order.index(to_grain) < order.index(written):
-            raise ValueError(
-                f"read_quantile_rollup: table was written at "
-                f"{written!r} grain; cannot derive finer "
-                f"{to_grain!r} partials from it"
-            )
-        df = df.drop("_grain")
+    df = _check_written_grain(
+        spark.read.parquet(path), to_grain, "read_quantile_rollup"
+    )
     fn = (
         rollup.rollup_quantiles_interp if interp else rollup.rollup_quantiles
     )
@@ -333,30 +321,17 @@ def start_variance_rollup_stream(
     and grains merge by the same fold; the Σx² DECIMAL accumulator
     lives only in the fragments (never a served output column)."""
     groups = list(group_cols or [])
-
-    def write_batch(batch: DataFrame, batch_id: int) -> None:
-        partials = rollup.variance_partials(
-            batch,
-            ts_col=ts_col,
-            value_col=value_col,
-            grain=grain,
+    return _start_partials_stream(
+        events,
+        lambda batch: rollup.variance_partials(
+            batch, ts_col=ts_col, value_col=value_col, grain=grain,
             group_cols=groups,
-        )
-        (
-            partials.withColumn("_grain", F.lit(grain))
-            .withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(out_path)
-        )
-
-    writer = events.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", checkpoint_dir
+        ),
+        out_path=out_path,
+        checkpoint_dir=checkpoint_dir,
+        grain=grain,
+        available_now=available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def read_variance_rollup(
@@ -370,17 +345,9 @@ def read_variance_rollup(
     fragment merge and grain merge are the one sum-fold inside
     rollup_variance, so stream ≡ batch exactly. Same whole-table
     ``_grain`` guard as the other readers."""
-    df = spark.read.parquet(path)
-    if "_grain" in df.columns:
-        written = _single_stamp(df, "_grain", "read_variance_rollup")
-        order = rollup._GRAIN_ORDER
-        if order.index(to_grain) < order.index(written):
-            raise ValueError(
-                f"read_variance_rollup: table was written at "
-                f"{written!r} grain; cannot derive finer "
-                f"{to_grain!r} partials from it"
-            )
-        df = df.drop("_grain")
+    df = _check_written_grain(
+        spark.read.parquet(path), to_grain, "read_variance_rollup"
+    )
     return rollup.rollup_variance(
         df.drop("_batch_id"), to_grain=to_grain, group_cols=group_cols
     )

@@ -2004,8 +2004,11 @@ def test_dedup_stream_drops_redelivered_copies(spark, tmp_path):
 def test_variance_rollup_stream_matches_batch(spark, tmp_path):
     """Streamed (n, Σx, Σx²) moment fragments merged by
     read_variance_rollup ≡ batch rollup_variance — the fourth
-    streamed partials schema; the shared compaction job folds it and
-    views survive."""
+    streamed partials schema; a forged redelivery of the last batch
+    is the identity (the dynamic-partition-overwrite idempotence the
+    other three schemas pin); the finer-grain guard refuses; the
+    shared compaction job folds it and views survive."""
+    import pytest as _pytest
     from database_activity_monitoring_dam_system_spark.operators import (
         rollup,
     )
@@ -2028,12 +2031,17 @@ def test_variance_rollup_stream_matches_batch(spark, tmp_path):
         .parquet(src)
     )
     out, ckpt = str(tmp_path / "vparts"), str(tmp_path / "ckpt")
-    q = rollup_stream.start_variance_rollup_stream(
-        stream, out_path=out, checkpoint_dir=ckpt,
-        grain="minute", group_cols=["event_type"], available_now=True,
-    )
-    assert q.awaitTermination(60)
-    q.stop()
+
+    def run():
+        q = rollup_stream.start_variance_rollup_stream(
+            stream, out_path=out, checkpoint_dir=ckpt,
+            grain="minute", group_cols=["event_type"],
+            available_now=True,
+        )
+        assert q.awaitTermination(60)
+        q.stop()
+
+    run()
     assert (
         spark.read.parquet(out).select("_batch_id").distinct().count() >= 2
     )
@@ -2054,6 +2062,37 @@ def test_variance_rollup_stream_matches_batch(spark, tmp_path):
             spark, out, to_grain="day", group_cols=["event_type"]
         )
     ) == expected
+    # forged redelivery of the LAST batch: an append-mode or
+    # unpartitioned writer would double-count the moments
+    import os
+
+    commits = sorted(
+        c for c in os.listdir(ckpt + "/commits") if not c.startswith(".")
+    )
+    os.remove(ckpt + "/commits/" + commits[-1])
+    crc = ckpt + "/commits/." + commits[-1] + ".crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    assert canon(
+        rollup_stream.read_variance_rollup(
+            spark, out, to_grain="day", group_cols=["event_type"]
+        )
+    ) == expected
+    # a minute-written table refuses to masquerade as... anything
+    # finer doesn't exist below minute; re-write a day-grain table
+    # and refuse the hour view
+    out2, ckpt2 = str(tmp_path / "vday"), str(tmp_path / "ckptday")
+    q2 = rollup_stream.start_variance_rollup_stream(
+        stream, out_path=out2, checkpoint_dir=ckpt2,
+        grain="day", group_cols=["event_type"], available_now=True,
+    )
+    assert q2.awaitTermination(60)
+    q2.stop()
+    with _pytest.raises(ValueError, match="finer"):
+        rollup_stream.read_variance_rollup(
+            spark, out2, to_grain="hour", group_cols=["event_type"]
+        )
     before, after = rollup_stream.compact_rollup_fragments(
         spark, out, checkpoint_dir=ckpt
     )
