@@ -12,7 +12,11 @@ running; this tool derives it instead:
   counts as round 0),
 - emit the full-oracle registry entries STALEST-FIRST (ties broken by
   registry order, so rotation is deterministic), with the rows-only
-  ``_DRIVER_DEFER`` entries left to the registry's trailing position.
+  ``_DRIVER_DEFER`` entries left to the registry's trailing position —
+  EXCEPT defer entries that have never appeared in ANY driver round
+  (no row, green or rows-only): those are fronted once so the driver
+  records at least a rows-only entry for every registered gate, then
+  drop back to the trailing position once a row exists.
 
 Run it after adding/renaming queries or after a driver round lands::
 
@@ -40,18 +44,25 @@ REGISTRY = (
 )
 
 
-def last_green_rounds() -> dict[str, int]:
-    """query -> most recent round with a hash-green driver row."""
+def last_green_rounds() -> tuple[dict[str, int], set[str]]:
+    """(query -> most recent hash-green round, queries with ANY row).
+
+    The second element counts rows-only / errored driver rows too —
+    it decides whether a ``_DRIVER_DEFER`` entry still needs its
+    one-time pass through the driver window.
+    """
     greens: dict[str, int] = {}
+    seen: set[str] = set()
     for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
         if not m:
             continue
         rnd = int(m.group(1))
         for name, row in json.loads(path.read_text()).items():
+            seen.add(name)
             if row.get("hash_match"):
                 greens[name] = max(greens.get(name, 0), rnd)
-    return greens
+    return greens, seen
 
 
 def generate() -> tuple[list[str], dict[str, int]]:
@@ -64,7 +75,7 @@ def generate() -> tuple[list[str], dict[str, int]]:
     merged: dict = {}
     for mod in _SOURCE_MODULES:
         merged.update(mod.QUERIES)
-    greens = last_green_rounds()
+    greens, seen = last_green_rounds()
     full_oracle = [
         name
         for name in merged
@@ -73,7 +84,11 @@ def generate() -> tuple[list[str], dict[str, int]]:
     # stable sort: staleness ascending (last-green round), registry
     # order as tiebreak (sort is stable over the insertion order)
     ordered = sorted(full_oracle, key=lambda n: greens.get(n, 0))
-    return ordered, greens
+    # defer entries never recorded by the driver get one fronted pass
+    # (rows-only row); once any CORRECTNESS row exists they fall back
+    # to the registry's trailing _DRIVER_DEFER position
+    never_seen_defer = [name for name in _DRIVER_DEFER if name not in seen]
+    return never_seen_defer + ordered, greens
 
 
 def main() -> None:
