@@ -106,8 +106,13 @@ def apply_changes(
         # sequence does not beat its key's tombstone is a stale
         # pre-delete row redelivered out of order — discard it
         # wholesale (the key stays dead and its partition untouched)
-        tomb = tombstones.select(
-            *key_cols, F.col(seq_col).alias("_tomb_seq")
+        # fold to one row per key first: a raw journal that skipped
+        # merge_tombstones can carry duplicate key rows, and a
+        # duplicated key would fan out the left join below, emitting
+        # duplicate upserts into the merged snapshot. The highest
+        # sequence governs (same arbitration merge_tombstones keeps).
+        tomb = tombstones.groupBy(*key_cols).agg(
+            F.max(seq_col).alias("_tomb_seq")
         )
         latest = (
             latest.join(tomb, on=key_cols, how="left")

@@ -525,10 +525,34 @@ def update_minhash_bands(
     table's build — and the delta is ALWAYS signed with the md5
     family, so the table must be one too: load a persisted artifact
     with ``load_band_table(..., sig_family='md5',
-    hex_buckets=<match>)`` first and the stamp check refuses any
-    incompatible table by name (an unchecked mix of bucket spaces
+    hex_buckets=<match>, keep_stamps=True)`` and this function
+    re-asserts the hash identity from the carried stamp columns
+    itself before folding (an unchecked mix of bucket spaces
     silently loses every kept-vs-delta candidate pair, or dies
-    mid-union on a type coercion)."""
+    mid-union on a type coercion). A stampless in-memory frame is
+    accepted on the caller's word — only a frame that CARRIES stamps
+    contradicting the fold's parameters is refused."""
+    stamp_cols = [c for c in _BAND_STAMPS if c in band_table.columns]
+    if stamp_cols:
+        stamped = band_table.select(*stamp_cols).first()
+        if stamped is not None:
+            want = {
+                "_sig_family": "md5",
+                "_hex_buckets": int(bool(hex_buckets)),
+                "_num_hashes": int(num_hashes),
+                "_bands": int(bands),
+                "_shingle": int(shingle),
+            }
+            for c in stamp_cols:
+                if c in want and stamped[c] != want[c]:
+                    raise ValueError(
+                        "update_minhash_bands: band table stamp "
+                        f"{c}={stamped[c]} contradicts the fold's "
+                        f"{c}={want[c]} — the delta would live in a "
+                        "different bucket space; rebuild the table "
+                        "or match the parameters"
+                    )
+        band_table = band_table.drop(*stamp_cols)
     diff = (
         corpus_diff(
             old_docs, new_docs, id_col=id_col, text_col=text_col,
@@ -613,13 +637,20 @@ def load_band_table(
     shingle: int | None = None,
     sig_family: str | None = None,
     hex_buckets: bool | None = None,
+    keep_stamps: bool = False,
 ) -> DataFrame:
     """Load a persisted band table, refusing a stale corpus stamp,
     mismatched LSH geometry, or a different hash family. A ZERO-ROW
     artifact carries no stamp rows to verify — if the caller asked
     for any check, that is a refusal too (silently returning an
     unverifiable empty frame would let an update serve a near-dup
-    index containing only the delta)."""
+    index containing only the delta). A check against a stamp column
+    the artifact lacks is likewise a refusal (partially-stamped
+    artifacts don't get a pass on the missing dimensions).
+
+    ``keep_stamps=True`` returns the frame WITH its stamp columns so
+    a downstream consumer (``update_minhash_bands``) can re-assert
+    the hash identity itself instead of trusting the call chain."""
     df = spark.read.parquet(path)
     present = [c for c in _BAND_STAMPS if c in df.columns]
     stamped = df.select(*present).first() if present else None
@@ -644,14 +675,22 @@ def load_band_table(
         )
     for col, want, what in wanted:
         if col not in df.columns:
-            continue
+            # A requested check against a stamp the artifact never
+            # carried is a refusal, not a pass — continuing here
+            # would let e.g. sig_family='md5' go unverified against
+            # a partially-stamped (older-writer) artifact.
+            raise ValueError(
+                f"load_band_table: artifact at {path!r} carries no "
+                f"{col} stamp to verify {what} against — rebuild "
+                "the band table with save_band_table"
+            )
         if stamped[col] != want:
             raise ValueError(
                 f"load_band_table: artifact at {path!r} was built "
                 f"with {what}={stamped[col]}, caller expects {want} "
                 "— rebuild the band table"
             )
-    return df.drop(*present)
+    return df if keep_stamps else df.drop(*present)
 
 
 def minhash_candidate_pairs(

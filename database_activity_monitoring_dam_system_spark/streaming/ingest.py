@@ -278,8 +278,12 @@ def dedup_stream(
     watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """Exactly-once-per-event view of an at-least-once source: drop
-    redelivered copies of an event (same ``key_cols``) whose
-    duplicates arrive within ``watermark_delay`` of each other —
+    redelivered copies of an event whose duplicates arrive within
+    ``watermark_delay`` of each other. The dedup identity is
+    ``key_cols`` PLUS the event timestamp — only byte-identical
+    redeliveries (same key AND same event time, the agent's
+    retry-the-same-payload mode) collapse; a retry re-stamped with a
+    new event time is a distinct event and both copies survive —
     Spark's dropDuplicatesWithinWatermark state store, which (unlike
     a bare streaming dropDuplicates) EVICTS each key once the
     watermark passes it, so state is bounded by the horizon's

@@ -38,13 +38,17 @@ def _single_stamp(df: DataFrame, col: str, ctx: str):
     (finer-grain guards then pass or fail by sampling luck). One
     distinct over a stamp column of a partials table is cheap; a
     wrong merge is not."""
-    vals = sorted(
-        r[0] for r in df.select(col).distinct().limit(3).collect()
-    )
-    if len(vals) > 1:
+    rows = df.select(col).distinct().limit(3).collect()
+    # a NULL stamp (fragment written without the column, schema-merged
+    # as null) must surface as the named mixed-fragment error, not a
+    # bare TypeError from sorting NoneType against str/int
+    vals = sorted(r[0] for r in rows if r[0] is not None)
+    has_null = len(vals) < len(rows)
+    if len(vals) > 1 or (has_null and vals):
+        shown = vals + (["<null>"] if has_null else [])
         raise ValueError(
             f"{ctx}: table holds fragments with mixed {col} values "
-            f"{vals} — a stream was restarted into the same path "
+            f"{shown} — a stream was restarted into the same path "
             "with different parameters; rebuild or split the table "
             "before merging"
         )

@@ -3587,8 +3587,31 @@ def test_band_table_artifact_roundtrip_and_stamps(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="no rows to"):
         dedup.load_band_table(spark, empty_path, expect_docs=n_old)
+    # a PARTIALLY-stamped artifact (older writer dropped a stamp
+    # column) cannot pass a check it cannot verify — refuse by name,
+    # don't skip the missing dimension
+    partial_path = str(tmp_path / "partial_bands")
+    spark.read.parquet(path).drop("_sig_family").write.parquet(
+        partial_path
+    )
+    with _pytest.raises(ValueError, match="carries no _sig_family"):
+        dedup.load_band_table(spark, partial_path, sig_family="md5")
     loaded = dedup.load_band_table(
         spark, path, expect_docs=n_old, num_hashes=k, bands=b, shingle=sh
+    )
+    # keep_stamps carries the hash identity through to the fold, and
+    # update_minhash_bands re-asserts it itself: a fold whose
+    # parameters contradict the carried stamps refuses instead of
+    # silently unioning disjoint bucket spaces
+    stamped_loaded = dedup.load_band_table(
+        spark, path, sig_family="md5", keep_stamps=True
+    )
+    with _pytest.raises(ValueError, match="contradicts"):
+        dedup.update_minhash_bands(
+            stamped_loaded, old, docs, num_hashes=32, bands=b, shingle=sh
+        )
+    merged_stamped = dedup.update_minhash_bands(
+        stamped_loaded, old, docs, num_hashes=k, bands=b, shingle=sh
     )
     merged = dedup.update_minhash_bands(
         loaded, old, docs, num_hashes=k, bands=b, shingle=sh
@@ -3599,3 +3622,4 @@ def test_band_table_artifact_roundtrip_and_stamps(spark, tmp_path):
         return sorted(map(tuple, df.select("doc_id", "band_id", "bucket").collect()))
 
     assert canon(merged) == canon(fresh)
+    assert canon(merged_stamped) == canon(fresh)

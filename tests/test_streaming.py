@@ -1545,6 +1545,24 @@ def test_read_rollup_refuses_mixed_grain_fragments(spark, tmp_path):
         )
     merged = rollup_stream.read_rollup(spark, clean, to_grain="hour")
     assert merged.count() == 2  # two distinct hours
+    # a NULL-stamp fragment (written without _grain, schema-merged as
+    # null) mixed with stamped fragments is the SAME mixed-geometry
+    # error — not a bare TypeError from sorting None against str
+    nully = str(tmp_path / "nullstamp")
+    (
+        rollup.time_partials(events, grain="minute")
+        .withColumn("_grain", F.lit("minute"))
+        .withColumn("_batch_id", F.lit(0))
+        .write.mode("append").partitionBy("_batch_id").parquet(nully)
+    )
+    (
+        rollup.time_partials(events, grain="minute")
+        .withColumn("_grain", F.lit(None).cast("string"))
+        .withColumn("_batch_id", F.lit(1))
+        .write.mode("append").partitionBy("_batch_id").parquet(nully)
+    )
+    with _pytest.raises(ValueError, match="mixed _grain"):
+        rollup_stream.read_rollup(spark, nully, to_grain="hour")
 
 
 def test_cdc_tombstone_journal_blocks_stale_resurrections(spark):
@@ -1611,6 +1629,21 @@ def test_cdc_tombstone_journal_blocks_stale_resurrections(spark):
         tombstones=journal,
     )
     assert {r.k for r in still.collect()} == {2}
+    # a RAW journal with duplicate key rows (caller skipped
+    # merge_tombstones) must not fan out the arbitration join into
+    # duplicate upserts — apply_changes folds to max-seq per key
+    raw_journal = spark.createDataFrame(
+        [(1, 100), (1, 40), (3, 110), (3, 110)],
+        "k long, seq long",
+    )
+    folded = cdc.apply_changes(
+        base2, stale, key_cols=["k"], seq_col="seq",
+        tombstones=raw_journal,
+    ).collect()
+    assert len(folded) == len({r.k for r in folded})  # no dup upserts
+    assert {r.k: (r.v, r.seq) for r in folded} == {
+        2: ("fresh", 90), 3: ("reborn", 200)
+    }
     # journal maintenance: merge keeps max seq + newest stamp; prune
     # ages rows out by the retention horizon
     newer = cdc.extract_tombstones(
