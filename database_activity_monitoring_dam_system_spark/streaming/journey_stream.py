@@ -17,11 +17,20 @@ deleted — state stays O(users × keep_batches) with no small-files
 growth, retries re-seed from the predecessor snapshot, and pruning
 is SAFE because every partition is a complete snapshot (unlike a
 per-batch delta journal, where pruning would lose idle users'
-last events). Funnels are the honest seam: step attribution needs
-each user's FULL ordered window (an early step arriving late can
-re-label every later step), so there is no bounded carry state —
-funnels stay batch (or re-derive from these maintained partials'
-source events); documenting that beats pretending.
+last events).
+
+Funnels stream too, but through a different door: step attribution
+needs each user's FULL ordered event sequence (an early step arriving
+late can re-label every later step), so no associative partials
+exist. :func:`funnel_stream` instead keys per-user state with
+``applyInPandasWithState``: events newer than the watermark sit in a
+replay buffer (re-folded in full on every emission — disorder inside
+the horizon re-labels freely), and once the watermark passes an event
+it is folded permanently into the resolved step-timestamp prefix and
+dropped. State is therefore bounded — |steps| resolved epochs plus a
+watermark-horizon buffer per user — and the emitted rows converge to
+exactly ``journeys.funnel_steps`` (the single ascending fold and the
+layered-window min compute the same strictly-ordered attribution).
 
 Pairing definition is journeys.transition_pairs — the SAME function
 the batch twin reduces, with its ``carry_col`` seam marking carried
@@ -197,3 +206,149 @@ def start_transition_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _funnel_fn(steps: list[str], user_field: str, ts_unit_us: int = 1):
+    """Per-user funnel state function for applyInPandasWithState.
+
+    State = (resolved, buf_ts, buf_step): ``resolved`` is the
+    strictly-ordered step-completion prefix (epoch µs, one slot per
+    step, set-once) folded from events the watermark has passed;
+    the buffer holds the not-yet-final events. The fold is the
+    single ascending pass equivalent of funnel_steps' layered
+    window mins: processing events in (ts, step) order, step 0's
+    first event sets slot 0, and step s's first event strictly
+    after slot s-1 sets slot s — set-once is sound because the
+    ascending order makes the first qualifying event the minimum.
+    """
+    import pandas as pd
+
+    n = len(steps)
+    step_idx = {s: i for i, s in enumerate(steps)}
+    t_names = [f"t_{s}" for s in steps]
+
+    def _fold(resolved: list, events) -> list:
+        out = list(resolved)
+        for ts, si in events:
+            if si == 0:
+                if out[0] is None:
+                    out[0] = ts
+            elif (
+                out[si] is None
+                and out[si - 1] is not None
+                and ts > out[si - 1]
+            ):
+                out[si] = ts
+        return out
+
+    def fn(key, pdfs, state):
+        (user,) = key
+        if state.exists:
+            resolved, buf_ts, buf_step = state.get
+            resolved = [None if pd.isna(v) else int(v) for v in resolved]
+            buf = list(zip(buf_ts, buf_step))
+        else:
+            resolved = [None] * n
+            buf = []
+        for pdf in pdfs:
+            for ts, tp in zip(pdf["_ts"], pdf["_type"]):
+                si = step_idx.get(tp)
+                if si is not None:
+                    buf.append((int(ts.value) // 1000, si))
+        # events the watermark has passed are totally ordered and
+        # final — fold them into the resolved prefix permanently.
+        # Strictly-below keeps an ==watermark event replayable (the
+        # boundary case costs one extra buffering round, never
+        # correctness).
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        final = sorted(e for e in buf if e[0] < wm_us)
+        buf = [e for e in buf if e[0] >= wm_us]
+        resolved = _fold(resolved, final)
+        # current view: resolved prefix + a full re-fold of the
+        # still-mutable buffer (late arrivals inside the horizon can
+        # re-label buffered steps, so the buffer is never folded
+        # incrementally)
+        view = _fold(resolved, sorted(buf))
+        reached = 0
+        while reached < n and view[reached] is not None:
+            reached += 1
+        state.update((resolved, [e[0] for e in buf], [e[1] for e in buf]))
+        if reached == 0:
+            yield pd.DataFrame(columns=[user_field, *t_names, "step_reached"])
+            return
+        row = {
+            user_field: [user],
+            **{
+                t_names[i]: [None if view[i] is None else view[i] // 1_000_000]
+                for i in range(n)
+            },
+            "step_reached": [reached],
+        }
+        yield pd.DataFrame(row)
+
+    return fn
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``journeys.funnel_steps`` (same strictly-
+    ordered attribution, same output shape): per-user funnel rows
+    kept fresh by micro-batch, exact ≡ batch for any disorder within
+    ``watermark_delay`` (events later than that are dropped by the
+    watermark — size it to the source's maximum lag, the
+    dedup_stream horizon reasoning).
+
+    Emits one APPEND row per (user, invocation) once the user has
+    reached ≥1 step; the LATEST row per user is the funnel state (the
+    batch arbiter for convergence is funnel_steps over the same
+    events). State per user is |steps| resolved epochs + the
+    watermark-horizon event buffer — funnel state is a lifetime
+    aggregate, so keys are never evicted (O(users × steps) total,
+    the per-user-profile state class; the reference keeps the same
+    per-user dictionaries in process memory, app.py:546-552).
+
+    The step filter runs BEFORE the shuffle into per-user state, so
+    only funnel-typed events reach the state store.
+    """
+    if len(steps) < 2:
+        raise ValueError(f"funnel needs >= 2 steps, got {steps!r}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be unique, got {steps!r}")
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    user_type = events.schema[user_col].dataType
+    out_schema = T.StructType(
+        [T.StructField(user_col, user_type, True)]
+        + [T.StructField(f"t_{s}", T.LongType(), True) for s in steps]
+        + [T.StructField("step_reached", T.IntegerType(), True)]
+    )
+    state_schema = T.StructType([
+        T.StructField("resolved", T.ArrayType(T.LongType()), True),
+        T.StructField("buf_ts", T.ArrayType(T.LongType()), True),
+        T.StructField("buf_step", T.ArrayType(T.IntegerType()), True),
+    ])
+    return (
+        events.filter(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col),
+            F.col(ts_col).alias("_ts"),
+            F.col(type_col).alias("_type"),
+        )
+        .withWatermark("_ts", watermark_delay)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            _funnel_fn(steps, user_col),
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

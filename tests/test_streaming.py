@@ -2135,3 +2135,129 @@ def test_variance_rollup_stream_matches_batch(spark, tmp_path):
             spark, out, to_grain="day", group_cols=["event_type"]
         )
     ) == expected
+
+
+def test_funnel_stream_matches_batch_under_disorder(spark, tmp_path):
+    """funnel_stream converges to exactly journeys.funnel_steps on a
+    replay whose disorder spans micro-batch boundaries (within the
+    watermark horizon): a late-arriving step-1 event re-labels the
+    funnel, a pre-login query never counts, and once the watermark
+    finalizes early events the resolved-prefix + buffer mix still
+    serves the batch answer."""
+    from database_activity_monitoring_dam_system_spark.operators import (
+        journeys,
+    )
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        journey_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    steps = ["login", "query", "export"]
+    D = "2024-03-01 "
+    batches = [
+        # b0: u2's query arrives BEFORE its login (which lands in b1)
+        [(1, "login", D + "10:00:00"), (2, "query", D + "10:03:00"),
+         (3, "login", D + "10:05:00"), (4, "query", D + "10:00:00"),
+         (5, "query", D + "10:03:00")],
+        # b1: u2 login event-time 10:01:30 < b0's 10:03 query — the
+        # cross-batch disorder the state buffer must absorb
+        [(1, "query", D + "10:02:00"), (2, "login", D + "10:01:30"),
+         (4, "login", D + "10:06:00"), (5, "login", D + "10:02:00")],
+        # b2: u2 export predates its t_query (must NOT count); u5's
+        # second login re-labels t_login downward after emission
+        [(1, "export", D + "10:03:00"), (2, "export", D + "10:02:00"),
+         (5, "login", D + "10:01:30")],
+        # b3: u2's qualifying export
+        [(2, "export", D + "10:04:00")],
+        # b4: watermark pusher — finalizes all the above into the
+        # resolved prefix (wm -> 10:25 with 5 min delay)
+        [(9, "login", D + "10:30:00")],
+        # b5: u3 extends a funnel whose login is already resolved —
+        # the resolved + still-buffered mix
+        [(3, "query", D + "10:29:30")],
+    ]
+    schema = "user_id long, event_type string, ts timestamp"
+    src = str(tmp_path / "src")
+    import os as _os
+    import time as _time
+
+    _os.makedirs(src)
+    all_rows = []
+    for i, rows in enumerate(batches):
+        typed = [(u, t, __import__("datetime").datetime.strptime(
+            ts, "%Y-%m-%d %H:%M:%S")) for u, t, ts in rows]
+        all_rows.extend(typed)
+        spark.createDataFrame(typed, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}.parquet"
+        )
+        _time.sleep(0.05)  # distinct mod-times keep file order stable
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    funnel = journey_stream.funnel_stream(
+        stream, steps, watermark_delay="5 minutes"
+    )
+    out = str(tmp_path / "out")
+
+    def sink(batch, batch_id):
+        batch.withColumn("_b", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        funnel.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    got_all = spark.read.parquet(out)
+    assert got_all.select("_b").distinct().count() >= 5  # real replay
+    from pyspark.sql import Window as W
+
+    latest = (
+        got_all.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("_b").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_b")
+    )
+    batch_df = spark.createDataFrame(all_rows, schema)
+    want = journeys.funnel_steps(batch_df, steps)
+
+    def canon(df):
+        return sorted(
+            map(tuple, df.select(
+                "user_id", "t_login", "t_query", "t_export", "step_reached"
+            ).collect())
+        )
+
+    assert canon(latest) == canon(want)
+    # the disorder cases really exercised what they claim:
+    want_map = {r.user_id: r for r in want.collect()}
+    assert want_map[2].step_reached == 3          # late login absorbed
+    assert want_map[2].t_export == int(
+        __import__("datetime").datetime(
+            2024, 3, 1, 10, 4, tzinfo=__import__("datetime").timezone.utc
+        ).timestamp()
+    )                                             # pre-t_query export skipped
+    assert want_map[4].step_reached == 1          # pre-login query never counts
+    assert want_map[5].t_login == int(
+        __import__("datetime").datetime(
+            2024, 3, 1, 10, 1, 30, tzinfo=__import__("datetime").timezone.utc
+        ).timestamp()
+    )                                             # re-label took the earlier login
+    # and the re-label was VISIBLE in the stream: u5's emitted t_login
+    # decreased between batches (emission-then-correction, not one shot)
+    u5 = sorted(
+        (r._b, r.t_login)
+        for r in got_all.filter(F.col("user_id") == 5).collect()
+    )
+    assert len({t for _, t in u5}) == 2 and u5[-1][1] < u5[0][1]
