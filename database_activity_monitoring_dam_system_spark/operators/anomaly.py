@@ -82,6 +82,44 @@ def volume_anomalies(
     )
 
 
+def login_ip_pairs(
+    logins: DataFrame,
+    *,
+    ts_col: str = "access_timestamp",
+    carry_col: str | None = None,
+) -> DataFrame:
+    """The ONE consecutive-login IP-change pairing the batch twin and
+    the streaming maintainer share (the transition_pairs discipline —
+    a change here propagates to both, so stream ≡ batch cannot
+    silently drift): lag() over (username, ts, activity_id) flags each
+    login whose predecessor came from a different IP.
+
+    ``carry_col`` names an optional boolean marking rows CARRIED IN
+    from earlier micro-batches: a carried last-login may serve as a
+    pair's PREVIOUS (the boundary pair) but is never itself flagged
+    (its own pair was evaluated when it was fresh). Batch callers
+    leave it None."""
+    w = Window.partitionBy("username").orderBy(
+        F.asc(ts_col), F.asc("activity_id")
+    )
+    paired = (
+        logins.withColumn("prev_ip", F.lag("ip_address").over(w))
+        .withColumn("prev_ts", F.lag(ts_col).over(w))
+    )
+    keep = F.col("prev_ip").isNotNull() & (
+        F.col("prev_ip") != F.col("ip_address")
+    )
+    if carry_col is not None:
+        keep = keep & ~F.col(carry_col)
+    return paired.filter(keep).select(
+        "username",
+        F.col(ts_col).alias("login_ts"),
+        "ip_address",
+        "prev_ip",
+        "prev_ts",
+    )
+
+
 def impossible_travel(
     activity: DataFrame,
     *,
@@ -96,8 +134,9 @@ def impossible_travel(
     lag() over (username, ts) replaces the reference's per-row
     "ORDER BY ts DESC LIMIT 2" probe; one shuffle by username.
     ``op`` parameterizes the probed operation type (LOGIN in the
-    reference; gate fixtures have no LOGIN rows).
-    """
+    reference; gate fixtures have no LOGIN rows). The pairing itself
+    is :func:`login_ip_pairs`, shared with the streaming twin
+    (streaming/anomaly_stream.py)."""
     anchor = (
         F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
     )
@@ -105,23 +144,7 @@ def impossible_travel(
         (F.col("operation_type") == op)
         & (F.col(ts_col) >= anchor - F.make_interval(hours=F.lit(window_hours)))
     )
-    w = Window.partitionBy("username").orderBy(
-        F.asc(ts_col), F.asc("activity_id")
-    )
-    return (
-        logins.withColumn("prev_ip", F.lag("ip_address").over(w))
-        .withColumn("prev_ts", F.lag(ts_col).over(w))
-        .filter(
-            F.col("prev_ip").isNotNull() & (F.col("prev_ip") != F.col("ip_address"))
-        )
-        .select(
-            "username",
-            F.col(ts_col).alias("login_ts"),
-            "ip_address",
-            "prev_ip",
-            "prev_ts",
-        )
-    )
+    return login_ip_pairs(logins, ts_col=ts_col)
 
 
 def trailing_window_counts(

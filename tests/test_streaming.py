@@ -2261,3 +2261,195 @@ def test_funnel_stream_matches_batch_under_disorder(spark, tmp_path):
         for r in got_all.filter(F.col("user_id") == 5).collect()
     )
     assert len({t for _, t in u5}) == 2 and u5[-1][1] < u5[0][1]
+
+
+def test_volume_anomaly_stream_matches_batch(spark, tmp_path):
+    """volume_anomaly_stream (watermarked hourly counts stream-static
+    joined to the broadcast baseline) emits exactly the batch
+    volume_anomalies rows once the watermark finalizes each bucket —
+    including a bucket whose events SPAN micro-batches — and a user
+    absent from the baseline never surfaces."""
+    import datetime as real_dt
+
+    from database_activity_monitoring_dam_system_spark.operators import anomaly
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        anomaly_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    baseline = spark.createDataFrame(
+        [(1, 1.0, 0.5), (2, 2.0, 0.0), (3, 10.0, 2.0)],
+        "user_id long, avg_queries double, std_queries double",
+    )
+
+    def ev(uid, hh, mm):
+        return (uid, real_dt.datetime(2024, 3, 1, hh, mm))
+
+    batches = [
+        # u1 hour-10 bucket starts here (2 events)...
+        [ev(1, 10, 0), ev(1, 10, 10), ev(2, 10, 5), ev(3, 10, 0)],
+        # ...and crosses the batch boundary to 4 total (> 1+3*0.5);
+        # u2 reaches 6 (> 2+3*1 — the NULL/0-std default guard)
+        [ev(1, 10, 20), ev(1, 10, 40), ev(2, 10, 15), ev(2, 10, 20),
+         ev(2, 10, 25), ev(2, 10, 30), ev(2, 10, 35), ev(3, 11, 0)],
+        # u3 never breaches (2 < 10+3*2); u99 has no baseline row and
+        # also serves as the watermark pusher that finalizes hour 10/11
+        [ev(3, 11, 5), ev(99, 14, 0), ev(99, 15, 0)],
+    ]
+    schema = "user_id long, access_timestamp timestamp"
+    src = str(tmp_path / "vsrc")
+    import os as _os
+    import time as _time
+
+    _os.makedirs(src)
+    all_rows = []
+    for i, rows in enumerate(batches):
+        all_rows.extend(rows)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}.parquet"
+        )
+        _time.sleep(0.05)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    flagged = anomaly_stream.volume_anomaly_stream(
+        stream, baseline, watermark_delay="5 minutes"
+    )
+    out = str(tmp_path / "vout")
+    q = (
+        flagged.writeStream.foreachBatch(
+            lambda b, bid: b.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "vckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    got = spark.read.parquet(out)
+    want = anomaly.volume_anomalies(
+        spark.createDataFrame(all_rows, schema), baseline
+    )
+
+    def canon(df):
+        return sorted(
+            map(tuple, df.select(
+                "user_id", "hour_bucket", "cnt", "avg_queries", "std_queries"
+            ).collect())
+        )
+
+    assert canon(got) == canon(want)
+    flagged_users = {r.user_id for r in got.collect()}
+    assert flagged_users == {1, 2}  # u3 under threshold, u99 no baseline
+    # the breaching u1 bucket really did span micro-batches
+    assert sum(
+        1 for (u, ts) in all_rows[:4] if u == 1 and ts.hour == 10
+    ) < next(r.cnt for r in got.collect() if r.user_id == 1)
+
+
+def test_impossible_travel_stream_matches_batch(spark, tmp_path):
+    """start_impossible_travel_stream flags consecutive same-user
+    different-IP logins live — including the pair spanning the
+    micro-batch boundary via the carried last-login snapshot — and
+    the union of fragments equals batch impossible_travel over the
+    same logins (shared login_ip_pairs definition). Replaying the
+    last batch rewrites its own fragment (identity)."""
+    import datetime as real_dt
+    import os as _os
+    import time as _time
+
+    from database_activity_monitoring_dam_system_spark.operators import anomaly
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        anomaly_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def ev(aid, user, op, ip, mm, ss=0):
+        return (aid, user, op, ip, real_dt.datetime(2024, 3, 1, 10, mm, ss))
+
+    batches = [
+        # b0: a logs in from ip1; b from ip1 twice (same IP — never
+        # flagged); a non-LOGIN row from elsewhere is ignored
+        [ev(1, "a", "LOGIN", "ip1", 0), ev(2, "b", "LOGIN", "ip1", 1),
+         ev(3, "b", "LOGIN", "ip1", 2), ev(4, "a", "SELECT", "ip9", 3)],
+        # b1: a's ip2 login pairs against the CARRIED ip1 (boundary
+        # flag); b's ip3 likewise; c's first login has no predecessor
+        [ev(5, "a", "LOGIN", "ip2", 10), ev(6, "b", "LOGIN", "ip3", 11),
+         ev(7, "c", "LOGIN", "ip5", 12)],
+        # b2: a changes IP again (in-batch pair after a carried row);
+        # c repeats its IP (no flag)
+        [ev(8, "a", "LOGIN", "ip3", 20), ev(9, "a", "LOGIN", "ip4", 21),
+         ev(10, "c", "LOGIN", "ip5", 22)],
+    ]
+    schema = (
+        "activity_id long, username string, operation_type string, "
+        "ip_address string, access_timestamp timestamp"
+    )
+    src = str(tmp_path / "isrc")
+    _os.makedirs(src)
+    all_rows = []
+    for i, rows in enumerate(batches):
+        all_rows.extend(rows)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}.parquet"
+        )
+        _time.sleep(0.05)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = str(tmp_path / "iout")
+    state = str(tmp_path / "istate")
+    ckpt = str(tmp_path / "ickpt")
+
+    def run():
+        q = anomaly_stream.start_impossible_travel_stream(
+            stream, out_path=out, checkpoint_dir=ckpt,
+            state_path=state, available_now=True,
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    run()
+    got = spark.read.parquet(out)
+    full = spark.createDataFrame(all_rows, schema)
+    want = anomaly.impossible_travel(
+        full, now=real_dt.datetime(2024, 3, 1, 11, 0), window_hours=24
+    )
+
+    def canon(df):
+        return sorted(
+            map(tuple, df.select(
+                "username", "login_ts", "ip_address", "prev_ip", "prev_ts"
+            ).collect())
+        )
+
+    assert canon(got) == canon(want)
+    assert len(canon(want)) == 4  # a: ip1->2->3->4; b: ip1->ip3
+    # NEGATIVE CONTROL: pairing each batch alone misses the
+    # boundary pairs — the carry path genuinely ran
+    solo = sum(
+        anomaly.impossible_travel(
+            spark.read.parquet(f"{src}/b{i}.parquet"),
+            now=real_dt.datetime(2024, 3, 1, 11, 0), window_hours=24,
+        ).count()
+        for i in range(3)
+    )
+    assert solo < len(canon(want))
+    # replay the last batch: dynamic overwrite rewrites exactly its
+    # own fragment — the flag table is unchanged
+    commits = sorted(
+        c for c in _os.listdir(ckpt + "/commits") if not c.startswith(".")
+    )
+    _os.remove(ckpt + "/commits/" + commits[-1])
+    crc = ckpt + "/commits/." + commits[-1] + ".crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    run()
+    assert canon(spark.read.parquet(out)) == canon(want)
