@@ -225,11 +225,36 @@ def bm25_scores(
         )
         > 0
     )
-    # ONE fixed expression per term, summed in fixed term order.
-    # Every float constant goes through CAST(… AS DOUBLE): a bare
-    # decimal literal parses as DECIMAL in BOTH engines, and their
-    # decimal-propagation rules differ — mixed decimal/double
-    # evaluation produced ~1e-8 divergences (measured).
+    parts = _bm25_score_parts(
+        terms, n_docs=n_docs, sum_dl=sum_dl, df_rows=df_rows, k1=k1, b=b
+    )
+    if not parts:
+        return tf.select("doc_id").withColumn(
+            "score", F.lit(0.0)
+        ).limit(0)
+    score = F.round(F.expr(" + ".join(parts)), 6)
+    return tf.select("doc_id", score.alias("score"))
+
+
+def _bm25_score_parts(
+    terms: list[str],
+    *,
+    n_docs: int,
+    sum_dl: int,
+    df_rows: dict[str, int],
+    k1: float,
+    b: float,
+) -> list[str]:
+    """The ONE per-term BM25 score expression (SQL text over columns
+    ``_tf_{i}`` and ``dl``), shared by the from-corpus scorer
+    (:func:`bm25_scores`) and the from-artifact scorer
+    (:func:`bm25_from_stats`) — one template, so artifact ≡ fresh is
+    bit-exact by construction. Fixed term order, every float constant
+    through CAST(… AS DOUBLE) (a bare decimal literal parses as
+    DECIMAL in both engines with different propagation rules — ~1e-8
+    divergences measured), idf computed driver-side with Python's
+    libm log (JVM ln is 1 ulp off on some inputs and the
+    idf×saturation product amplifies it into 6th-decimal flips)."""
     import math
 
     def d(x: float) -> str:
@@ -249,12 +274,7 @@ def bm25_scores(
             f" / (_tf_{i} + {d(k1)} * ({d(1.0 - b)} + {d(b)} * dl *"
             f" {d(float(n_docs))} / {d(float(sum_dl))})))"
         )
-    if not parts:
-        return tf.select("doc_id").withColumn(
-            "score", F.lit(0.0)
-        ).limit(0)
-    score = F.round(F.expr(" + ".join(parts)), 6)
-    return tf.select("doc_id", score.alias("score"))
+    return parts
 
 
 def bm25_sql_expr(
@@ -521,3 +541,198 @@ def search_snippets(
     # for conjunctive hits under the same tokenization, except where
     # the term occurs only as a sub-token; keep the row (pos pins it)
     return out
+
+
+def build_bm25_stats(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The BM25 serving artifact's content: one row per non-empty doc
+    — (doc_id, dl, tf map<token,count>) — i.e. the forward index
+    bm25_scores derives inline, made persistent. DOC-keyed (not
+    token-keyed like the posting table) deliberately: the incremental
+    fold then is a plain id anti-join + delta append — no per-token
+    array surgery — and ANY future query term serves from one
+    ``element_at`` on the map, so the artifact is query-agnostic.
+
+    Size ∝ Σ per-doc distinct tokens — the corpus's token stream
+    deduplicated per doc, orders of magnitude under raw text and
+    columnar-compressed; partitions inherit the doc distribution
+    (no hot keys: the map is per-doc-vocab bounded)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_norm_tokens(text_col)).alias("token"),
+    )
+    per_term = toks.groupBy("doc_id", "token").agg(
+        F.count("*").alias("tf")
+    )
+    return per_term.groupBy("doc_id").agg(
+        F.sum("tf").alias("dl"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("token", "tf")))
+        ).alias("tf_map"),
+    )
+
+
+_BM25_STAMP = "_n_docs"
+
+
+def save_bm25_stats(
+    stats: DataFrame, path: str, *, n_docs: int
+) -> None:
+    """Persist the BM25 stats artifact stamped with the corpus
+    document count — N is a SCORE INPUT (idf and length norm), not
+    derivable from the stats rows (zero-token docs have no row), so
+    the stamp is both the staleness fingerprint and the serving
+    constant."""
+    stats.withColumn(_BM25_STAMP, F.lit(int(n_docs))).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_bm25_stats(
+    spark: SparkSession, path: str, *, expect_docs: int | None = None
+) -> tuple[DataFrame, int]:
+    """Load (stats frame, stamped corpus count) for serving. With
+    ``expect_docs``, refuse a stamp mismatch (regenerated-corpus
+    staleness) — and refuse a zero-row artifact outright: its stamp
+    cannot be read, and N=unknown cannot serve a score."""
+    df = spark.read.parquet(path)
+    row = df.select(_BM25_STAMP).first()
+    if row is None:
+        raise ValueError(
+            f"load_bm25_stats: artifact at {path!r} has no rows — "
+            "its corpus-count stamp is unreadable; rebuild with "
+            "save_bm25_stats"
+        )
+    stamped = int(row[_BM25_STAMP])
+    if expect_docs is not None and stamped != expect_docs:
+        raise ValueError(
+            f"load_bm25_stats: artifact at {path!r} was built over "
+            f"{stamped} docs, corpus now has {expect_docs} — fold "
+            "the delta with update_bm25_artifact or rebuild"
+        )
+    return df.drop(_BM25_STAMP), stamped
+
+
+def bm25_from_stats(
+    stats: DataFrame,
+    terms: list[str],
+    *,
+    n_docs: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score a disjunctive query from the stats artifact alone — the
+    corpus is never touched, let alone re-tokenized (the per-call
+    rebuild was bm25_scores' documented serving gap). Bit-exact to
+    :func:`bm25_scores` over the same corpus: the per-term tf columns
+    come from the SAME integers (map lookups instead of conditional
+    sums) and the score is the SAME _bm25_score_parts expression
+    (idf/Σdl/N constants included), so equality is by construction,
+    pinned by test.
+
+    Two bounded passes over the artifact: one agg for (Σdl, per-term
+    df), one scoring scan — both column-pruned parquet reads."""
+    if not terms:
+        raise ValueError("bm25_from_stats: need at least one term")
+    if len(set(terms)) != len(terms):
+        raise ValueError("bm25_from_stats: terms must be distinct")
+    tf_cols = [
+        F.coalesce(
+            F.element_at("tf_map", F.lit(t)), F.lit(0)
+        ).cast("long").alias(f"_tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    proj = stats.select("doc_id", "dl", *tf_cols)
+    consts = proj.agg(
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    ).first()
+    sum_dl = consts["sum_dl"]
+    df_rows = {
+        t: int(consts[f"df_{i}"] or 0) for i, t in enumerate(terms)
+    }
+    cand = proj.filter(
+        sum(
+            (F.col(f"_tf_{i}") for i in range(1, len(terms))),
+            F.col("_tf_0"),
+        )
+        > 0
+    )
+    parts = _bm25_score_parts(
+        terms, n_docs=n_docs, sum_dl=sum_dl, df_rows=df_rows, k1=k1, b=b
+    )
+    if not parts:
+        return cand.select("doc_id").withColumn(
+            "score", F.lit(0.0)
+        ).limit(0)
+    score = F.round(F.expr(" + ".join(parts)), 6)
+    return cand.select("doc_id", score.alias("score"))
+
+
+def update_bm25_stats(
+    stats: DataFrame,
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fold a corpus snapshot change into the stats frame —
+    row-identical to a fresh :func:`build_bm25_stats` over
+    ``new_docs`` at delta-proportional tokenize cost: rows of
+    removed ∪ changed docs anti-join away by id (doc-keyed — no
+    token work to find them), added ∪ changed docs are freshly
+    tokenized (the only hashing done), and the union is the new
+    artifact. Same diff verdicts (raw fingerprints — any byte change
+    retokenizes) as update_postings."""
+    from .dedup import corpus_diff
+
+    diff = (
+        corpus_diff(
+            old_docs, new_docs, id_col=id_col, text_col=text_col,
+            normalize=False,
+        )
+        .filter(F.col("verdict") != "unchanged")
+        .select(id_col, "verdict")
+        .localCheckpoint(eager=True)
+    )
+    gone = diff.filter(
+        F.col("verdict").isin("removed", "changed")
+    ).select(F.col(id_col).alias("doc_id"))
+    fresh = diff.filter(
+        F.col("verdict").isin("added", "changed")
+    ).select(F.col(id_col))
+    kept = stats.join(F.broadcast(gone), on="doc_id", how="left_anti")
+    delta = build_bm25_stats(
+        new_docs.join(F.broadcast(fresh), on=id_col, how="left_semi"),
+        id_col=id_col,
+        text_col=text_col,
+    )
+    return kept.unionByName(delta)
+
+
+def update_bm25_artifact(
+    spark: SparkSession,
+    path: str,
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_docs: int,
+) -> None:
+    """Persisted-artifact form: load stamp-checked against the OLD
+    corpus count (refusing an artifact that already drifted), fold
+    the delta, re-save stamped with the NEW count. localCheckpoint
+    severs the self-read before the overwrite (the
+    update_postings_artifact discipline)."""
+    expect_old = old_docs.count()
+    stats, _ = load_bm25_stats(spark, path, expect_docs=expect_old)
+    merged = update_bm25_stats(
+        stats, old_docs, new_docs, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=True)
+    save_bm25_stats(merged, path, n_docs=int(n_docs))

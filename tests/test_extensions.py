@@ -3623,3 +3623,94 @@ def test_band_table_artifact_roundtrip_and_stamps(spark, tmp_path):
 
     assert canon(merged) == canon(fresh)
     assert canon(merged_stamped) == canon(fresh)
+
+
+def test_bm25_artifact_serves_and_folds_deltas(spark, tmp_path):
+    """The persisted BM25 stats artifact (doc_id, dl, tf map) serves
+    bit-identical scores to a fresh bm25_scores — the corpus is never
+    re-tokenized at query time — and update_bm25_artifact folds an
+    add/change/remove delta so the artifact keeps serving the fresh
+    answer (idf/Σdl/N constants included). Staleness and zero-row
+    artifacts refuse."""
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        invindex,
+    )
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    old = docs.filter(F.col("doc_id") % 7 != 3)
+    terms = ["dup", "merge", "spark"]
+    n_old = old.count()
+    path = str(tmp_path / "bm25_stats")
+    invindex.save_bm25_stats(
+        invindex.build_bm25_stats(old), path, n_docs=n_old
+    )
+
+    def canon(df):
+        return sorted(map(tuple, df.select("doc_id", "score").collect()))
+
+    stats, n_served = invindex.load_bm25_stats(
+        spark, path, expect_docs=n_old
+    )
+    assert n_served == n_old
+    served = invindex.bm25_from_stats(stats, terms, n_docs=n_served)
+    assert canon(served) == canon(invindex.bm25_scores(old, terms))
+    # delta: remove some docs, change others (text edit shifts tf/dl),
+    # add new ones — all three verdicts exercised
+    removed = old.filter(F.col("doc_id") % 11 == 5)
+    changed = old.filter(F.col("doc_id") % 11 == 6).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" merge spark")).alias("text")
+    )
+    added = docs.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    new = (
+        old.join(removed.select("doc_id"), "doc_id", "left_anti")
+        .join(changed.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(changed)
+        .unionByName(added)
+    )
+    n_new = new.count()
+    assert n_new != n_old
+    # drifted artifact refuses to serve the new corpus...
+    with _pytest.raises(ValueError, match="corpus now has"):
+        invindex.load_bm25_stats(spark, path, expect_docs=n_new)
+    # ...and the fold brings it current: artifact ≡ fresh, exactly
+    invindex.update_bm25_artifact(spark, path, old, new, n_docs=n_new)
+    stats2, n2 = invindex.load_bm25_stats(spark, path, expect_docs=n_new)
+    assert n2 == n_new
+    assert canon(
+        invindex.bm25_from_stats(stats2, terms, n_docs=n2)
+    ) == canon(invindex.bm25_scores(new, terms))
+    # the folded stats ROWS equal a fresh build too (not just scores
+    # for these terms — any future query serves identically)
+    fresh = invindex.build_bm25_stats(new)
+
+    def rows(df):
+        return sorted(
+            (r.doc_id, r.dl, tuple(sorted(r.tf_map.items())))
+            for r in df.collect()
+        )
+
+    assert rows(stats2) == rows(fresh)
+    # a zero-row artifact has no readable stamp — refuse
+    empty_path = str(tmp_path / "empty_stats")
+    invindex.save_bm25_stats(
+        invindex.build_bm25_stats(docs.filter(F.lit(False))),
+        empty_path, n_docs=0,
+    )
+    with _pytest.raises(ValueError, match="no rows"):
+        invindex.load_bm25_stats(spark, empty_path)
+    # absent-everywhere terms serve the empty frame from the artifact
+    # exactly like the fresh path
+    assert canon(
+        invindex.bm25_from_stats(
+            stats2, ["zzzznotaterm"], n_docs=n2
+        )
+    ) == canon(invindex.bm25_scores(new, ["zzzznotaterm"]))
