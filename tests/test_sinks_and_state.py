@@ -370,3 +370,46 @@ def test_retention_drops_only_expired_partitions(spark, tmp_path):
         spark, path, retain_days=2,
         now=dt.datetime(2026, 8, 4, 1, 0, 0),
     ) == []
+
+
+def test_zorder_layout_prunes_row_groups(spark, tmp_path):
+    """The lakehouse family's read-side WHY: a selective 2-D
+    predicate over a write_zordered layout must actually skip data.
+    Both layouts return identical rows, the predicate reaches the
+    parquet scan as PushedFilters on BOTH dims, and the z-ordered
+    scan's row-group pruning emits a fraction of the rows the
+    unsorted layout scans (every unsorted file straddles the full
+    (x, y) range, so its min/max stats prune nothing)."""
+    from database_activity_monitoring_dam_system_spark.operators import zorder
+
+    n = 200_000
+    df = spark.range(n).select(
+        F.abs(F.xxhash64("id") % 1000).alias("x"),
+        F.abs(F.xxhash64("id", F.lit(1)) % 1000).alias("y"),
+        F.col("id"),
+    )
+    key = zorder.zorder_key(
+        "x", "y", x_lo=0, x_hi=999, y_lo=0, y_hi=999, bits=10
+    )
+    zpath, upath = str(tmp_path / "z"), str(tmp_path / "u")
+    zorder.write_zordered(df, zpath, key=key, n_files=16)
+    df.repartition(16).write.parquet(upath)  # unsorted control
+
+    def scan(path):
+        r = spark.read.parquet(path).filter(
+            F.col("x").between(100, 149) & F.col("y").between(200, 249)
+        )
+        rows = sorted(t.id for t in r.collect())
+        plan = r._jdf.queryExecution().executedPlan()
+        scan_node = plan.collectLeaves().apply(0)
+        emitted = scan_node.metrics().apply("numOutputRows").value()
+        return rows, emitted, plan.toString()
+
+    z_rows, z_emitted, z_plan = scan(zpath)
+    u_rows, u_emitted, u_plan = scan(upath)
+    assert z_rows == u_rows and len(z_rows) > 0     # same answer
+    for plan in (z_plan, u_plan):                   # filters pushed
+        pushed = plan.split("PushedFilters")[1].split("]")[0]
+        assert "x" in pushed and "y" in pushed
+    assert u_emitted == n                           # control: no skip
+    assert z_emitted < n / 4                        # real row-group skip
