@@ -66,6 +66,21 @@ def volume_anomalies(
         .groupBy(F.col(user_col), F.date_trunc("hour", ts_col).alias("hour_bucket"))
         .agg(F.count("*").alias("cnt"))
     )
+    return volume_flags(hourly, baseline, user_col=user_col)
+
+
+def volume_flags(
+    hourly: DataFrame,
+    baseline: DataFrame,
+    *,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """The ONE avg+3σ arbitration the batch detector and the
+    streaming twin share (the login_ip_pairs discipline — a threshold
+    change propagates to both, so stream ≡ batch cannot silently
+    drift): join (user, hour_bucket, cnt) rows to the broadcast
+    per-user baseline, default NULL/0 std to 1 (app.py:534-544), and
+    keep buckets whose count exceeds avg + 3·std."""
     std = F.coalesce(
         F.when(F.col("std_queries") != 0, F.col("std_queries")), F.lit(1.0)
     )

@@ -543,13 +543,20 @@ def update_minhash_bands(
                 "_bands": int(bands),
                 "_shingle": int(shingle),
             }
+            if "_n_docs" in stamp_cols:
+                # the staleness half of the stamp contract: the fold's
+                # anti-join assumes the table was built over exactly
+                # old_docs — a drifted table silently keeps band rows
+                # for docs whose text has since changed
+                want["_n_docs"] = old_docs.count()
             for c in stamp_cols:
                 if c in want and stamped[c] != want[c]:
                     raise ValueError(
                         "update_minhash_bands: band table stamp "
                         f"{c}={stamped[c]} contradicts the fold's "
                         f"{c}={want[c]} — the delta would live in a "
-                        "different bucket space; rebuild the table "
+                        "different bucket space (or the table has "
+                        "drifted from old_docs); rebuild the table "
                         "or match the parameters"
                     )
         band_table = band_table.drop(*stamp_cols)

@@ -723,16 +723,18 @@ def update_bm25_artifact(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_docs: int,
 ) -> None:
     """Persisted-artifact form: load stamp-checked against the OLD
     corpus count (refusing an artifact that already drifted), fold
-    the delta, re-save stamped with the NEW count. localCheckpoint
-    severs the self-read before the overwrite (the
-    update_postings_artifact discipline)."""
+    the delta, re-save stamped with the NEW count. Both counts are
+    derived HERE from the frames in hand — N is a direct score input
+    (idf, length norm), so a caller-supplied miscount would silently
+    skew every served score until some later stamp check refused the
+    artifact wholesale. localCheckpoint severs the self-read before
+    the overwrite (the update_postings_artifact discipline)."""
     expect_old = old_docs.count()
     stats, _ = load_bm25_stats(spark, path, expect_docs=expect_old)
     merged = update_bm25_stats(
         stats, old_docs, new_docs, id_col=id_col, text_col=text_col
     ).localCheckpoint(eager=True)
-    save_bm25_stats(merged, path, n_docs=int(n_docs))
+    save_bm25_stats(merged, path, n_docs=new_docs.count())

@@ -26,6 +26,27 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def check_funnel_steps(steps: list[str]) -> None:
+    """The ONE step-list validation the batch funnel and the
+    streaming twin share: ≥2 distinct steps, each a safe ``t_<step>``
+    column suffix (dots/backticks would parse as struct access or
+    break column resolution — and in the stream, kill the query
+    mid-run with a parquet field-name error that never names the bad
+    step)."""
+    if len(steps) < 2:
+        raise ValueError(f"funnel needs >= 2 steps, got {steps!r}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be unique, got {steps!r}")
+    import re as _re
+
+    for st in steps:
+        if not _re.fullmatch(r"[A-Za-z0-9_]+", st):
+            raise ValueError(
+                f"funnel step {st!r} is not a safe column suffix "
+                "(need [A-Za-z0-9_]+)"
+            )
+
+
 def funnel_steps(
     events: DataFrame,
     steps: list[str],
@@ -47,20 +68,7 @@ def funnel_steps(
     layer over the SAME partitioning (no further exchange — asserted
     in test_plans style by the single-shuffle battery pattern).
     """
-    if len(steps) < 2:
-        raise ValueError(f"funnel needs >= 2 steps, got {steps!r}")
-    if len(set(steps)) != len(steps):
-        raise ValueError(f"funnel steps must be unique, got {steps!r}")
-    import re as _re
-
-    for st in steps:
-        # step names become t_<step> output columns; dots/backticks
-        # would parse as struct access / break column resolution
-        if not _re.fullmatch(r"[A-Za-z0-9_]+", st):
-            raise ValueError(
-                f"funnel step {st!r} is not a safe column suffix "
-                "(need [A-Za-z0-9_]+)"
-            )
+    check_funnel_steps(steps)
     w = Window.partitionBy(user_col)
     df = events.select(user_col, ts_col, type_col)
     prev_t = None

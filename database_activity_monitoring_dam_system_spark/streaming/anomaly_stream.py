@@ -29,11 +29,11 @@ O(users × keep_batches) complete snapshots, retention-pruned.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators import anomaly
-from .journey_stream import _read_last_events, _write_last_events
+from .journey_stream import roll_last_event_snapshot, with_carried_last_events
 
 
 def volume_anomaly_stream(
@@ -64,21 +64,15 @@ def volume_anomaly_stream(
             F.window(ts_col, "1 hour").alias("_win"),
         )
         .agg(F.count("*").alias("cnt"))
-    )
-    std = F.coalesce(
-        F.when(F.col("std_queries") != 0, F.col("std_queries")), F.lit(1.0)
-    )
-    return (
-        hourly.join(F.broadcast(baseline), user_col, "inner")
-        .filter(F.col("cnt") > F.col("avg_queries") + 3 * std)
         .select(
             user_col,
             F.col("_win.start").alias("hour_bucket"),
             "cnt",
-            F.round("avg_queries", 4).alias("avg_queries"),
-            F.round("std_queries", 4).alias("std_queries"),
         )
     )
+    # the arbitration itself is anomaly.volume_flags — the ONE
+    # threshold definition batch and stream share
+    return anomaly.volume_flags(hourly, baseline, user_col=user_col)
 
 
 def start_impossible_travel_stream(
@@ -104,16 +98,11 @@ def start_impossible_travel_stream(
     cols = ["username", ts_col, "activity_id", "ip_address"]
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        logins = batch.filter(F.col("operation_type") == op).select(*cols)
-        carry_in = _read_last_events(
-            spark, state_path, batch_id, cols, "username"
+        logins = batch.filter(F.col("operation_type") == op)
+        src = with_carried_last_events(
+            logins, batch_id, state_path=state_path, cols=cols,
+            user_col="username",
         )
-        src = logins.withColumn("_carry", F.lit(False))
-        if carry_in is not None:
-            src = src.unionByName(
-                carry_in.withColumn("_carry", F.lit(True))
-            )
         flags = anomaly.login_ip_pairs(
             src, ts_col=ts_col, carry_col="_carry"
         )
@@ -124,20 +113,9 @@ def start_impossible_travel_stream(
             .partitionBy("_batch_id")
             .parquet(out_path)
         )
-        # roll the complete last-login snapshot forward (carry ∪
-        # batch, newest per user) — complete, so retention pruning
-        # can never lose an idle user's last login
-        merged = src.drop("_carry")
-        w_last = Window.partitionBy("username").orderBy(
-            F.col(ts_col).desc(), F.col("activity_id").desc()
-        )
-        snapshot = (
-            merged.withColumn("_rn", F.row_number().over(w_last))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        _write_last_events(
-            snapshot, state_path, batch_id, keep_batches=keep_batches
+        roll_last_event_snapshot(
+            src, batch_id, state_path=state_path, user_col="username",
+            order_cols=[ts_col, "activity_id"], keep_batches=keep_batches,
         )
 
     writer = activity.writeStream.foreachBatch(write_batch).option(

@@ -121,6 +121,55 @@ def _write_last_events(
             fs.delete(status.getPath(), True)
 
 
+def with_carried_last_events(
+    batch: DataFrame,
+    batch_id: int,
+    *,
+    state_path: str,
+    cols: list[str],
+    user_col: str,
+) -> DataFrame:
+    """This batch's rows (``_carry=False``) unioned with the
+    predecessor per-user last-event snapshot (``_carry=True``) — the
+    input every carried-boundary pairing consumes. Shared by the
+    transition stream and the impossible-travel stream (one carry
+    discipline, not two drifting copies)."""
+    carry_in = _read_last_events(
+        batch.sparkSession, state_path, batch_id, cols, user_col
+    )
+    src = batch.select(*cols).withColumn("_carry", F.lit(False))
+    if carry_in is not None:
+        src = src.unionByName(carry_in.withColumn("_carry", F.lit(True)))
+    return src
+
+
+def roll_last_event_snapshot(
+    src: DataFrame,
+    batch_id: int,
+    *,
+    state_path: str,
+    user_col: str,
+    order_cols: list[str],
+    keep_batches: int,
+) -> None:
+    """Roll the per-user last-event snapshot forward: newest row per
+    user of (carry ∪ batch) by ``order_cols`` desc — a COMPLETE
+    snapshot, so retention pruning can never lose an idle user's
+    last event. The write/prune contract is _write_last_events."""
+    merged = src.drop("_carry")
+    w_last = Window.partitionBy(user_col).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    snapshot = (
+        merged.withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    _write_last_events(
+        snapshot, state_path, batch_id, keep_batches=keep_batches
+    )
+
+
 def start_transition_stream(
     events: DataFrame,
     *,
@@ -149,17 +198,11 @@ def start_transition_stream(
     table needs no compaction — it is retention-pruned in-line)."""
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
         cols = [user_col, ts_col, id_col, type_col]
-        batch = batch.select(*cols)
-        carry_in = _read_last_events(
-            spark, state_path, batch_id, cols, user_col
+        src = with_carried_last_events(
+            batch, batch_id, state_path=state_path, cols=cols,
+            user_col=user_col,
         )
-        src = batch.withColumn("_carry", F.lit(False))
-        if carry_in is not None:
-            src = src.unionByName(
-                carry_in.withColumn("_carry", F.lit(True))
-            )
         pairs = journeys.transition_pairs(
             src,
             user_col=user_col,
@@ -183,21 +226,9 @@ def start_transition_stream(
             .partitionBy("_batch_id")
             .parquet(out_path)
         )
-        # roll the snapshot forward: previous snapshot ∪ this batch,
-        # latest event per user (ts, id)-desc — a COMPLETE snapshot,
-        # so retention pruning can never lose an idle user's last
-        # event
-        merged = src.drop("_carry")
-        w_last = Window.partitionBy(user_col).orderBy(
-            F.col(ts_col).desc(), F.col(id_col).desc()
-        )
-        snapshot = (
-            merged.withColumn("_rn", F.row_number().over(w_last))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        _write_last_events(
-            snapshot, state_path, batch_id, keep_batches=keep_batches
+        roll_last_event_snapshot(
+            src, batch_id, state_path=state_path, user_col=user_col,
+            order_cols=[ts_col, id_col], keep_batches=keep_batches,
         )
 
     writer = events.writeStream.foreachBatch(write_batch).option(
@@ -208,7 +239,7 @@ def start_transition_stream(
     return writer.start()
 
 
-def _funnel_fn(steps: list[str], user_field: str, ts_unit_us: int = 1):
+def _funnel_fn(steps: list[str], user_field: str):
     """Per-user funnel state function for applyInPandasWithState.
 
     State = (resolved, buf_ts, buf_step): ``resolved`` is the
@@ -220,6 +251,14 @@ def _funnel_fn(steps: list[str], user_field: str, ts_unit_us: int = 1):
     first event sets slot 0, and step s's first event strictly
     after slot s-1 sets slot s — set-once is sound because the
     ascending order makes the first qualifying event the minimum.
+
+    Event times arrive as the PRE-COMPUTED ``_ts_us`` epoch-µs long
+    (unix_micros, projected JVM-side) — never from pandas timestamp
+    values: Arrow hands the state fn tz-naive timestamps localized
+    to spark.sql.session.timeZone, whose ``.value`` is wall-clock-
+    as-UTC, skewed by the session offset against the TRUE epochs of
+    getCurrentWatermarkMs() (finalizing hours early/late) and of the
+    emitted t_* seconds. The long column is session-TZ-proof.
     """
     import pandas as pd
 
@@ -251,10 +290,10 @@ def _funnel_fn(steps: list[str], user_field: str, ts_unit_us: int = 1):
             resolved = [None] * n
             buf = []
         for pdf in pdfs:
-            for ts, tp in zip(pdf["_ts"], pdf["_type"]):
+            for ts_us, tp in zip(pdf["_ts_us"], pdf["_type"]):
                 si = step_idx.get(tp)
                 if si is not None:
-                    buf.append((int(ts.value) // 1000, si))
+                    buf.append((int(ts_us), si))
         # events the watermark has passed are totally ordered and
         # final — fold them into the resolved prefix permanently.
         # Strictly-below keeps an ==watermark event replayable (the
@@ -317,10 +356,7 @@ def funnel_stream(
     The step filter runs BEFORE the shuffle into per-user state, so
     only funnel-typed events reach the state store.
     """
-    if len(steps) < 2:
-        raise ValueError(f"funnel needs >= 2 steps, got {steps!r}")
-    if len(set(steps)) != len(steps):
-        raise ValueError(f"funnel steps must be unique, got {steps!r}")
+    journeys.check_funnel_steps(steps)
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -340,6 +376,10 @@ def funnel_stream(
         .select(
             F.col(user_col),
             F.col(ts_col).alias("_ts"),
+            # session-TZ-proof epoch µs computed JVM-side — the state
+            # fn must never derive epochs from pandas timestamps (see
+            # _funnel_fn)
+            F.unix_micros(F.col(ts_col)).alias("_ts_us"),
             F.col(type_col).alias("_type"),
         )
         .withWatermark("_ts", watermark_delay)

@@ -52,6 +52,16 @@ def _single_stamp(df: DataFrame, col: str, ctx: str):
             "with different parameters; rebuild or split the table "
             "before merging"
         )
+    if has_null:
+        # rows exist but every stamp is null: a stampless writer
+        # produced the whole table — refuse by name rather than let
+        # the caller crash on order.index(None) / stamp the compacted
+        # output with a null
+        raise ValueError(
+            f"{ctx}: table's {col} stamp is null on every fragment — "
+            "written without geometry stamps; rebuild it with the "
+            "stamped writer before merging"
+        )
     return vals[0] if vals else None
 
 

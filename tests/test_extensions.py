@@ -3610,6 +3610,13 @@ def test_band_table_artifact_roundtrip_and_stamps(spark, tmp_path):
         dedup.update_minhash_bands(
             stamped_loaded, old, docs, num_hashes=32, bands=b, shingle=sh
         )
+    # ...and the STALENESS half: a fold whose old_docs has drifted
+    # from the corpus the table was stamped over refuses too
+    with _pytest.raises(ValueError, match="_n_docs"):
+        dedup.update_minhash_bands(
+            stamped_loaded, old.limit(n_old - 5), docs,
+            num_hashes=k, bands=b, shingle=sh,
+        )
     merged_stamped = dedup.update_minhash_bands(
         stamped_loaded, old, docs, num_hashes=k, bands=b, shingle=sh
     )
@@ -3682,7 +3689,7 @@ def test_bm25_artifact_serves_and_folds_deltas(spark, tmp_path):
     with _pytest.raises(ValueError, match="corpus now has"):
         invindex.load_bm25_stats(spark, path, expect_docs=n_new)
     # ...and the fold brings it current: artifact ≡ fresh, exactly
-    invindex.update_bm25_artifact(spark, path, old, new, n_docs=n_new)
+    invindex.update_bm25_artifact(spark, path, old, new)
     stats2, n2 = invindex.load_bm25_stats(spark, path, expect_docs=n_new)
     assert n2 == n_new
     assert canon(

@@ -1563,6 +1563,17 @@ def test_read_rollup_refuses_mixed_grain_fragments(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="mixed _grain"):
         rollup_stream.read_rollup(spark, nully, to_grain="hour")
+    # EVERY fragment null-stamped is its own named refusal (not an
+    # order.index(None) crash or a null-stamped compaction output)
+    allnull = str(tmp_path / "allnull")
+    (
+        rollup.time_partials(events, grain="minute")
+        .withColumn("_grain", F.lit(None).cast("string"))
+        .withColumn("_batch_id", F.lit(0))
+        .write.mode("append").partitionBy("_batch_id").parquet(allnull)
+    )
+    with _pytest.raises(ValueError, match="null on every fragment"):
+        rollup_stream.read_rollup(spark, allnull, to_grain="hour")
 
 
 def test_cdc_tombstone_journal_blocks_stale_resurrections(spark):
@@ -2143,7 +2154,17 @@ def test_funnel_stream_matches_batch_under_disorder(spark, tmp_path):
     watermark horizon): a late-arriving step-1 event re-labels the
     funnel, a pre-login query never counts, and once the watermark
     finalizes early events the resolved-prefix + buffer mix still
-    serves the batch answer."""
+    serves the batch answer.
+
+    Runs under a NON-UTC session timezone: Arrow hands state fns
+    session-TZ-localized naive timestamps whose .value is wall-clock-
+    as-UTC — a state fn deriving epochs from them finalizes hours off
+    the true watermark and emits skewed t_* seconds (caught in
+    review; the JVM-side unix_micros projection is the fix this
+    setting pins). Also pins the named refusal for unsafe step
+    names (shared check_funnel_steps)."""
+    import pytest as _pytest
+
     from database_activity_monitoring_dam_system_spark.operators import (
         journeys,
     )
@@ -2151,7 +2172,20 @@ def test_funnel_stream_matches_batch_under_disorder(spark, tmp_path):
         journey_stream,
     )
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        _run_funnel_disorder_case(
+            spark, tmp_path, journeys, journey_stream, _pytest
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _run_funnel_disorder_case(spark, tmp_path, journeys, journey_stream, _pytest):
+    with _pytest.raises(ValueError, match="safe column suffix"):
+        journey_stream.funnel_stream(
+            spark.readStream.format("rate").load(), ["log.in", "export"]
+        )
     steps = ["login", "query", "export"]
     D = "2024-03-01 "
     batches = [
