@@ -44,6 +44,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
     order = sorted(specs)
+    # BENCH_ONLY=q1,q2 runs a protocol-faithful subset (same env,
+    # warmup, interleaved min) — for re-measuring individual rows
+    # without the 100+-gate suite. The sidecar/driver line still
+    # reports whatever ran.
+    only = os.environ.get("BENCH_ONLY")
+    if only:
+        wanted = [q.strip() for q in only.split(",") if q.strip()]
+        unknown = sorted(set(wanted) - set(order))
+        if unknown:
+            raise SystemExit(f"BENCH_ONLY names unknown queries: {unknown}")
+        order = [q for q in order if q in wanted]
     failed: set[str] = set()
     # Warmup pass(es): JVM/codegen warm, serving artifacts built.
     for _ in range(WARMUP):
@@ -90,16 +101,17 @@ def main() -> None:
     # hides the alphabetically-late queries from the 2×-regression
     # check. The sidecar is the complete record; the printed line
     # remains the driver contract.
-    sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
-    with open(sidecar, "w") as fh:
-        json.dump(
-            {**payload, "n_queries": len(timings), "runs": RUNS},
-            fh,
-            indent=1,
-            sort_keys=True,
+    if not only:  # a BENCH_ONLY subset must not clobber the full record
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
         )
+        with open(sidecar, "w") as fh:
+            json.dump(
+                {**payload, "n_queries": len(timings), "runs": RUNS},
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
     print(json.dumps(payload))
 
 

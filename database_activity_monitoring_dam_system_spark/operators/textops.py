@@ -663,17 +663,26 @@ def bigram_logprob_scores(
 
     Self-trained on the scored corpus in the same pass: one explode
     for unigram counts, one for bigrams, then the doc's bigrams join
-    the count tables (shuffles keyed on the bigram string and w1; V is
-    a broadcast scalar). Docs with <2 tokens have no bigrams and drop
+    the count tables. Docs with <2 tokens have no bigrams and drop
     out, identically in both engines. Rounded to 4 dp AFTER the mean
     so the DuckDB oracle agrees despite summation-order ulps (same
     policy as anomaly_baseline). At heavy-tail scale, cap the bigram
     table with a min-count filter before the join (same lever as
     fingerprint max_df).
+
+    Scale shape (reworked after a 13× super-linear sf1 probe): the
+    count-table joins run at DISTINCT (doc, bigram) granularity —
+    (doc_id, bg, n) from one map-side-combined aggregate — never at
+    bigram-OCCURRENCE granularity, so the two string-keyed shuffles
+    move the deduplicated bigram stream (repetitive docs collapse)
+    and the mean is recovered exactly as Σ n·logp / Σ n (each
+    occurrence of a bigram has the SAME logp, so the weighted form
+    is the occurrence mean). The oracle mirrors the weighted form.
     """
     # same expression trees as the train/apply split (bigram_lm_train /
-    # bigram_lm_score) — sharing _doc_bigrams is what KEEPS the
-    # self-scoring-equivalence contract true under future edits
+    # bigram_lm_score) — sharing _doc_bigrams/_doc_bigram_counts is
+    # what KEEPS the self-scoring-equivalence contract true under
+    # future edits
     base = docs.select(
         F.col(id_col),
         _norm_tokens(text_col).alias("_toks"),
@@ -685,10 +694,10 @@ def bigram_logprob_scores(
         .agg(F.count("*").alias("c1"))
     )
     vocab = uni.agg(F.count("*").alias("vocab"))
-    bi = base.select(F.col(id_col), F.explode("_bgs").alias("bg"))
-    bic = bi.groupBy("bg").agg(F.count("*").alias("cbg"))
+    db = _doc_bigram_counts(base, id_col)
+    bic = db.groupBy("bg").agg(F.sum("n").alias("cbg"))
     scored = (
-        bi.join(bic, "bg")
+        db.join(bic, "bg")
         .join(
             uni,
             F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == uni["token"],
@@ -699,9 +708,32 @@ def bigram_logprob_scores(
             F.log((F.col("cbg") + 1.0) / (F.col("c1") + F.col("vocab"))),
         )
     )
+    return _weighted_logp_mean(scored, id_col)
+
+
+def _doc_bigram_counts(base: DataFrame, id_col: str) -> DataFrame:
+    """(doc_id, bg, n) — each doc's DISTINCT bigrams with occurrence
+    counts, from a frame carrying ``_bgs``. The one granularity every
+    bigram-LM join runs at: the explode is immediately reduced by a
+    map-side-combined aggregate, so downstream shuffles move the
+    deduplicated bigram stream, not one row per occurrence."""
+    return (
+        base.select(F.col(id_col), F.explode("_bgs").alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _weighted_logp_mean(scored: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc (n_bigrams, avg_logp) from (doc_id, n, _logp) rows at
+    distinct-bigram granularity: Σn·logp / Σn IS the occurrence mean
+    (every occurrence of a bigram shares one logp), rounded to 4 dp
+    after the division — the summation-order-ulp policy unchanged."""
     return scored.groupBy(id_col).agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(F.avg("_logp"), 4).alias("avg_logp"),
+        F.sum("n").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("n") * F.col("_logp")) / F.sum("n"), 4
+        ).alias("avg_logp"),
     )
 
 
@@ -769,14 +801,19 @@ def bigram_lm_score(
     Same output schema as bigram_logprob_scores; scoring the training
     corpus itself reproduces it exactly (every count present → the
     left joins behave as inner). The model-count joins shuffle the
-    doc bigram stream on bg / w1; at serving scale a pruned model
-    (min_count) usually broadcasts instead.
+    doc bigram stream on bg / w1 at DISTINCT (doc, bigram)
+    granularity (the bigram_logprob_scores rework — occurrence rows
+    never shuffle); at serving scale a pruned model (min_count)
+    usually broadcasts instead.
     """
-    bi = docs.select(
-        F.col(id_col), F.explode(_doc_bigrams(text_col)).alias("bg")
+    db = _doc_bigram_counts(
+        docs.select(
+            F.col(id_col), _doc_bigrams(text_col).alias("_bgs")
+        ),
+        id_col,
     )
     scored = (
-        bi.join(model["bigrams"], "bg", "left")
+        db.join(model["bigrams"], "bg", "left")
         .withColumn("cbg", F.coalesce(F.col("cbg"), F.lit(0)))
         .join(
             model["unigrams"],
@@ -791,10 +828,7 @@ def bigram_lm_score(
             F.log((F.col("cbg") + 1.0) / (F.col("c1") + F.col("vocab"))),
         )
     )
-    return scored.groupBy(id_col).agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(F.avg("_logp"), 4).alias("avg_logp"),
-    )
+    return _weighted_logp_mean(scored, id_col)
 
 
 # PII patterns chosen for identical semantics under Java regex (Spark)

@@ -2397,10 +2397,12 @@ bi AS (
     FROM base
   ), unnest(bgs) AS u(bg)
 ),
-bic AS (SELECT bg, count(*) AS cbg FROM bi GROUP BY 1)
-SELECT b.doc_id, count(*) AS n_bigrams,
-       round(avg(ln((bic.cbg + 1.0) / (uni.c1 + v.vocab))), 4) AS avg_logp
-FROM bi b JOIN bic ON b.bg = bic.bg
+bid AS (SELECT doc_id, bg, count(*) AS n FROM bi GROUP BY 1, 2),
+bic AS (SELECT bg, CAST(sum(n) AS BIGINT) AS cbg FROM bid GROUP BY 1)
+SELECT b.doc_id, CAST(sum(b.n) AS BIGINT) AS n_bigrams,
+       round(sum(b.n * ln((bic.cbg + 1.0) / (uni.c1 + v.vocab)))
+             / sum(b.n), 4) AS avg_logp
+FROM bid b JOIN bic ON b.bg = bic.bg
 JOIN uni ON split_part(b.bg, ' ', 1) = uni.token
 CROSS JOIN v
 GROUP BY 1

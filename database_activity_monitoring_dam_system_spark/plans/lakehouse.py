@@ -822,6 +822,21 @@ def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return invindex.bm25_scores(docs, list(_SEARCH_TERMS))
 
 
+def _q_bm25_artifact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The artifact-SERVED BM25 ranking: build the doc-keyed stats
+    table (doc_id, dl, tf map — the persistable forward index) and
+    score from it alone, never re-touching corpus text. Shares
+    _bm25_score_parts with bm25_scores, so this gate pins that the
+    serving artifact reproduces the from-corpus ranking hash-exactly
+    against the SQL oracle — the incremental-refresh path
+    (update_bm25_artifact) folds deltas into the same table."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = invindex.build_bm25_stats(docs)
+    return invindex.bm25_from_stats(
+        stats, list(_SEARCH_TERMS), n_docs=docs.count()
+    )
+
+
 def _bm25_oracle() -> str:
     terms = _SEARCH_TERMS
     df_cols = ",\n         ".join(
@@ -1094,6 +1109,13 @@ QUERIES: dict[str, QuerySpec] = {
         "BM25-ranked search over the query terms: integer tf/df/dl "
         "inputs, fixed-order per-term expression sum — relevance "
         "ranking with cross-engine float parity",
+    ),
+    "bm25_artifact_search": QuerySpec(
+        _q_bm25_artifact_search, _bm25_oracle(),
+        "BM25 served from the doc-keyed stats artifact (dl + tf map "
+        "rows, the incrementally-maintained forward index) — same "
+        "ranking hash as the from-corpus scorer, corpus text never "
+        "touched at query time",
     ),
     "zorder_keys": QuerySpec(
         _q_zorder_keys, _ZORDER_SQL,
