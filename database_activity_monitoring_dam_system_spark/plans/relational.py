@@ -450,7 +450,256 @@ GROUP BY l_suppkey
 """
 
 
+def _cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: argmin-per-group decorrelation — for each
+    (filtered) part, the supplier rows achieving that part's MINIMUM
+    price. One window min over the part key replaces the correlated
+    scalar subquery (no per-part re-scan); equality against the min
+    is EXACT cross-engine because the min is an element of the
+    column, never arithmetic. Part dim filters broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 45)
+    from pyspark.sql import Window
+
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == part.p_partkey,
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        j.withColumn("_minp", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("_minp"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "l_suppkey",
+            F.round("_minp", 2).alias("min_price"),
+        )
+        .distinct()
+    )
+
+
+_CHEAPEST_SQL = """
+WITH j AS (
+  SELECT p_partkey, p_brand, l_suppkey, l_extendedprice,
+         min(l_extendedprice) OVER (PARTITION BY p_partkey) AS minp
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size > 45
+)
+SELECT DISTINCT p_partkey, p_brand, l_suppkey,
+       round(minp, 2) AS min_price
+FROM j WHERE l_extendedprice = minp
+"""
+
+
+# fixed-point cents quantization shared by the Q11/Q14/Q15 shapes:
+# floor(x * 100 + 0.5) over an identical left-assoc double expression
+# is bit-deterministic cross-engine, and everything downstream is
+# exact integer arithmetic — thresholds, maxima, and shares cannot
+# flip on parallel-summation ulps the way raw double sums can.
+def _cents(expr):
+    return F.floor(expr * 100 + F.lit(0.5).cast("double")).cast("long")
+
+
+def _important_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group totals kept only above a GLOBAL-total
+    fraction — the scalar-subquery threshold decorrelated into one
+    broadcast scalar. Exact integer arithmetic end to end: revenue is
+    summed in quantized cents and the 4%% threshold is the integer
+    predicate 25·nation > global, so no double comparison can flip a
+    boundary nation between engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    dim = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "n_name")
+    per_nation = (
+        orders.withColumn("_cents", _cents(F.col("o_totalprice")))
+        .join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .groupBy("n_name")
+        .agg(F.sum("_cents").alias("_rev_cents"))
+    )
+    total = per_nation.agg(F.sum("_rev_cents").alias("_total_cents"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("_rev_cents") * 25 > F.col("_total_cents"))
+        .select(
+            "n_name",
+            F.round(
+                F.col("_rev_cents") / F.lit(100).cast("double"), 2
+            ).alias("revenue"),
+            F.round(
+                F.col("_rev_cents") * F.lit(100).cast("double")
+                / F.col("_total_cents"),
+                4,
+            ).alias("share_pct"),
+        )
+    )
+
+
+_IMPORTANT_NATION_SQL = """
+WITH per_nation AS (
+  SELECT n_name,
+         CAST(sum(CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE))
+                       AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+),
+t AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents FROM per_nation)
+SELECT n_name,
+       round(rev_cents / CAST(100 AS DOUBLE), 2) AS revenue,
+       round(rev_cents * CAST(100 AS DOUBLE) / total_cents, 4) AS share_pct
+FROM per_nation, t
+WHERE rev_cents * 25 > total_cents
+"""
+
+
+def _top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: max-of-aggregate selection — the supplier(s)
+    whose quarterly discounted revenue EQUALS the maximum, with the
+    max decorrelated into one broadcast scalar. Revenue is quantized
+    line-by-line to integer cents, so the equality that picks the
+    winner is exact integer equality, never a double comparison."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .withColumn(
+            "_cents",
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("_cents").alias("_rev_cents"))
+    )
+    top = rev.agg(F.max("_rev_cents").alias("_max_cents"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("_rev_cents") == F.col("_max_cents"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            rev.l_suppkey == supplier.s_suppkey,
+        )
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            "s_name",
+            F.round(
+                F.col("_rev_cents") / F.lit(100).cast("double"), 2
+            ).alias("total_revenue"),
+        )
+    )
+
+
+_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                             + CAST(0.5 AS DOUBLE)) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+),
+m AS (SELECT max(rev_cents) AS max_cents FROM rev)
+SELECT l_suppkey AS suppkey, s_name,
+       round(rev_cents / CAST(100 AS DOUBLE), 2) AS total_revenue
+FROM rev, m
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_cents = max_cents
+"""
+
+
+def _promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-sum ratio per month — the share
+    of discounted revenue from PROMO-type parts, lineitem joined to
+    the broadcast part dim. Numerator and denominator are integer
+    cents; only the final share is one fixed double division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        li.l_partkey == part.p_partkey,
+    ).withColumn(
+        "_cents",
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+    )
+    return (
+        j.groupBy(
+            # formatted in-engine (UTC-pinned) so the value is
+            # probe-TZ-proof — raw timestamps render through the
+            # collecting process TZ
+            F.date_format(
+                F.date_trunc("month", "l_shipdate"), "yyyy-MM"
+            ).alias("month")
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("p_type").startswith("PROMO"), F.col("_cents")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("_promo_cents"),
+            F.sum("_cents").alias("_total_cents"),
+        )
+        .select(
+            "month",
+            F.round(
+                F.col("_promo_cents") / F.lit(100).cast("double"), 2
+            ).alias("promo_revenue"),
+            F.round(
+                F.col("_promo_cents") * F.lit(100).cast("double")
+                / F.col("_total_cents"),
+                4,
+            ).alias("promo_share_pct"),
+        )
+    )
+
+
+_PROMO_SHARE_SQL = """
+SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+       round(CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                  + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) / CAST(100 AS DOUBLE), 2)
+         AS promo_revenue,
+       round(CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                  + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) * CAST(100 AS DOUBLE)
+             / CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                   + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                    AS BIGINT), 4) AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "cheapest_supplier_per_part": QuerySpec(
+        _cheapest_supplier_per_part, _CHEAPEST_SQL,
+        "Q2 shape: argmin-per-group decorrelation — per-part minimum "
+        "price suppliers via one window min, exact element equality",
+    ),
+    "important_nation_revenue": QuerySpec(
+        _important_nation_revenue, _IMPORTANT_NATION_SQL,
+        "Q11 shape: group totals above a global-total fraction — "
+        "broadcast scalar threshold, exact integer-cents arithmetic",
+    ),
+    "top_revenue_supplier": QuerySpec(
+        _top_revenue_supplier, _TOP_SUPPLIER_SQL,
+        "Q15 shape: max-of-aggregate selection in integer cents — "
+        "broadcast max scalar, exact winner equality",
+    ),
+    "promo_revenue_share": QuerySpec(
+        _promo_revenue_share, _PROMO_SHARE_SQL,
+        "Q14 shape: monthly conditional-sum revenue share over the "
+        "broadcast part dim — integer-cents ratio, one fixed division",
+    ),
     "revenue_rollup": QuerySpec(
         _revenue_rollup, _ROLLUP_SQL,
         "ROLLUP subtotals over region/nation (grouping-sets extension)",
