@@ -544,7 +544,11 @@ def search_snippets(
 
 
 def build_bm25_stats(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_empty_docs: bool = False,
 ) -> DataFrame:
     """The BM25 serving artifact's content: one row per non-empty doc
     — (doc_id, dl, tf map<token,count>) — i.e. the forward index
@@ -557,7 +561,14 @@ def build_bm25_stats(
     Size ∝ Σ per-doc distinct tokens — the corpus's token stream
     deduplicated per doc, orders of magnitude under raw text and
     columnar-compressed; partitions inherit the doc distribution
-    (no hot keys: the map is per-doc-vocab bounded)."""
+    (no hot keys: the map is per-doc-vocab bounded).
+
+    ``keep_empty_docs=True`` emits a (dl=0, empty map) row for
+    zero-token docs too, making the artifact's ROW COUNT equal the
+    corpus document count N — the property the streaming maintainer
+    needs to derive the N stamp from the artifact alone (the default
+    drops them, matching bm25_scores' tf frame, where N comes from a
+    separate corpus count)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(_norm_tokens(text_col)).alias("token"),
@@ -565,11 +576,27 @@ def build_bm25_stats(
     per_term = toks.groupBy("doc_id", "token").agg(
         F.count("*").alias("tf")
     )
-    return per_term.groupBy("doc_id").agg(
+    stats = per_term.groupBy("doc_id").agg(
         F.sum("tf").alias("dl"),
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct("token", "tf")))
         ).alias("tf_map"),
+    )
+    if not keep_empty_docs:
+        return stats
+    ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return (
+        ids.join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dl", F.lit(0).cast("long")).alias("dl"),
+            F.coalesce(
+                "tf_map",
+                F.map_from_entries(
+                    F.array().cast("array<struct<token:string,tf:long>>")
+                ),
+            ).alias("tf_map"),
+        )
     )
 
 

@@ -2487,3 +2487,107 @@ def test_impossible_travel_stream_matches_batch(spark, tmp_path):
         _os.remove(crc)
     run()
     assert canon(spark.read.parquet(out)) == canon(want)
+
+
+def test_bm25_maintenance_stream_keeps_artifact_fresh(spark, tmp_path):
+    """A CDC-shaped doc stream (upserts + deletes, seq-arbitrated)
+    folded into the BM25 stats artifact per micro-batch: after the
+    replay the artifact serves bit-identical scores to a fresh
+    bm25_scores over the final corpus, its row count IS the corpus
+    size (zero-token docs included), and redelivering the last batch
+    is the identity. Duplicate in-batch ids without a seq refuse."""
+    import os as _os
+    import time as _time
+
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        invindex,
+    )
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        index_maintenance,
+    )
+
+    batches = [
+        # b0: initial corpus, incl. a zero-token doc (id 4)
+        [(1, "spark merges dup rows", "U", 1),
+         (2, "dup dup dedup merge", "U", 2),
+         (3, "plain text here", "U", 3),
+         (4, "!!!", "U", 4)],
+        # b1: change 2 (shifts tf/dl/df), add 5, delete 3; id 5 is
+        # upserted TWICE in one batch — seq arbitration keeps seq 7
+        [(2, "merge spark merge", "U", 5),
+         (5, "first version", "U", 6),
+         (5, "spark spark dedup", "U", 7),
+         (3, "", "D", 8)],
+        # b2: delete the zero-token doc, change 1 to zero-token
+        [(4, "", "D", 9), (1, "?", "U", 10)],
+    ]
+    schema = "doc_id long, text string, op string, seq long"
+    src = str(tmp_path / "bsrc")
+    _os.makedirs(src)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}.parquet"
+        )
+        _time.sleep(0.05)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    art = str(tmp_path / "bm25_art")
+    ckpt = str(tmp_path / "bckpt")
+
+    def run():
+        q = index_maintenance.start_bm25_maintenance_stream(
+            stream, artifact_path=art, checkpoint_dir=ckpt,
+            op_col="op", seq_col="seq", available_now=True,
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    run()
+    # final corpus after the replay: 1->"?", 2->"merge spark merge",
+    # 5->"spark spark dedup"; 3 and 4 deleted
+    final = spark.createDataFrame(
+        [(1, "?"), (2, "merge spark merge"), (5, "spark spark dedup")],
+        "doc_id long, text string",
+    )
+    stats, n = invindex.load_bm25_stats(spark, art)
+    assert n == 3 and stats.count() == 3  # rows == corpus size
+    terms = ["spark", "dedup"]
+
+    def canon(df):
+        return sorted(map(tuple, df.select("doc_id", "score").collect()))
+
+    assert canon(
+        invindex.bm25_from_stats(stats, terms, n_docs=n)
+    ) == canon(invindex.bm25_scores(final, terms))
+    # zero-token doc 1 contributes to N but never to candidates
+    assert {r.doc_id for r in stats.collect()} == {1, 2, 5}
+    # replay the last batch — identity
+    commits = sorted(
+        c for c in _os.listdir(ckpt + "/commits") if not c.startswith(".")
+    )
+    _os.remove(ckpt + "/commits/" + commits[-1])
+    crc = ckpt + "/commits/." + commits[-1] + ".crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    run()
+    stats2, n2 = invindex.load_bm25_stats(spark, art)
+    assert n2 == 3
+    assert canon(
+        invindex.bm25_from_stats(stats2, terms, n_docs=n2)
+    ) == canon(invindex.bm25_scores(final, terms))
+    # duplicate in-batch ids with NO seq column refuse by name
+    with _pytest.raises(ValueError, match="no seq_col"):
+        index_maintenance.fold_bm25_batch(
+            None,
+            spark.createDataFrame(
+                [(7, "a", "U"), (7, "b", "U")],
+                "doc_id long, text string, op string",
+            ),
+            op_col="op",
+        )
