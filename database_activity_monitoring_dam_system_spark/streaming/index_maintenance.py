@@ -71,12 +71,23 @@ def fold_bm25_batch(
                 f"{dupes.count()} doc id(s) and no seq_col to "
                 "arbitrate — dedup upstream or pass seq_col"
             )
-    alive = b.filter(F.col(op_col) != delete_op).drop(op_col) if op_col else b
+    if op_col:
+        if not b.filter(F.col(op_col).isNull()).isEmpty():
+            # a NULL op would fall through the != filter as neither
+            # upsert nor delete, silently dropping the doc from the
+            # index — refuse ambiguous CDC input instead
+            raise ValueError(
+                f"fold_bm25_batch: batch carries NULL {op_col!r} "
+                "rows — ambiguous operation; clean the CDC feed"
+            )
+        alive = b.filter(F.col(op_col) != delete_op).drop(op_col)
+    else:
+        alive = b
     delta = invindex.build_bm25_stats(
         alive, id_col=id_col, text_col=text_col, keep_empty_docs=True
     ).withColumnRenamed("doc_id", id_col)
     if stats is None:
-        return delta
+        return delta.withColumnRenamed(id_col, "doc_id")
     touched = b.select(F.col(id_col))
     kept = stats.withColumnRenamed("doc_id", id_col).join(
         F.broadcast(touched), on=id_col, how="left_anti"
@@ -121,7 +132,25 @@ def start_bm25_maintenance_stream(
                 # maintainer knows zero rows means zero docs)
                 stats = None
             else:
-                stats, _ = invindex.load_bm25_stats(spark, artifact_path)
+                stats, n_stamped = invindex.load_bm25_stats(
+                    spark, artifact_path
+                )
+                n_rows = stats.count()
+                if n_stamped != n_rows:
+                    # an artifact from the BATCH path (build without
+                    # keep_empty_docs) has no rows for zero-token
+                    # docs: stamp N > row count. Adopting it would
+                    # silently re-derive N from rows and drop those
+                    # docs from N forever — refuse (the stamp-refusal
+                    # discipline every artifact here follows)
+                    raise ValueError(
+                        "start_bm25_maintenance_stream: artifact at "
+                        f"{artifact_path!r} stamps N={n_stamped} but "
+                        f"holds {n_rows} rows — built without "
+                        "keep_empty_docs rows; rebuild it with "
+                        "build_bm25_stats(keep_empty_docs=True) "
+                        "before stream maintenance"
+                    )
         merged = fold_bm25_batch(
             stats,
             batch,

@@ -62,7 +62,16 @@ def _single_stamp(df: DataFrame, col: str, ctx: str):
             "written without geometry stamps; rebuild it with the "
             "stamped writer before merging"
         )
-    return vals[0] if vals else None
+    if not vals:
+        # zero rows: no stamp to read — every caller needs the value
+        # (grain comparisons, re-stamping compacted output), so a
+        # None here just defers to an unnamed order.index(None) /
+        # null-stamp crash downstream
+        raise ValueError(
+            f"{ctx}: table has no rows — no {col} stamp to verify; "
+            "write at least one fragment before merging"
+        )
+    return vals[0]
 
 
 def _check_written_grain(df: DataFrame, to_grain: str, ctx: str) -> DataFrame:

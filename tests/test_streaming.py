@@ -2591,3 +2591,48 @@ def test_bm25_maintenance_stream_keeps_artifact_fresh(spark, tmp_path):
             ),
             op_col="op",
         )
+    # a NULL op is neither upsert nor delete — refuse, don't silently
+    # drop the doc from the index
+    with _pytest.raises(ValueError, match="NULL 'op'"):
+        index_maintenance.fold_bm25_batch(
+            None,
+            spark.createDataFrame(
+                [(7, "a", None)], "doc_id long, text string, op string"
+            ),
+            op_col="op",
+        )
+    # a custom id_col keeps the artifact schema on doc_id from the
+    # FIRST fold (regression: the first-batch path skipped the rename)
+    first = index_maintenance.fold_bm25_batch(
+        None,
+        spark.createDataFrame([(8, "hello world")], "did long, text string"),
+        id_col="did",
+    )
+    assert first.columns == ["doc_id", "dl", "tf_map"]
+    # a batch-path artifact (no keep-empty rows: stamp N > rows) is
+    # refused by the maintainer instead of silently re-deriving N
+    batch_art = str(tmp_path / "batch_art")
+    invindex.save_bm25_stats(
+        invindex.build_bm25_stats(
+            spark.createDataFrame(
+                [(1, "x y"), (2, "!!!")], "doc_id long, text string"
+            )
+        ),
+        batch_art, n_docs=2,
+    )
+    more = str(tmp_path / "moresrc")
+    _os.makedirs(more)
+    spark.createDataFrame(
+        [(9, "z", "U", 1)], schema
+    ).coalesce(1).write.parquet(f"{more}/b0.parquet")
+    q = index_maintenance.start_bm25_maintenance_stream(
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(more),
+        artifact_path=batch_art,
+        checkpoint_dir=str(tmp_path / "bckpt2"),
+        op_col="op", seq_col="seq", available_now=True,
+    )
+    with _pytest.raises(Exception, match="keep_empty_docs"):
+        q.awaitTermination(120)
+        raise AssertionError("maintenance adopted a batch-path artifact")
+    q.stop()
