@@ -425,24 +425,46 @@ def update_postings(
         .groupBy("token")
         .agg(F.collect_set("doc_id").alias("_rm_ids"))
     )
-    # consumed twice (the patch join AND the new-token anti join) —
-    # materialize so the tokenize-explode lineage runs once
     ad = (
         _token_pairs(new_docs, new_ids)
         .groupBy("token")
         .agg(F.collect_set("doc_id").alias("_add_ids"))
-        .localCheckpoint(eager=True)
     )
+    return patch_postings(postings, rm, ad)
+
+
+def patch_postings(
+    postings: DataFrame, rm: DataFrame, ad: DataFrame
+) -> DataFrame:
+    """The ONE per-token array-surgery merge (shared by the batch
+    fold above and the streaming maintainer): ``rm`` = (token,
+    _rm_ids array) to delete from lists, ``ad`` = (token, _add_ids
+    array) to append — tokens whose lists empty out drop, tokens seen
+    first in the delta append. Both delta frames are delta-bounded
+    and broadcast; the index never re-explodes."""
+    # ad is consumed twice (the patch join AND the new-token anti
+    # join) — materialize so its lineage runs once
+    ad = ad.localCheckpoint(eager=True)
     empty = F.array().cast(postings.schema["postings"].dataType)
     patched = (
         postings.join(F.broadcast(rm), on="token", how="left")
         .join(F.broadcast(ad), on="token", how="left")
         .select(
             "token",
+            # except BOTH delta sides before re-adding: an id being
+            # added is first removed if already present, making
+            # re-application of the same patch the identity — the
+            # streaming maintainer's batch-retry contract (for a
+            # fresh id the extra except is a no-op, so the batch
+            # fold is unchanged)
             F.sort_array(
                 F.concat(
                     F.array_except(
-                        "postings", F.coalesce("_rm_ids", empty)
+                        "postings",
+                        F.concat(
+                            F.coalesce("_rm_ids", empty),
+                            F.coalesce("_add_ids", empty),
+                        ),
                     ),
                     F.coalesce("_add_ids", empty),
                 )

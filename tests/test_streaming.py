@@ -2636,3 +2636,108 @@ def test_bm25_maintenance_stream_keeps_artifact_fresh(spark, tmp_path):
         q.awaitTermination(120)
         raise AssertionError("maintenance adopted a batch-path artifact")
     q.stop()
+
+
+def test_search_maintenance_stream_folds_both_artifacts(spark, tmp_path):
+    """The combined maintainer folds BOTH search artifacts per
+    micro-batch: after an upsert/delete replay the posting table
+    equals a fresh build_postings over the final corpus (removed
+    docs' old tokens recovered from the pre-fold stats tf_map — no
+    old text in the stream) and the stats table serves fresh BM25;
+    redelivering the last batch is the identity for both."""
+    import os as _os
+    import time as _time
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        invindex,
+    )
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        index_maintenance,
+    )
+
+    batches = [
+        [(1, "alpha beta gamma", "U", 1), (2, "beta beta delta", "U", 2),
+         (3, "gamma solo", "U", 3)],
+        # change 2 (loses delta, gains alpha), delete 3 (its gamma
+        # posting must shrink, its solo posting must vanish), add 4
+        [(2, "beta alpha", "U", 4), (3, "", "D", 5),
+         (4, "delta epsilon", "U", 6)],
+    ]
+    schema = "doc_id long, text string, op string, seq long"
+    src = str(tmp_path / "ssrc")
+    _os.makedirs(src)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}.parquet"
+        )
+        _time.sleep(0.05)
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    bm25_art = str(tmp_path / "s_bm25")
+    post_art = str(tmp_path / "s_post")
+    ckpt = str(tmp_path / "sckpt")
+
+    def run():
+        q = index_maintenance.start_search_maintenance_stream(
+            stream(), bm25_path=bm25_art, postings_path=post_art,
+            checkpoint_dir=ckpt, op_col="op", seq_col="seq",
+            available_now=True,
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    run()
+    final = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta alpha"), (4, "delta epsilon")],
+        "doc_id long, text string",
+    )
+
+    def canon_post(df):
+        return sorted(
+            (r.token, tuple(r.postings), r.df) for r in df.collect()
+        )
+
+    streamed_post = invindex.load_postings(
+        spark, post_art, expect_docs=3
+    )
+    fresh_post = invindex.build_postings(final)
+    assert canon_post(streamed_post) == canon_post(fresh_post)
+    # doc 3's tokens really exercised the stats-derived removal:
+    # gamma shrank to [1], solo vanished entirely
+    posts = {r.token: list(r.postings) for r in streamed_post.collect()}
+    assert posts["gamma"] == [1] and "solo" not in posts
+    # conjunctive search serves from the streamed artifact
+    assert {r.doc_id for r in invindex.search_all_terms(
+        streamed_post, ["alpha", "beta"]
+    ).collect()} == {1, 2}
+    stats, n = invindex.load_bm25_stats(spark, bm25_art, expect_docs=3)
+
+    def canon(df):
+        return sorted(map(tuple, df.select("doc_id", "score").collect()))
+
+    assert canon(
+        invindex.bm25_from_stats(stats, ["alpha", "delta"], n_docs=n)
+    ) == canon(invindex.bm25_scores(final, ["alpha", "delta"]))
+    # replay the last batch — identity for BOTH artifacts
+    commits = sorted(
+        c for c in _os.listdir(ckpt + "/commits") if not c.startswith(".")
+    )
+    _os.remove(ckpt + "/commits/" + commits[-1])
+    crc = ckpt + "/commits/." + commits[-1] + ".crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    run()
+    assert canon_post(
+        invindex.load_postings(spark, post_art, expect_docs=3)
+    ) == canon_post(fresh_post)
+    stats2, n2 = invindex.load_bm25_stats(spark, bm25_art, expect_docs=3)
+    assert canon(
+        invindex.bm25_from_stats(stats2, ["alpha", "delta"], n_docs=n2)
+    ) == canon(invindex.bm25_scores(final, ["alpha", "delta"]))
