@@ -592,3 +592,27 @@ def test_runtime_bloom_filter_injects_for_selective_shuffle_join(spark):
     finally:
         for k, v in olds.items():
             spark.conf.set(k, v)
+
+
+def test_decorrelation_gates_never_sort_merge(spark):
+    """The four round-9 decorrelation shapes (Q2 argmin, Q11 global
+    threshold, Q15 max-of-aggregate, Q14 conditional share) keep the
+    fact side unshuffled for every JOIN: dims and scalars broadcast,
+    zero SortMergeJoins; the only Exchanges are the shapes' own
+    aggregations. The Q2 window min must reuse ONE part-key exchange
+    (no per-step shuffles)."""
+    for name in (
+        "cheapest_supplier_per_part",
+        "important_nation_revenue",
+        "top_revenue_supplier",
+        "promo_revenue_share",
+    ):
+        plan = _plan(spark, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "Broadcast" in plan, name
+    q2 = _plan(spark, "cheapest_supplier_per_part")
+    # window + distinct over the same part key: hashpartitioning
+    # exchanges only, and the broadcast part-dim filter is pushed to
+    # the dim scan, not evaluated post-join
+    assert q2.count("Exchange") <= 2, q2.count("Exchange")
+    assert "PushedFilters: [IsNotNull(p_size), GreaterThan(p_size" in q2
