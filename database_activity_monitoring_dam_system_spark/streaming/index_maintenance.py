@@ -73,6 +73,12 @@ def _arbitrate_batch(
                 f"{dupes.count()} doc id(s) and no seq_col to "
                 "arbitrate — dedup upstream or pass seq_col"
             )
+    # PIN the arbitrated batch: row_number over a duplicate-seq tie
+    # is nondeterministic, and every consumer (both index folds, the
+    # touched-id set) must see the SAME surviving row per id — a
+    # lazily re-executed window could hand one text to the postings
+    # and another to the stats tf_map. Batch-sized, so cheap.
+    b = b.localCheckpoint(eager=True)
     if op_col:
         if not b.filter(F.col(op_col).isNull()).isEmpty():
             raise ValueError(
@@ -83,6 +89,26 @@ def _arbitrate_batch(
     else:
         alive = b
     return b, alive
+
+
+def _fold_bm25(
+    stats: DataFrame | None,
+    b: DataFrame,
+    alive: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    delta = invindex.build_bm25_stats(
+        alive, id_col=id_col, text_col=text_col, keep_empty_docs=True
+    ).withColumnRenamed("doc_id", id_col)
+    if stats is None:
+        return delta.withColumnRenamed(id_col, "doc_id")
+    touched = b.select(F.col(id_col))
+    kept = stats.withColumnRenamed("doc_id", id_col).join(
+        F.broadcast(touched), on=id_col, how="left_anti"
+    )
+    return kept.unionByName(delta).withColumnRenamed(id_col, "doc_id")
 
 
 def fold_bm25_batch(
@@ -103,16 +129,7 @@ def fold_bm25_batch(
         batch, id_col=id_col, text_col=text_col, op_col=op_col,
         delete_op=delete_op, seq_col=seq_col,
     )
-    delta = invindex.build_bm25_stats(
-        alive, id_col=id_col, text_col=text_col, keep_empty_docs=True
-    ).withColumnRenamed("doc_id", id_col)
-    if stats is None:
-        return delta.withColumnRenamed(id_col, "doc_id")
-    touched = b.select(F.col(id_col))
-    kept = stats.withColumnRenamed("doc_id", id_col).join(
-        F.broadcast(touched), on=id_col, how="left_anti"
-    )
-    return kept.unionByName(delta).withColumnRenamed(id_col, "doc_id")
+    return _fold_bm25(stats, b, alive, id_col=id_col, text_col=text_col)
 
 
 def fold_postings_batch(
@@ -141,8 +158,22 @@ def fold_postings_batch(
         batch, id_col=id_col, text_col=text_col, op_col=op_col,
         delete_op=delete_op, seq_col=seq_col,
     )
-    spark = batch.sparkSession
-    id_type = batch.schema[id_col].dataType.simpleString()
+    return _fold_postings(
+        postings, old_stats, b, alive, id_col=id_col, text_col=text_col
+    )
+
+
+def _fold_postings(
+    postings: DataFrame | None,
+    old_stats: DataFrame | None,
+    b: DataFrame,
+    alive: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    spark = b.sparkSession
+    id_type = b.schema[id_col].dataType.simpleString()
     if postings is None:
         postings = spark.createDataFrame(
             [], f"token string, postings array<{id_type}>"
@@ -176,6 +207,43 @@ def fold_postings_batch(
     return invindex.patch_postings(postings, rm, ad)
 
 
+def _probe_artifact(spark, path: str) -> DataFrame | None:
+    """Hadoop-FS existence probe (read_rate_state discipline): a
+    missing or EMPTY artifact reads as None — "fresh start" for a
+    first batch, "corpus of zero docs" after a delete-all batch —
+    while a real read error surfaces instead of masquerading as
+    either."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    df = spark.read.parquet(path)
+    return None if df.isEmpty() else df
+
+
+def _load_maintained_stats(spark, path: str, ctx: str):
+    """Load-and-vet the stats artifact for maintenance: the stamp
+    must equal the row count (an artifact from the BATCH path —
+    build without keep_empty_docs — has no rows for zero-token docs;
+    adopting it would silently re-derive N from rows and drop those
+    docs from N forever). Returns the PINNED frame (localCheckpoint)
+    so the folds cannot observe a half-overwritten table, or None
+    for a missing/empty artifact."""
+    if _probe_artifact(spark, path) is None:
+        return None
+    stats, n_stamped = invindex.load_bm25_stats(spark, path)
+    n_rows = stats.count()
+    if n_stamped != n_rows:
+        raise ValueError(
+            f"{ctx}: artifact at {path!r} stamps N={n_stamped} but "
+            f"holds {n_rows} rows — built without keep_empty_docs "
+            "rows; rebuild it with build_bm25_stats("
+            "keep_empty_docs=True) before stream maintenance"
+        )
+    return stats.localCheckpoint(eager=True)
+
+
 def start_bm25_maintenance_stream(
     docs: DataFrame,
     *,
@@ -197,41 +265,9 @@ def start_bm25_maintenance_stream(
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        stats = None
-        # Hadoop-FS existence probe (read_rate_state discipline): a
-        # missing first-batch artifact must read as "fresh start",
-        # a real read error must not
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(artifact_path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(jpath):
-            raw = spark.read.parquet(artifact_path)
-            if raw.isEmpty():
-                # a fully-deleted corpus: fold as empty, same result
-                # as no prior artifact (load_bm25_stats refuses a
-                # stampless zero-row table for SERVING, but the
-                # maintainer knows zero rows means zero docs)
-                stats = None
-            else:
-                stats, n_stamped = invindex.load_bm25_stats(
-                    spark, artifact_path
-                )
-                n_rows = stats.count()
-                if n_stamped != n_rows:
-                    # an artifact from the BATCH path (build without
-                    # keep_empty_docs) has no rows for zero-token
-                    # docs: stamp N > row count. Adopting it would
-                    # silently re-derive N from rows and drop those
-                    # docs from N forever — refuse (the stamp-refusal
-                    # discipline every artifact here follows)
-                    raise ValueError(
-                        "start_bm25_maintenance_stream: artifact at "
-                        f"{artifact_path!r} stamps N={n_stamped} but "
-                        f"holds {n_rows} rows — built without "
-                        "keep_empty_docs rows; rebuild it with "
-                        "build_bm25_stats(keep_empty_docs=True) "
-                        "before stream maintenance"
-                    )
+        stats = _load_maintained_stats(
+            spark, artifact_path, "start_bm25_maintenance_stream"
+        )
         merged = fold_bm25_batch(
             stats,
             batch,
@@ -264,11 +300,26 @@ def start_search_maintenance_stream(
     op_col: str | None = None,
     delete_op: str = "D",
     seq_col: str | None = None,
+    buckets: int | None = None,
     available_now: bool = False,
 ):
     """Maintain BOTH search artifacts — the BM25 stats table and the
     uncapped posting table — from one document upsert stream, one
-    fold per micro-batch each.
+    arbitration and one fold per artifact per micro-batch.
+
+    Refusals (the stamp discipline): the two artifacts must be
+    maintained TOGETHER — exactly one present means a partial
+    deployment whose posting table would silently miss the other's
+    corpus (or keep deleted docs forever), so it refuses by name. A
+    df-capped posting table (``_min_df``/``_max_df`` stamps) refuses
+    too: pruned tokens cannot be repaired incrementally and the
+    patch would strip the stamps that make serving refuse.
+
+    ``buckets``: None re-saves with the artifact's own stamped
+    layout (0 if bootstrapping); pass an explicit count to force a
+    layout — and to PRESERVE one across a corpus-emptying batch (a
+    zero-row table carries no stamp rows, so an inherit-only policy
+    would silently flatten the layout on the next batch).
 
     Save order is POSTINGS FIRST, deliberately: the posting patch
     reads the PRE-fold stats for removed docs' old tokens, so the
@@ -281,55 +332,62 @@ def start_search_maintenance_stream(
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        jvm = spark._jvm
-
-        def _exists_nonempty(path: str):
-            jpath = jvm.org.apache.hadoop.fs.Path(path)
-            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-            if not fs.exists(jpath):
-                return None
-            df = spark.read.parquet(path)
-            return None if df.isEmpty() else df
-
-        old_stats = None
-        raw_stats = _exists_nonempty(bm25_path)
-        if raw_stats is not None:
-            old_stats, n_stamped = invindex.load_bm25_stats(
-                spark, bm25_path
+        old_stats = _load_maintained_stats(
+            spark, bm25_path, "start_search_maintenance_stream"
+        )
+        raw_post = _probe_artifact(spark, postings_path)
+        if (old_stats is None) != (raw_post is None):
+            have, miss = (
+                (bm25_path, postings_path)
+                if raw_post is None
+                else (postings_path, bm25_path)
             )
-            n_rows = old_stats.count()
-            if n_stamped != n_rows:
-                raise ValueError(
-                    "start_search_maintenance_stream: artifact at "
-                    f"{bm25_path!r} stamps N={n_stamped} but holds "
-                    f"{n_rows} rows — built without keep_empty_docs "
-                    "rows; rebuild with build_bm25_stats("
-                    "keep_empty_docs=True) before stream maintenance"
-                )
-            # the posting patch reads old_stats AFTER the postings
-            # overwrite below severs nothing for it — pin the frame
-            # so the fold cannot observe a half-written state
-            old_stats = old_stats.localCheckpoint(eager=True)
+            raise ValueError(
+                "start_search_maintenance_stream: artifact at "
+                f"{have!r} exists but {miss!r} does not — the two "
+                "are maintained together (a lone fold would miss "
+                "the other's corpus or orphan deleted docs); "
+                "bootstrap both from the same corpus snapshot "
+                "(build_bm25_stats(keep_empty_docs=True) + "
+                "build_postings) or start both fresh"
+            )
         postings = None
-        buckets = 0
-        raw_post = _exists_nonempty(postings_path)
+        stamped_buckets = 0
         if raw_post is not None:
+            if (
+                "_min_df" in raw_post.columns
+                or "_max_df" in raw_post.columns
+            ):
+                raise ValueError(
+                    "start_search_maintenance_stream: posting table "
+                    f"at {postings_path!r} was built with df caps — "
+                    "pruned tokens cannot be repaired incrementally; "
+                    "rebuild without caps for stream maintenance"
+                )
             if "_buckets" in raw_post.columns:
-                buckets = int(raw_post.select("_buckets").first()["_buckets"])
+                stamped_buckets = int(
+                    raw_post.select("_buckets").first()["_buckets"]
+                )
             postings = invindex.load_postings(spark, postings_path)
-        new_postings = fold_postings_batch(
-            postings, old_stats, batch,
-            id_col=id_col, text_col=text_col, op_col=op_col,
+        layout = stamped_buckets if buckets is None else int(buckets)
+        # arbitrate ONCE and pin: the two folds must see the SAME
+        # surviving row per id — a duplicate-seq tie re-arbitrated
+        # per fold could index one text in the postings and another
+        # in the stats tf_map, permanently diverging the artifacts
+        b, alive = _arbitrate_batch(
+            batch, id_col=id_col, text_col=text_col, op_col=op_col,
             delete_op=delete_op, seq_col=seq_col,
+        )
+        new_postings = _fold_postings(
+            postings, old_stats, b, alive, id_col=id_col,
+            text_col=text_col,
         ).localCheckpoint(eager=True)
-        new_stats = fold_bm25_batch(
-            old_stats, batch,
-            id_col=id_col, text_col=text_col, op_col=op_col,
-            delete_op=delete_op, seq_col=seq_col,
+        new_stats = _fold_bm25(
+            old_stats, b, alive, id_col=id_col, text_col=text_col
         ).localCheckpoint(eager=True)
         n_new = new_stats.count()
         invindex.save_postings(
-            new_postings, postings_path, n_docs=n_new, buckets=buckets
+            new_postings, postings_path, n_docs=n_new, buckets=layout
         )
         invindex.save_bm25_stats(new_stats, bm25_path, n_docs=n_new)
 

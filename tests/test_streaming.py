@@ -2741,3 +2741,67 @@ def test_search_maintenance_stream_folds_both_artifacts(spark, tmp_path):
     assert canon(
         invindex.bm25_from_stats(stats2, ["alpha", "delta"], n_docs=n2)
     ) == canon(invindex.bm25_scores(final, ["alpha", "delta"]))
+    # THE retry window the except-both-sides patch exists for:
+    # postings saved, stats NOT — the retried patch re-runs with
+    # PRE-fold stats against POST-fold postings and must be the
+    # identity (a changed doc's newly-added token is already in the
+    # postings but absent from rm; except-rm-only would duplicate it)
+    import pytest as _pytest
+
+    pre_stats = invindex.build_bm25_stats(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "beta beta delta"),
+             (3, "gamma solo")],
+            "doc_id long, text string",
+        ),
+        keep_empty_docs=True,
+    )
+    pre_post = invindex.build_postings(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "beta beta delta"),
+             (3, "gamma solo")],
+            "doc_id long, text string",
+        )
+    )
+    replay_batch = spark.createDataFrame(
+        batches[1], "doc_id long, text string, op string, seq long"
+    )
+    once = index_maintenance.fold_postings_batch(
+        pre_post, pre_stats, replay_batch, op_col="op", seq_col="seq"
+    )
+    twice = index_maintenance.fold_postings_batch(
+        once, pre_stats, replay_batch, op_col="op", seq_col="seq"
+    )
+    assert canon_post(twice) == canon_post(once) == canon_post(fresh_post)
+    # mixed artifact presence refuses: stats without postings would
+    # orphan deletes / miss corpus — stream dies with the named error
+    lone = str(tmp_path / "lone_bm25")
+    invindex.save_bm25_stats(
+        invindex.build_bm25_stats(final, keep_empty_docs=True),
+        lone, n_docs=3,
+    )
+    q = index_maintenance.start_search_maintenance_stream(
+        stream(), bm25_path=lone,
+        postings_path=str(tmp_path / "nope_post"),
+        checkpoint_dir=str(tmp_path / "sckpt2"),
+        op_col="op", seq_col="seq", available_now=True,
+    )
+    with _pytest.raises(Exception, match="maintained together"):
+        q.awaitTermination(120)
+        raise AssertionError("lone-artifact stream did not refuse")
+    q.stop()
+    # a df-capped posting table refuses (pruned tokens can't be
+    # repaired; the patch would strip the refusal stamps)
+    capped = str(tmp_path / "capped_post")
+    invindex.save_postings(
+        invindex.build_postings(final, max_df=2), capped, n_docs=3
+    )
+    q = index_maintenance.start_search_maintenance_stream(
+        stream(), bm25_path=lone, postings_path=capped,
+        checkpoint_dir=str(tmp_path / "sckpt3"),
+        op_col="op", seq_col="seq", available_now=True,
+    )
+    with _pytest.raises(Exception, match="df caps"):
+        q.awaitTermination(120)
+        raise AssertionError("capped-artifact stream did not refuse")
+    q.stop()
