@@ -101,7 +101,10 @@ def main() -> None:
     # hides the alphabetically-late queries from the 2×-regression
     # check. The sidecar is the complete record; the printed line
     # remains the driver contract.
-    if not only:  # a BENCH_ONLY subset must not clobber the full record
+    # Only a FULL run at the default sf updates the sidecar: a
+    # BENCH_ONLY subset or an sf1 probe run would clobber the sf0.1
+    # record the per-round regression check reads (it happened).
+    if not only and SF_DIR == "/root/testdata/sf0.1":
         sidecar = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
         )
