@@ -2780,6 +2780,65 @@ WHERE greatest(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END,
 """
 
 
+def _q_funnel_conversion(spark, sf_dir):
+    """The funnel aggregated into its conversion table (W2-style
+    bounded output, |steps| rows): users reaching >= each step and
+    the conversion rate from step 1 — funnel_summary composed over
+    funnel_steps, so the gate pins the whole funnel->rollup chain.
+    Integer user counts; the rate is ONE division of two exact
+    integers, rounded 6dp."""
+    events = load_table(spark, sf_dir, "events")
+    return journeys.funnel_summary(
+        journeys.funnel_steps(events, _FUNNEL_STEPS), _FUNNEL_STEPS
+    )
+
+
+_FUNNEL_CONVERSION_SQL = """
+WITH l1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS tv
+  FROM events
+),
+l2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > tv THEN ts END)
+              OVER (PARTITION BY user_id) AS tc
+  FROM l1
+),
+l3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > tc THEN ts END)
+              OVER (PARTITION BY user_id) AS tp
+  FROM l2
+),
+pu AS (
+  SELECT user_id, any_value(tv) AS tv, any_value(tc) AS tc,
+         any_value(tp) AS tp
+  FROM l3 GROUP BY 1
+),
+sr AS (
+  SELECT greatest(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END,
+                  CASE WHEN tc IS NOT NULL THEN 2 ELSE 0 END,
+                  CASE WHEN tp IS NOT NULL THEN 3 ELSE 0 END) AS step_reached
+  FROM pu
+),
+c AS (
+  SELECT CAST(coalesce(sum(CASE WHEN step_reached >= 1 THEN 1 END), 0)
+              AS BIGINT) AS n0,
+         CAST(coalesce(sum(CASE WHEN step_reached >= 2 THEN 1 END), 0)
+              AS BIGINT) AS n1,
+         CAST(coalesce(sum(CASE WHEN step_reached >= 3 THEN 1 END), 0)
+              AS BIGINT) AS n2
+  FROM sr WHERE step_reached > 0
+)
+SELECT 1 AS step_idx, 'view' AS step, n0 AS n_users,
+       round(n0 / nullif(n0, 0), 6) AS conversion_from_first FROM c
+UNION ALL
+SELECT 2, 'click', n1, round(n1 / nullif(n0, 0), 6) FROM c
+UNION ALL
+SELECT 3, 'purchase', n2, round(n2 / nullif(n0, 0), 6) FROM c
+"""
+
+
 def _q_cohort_retention(spark, sf_dir):
     """Cohort retention matrix keyed on each user's first-event date,
     7-day periods by integer day arithmetic (no week-start convention
@@ -4143,6 +4202,11 @@ QUERIES: dict[str, QuerySpec] = {
         "strictly-ordered per-user funnel (view→click→purchase): "
         "layered conditional-min windows over ONE user-key shuffle, "
         "epoch-second outputs",
+    ),
+    "funnel_conversion": QuerySpec(
+        _q_funnel_conversion, _FUNNEL_CONVERSION_SQL,
+        "funnel conversion table: users reaching >= each step + rate "
+        "from step 1 — the funnel->rollup chain, bounded |steps| rows",
     ),
     "cohort_retention": QuerySpec(
         _q_cohort_retention, _COHORT_SQL,
