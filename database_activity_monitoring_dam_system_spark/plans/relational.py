@@ -679,7 +679,164 @@ GROUP BY 1
 """
 
 
+def _idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with an above-(global positive)-
+    average balance and NO ORDER since 2000 (lapsed), rolled up by
+    nation — the scalar AVG subquery decorrelated into ONE broadcast
+    (total, count) pair and the NOT EXISTS into a left-anti join
+    against the distinct recent-order customer keys. The
+    above-average predicate is the exact integer form
+    bal_cents · n_pos > total_pos_cents, so no cross-engine float
+    division can flip a boundary customer; the positivity filter is
+    bal_cents > 0 (same integer both engines).
+
+    Scale shape: customer scans once; the scalar aggregate broadcasts
+    two longs; the anti-join probe side is the distinct o_custkey set
+    of the pushed-down date slice (shrinks in the map-side combine),
+    never raw orders."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    cust = customer.withColumn("_bal_cents", _cents(F.col("c_acctbal")))
+    pos = (
+        cust.filter(F.col("_bal_cents") > 0)
+        .agg(
+            F.sum("_bal_cents").alias("_tot_pos"),
+            F.count("*").alias("_n_pos"),
+        )
+    )
+    idle = (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("_bal_cents") * F.col("_n_pos") > F.col("_tot_pos"))
+        .join(
+            orders.select("o_custkey").distinct(),
+            cust.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.round(
+            F.sum("_bal_cents") / F.lit(100).cast("double"), 2
+        ).alias("total_acctbal"),
+    )
+
+
+_Q22_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS bal_cents
+  FROM customer
+),
+pos AS (
+  SELECT CAST(sum(bal_cents) AS BIGINT) AS tot_pos,
+         count(*)::BIGINT AS n_pos
+  FROM c WHERE bal_cents > 0
+)
+SELECT c_nationkey, count(*)::BIGINT AS numcust,
+       round(CAST(sum(bal_cents) AS BIGINT) / CAST(100 AS DOUBLE), 2)
+         AS total_acctbal
+FROM c, pos
+WHERE bal_cents * n_pos > tot_pos
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
+def _dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested IN-subquery over a correlated
+    line-level aggregate ("suppliers whose 1995 shipments of a small
+    part exceed HALF that part's total 1995 shipments") decorrelated
+    into one (part, supplier) aggregate plus one window total per
+    part — raw lineitem shuffles exactly ONCE (into the aggregate);
+    the window's partkey-only exchange moves the already-reduced
+    (part, supplier) frame, bounded by parts x suppliers-per-part,
+    never by line count. The dominance
+    predicate is exact integer millis (2·ps_qty > part_qty); the
+    part-size filter rides a broadcast dim join; supplier names
+    attach to the (tiny) qualifying set only, never to raw lineitem.
+
+    Reference analogue: the severity-aggregation-then-selection
+    pattern of app.py's per-user anomaly thresholds, lifted to the
+    two-level relational form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    supplier = load_table(spark, sf_dir, "supplier")
+    from pyspark.sql import Window
+
+    qty_m = F.floor(F.col("l_quantity") * 1000).cast("long")
+    ps = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == part.p_partkey,
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qty_m).alias("ps_qty_millis"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dom = ps.withColumn(
+        "part_qty_millis", F.sum("ps_qty_millis").over(w)
+    ).filter(F.col("ps_qty_millis") * 2 > F.col("part_qty_millis"))
+    return (
+        dom.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_parts_dominated"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            "s_name",
+            "n_parts_dominated",
+        )
+    )
+
+
+_Q20_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(floor(l_quantity * 1000) AS BIGINT)) AS BIGINT)
+           AS ps_qty_millis
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size <= 10
+    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (
+  SELECT l_partkey, l_suppkey, ps_qty_millis,
+         CAST(sum(ps_qty_millis) OVER (PARTITION BY l_partkey) AS BIGINT)
+           AS part_qty_millis
+  FROM ps
+)
+SELECT l_suppkey AS suppkey, s_name,
+       count(*)::BIGINT AS n_parts_dominated
+FROM tot JOIN supplier ON l_suppkey = s_suppkey
+WHERE ps_qty_millis * 2 > part_qty_millis
+GROUP BY l_suppkey, s_name
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "idle_rich_customers": QuerySpec(
+        _idle_rich_customers, _Q22_SQL,
+        "Q22 shape: above-global-average balance + NOT EXISTS orders "
+        "as broadcast scalar + anti-join, integer-cents predicate",
+    ),
+    "dominant_part_suppliers": QuerySpec(
+        _dominant_part_suppliers, _Q20_SQL,
+        "Q20 shape: nested line-level aggregate IN-subquery as one "
+        "two-level aggregate sharing a single shuffle, integer-millis "
+        "dominance predicate",
+    ),
     "cheapest_supplier_per_part": QuerySpec(
         _cheapest_supplier_per_part, _CHEAPEST_SQL,
         "Q2 shape: argmin-per-group decorrelation — per-part minimum "

@@ -616,3 +616,31 @@ def test_decorrelation_gates_never_sort_merge(spark):
     # the dim scan, not evaluated post-join
     assert q2.count("Exchange") <= 2, q2.count("Exchange")
     assert "PushedFilters: [IsNotNull(p_size), GreaterThan(p_size" in q2
+
+
+def test_q20_q22_decorrelation_shapes(spark):
+    """Round-9 Q20/Q22 additions: Q20's only SHUFFLE of raw lineitem
+    is the (part, supplier) aggregate — the window total and the
+    supplier-name join move reduced frames (part dim + supplier dim
+    broadcast, no SortMergeJoin anywhere); Q22's scalar threshold is
+    a broadcast nested-loop over a one-row aggregate and the
+    shipdate/size filters reach the scans."""
+    q20 = _plan(spark, "dominant_part_suppliers")
+    assert "SortMergeJoin" not in q20
+    assert "BroadcastHashJoin" in q20
+    # lineitem scan keeps only the join/agg/filter columns
+    read = q20.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read and "l_returnflag" not in read
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in q20
+    # agg exchange + window exchange + final supplier-group exchange:
+    # bounded, and every one moves a reduced frame
+    assert q20.count("Exchange hashpartitioning") <= 3, q20.count(
+        "Exchange hashpartitioning"
+    )
+
+    q22 = _plan(spark, "idle_rich_customers")
+    # the (total, count) scalar broadcasts — never a shuffled join
+    assert "BroadcastNestedLoopJoin" in q22
+    # the NOT EXISTS is a true anti join against distinct keys
+    assert "LeftAnti" in q22
+    assert "SortMergeJoin" not in q22
