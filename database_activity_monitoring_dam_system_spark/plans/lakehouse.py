@@ -736,6 +736,142 @@ WHERE NOT (chg_wins AND op = 'D')
 """
 
 
+def _q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel parity: the cdc_apply scenario replayed only UP TO
+    a mid-journal cut (60% of the max event id, data-derived so the
+    cut scales with the corpus) — changes after the cut, including
+    deletes, must be invisible; changes at or before it arbitrate
+    exactly as the live merge would. The oracle recomputes the slice
+    + arbitration relationally, so the hash pins the inclusive cut
+    AND the replay semantics together."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("millis"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    base = (
+        e.filter(F.col("event_id") % 2 == 0)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", "event_type", "millis",
+            F.col("event_id").alias("seq"),
+        )
+    )
+    changes = e.filter(F.col("event_id") % 2 == 1).select(
+        "user_id",
+        "event_type",
+        "millis",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 10 == 5, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    mx = int(e.agg(F.max("event_id")).first()[0])
+    cut = (3 * mx) // 5
+    return cdc.snapshot_as_of(
+        base, changes, key_cols=["user_id"], seq_col="seq", as_of=cut
+    )
+
+
+_TIME_TRAVEL_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS millis
+  FROM events
+),
+base AS (
+  SELECT user_id, event_type, millis, event_id AS seq FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY event_id DESC) AS rn
+    FROM e WHERE event_id % 2 = 0
+  ) WHERE rn = 1
+),
+cut AS (
+  SELECT (3 * max(event_id)) // 5 AS c FROM e
+),
+chg AS (
+  SELECT user_id, event_type, millis, event_id AS seq,
+         CASE WHEN event_id % 10 = 5 THEN 'D' ELSE 'U' END AS op
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY event_id DESC) AS rn
+    FROM e
+    WHERE event_id % 2 = 1 AND event_id <= (SELECT c FROM cut)
+  ) WHERE rn = 1
+),
+arb AS (
+  SELECT coalesce(b.user_id, c.user_id) AS user_id,
+         (c.seq IS NOT NULL AND (b.seq IS NULL OR c.seq > b.seq))
+           AS chg_wins,
+         b.event_type AS b_et, b.millis AS b_m, b.seq AS b_s,
+         c.event_type AS c_et, c.millis AS c_m, c.seq AS c_s, c.op
+  FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+)
+SELECT user_id,
+       CASE WHEN chg_wins THEN c_et ELSE b_et END AS event_type,
+       CASE WHEN chg_wins THEN c_m ELSE b_m END AS millis,
+       CASE WHEN chg_wins THEN c_s ELSE b_s END AS seq
+FROM arb
+WHERE NOT (chg_wins AND op = 'D')
+"""
+
+
+def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 parity: the odd-event changelog rendered as
+    validity intervals — valid_from = each change's own sequence,
+    valid_to = the key's NEXT change (deletes close the preceding
+    interval, then drop out; NULL valid_to = current). The oracle
+    recomputes the lead over all changes including deletes, so the
+    hash pins the delete-closes-interval rule, not just the happy
+    path."""
+    events = load_table(spark, sf_dir, "events")
+    changes = events.select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("millis"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 10 == 5, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    ).filter(F.col("seq") % 2 == 1)
+    return cdc.scd2_intervals(
+        changes, key_cols=["user_id"], seq_col="seq"
+    ).select(
+        "user_id",
+        F.col("seq").alias("valid_from"),
+        "valid_to",
+        "is_current",
+        "event_type",
+        "millis",
+    )
+
+
+_SCD2_SQL = """
+WITH chg AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS millis,
+         event_id AS seq,
+         CASE WHEN event_id % 10 = 5 THEN 'D' ELSE 'U' END AS op
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT user_id, seq AS valid_from, valid_to,
+       (valid_to IS NULL) AS is_current, event_type, millis
+FROM (
+  SELECT user_id, event_type, millis, seq, op,
+         lead(seq) OVER (PARTITION BY user_id ORDER BY seq)
+           AS valid_to
+  FROM chg
+)
+WHERE op != 'D'
+"""
+
+
 def _q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent table digest over the events rows (exact
     integer projection — doubles and timestamps stringify
@@ -1091,6 +1227,18 @@ QUERIES: dict[str, QuerySpec] = {
         "delete-journal CDC arbitration: a stale pre-delete segment "
         "redelivered out of order cannot re-insert dead keys, while "
         "changes sequenced above the tombstone still resurrect them",
+    ),
+    "snapshot_time_travel": QuerySpec(
+        _q_snapshot_time_travel, _TIME_TRAVEL_SQL,
+        "CDC time travel: snapshot_as_of slices the journal at a "
+        "data-derived cut and replays through the live merge's own "
+        "arbitration — point-in-time audit on plain parquet",
+    ),
+    "scd2_history": QuerySpec(
+        _q_scd2_history, _SCD2_SQL,
+        "SCD Type 2 view of the changelog: one window turns changes "
+        "into validity intervals; deletes close the preceding span "
+        "and vanish — serves any as-of point query as a BETWEEN",
     ),
     "table_checksum": QuerySpec(
         _q_table_checksum, _CHECKSUM_SQL,

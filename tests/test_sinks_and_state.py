@@ -413,3 +413,103 @@ def test_zorder_layout_prunes_row_groups(spark, tmp_path):
         assert "x" in pushed and "y" in pushed
     assert u_emitted == n                           # control: no skip
     assert z_emitted < n / 4                        # real row-group skip
+
+
+# ---------------------------------------------------------------- time travel
+
+
+def _tt_base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, val string, seq long",
+    )
+
+
+def _tt_journal(spark):
+    # k=1: updated then deleted; k=2: updated twice; k=4: inserted
+    # then updated; k=3: untouched
+    return spark.createDataFrame(
+        [
+            (1, "a2", 40, "U"),
+            (2, "b2", 50, "U"),
+            (4, "d", 60, "U"),
+            (1, None, 70, "D"),
+            (2, "b3", 80, "U"),
+            (4, "d2", 90, "U"),
+        ],
+        "k long, val string, seq long, op string",
+    )
+
+
+def test_snapshot_as_of_points(spark):
+    """Every cut reconstructs exactly the state the live merge would
+    have held at that sequence; the final cut equals a full
+    apply_changes."""
+    from database_activity_monitoring_dam_system_spark.operators import cdc
+
+    base, journal = _tt_base(spark), _tt_journal(spark)
+
+    def state(as_of):
+        rows = cdc.snapshot_as_of(
+            base, journal, key_cols=["k"], seq_col="seq", as_of=as_of
+        ).collect()
+        return {r["k"]: (r["val"], r["seq"]) for r in rows}
+
+    # before the journal: base verbatim
+    assert state(39) == {1: ("a", 10), 2: ("b", 20), 3: ("c", 30)}
+    # inclusive cut at the first update
+    assert state(40) == {1: ("a2", 40), 2: ("b", 20), 3: ("c", 30)}
+    # after the delete of k=1, before k=2's second update
+    assert state(70) == {2: ("b2", 50), 3: ("c", 30), 4: ("d", 60)}
+    # end of journal ≡ full merge
+    full = cdc.apply_changes(
+        base, journal, key_cols=["k"], seq_col="seq"
+    ).collect()
+    assert state(90) == {r["k"]: (r["val"], r["seq"]) for r in full}
+
+
+def test_snapshot_as_of_timestamp_axis(spark):
+    """Wall-clock travel slices on the commit-time column while the
+    arbitration still runs on the sequence."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from database_activity_monitoring_dam_system_spark.operators import cdc
+
+    base = _tt_base(spark)
+    t0 = dtm.datetime(2024, 1, 1)
+    journal = _tt_journal(spark).withColumn(
+        "committed_at",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        + F.make_interval(mins=(F.col("seq") - 40) / 10),
+    )
+    got = cdc.snapshot_as_of(
+        base,
+        journal,
+        key_cols=["k"],
+        seq_col="seq",
+        as_of=t0 + dtm.timedelta(minutes=3),  # covers seqs 40..70
+        as_of_col="committed_at",
+    ).collect()
+    assert {r["k"]: r["val"] for r in got} == {2: "b2", 3: "c", 4: "d"}
+
+
+def test_scd2_intervals_semantics(spark):
+    """Deletes close the preceding interval then vanish; the last
+    live change per key is current; untouched spans are [seq, next)."""
+    from database_activity_monitoring_dam_system_spark.operators import cdc
+
+    journal = _tt_journal(spark)
+    rows = cdc.scd2_intervals(
+        journal, key_cols=["k"], seq_col="seq"
+    ).collect()
+    ivals = {(r["k"], r["seq"]): (r["valid_to"], r["is_current"]) for r in rows}
+    # k=1's update closes at its delete and nothing is current
+    assert ivals[(1, 40)] == (70, False)
+    assert not any(k == 1 and cur for (k, _), (_, cur) in ivals.items())
+    # k=2: first update closed by the second, second current
+    assert ivals[(2, 50)] == (80, False)
+    assert ivals[(2, 80)] == (None, True)
+    # the delete row itself emits no interval
+    assert (1, 70) not in ivals
