@@ -97,6 +97,99 @@ def volume_flags(
     )
 
 
+def user_hourly_robust_baseline(
+    activity: DataFrame,
+    *,
+    ts_col: str = "access_timestamp",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """A7's robust twin: per-user MEDIAN and MAD (median absolute
+    deviation) of per-(day,hour) counts. A handful of burst hours
+    drag a mean/stddev baseline upward until the bursts themselves
+    look normal (masking); order statistics have a 50% breakdown
+    point, so the baseline stays put. Cross-engine exactness: counts
+    are integers, so every interpolated median is a multiple of 0.5
+    and every MAD a multiple of 0.25 — exactly representable, no
+    float-fold drift.
+
+    Two hash aggregates on the same user key plus one broadcast join
+    of the (users-sized) median frame — the per-hour frame never
+    re-scans raw activity."""
+    per_hour = (
+        activity.filter(F.col(user_col).isNotNull())
+        .groupBy(
+            F.col(user_col),
+            F.to_date(ts_col).alias("day"),
+            F.hour(ts_col).alias("hour"),
+        )
+        .agg(F.count("*").alias("queries_per_hour"))
+    )
+    med = per_hour.groupBy(user_col).agg(
+        F.percentile("queries_per_hour", 0.5).alias("med_queries")
+    )
+    dev = per_hour.join(F.broadcast(med), user_col).withColumn(
+        "_dev", F.abs(F.col("queries_per_hour") - F.col("med_queries"))
+    )
+    return dev.groupBy(user_col).agg(
+        F.min("med_queries").alias("med_queries"),
+        F.percentile("_dev", 0.5).alias("mad_queries"),
+    )
+
+
+def robust_volume_flags(
+    hourly: DataFrame,
+    baseline: DataFrame,
+    *,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """The ONE median+k·MAD arbitration (volume_flags' robust twin,
+    same shared-definition discipline): keep (user, hour_bucket)
+    rows whose count exceeds med + 4.4478·MAD — 3σ-equivalent under
+    normality (3 × the 1.4826 consistency constant), but immune to
+    the bursts inflating a stddev baseline. Degenerate MAD (0: the
+    user's hours are >50% identical) falls back to 1, mirroring
+    volume_flags' NULL/0-std default."""
+    mad = F.coalesce(
+        F.when(F.col("mad_queries") != 0, F.col("mad_queries")),
+        F.lit(1.0),
+    )
+    return (
+        hourly.join(F.broadcast(baseline), user_col, "inner")
+        .filter(F.col("cnt") > F.col("med_queries") + 4.4478 * mad)
+        .select(
+            user_col,
+            "hour_bucket",
+            "cnt",
+            F.round("med_queries", 4).alias("med_queries"),
+            F.round("mad_queries", 4).alias("mad_queries"),
+        )
+    )
+
+
+def robust_volume_anomalies(
+    activity: DataFrame,
+    baseline: DataFrame | None = None,
+    *,
+    ts_col: str = "access_timestamp",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """R6's robust twin: hour buckets whose count exceeds the
+    median + 4.4478·MAD gate. Same frame plumbing as
+    :func:`volume_anomalies`; only the arbitration differs
+    (:func:`robust_volume_flags`), so the streaming twin can serve
+    either detector from the same windowed counts."""
+    if baseline is None:
+        baseline = user_hourly_robust_baseline(
+            activity, ts_col=ts_col, user_col=user_col
+        )
+    hourly = (
+        activity.filter(F.col(user_col).isNotNull())
+        .groupBy(F.col(user_col), F.date_trunc("hour", ts_col).alias("hour_bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    return robust_volume_flags(hourly, baseline, user_col=user_col)
+
+
 def login_ip_pairs(
     logins: DataFrame,
     *,

@@ -555,6 +555,42 @@ WHERE h.cnt > b.avg_queries
 """
 
 
+def _q_robust_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return anomaly.robust_volume_anomalies(_activity(spark, sf_dir))
+
+
+_ROBUST_VOLUME_SQL = f"""
+WITH {ACTIVITY_CTE},
+per_hour AS (
+  SELECT user_id, CAST(access_timestamp AS DATE) AS day,
+         hour(access_timestamp) AS hour, count(*) AS queries_per_hour
+  FROM activity WHERE user_id IS NOT NULL GROUP BY 1, 2, 3
+),
+med AS (
+  SELECT user_id, median(queries_per_hour) AS med_queries
+  FROM per_hour GROUP BY user_id
+),
+robust AS (
+  SELECT p.user_id, min(m.med_queries) AS med_queries,
+         median(abs(p.queries_per_hour - m.med_queries)) AS mad_queries
+  FROM per_hour p JOIN med m ON p.user_id = m.user_id
+  GROUP BY p.user_id
+),
+hourly AS (
+  SELECT user_id, date_trunc('hour', access_timestamp) AS hour_bucket,
+         count(*) AS cnt
+  FROM activity WHERE user_id IS NOT NULL GROUP BY 1, 2
+)
+SELECT h.user_id, h.hour_bucket, h.cnt,
+       round(b.med_queries, 4) AS med_queries,
+       round(b.mad_queries, 4) AS mad_queries
+FROM hourly h JOIN robust b ON h.user_id = b.user_id
+WHERE h.cnt > b.med_queries
+      + 4.4478 * coalesce(CASE WHEN b.mad_queries != 0
+                               THEN b.mad_queries END, 1.0)
+"""
+
+
 def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C-class JSON scalar path: parse events.props (SURVEY.md §1.3 JSON
     row) and aggregate — stays JVM-side via get_json_object."""
@@ -937,6 +973,12 @@ FROM activity WHERE table_name IN ('payments','credit_cards')
     ),
     "volume_anomalies": QuerySpec(
         _q_volume_anomalies, _VOLUME_SQL, "R6 volume spike vs 3σ baseline",
+    ),
+    "robust_volume_anomalies": QuerySpec(
+        _q_robust_volume_anomalies, _ROBUST_VOLUME_SQL,
+        "R6 robust twin: volume spike vs median + 4.4478·MAD — "
+        "burst-immune baseline (50% breakdown), exact 0.25-grain "
+        "order statistics over integer counts",
     ),
     "json_props_extract": QuerySpec(
         _q_json_props, _JSON_PROPS_SQL, "JSON scalar extraction + aggregate",

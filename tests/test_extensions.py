@@ -3721,3 +3721,71 @@ def test_bm25_artifact_serves_and_folds_deltas(spark, tmp_path):
             stats2, ["zzzznotaterm"], n_docs=n2
         )
     ) == canon(invindex.bm25_scores(new, ["zzzznotaterm"]))
+
+
+# --------------------------------------------------------- robust anomalies
+
+
+def test_robust_baseline_resists_burst_masking(spark):
+    """The defining property: a user whose history contains a few
+    huge burst hours gets a stddev baseline inflated enough to mask
+    a fresh burst, while the median/MAD baseline (50% breakdown)
+    still flags it. Exact med/MAD values are pinned."""
+    from database_activity_monitoring_dam_system_spark.operators import anomaly
+
+    # 12 quiet hours of 5 queries, 2 historical bursts of 200 —
+    # then the hour under test repeats a 200-query burst
+    rows = []
+    aid = 0
+    for h in range(12):
+        for _ in range(5):
+            rows.append((aid, 7, f"2024-03-01 {h:02d}:10:00")); aid += 1
+    for h, n in ((12, 200), (13, 200), (14, 200)):
+        for _ in range(n):
+            rows.append((aid, 7, f"2024-03-01 {h:02d}:20:00")); aid += 1
+    from pyspark.sql import functions as F
+
+    act = spark.createDataFrame(
+        rows, "activity_id long, user_id long, ts string"
+    ).select(
+        "activity_id", "user_id",
+        F.to_timestamp("ts").alias("access_timestamp"),
+    )
+
+    robust = anomaly.user_hourly_robust_baseline(act).first()
+    # 12×5 + 3×200 → median 5, deviations {0×12, 195×3} → MAD 0 → min
+    assert robust["med_queries"] == 5.0
+    assert robust["mad_queries"] == 0.0
+
+    flagged = anomaly.robust_volume_anomalies(act)
+    got = {r["hour_bucket"].hour for r in flagged.collect()}
+    assert {12, 13, 14} <= got  # bursts flagged (5 + 4.4478·1 < 200)
+
+    # the mean/σ detector is masked: baseline avg=44, σ≈77.7 →
+    # threshold ≈ 277 > 200, so it flags NOTHING
+    classic = anomaly.volume_anomalies(act)
+    assert classic.count() == 0
+
+
+def test_robust_baseline_exact_quarter_grain(spark):
+    """Even-count medians interpolate to exact .5 / .25 multiples —
+    the cross-engine exactness the gate's hash relies on."""
+    from pyspark.sql import functions as F
+
+    from database_activity_monitoring_dam_system_spark.operators import anomaly
+
+    rows = []
+    aid = 0
+    # counts per hour: 1, 2, 4, 8 → median 3.0; devs {2,1,1,5} → MAD 1.5
+    for h, n in ((0, 1), (1, 2), (2, 4), (3, 8)):
+        for _ in range(n):
+            rows.append((aid, 1, f"2024-03-02 {h:02d}:00:30")); aid += 1
+    act = spark.createDataFrame(
+        rows, "activity_id long, user_id long, ts string"
+    ).select(
+        "activity_id", "user_id",
+        F.to_timestamp("ts").alias("access_timestamp"),
+    )
+    b = anomaly.user_hourly_robust_baseline(act).first()
+    assert b["med_queries"] == 3.0
+    assert b["mad_queries"] == 1.5
