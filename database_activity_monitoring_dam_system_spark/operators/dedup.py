@@ -168,6 +168,89 @@ def jaccard_prefix_candidates(
     )
 
 
+def containment_prefix_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    shingle: int = 3,
+) -> DataFrame:
+    """EXACT directed containment join: pairs (a → b), a ≠ b, with
+    C(a→b) = |T(a) ∩ T(b)| / |T(a)| ≥ t — the NEAR-SUPERSET detector
+    symmetric Jaccard is blind to (a quote-with-commentary page, a
+    mirror wrapping a doc in boilerplate: Jaccard shrinks with the
+    wrapper's extra tokens, containment of the original stays ≈ 1;
+    the distinction training-data dedup cares about when the short
+    doc is the one worth keeping).
+
+    Asymmetric prefix theorem (the PPJoin containment variant): under
+    one global token order, if C(a→b) ≥ t then b shares one of a's
+    first n_a − ⌈t·n_a⌉ + 1 tokens — b can miss at most that many of
+    a's tokens. So only the PROBE side (a) is prefix-cut
+    (rarest-first order → near-empty candidate lists); the INDEXED
+    side (b) must keep every token, because a superset's extra
+    tokens are arbitrary — this full-side index is exactly the
+    inverted-list shape, and is why containment candidates cost more
+    than Jaccard's prefix×prefix join (both sides cut). Every
+    candidate verifies EXACTLY from the two full arrays; lossless vs
+    the naive all-pairs join (gate-pinned against that oracle).
+
+    Shuffle shape: one document-frequency aggregate, one rank window
+    per doc, the prefix×full token join (candidates ∝ Σ_prefix-token
+    df), two id-keyed array fetches, zero-shuffle array_intersect
+    verify. Containment is single integer-over-integer division on
+    both engines — no float-fold drift."""
+    sharr = token_arrays(
+        docs, id_col=id_col, text_col=text_col, shingle=shingle
+    ).select(id_col, "toks")
+    sized = sharr.withColumn("_n", F.size("toks"))
+    toks = sized.select(id_col, "_n", F.explode("toks").alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("_df"))
+    ranked = toks.join(dfreq, "tok").withColumn(
+        "_pos",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("tok"))
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("_pos")
+        <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    ).select(id_col, "tok")
+    full = toks.select(id_col, "tok")
+    cands = (
+        prefix.alias("a")
+        .join(
+            full.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = sized.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("_n").alias("n_a"),
+    )
+    b = sharr.select(
+        F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("containment", inter / F.col("n_a"))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "doc_a", "doc_b", F.round("containment", 4).alias("containment")
+        )
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     *,

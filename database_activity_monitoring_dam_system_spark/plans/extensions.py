@@ -149,6 +149,48 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= {_PREFIX_T}
 """
 
 
+def _q_containment_pairs(spark, sf_dir):
+    """Directed near-superset join (containment ≥ t over 3-shingles)
+    — the oracle computes naive all-directed-pairs containment, so
+    the hash proves the asymmetric prefix filter (probe side cut,
+    indexed side full) lossless."""
+    return dedup.containment_prefix_pairs(
+        _docs(spark, sf_dir),
+        threshold=_PREFIX_T,
+        shingle=_PREFIX_SHINGLE,
+    )
+
+
+_CONTAINMENT_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, w,
+         unnest(generate_series(0, greatest(len(w) - {_PREFIX_SHINGLE}, 0)))
+           AS p
+  FROM t
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[p+1:p+{_PREFIX_SHINGLE}], ' ') AS tok
+  FROM pos
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(c * 1.0 / sa.n, 4) AS containment
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+WHERE c * 1.0 / sa.n >= {_PREFIX_T}
+"""
+
+
 _EDIT_D = 2
 
 
@@ -4062,6 +4104,12 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(
         _q_dedup_exact, _DEDUP_EXACT_SQL,
         "exact dedup via normalized-md5 fingerprint groupBy",
+    ),
+    "containment_pairs": QuerySpec(
+        _q_containment_pairs, _CONTAINMENT_SQL,
+        "directed near-superset join: containment |A∩B|/|A| ≥ t via "
+        "the asymmetric prefix filter (probe prefix × full inverted "
+        "list), verified exactly — lossless vs the naive oracle",
     ),
     "jaccard_prefix_pairs": QuerySpec(
         _q_jaccard_prefix_pairs, _PREFIX_JACCARD_SQL,

@@ -219,3 +219,86 @@ def test_jaccard_prefix_pairs_lossless_and_pruned(spark):
     ).collect()
     assert [(r.doc_a, r.doc_b) for r in got] == [(1, 2)]
     assert abs(got[0].jaccard - round(4 / 6, 4)) < 1e-9
+
+
+# ------------------------------------------------------- containment join
+
+
+def _contain_docs(spark):
+    core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    wrap = (
+        "site header menu about contact " + core +
+        " footer copyright terms privacy newsletter subscribe"
+    )
+    other = "one two three four five six seven eight nine ten"
+    return spark.createDataFrame(
+        [(1, core), (2, wrap), (3, other)], "doc_id long, text string"
+    )
+
+
+def test_containment_detects_near_superset_jaccard_misses(spark):
+    """The operator's reason to exist: a doc wrapped in boilerplate
+    fully CONTAINS the original (C(core→wrap) = 1) while symmetric
+    Jaccard sits far below any dedup threshold."""
+    from database_activity_monitoring_dam_system_spark.operators import dedup
+
+    docs = _contain_docs(spark)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.containment_prefix_pairs(
+            docs, threshold=0.9, shingle=1
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0}  # directed: core ⊂ wrap only
+    jac = dedup.jaccard_pairs(docs, threshold=0.3, shingle=1).collect()
+    assert all(r["jaccard"] < 0.5 for r in jac)  # symmetric view is blind
+
+
+def test_containment_prefix_filter_lossless_vs_naive(spark):
+    """Filter losslessness on a randomized-ish corpus: the prefix-
+    filtered join returns EXACTLY the naive all-directed-pairs set."""
+    from pyspark.sql import functions as F
+
+    from database_activity_monitoring_dam_system_spark.operators import dedup
+
+    words = "w%d"
+    rows = []
+    for i in range(30):
+        toks = [words % ((i * 7 + j * 13) % 40) for j in range(6 + i % 5)]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.7
+    fast = {
+        (r["doc_a"], r["doc_b"], r["containment"])
+        for r in dedup.containment_prefix_pairs(
+            docs, threshold=t, shingle=1
+        ).collect()
+    }
+    toks = dedup.distinct_tokens(docs, shingle=1)
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    naive = (
+        toks.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("c"))
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
+            ),
+            "doc_a",
+        )
+        .withColumn("containment", F.col("c") / F.col("n_a"))
+        .filter(F.col("containment") >= t)
+    )
+    slow = {
+        (r["doc_a"], r["doc_b"], round(r["containment"], 4))
+        for r in naive.collect()
+    }
+    assert fast == slow and len(slow) > 0
