@@ -43,6 +43,7 @@ def volume_anomaly_stream(
     ts_col: str = "access_timestamp",
     user_col: str = "user_id",
     watermark_delay: str = "10 minutes",
+    flags_fn=None,
 ) -> DataFrame:
     """R6 streaming twin — hour buckets whose live count exceeds the
     user's historical avg + 3·std, matching volume_anomalies row-for-
@@ -55,6 +56,13 @@ def volume_anomaly_stream(
     re-broadcasts it per micro-batch, so a refreshed baseline table
     takes effect without a restart (SURVEY ST6). Same guard semantics
     as batch: NULL/0 std defaults to 1.
+
+    ``flags_fn`` selects the arbitration (default
+    anomaly.volume_flags). Pass anomaly.robust_volume_flags with a
+    user_hourly_robust_baseline frame to serve the median+MAD
+    detector from the SAME windowed counts — one counting pipeline,
+    either threshold, and each arbitration stays the one definition
+    its batch twin uses.
     """
     hourly = (
         normalized.filter(F.col(user_col).isNotNull())
@@ -70,9 +78,10 @@ def volume_anomaly_stream(
             "cnt",
         )
     )
-    # the arbitration itself is anomaly.volume_flags — the ONE
-    # threshold definition batch and stream share
-    return anomaly.volume_flags(hourly, baseline, user_col=user_col)
+    # the arbitration itself is anomaly.volume_flags (or the robust
+    # twin) — the ONE threshold definition batch and stream share
+    fn = flags_fn if flags_fn is not None else anomaly.volume_flags
+    return fn(hourly, baseline, user_col=user_col)
 
 
 def start_impossible_travel_stream(

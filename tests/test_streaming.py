@@ -2805,3 +2805,84 @@ def test_search_maintenance_stream_folds_both_artifacts(spark, tmp_path):
         q.awaitTermination(120)
         raise AssertionError("capped-artifact stream did not refuse")
     q.stop()
+
+
+def test_robust_volume_anomaly_stream_matches_batch(spark, tmp_path):
+    """The robust (median+MAD) arbitration served from the SAME
+    streamed hourly counts: volume_anomaly_stream with
+    flags_fn=robust_volume_flags emits exactly the batch
+    robust_volume_anomalies rows once the watermark finalizes each
+    bucket — including the degenerate-MAD fallback path."""
+    import datetime as real_dt
+    import os as _os
+    import time as _time
+
+    from database_activity_monitoring_dam_system_spark.operators import anomaly
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        anomaly_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # u1: med 2, MAD 1 → threshold 2 + 4.4478 ≈ 6.45; u2: MAD 0 →
+    # fallback 1 → threshold 3 + 4.4478 ≈ 7.45
+    baseline = spark.createDataFrame(
+        [(1, 2.0, 1.0), (2, 3.0, 0.0)],
+        "user_id long, med_queries double, mad_queries double",
+    )
+
+    def ev(uid, hh, mm):
+        return (uid, real_dt.datetime(2024, 3, 1, hh, mm))
+
+    batches = [
+        [ev(1, 10, m) for m in range(0, 16, 4)],          # u1 hour-10: 4 so far
+        [ev(1, 10, m) for m in range(16, 28, 4)]           # ...7 total > 6.45
+        + [ev(2, 10, m) for m in range(0, 28, 4)],         # u2: 7 < 7.45
+        [ev(99, 14, 0), ev(99, 15, 0)],                    # watermark pusher
+    ]
+    schema = "user_id long, access_timestamp timestamp"
+    src = str(tmp_path / "rvsrc")
+    _os.makedirs(src)
+    all_rows = []
+    for i, rows in enumerate(batches):
+        all_rows.extend(rows)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}.parquet"
+        )
+        _time.sleep(0.05)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    flagged = anomaly_stream.volume_anomaly_stream(
+        stream,
+        baseline,
+        watermark_delay="5 minutes",
+        flags_fn=anomaly.robust_volume_flags,
+    )
+    out = str(tmp_path / "rvout")
+    q = (
+        flagged.writeStream.foreachBatch(
+            lambda b, bid: b.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "rvckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    got = spark.read.parquet(out)
+    want = anomaly.robust_volume_anomalies(
+        spark.createDataFrame(all_rows, schema), baseline
+    )
+
+    def canon(df):
+        return sorted(
+            map(tuple, df.select(
+                "user_id", "hour_bucket", "cnt", "med_queries", "mad_queries"
+            ).collect())
+        )
+
+    assert canon(got) == canon(want)
+    assert {r.user_id for r in got.collect()} == {1}  # u2 under fallback gate
