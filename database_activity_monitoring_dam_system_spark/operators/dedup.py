@@ -201,6 +201,40 @@ def containment_prefix_pairs(
     df), two id-keyed array fetches, zero-shuffle array_intersect
     verify. Containment is single integer-over-integer division on
     both engines — no float-fold drift."""
+    sized, prefix, full = _containment_substrate(
+        docs, id_col=id_col, text_col=text_col, threshold=threshold,
+        shingle=shingle,
+    )
+    cands = (
+        prefix.alias("a")
+        .join(
+            full.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verify_containment(
+        cands, sized, id_col=id_col, threshold=threshold
+    )
+
+
+def _containment_substrate(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle: int,
+):
+    """(sized arrays, probe prefix, full token list) —
+    :func:`containment_prefix_pairs`' candidate substrate, shared
+    with the incremental fold so both derive candidates from ONE
+    prefix definition."""
     sharr = token_arrays(
         docs, id_col=id_col, text_col=text_col, shingle=shingle
     ).select(id_col, "toks")
@@ -217,26 +251,24 @@ def containment_prefix_pairs(
         F.col("_pos")
         <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
     ).select(id_col, "tok")
-    full = toks.select(id_col, "tok")
-    cands = (
-        prefix.alias("a")
-        .join(
-            full.alias("b"),
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
-        .distinct()
-    )
+    return sized, prefix, toks.select(id_col, "tok")
+
+
+def _verify_containment(
+    cands: DataFrame,
+    sized: DataFrame,
+    *,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact containment on candidate pairs from the full arrays —
+    single integer-over-integer division, oracle-bit-exact."""
     a = sized.select(
         F.col(id_col).alias("doc_a"),
         F.col("toks").alias("toks_a"),
         F.col("_n").alias("n_a"),
     )
-    b = sharr.select(
+    b = sized.select(
         F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b")
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
@@ -249,6 +281,86 @@ def containment_prefix_pairs(
             "doc_a", "doc_b", F.round("containment", 4).alias("containment")
         )
     )
+
+
+def update_containment_pairs(
+    old_pairs: DataFrame,
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    shingle: int = 3,
+) -> DataFrame:
+    """Fold a crawl delta into the exact containment pair table —
+    the corpus_diff discipline (band table, posting table, BM25
+    stats, PQ codes) applied to the exact-pairs artifact, so the
+    per-crawl cost of keeping it fresh scales with the DELTA's
+    candidates, never the corpus².
+
+    Correctness argument: a pair's membership depends ONLY on its
+    two documents' token sets, so a pair whose endpoints are both
+    byte-unchanged survives verbatim (raw-fingerprint diff —
+    ``normalize=False`` — since shingles see raw whitespace
+    structure). Every pair with ≥1 dirty endpoint is re-derived
+    from delta-restricted candidates over the NEW corpus: (dirty
+    probe prefix × full index) ∪ (full prefix × dirty index) — the
+    asymmetric prefix theorem holds under ANY global order,
+    including the new corpus's own df order, and the union covers
+    whichever side the dirty doc lands on. Removed/changed ids drop
+    their old rows via two anti-joins. Fresh and surviving sets are
+    disjoint by construction (≥1 dirty endpoint vs 0), so the union
+    needs no dedup.
+
+    ``old_pairs`` must have been built with the SAME (threshold,
+    shingle) — persist it alongside those parameters and refuse a
+    mismatch (the load_band_table stamp contract); equivalence with
+    a fresh rebuild is asserted by test."""
+    diff = corpus_diff(
+        old_docs, new_docs, id_col=id_col, text_col=text_col,
+        normalize=False,
+    )
+    dirty = diff.filter(F.col("verdict") != "unchanged").select(id_col)
+    survivors = (
+        old_pairs.join(
+            dirty.withColumnRenamed(id_col, "doc_a"), "doc_a", "left_anti"
+        ).join(
+            dirty.withColumnRenamed(id_col, "doc_b"), "doc_b", "left_anti"
+        )
+    )
+    delta_ids = diff.filter(
+        F.col("verdict").isin("added", "changed")
+    ).select(id_col)
+    sized, prefix, full = _containment_substrate(
+        new_docs, id_col=id_col, text_col=text_col, threshold=threshold,
+        shingle=shingle,
+    )
+    p_dirty = prefix.join(delta_ids, id_col, "left_semi")
+    f_dirty = full.join(delta_ids, id_col, "left_semi")
+    pair_cols = [
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+    ]
+    neq = F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
+    cand_a = (
+        p_dirty.alias("a")
+        .join(full.alias("b"), (F.col("a.tok") == F.col("b.tok")) & neq)
+        .select(*pair_cols)
+    )
+    cand_b = (
+        prefix.alias("a")
+        .join(f_dirty.alias("b"), (F.col("a.tok") == F.col("b.tok")) & neq)
+        .select(*pair_cols)
+    )
+    fresh = _verify_containment(
+        cand_a.unionByName(cand_b).distinct(), sized,
+        id_col=id_col, threshold=threshold,
+    )
+    # the USING-column anti-joins above front their key, so pin the
+    # canonical (doc_a, doc_b, containment) order explicitly
+    out_cols = ["doc_a", "doc_b", "containment"]
+    return survivors.select(*out_cols).unionByName(fresh.select(*out_cols))
 
 
 def jaccard_pairs(

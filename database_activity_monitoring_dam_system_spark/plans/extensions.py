@@ -191,6 +191,26 @@ WHERE c * 1.0 / sa.n >= {_PREFIX_T}
 """
 
 
+def _q_incremental_containment(spark, sf_dir):
+    """Incremental exact-pair maintenance ≡ fresh rebuild: the shared
+    synth_old_snapshot delta (added / changed / removed classes) is
+    folded through update_containment_pairs; the oracle computes the
+    NEW corpus's naive all-directed-pairs containment from scratch —
+    a matching hash proves survivors-plus-delta-candidates covers
+    exactly the fresh answer."""
+    from .lakehouse import synth_old_snapshot
+
+    docs = _docs(spark, sf_dir)
+    old = synth_old_snapshot(docs)
+    old_pairs = dedup.containment_prefix_pairs(
+        old, threshold=_PREFIX_T, shingle=_PREFIX_SHINGLE
+    )
+    return dedup.update_containment_pairs(
+        old_pairs, old, docs,
+        threshold=_PREFIX_T, shingle=_PREFIX_SHINGLE,
+    )
+
+
 _EDIT_D = 2
 
 
@@ -4110,6 +4130,13 @@ QUERIES: dict[str, QuerySpec] = {
         "directed near-superset join: containment |A∩B|/|A| ≥ t via "
         "the asymmetric prefix filter (probe prefix × full inverted "
         "list), verified exactly — lossless vs the naive oracle",
+    ),
+    "incremental_containment": QuerySpec(
+        _q_incremental_containment, _CONTAINMENT_SQL,
+        "corpus_diff fold of the exact containment pair table "
+        "(clean-clean pairs survive, delta-restricted candidates "
+        "re-derive the rest) ≡ fresh rebuild — same oracle as "
+        "containment_pairs",
     ),
     "jaccard_prefix_pairs": QuerySpec(
         _q_jaccard_prefix_pairs, _PREFIX_JACCARD_SQL,

@@ -302,3 +302,47 @@ def test_containment_prefix_filter_lossless_vs_naive(spark):
         for r in naive.collect()
     }
     assert fast == slow and len(slow) > 0
+
+
+def test_update_containment_pairs_equals_fresh_rebuild(spark):
+    """The corpus_diff fold over the exact pair table ≡ a fresh
+    containment_prefix_pairs over the new snapshot, across an
+    add + change + remove delta that touches pairs in every way:
+    a surviving clean-clean pair, a pair killed by a change, a pair
+    killed by a removal, and new pairs minted by the delta on both
+    the probe and indexed sides."""
+    from database_activity_monitoring_dam_system_spark.operators import dedup
+
+    core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    wrap = "hdr " + core + " ftr one two"
+    core2 = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    wrap2 = "nav " + core2 + " foot three four"
+    old = spark.createDataFrame(
+        [
+            (1, core), (2, wrap),        # clean-clean pair (survives)
+            (3, core2), (4, wrap2),      # 4 changes → pair re-derived
+            (5, "x1 " + core + " x2 x3"),  # removed → its pairs die
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, core), (2, wrap),
+            (3, core2), (4, "totally different words now here indeed"),
+            (6, "pre " + core2 + " post five six"),  # added superset of 3
+        ],
+        "doc_id long, text string",
+    )
+    t, sh = 0.8, 1
+    old_pairs = dedup.containment_prefix_pairs(old, threshold=t, shingle=sh)
+    folded = dedup.update_containment_pairs(
+        old_pairs, old, new, threshold=t, shingle=sh
+    )
+    fresh = dedup.containment_prefix_pairs(new, threshold=t, shingle=sh)
+    canon = lambda df: sorted(map(tuple, df.collect()))
+    assert canon(folded) == canon(fresh)
+    got = {(r["doc_a"], r["doc_b"]) for r in folded.collect()}
+    assert (1, 2) in got        # survived untouched
+    assert (3, 6) in got        # minted by an ADDED indexed-side doc
+    assert (3, 4) not in got    # killed by the change
+    assert not any(5 in p for p in got)  # removal dropped its pairs
