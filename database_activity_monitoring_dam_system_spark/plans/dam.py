@@ -733,6 +733,99 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error'
 """
 
 
+def _q_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: for every purchase, the user's
+    EARLIEST error at-or-after it, but only within one hour — the
+    'did an error follow this action' probe. The oracle states the
+    same thing as a bounded theta join + argmin; the engine plan is
+    the union-and-carry scan (one shuffle, no candidate pairs)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    out = asof.asof_join(
+        purchases, errors, on=["user_id"], ts_col="ts",
+        carry_cols=["value"], direction="forward",
+        tolerance_seconds=3600,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "ts_asof",
+        F.round("value_asof", 6).alias("value_asof"),
+    )
+
+
+_ASOF_FWD_SQL = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+),
+j AS (
+  SELECT l.event_id, r.ts AS rts, r.value,
+         row_number() OVER (PARTITION BY l.event_id
+                            ORDER BY r.ts ASC, r.value DESC) AS rn
+  FROM l JOIN r ON l.user_id = r.user_id
+   AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+)
+SELECT l.event_id, l.user_id, l.ts,
+       j.rts AS ts_asof, round(j.value, 6) AS value_asof
+FROM l LEFT JOIN (SELECT event_id, rts, value FROM j WHERE rn = 1) j
+  ON l.event_id = j.event_id
+"""
+
+
+def _q_asof_nearest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of with tolerance: each purchase matched to its
+    temporally CLOSEST error within two hours, exact distance ties
+    preferring the backward (already-known) row. The oracle ranks a
+    bounded theta join by (distance, backward-first, payload) — the
+    same pinned arbitration the engine's two-carry comparison makes."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    out = asof.asof_join(
+        purchases, errors, on=["user_id"], ts_col="ts",
+        carry_cols=["value"], direction="nearest",
+        tolerance_seconds=7200,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "ts_asof",
+        F.round("value_asof", 6).alias("value_asof"),
+    )
+
+
+_ASOF_NEAREST_SQL = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+),
+j AS (
+  SELECT l.event_id, r.ts AS rts, r.value,
+         row_number() OVER (
+           PARTITION BY l.event_id
+           ORDER BY abs(epoch_us(l.ts) - epoch_us(r.ts)) ASC,
+                    CASE WHEN r.ts <= l.ts THEN 1 ELSE 0 END DESC,
+                    r.value DESC) AS rn
+  FROM l JOIN r ON l.user_id = r.user_id
+   AND r.ts >= l.ts - INTERVAL 2 HOUR AND r.ts <= l.ts + INTERVAL 2 HOUR
+)
+SELECT l.event_id, l.user_id, l.ts,
+       j.rts AS ts_asof, round(j.value, 6) AS value_asof
+FROM l LEFT JOIN (SELECT event_id, rts, value FROM j WHERE rn = 1) j
+  ON l.event_id = j.event_id
+"""
+
+
 def _q_activity_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (operation_type, role) — all four grouping levels in
     one pass (engine extension; reference's dashboards would need 4
@@ -859,6 +952,18 @@ QUERIES: dict[str, QuerySpec] = {
     "activity_cube": QuerySpec(
         _q_activity_cube, _ACTIVITY_CUBE_SQL,
         "CUBE(operation_type, role) with grouping_id (engine extension)",
+    ),
+    "asof_next_error": QuerySpec(
+        _q_asof_next_error, _ASOF_FWD_SQL,
+        "forward as-of join with 1h tolerance: earliest error "
+        "at-or-after each purchase — union-and-carry scan, one "
+        "shuffle, tolerance as a projection not a join",
+    ),
+    "asof_nearest_error": QuerySpec(
+        _q_asof_nearest_error, _ASOF_NEAREST_SQL,
+        "nearest as-of join with 2h tolerance: closest error either "
+        "side, exact-tie prefers backward — two carries over one key "
+        "partitioning, exact integer-microsecond distances",
     ),
     "asof_last_error": QuerySpec(
         _q_asof_last_error, _ASOF_SQL,

@@ -264,3 +264,64 @@ class TestPartitioningInvariance:
             for layout in self._layouts(docs)
         ]
         assert outs[0] == outs[1]
+
+
+def test_asof_forward_and_tolerance(spark):
+    """Forward direction is inclusive at equal ts; tolerance nulls a
+    match exactly one microsecond past the bound and keeps one
+    exactly on it (exact integer-µs arithmetic, not epoch doubles)."""
+    t = lambda s, us=0: dt.datetime(2026, 8, 1, 10, 0, s, us)
+    left = spark.createDataFrame(
+        [(1, 10, t(5)), (2, 10, t(10)), (3, 20, t(0)), (4, 30, t(0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, t(5), 1.0),            # equal ts → inclusive for event 1
+            (10, t(12), 2.0),           # next for event 2
+            (20, t(3, 1), 7.0),         # 3.000001 s after → past 3 s tol
+            (30, t(3), 8.0),            # exactly on the 3 s bound → kept
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r.event_id: (r.ts_asof, r.value_asof)
+        for r in asof.asof_join(
+            left, right, on=["user_id"], ts_col="ts",
+            carry_cols=["value"], direction="forward",
+            tolerance_seconds=3,
+        ).collect()
+    }
+    assert out[1] == (t(5), 1.0)
+    assert out[2] == (t(12), 2.0)
+    assert out[3] == (None, None)
+    assert out[4] == (t(3), 8.0)
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    """Nearest picks the closer side; an exact distance tie takes the
+    backward row, and per-side tolerance disqualifies independently."""
+    t = lambda s: dt.datetime(2026, 8, 1, 10, 0, s)
+    left = spark.createDataFrame(
+        [(1, 10, t(10)), (2, 20, t(10)), (3, 30, t(10))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, t(7), 1.0), (10, t(12), 2.0),   # fwd closer (2 < 3)
+            (20, t(8), 3.0), (20, t(12), 4.0),   # exact tie → backward
+            (30, t(1), 5.0), (30, t(14), 6.0),   # bw out of 5s tol → fwd
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r.event_id: (r.ts_asof, r.value_asof)
+        for r in asof.asof_join(
+            left, right, on=["user_id"], ts_col="ts",
+            carry_cols=["value"], direction="nearest",
+            tolerance_seconds=5,
+        ).collect()
+    }
+    assert out[1] == (t(12), 2.0)
+    assert out[2] == (t(8), 3.0)
+    assert out[3] == (t(14), 6.0)
