@@ -255,6 +255,36 @@ def impossible_travel(
     return login_ip_pairs(logins, ts_col=ts_col)
 
 
+def rolling_median(
+    df: DataFrame,
+    *,
+    value_col: str,
+    partition_cols: list[str],
+    order_cols: list[str],
+    frame_rows: int = 25,
+    out_col: str = "rolling_median",
+) -> DataFrame:
+    """Exact trailing-window median — the robust twin of a moving
+    average (one wild reading drags a trailing mean for the whole
+    frame; the median shrugs it off, which is what live latency/value
+    dashboards actually want). ROWS frame over a deterministic
+    (order_cols) sort; quantize the value to integers first and every
+    interpolated midpoint is an exact 0.5 multiple (the
+    user_hourly_robust_baseline exactness argument applied to
+    windows).
+
+    Cost is O(frame) per row — the exact serving baseline; for
+    corpus-scale trailing quantiles the mergeable rollup partials
+    (rollup.quantile_partials) are the scale path, same split as
+    jaccard_pairs vs MinHash."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(-(frame_rows - 1), 0)
+    )
+    return df.withColumn(out_col, F.percentile(value_col, 0.5).over(w))
+
+
 def trailing_window_counts(
     activity: DataFrame,
     *,

@@ -870,6 +870,68 @@ def pii_scrub(
     return docs.select(F.col(id_col), *count_cols, stage.alias(out_col))
 
 
+# html_extract_text's staged pipeline — every pattern is RE2-portable
+# (no backrefs, no lookaround) so the DuckDB oracle can state the
+# identical chain; (?is) case-insensitive dot-all prefixes work in
+# both Java regex and RE2.
+_HTML_STRIP_STAGES: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),   # executable noise
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),     # presentation noise
+    (r"(?s)<!--.*?-->", " "),                     # comments
+    (r"(?is)</?(p|div|br|li|tr|h[1-6])\b[^>]*>", "\n"),  # block breaks
+    (r"(?s)<[^>]*>", " "),                        # every remaining tag
+)
+_HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # LAST: earlier would double-decode &amp;lt;
+)
+
+
+def html_extract_text(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "html",
+    out_col: str = "text",
+) -> DataFrame:
+    """Boilerplate-stripping text extraction from raw HTML — the
+    first stage of a crawl→corpus pipeline (everything downstream:
+    quality, dedup, langid, packing assumes THIS ran). Staged
+    regexp_replace chain: script/style/comment blocks vanish
+    wholesale (their CONTENT is not text), block-level tags become
+    newlines (so 'one</p><p>two' doesn't fuse into 'onetwo'),
+    remaining tags become spaces, the five standard entities decode
+    (&amp; last — decoding it first would double-decode '&amp;lt;'),
+    and whitespace collapses per line with blank lines dropped.
+
+    Pure projection, zero shuffle, codegen-friendly — the same scale
+    shape as pii_scrub. Honest boundary: this is the deterministic
+    tag-strip baseline (what a 100 TB first pass can afford), not a
+    readability/per-site extractor; nested <script> inside strings
+    and malformed markup degrade to extra whitespace, never to
+    dropped text."""
+    stage = F.col(text_col)
+    for pat, repl in _HTML_STRIP_STAGES:
+        stage = F.regexp_replace(stage, pat, repl)
+    for ent, ch in _HTML_ENTITIES:
+        stage = F.replace(stage, F.lit(ent), F.lit(ch))
+    # collapse runs of spaces/tabs, then trim each line, drop empties
+    stage = F.regexp_replace(stage, r"[ \t]+", " ")
+    stage = F.regexp_replace(stage, r" ?\n ?", "\n")
+    stage = F.regexp_replace(stage, r"\n{2,}", "\n")
+    # trim() strips spaces only — boundary newlines need the anchors
+    stage = F.trim(F.regexp_replace(stage, r"^\n+|\n+$", ""))
+    return docs.select(
+        F.col(id_col),
+        stage.alias(out_col),
+        F.length(stage).alias("n_chars"),
+    )
+
+
 def contamination_flags(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -591,6 +591,41 @@ WHERE h.cnt > b.med_queries
 """
 
 
+def _q_rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-user trailing-25-event median of the event value
+    (integer millis → every interpolated midpoint an exact 0.5
+    multiple). A8's robust-statistics sibling: the trailing COUNT
+    window generalized to an order statistic."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 1000).cast("long").alias("millis"),
+    )
+    return anomaly.rolling_median(
+        base,
+        value_col="millis",
+        partition_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        frame_rows=25,
+        out_col="rolling_med",
+    ).select("event_id", "user_id", "millis", "rolling_med")
+
+
+_ROLLING_MEDIAN_SQL = """
+SELECT event_id, user_id, millis,
+       median(millis) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS rolling_med
+FROM (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 1000) AS BIGINT) AS millis
+  FROM events
+)
+"""
+
+
 def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C-class JSON scalar path: parse events.props (SURVEY.md §1.3 JSON
     row) and aggregate — stays JVM-side via get_json_object."""
@@ -1078,6 +1113,12 @@ FROM activity WHERE table_name IN ('payments','credit_cards')
     ),
     "volume_anomalies": QuerySpec(
         _q_volume_anomalies, _VOLUME_SQL, "R6 volume spike vs 3σ baseline",
+    ),
+    "rolling_median_value": QuerySpec(
+        _q_rolling_median_value, _ROLLING_MEDIAN_SQL,
+        "exact trailing-25-row median per user (A8 generalized to an "
+        "order statistic) — integer-millis values, exact 0.5-grain "
+        "interpolation; mergeable quantile rollups are the scale path",
     ),
     "robust_volume_anomalies": QuerySpec(
         _q_robust_volume_anomalies, _ROBUST_VOLUME_SQL,

@@ -191,6 +191,75 @@ WHERE c * 1.0 / sa.n >= {_PREFIX_T}
 """
 
 
+# deterministic HTML wrapper for the extraction gate: script with a
+# '</div>' string literal and a '<' comparison, style, comment, block
+# tags, and entities both sides of the payload
+_HTML_PRE = (
+    '<html><head><title>T</title><style>p{color:red}</style>'
+    '<script type="text/javascript">var x = 1 < 2 && "</div>";</script>'
+    '</head><body><!-- nav boilerplate --><div class="main">'
+    '<h1>&quot;Doc&quot;</h1><p>pre &lt;tag&gt; &amp;amp; '
+)
+_HTML_POST = (
+    "</p><p>tail &nbsp;&#39;quoted&#39;</p></div>"
+    "<br><li>item</li></body></html>"
+)
+
+
+def _q_html_extract(spark, sf_dir):
+    """Boilerplate-strip parity: every document wrapped in the SAME
+    hostile HTML (script containing a fake closing tag and a bare
+    '<', style, comment, block tags, all five entities) and
+    extracted; the md5 pins the full staged chain — block-tag
+    newlines, tag spaces, entity decode order (&amp; last),
+    whitespace collapse — character for character."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST)
+        ).alias("html"),
+    )
+    out = textops.html_extract_text(wrapped)
+    return out.select(
+        "doc_id", F.md5("text").alias("extracted_md5"), "n_chars"
+    )
+
+
+def _html_extract_oracle() -> str:
+    pre = _HTML_PRE.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    return rf"""
+WITH w AS (
+  SELECT doc_id, '{pre}' || text || '{post}' AS h FROM documents
+),
+s AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(h,
+            '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+          '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+          '(?is)</?(p|div|br|li|tr|h[1-6])\b[^>]*>', chr(10), 'g'),
+          '(?s)<[^>]*>', ' ', 'g'),
+        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+      '[ \t]+', ' ', 'g'),
+      ' ?\n ?', chr(10), 'g'),
+      '\n{{2,}}', chr(10), 'g'),
+      '^\n+|\n+$', '', 'g')) AS t
+  FROM w
+)
+SELECT doc_id, md5(t) AS extracted_md5,
+       length(t)::INTEGER AS n_chars
+FROM s
+"""
+
+
 def _q_incremental_containment(spark, sf_dir):
     """Incremental exact-pair maintenance ≡ fresh rebuild: the shared
     synth_old_snapshot delta (added / changed / removed classes) is
@@ -4130,6 +4199,13 @@ QUERIES: dict[str, QuerySpec] = {
         "directed near-superset join: containment |A∩B|/|A| ≥ t via "
         "the asymmetric prefix filter (probe prefix × full inverted "
         "list), verified exactly — lossless vs the naive oracle",
+    ),
+    "html_extract": QuerySpec(
+        _q_html_extract, _html_extract_oracle(),
+        "boilerplate-stripping HTML→text extraction (staged "
+        "RE2-portable regexp chain: script/style/comment removal, "
+        "block-tag newlines, entity decode, whitespace collapse) — "
+        "zero shuffle, md5-pinned char-for-char",
     ),
     "incremental_containment": QuerySpec(
         _q_incremental_containment, _CONTAINMENT_SQL,

@@ -3789,3 +3789,29 @@ def test_robust_baseline_exact_quarter_grain(spark):
     b = anomaly.user_hourly_robust_baseline(act).first()
     assert b["med_queries"] == 3.0
     assert b["mad_queries"] == 1.5
+
+
+def test_html_extract_literal_cases(spark):
+    """Literal extraction expectations: script/style CONTENT vanishes
+    (including a fake closing tag inside a JS string and a bare '<'),
+    block tags break lines, inline tags become spaces, entities
+    decode in the pinned order (&amp;lt; → '&lt;' exactly once), and
+    whitespace collapses."""
+    from database_activity_monitoring_dam_system_spark.operators import textops
+
+    html = (
+        '<html><head><style>b{x:1}</style>'
+        '<script>var s = "</div>"; if (1 < 2) go();</script></head>'
+        '<body><!-- c --><h1>Title</h1>'
+        '<p>one   two</p><p>a <b>bold</b> word</p>'
+        '<p>5 &lt; 6 &amp;&amp; 7 &gt; 2</p>'
+        '<p>&amp;lt; stays encoded</p></body></html>'
+    )
+    docs = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    row = textops.html_extract_text(docs).first()
+    assert row["text"] == (
+        "Title\none two\na bold word\n5 < 6 && 7 > 2\n&lt; stays encoded"
+    )
+    assert row["n_chars"] == len(row["text"])
+    # nothing from script/style leaked
+    assert "go()" not in row["text"] and "x:1" not in row["text"]
