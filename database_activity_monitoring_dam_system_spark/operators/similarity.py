@@ -296,6 +296,140 @@ def _centroid_scores(vec_sql: str, norm_sql: str, cents: list[tuple]) -> dict:
     }
 
 
+IVF_ASSIGN_STAMP = "_cent_md5"
+
+
+def _cent_fingerprint(centroids: list[tuple]) -> str:
+    """Content fingerprint of a coarse quantizer: md5 over the full
+    repr of (cent_id, vector) pairs — two quantizers differing in any
+    component (or order) get different stamps."""
+    import hashlib
+
+    payload = repr([(c[0], list(c[1])) for c in centroids])
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
+def stamp_ivf_assignments(
+    assign: DataFrame, centroids: list[tuple]
+) -> DataFrame:
+    """Stamp an assignment table with its quantizer's fingerprint so
+    serving/fold paths can REFUSE a table built under different
+    centroids (pairing them silently mis-probes every query — the
+    same trap the PQ codebook stamp closes)."""
+    return assign.withColumn(
+        IVF_ASSIGN_STAMP, F.lit(_cent_fingerprint(centroids))
+    )
+
+
+def _verify_assign_stamp(
+    assign: DataFrame, centroids: list[tuple], *, caller: str
+) -> DataFrame:
+    expect = _cent_fingerprint(centroids)
+    got = [r[0] for r in assign.select(IVF_ASSIGN_STAMP).distinct().collect()]
+    if got and (len(got) > 1 or got[0] != expect):
+        raise ValueError(
+            f"{caller}: assignment table stamped {got} does not match "
+            f"the quantizer in use ({expect}) — rebuild or load the "
+            "matching artifact"
+        )
+    return assign.drop(IVF_ASSIGN_STAMP)
+
+
+def ivf_assignments(
+    embeddings: DataFrame,
+    centroids: list[tuple],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF inverted-list ASSIGNMENT table: every vector mapped to
+    its max-cosine centroid (ties → lowest cent_id — array_position
+    finds the FIRST max, matching the oracle's (cosine DESC, cent_id
+    ASC) row_number). Pure projection against literal centroids:
+    zero shuffle, O(N·C·d) flops — the build cost an incremental
+    refresh (:func:`ivf_update_assignments`) avoids re-paying.
+
+    Schema: (id, cent_id, vec array<double>, n_norm). This is the
+    frame :func:`ivf_topk` probes; persist it per corpus snapshot
+    (stamped via :func:`stamp_ivf_assignments`) and serving never
+    re-assigns the corpus."""
+    cent_ids = F.array(*[F.lit(c[0]) for c in centroids])
+    score_cols = [f"_cs{i}" for i in range(len(centroids))]
+    corpus = with_norm(
+        embeddings.select(F.col(id_col), _as_double(vec_col).alias("vec")),
+        vec_col="vec",
+    )
+    scored = corpus.withColumns(_centroid_scores("vec", "_norm", centroids))
+    arr = F.array(*[F.col(c) for c in score_cols])
+    return scored.withColumn(
+        "cent_id", cent_ids[F.array_position(arr, F.array_max(arr)) - 1]
+    ).select(
+        F.col(id_col), "cent_id", "vec", F.col("_norm").alias("n_norm")
+    )
+
+
+def ivf_update_assignments(
+    old_assign: DataFrame,
+    old_embeddings: DataFrame,
+    new_embeddings: DataFrame,
+    centroids: list[tuple],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    persisted_out: list | None = None,
+) -> DataFrame:
+    """Incremental IVF list maintenance — pq_update_codes' classify/
+    carry/re-encode pattern applied to the assignment table, closing
+    the last index family without a delta fold: carry the stored
+    (cent_id, vec, n_norm) of every vector whose embedding is
+    value-identical across snapshots, re-assign ONLY added ∪ changed,
+    drop removed. Assignment is a pure per-row function of (vector,
+    centroids), so carried rows are exactly what a full re-assign
+    would produce (asserted in test + gate).
+
+    Centroids are held FIXED across the fold (retraining them is a
+    rebuild decision — every carried row would be invalid); a stamped
+    ``old_assign`` is verified against ``centroids`` and the result
+    re-stamped. One id-keyed classify join (persisted — both branches
+    consume it; appended to ``persisted_out`` for caller unpersist),
+    one semi-join carry, zero-shuffle re-assign of the delta."""
+    stamped = IVF_ASSIGN_STAMP in old_assign.columns
+    if stamped:
+        old_assign = _verify_assign_stamp(
+            old_assign, centroids, caller="ivf_update_assignments"
+        )
+    old_v = old_embeddings.select(
+        F.col(id_col), _as_double(vec_col).alias("_ov")
+    )
+    new_v = new_embeddings.select(
+        F.col(id_col), _as_double(vec_col).alias("_nv")
+    )
+    cls = (
+        old_v.join(new_v, id_col, "full_outer")
+        .filter(F.col("_nv").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("_nv").eqNullSafe(F.col("_ov")).alias("_same"),
+        )
+        .persist()
+    )
+    if persisted_out is not None:
+        persisted_out.append(cls)
+    carried = old_assign.join(
+        cls.filter("_same").select(id_col), id_col, "left_semi"
+    )
+    fresh = ivf_assignments(
+        new_embeddings.join(
+            cls.filter("NOT _same").select(id_col), id_col, "left_semi"
+        ),
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    out = carried.unionByName(fresh)
+    return stamp_ivf_assignments(out, centroids) if stamped else out
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -307,6 +441,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[tuple] | None = None,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: assign every vector to its max-cosine centroid
     (ties → lowest cent_id), probe each query's ``n_probe`` nearest
@@ -320,6 +455,11 @@ def ivf_topk(
     INDEX artifact — trained once per corpus snapshot, reused across
     every query against it — so serving layers should train it once
     and pass it in rather than re-running Lloyd per query.
+    ``assignments`` likewise accepts a persisted
+    :func:`ivf_assignments` table (stamped frames are verified
+    against ``centroids`` and refused on mismatch), so serving never
+    re-assigns the corpus; maintain it across snapshots with
+    :func:`ivf_update_assignments`.
 
     100 TB shape: assignment is a pure projection against LITERAL
     centroids (zero shuffle, O(N·C·d) flops — the standard IVF assign
@@ -338,24 +478,19 @@ def ivf_topk(
     cent_ids = F.array(*[F.lit(c[0]) for c in cents])
     score_cols = [f"_cs{i}" for i in range(len(cents))]
 
-    corpus = with_norm(
-        embeddings.select(F.col(id_col), _as_double(vec_col).alias("vec")),
-        vec_col="vec",
+    assign_src = (
+        assignments
+        if assignments is not None
+        else ivf_assignments(
+            embeddings, cents, id_col=id_col, vec_col=vec_col
+        )
     )
-    scored_corpus = corpus.withColumns(
-        _centroid_scores("vec", "_norm", cents)
-    )
-    arr = F.array(*[F.col(c) for c in score_cols])
-    # array_position finds the FIRST max → ties resolve to the lowest
-    # cent_id (centroids are sorted); matches the oracle's
-    # (cosine DESC, cent_id ASC) row_number.
-    assigned = scored_corpus.withColumn(
-        "cent_id", cent_ids[F.array_position(arr, F.array_max(arr)) - 1]
-    ).select(
-        F.col(id_col).alias("neighbor_id"),
-        "cent_id",
-        F.col("vec"),
-        F.col("_norm").alias("n_norm"),
+    if IVF_ASSIGN_STAMP in assign_src.columns:
+        assign_src = _verify_assign_stamp(
+            assign_src, cents, caller="ivf_topk"
+        )
+    assigned = assign_src.select(
+        F.col(id_col).alias("neighbor_id"), "cent_id", "vec", "n_norm"
     )
 
     queries = with_norm(

@@ -1507,6 +1507,59 @@ def _q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+def _synth_old_embeddings(emb):
+    """synth_old_snapshot's delta classes on the EMBEDDINGS table:
+    vec_id ≡ 3 mod 10 absent (added), ≡ 7 mod 10 with element 0
+    bumped by 1.0 (changed — value inequality is all the classify
+    join needs), ephemeral high ids (removed)."""
+    from pyspark.sql import functions as F
+
+    perturbed = F.transform(
+        "embedding",
+        lambda x, i: F.when(i == 0, (x + F.lit(1.0)).cast("float"))
+        .otherwise(x),
+    )
+    return (
+        emb.filter(F.col("vec_id") % 10 != 3)
+        .select(
+            "vec_id",
+            F.when(F.col("vec_id") % 10 == 7, perturbed)
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+            "label",
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") % 10 == 1).select(
+                (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+        )
+    )
+
+
+def _q_incremental_ivf_topk(spark, sf_dir):
+    """Incremental IVF maintenance ≡ fresh build, served end-to-end:
+    the assignment table built over a synthesized old snapshot
+    (added/changed/removed classes) is folded forward under the SAME
+    quantizer, and the query gate serves top-k FROM the folded table
+    — the oracle is embedding_ann_ivf's fresh-build SQL, so the hash
+    proves carry/re-assign/drop leave serving bit-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _get_ivf_quantizer(spark, sf_dir, emb)
+    old_emb = _synth_old_embeddings(emb)
+    old_assign = similarity.stamp_ivf_assignments(
+        similarity.ivf_assignments(old_emb, cents), cents
+    )
+    folded = similarity.ivf_update_assignments(
+        old_assign, old_emb, emb, cents
+    )
+    return similarity.ivf_topk(
+        emb, _QUERY_IDS, k=10, n_probe=4, centroids=cents,
+        assignments=folded,
+    )
+
+
 def _ivf_ann_sql() -> str:
     """IVF oracle with the Lloyd-REFINED coarse quantizer: the
     centroid chain is the same unrolled decimal-exact refinement the
@@ -4423,6 +4476,13 @@ QUERIES: dict[str, QuerySpec] = {
         "random-hyperplane LSH ANN top-10 (scale path; recall vs brute "
         "force unit-tested) — full oracle since the hyperplanes are "
         "closed-form literals",
+    ),
+    "incremental_ivf_topk": QuerySpec(
+        _q_incremental_ivf_topk, _ivf_ann_sql(),
+        "incrementally-folded IVF assignment table (carry unchanged, "
+        "re-assign delta, stamp-verified quantizer) serves top-k "
+        "bit-identical to the fresh build — same oracle as "
+        "embedding_ann_ivf",
     ),
     "embedding_ann_ivf": QuerySpec(
         _q_ivf_ann_topk, _ivf_ann_sql(),

@@ -3815,3 +3815,47 @@ def test_html_extract_literal_cases(spark):
     assert row["n_chars"] == len(row["text"])
     # nothing from script/style leaked
     assert "go()" not in row["text"] and "x:1" not in row["text"]
+
+
+def test_ivf_update_assignments_fold_and_stamp(spark):
+    """Fold ≡ fresh re-assign across all delta classes, and a stamped
+    table built under DIFFERENT centroids is refused loudly."""
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import similarity
+
+    def vec(seed, bump=0.0):
+        return [float((seed * 7 + j * 3) % 11) + (bump if j == 0 else 0.0)
+                for j in range(8)]
+
+    old = spark.createDataFrame(
+        [(i, vec(i)) for i in range(12)] + [(99, vec(99))],
+        "vec_id long, embedding array<float>",
+    )
+    new = spark.createDataFrame(
+        # 0-11 kept, but 5 and 7 changed; 99 removed; 20 added
+        [(i, vec(i, 1.0 if i in (5, 7) else 0.0)) for i in range(12)]
+        + [(20, vec(20))],
+        "vec_id long, embedding array<float>",
+    )
+    cents = similarity.ivf_centroids(old, n_centroids=4, refine_iters=0)
+    old_assign = similarity.stamp_ivf_assignments(
+        similarity.ivf_assignments(old, cents), cents
+    )
+    folded = similarity.ivf_update_assignments(old_assign, old, new, cents)
+    fresh = similarity.ivf_assignments(new, cents)
+    canon = lambda df: sorted(
+        (r["vec_id"], r["cent_id"], tuple(r["vec"]), r["n_norm"])
+        for r in df.drop(similarity.IVF_ASSIGN_STAMP).collect()
+    ) if similarity.IVF_ASSIGN_STAMP in df.columns else sorted(
+        (r["vec_id"], r["cent_id"], tuple(r["vec"]), r["n_norm"])
+        for r in df.collect()
+    )
+    assert canon(folded) == canon(fresh)
+    # the fold re-stamped its output with the same quantizer
+    stamps = {r[0] for r in folded.select(similarity.IVF_ASSIGN_STAMP).distinct().collect()}
+    assert stamps == {similarity._cent_fingerprint(cents)}
+
+    other = similarity.ivf_centroids(new, n_centroids=3, refine_iters=0)
+    with _pytest.raises(ValueError, match="does not match"):
+        similarity.ivf_update_assignments(old_assign, old, new, other)
