@@ -513,3 +513,47 @@ def test_scd2_intervals_semantics(spark):
     assert ivals[(2, 80)] == (None, True)
     # the delete row itself emits no interval
     assert (1, 70) not in ivals
+
+
+def test_snapshot_as_of_prunes_partitioned_journal(spark, tmp_path):
+    """Time travel over a PERSISTED journal reads only the partitions
+    at-or-before the cut: the slice predicate lands in
+    PartitionFilters (day-partitioned journal, day as the travel
+    axis), so a 100 TB journal's replay cost scales with history up
+    to the cut, not total history. Values must still match the
+    in-memory replay."""
+    from pyspark.sql import functions as F
+
+    from database_activity_monitoring_dam_system_spark.operators import cdc
+
+    base = _tt_base(spark)
+    journal = _tt_journal(spark).withColumn(
+        "day",
+        F.concat(F.lit("2024-01-0"), ((F.col("seq") - 40) / 20 + 1).cast("int")),
+    )
+    path = str(tmp_path / "journal")
+    journal.write.partitionBy("day").parquet(path)
+    stored = spark.read.parquet(path)
+
+    tt = cdc.snapshot_as_of(
+        base, stored, key_cols=["k"], seq_col="seq",
+        as_of="2024-01-02", as_of_col="day",
+    )
+    plan = tt._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "day" in pf and "2024-01-02" in pf
+
+    want = cdc.snapshot_as_of(
+        base, _tt_journal(spark).withColumn(
+            "day",
+            F.concat(F.lit("2024-01-0"),
+                     ((F.col("seq") - 40) / 20 + 1).cast("int")),
+        ),
+        key_cols=["k"], seq_col="seq",
+        as_of="2024-01-02", as_of_col="day",
+    )
+    canon = lambda df: sorted(
+        (r["k"], r["val"], r["seq"]) for r in df.collect()
+    )
+    assert canon(tt) == canon(want)
