@@ -363,6 +363,87 @@ def update_containment_pairs(
     return survivors.select(*out_cols).unionByName(fresh.select(*out_cols))
 
 
+def corpus_digest(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """One-string content fingerprint of a corpus snapshot —
+    validate.table_checksum's (count, sum, max) digest rendered as
+    'n:sum:max'. The cross-stamp that ties a derived artifact (the
+    containment pair table) to EXACTLY the corpus it was computed
+    from: a row-count stamp alone cannot see a same-size torn update
+    (a crash between the pair save and the corpus save leaves equal
+    counts with divergent content). Linear scan, one collected row."""
+    from .validate import table_checksum
+
+    row = table_checksum(docs.select(id_col, text_col)).first()
+    return f"{row['n_rows']}:{row['sum_h48']}:{row['max_h48']}"
+
+
+_PAIR_STAMPS = ("_threshold", "_shingle", "_corpus_digest")
+
+
+def save_containment_pairs(
+    pairs: DataFrame,
+    path: str,
+    *,
+    threshold: float,
+    shingle: int,
+    corpus_digest: str,
+) -> None:
+    """Persist a containment pair table with its full identity:
+    (threshold, shingle) — folding under different parameters is the
+    silent-garbage trap update_containment_pairs' docstring warns
+    about — plus the corpus digest binding it to one exact snapshot
+    (load_band_table's stamp contract applied to the pair family)."""
+    (
+        pairs.withColumn("_threshold", F.lit(float(threshold)))
+        .withColumn("_shingle", F.lit(int(shingle)))
+        .withColumn("_corpus_digest", F.lit(corpus_digest))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_containment_pairs(
+    spark,
+    path: str,
+    *,
+    threshold: float,
+    shingle: int,
+    corpus_digest: str | None = None,
+) -> DataFrame:
+    """Load-and-vet a persisted pair table: every expected stamp
+    column must be PRESENT and match (a missing stamp refuses rather
+    than silently skipping the check — the load_band_table ADVICE
+    fix applied from day one); ``corpus_digest`` (pass the live
+    corpus's digest) catches a pair table torn from its snapshot.
+    Returns the frame with stamps stripped. A zero-row table loads
+    as a valid empty pair set only when it still carries stamps."""
+    df = spark.read.parquet(path)
+    expect = {
+        "_threshold": float(threshold),
+        "_shingle": int(shingle),
+    }
+    if corpus_digest is not None:
+        expect["_corpus_digest"] = corpus_digest
+    for col, want in expect.items():
+        if col not in df.columns:
+            raise ValueError(
+                f"load_containment_pairs: artifact at {path!r} lacks "
+                f"stamp column {col!r} — cannot verify its identity; "
+                "rebuild with save_containment_pairs"
+            )
+        got = [r[0] for r in df.select(col).distinct().collect()]
+        if len(got) > 1 or (got and got[0] != want):
+            raise ValueError(
+                f"load_containment_pairs: artifact at {path!r} stamps "
+                f"{col}={got} but the caller expects {want!r} — "
+                "mismatched build parameters or a torn corpus/pair "
+                "update; rebuild from the current snapshot"
+            )
+    return df.drop(*[c for c in _PAIR_STAMPS if c in df.columns])
+
+
 def jaccard_pairs(
     docs: DataFrame,
     *,

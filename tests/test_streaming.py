@@ -2886,3 +2886,138 @@ def test_robust_volume_anomaly_stream_matches_batch(spark, tmp_path):
 
     assert canon(got) == canon(want)
     assert {r.user_id for r in got.collect()} == {1}  # u2 under fallback gate
+
+
+def test_containment_maintenance_stream_matches_batch(spark, tmp_path):
+    """Two CDC micro-batches (bootstrap, then change+delete+add)
+    folded through the pair maintainer: the served pair table equals
+    a fresh containment_prefix_pairs over the final corpus, the
+    digest stamp binds pairs to the exact snapshot, and a lone
+    artifact or mismatched threshold refuses by name."""
+    import os as _os
+    import time as _time
+
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import dedup
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        pair_maintenance,
+    )
+
+    core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    wrap = "hdr " + core + " ftr one two"
+    core2 = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    b1 = [
+        (1, core, "U", 1), (2, wrap, "U", 2),
+        (3, core2, "U", 3), (5, "x1 " + core + " x2 x3", "U", 4),
+    ]
+    b2 = [
+        (5, None, "D", 5),                              # delete
+        (3, "changed words entirely now", "U", 6),      # change
+        (6, "pre " + core + " post five six", "U", 7),  # add superset of 1
+    ]
+    schema = "doc_id long, text string, op string, seq long"
+    src = str(tmp_path / "csrc")
+    _os.makedirs(src)
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}.parquet"
+        )
+        _time.sleep(0.05)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    pairs_path = str(tmp_path / "pairs")
+    corpus_path = str(tmp_path / "corpus")
+    t, sh = 0.8, 1
+    q = pair_maintenance.start_containment_maintenance_stream(
+        stream,
+        pairs_path=pairs_path,
+        corpus_path=corpus_path,
+        checkpoint_dir=str(tmp_path / "cckpt"),
+        threshold=t, shingle=sh,
+        op_col="op", seq_col="seq",
+        available_now=True,
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+
+    final_corpus = spark.read.parquet(corpus_path)
+    served = dedup.load_containment_pairs(
+        spark, pairs_path, threshold=t, shingle=sh,
+        corpus_digest=dedup.corpus_digest(final_corpus),
+    )
+    fresh = dedup.containment_prefix_pairs(
+        final_corpus, threshold=t, shingle=sh
+    )
+    canon = lambda df: sorted(map(tuple, df.collect()))
+    assert canon(served) == canon(fresh)
+    got = {(r["doc_a"], r["doc_b"]) for r in served.collect()}
+    assert (1, 6) in got            # pair minted in batch 2
+    assert not any(5 in p for p in got)  # deleted doc's pairs gone
+    # corpus state: 3 changed, 5 gone, 6 present
+    texts = {r["doc_id"]: r["text"] for r in final_corpus.collect()}
+    assert set(texts) == {1, 2, 3, 6}
+    assert texts[3] == "changed words entirely now"
+
+    # refusal: wrong threshold stamp
+    with _pytest.raises(ValueError, match="_threshold"):
+        dedup.load_containment_pairs(
+            spark, pairs_path, threshold=0.9, shingle=sh
+        )
+    # refusal: digest mismatch (pairs vs a different snapshot)
+    with _pytest.raises(ValueError, match="_corpus_digest"):
+        dedup.load_containment_pairs(
+            spark, pairs_path, threshold=t, shingle=sh,
+            corpus_digest="0:0:0",
+        )
+
+
+def test_containment_maintenance_refuses_lone_artifact(spark, tmp_path):
+    """A pair table without its corpus snapshot (or vice versa) is a
+    partial deployment — the maintainer refuses by name instead of
+    folding against a missing diff base."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        pair_maintenance,
+    )
+
+    schema = "doc_id long, text string, op string, seq long"
+    src = str(tmp_path / "lsrc")
+    _os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "a b c", "U", 1)], schema
+    ).coalesce(1).write.parquet(f"{src}/b0.parquet")
+    _time.sleep(0.05)
+    pairs_path = str(tmp_path / "lpairs")
+    corpus_path = str(tmp_path / "lcorpus")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = pair_maintenance.start_containment_maintenance_stream(
+            stream, pairs_path=pairs_path, corpus_path=corpus_path,
+            checkpoint_dir=str(tmp_path / ck), threshold=0.8, shingle=1,
+            op_col="op", seq_col="seq", available_now=True,
+        )
+        ok = q.awaitTermination(120)
+        q.stop()
+        return ok
+
+    assert run("ck1")
+    _shutil.rmtree(corpus_path)  # simulate the torn/partial state
+    try:
+        run("ck2")
+        raise AssertionError("expected the lone-artifact refusal")
+    except Exception as e:  # StreamingQueryException wraps the ValueError
+        assert "maintained together" in str(e)
