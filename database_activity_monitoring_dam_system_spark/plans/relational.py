@@ -825,7 +825,150 @@ GROUP BY l_suppkey, s_name
 """
 
 
+def _priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact×fact join + per-group CONDITIONAL counts
+    — lines shipped in 1997 classified by their order's priority
+    (urgent/high vs other), counted per return flag. The priority
+    class is computed map-side after one broadcast-unfriendly join;
+    orders carries only (key, priority) into it, so the shuffled
+    payload is two columns, and both counts come from ONE aggregate
+    pass (the severity-histogram discipline, A9, on a join)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_returnflag")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+def _supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: per part attribute group, the DISTINCT count
+    of suppliers, EXCLUDING a subquery-defined blocklist (negative-
+    balance suppliers standing in for the complaint scan) — NOT IN
+    as a broadcast anti-join BEFORE the distinct aggregate, so
+    excluded suppliers never enter the count. Supply relationships
+    derive from shipped lines (the testdata has no partsupp); the
+    (part, supplier) projection reduces in a map-side distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    rel = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    return (
+        rel.groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 20
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+
+def _disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR-of-ANDs predicate spanning BOTH join
+    sides (brand/size from the dim, quantity from the fact) — the
+    plan-shape test for disjunctive pushdown: Catalyst must push the
+    dim-only disjuncts to the part scan and the fact-only bounds to
+    the lineitem scan (qty ∈ [1, 36] covers all three arms) while
+    the full disjunction evaluates post-join. Revenue in exact
+    integer cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        li.l_partkey == part.p_partkey,
+    )
+    qty = F.col("l_quantity")
+    arm = lambda b, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == b)
+        & (F.col("p_size") <= smax)
+        & (qty >= qlo)
+        & (qty <= qhi)
+    )
+    picked = j.filter(
+        arm("Brand#12", 5, 1, 11)
+        | arm("Brand#23", 10, 10, 20)
+        | arm("Brand#34", 15, 20, 36)
+    )
+    return picked.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("revenue_cents"),
+    )
+
+
+_Q19_SQL = """
+SELECT count(*)::BIGINT AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                           + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size <= 5
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size <= 10
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#34' AND p_size <= 15
+       AND l_quantity >= 20 AND l_quantity <= 36)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "priority_line_counts": QuerySpec(
+        _priority_line_counts, _Q12_SQL,
+        "Q12 shape: fact×fact join + one-pass conditional counts per "
+        "group — two-column shuffled payload",
+    ),
+    "supplier_part_counts": QuerySpec(
+        _supplier_part_counts, _Q16_SQL,
+        "Q16 shape: NOT-IN blocklist as broadcast anti-join before a "
+        "grouped count-distinct over derived supply relationships",
+    ),
+    "disjunctive_brand_revenue": QuerySpec(
+        _disjunctive_brand_revenue, _Q19_SQL,
+        "Q19 shape: OR-of-ANDs predicate across both join sides — "
+        "disjunctive pushdown, integer-cents revenue",
+    ),
     "idle_rich_customers": QuerySpec(
         _idle_rich_customers, _Q22_SQL,
         "Q22 shape: above-global-average balance + NOT EXISTS orders "

@@ -644,3 +644,27 @@ def test_q20_q22_decorrelation_shapes(spark):
     # the NOT EXISTS is a true anti join against distinct keys
     assert "LeftAnti" in q22
     assert "SortMergeJoin" not in q22
+
+
+def test_q12_q16_q19_plan_shapes(spark):
+    """Q12: two-column shuffled payload (orders scan pruned to
+    key+priority) and ONE aggregate pass. Q16: the NOT-IN blocklist
+    is a broadcast anti-join, never a shuffled one. Q19: Catalyst
+    extracts the per-side disjunctions from the OR-of-ANDs and
+    pushes BOTH to their scans — the qty bounds reach lineitem, the
+    brand/size arms reach part."""
+    q12 = _plan(spark, "priority_line_counts")
+    read = [
+        ln for ln in q12.splitlines() if "ReadSchema" in ln and "orders" in ln
+    ][0].split("ReadSchema:")[1]
+    assert "o_totalprice" not in read and "o_custkey" not in read
+    assert q12.count("HashAggregate") >= 2  # partial + final, one pass
+
+    q16 = _plan(spark, "supplier_part_counts")
+    assert "BroadcastHashJoin" in q16 and "LeftAnti" in q16
+    assert "SortMergeJoin" not in q16
+
+    q19 = _plan(spark, "disjunctive_brand_revenue")
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity" in q19, "qty bounds not pushed"
+    assert "Or(Or(And(EqualTo(p_brand" in q19, "brand/size arms not pushed"
+    assert "SortMergeJoin" not in q19
