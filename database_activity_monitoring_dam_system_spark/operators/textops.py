@@ -870,6 +870,32 @@ def pii_scrub(
     return docs.select(F.col(id_col), *count_cols, stage.alias(out_col))
 
 
+def k_anonymity_report(
+    df,
+    *,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Privacy audit companion to :func:`pii_scrub`: the
+    k-anonymity check over a quasi-identifier set — every
+    equivalence class (distinct quasi-identifier combination) with
+    FEWER than ``k`` members is a re-identification risk (Sweeney's
+    criterion: a release is k-anonymous iff no class is smaller than
+    k), reported with its size so the caller can suppress or
+    generalize exactly those rows. NULL is a class value like any
+    other (two rows both missing a column are indistinguishable —
+    they generalize each other).
+
+    One hash aggregate on the quasi columns + the < k filter: output
+    is bounded by the number of RISKY classes, not rows — the audit
+    a 100 TB release pipeline runs before every export."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").alias("class_size"))
+        .filter(F.col("class_size") < k)
+    )
+
+
 # html_extract_text's staged pipeline — every pattern is RE2-portable
 # (no backrefs, no lookaround) so the DuckDB oracle can state the
 # identical chain; (?is) case-insensitive dot-all prefixes work in

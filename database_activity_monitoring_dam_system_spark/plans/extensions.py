@@ -260,6 +260,27 @@ FROM s
 """
 
 
+def _q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over a quasi-identifier pair coarse enough
+    to form real equivalence classes (nation × market segment on
+    customers, k=8): classes smaller than k are the re-identifiable
+    ones a release must suppress or generalize."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    cust = load_table(spark, sf_dir, "customer")
+    return textops.k_anonymity_report(
+        cust, quasi_cols=["c_nationkey", "c_mktsegment"], k=8
+    )
+
+
+_K_ANON_SQL = """
+SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS class_size
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+HAVING count(*) < 8
+"""
+
+
 def _q_incremental_containment(spark, sf_dir):
     """Incremental exact-pair maintenance ≡ fresh rebuild: the shared
     synth_old_snapshot delta (added / changed / removed classes) is
@@ -4259,6 +4280,11 @@ QUERIES: dict[str, QuerySpec] = {
         "RE2-portable regexp chain: script/style/comment removal, "
         "block-tag newlines, entity decode, whitespace collapse) — "
         "zero shuffle, md5-pinned char-for-char",
+    ),
+    "k_anonymity_classes": QuerySpec(
+        _q_k_anonymity, _K_ANON_SQL,
+        "k-anonymity audit: quasi-identifier equivalence classes "
+        "below k — one hash aggregate, risky-class-bounded output",
     ),
     "incremental_containment": QuerySpec(
         _q_incremental_containment, _CONTAINMENT_SQL,

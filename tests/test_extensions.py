@@ -3859,3 +3859,23 @@ def test_ivf_update_assignments_fold_and_stamp(spark):
     other = similarity.ivf_centroids(new, n_centroids=3, refine_iters=0)
     with _pytest.raises(ValueError, match="does not match"):
         similarity.ivf_update_assignments(old_assign, old, new, other)
+
+
+def test_k_anonymity_semantics(spark):
+    """Classes below k surface with their sizes; classes at or above
+    k do not; NULL quasi values form their own class."""
+    from database_activity_monitoring_dam_system_spark.operators import textops
+
+    rows = (
+        [(i, "US", "A") for i in range(5)]     # safe class (k=3)
+        + [(90, "DE", "B"), (91, "DE", "B")]   # risky: size 2
+        + [(95, None, "C")]                    # risky NULL class: 1
+    )
+    df = spark.createDataFrame(rows, "id long, geo string, seg string")
+    got = {
+        (r["geo"], r["seg"]): r["class_size"]
+        for r in textops.k_anonymity_report(
+            df, quasi_cols=["geo", "seg"], k=3
+        ).collect()
+    }
+    assert got == {("DE", "B"): 2, (None, "C"): 1}
