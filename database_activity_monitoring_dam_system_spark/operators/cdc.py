@@ -239,8 +239,23 @@ def scd2_intervals(
     point query becomes a BETWEEN predicate on this view, which is
     how an audit UI serves "state at time T" without replaying."""
     w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).asc())
+    # a NULL op would fall through `op != delete_op` as a SILENT drop
+    # (the row still closes the preceding interval via lead(), then
+    # vanishes from the view) — refuse at execution instead, the
+    # index_maintenance._arbitrate_batch discipline in lazy form
+    checked_op = F.when(
+        F.col(op_col).isNotNull(), F.col(op_col)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "scd2_intervals: journal carries a NULL "
+                f"{op_col!r} row — ambiguous operation; clean the feed"
+            )
+        )
+    )
     return (
-        journal.withColumn("_valid_to", F.lead(seq_col).over(w))
+        journal.withColumn(op_col, checked_op)
+        .withColumn("_valid_to", F.lead(seq_col).over(w))
         .filter(F.col(op_col) != delete_op)
         .withColumn("is_current", F.col("_valid_to").isNull())
         .withColumnRenamed("_valid_to", "valid_to")

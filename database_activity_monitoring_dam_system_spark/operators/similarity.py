@@ -377,6 +377,7 @@ def ivf_update_assignments(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     persisted_out: list | None = None,
+    cache_classification: bool = True,
 ) -> DataFrame:
     """Incremental IVF list maintenance — pq_update_codes' classify/
     carry/re-encode pattern applied to the assignment table, closing
@@ -390,9 +391,13 @@ def ivf_update_assignments(
     Centroids are held FIXED across the fold (retraining them is a
     rebuild decision — every carried row would be invalid); a stamped
     ``old_assign`` is verified against ``centroids`` and the result
-    re-stamped. One id-keyed classify join (persisted — both branches
-    consume it; appended to ``persisted_out`` for caller unpersist),
-    one semi-join carry, zero-shuffle re-assign of the delta."""
+    re-stamped. One id-keyed classify join (persisted by default —
+    both branches consume it; appended to ``persisted_out`` for
+    caller unpersist; pass ``cache_classification=False`` from
+    fire-and-return contexts that cannot unpersist after the action —
+    the classify join then re-executes once per branch instead of
+    accumulating executor storage across calls), one semi-join carry,
+    zero-shuffle re-assign of the delta."""
     stamped = IVF_ASSIGN_STAMP in old_assign.columns
     if stamped:
         old_assign = _verify_assign_stamp(
@@ -411,10 +416,11 @@ def ivf_update_assignments(
             F.col(id_col),
             F.col("_nv").eqNullSafe(F.col("_ov")).alias("_same"),
         )
-        .persist()
     )
-    if persisted_out is not None:
-        persisted_out.append(cls)
+    if cache_classification:
+        cls = cls.persist()
+        if persisted_out is not None:
+            persisted_out.append(cls)
     carried = old_assign.join(
         cls.filter("_same").select(id_col), id_col, "left_semi"
     )

@@ -1573,7 +1573,11 @@ def _q_incremental_ivf_topk(spark, sf_dir):
         similarity.ivf_assignments(old_emb, cents), cents
     )
     folded = similarity.ivf_update_assignments(
-        old_assign, old_emb, emb, cents
+        # no caching: the gate returns a lazy frame the driver
+        # executes later, so nothing here could unpersist — the
+        # classify join re-executes once per branch instead of
+        # accumulating executor storage across bench/driver runs
+        old_assign, old_emb, emb, cents, cache_classification=False,
     )
     return similarity.ivf_topk(
         emb, _QUERY_IDS, k=10, n_probe=4, centroids=cents,

@@ -628,8 +628,16 @@ def test_q20_q22_decorrelation_shapes(spark):
     q20 = _plan(spark, "dominant_part_suppliers")
     assert "SortMergeJoin" not in q20
     assert "BroadcastHashJoin" in q20
-    # lineitem scan keeps only the join/agg/filter columns
-    read = q20.split("ReadSchema:")[1].splitlines()[0]
+    # lineitem scan keeps only the join/agg/filter columns — select
+    # the lineitem ReadSchema explicitly (the first scan in the plan
+    # text is not guaranteed to be lineitem)
+    li_reads = [
+        ln.split("ReadSchema:")[1]
+        for ln in q20.splitlines()
+        if "ReadSchema:" in ln and "lineitem" in ln
+    ]
+    assert li_reads, "no lineitem scan found in the q20 plan"
+    read = li_reads[0]
     assert "l_extendedprice" not in read and "l_returnflag" not in read
     assert "PushedFilters: [IsNotNull(l_shipdate)" in q20
     # agg exchange + window exchange + final supplier-group exchange:

@@ -557,3 +557,20 @@ def test_snapshot_as_of_prunes_partitioned_journal(spark, tmp_path):
         (r["k"], r["val"], r["seq"]) for r in df.collect()
     )
     assert canon(tt) == canon(want)
+
+
+def test_scd2_refuses_null_op(spark):
+    """A NULL op row must fail loudly at execution, never silently
+    vanish after closing the preceding interval."""
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import cdc
+
+    journal = spark.createDataFrame(
+        [(1, "a", 10, "U"), (1, "b", 20, None)],
+        "k long, val string, seq long, op string",
+    )
+    with _pytest.raises(Exception, match="NULL 'op'"):
+        cdc.scd2_intervals(
+            journal, key_cols=["k"], seq_col="seq"
+        ).collect()
