@@ -953,7 +953,68 @@ WHERE (p_brand = 'Brand#12' AND p_size <= 5
 """
 
 
+def _customer_revenue_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function battery: rank / dense_rank / percent_rank /
+    cume_dist / ntile(4) over per-nation customer revenue in ONE
+    window pass (one shuffle on the partition key, every function
+    riding the same sort). Revenue in exact integer cents and a
+    custkey tie-break give a total order, so the rank family —
+    including ntile's remainder allocation — is engine-deterministic;
+    percent_rank/cume_dist are single exact-integer divisions."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.withColumn("_cents", _cents(F.col("o_totalprice")))
+        .groupBy("o_custkey")
+        .agg(F.sum("_cents").alias("rev_cents"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("rev_cents"), F.asc("c_custkey")
+    )
+    return rev.select(
+        "c_nationkey",
+        F.col("c_custkey").alias("custkey"),
+        "rev_cents",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+_RANKS_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE))
+                       AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_nationkey, c_custkey AS custkey, rev_cents,
+       CAST(rank() OVER w AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM rev JOIN customer ON o_custkey = c_custkey
+WINDOW w AS (PARTITION BY c_nationkey
+             ORDER BY rev_cents DESC, c_custkey ASC)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "customer_revenue_ranks": QuerySpec(
+        _customer_revenue_ranks, _RANKS_SQL,
+        "analytic battery: rank/dense_rank/percent_rank/cume_dist/"
+        "ntile in one window pass — total order via integer cents + "
+        "key tie-break makes every rank engine-deterministic",
+    ),
     "priority_line_counts": QuerySpec(
         _priority_line_counts, _Q12_SQL,
         "Q12 shape: fact×fact join + one-pass conditional counts per "
