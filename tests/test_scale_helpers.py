@@ -325,3 +325,31 @@ def test_asof_nearest_tie_prefers_backward(spark):
     assert out[1] == (t(12), 2.0)
     assert out[2] == (t(8), 3.0)
     assert out[3] == (t(14), 6.0)
+
+
+def test_asof_numeric_axis(spark):
+    """A numeric ordering column (sequence/offset instead of
+    timestamp) works across all three directions with tolerance —
+    the axis type only changes the distance arithmetic."""
+    left = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 10, 205.0)],
+        "event_id long, user_id long, pos double",
+    )
+    right = spark.createDataFrame(
+        [(10, 95.0, 1.0), (10, 103.0, 2.0), (10, 210.0, 3.0)],
+        "user_id long, pos double, value double",
+    )
+    def go(direction, tol=None):
+        return {
+            r.event_id: r.value_asof
+            for r in asof.asof_join(
+                left, right, on=["user_id"], ts_col="pos",
+                carry_cols=["value"], direction=direction,
+                tolerance_seconds=tol,
+            ).collect()
+        }
+    assert go("backward") == {1: 1.0, 2: 2.0}
+    assert go("forward") == {1: 2.0, 2: 3.0}
+    assert go("nearest") == {1: 2.0, 2: 3.0}   # fwd closer both: 3<5, 5<102
+    assert go("backward", tol=4.0) == {1: None, 2: None}  # 5 and 102 both > 4
+    assert go("forward", tol=5.0) == {1: 2.0, 2: 3.0}     # 3 ≤ 5, 5 ≤ 5 inclusive
