@@ -419,3 +419,129 @@ def test_int8_quantization_scale_invariant(spark, vecs, factor):
         ).collect()
     }
     assert q1 == q2
+
+
+def _model_asof_directional(left, right, direction, tol):
+    """Pure-Python model for asof_join across directions with
+    tolerance: per side, inclusive; greatest (ts, value) among
+    equal-ts rights; nearest picks the closer side, exact tie →
+    backward; tolerance disqualifies per side BEFORE comparison."""
+    out = {}
+    for li, (k, lts) in enumerate(left):
+        def best(cands, pick_max):
+            if not cands:
+                return None
+            key_ts = max(c[0] for c in cands) if pick_max else min(
+                c[0] for c in cands
+            )
+            at = [c for c in cands if c[0] == key_ts]
+            return max(at, key=lambda c: (c[1] is not None, c[1] or 0))
+
+        bw = best(
+            [
+                (rts, v) for (rk, rts, v) in right
+                if rk == k and rts <= lts
+                and (tol is None or (lts - rts).total_seconds() <= tol)
+            ],
+            pick_max=True,
+        )
+        fw = best(
+            [
+                (rts, v) for (rk, rts, v) in right
+                if rk == k and rts >= lts
+                and (tol is None or (rts - lts).total_seconds() <= tol)
+            ],
+            pick_max=False,
+        )
+        if direction == "backward":
+            out[li] = bw
+        elif direction == "forward":
+            out[li] = fw
+        elif bw is None or fw is None:
+            out[li] = bw if fw is None else fw
+        else:
+            d_b = (lts - bw[0]).total_seconds()
+            d_f = (fw[0] - lts).total_seconds()
+            out[li] = bw if d_b <= d_f else fw
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    _asof_case(),
+    st.sampled_from(["backward", "forward", "nearest"]),
+    st.one_of(st.none(), st.integers(0, 60)),
+)
+def test_asof_directions_match_model(spark, case, direction, tol):
+    left, right = case
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)],
+        "row_id long, user_id long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, ts, float(v) if v is not None else None) for (k, ts, v) in right],
+        "user_id long, ts timestamp, value double",
+    ) if right else spark.createDataFrame(
+        [], "user_id long, ts timestamp, value double"
+    )
+    got = {
+        r.row_id: (
+            (r.ts_asof, r.value_asof) if r.ts_asof is not None else None
+        )
+        for r in asof.asof_join(
+            ldf, rdf, on=["user_id"], ts_col="ts", carry_cols=["value"],
+            direction=direction,
+            tolerance_seconds=float(tol) if tol is not None else None,
+        ).collect()
+    }
+    model = _model_asof_directional(left, right, direction, tol)
+    assert set(got) == set(model)
+    for i, expected in model.items():
+        if expected is None:
+            assert got[i] is None, (i, got[i])
+        else:
+            ets, ev = expected
+            assert got[i] == (ets, float(ev) if ev is not None else None), (
+                i, got[i], expected
+            )
+
+
+@st.composite
+def _containment_fold_case(draw):
+    vocab = [f"w{i}" for i in range(12)]
+    def doc():
+        return " ".join(
+            draw(st.lists(st.sampled_from(vocab), min_size=1, max_size=6))
+        )
+    n_old = draw(st.integers(2, 6))
+    old = [(i, doc()) for i in range(n_old)]
+    new = []
+    for i, text in old:
+        verdict = draw(st.sampled_from(["keep", "change", "remove"]))
+        if verdict == "keep":
+            new.append((i, text))
+        elif verdict == "change":
+            new.append((i, doc()))
+    n_add = draw(st.integers(0, 2))
+    new += [(100 + j, doc()) for j in range(n_add)]
+    return old, new
+
+
+@settings(**_SETTINGS)
+@given(_containment_fold_case(), st.sampled_from([0.6, 0.8, 1.0]))
+def test_containment_fold_equals_rebuild_property(spark, case, t):
+    """update_containment_pairs ≡ fresh rebuild on randomized corpora
+    across every delta mix hypothesis can shrink to — the durable
+    form of the review pass's randomized oracle."""
+    old_rows, new_rows = case
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(
+        new_rows, "doc_id long, text string"
+    ) if new_rows else spark.createDataFrame([], "doc_id long, text string")
+    old_pairs = dedup.containment_prefix_pairs(old, threshold=t, shingle=1)
+    folded = dedup.update_containment_pairs(
+        old_pairs, old, new, threshold=t, shingle=1
+    )
+    fresh = dedup.containment_prefix_pairs(new, threshold=t, shingle=1)
+    canon = lambda df: sorted(map(tuple, df.collect()))
+    assert canon(folded) == canon(fresh)
