@@ -58,3 +58,44 @@ def start_cdc_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_journal_stream(
+    changes: DataFrame,
+    *,
+    journal_path: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Maintain the change JOURNAL artifact from the same changelog
+    stream — the history table ``cdc.snapshot_as_of`` /
+    ``cdc.scd2_intervals`` serve time travel and audit views from,
+    where ``start_cdc_stream`` maintains only the CURRENT state.
+
+    Each micro-batch lands verbatim under its own ``_batch_id=N``
+    partition via dynamic overwrite (the rollup-fragment discipline):
+    a replayed batch rewrites exactly its own fragment, so the
+    journal is append-only AND redelivery-idempotent without a
+    read-modify-write. Readers take ``spark.read.parquet(path)`` —
+    fragment boundaries are invisible to the sequence axis. Pair with
+    ``cdc.prune_tombstones``-style retention by dropping whole
+    ``_batch_id`` partitions older than the audit horizon (partition-
+    level deletes, never a rewrite)."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        (
+            batch.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(journal_path)
+        )
+
+    writer = changes.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -3021,3 +3021,67 @@ def test_containment_maintenance_refuses_lone_artifact(spark, tmp_path):
         raise AssertionError("expected the lone-artifact refusal")
     except Exception as e:  # StreamingQueryException wraps the ValueError
         assert "maintained together" in str(e)
+
+
+def test_journal_stream_serves_time_travel(spark, tmp_path):
+    """The streamed journal (per-batch fragments) is a faithful
+    history table: snapshot_as_of over it reconstructs every cut
+    exactly as the in-memory journal does, and scd2_intervals renders
+    the same validity spans — time travel served from a
+    stream-maintained artifact."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from database_activity_monitoring_dam_system_spark.operators import cdc
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        cdc_stream,
+    )
+
+    schema = "k long, val string, seq long, op string"
+    b1 = [(1, "a2", 40, "U"), (2, "b2", 50, "U"), (4, "d", 60, "U")]
+    b2 = [(1, None, 70, "D"), (2, "b3", 80, "U"), (4, "d2", 90, "U")]
+    src = str(tmp_path / "jsrc")
+    _os.makedirs(src)
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}.parquet"
+        )
+        _time.sleep(0.05)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    jpath = str(tmp_path / "journal")
+    q = cdc_stream.start_journal_stream(
+        stream, journal_path=jpath,
+        checkpoint_dir=str(tmp_path / "jckpt"), available_now=True,
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+
+    streamed = spark.read.parquet(jpath).drop("_batch_id")
+    in_mem = spark.createDataFrame(b1 + b2, schema)
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, val string, seq long",
+    )
+    canon = lambda df: sorted(
+        (r["k"], r["val"], r["seq"]) for r in df.collect()
+    )
+    for cut in (39, 40, 70, 90):
+        got = cdc.snapshot_as_of(
+            base, streamed, key_cols=["k"], seq_col="seq", as_of=cut
+        )
+        want = cdc.snapshot_as_of(
+            base, in_mem, key_cols=["k"], seq_col="seq", as_of=cut
+        )
+        assert canon(got) == canon(want), cut
+    # SCD2 over the streamed journal matches too
+    c2 = lambda df: sorted(map(tuple, df.select(
+        "k", "seq", "valid_to", "is_current").collect()))
+    assert c2(cdc.scd2_intervals(streamed, key_cols=["k"], seq_col="seq")) \
+        == c2(cdc.scd2_intervals(in_mem, key_cols=["k"], seq_col="seq"))
