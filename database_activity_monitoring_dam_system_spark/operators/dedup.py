@@ -21,10 +21,31 @@ no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from decimal import Decimal
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _WS = r"\s+"
+
+
+def _min_required_overlap(threshold: float) -> Column:
+    """EXACT ``ceil(threshold * _n)`` as decimal arithmetic.
+
+    The prefix-filter bound needs the true integer ceiling; computing
+    it in doubles under-cuts the prefix whenever the float product
+    rounds up past the exact value (t=0.55 n=100: double 0.55*100 =
+    55.000000000000007 → ceil 56, exact 55), silently dropping
+    qualifying pairs and breaking the EXACT/lossless contract.
+    ``Decimal(str(t))`` recovers the user's literal exactly
+    (decimal(18,17) holds any shortest-repr float in (0, 1]); the
+    product against ``_n`` as decimal(10,0) stays within precision 38,
+    so no rounding occurs anywhere.
+    """
+    t = Decimal(str(threshold))
+    return F.ceil(
+        F.lit(t).cast("decimal(18,17)") * F.col("_n").cast("decimal(10,0)")
+    )
 
 
 def normalized_text(text_col: str = "text") -> F.Column:
@@ -151,7 +172,7 @@ def jaccard_prefix_candidates(
     )
     prefix = ranked.filter(
         F.col("_pos")
-        <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        <= F.col("_n") - _min_required_overlap(threshold) + 1
     ).select(id_col, "tok")
     a, b = prefix.alias("a"), prefix.alias("b")
     return (
@@ -249,7 +270,7 @@ def _containment_substrate(
     )
     prefix = ranked.filter(
         F.col("_pos")
-        <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        <= F.col("_n") - _min_required_overlap(threshold) + 1
     ).select(id_col, "tok")
     return sized, prefix, toks.select(id_col, "tok")
 

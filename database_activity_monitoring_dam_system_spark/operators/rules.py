@@ -95,6 +95,7 @@ def with_rate_counts(
     ts_col: str = "access_timestamp",
     user_col: str = "user_id",
     out_col: str = "queries_last_min",
+    salted: bool = False,
 ) -> DataFrame:
     """Trailing-60s per-user event count (rule 6's event-time analogue).
 
@@ -103,7 +104,25 @@ def with_rate_counts(
     event time: count of the user's events with ts in [t-59s, t].
     Delegates to the shared range-frame helper so the inclusive-bound
     convention lives in exactly one place.
+
+    ``salted=True`` swaps in the exact skew-split variant
+    (``skew.binned_trailing_window_counts``): same results, but the
+    exchange keys on (user, minute-bin) so one bot user — exactly the
+    hot key this rule exists to catch — spreads over one task per
+    minute instead of landing whole on one reducer.  Opt-in because
+    the replication doubles shuffled rows; use when a single tenant
+    dominates the log.
     """
+    if salted:
+        from .skew import binned_trailing_window_counts
+
+        return binned_trailing_window_counts(
+            activity,
+            seconds=60,
+            ts_col=ts_col,
+            user_col=user_col,
+            out_col=out_col,
+        )
     from .anomaly import trailing_window_counts
 
     return trailing_window_counts(
@@ -118,6 +137,7 @@ def apply_rule_battery(
     *,
     now: dt.datetime | str | None = None,
     with_rate_rule: bool = True,
+    salted_rate: bool = False,
 ) -> DataFrame:
     """R1 — the 6-family security battery as one projection pass.
 
@@ -129,6 +149,10 @@ def apply_rule_battery(
     Dimension sides are broadcast: ``users`` and the expiry-filtered
     ``ip_blacklist`` are small (SURVEY.md J1/J3); at 100 TB the fact side
     never shuffles for this operator.
+
+    ``salted_rate=True`` computes the rate rule's trailing count with
+    the skew-split (user, minute-bin) window — identical results,
+    bounded max task under a single hot tenant (see with_rate_counts).
     """
     df = activity
     if users is not None:
@@ -152,7 +176,7 @@ def apply_rule_battery(
         blacklisted = F.lit(False)
 
     if with_rate_rule and "queries_last_min" not in df.columns:
-        df = with_rate_counts(df)
+        df = with_rate_counts(df, salted=salted_rate)
     rate_count = (
         F.col("queries_last_min") if "queries_last_min" in df.columns else F.lit(0)
     )

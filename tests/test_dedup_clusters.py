@@ -304,6 +304,40 @@ def test_containment_prefix_filter_lossless_vs_naive(spark):
     assert fast == slow and len(slow) > 0
 
 
+def test_prefix_cut_exact_ceil_boundary_thresholds(spark):
+    """Regression: the prefix bound must use the EXACT integer
+    ceil(t*n). Double arithmetic overshoots it for thresholds whose
+    float product rounds up past the true value (0.55*20 =
+    11.000000000000002 → ceil 12 instead of 11), cutting the probe
+    prefix one token short and silently dropping qualifying pairs.
+
+    Crafted fixture (t=0.56, n=25: double 0.56*25 = 14.000000000000002
+    → buggy ceil 15, exact 14): doc 0 has 11 unique tokens (df=1,
+    rarest — they fill the prefix front) + 14 tokens shared with doc 1
+    (df≥2) → containment(0→1) = 14/25 = 0.56 exactly.  The correct
+    prefix (25-14+1 = 12 tokens) includes one shared token, so the
+    pair surfaces; the buggy prefix (11 tokens) holds only the unique
+    ones and loses the pair — verified red against the old bound."""
+    uniq = " ".join(f"u{i:02d}" for i in range(11))
+    shared = " ".join(f"s{i:02d}" for i in range(14))
+    filler = " ".join(f"f{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (0, uniq + " " + shared),
+            (1, shared + " " + filler),
+            (2, shared),  # raises shared-token df above the uniques
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.containment_prefix_pairs(
+            docs, threshold=0.56, shingle=1
+        ).collect()
+    }
+    assert (0, 1) in pairs
+
+
 def test_update_containment_pairs_equals_fresh_rebuild(spark):
     """The corpus_diff fold over the exact pair table ≡ a fresh
     containment_prefix_pairs over the new snapshot, across an

@@ -69,6 +69,91 @@ def test_salted_count_on_hot_key_corpus(spark):
     assert hot == n // 5
 
 
+def _hot_user_events(spark, n_hot=50_000, n_cold_users=40, per_cold=100):
+    """One bot user carrying ~93% of events across a 2h span, plus a
+    uniform tail — the app.py:396-403 rate-limit shape. Timestamps are
+    deliberately dense (many per second, ties included) and cross
+    minute-bin boundaries."""
+    n = n_hot + n_cold_users * per_cold
+    return spark.range(n).select(
+        F.when(F.col("id") < n_hot, F.lit(1))
+        .otherwise((F.col("id") % n_cold_users) + 2)
+        .cast("long")
+        .alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.pmod(F.xxhash64("id"), F.lit(7200))
+        ).alias("access_timestamp"),
+        F.col("id").alias("activity_id"),
+    )
+
+
+def test_binned_trailing_window_matches_plain(spark):
+    """The skew-split (user, minute-bin) trailing count must be
+    bit-identical to the plain per-user range frame — including tied
+    timestamps and events straddling bin boundaries."""
+    from database_activity_monitoring_dam_system_spark.operators.anomaly import (
+        trailing_window_counts,
+    )
+
+    df = _hot_user_events(spark, n_hot=8_000, n_cold_users=20, per_cold=50)
+    plain = {
+        (r.activity_id, r.trailing_count)
+        for r in trailing_window_counts(df, seconds=60).collect()
+    }
+    salted = {
+        (r.activity_id, r.trailing_count)
+        for r in skew.binned_trailing_window_counts(df, seconds=60).collect()
+    }
+    assert salted == plain
+
+
+def test_binned_trailing_window_splits_hot_key_exchange(spark):
+    """The exchange must key on (user_id, _bin), not user_id alone —
+    that's the whole point: the hot user's rows spread over one task
+    per minute of activity instead of one task total."""
+    df = _hot_user_events(spark, n_hot=2_000, n_cold_users=5, per_cold=10)
+    plan = (
+        skew.binned_trailing_window_counts(df, seconds=60)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(user_id" in plan
+    bin_keyed = [
+        ln
+        for ln in plan.splitlines()
+        if "hashpartitioning(user_id" in ln and "_bin" in ln
+    ]
+    assert bin_keyed, "exchange lost the _bin key — hot user unsplit"
+
+
+def test_battery_salted_rate_opt_in_parity(spark):
+    """apply_rule_battery(salted_rate=True) must produce row-identical
+    suspicious/severity output to the default path on the hot-key
+    fixture (the rate rule consumes the same counts either way)."""
+    df = _hot_user_events(spark, n_hot=5_000, n_cold_users=10, per_cold=30).select(
+        "*",
+        F.lit("SELECT 1").alias("operation_details"),
+        F.lit("SELECT").alias("operation_type"),
+        F.lit("users").alias("table_name"),
+        F.lit(1).alias("rows_affected"),
+    )
+    cols = ["activity_id", "queries_last_min", "is_suspicious", "severity_level"]
+    plain = {
+        tuple(r)
+        for r in rules.apply_rule_battery(df).select(*cols).collect()
+    }
+    salted = {
+        tuple(r)
+        for r in rules.apply_rule_battery(df, salted_rate=True)
+        .select(*cols)
+        .collect()
+    }
+    assert salted == plain
+    # the hot user must actually trip the rate rule in this fixture
+    assert any(r[2] for r in plain)
+
+
 def test_asof_inclusive_and_null_semantics(spark):
     t = lambda s: dt.datetime(2026, 8, 1, 10, 0, s)
     left = spark.createDataFrame(

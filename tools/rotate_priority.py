@@ -44,20 +44,38 @@ REGISTRY = (
 )
 
 
-def last_green_rounds() -> tuple[dict[str, int], set[str]]:
+def available_rounds() -> tuple[int, ...]:
+    """Rounds with a CORRECTNESS_r*.json artifact at the repo root."""
+    rounds = []
+    for path in REPO.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
+        if m:
+            rounds.append(int(m.group(1)))
+    return tuple(sorted(rounds))
+
+
+def last_green_rounds(
+    rounds: tuple[int, ...] | None = None,
+) -> tuple[dict[str, int], set[str]]:
     """(query -> most recent hash-green round, queries with ANY row).
 
     The second element counts rows-only / errored driver rows too —
     it decides whether a ``_DRIVER_DEFER`` entry still needs its
-    one-time pass through the driver window.
+    one-time pass through the driver window.  ``rounds`` pins the
+    artifacts consulted (landing-proof regeneration checks pass the
+    stamped ``_DRIVER_PRIORITY_SOURCE_ROUNDS``); None means all on
+    disk.
     """
     greens: dict[str, int] = {}
     seen: set[str] = set()
+    wanted = set(rounds) if rounds is not None else None
     for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
         if not m:
             continue
         rnd = int(m.group(1))
+        if wanted is not None and rnd not in wanted:
+            continue
         for name, row in json.loads(path.read_text()).items():
             seen.add(name)
             if row.get("hash_match"):
@@ -65,7 +83,9 @@ def last_green_rounds() -> tuple[dict[str, int], set[str]]:
     return greens, seen
 
 
-def generate() -> tuple[list[str], dict[str, int]]:
+def generate(
+    rounds: tuple[int, ...] | None = None,
+) -> tuple[list[str], dict[str, int]]:
     sys.path.insert(0, str(REPO))
     from database_activity_monitoring_dam_system_spark.plans.registry import (
         _DRIVER_DEFER,
@@ -75,7 +95,7 @@ def generate() -> tuple[list[str], dict[str, int]]:
     merged: dict = {}
     for mod in _SOURCE_MODULES:
         merged.update(mod.QUERIES)
-    greens, seen = last_green_rounds()
+    greens, seen = last_green_rounds(rounds)
     full_oracle = [
         name
         for name in merged
@@ -92,13 +112,18 @@ def generate() -> tuple[list[str], dict[str, int]]:
 
 
 def main() -> None:
-    ordered, greens = generate()
+    rounds = available_rounds()
+    ordered, greens = generate(rounds)
     lines = [
         f'    "{name}",  # last green: '
         + (f"r{greens[name]:02d}" if name in greens else "never")
         for name in ordered
     ]
     block = "_DRIVER_PRIORITY: tuple[str, ...] = (\n" + "\n".join(lines) + "\n)"
+    stamp = (
+        "_DRIVER_PRIORITY_SOURCE_ROUNDS: tuple[int, ...] = "
+        f"{tuple(rounds)!r}"
+    )
     if "--write" in sys.argv:
         src = REGISTRY.read_text()
         pattern = re.compile(
@@ -107,10 +132,41 @@ def main() -> None:
         )
         if not pattern.search(src):
             raise SystemExit("registry.py: _DRIVER_PRIORITY block not found")
-        REGISTRY.write_text(pattern.sub(block, src, count=1))
-        print(f"wrote {len(ordered)} entries to {REGISTRY}")
+        src = pattern.sub(block, src, count=1)
+        stamp_pattern = re.compile(
+            r"_DRIVER_PRIORITY_SOURCE_ROUNDS: tuple\[int, \.\.\.\] = \([^)]*\)"
+        )
+        if stamp_pattern.search(src):
+            src = stamp_pattern.sub(stamp, src, count=1)
+        else:
+            # first write: stamp immediately after the priority tuple
+            src = src.replace(block, block + "\n\n" + _STAMP_COMMENT + stamp, 1)
+        REGISTRY.write_text(src)
+        print(f"wrote {len(ordered)} entries (rounds {rounds}) to {REGISTRY}")
     else:
+        try:
+            from database_activity_monitoring_dam_system_spark.plans.registry import (  # noqa: E501
+                _DRIVER_PRIORITY_SOURCE_ROUNDS as stamped,
+            )
+        except ImportError:
+            stamped = None
+        if stamped is not None and tuple(stamped) != tuple(rounds):
+            print(
+                f"# REGENERATION PENDING: registry stamped from rounds "
+                f"{tuple(stamped)} but {tuple(rounds)} are on disk — "
+                "run with --write"
+            )
         print(block)
+        print(stamp)
+
+
+_STAMP_COMMENT = (
+    "# CORRECTNESS_r*.json rounds the tuple above was generated from —\n"
+    "# written by tools/rotate_priority.py --write.  The rotation test\n"
+    "# regenerates from exactly these rounds, so a driver artifact that\n"
+    "# lands AFTER the closing commit skips the test (with a regenerate\n"
+    "# reminder) instead of failing it.\n"
+)
 
 
 if __name__ == "__main__":
