@@ -403,6 +403,32 @@ def corpus_digest(
 _PAIR_STAMPS = ("_threshold", "_shingle", "_corpus_digest")
 
 
+def _hadoop_exists(spark, path: str) -> bool:
+    """Hadoop-FS existence probe (works for any configured scheme)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def _identity_path(path: str) -> str:
+    # underscore-prefixed children are invisible to parquet readers
+    # (the _SUCCESS convention), so the sidecar hides inside the
+    # artifact directory itself and dies with it on overwrite
+    return path.rstrip("/") + "/_identity"
+
+
+def read_pair_identity(spark, path: str) -> dict | None:
+    """The identity sidecar of a saved pair table, or None for
+    artifacts written before the sidecar existed (or torn before the
+    sidecar write). Lets recovery logic learn a pair table's bound
+    corpus digest WITHOUT depending on the table having rows."""
+    ip = _identity_path(path)
+    if not _hadoop_exists(spark, ip):
+        return None
+    row = spark.read.parquet(ip).first()
+    return {k: row[k] for k in _PAIR_STAMPS}
+
+
 def save_containment_pairs(
     pairs: DataFrame,
     path: str,
@@ -415,7 +441,14 @@ def save_containment_pairs(
     (threshold, shingle) — folding under different parameters is the
     silent-garbage trap update_containment_pairs' docstring warns
     about — plus the corpus digest binding it to one exact snapshot
-    (load_band_table's stamp contract applied to the pair family)."""
+    (load_band_table's stamp contract applied to the pair family).
+
+    The identity is stamped on every ROW (self-describing data) and
+    ALSO written as a one-row ``_identity`` sidecar inside the
+    artifact directory: a ZERO-PAIR table has no rows to carry
+    stamps, and without the sidecar it would vacuously pass every
+    value check — an empty table torn from a nonempty corpus would
+    load as "no near-supersets" against the wrong snapshot."""
     (
         pairs.withColumn("_threshold", F.lit(float(threshold)))
         .withColumn("_shingle", F.lit(int(shingle)))
@@ -423,6 +456,11 @@ def save_containment_pairs(
         .write.mode("overwrite")
         .parquet(path)
     )
+    spark = pairs.sparkSession
+    spark.createDataFrame(
+        [(float(threshold), int(shingle), corpus_digest)],
+        "_threshold double, _shingle int, _corpus_digest string",
+    ).coalesce(1).write.mode("overwrite").parquet(_identity_path(path))
 
 
 def load_containment_pairs(
@@ -438,8 +476,12 @@ def load_containment_pairs(
     than silently skipping the check — the load_band_table ADVICE
     fix applied from day one); ``corpus_digest`` (pass the live
     corpus's digest) catches a pair table torn from its snapshot.
-    Returns the frame with stamps stripped. A zero-row table loads
-    as a valid empty pair set only when it still carries stamps."""
+    Returns the frame with stamps stripped. A zero-row table is a
+    valid empty pair set, but ONLY when its identity is still
+    verifiable: via the ``_identity`` sidecar (preferred — row stamps
+    don't exist without rows) or, for pre-sidecar artifacts with
+    rows, the row stamps; an empty table with neither is refused
+    rather than vacuously passing every value check."""
     df = spark.read.parquet(path)
     expect = {
         "_threshold": float(threshold),
@@ -447,6 +489,18 @@ def load_containment_pairs(
     }
     if corpus_digest is not None:
         expect["_corpus_digest"] = corpus_digest
+    identity = read_pair_identity(spark, path)
+    if identity is not None:
+        for col, want in expect.items():
+            if identity[col] != want:
+                raise ValueError(
+                    f"load_containment_pairs: artifact at {path!r} "
+                    f"identity stamps {col}={identity[col]!r} but the "
+                    f"caller expects {want!r} — mismatched build "
+                    "parameters or a torn corpus/pair update; rebuild "
+                    "from the current snapshot"
+                )
+    saw_rows = False
     for col, want in expect.items():
         if col not in df.columns:
             raise ValueError(
@@ -455,6 +509,7 @@ def load_containment_pairs(
                 "rebuild with save_containment_pairs"
             )
         got = [r[0] for r in df.select(col).distinct().collect()]
+        saw_rows = saw_rows or bool(got)
         if len(got) > 1 or (got and got[0] != want):
             raise ValueError(
                 f"load_containment_pairs: artifact at {path!r} stamps "
@@ -462,6 +517,13 @@ def load_containment_pairs(
                 "mismatched build parameters or a torn corpus/pair "
                 "update; rebuild from the current snapshot"
             )
+    if identity is None and not saw_rows and corpus_digest is not None:
+        raise ValueError(
+            f"load_containment_pairs: artifact at {path!r} is empty "
+            "and has no _identity sidecar — an empty table carries "
+            "no row stamps, so its bound corpus cannot be verified; "
+            "rebuild with save_containment_pairs"
+        )
     return df.drop(*[c for c in _PAIR_STAMPS if c in df.columns])
 
 

@@ -378,6 +378,7 @@ def ivf_update_assignments(
     vec_col: str = "embedding",
     persisted_out: list | None = None,
     cache_classification: bool = True,
+    allow_unstamped: bool = False,
 ) -> DataFrame:
     """Incremental IVF list maintenance — pq_update_codes' classify/
     carry/re-encode pattern applied to the assignment table, closing
@@ -391,7 +392,9 @@ def ivf_update_assignments(
     Centroids are held FIXED across the fold (retraining them is a
     rebuild decision — every carried row would be invalid); a stamped
     ``old_assign`` is verified against ``centroids`` and the result
-    re-stamped. One id-keyed classify join (persisted by default —
+    re-stamped.  An UNSTAMPED ``old_assign`` is refused outright
+    (``allow_unstamped=True`` overrides): without the stamp a table
+    built under different centroids would be carried with no error. One id-keyed classify join (persisted by default —
     both branches consume it; appended to ``persisted_out`` for
     caller unpersist; pass ``cache_classification=False`` from
     fire-and-return contexts that cannot unpersist after the action —
@@ -402,6 +405,19 @@ def ivf_update_assignments(
     if stamped:
         old_assign = _verify_assign_stamp(
             old_assign, centroids, caller="ivf_update_assignments"
+        )
+    elif not allow_unstamped:
+        # An unstamped table built under DIFFERENT centroids would be
+        # carried (and served) with no error — exactly the mis-probe
+        # trap the stamp closes. Every table this library produces can
+        # be stamped via stamp_ivf_assignments; refuse by default,
+        # mirroring load_containment_pairs' missing-stamp refusal.
+        raise ValueError(
+            "ivf_update_assignments: old_assign lacks the "
+            f"{IVF_ASSIGN_STAMP!r} quantizer stamp, so it cannot be "
+            "verified against the fold's centroids. Stamp it with "
+            "stamp_ivf_assignments(old_assign, centroids), or pass "
+            "allow_unstamped=True if the table is trusted out-of-band."
         )
     old_v = old_embeddings.select(
         F.col(id_col), _as_double(vec_col).alias("_ov")
@@ -448,6 +464,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: list[tuple] | None = None,
     assignments: DataFrame | None = None,
+    allow_unstamped: bool = False,
 ) -> DataFrame:
     """IVF ANN top-k: assign every vector to its max-cosine centroid
     (ties → lowest cent_id), probe each query's ``n_probe`` nearest
@@ -494,6 +511,17 @@ def ivf_topk(
     if IVF_ASSIGN_STAMP in assign_src.columns:
         assign_src = _verify_assign_stamp(
             assign_src, cents, caller="ivf_topk"
+        )
+    elif assignments is not None and not allow_unstamped:
+        # caller-supplied table with no stamp: serving against lists
+        # built under a different quantizer silently mis-probes —
+        # refuse unless explicitly overridden (internally-built
+        # assignments are exempt: same cents by construction).
+        raise ValueError(
+            "ivf_topk: the supplied assignments table lacks the "
+            f"{IVF_ASSIGN_STAMP!r} quantizer stamp. Stamp it with "
+            "stamp_ivf_assignments(assignments, centroids), or pass "
+            "allow_unstamped=True if it is trusted out-of-band."
         )
     assigned = assign_src.select(
         F.col(id_col).alias("neighbor_id"), "cent_id", "vec", "n_norm"

@@ -11,10 +11,16 @@ corpus text on both sides of the delta (candidates re-derive from the
 new corpus's token order), so the maintainer keeps a corpus snapshot
 artifact BESIDE the pair table and CDC-folds it first. The two
 artifacts are bound by a content digest (dedup.corpus_digest stamped
-into the pair table): a crash between the two saves leaves a torn
-state that the next batch REFUSES by digest mismatch instead of
-folding garbage — same honesty contract as every artifact updater
-here, with the stamp strong enough to catch same-row-count tears.
+into the pair table), and the two-artifact commit SELF-HEALS: the new
+corpus is staged to a sibling path first, the pair table (with its
+digest) is saved second, and the staged corpus is promoted (rename)
+last. A crash at any point leaves a state the next batch repairs
+mechanically — a staged corpus whose digest matches the pair table's
+identity sidecar is a torn commit's missing half (promote and
+continue); one that doesn't match is a pre-save orphan (delete and
+refold). The digest gate still REFUSES states recovery can't explain
+(manual edits, lost artifacts) — honesty first, self-healing where
+the tear is provably ours.
 
 Per-batch cost: one CDC fold of the snapshot (change-sized) + one
 linear substrate build over the corpus + delta-bounded candidate
@@ -91,19 +97,66 @@ def start_containment_maintenance_stream(
     ``containment_prefix_pairs`` over the final corpus (stream ≡
     batch pinned by test).
 
-    Refusals: exactly one artifact present (partial deployment —
-    a lone pair table has no snapshot to diff against; a lone
-    snapshot would silently drop all prior pairs); a pair table whose
-    (threshold, shingle, corpus digest) stamps don't match.
+    Refusals: exactly one artifact present with no staged corpus to
+    repair from (partial deployment — a lone pair table has no
+    snapshot to diff against; a lone snapshot would silently drop all
+    prior pairs); a pair table whose (threshold, shingle, corpus
+    digest) stamps don't match and whose mismatch no staged corpus
+    explains.
 
-    Save order is PAIRS FIRST: the pair fold reads the PRE-fold
-    corpus, so on a retry after a crash between the saves the next
-    load sees pairs stamped with the post-fold digest against a
-    pre-fold corpus and refuses — a rebuild (or restoring the prior
-    snapshot) is the recovery, never a silent divergent fold."""
+    Commit order is STAGE-PAIRS-PROMOTE: the new corpus is written to
+    ``corpus_path + ".staging"``, the pair table (stamped with the
+    new digest) is saved, then the staged corpus is promoted over
+    ``corpus_path`` with a rename. Each batch first runs recovery: a
+    staged corpus matching the pair table's identity sidecar is a
+    torn commit's missing promote (finish it — the retried batch then
+    refolds idempotently); a non-matching one is a pre-save orphan
+    (delete it). Crashes therefore wedge nothing; only states the
+    protocol could not have produced still refuse."""
+    staging_path = corpus_path.rstrip("/") + ".staging"
+
+    def _fs(spark, path):
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+    def _promote(spark) -> None:
+        fs, dst = _fs(spark, corpus_path)
+        _, src = _fs(spark, staging_path)
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        if not fs.rename(src, dst):
+            raise IOError(
+                f"promote failed: rename {staging_path!r} -> "
+                f"{corpus_path!r}"
+            )
+
+    def _recover(spark) -> None:
+        if not _artifact_exists(spark, staging_path):
+            return
+        identity = (
+            dedup.read_pair_identity(spark, pairs_path)
+            if _artifact_exists(spark, pairs_path)
+            else None
+        )
+        staged_digest = None
+        if identity is not None:
+            try:
+                staged_digest = dedup.corpus_digest(
+                    spark.read.parquet(staging_path),
+                    id_col=id_col, text_col=text_col,
+                )
+            except Exception:
+                staged_digest = None  # half-written staging = orphan
+        if identity is not None and staged_digest == identity["_corpus_digest"]:
+            # pairs committed, promote didn't: finish the commit
+            _promote(spark)
+        else:
+            fs, jstaging = _fs(spark, staging_path)
+            fs.delete(jstaging, True)
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        _recover(spark)
         corpus_exists = _artifact_exists(spark, corpus_path)
         pairs_exist = _artifact_exists(spark, pairs_path)
         if corpus_exists != pairs_exist:
@@ -150,6 +203,7 @@ def start_containment_maintenance_stream(
                 id_col=id_col, text_col=text_col,
                 threshold=threshold, shingle=shingle,
             ).localCheckpoint(eager=True)
+        new_corpus.write.mode("overwrite").parquet(staging_path)
         dedup.save_containment_pairs(
             new_pairs, pairs_path,
             threshold=threshold, shingle=shingle,
@@ -157,7 +211,7 @@ def start_containment_maintenance_stream(
                 new_corpus, id_col=id_col, text_col=text_col
             ),
         )
-        new_corpus.write.mode("overwrite").parquet(corpus_path)
+        _promote(spark)
 
     writer = docs.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -3860,6 +3860,27 @@ def test_ivf_update_assignments_fold_and_stamp(spark):
     with _pytest.raises(ValueError, match="does not match"):
         similarity.ivf_update_assignments(old_assign, old, new, other)
 
+    # an UNSTAMPED old table is refused by default (it cannot be
+    # verified against the fold's centroids)...
+    unstamped = similarity.ivf_assignments(old, cents)
+    with _pytest.raises(ValueError, match="quantizer stamp"):
+        similarity.ivf_update_assignments(unstamped, old, new, cents)
+    # ...and the explicit override still folds correctly
+    loose = similarity.ivf_update_assignments(
+        unstamped, old, new, cents, allow_unstamped=True
+    )
+    assert canon(loose) == canon(fresh)
+    # same contract on the serving path: caller-supplied unstamped
+    # assignments are refused, stamped ones serve
+    with _pytest.raises(ValueError, match="quantizer stamp"):
+        similarity.ivf_topk(
+            new, [0], k=2, centroids=cents, assignments=unstamped
+        )
+    served = similarity.ivf_topk(
+        new, [0], k=2, centroids=cents, assignments=folded
+    )
+    assert served.count() > 0
+
 
 def test_k_anonymity_semantics(spark):
     """Classes below k surface with their sizes; classes at or above

@@ -3023,6 +3023,144 @@ def test_containment_maintenance_refuses_lone_artifact(spark, tmp_path):
         assert "maintained together" in str(e)
 
 
+def test_containment_maintenance_self_heals_torn_commit(spark, tmp_path):
+    """Crash-window recovery: a staged corpus whose digest matches the
+    pair table's identity sidecar is the missing half of a torn commit
+    — the next run promotes it and replays to the same final state; a
+    staged corpus that does NOT match is a pre-save orphan and is
+    deleted, leaving the consistent artifacts untouched."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from database_activity_monitoring_dam_system_spark.operators import dedup
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        pair_maintenance,
+    )
+
+    core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = [(1, core, "U", 1), (2, "hdr " + core + " ftr", "U", 2)]
+    b2 = [(3, "pre " + core + " post", "U", 3), (2, None, "D", 4)]
+    schema = "doc_id long, text string, op string, seq long"
+    src = str(tmp_path / "hsrc")
+    _os.makedirs(src)
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}.parquet"
+        )
+        _time.sleep(0.05)
+    pairs_path = str(tmp_path / "hpairs")
+    corpus_path = str(tmp_path / "hcorpus")
+    staging_path = corpus_path + ".staging"
+    t, sh = 0.8, 1
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = pair_maintenance.start_containment_maintenance_stream(
+            stream, pairs_path=pairs_path, corpus_path=corpus_path,
+            checkpoint_dir=str(tmp_path / ck), threshold=t, shingle=sh,
+            op_col="op", seq_col="seq", available_now=True,
+        )
+        assert q.awaitTermination(180)
+        q.stop()
+
+    run("hck1")  # clean end state
+    final_corpus_rows = sorted(
+        map(tuple, spark.read.parquet(corpus_path).collect())
+    )
+    served = dedup.load_containment_pairs(
+        spark, pairs_path, threshold=t, shingle=sh,
+        corpus_digest=dedup.corpus_digest(spark.read.parquet(corpus_path)),
+    )
+    final_pairs = sorted(map(tuple, served.collect()))
+
+    # ---- simulate the torn commit: pairs saved (final), promote lost.
+    # corpus reverts to the post-b1 snapshot; the final corpus sits in
+    # staging exactly as the crashed promote left it.
+    post_b1 = dedup.containment_prefix_pairs  # noqa: F841 (doc anchor)
+    _shutil.move(corpus_path, staging_path)
+    spark.createDataFrame(
+        [(1, core), (2, "hdr " + core + " ftr")], "doc_id long, text string"
+    ).write.parquet(corpus_path)
+    # the torn state refuses a direct serve (digest mismatch)...
+    try:
+        dedup.load_containment_pairs(
+            spark, pairs_path, threshold=t, shingle=sh,
+            corpus_digest=dedup.corpus_digest(
+                spark.read.parquet(corpus_path)
+            ),
+        )
+        raise AssertionError("expected the digest refusal on torn state")
+    except ValueError as e:
+        assert "_corpus_digest" in str(e)
+    # ...but the maintainer heals it: recovery promotes the staged
+    # corpus (identity matches), then replays both batches idempotently
+    run("hck2")
+    assert not _os.path.exists(staging_path)
+    assert sorted(
+        map(tuple, spark.read.parquet(corpus_path).collect())
+    ) == final_corpus_rows
+    served2 = dedup.load_containment_pairs(
+        spark, pairs_path, threshold=t, shingle=sh,
+        corpus_digest=dedup.corpus_digest(spark.read.parquet(corpus_path)),
+    )
+    assert sorted(map(tuple, served2.collect())) == final_pairs
+
+    # ---- pre-save orphan: staging holds a corpus the pair identity
+    # does NOT bind — recovery deletes it and the artifacts survive
+    spark.createDataFrame(
+        [(9, "unrelated text entirely")], "doc_id long, text string"
+    ).write.parquet(staging_path)
+    run("hck3")
+    assert not _os.path.exists(staging_path)
+    assert sorted(
+        map(tuple, spark.read.parquet(corpus_path).collect())
+    ) == final_corpus_rows
+
+
+def test_empty_pair_table_identity_sidecar(spark, tmp_path):
+    """A zero-pair table is a real state — but only the _identity
+    sidecar makes it verifiable: with it, the digest gate works; an
+    empty pre-sidecar artifact (no rows, no sidecar) refuses instead
+    of vacuously passing."""
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c"), (2, "x y z")], "doc_id long, text string"
+    )
+    digest = dedup.corpus_digest(corpus)
+    empty = dedup.containment_prefix_pairs(corpus, threshold=0.9, shingle=1)
+    assert empty.count() == 0
+    path = str(tmp_path / "epairs")
+    dedup.save_containment_pairs(
+        empty, path, threshold=0.9, shingle=1, corpus_digest=digest
+    )
+    # sidecar present: verifies, and catches a wrong digest
+    assert dedup.load_containment_pairs(
+        spark, path, threshold=0.9, shingle=1, corpus_digest=digest
+    ).count() == 0
+    with _pytest.raises(ValueError, match="_corpus_digest"):
+        dedup.load_containment_pairs(
+            spark, path, threshold=0.9, shingle=1, corpus_digest="0:0:0"
+        )
+    # sidecar gone (pre-sidecar artifact): the empty table can no
+    # longer prove its bound corpus — refuse
+    _shutil.rmtree(path + "/_identity")
+    with _pytest.raises(ValueError, match="_identity sidecar"):
+        dedup.load_containment_pairs(
+            spark, path, threshold=0.9, shingle=1, corpus_digest=digest
+        )
+
+
 def test_journal_stream_serves_time_travel(spark, tmp_path):
     """The streamed journal (per-batch fragments) is a faithful
     history table: snapshot_as_of over it reconstructs every cut
