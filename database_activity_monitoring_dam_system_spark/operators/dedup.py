@@ -384,6 +384,86 @@ def update_containment_pairs(
     return survivors.select(*out_cols).unionByName(fresh.select(*out_cols))
 
 
+def containment_sketch_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 24,
+    threshold: float = 0.8,
+    shingle: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """BANDED containment estimation — the scale path that shadows
+    :func:`containment_prefix_pairs` the way MinHash LSH shadows
+    :func:`jaccard_pairs`.  Bottom-k sketch estimator (the
+    containment-MinHash construction, Koslicki & Zabeti 2019 /
+    Broder's bottom-k): hash every shingle of the probe doc a, keep
+    the k lexically-smallest (hash, token) pairs — a near-uniform
+    k-sample of T(a) WITHOUT replacement — and estimate
+    C(a→b) = |T(a) ∩ T(b)| / |T(a)| by the fraction of sketch tokens
+    present in T(b).  Emits (doc_a, doc_b, est_containment ≥ t).
+
+    Why this is the 100 TB shape where the exact prefix join is not
+    (sf1 audit: containment_pairs is 8.9× at 10× data):
+
+    * probe volume is a CONSTANT k rows per doc, independent of doc
+      length — the exact filter's probe prefix is n−⌈t·n⌉+1 tokens,
+      which grows linearly with doc size at fixed t;
+    * the sketch is a pure zero-shuffle projection —
+      slice(array_sort(transform(toks, struct(hash, tok))), 1, k) —
+      no document-frequency aggregate, no rank window (the exact
+      path needs both to order its prefix rarest-first);
+    * verification is a COUNT aggregate over the candidate join
+      (map-side combinable), never an id-keyed fetch of full token
+      arrays — the exact path ships both arrays to every candidate.
+
+    The estimator is deterministic given the hash family:
+    ``hash_family="md5"`` makes every stage ANSI-SQL-reproducible
+    (the DuckDB oracle re-derives the identical sketch by ordering
+    md5 hex strings), ``"xxhash64"`` is the cheaper production hash.
+    Standard-error ~ sqrt(C(1−C)/k); k=24 at t=0.8 gives ±0.08 —
+    recall/precision vs the exact join is pinned by test, and the
+    exact operator remains the exactness oracle for audits.
+    """
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(
+            f"containment_sketch_pairs: unknown hash_family {hash_family!r}"
+        )
+    h_sql = "md5(t)" if hash_family == "md5" else "xxhash64(t)"
+    base = token_arrays(
+        docs, id_col=id_col, text_col=text_col, shingle=shingle
+    )
+    sk = base.withColumn(
+        "_sk",
+        F.expr(
+            f"slice(array_sort(transform(toks, "
+            f"t -> struct({h_sql} AS h, t AS tok))), 1, {int(k)})"
+        ),
+    ).withColumn("_k", F.size("_sk"))
+    probe = sk.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("_k"),
+        F.explode("_sk").alias("_s"),
+    ).select("doc_a", "_k", F.col("_s.tok").alias("tok"))
+    full = base.select(
+        F.col(id_col).alias("doc_b"), F.explode("toks").alias("tok")
+    )
+    est = F.col("_m") / F.col("_k")
+    return (
+        probe.join(
+            full,
+            (probe["tok"] == full["tok"]) & (F.col("doc_a") != F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b", "_k")
+        .agg(F.count("*").alias("_m"))
+        .filter(est >= threshold)
+        .select(
+            "doc_a", "doc_b", F.round(est, 4).alias("est_containment")
+        )
+    )
+
+
 def corpus_digest(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> str:

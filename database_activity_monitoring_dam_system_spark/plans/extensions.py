@@ -191,6 +191,74 @@ WHERE c * 1.0 / sa.n >= {_PREFIX_T}
 """
 
 
+_CSKETCH_K = 24
+
+
+def _q_containment_sketch_md5(spark, sf_dir):
+    """Banded containment ESTIMATOR (bottom-k sketch, md5 family) —
+    the scale path shadowing containment_pairs exactly the way
+    dedup_minhash_md5 shadows the exact Jaccard join: probe volume
+    is a constant k rows/doc, the sketch is a zero-shuffle
+    projection, verification is a count aggregate. The oracle
+    re-derives the identical sketch by ordering md5 hex strings, so
+    the full estimate pipeline is hash-pinned cross-engine."""
+    return dedup.containment_sketch_pairs(
+        _docs(spark, sf_dir),
+        k=_CSKETCH_K,
+        threshold=_PREFIX_T,
+        shingle=_PREFIX_SHINGLE,
+        hash_family="md5",
+    )
+
+
+def _q_containment_sketch_xx(spark, sf_dir):
+    """Production-hash twin (xxhash64 sketch) — engine-specific hash,
+    so rows-only at the driver; the md5 twin pins the plan."""
+    return dedup.containment_sketch_pairs(
+        _docs(spark, sf_dir),
+        k=_CSKETCH_K,
+        threshold=_PREFIX_T,
+        shingle=_PREFIX_SHINGLE,
+        hash_family="xxhash64",
+    )
+
+
+_CONTAINMENT_SKETCH_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, w,
+         unnest(generate_series(0, greatest(len(w) - {_PREFIX_SHINGLE}, 0)))
+           AS p
+  FROM t
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[p+1:p+{_PREFIX_SHINGLE}], ' ') AS tok
+  FROM pos
+),
+hk AS (SELECT doc_id, tok, md5(tok) AS h FROM sh),
+sk AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, tok,
+           row_number() OVER (PARTITION BY doc_id ORDER BY h, tok) AS rn
+    FROM hk
+  ) WHERE rn <= {_CSKETCH_K}
+),
+ka AS (SELECT doc_id, count(*) AS kk FROM sk GROUP BY 1),
+m AS (
+  SELECT s.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
+  FROM sk s JOIN sh b ON s.tok = b.tok AND s.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(m * 1.0 / kk, 4) AS est_containment
+FROM m JOIN ka ON doc_a = ka.doc_id
+WHERE m * 1.0 / kk >= {_PREFIX_T}
+"""
+
+
 # deterministic HTML wrapper for the extraction gate: script with a
 # '</div>' string literal and a '<' comparison, style, comment, block
 # tags, and entities both sides of the payload
@@ -4277,6 +4345,21 @@ QUERIES: dict[str, QuerySpec] = {
         "directed near-superset join: containment |A∩B|/|A| ≥ t via "
         "the asymmetric prefix filter (probe prefix × full inverted "
         "list), verified exactly — lossless vs the naive oracle",
+    ),
+    "containment_minhash_md5": QuerySpec(
+        _q_containment_sketch_md5, _CONTAINMENT_SKETCH_SQL,
+        "banded containment estimation (bottom-k sketch, md5 family): "
+        "constant-k probe, zero-shuffle sketch projection, count-only "
+        "verify — the scale path shadowing the exact prefix join, "
+        "hash-exact DuckDB oracle",
+    ),
+    "containment_minhash_est": QuerySpec(
+        _q_containment_sketch_xx, None,
+        "banded containment estimation with the production xxhash64 "
+        "sketch — engine-specific hash, rows-only; plan pinned by the "
+        "md5 twin",
+        expect_columns=("doc_a", "doc_b", "est_containment"),
+        expect_rows=(1, None),
     ),
     "html_extract": QuerySpec(
         _q_html_extract, _html_extract_oracle(),

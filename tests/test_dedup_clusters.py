@@ -8,6 +8,8 @@ import os
 import shutil
 import tempfile
 
+import pytest
+
 from database_activity_monitoring_dam_system_spark.operators import dedup
 from database_activity_monitoring_dam_system_spark.sources.agent import (
     normalize_agent_events,
@@ -380,3 +382,89 @@ def test_update_containment_pairs_equals_fresh_rebuild(spark):
     assert (3, 6) in got        # minted by an ADDED indexed-side doc
     assert (3, 4) not in got    # killed by the change
     assert not any(5 in p for p in got)  # removal dropped its pairs
+
+
+# ------------------------------------------- containment sketch estimator
+
+
+def test_containment_sketch_exact_when_k_covers_sets(spark):
+    """With k ≥ every |T(a)| the bottom-k sketch IS the full token
+    set, so the estimator degenerates to the exact join — pair set
+    AND values must equal containment_prefix_pairs on the same
+    randomized-ish corpus, for both hash families (the hash only
+    picks the sample; with nothing left out it cannot matter)."""
+    rows = []
+    for i in range(30):
+        toks = ["w%d" % ((i * 7 + j * 13) % 40) for j in range(6 + i % 5)]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.7
+    exact = {
+        (r["doc_a"], r["doc_b"], r["containment"])
+        for r in dedup.containment_prefix_pairs(
+            docs, threshold=t, shingle=1
+        ).collect()
+    }
+    assert exact
+    for fam in ("md5", "xxhash64"):
+        est = {
+            (r["doc_a"], r["doc_b"], r["est_containment"])
+            for r in dedup.containment_sketch_pairs(
+                docs, k=1000, threshold=t, shingle=1, hash_family=fam
+            ).collect()
+        }
+        assert est == exact, fam
+
+
+def test_containment_sketch_recall_precision_vs_exact(spark):
+    """Sampling regime (k < |T(a)|): on the boilerplate-wrap corpus
+    scaled up, the estimator must (a) find every SAFELY-above-
+    threshold pair — true containment ≥ t + 2σ, σ = sqrt(t(1-t)/k) —
+    and (b) emit no pair whose true containment is below t − 2σ
+    (boundary pairs may flip either way; that is the documented
+    estimator contract, not a defect)."""
+    import math
+
+    # 12 wrapped cores (containment core→wrap = 1.0 > t + 2σ), plus
+    # disjoint noise docs (true containment 0 vs everything).
+    rows = []
+    for i in range(12):
+        core = " ".join(f"c{i}t{j}" for j in range(40))
+        wrap = (
+            " ".join(f"h{i}x{j}" for j in range(6))
+            + " " + core + " "
+            + " ".join(f"f{i}y{j}" for j in range(6))
+        )
+        rows.append((2 * i, core))
+        rows.append((2 * i + 1, wrap))
+    for i in range(8):
+        rows.append((100 + i, " ".join(f"n{i}z{j}" for j in range(30))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t, k = 0.8, 24
+    sigma = math.sqrt(t * (1 - t) / k)
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.containment_prefix_pairs(
+            docs, threshold=0.0001, shingle=1
+        ).collect()
+    }
+    for fam in ("md5", "xxhash64"):
+        est = {
+            (r["doc_a"], r["doc_b"]): r["est_containment"]
+            for r in dedup.containment_sketch_pairs(
+                docs, k=k, threshold=t, shingle=1, hash_family=fam
+            ).collect()
+        }
+        safe_true = {
+            p for p, c in exact.items() if c >= t + 2 * sigma
+        }
+        missed = safe_true - est.keys()
+        assert not missed, (fam, missed)  # recall 1.0 on safe pairs
+        for p in est:
+            assert exact.get(p, 0.0) >= t - 2 * sigma, (fam, p, exact.get(p))
+
+
+def test_containment_sketch_rejects_unknown_hash_family(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="hash_family"):
+        dedup.containment_sketch_pairs(docs, hash_family="sha1")
