@@ -545,3 +545,137 @@ def test_containment_fold_equals_rebuild_property(spark, case, t):
     fresh = dedup.containment_prefix_pairs(new, threshold=t, shingle=1)
     canon = lambda df: sorted(map(tuple, df.collect()))
     assert canon(folded) == canon(fresh)
+
+
+# ------------------------------------------------ streaming funnel lateness
+
+_FUNNEL_STEPS = ["login", "query", "export"]
+
+
+@st.composite
+def _funnel_interleave_case(draw):
+    """Randomized out-of-order arrival of funnel (and decoy) events:
+    each event gets an event time AND an independent arrival batch,
+    so hypothesis explores cross-batch disorder, duplicate steps,
+    pre-login steps, re-labeling late arrivals, and — when the drawn
+    watermark delay is shorter than the disorder — genuinely late
+    events that the watermark must DROP."""
+    users = [1, 2, 3]
+    n = draw(st.integers(min_value=1, max_value=16))
+    events = [
+        (
+            draw(st.sampled_from(users)),
+            draw(st.sampled_from(_FUNNEL_STEPS + ["other"])),
+            draw(st.integers(min_value=0, max_value=240)),
+        )
+        for _ in range(n)
+    ]
+    arrival = [draw(st.integers(0, 4)) for _ in range(n)]
+    delay_s = draw(st.sampled_from([30, 90, 600]))
+    return events, arrival, delay_s
+
+
+class _FakeGroupState:
+    """Just enough of pyspark GroupState for _funnel_fn: exists/get/
+    update plus the per-batch watermark the protocol feeds it."""
+
+    def __init__(self):
+        self._v = None
+        self.wm_ms = 0
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def getCurrentWatermarkMs(self):
+        return self.wm_ms
+
+
+def _epoch_us(sec_offset: int) -> int:
+    base = dt.datetime(2024, 3, 1, 10, 0, 0, tzinfo=dt.timezone.utc)
+    return int(
+        (base + dt.timedelta(seconds=sec_offset)).timestamp() * 1_000_000
+    )
+
+
+@settings(**_SETTINGS)
+@given(_funnel_interleave_case())
+def test_funnel_stream_state_fn_matches_batch_property(spark, case):
+    """The per-user funnel state fold (journey_stream._funnel_fn)
+    driven through an emulated micro-batch watermark protocol — the
+    same protocol funnel_stream runs under: per batch, rows older
+    than the CURRENT watermark are dropped, the state fn folds the
+    survivors under that watermark, and the watermark then advances
+    to max-event-time-so-far minus the delay. The final emitted row
+    per user must equal journeys.funnel_steps over exactly the
+    surviving events — for ANY interleaving hypothesis can shrink
+    to, in all three delay regimes (everything-buffered, mixed
+    finalize/buffer, aggressive dropping)."""
+    from database_activity_monitoring_dam_system_spark.operators import journeys
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        journey_stream,
+    )
+    import pandas as pd
+
+    events, arrival, delay_s = case
+    fn = journey_stream._funnel_fn(_FUNNEL_STEPS, "user_id")
+    states: dict[int, _FakeGroupState] = {}
+    last_row: dict[int, tuple] = {}
+    survivors: list[tuple] = []
+    wm_ms = 0
+    for b in range(max(arrival) + 1):
+        batch = [
+            (u, tp, ts)
+            for (u, tp, ts), ab in zip(events, arrival)
+            if ab == b and tp in _FUNNEL_STEPS  # pre-state step filter
+        ]
+        if not batch:
+            continue
+        kept = [e for e in batch if _epoch_us(e[2]) // 1000 >= wm_ms]
+        survivors.extend(kept)
+        by_user: dict[int, list] = {}
+        for u, tp, ts in kept:
+            by_user.setdefault(u, []).append((tp, ts))
+        for u, evs in by_user.items():
+            state = states.setdefault(u, _FakeGroupState())
+            state.wm_ms = wm_ms
+            pdf = pd.DataFrame(
+                {
+                    "_ts_us": [_epoch_us(ts) for _, ts in evs],
+                    "_type": [tp for tp, _ in evs],
+                }
+            )
+            for out in fn((u,), iter([pdf]), state):
+                for r in out.itertuples(index=False):
+                    last_row[u] = tuple(r)
+        # watermark advances AFTER the batch, from max event time of
+        # everything that arrived (including rows the NEXT batch's
+        # filter would have dropped — they still flowed through the
+        # watermark node)
+        batch_max_ms = max(_epoch_us(e[2]) // 1000 for e in batch)
+        wm_ms = max(wm_ms, batch_max_ms - delay_s * 1000)
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    sdf = spark.createDataFrame(
+        [
+            (u, tp, base + dt.timedelta(seconds=ts))
+            for u, tp, ts in survivors
+        ]
+        or [(None, None, None)],
+        "user_id long, event_type string, ts timestamp",
+    )
+    if not survivors:
+        sdf = sdf.filter("user_id IS NOT NULL")
+    want = {
+        r.user_id: (r.t_login, r.t_query, r.t_export, r.step_reached)
+        for r in journeys.funnel_steps(sdf, _FUNNEL_STEPS).collect()
+    }
+    got = {u: row[1:] for u, row in last_row.items()}
+    assert got == want
