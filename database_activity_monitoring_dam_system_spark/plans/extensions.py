@@ -1780,14 +1780,33 @@ def _q_pq_ann_topk(spark, sf_dir):
     )
 
 
-def _pq_sub_ctes(j: int, lo: int, dsub: int, ksub: int, iters: int) -> str:
+def _pq_sub_ctes(
+    j: int,
+    lo: int,
+    dsub: int,
+    ksub: int,
+    iters: int,
+    pref: str = "p",
+    src: str | None = None,
+) -> str:
     """Unrolled decimal-exact Lloyd for ONE PQ subspace — the
     _lloyd_refine_ctes construction applied to the slice
-    ``v[lo : lo+dsub-1]`` with prefixed CTE names (p{j}…), ending at
-    codebook ``p{j}c{iters}`` (cid, cv, cn2) and encode stage
-    ``p{j}e`` (vec_id, code). Seeds = the ksub lowest-id vectors'
-    sub-slices, identical to similarity.pq_train."""
+    ``v[lo : lo+dsub-1]`` with prefixed CTE names ({pref}{j}…), ending
+    at codebook ``{pref}{j}c{iters}`` (cid, cv, cn2) and encode stage
+    ``{pref}{j}e`` (vec_id, code). Seeds = the ksub lowest-id vectors'
+    sub-slices, identical to similarity.pq_train.
+
+    ``src`` overrides the training substrate: any SQL table expression
+    yielding (vec_id, v DOUBLE[dsub]) — the residual gate passes the
+    per-subspace residual slice; default is the raw embedding slice."""
     hi = lo + dsub - 1
+    p = pref
+    if src is None:
+        src = (
+            f"(SELECT vec_id,\n"
+            f"               (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS v\n"
+            f"        FROM embeddings)"
+        )
     mean_cols = ",\n         ".join(
         f"CAST(sum(CAST(v[{d + 1}] AS DECIMAL(27,12))) AS DOUBLE)"
         f" / count(*) AS m{d}"
@@ -1801,48 +1820,46 @@ def _pq_sub_ctes(j: int, lo: int, dsub: int, ksub: int, iters: int) -> str:
   FROM (
     SELECT n.vec_id, n.v, c.cid,
            n.norm2 - 2.0 * list_dot_product(n.v, c.cv) + c.cn2 AS dist
-    FROM p{j}n n CROSS JOIN p{j}c{r - 1} c
+    FROM {p}{j}n n CROSS JOIN {p}{j}c{r - 1} c
   )
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
 )"""
 
     parts = [
-        f"""p{j}n AS (
+        f"""{p}{j}n AS (
   SELECT vec_id, v, list_dot_product(v, v) AS norm2
-  FROM (SELECT vec_id,
-               (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS v
-        FROM embeddings)
+  FROM {src}
 ),
-p{j}c0 AS (
+{p}{j}c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid,
          v AS cv, list_dot_product(v, v) AS cn2
-  FROM (SELECT vec_id, v FROM p{j}n ORDER BY vec_id LIMIT {ksub})
+  FROM (SELECT vec_id, v FROM {p}{j}n ORDER BY vec_id LIMIT {ksub})
 )"""
     ]
     for r in range(1, iters + 1):
-        parts.append(assign(r, f"p{j}a{r}"))
+        parts.append(assign(r, f"{p}{j}a{r}"))
         parts.append(
-            f"""p{j}m{r} AS (
+            f"""{p}{j}m{r} AS (
   SELECT cid,
          {mean_cols}
-  FROM p{j}a{r} GROUP BY 1
+  FROM {p}{j}a{r} GROUP BY 1
 ),
-p{j}c{r} AS (
-  SELECT p{j}c{r - 1}.cid,
-         COALESCE(mm.cv, p{j}c{r - 1}.cv) AS cv,
-         list_dot_product(COALESCE(mm.cv, p{j}c{r - 1}.cv),
-                          COALESCE(mm.cv, p{j}c{r - 1}.cv)) AS cn2
-  FROM p{j}c{r - 1}
-  LEFT JOIN (SELECT cid, {mean_list} AS cv FROM p{j}m{r}) mm USING (cid)
+{p}{j}c{r} AS (
+  SELECT {p}{j}c{r - 1}.cid,
+         COALESCE(mm.cv, {p}{j}c{r - 1}.cv) AS cv,
+         list_dot_product(COALESCE(mm.cv, {p}{j}c{r - 1}.cv),
+                          COALESCE(mm.cv, {p}{j}c{r - 1}.cv)) AS cn2
+  FROM {p}{j}c{r - 1}
+  LEFT JOIN (SELECT cid, {mean_list} AS cv FROM {p}{j}m{r}) mm USING (cid)
 )"""
         )
     parts.append(
-        f"""p{j}e AS (
+        f"""{p}{j}e AS (
   SELECT vec_id, cid AS code
   FROM (
     SELECT n.vec_id, c.cid,
            n.norm2 - 2.0 * list_dot_product(n.v, c.cv) + c.cn2 AS dist
-    FROM p{j}n n CROSS JOIN p{j}c{iters} c
+    FROM {p}{j}n n CROSS JOIN {p}{j}c{iters} c
   )
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
 )"""
@@ -2014,6 +2031,145 @@ scored AS (
   FROM cands c
   JOIN enc e ON e.vec_id = c.neighbor_id
   JOIN qq ON qq.query_id = c.query_id
+  {book_joins}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(adc, 6) AS adc_dist
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _q_ivf_pq_res_topk(spark, sf_dir):
+    """Residual IVF-PQ (the FAISS IndexIVFPQ default): codebooks
+    trained on v − centroid(v), codes quantize the residual, the
+    query residualizes against each probed centroid before ADC.
+    Shares the coarse quantizer artifact with the IVF family; the
+    residual codebooks + codes derive in-gate so the hash pins the
+    whole residual chain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _get_ivf_quantizer(spark, sf_dir, emb)
+    books = similarity.pq_train_residual(
+        emb, cents, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, dim=_PQ_DIM
+    )
+    return similarity.ivf_pq_topk_residual(
+        emb, _QUERY_IDS, k=10, n_centroids=16, n_probe=4,
+        refine_iters=_IVF_REFINE_ITERS, m=_PQ_M, ksub=_PQ_KSUB,
+        iters=_PQ_ITERS, dim=_PQ_DIM, centroids=cents, codebooks=books,
+    )
+
+
+def _ivf_pq_res_sql() -> str:
+    """Residual-IVF-PQ oracle: the IVF coarse chain, a residual
+    substrate CTE (rsrc: full vector + assigned centroid vector),
+    per-subspace Lloyd chains trained on the RESIDUAL slices
+    (fv[i] − cvv[i], element-order-identical to Spark's
+    zip_with-then-slice), and an ADC whose query side residualizes
+    against each probed centroid — the same CASE-sum distance as the
+    Spark plan, list-local."""
+    m, ksub, iters, dim = _PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_DIM
+    dsub = dim // m
+    coarse = _lloyd_refine_ctes(16, _IVF_REFINE_ITERS, _KMEANS_EXACT_DIM)
+
+    def idx_list(lo: int) -> str:
+        return "[" + ", ".join(str(i) for i in range(lo, lo + dsub)) + "]"
+
+    subs = ",\n".join(
+        _pq_sub_ctes(
+            j, j * dsub + 1, dsub, ksub, iters, pref="r",
+            src=(
+                f"(SELECT vec_id, list_transform({idx_list(j * dsub + 1)}, "
+                f"i -> fv[i] - cvv[i]) AS v FROM rsrc)"
+            ),
+        )
+        for j in range(m)
+    )
+    qids = ", ".join(str(i) for i in _QUERY_IDS)
+    enc_joins = "\n  ".join(
+        f"JOIN r{j}e e{j} ON e{j}.vec_id = e0.vec_id" for j in range(1, m)
+    )
+    enc_cols = ", ".join(f"e{j}.code AS code{j}" for j in range(m))
+    qr_cols = ",\n         ".join(
+        f"list_transform({idx_list(j * dsub + 1)}, "
+        f"i -> n.v[i] - c.cv[i]) AS qs{j}"
+        for j in range(m)
+    )
+    qq_cols = ", ".join(
+        f"qs{j}, list_dot_product(qs{j}, qs{j}) AS qn{j}" for j in range(m)
+    )
+    book_joins = "\n  ".join(
+        f"JOIN r{j}c{iters} b{j} ON b{j}.cid = e.code{j}" for j in range(m)
+    )
+    adc = " + ".join(
+        f"(qq.qn{j} - 2.0 * list_dot_product(qq.qs{j}, b{j}.cv) + b{j}.cn2)"
+        for j in range(m)
+    )
+    return f"""
+WITH {coarse},
+norms AS (
+  SELECT vec_id, v, sqrt(norm2) AS nrm FROM norms2
+),
+cents AS (
+  SELECT cid AS cent_id, cv, sqrt(cn2) AS cn FROM c{_IVF_REFINE_ITERS}
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT n.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, c.cv) / (c.cn * n.nrm) DESC,
+                      c.cent_id ASC) AS rn
+    FROM norms n CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+rsrc AS (
+  SELECT n.vec_id, n.v AS fv, c.cv AS cvv
+  FROM norms n JOIN assign a USING (vec_id)
+  JOIN cents c USING (cent_id)
+),
+{subs},
+qprobe AS (
+  SELECT query_id, cent_id FROM (
+    SELECT n.vec_id AS query_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, c.cv) / (c.cn * n.nrm) DESC,
+                      c.cent_id ASC) AS rn
+    FROM norms n CROSS JOIN cents c
+    WHERE n.vec_id IN ({qids})
+  ) WHERE rn <= 4
+),
+enc AS (
+  SELECT e0.vec_id, {enc_cols}
+  FROM r0e e0
+  {enc_joins}
+),
+qr AS (
+  SELECT p.query_id, p.cent_id,
+         {qr_cols}
+  FROM qprobe p
+  JOIN norms n ON n.vec_id = p.query_id
+  JOIN cents c ON c.cent_id = p.cent_id
+),
+qq AS (
+  SELECT query_id, cent_id, {qq_cols} FROM qr
+),
+cands AS (
+  SELECT p.query_id, p.cent_id, a.vec_id AS neighbor_id
+  FROM qprobe p JOIN assign a USING (cent_id)
+  WHERE a.vec_id != p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         {adc} AS adc
+  FROM cands c
+  JOIN enc e ON e.vec_id = c.neighbor_id
+  JOIN qq ON qq.query_id = c.query_id AND qq.cent_id = c.cent_id
   {book_joins}
 ),
 ranked AS (
@@ -4608,6 +4764,13 @@ QUERIES: dict[str, QuerySpec] = {
         "shape): per-subspace decimal-exact codebooks, zero-shuffle "
         "argmin encode, asymmetric distance from codes — full DuckDB "
         "oracle re-deriving the codebooks by unrolled Lloyd",
+    ),
+    "embedding_ivf_pq_res_topk": QuerySpec(
+        _q_ivf_pq_res_topk, _ivf_pq_res_sql(),
+        "residual IVF-PQ (FAISS IndexIVFPQ default): codebooks "
+        "trained on v − centroid(v), per-list residual ADC — lower "
+        "distortion at equal code bytes; full oracle re-derives the "
+        "residual Lloyd chains",
     ),
     "embedding_ivf_pq_topk": QuerySpec(
         _q_ivf_pq_ann_topk, _ivf_pq_ann_sql(),
