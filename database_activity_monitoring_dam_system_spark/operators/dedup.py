@@ -426,6 +426,28 @@ def containment_sketch_pairs(
     recall/precision vs the exact join is pinned by test, and the
     exact operator remains the exactness oracle for audits.
     """
+    probe, full = _sketch_substrate(
+        docs, id_col=id_col, text_col=text_col, k=k, shingle=shingle,
+        hash_family=hash_family,
+    )
+    return _estimate_containment(probe, full, threshold=threshold)
+
+
+def _sketch_substrate(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int,
+    shingle: int,
+    hash_family: str,
+):
+    """(probe sketch rows (doc_a, _k, tok), full token rows
+    (doc_b, tok)) — :func:`containment_sketch_pairs`' candidate
+    substrate, shared with the incremental fold. Unlike the exact
+    path's prefix substrate there is NO global document-frequency
+    order here: the sketch is a pure per-doc function, which is what
+    makes the delta fold trivially sound."""
     if hash_family not in ("xxhash64", "md5"):
         raise ValueError(
             f"containment_sketch_pairs: unknown hash_family {hash_family!r}"
@@ -449,6 +471,17 @@ def containment_sketch_pairs(
     full = base.select(
         F.col(id_col).alias("doc_b"), F.explode("toks").alias("tok")
     )
+    return probe, full
+
+
+def _estimate_containment(
+    probe: DataFrame, full: DataFrame, *, threshold: float
+) -> DataFrame:
+    """Count-aggregate tail of the sketch estimator: matched sketch
+    tokens per (doc_a, doc_b), est = m/k, threshold filter. The
+    aggregate is complete for any pair whose probe side is WHOLLY in
+    ``probe`` and indexed side wholly in ``full`` — the property the
+    incremental fold's branch split relies on."""
     est = F.col("_m") / F.col("_k")
     return (
         probe.join(
@@ -462,6 +495,70 @@ def containment_sketch_pairs(
             "doc_a", "doc_b", F.round(est, 4).alias("est_containment")
         )
     )
+
+
+def update_containment_sketch_pairs(
+    old_pairs: DataFrame,
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 24,
+    threshold: float = 0.8,
+    shingle: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Fold a crawl delta into the SKETCH pair table — incremental
+    maintenance for the scale path, mirroring
+    :func:`update_containment_pairs` for the exact one.
+
+    The fold here is strictly simpler than the exact path's: a sketch
+    pair's estimate depends only on a's per-doc sketch and b's token
+    set (no global df order exists to shift under the delta), so a
+    both-endpoints-unchanged pair survives verbatim UNCONDITIONALLY.
+    Fresh pairs come from two DISJOINT complete branches — (dirty
+    probe × full index) covers every pair with a dirty probe side,
+    (clean probe × dirty index) covers the rest with a dirty indexed
+    side — each branch aggregates a COMPLETE match count (the dirty
+    side contributes all of its rows), so no distinct/dedup pass is
+    needed and no pair is double-counted. Per-crawl cost ∝ the
+    delta's candidates, never corpus².
+
+    ``old_pairs`` must have been built with the SAME (k, threshold,
+    shingle, hash_family); equivalence with a fresh rebuild is
+    property-tested across randomized add/change/remove deltas."""
+    diff = corpus_diff(
+        old_docs, new_docs, id_col=id_col, text_col=text_col,
+        normalize=False,
+    )
+    dirty = diff.filter(F.col("verdict") != "unchanged").select(id_col)
+    survivors = (
+        old_pairs.join(
+            dirty.withColumnRenamed(id_col, "doc_a"), "doc_a", "left_anti"
+        ).join(
+            dirty.withColumnRenamed(id_col, "doc_b"), "doc_b", "left_anti"
+        )
+    )
+    delta_ids = diff.filter(
+        F.col("verdict").isin("added", "changed")
+    ).select(id_col)
+    probe, full = _sketch_substrate(
+        new_docs, id_col=id_col, text_col=text_col, k=k, shingle=shingle,
+        hash_family=hash_family,
+    )
+    d_a = delta_ids.withColumnRenamed(id_col, "doc_a")
+    d_b = delta_ids.withColumnRenamed(id_col, "doc_b")
+    p_dirty = probe.join(d_a, "doc_a", "left_semi")
+    p_clean = probe.join(d_a, "doc_a", "left_anti")
+    f_dirty = full.join(d_b, "doc_b", "left_semi")
+    fresh = _estimate_containment(
+        p_dirty, full, threshold=threshold
+    ).unionByName(
+        _estimate_containment(p_clean, f_dirty, threshold=threshold)
+    )
+    out_cols = ["doc_a", "doc_b", "est_containment"]
+    return survivors.select(*out_cols).unionByName(fresh.select(*out_cols))
 
 
 def corpus_digest(

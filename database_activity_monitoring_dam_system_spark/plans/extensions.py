@@ -2045,22 +2045,84 @@ FROM ranked WHERE rank <= 10
 """
 
 
+_RES_PQ_INDEX_CACHE: dict[tuple, list] = {}
+
+
+def _get_res_pq_codebooks(spark, sf_dir, emb, cents):
+    """Residual PQ codebooks under the same load-or-train artifact
+    contract as :func:`_get_pq_codebooks` (they're a list of float
+    lists exactly like raw codebooks, so save/load_pq_index apply
+    unchanged; distinct artifact name keeps the two from ever being
+    paired with the wrong scorer)."""
+    import os
+
+    from .dam import _index_path
+
+    serving = os.environ.get("SPARK_DAM_SHARE_FRAMES") == "1"
+    key = (os.path.realpath(sf_dir), _PQ_M, _PQ_KSUB, _PQ_ITERS, "res")
+    books = _RES_PQ_INDEX_CACHE.get(key) if serving else None
+    if books is None:
+        path = _index_path("pq_res_codebooks", sf_dir) if serving else None
+        n = emb.count() if path is not None else None
+        if path is not None and os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            try:
+                books = similarity.load_pq_index(spark, path, expect_n=n)
+            except ValueError:
+                books = None  # stale artifact → retrain below
+        if books is None:
+            books = similarity.pq_train_residual(
+                emb, cents,
+                m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, dim=_PQ_DIM,
+            )
+            if path is not None:
+                similarity.save_pq_index(spark, books, path, n_corpus=n)
+        if serving:
+            _RES_PQ_INDEX_CACHE[key] = books
+    return books
+
+
+def _get_ivf_pq_res_codes(spark, sf_dir, emb, cents, books):
+    """Residual code table under the shared-artifact contract of
+    :func:`_get_ivf_pq_codes` — stamped with the residual codebook +
+    quantizer fingerprints so ivf_pq_topk_residual refuses a
+    mismatched pairing."""
+    import os
+
+    if os.environ.get("SPARK_DAM_SHARE_FRAMES") != "1":
+        return None
+    from .dam import _index_path, _shared
+
+    on_disk = _index_path("ivf_pq_res_codes", sf_dir) is not None
+    return _shared(
+        "ivf_pq_res_codes", spark, sf_dir,
+        lambda: similarity.stamp_index(
+            similarity.ivf_pq_encode_residual(
+                emb, centroids=cents, codebooks=books, dim=_PQ_DIM
+            ),
+            codebooks=books, centroids=cents,
+        ),
+        expect_rows=emb.count() if on_disk else None,
+    )
+
+
 def _q_ivf_pq_res_topk(spark, sf_dir):
     """Residual IVF-PQ (the FAISS IndexIVFPQ default): codebooks
     trained on v − centroid(v), codes quantize the residual, the
     query residualizes against each probed centroid before ADC.
     Shares the coarse quantizer artifact with the IVF family; the
-    residual codebooks + codes derive in-gate so the hash pins the
-    whole residual chain."""
+    residual codebooks and code table follow the same load-or-train
+    serving contract as the raw-PQ gates (correctness/cold runs
+    retrain in-gate, pinning the whole residual chain in the hash)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _get_ivf_quantizer(spark, sf_dir, emb)
-    books = similarity.pq_train_residual(
-        emb, cents, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, dim=_PQ_DIM
-    )
+    books = _get_res_pq_codebooks(spark, sf_dir, emb, cents)
     return similarity.ivf_pq_topk_residual(
         emb, _QUERY_IDS, k=10, n_centroids=16, n_probe=4,
         refine_iters=_IVF_REFINE_ITERS, m=_PQ_M, ksub=_PQ_KSUB,
         iters=_PQ_ITERS, dim=_PQ_DIM, centroids=cents, codebooks=books,
+        encoded=_get_ivf_pq_res_codes(spark, sf_dir, emb, cents, books),
     )
 
 

@@ -679,3 +679,33 @@ def test_funnel_stream_state_fn_matches_batch_property(spark, case):
     }
     got = {u: row[1:] for u, row in last_row.items()}
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    _containment_fold_case(),
+    st.sampled_from([0.5, 0.8, 1.0]),
+    st.sampled_from([4, 1000]),
+    st.sampled_from(["md5", "xxhash64"]),
+)
+def test_containment_sketch_fold_equals_rebuild_property(
+    spark, case, t, k, fam
+):
+    """update_containment_sketch_pairs ≡ fresh containment_sketch_pairs
+    on randomized corpora across every delta mix — in BOTH sketch
+    regimes (k=4 genuinely sampling, k=1000 degenerate-exact) and both
+    hash families. The sketch has no global df order, so the fold must
+    be exact (not merely approximate) relative to the rebuild."""
+    old_rows, new_rows = case
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(
+        new_rows, "doc_id long, text string"
+    ) if new_rows else spark.createDataFrame([], "doc_id long, text string")
+    kw = dict(k=k, threshold=t, shingle=1, hash_family=fam)
+    old_pairs = dedup.containment_sketch_pairs(old, **kw)
+    folded = dedup.update_containment_sketch_pairs(
+        old_pairs, old, new, **kw
+    )
+    fresh = dedup.containment_sketch_pairs(new, **kw)
+    canon = lambda df: sorted(map(tuple, df.collect()))
+    assert canon(folded) == canon(fresh)
