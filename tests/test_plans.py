@@ -690,3 +690,51 @@ def test_q12_q16_q19_plan_shapes(spark):
     assert "Or(Or(And(GreaterThanOrEqual(l_quantity" in q19, "qty bounds not pushed"
     assert "Or(Or(And(EqualTo(p_brand" in q19, "brand/size arms not pushed"
     assert "SortMergeJoin" not in q19
+
+
+def test_residual_ivf_pq_same_plan_shape_as_raw(spark):
+    """Residual encoding must not change the query plan class: the
+    candidate join stays a BroadcastHashJoin on cent_id (probe side
+    broadcast), never a SortMergeJoin — the residual arithmetic lives
+    entirely inside projections."""
+    plan = _plan(spark, "embedding_ivf_pq_res_topk")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_residual_encode_is_pure_projection(spark):
+    """ivf_pq_encode_residual (assignment + residual + m argmins) must
+    stay a zero-shuffle, zero-join projection against literal
+    centroids/codebooks — one corpus scan at 100 TB, same contract as
+    pq_encode."""
+    from database_activity_monitoring_dam_system_spark.operators import similarity
+    from database_activity_monitoring_dam_system_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = similarity.ivf_centroids(emb, n_centroids=8, refine_iters=0)
+    books = similarity.pq_train_residual(
+        emb, cents, m=4, ksub=8, iters=1, dim=64
+    )
+    plan = (
+        similarity.ivf_pq_encode_residual(
+            emb, centroids=cents, codebooks=books, dim=64
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_containment_sketch_bounded_shuffles(spark):
+    """The sketch estimator's scale contract vs the exact prefix join:
+    the bottom-k sketch is a PURE PROJECTION (no document-frequency
+    aggregate, no rank window — the exact path needs both), so the
+    whole plan carries no Window node and only the candidate-join +
+    count-aggregate exchanges."""
+    plan = _plan(spark, "containment_minhash_md5")
+    assert "Window" not in plan          # no df-rank stage anywhere
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
+        "BroadcastHashJoin" in plan      # the candidate join exists
+    # exact path for contrast: its substrate needs the df-rank window
+    exact = _plan(spark, "containment_pairs")
+    assert "Window" in exact
