@@ -1490,6 +1490,71 @@ def pq_update_codes(
     return stamp_index(out, codebooks=codebooks) if stamped else out
 
 
+def ivf_pq_res_update_codes(
+    old_codes: DataFrame,
+    old_embeddings: DataFrame,
+    new_embeddings: DataFrame,
+    *,
+    centroids: list[tuple],
+    codebooks: list[list[list[float]]],
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    persisted_out: list | None = None,
+) -> DataFrame:
+    """:func:`pq_update_codes` for the residual IVF-PQ index: carry
+    (cent_id, codes) of value-identical vectors, re-encode only
+    added ∪ changed via :func:`ivf_pq_encode_residual`, drop removed.
+
+    Residual codes are a pure per-row function of (vector, quantizer,
+    codebooks) — both artifacts held FIXED across the fold — so the
+    carried rows are exactly what a full re-encode would produce
+    (fold ≡ rebuild asserted in test). BOTH stamps are verified
+    before any carry: a residual code is meaningless under a
+    different coarse quantizer even when the codebooks match (the
+    residual was taken against the old centroid), which is why this
+    fold refuses on either mismatch rather than only the codebook
+    one."""
+    stamped = CODEBOOK_STAMP in old_codes.columns
+    old_codes = verify_index_stamp(
+        old_codes, codebooks=codebooks, centroids=centroids,
+        caller="ivf_pq_res_update_codes",
+    )
+    v = _as_double(vec_col)
+    old_v = old_embeddings.select(F.col(id_col), v.alias("_ov"))
+    new_v = new_embeddings.select(F.col(id_col), v.alias("_nv"))
+    cls = (
+        old_v.join(new_v, id_col, "full_outer")
+        .filter(F.col("_nv").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("_nv").eqNullSafe(F.col("_ov")).alias("_same"),
+        )
+        .persist()
+    )
+    if persisted_out is not None:
+        persisted_out.append(cls)
+    carried = old_codes.join(
+        cls.filter("_same").select(id_col), id_col, "left_semi"
+    )
+    fresh = ivf_pq_encode_residual(
+        new_embeddings.join(
+            cls.filter("NOT _same").select(id_col), id_col, "left_semi"
+        ),
+        centroids=centroids,
+        codebooks=codebooks,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    out = carried.unionByName(fresh)
+    return (
+        stamp_index(out, codebooks=codebooks, centroids=centroids)
+        if stamped
+        else out
+    )
+
+
 def ivf_pq_encode(
     embeddings: DataFrame,
     *,

@@ -4058,3 +4058,68 @@ def test_ann_recall_report_includes_residual_method(spark):
     assert [r["method"] for r in rep] == ["ivf_pq", "ivf_pq_res"]
     for r in rep:
         assert r["n_expected"] == 15 and 0 <= r["recall_at_k"] <= 1
+
+
+def test_ivf_pq_res_update_codes_equals_full_reencode(spark):
+    """Incremental residual-index refresh ≡ full re-encode under
+    FIXED (quantizer, codebooks): carried (cent_id, codes) for
+    value-identical vectors, fresh residual codes for changed/added,
+    removed ids gone — and the fold refuses a quantizer mismatch even
+    when the codebooks match (a residual code is relative to its
+    coarse centroid)."""
+    import pytest as _pytest
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = similarity.ivf_centroids(emb, n_centroids=8, refine_iters=1)
+    books = similarity.pq_train_residual(
+        emb, cents, m=4, ksub=8, iters=1, dim=64
+    )
+    old = emb.filter(F.col("vec_id") % 10 != 0)
+    new = emb.filter(F.col("vec_id") % 7 != 0).withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 5 == 0,
+            F.transform(
+                F.col("embedding").cast("array<double>"), lambda x: x + 0.25
+            ),
+        ).otherwise(F.col("embedding").cast("array<double>")),
+    )
+    old_codes = similarity.stamp_index(
+        similarity.ivf_pq_encode_residual(
+            old, centroids=cents, codebooks=books, dim=64
+        ),
+        codebooks=books, centroids=cents,
+    )
+    handles = []
+    updated = similarity.ivf_pq_res_update_codes(
+        old_codes, old, new, centroids=cents, codebooks=books, dim=64,
+        persisted_out=handles,
+    )
+    full = similarity.ivf_pq_encode_residual(
+        new, centroids=cents, codebooks=books, dim=64
+    )
+    got = sorted(
+        map(tuple, updated.drop(
+            similarity.CODEBOOK_STAMP, similarity.QUANTIZER_STAMP
+        ).collect())
+    )
+    assert got == sorted(map(tuple, full.collect()))
+    assert all(i % 7 != 0 for i, *_ in got)
+    # the refreshed table is re-stamped (serving can keep verifying)
+    assert similarity.CODEBOOK_STAMP in updated.columns
+    for h in handles:
+        h.unpersist()
+    other_cents = similarity.ivf_centroids(
+        emb.withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding").cast("array<double>"), lambda x: x + 1.0
+            ),
+        ),
+        n_centroids=8, refine_iters=1,
+    )
+    with _pytest.raises(ValueError, match="quantizer"):
+        similarity.ivf_pq_res_update_codes(
+            old_codes, old, new, centroids=other_cents, codebooks=books,
+            dim=64,
+        ).collect()
