@@ -393,6 +393,7 @@ def containment_sketch_pairs(
     threshold: float = 0.8,
     shingle: int = 3,
     hash_family: str = "xxhash64",
+    max_df: int | None = None,
 ) -> DataFrame:
     """BANDED containment estimation — the scale path that shadows
     :func:`containment_prefix_pairs` the way MinHash LSH shadows
@@ -425,10 +426,21 @@ def containment_sketch_pairs(
     Standard-error ~ sqrt(C(1−C)/k); k=24 at t=0.8 gives ±0.08 —
     recall/precision vs the exact join is pinned by test, and the
     exact operator remains the exactness oracle for audits.
+
+    ``max_df`` (opt-in) drops indexed-side tokens whose document
+    frequency exceeds the cap — the boilerplate/stopword shingles
+    whose join fan-out is the sf10-measured super-linear tail (a
+    token at df=D fans every sketch occurrence into D candidate
+    rows). Dropped tokens can only REDUCE the match count, so the
+    estimate becomes a deterministic LOWER BOUND on containment:
+    pairs are lost only when their overlap is concentrated in
+    corpus-wide boilerplate, which is exactly the overlap near-dup
+    detection wants to discount. Costs one df aggregate; stays off
+    by default because it changes semantics.
     """
     probe, full = _sketch_substrate(
         docs, id_col=id_col, text_col=text_col, k=k, shingle=shingle,
-        hash_family=hash_family,
+        hash_family=hash_family, max_df=max_df,
     )
     return _estimate_containment(probe, full, threshold=threshold)
 
@@ -441,6 +453,7 @@ def _sketch_substrate(
     k: int,
     shingle: int,
     hash_family: str,
+    max_df: int | None = None,
 ):
     """(probe sketch rows (doc_a, _k, tok), full token rows
     (doc_b, tok)) — :func:`containment_sketch_pairs`' candidate
@@ -471,6 +484,14 @@ def _sketch_substrate(
     full = base.select(
         F.col(id_col).alias("doc_b"), F.explode("toks").alias("tok")
     )
+    if max_df is not None:
+        keep = (
+            full.groupBy("tok")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= int(max_df))
+            .select("tok")
+        )
+        full = full.join(keep, "tok", "left_semi")
     return probe, full
 
 
@@ -508,6 +529,7 @@ def update_containment_sketch_pairs(
     threshold: float = 0.8,
     shingle: int = 3,
     hash_family: str = "xxhash64",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Fold a crawl delta into the SKETCH pair table — incremental
     maintenance for the scale path, mirroring
@@ -526,13 +548,53 @@ def update_containment_sketch_pairs(
     delta's candidates, never corpus².
 
     ``old_pairs`` must have been built with the SAME (k, threshold,
-    shingle, hash_family); equivalence with a fresh rebuild is
-    property-tested across randomized add/change/remove deltas."""
+    shingle, hash_family, max_df); equivalence with a fresh rebuild
+    is property-tested across randomized add/change/remove deltas.
+
+    Under ``max_df`` one more dirtying rule applies: a delta can flip
+    a token's cap membership (df crossing the cap in either
+    direction), which changes the match count of pairs whose
+    endpoints are byte-UNCHANGED. Any such pair has BOTH endpoints
+    containing the flipped token (the match that appears/disappears
+    is that token, present in a's sketch and b's set), so dirtying
+    every doc that contains a flipped token is a sound — and tight
+    enough — over-approximation. Costs one extra df aggregate over
+    the OLD corpus; zero flips ⇒ zero extra dirty docs."""
     diff = corpus_diff(
         old_docs, new_docs, id_col=id_col, text_col=text_col,
         normalize=False,
     )
     dirty = diff.filter(F.col("verdict") != "unchanged").select(id_col)
+    probe, full = _sketch_substrate(
+        new_docs, id_col=id_col, text_col=text_col, k=k, shingle=shingle,
+        hash_family=hash_family, max_df=max_df,
+    )
+    if max_df is not None:
+        _, old_full = _sketch_substrate(
+            old_docs, id_col=id_col, text_col=text_col, k=k,
+            shingle=shingle, hash_family=hash_family,
+        )
+        _, new_full = _sketch_substrate(
+            new_docs, id_col=id_col, text_col=text_col, k=k,
+            shingle=shingle, hash_family=hash_family,
+        )
+        old_df = old_full.groupBy("tok").agg(F.count("*").alias("_odf"))
+        new_df = new_full.groupBy("tok").agg(F.count("*").alias("_ndf"))
+        cap = int(max_df)
+        flipped = (
+            old_df.join(new_df, "tok", "full_outer")
+            .filter(
+                (F.coalesce(F.col("_odf"), F.lit(0)) <= cap)
+                != (F.coalesce(F.col("_ndf"), F.lit(0)) <= cap)
+            )
+            .select("tok")
+        )
+        affected = (
+            new_full.join(flipped, "tok", "left_semi")
+            .select(F.col("doc_b").alias(id_col))
+            .distinct()
+        )
+        dirty = dirty.unionByName(affected).distinct()
     survivors = (
         old_pairs.join(
             dirty.withColumnRenamed(id_col, "doc_a"), "doc_a", "left_anti"
@@ -543,10 +605,10 @@ def update_containment_sketch_pairs(
     delta_ids = diff.filter(
         F.col("verdict").isin("added", "changed")
     ).select(id_col)
-    probe, full = _sketch_substrate(
-        new_docs, id_col=id_col, text_col=text_col, k=k, shingle=shingle,
-        hash_family=hash_family,
-    )
+    if max_df is not None:
+        # affected ids come from the NEW corpus substrate, so none of
+        # them is a removed id — safe to union straight in
+        delta_ids = delta_ids.unionByName(affected).distinct()
     d_a = delta_ids.withColumnRenamed(id_col, "doc_a")
     d_b = delta_ids.withColumnRenamed(id_col, "doc_b")
     p_dirty = probe.join(d_a, "doc_a", "left_semi")

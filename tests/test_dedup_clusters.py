@@ -468,3 +468,40 @@ def test_containment_sketch_rejects_unknown_hash_family(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="hash_family"):
         dedup.containment_sketch_pairs(docs, hash_family="sha1")
+
+
+def test_containment_sketch_max_df_lower_bound_semantics(spark):
+    """The df cap drops only above-cap tokens from the INDEX side:
+    estimates never increase (deterministic lower bound), pairs whose
+    overlap is pure corpus-wide boilerplate disappear, and pairs with
+    genuine low-df overlap keep their exact estimate."""
+    boiler = "nav footer copyright subscribe"  # in every doc (df=4)
+    rows = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, boiler + " alpha beta gamma delta epsilon"),  # real overlap
+        (3, boiler + " one two three four"),
+        (4, boiler + " five six seven eight"),  # boiler-only overlap
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(k=1000, shingle=1, hash_family="md5")
+    uncapped = {
+        (r.doc_a, r.doc_b): r.est_containment
+        for r in dedup.containment_sketch_pairs(
+            docs, threshold=0.3, **kw
+        ).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.est_containment
+        for r in dedup.containment_sketch_pairs(
+            docs, threshold=0.3, max_df=3, **kw
+        ).collect()
+    }
+    # lower bound: every capped estimate <= its uncapped twin
+    for p, est in capped.items():
+        assert est <= uncapped[p] + 1e-9, (p, est, uncapped[p])
+    # boilerplate-only pairs (3,4) existed uncapped (4/8 = 0.5 > 0.3)
+    # and vanish under the cap (0 real overlap)
+    assert (3, 4) in uncapped and (3, 4) not in capped
+    # genuine overlap survives with the boiler tokens discounted:
+    # C(1→2) capped = 4 shared real tokens / 8 = 0.5
+    assert capped[(1, 2)] == 0.5

@@ -687,21 +687,25 @@ def test_funnel_stream_state_fn_matches_batch_property(spark, case):
     st.sampled_from([0.5, 0.8, 1.0]),
     st.sampled_from([4, 1000]),
     st.sampled_from(["md5", "xxhash64"]),
+    st.sampled_from([None, 2]),
 )
 def test_containment_sketch_fold_equals_rebuild_property(
-    spark, case, t, k, fam
+    spark, case, t, k, fam, max_df
 ):
     """update_containment_sketch_pairs ≡ fresh containment_sketch_pairs
     on randomized corpora across every delta mix — in BOTH sketch
-    regimes (k=4 genuinely sampling, k=1000 degenerate-exact) and both
-    hash families. The sketch has no global df order, so the fold must
-    be exact (not merely approximate) relative to the rebuild."""
+    regimes (k=4 genuinely sampling, k=1000 degenerate-exact), both
+    hash families, and with/without the df cap. The sketch has no
+    global df order, so the fold must be exact (not merely
+    approximate) relative to the rebuild; under max_df the 12-word
+    vocabulary makes cap-membership flips frequent, stressing the
+    flipped-token dirtying rule."""
     old_rows, new_rows = case
     old = spark.createDataFrame(old_rows, "doc_id long, text string")
     new = spark.createDataFrame(
         new_rows, "doc_id long, text string"
     ) if new_rows else spark.createDataFrame([], "doc_id long, text string")
-    kw = dict(k=k, threshold=t, shingle=1, hash_family=fam)
+    kw = dict(k=k, threshold=t, shingle=1, hash_family=fam, max_df=max_df)
     old_pairs = dedup.containment_sketch_pairs(old, **kw)
     folded = dedup.update_containment_sketch_pairs(
         old_pairs, old, new, **kw
