@@ -665,7 +665,19 @@ def read_pair_identity(spark, path: str) -> dict | None:
     if not _hadoop_exists(spark, ip):
         return None
     row = spark.read.parquet(ip).first()
-    return {k: row[k] for k in _PAIR_STAMPS}
+    # the full sidecar row: the base _PAIR_STAMPS plus any
+    # extra_stamps the family was saved with
+    return row.asDict()
+
+
+def _stamp_schema_type(v) -> str:
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "double"
+    return "string"
 
 
 def save_containment_pairs(
@@ -675,6 +687,7 @@ def save_containment_pairs(
     threshold: float,
     shingle: int,
     corpus_digest: str,
+    extra_stamps: dict | None = None,
 ) -> None:
     """Persist a containment pair table with its full identity:
     (threshold, shingle) — folding under different parameters is the
@@ -687,18 +700,29 @@ def save_containment_pairs(
     artifact directory: a ZERO-PAIR table has no rows to carry
     stamps, and without the sidecar it would vacuously pass every
     value check — an empty table torn from a nonempty corpus would
-    load as "no near-supersets" against the wrong snapshot."""
-    (
-        pairs.withColumn("_threshold", F.lit(float(threshold)))
-        .withColumn("_shingle", F.lit(int(shingle)))
-        .withColumn("_corpus_digest", F.lit(corpus_digest))
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    load as "no near-supersets" against the wrong snapshot.
+
+    ``extra_stamps`` extends the identity for pair families with more
+    build parameters than (threshold, shingle) — the sketch estimator
+    stamps (_k, _hash_family, _max_df) so a fold under a different
+    sketch parameterization refuses instead of folding garbage."""
+    stamps: dict = {
+        "_threshold": float(threshold),
+        "_shingle": int(shingle),
+        "_corpus_digest": corpus_digest,
+    }
+    for name, v in (extra_stamps or {}).items():
+        stamps[name] = v
+    out = pairs
+    for name, v in stamps.items():
+        out = out.withColumn(name, F.lit(v))
+    out.write.mode("overwrite").parquet(path)
     spark = pairs.sparkSession
+    schema = ", ".join(
+        f"{name} {_stamp_schema_type(v)}" for name, v in stamps.items()
+    )
     spark.createDataFrame(
-        [(float(threshold), int(shingle), corpus_digest)],
-        "_threshold double, _shingle int, _corpus_digest string",
+        [tuple(stamps.values())], schema
     ).coalesce(1).write.mode("overwrite").parquet(_identity_path(path))
 
 
@@ -709,6 +733,7 @@ def load_containment_pairs(
     threshold: float,
     shingle: int,
     corpus_digest: str | None = None,
+    extra_stamps: dict | None = None,
 ) -> DataFrame:
     """Load-and-vet a persisted pair table: every expected stamp
     column must be PRESENT and match (a missing stamp refuses rather
@@ -728,9 +753,18 @@ def load_containment_pairs(
     }
     if corpus_digest is not None:
         expect["_corpus_digest"] = corpus_digest
+    for name, v in (extra_stamps or {}).items():
+        expect[name] = v
     identity = read_pair_identity(spark, path)
     if identity is not None:
         for col, want in expect.items():
+            if col not in identity:
+                raise ValueError(
+                    f"load_containment_pairs: artifact at {path!r} "
+                    f"identity sidecar lacks stamp {col!r} — built by "
+                    "a different pair family or parameterization; "
+                    "rebuild with save_containment_pairs"
+                )
             if identity[col] != want:
                 raise ValueError(
                     f"load_containment_pairs: artifact at {path!r} "
@@ -763,7 +797,8 @@ def load_containment_pairs(
             "no row stamps, so its bound corpus cannot be verified; "
             "rebuild with save_containment_pairs"
         )
-    return df.drop(*[c for c in _PAIR_STAMPS if c in df.columns])
+    drop = set(_PAIR_STAMPS) | set(expect)
+    return df.drop(*[c for c in drop if c in df.columns])
 
 
 def jaccard_pairs(

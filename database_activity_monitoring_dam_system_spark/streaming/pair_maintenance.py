@@ -87,6 +87,10 @@ def start_containment_maintenance_stream(
     delete_op: str = "D",
     seq_col: str | None = None,
     available_now: bool = False,
+    mode: str = "exact",
+    k: int = 24,
+    hash_family: str = "xxhash64",
+    max_df: int | None = None,
 ):
     """Maintain the containment pair table + its corpus snapshot from
     a document upsert stream. Serve between batches with
@@ -112,7 +116,57 @@ def start_containment_maintenance_stream(
     torn commit's missing promote (finish it — the retried batch then
     refolds idempotently); a non-matching one is a pre-save orphan
     (delete it). Crashes therefore wedge nothing; only states the
-    protocol could not have produced still refuse."""
+    protocol could not have produced still refuse.
+
+    ``mode="sketch"`` maintains the BANDED estimator's pair table
+    instead (containment_sketch_pairs / update_containment_sketch_
+    pairs with the given k/hash_family/max_df) — the 100 TB serving
+    posture, where the exact table is the audit artifact and the
+    sketch table is the one kept crawl-fresh. The sketch identity
+    (_mode, _k, _hash_family, _max_df) rides the artifact stamps, so
+    a fold under different sketch parameters — or loading a sketch
+    table where an exact one is expected — refuses loudly."""
+    if mode not in ("exact", "sketch"):
+        raise ValueError(
+            f"start_containment_maintenance_stream: unknown mode {mode!r}"
+        )
+    extra_stamps = (
+        {
+            "_mode": "sketch",
+            "_k": int(k),
+            "_hash_family": hash_family,
+            "_max_df": -1 if max_df is None else int(max_df),
+        }
+        if mode == "sketch"
+        else None
+    )
+
+    def _build(corpus):
+        if mode == "sketch":
+            return dedup.containment_sketch_pairs(
+                corpus, id_col=id_col, text_col=text_col,
+                threshold=threshold, shingle=shingle, k=k,
+                hash_family=hash_family, max_df=max_df,
+            )
+        return dedup.containment_prefix_pairs(
+            corpus, id_col=id_col, text_col=text_col,
+            threshold=threshold, shingle=shingle,
+        )
+
+    def _fold(old_pairs, old_corpus, new_corpus):
+        if mode == "sketch":
+            return dedup.update_containment_sketch_pairs(
+                old_pairs, old_corpus, new_corpus,
+                id_col=id_col, text_col=text_col,
+                threshold=threshold, shingle=shingle, k=k,
+                hash_family=hash_family, max_df=max_df,
+            )
+        return dedup.update_containment_pairs(
+            old_pairs, old_corpus, new_corpus,
+            id_col=id_col, text_col=text_col,
+            threshold=threshold, shingle=shingle,
+        )
+
     staging_path = corpus_path.rstrip("/") + ".staging"
 
     def _fs(spark, path):
@@ -180,10 +234,7 @@ def start_containment_maintenance_stream(
             new_corpus = fold_corpus_batch(
                 None, b, alive, id_col=id_col, text_col=text_col
             ).localCheckpoint(eager=True)
-            new_pairs = dedup.containment_prefix_pairs(
-                new_corpus, id_col=id_col, text_col=text_col,
-                threshold=threshold, shingle=shingle,
-            ).localCheckpoint(eager=True)
+            new_pairs = _build(new_corpus).localCheckpoint(eager=True)
         else:
             old_corpus = spark.read.parquet(corpus_path).localCheckpoint(
                 eager=True
@@ -194,14 +245,13 @@ def start_containment_maintenance_stream(
                 corpus_digest=dedup.corpus_digest(
                     old_corpus, id_col=id_col, text_col=text_col
                 ),
+                extra_stamps=extra_stamps,
             ).localCheckpoint(eager=True)
             new_corpus = fold_corpus_batch(
                 old_corpus, b, alive, id_col=id_col, text_col=text_col
             ).localCheckpoint(eager=True)
-            new_pairs = dedup.update_containment_pairs(
-                old_pairs, old_corpus, new_corpus,
-                id_col=id_col, text_col=text_col,
-                threshold=threshold, shingle=shingle,
+            new_pairs = _fold(
+                old_pairs, old_corpus, new_corpus
             ).localCheckpoint(eager=True)
         new_corpus.write.mode("overwrite").parquet(staging_path)
         dedup.save_containment_pairs(
@@ -210,6 +260,7 @@ def start_containment_maintenance_stream(
             corpus_digest=dedup.corpus_digest(
                 new_corpus, id_col=id_col, text_col=text_col
             ),
+            extra_stamps=extra_stamps,
         )
         _promote(spark)
 

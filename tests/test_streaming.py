@@ -3223,3 +3223,90 @@ def test_journal_stream_serves_time_travel(spark, tmp_path):
         "k", "seq", "valid_to", "is_current").collect()))
     assert c2(cdc.scd2_intervals(streamed, key_cols=["k"], seq_col="seq")) \
         == c2(cdc.scd2_intervals(in_mem, key_cols=["k"], seq_col="seq"))
+
+
+def test_containment_sketch_maintenance_stream_matches_batch(spark, tmp_path):
+    """mode='sketch': the maintainer keeps the BANDED estimator's pair
+    table crawl-fresh — served table ≡ fresh containment_sketch_pairs
+    over the final corpus — and the sketch identity stamps refuse a
+    fold/load under different sketch parameters or the exact family's
+    loader (no _mode stamp expected there → missing-stamp refusal in
+    the other direction)."""
+    import os as _os
+    import time as _time
+
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import dedup
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        pair_maintenance,
+    )
+
+    core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = [
+        (1, core, "U", 1), (2, "hdr " + core + " ftr one two", "U", 2),
+        (3, "lorem ipsum dolor sit amet consectetur", "U", 3),
+        (5, "x1 " + core + " x2 x3", "U", 4),
+    ]
+    b2 = [
+        (5, None, "D", 5),
+        (3, "changed words entirely now", "U", 6),
+        (6, "pre " + core + " post five six", "U", 7),
+    ]
+    schema = "doc_id long, text string, op string, seq long"
+    src = str(tmp_path / "csrc")
+    _os.makedirs(src)
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}.parquet"
+        )
+        _time.sleep(0.05)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    pairs_path = str(tmp_path / "pairs")
+    corpus_path = str(tmp_path / "corpus")
+    t, sh, k, fam = 0.8, 1, 8, "md5"
+    q = pair_maintenance.start_containment_maintenance_stream(
+        stream,
+        pairs_path=pairs_path,
+        corpus_path=corpus_path,
+        checkpoint_dir=str(tmp_path / "cckpt"),
+        threshold=t, shingle=sh,
+        op_col="op", seq_col="seq",
+        available_now=True,
+        mode="sketch", k=k, hash_family=fam,
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+
+    stamps = {"_mode": "sketch", "_k": k, "_hash_family": fam, "_max_df": -1}
+    final_corpus = spark.read.parquet(corpus_path)
+    served = dedup.load_containment_pairs(
+        spark, pairs_path, threshold=t, shingle=sh,
+        corpus_digest=dedup.corpus_digest(final_corpus),
+        extra_stamps=stamps,
+    )
+    fresh = dedup.containment_sketch_pairs(
+        final_corpus, threshold=t, shingle=sh, k=k, hash_family=fam
+    )
+    canon = lambda df: sorted(map(tuple, df.collect()))
+    assert canon(served) == canon(fresh)
+    got = {(r["doc_a"], r["doc_b"]) for r in served.collect()}
+    assert (1, 6) in got and not any(5 in p for p in got)
+
+    # refusal: different sketch k
+    with _pytest.raises(ValueError, match="_k"):
+        dedup.load_containment_pairs(
+            spark, pairs_path, threshold=t, shingle=sh,
+            extra_stamps={**stamps, "_k": 16},
+        )
+    # refusal: unknown mode rejected up front
+    with _pytest.raises(ValueError, match="unknown mode"):
+        pair_maintenance.start_containment_maintenance_stream(
+            stream, pairs_path=pairs_path, corpus_path=corpus_path,
+            checkpoint_dir=str(tmp_path / "x"), mode="approx",
+        )
