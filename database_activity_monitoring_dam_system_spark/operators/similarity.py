@@ -1965,6 +1965,86 @@ def ivf_pq_topk_residual(
     return _adc_rank(cands, books, k=k)
 
 
+def ivf_pq_refine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    rerank: int = 50,
+    residual: bool = True,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    refine_iters: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    centroids: list[tuple] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    encoded: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage IVF-PQ serving (the FAISS ``IndexRefineFlat``
+    composition): ADC over the probed lists shortlists ``rerank``
+    candidates per query, then ONLY those rows are re-scored with
+    exact cosine against their raw vectors and cut to ``k``. This is
+    the standard answer to PQ's distortion ceiling — recall
+    approaches the unquantized IVF's at the cost of fetching R raw
+    vectors per query instead of zero, while the corpus-wide scan
+    still touches codes only.
+
+    Scale shape: stage 1 is exactly :func:`ivf_pq_topk` /
+    :func:`ivf_pq_topk_residual` (broadcast probe join, codes-only
+    ranking); stage 2 is an id-keyed join of R·Q shortlist rows
+    against the corpus — a point-lookup fetch, not a scan — plus one
+    re-ranking window over R rows per query. Ties in BOTH stages
+    break on neighbor_id, so the shortlist (and therefore the final
+    answer) is deterministic and oracle-reproducible.
+
+    Output: (query_id, neighbor_id, rank, cosine round 6)."""
+    stage1 = (
+        ivf_pq_topk_residual if residual else ivf_pq_topk
+    )(
+        embeddings, query_ids, k=rerank, n_centroids=n_centroids,
+        n_probe=n_probe, refine_iters=refine_iters, m=m, ksub=ksub,
+        iters=iters, dim=dim, centroids=centroids, codebooks=codebooks,
+        encoded=encoded, id_col=id_col, vec_col=vec_col,
+    )
+    shortlist = stage1.select("query_id", "neighbor_id")
+    corpus = with_norm(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(vec_col).alias("vec"),
+        ),
+        vec_col="vec",
+    ).withColumnRenamed("_norm", "n_norm")
+    queries = with_norm(
+        embeddings.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"),
+            _as_double(vec_col).alias("qvec"),
+        ),
+        vec_col="qvec",
+    ).withColumnRenamed("_norm", "q_norm")
+    cos = _dot(F.col("qvec"), F.col("vec")) / (
+        F.col("q_norm") * F.col("n_norm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.join(corpus, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
 def save_pq_index(
     spark,
     codebooks: list[list[list[float]]],

@@ -2126,14 +2126,19 @@ def _q_ivf_pq_res_topk(spark, sf_dir):
     )
 
 
-def _ivf_pq_res_sql() -> str:
+def _ivf_pq_res_sql(refine: tuple[int, int] | None = None) -> str:
     """Residual-IVF-PQ oracle: the IVF coarse chain, a residual
     substrate CTE (rsrc: full vector + assigned centroid vector),
     per-subspace Lloyd chains trained on the RESIDUAL slices
     (fv[i] − cvv[i], element-order-identical to Spark's
     zip_with-then-slice), and an ADC whose query side residualizes
     against each probed centroid — the same CASE-sum distance as the
-    Spark plan, list-local."""
+    Spark plan, list-local.
+
+    ``refine=(R, k)`` swaps the tail for the two-stage refine
+    composition: the ADC ranking shortlists R per query, exact cosine
+    over the raw vectors (norms CTE) re-ranks, output cut to k —
+    mirroring similarity.ivf_pq_refine_topk."""
     m, ksub, iters, dim = _PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_DIM
     dsub = dim // m
     coarse = _lloyd_refine_ctes(16, _IVF_REFINE_ITERS, _KMEANS_EXACT_DIM)
@@ -2171,6 +2176,30 @@ def _ivf_pq_res_sql() -> str:
         f"(qq.qn{j} - 2.0 * list_dot_product(qq.qs{j}, b{j}.cv) + b{j}.cn2)"
         for j in range(m)
     )
+    if refine is None:
+        tail = """
+SELECT query_id, neighbor_id, rank, round(adc, 6) AS adc_dist
+FROM ranked WHERE rank <= 10"""
+    else:
+        rr, kk = refine
+        tail = f""",
+rescored AS (
+  SELECT r.query_id, r.neighbor_id,
+         list_dot_product(qn.v, nn.v) / (qn.nrm * nn.nrm) AS cosine
+  FROM ranked r
+  JOIN norms nn ON nn.vec_id = r.neighbor_id
+  JOIN norms qn ON qn.vec_id = r.query_id
+  WHERE r.rank <= {rr}
+),
+refined AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM rescored
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM refined WHERE rank <= {kk}"""
     return f"""
 WITH {coarse},
 norms AS (
@@ -2240,10 +2269,27 @@ ranked AS (
            PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC
          ) AS INTEGER) AS rank
   FROM scored
-)
-SELECT query_id, neighbor_id, rank, round(adc, 6) AS adc_dist
-FROM ranked WHERE rank <= 10
+){tail}
 """
+
+
+_REFINE_R = 50
+
+
+def _q_ivf_pq_refine_topk(spark, sf_dir):
+    """Two-stage serving (IndexRefineFlat shape): residual-IVF-PQ ADC
+    shortlists R=50 per query, exact cosine over the raw vectors
+    re-ranks to 10. Same artifact reuse as the residual gate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _get_ivf_quantizer(spark, sf_dir, emb)
+    books = _get_res_pq_codebooks(spark, sf_dir, emb, cents)
+    return similarity.ivf_pq_refine_topk(
+        emb, _QUERY_IDS, k=10, rerank=_REFINE_R, residual=True,
+        n_centroids=16, n_probe=4, refine_iters=_IVF_REFINE_ITERS,
+        m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, dim=_PQ_DIM,
+        centroids=cents, codebooks=books,
+        encoded=_get_ivf_pq_res_codes(spark, sf_dir, emb, cents, books),
+    )
 
 
 def _q_multimodal_features(spark, sf_dir):
@@ -4826,6 +4872,13 @@ QUERIES: dict[str, QuerySpec] = {
         "shape): per-subspace decimal-exact codebooks, zero-shuffle "
         "argmin encode, asymmetric distance from codes — full DuckDB "
         "oracle re-deriving the codebooks by unrolled Lloyd",
+    ),
+    "embedding_ivf_pq_refine_topk": QuerySpec(
+        _q_ivf_pq_refine_topk, _ivf_pq_res_sql(refine=(_REFINE_R, 10)),
+        "two-stage IVF-PQ serving (IndexRefineFlat shape): residual "
+        "ADC shortlist of R=50, exact-cosine re-rank of only those "
+        "rows to top-10 — recall approaches unquantized IVF at R raw "
+        "fetches per query; full oracle",
     ),
     "embedding_ivf_pq_res_topk": QuerySpec(
         _q_ivf_pq_res_topk, _ivf_pq_res_sql(),
