@@ -2111,7 +2111,8 @@ def ann_recall_report(
     *,
     k: int = 10,
     methods: tuple[str, ...] = (
-        "lsh", "ivf", "int8", "pq", "ivf_pq", "ivf_pq_res"
+        "lsh", "ivf", "int8", "pq", "ivf_pq", "ivf_pq_res",
+        "ivf_pq_refine",
     ),
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -2155,6 +2156,10 @@ def ann_recall_report(
             id_col=id_col, vec_col=vec_col,
         ),
         "ivf_pq_res": lambda: ivf_pq_topk_residual(
+            embeddings, query_ids, k=k, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        ),
+        "ivf_pq_refine": lambda: ivf_pq_refine_topk(
             embeddings, query_ids, k=k, dim=dim,
             id_col=id_col, vec_col=vec_col,
         ),

@@ -223,7 +223,22 @@ def _q_containment_sketch_xx(spark, sf_dir):
     )
 
 
-_CONTAINMENT_SKETCH_SQL = rf"""
+def _containment_sketch_sql(max_df: int | None = None) -> str:
+    """Oracle for the bottom-k containment estimator; ``max_df``
+    mirrors the operator's opt-in df cap (indexed side only — the
+    probe sketch is never df-filtered)."""
+    index_src = "sh"
+    cap_cte = ""
+    if max_df is not None:
+        cap_cte = f""",
+capped AS (
+  SELECT doc_id, tok FROM sh
+  WHERE tok IN (
+    SELECT tok FROM sh GROUP BY tok HAVING count(*) <= {int(max_df)}
+  )
+)"""
+        index_src = "capped"
+    return rf"""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
   FROM documents
@@ -247,16 +262,35 @@ sk AS (
     FROM hk
   ) WHERE rn <= {_CSKETCH_K}
 ),
-ka AS (SELECT doc_id, count(*) AS kk FROM sk GROUP BY 1),
+ka AS (SELECT doc_id, count(*) AS kk FROM sk GROUP BY 1){cap_cte},
 m AS (
   SELECT s.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
-  FROM sk s JOIN sh b ON s.tok = b.tok AND s.doc_id != b.doc_id
+  FROM sk s JOIN {index_src} b ON s.tok = b.tok AND s.doc_id != b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, round(m * 1.0 / kk, 4) AS est_containment
 FROM m JOIN ka ON doc_a = ka.doc_id
 WHERE m * 1.0 / kk >= {_PREFIX_T}
 """
+
+
+_CONTAINMENT_SKETCH_SQL = _containment_sketch_sql()
+_CSKETCH_MAX_DF = 40
+
+
+def _q_containment_sketch_capped(spark, sf_dir):
+    """The df-capped estimator (max_df=40 over ~500 sf0.01 docs):
+    indexed-side boilerplate shingles dropped, estimates a
+    deterministic lower bound — the documented 100 TB fan-out lever,
+    driver-verified against the same-capped oracle."""
+    return dedup.containment_sketch_pairs(
+        _docs(spark, sf_dir),
+        k=_CSKETCH_K,
+        threshold=_PREFIX_T,
+        shingle=_PREFIX_SHINGLE,
+        hash_family="md5",
+        max_df=_CSKETCH_MAX_DF,
+    )
 
 
 # deterministic HTML wrapper for the extraction gate: script with a
@@ -4616,6 +4650,14 @@ QUERIES: dict[str, QuerySpec] = {
         "constant-k probe, zero-shuffle sketch projection, count-only "
         "verify — the scale path shadowing the exact prefix join, "
         "hash-exact DuckDB oracle",
+    ),
+    "containment_minhash_capped": QuerySpec(
+        _q_containment_sketch_capped,
+        _containment_sketch_sql(max_df=_CSKETCH_MAX_DF),
+        "df-capped containment estimation (max_df drops indexed-side "
+        "boilerplate shingles; deterministic lower bound) — the "
+        "100 TB fan-out lever, hash-pinned against the same-capped "
+        "oracle",
     ),
     "containment_minhash_est": QuerySpec(
         _q_containment_sketch_xx, None,

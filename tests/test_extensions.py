@@ -1910,7 +1910,8 @@ def test_ann_recall_report_structure_and_floors(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     report = similarity.ann_recall_report(emb, [0, 1, 2], k=5)
     assert [r["method"] for r in report] == [
-        "lsh", "ivf", "int8", "pq", "ivf_pq", "ivf_pq_res"
+        "lsh", "ivf", "int8", "pq", "ivf_pq", "ivf_pq_res",
+        "ivf_pq_refine",
     ]
     for r in report:
         assert 0 <= r["n_hits"] <= r["n_expected"] == 15
