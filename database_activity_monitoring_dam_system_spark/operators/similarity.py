@@ -1913,16 +1913,46 @@ def ivf_pq_topk_residual(
                 "m/id_col parameters"
             )
     corpus = encoded.withColumnRenamed(id_col, "neighbor_id")
-    cent_ids = F.array(*[F.lit(c[0]) for c in cents])
-    score_cols = [f"_cs{i}" for i in range(len(cents))]
+    probe = ivf_pq_res_prepare_probe(
+        embeddings.filter(F.col(id_col).isin(query_ids)),
+        cents, books, n_probe=n_probe, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cands = corpus.join(F.broadcast(probe), "cent_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    return _adc_rank(cands, books, k=k)
 
+
+def ivf_pq_res_prepare_probe(
+    queries: DataFrame,
+    centroids: list[tuple],
+    codebooks: list[list[list[float]]],
+    *,
+    n_probe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The residual IVF-PQ probe frame for a QUERY frame: top-n_probe
+    centroids per query (max-cosine, ties → lowest cent_id), the
+    per-(query, probed-centroid) residual, and the subspace slice
+    columns (s{j}, n{j}) :func:`_adc_rank`'s CASE-sum expects. Shared
+    by :func:`ivf_pq_topk_residual` and the streaming serving path —
+    one definition of the probe, two consumption modes. Output:
+    (query_id, cent_id, s0..n{m-1}); n_probe rows per query."""
+    m = len(codebooks)
+    cent_ids = F.array(*[F.lit(c[0]) for c in centroids])
+    score_cols = [f"_cs{i}" for i in range(len(centroids))]
     v = _as_double(vec_col)
-    q_prep = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+    q_prep = queries.select(
         F.col(id_col),
         v.alias("vec"),
         F.sqrt(_dot(v, v)).alias("_norm"),
     )
-    q_scored = q_prep.withColumns(_centroid_scores("vec", "_norm", cents))
+    q_scored = q_prep.withColumns(
+        _centroid_scores("vec", "_norm", centroids)
+    )
     probed = (
         q_scored.select(
             F.col(id_col).alias("query_id"),
@@ -1943,13 +1973,11 @@ def ivf_pq_topk_residual(
         .filter(F.col("_rn") <= n_probe)
         .drop("cent_pos", "cscore", "_rn")
     )
-    # per (query, probed-centroid) residual, then the subspace slices
-    # _adc_rank's CASE-sum expects
     qres = probed.withColumn(
         "_qr",
         F.zip_with(
             F.col("vec"),
-            _cent_vec_case("cent_id", cents),
+            _cent_vec_case("cent_id", centroids),
             lambda x, y: x - y,
         ),
     )
@@ -1957,12 +1985,7 @@ def ivf_pq_topk_residual(
     for j, (lo, ln) in enumerate(_pq_slices(m, dim)):
         sub = F.slice(F.col("_qr"), lo, ln)
         slice_cols += [sub.alias(f"s{j}"), _dot(sub, sub).alias(f"n{j}")]
-    probe = qres.select("query_id", "cent_id", *slice_cols)
-
-    cands = corpus.join(F.broadcast(probe), "cent_id").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    return _adc_rank(cands, books, k=k)
+    return qres.select("query_id", "cent_id", *slice_cols)
 
 
 def ivf_pq_refine_topk(

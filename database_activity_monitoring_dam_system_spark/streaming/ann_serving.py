@@ -77,3 +77,65 @@ def start_pq_ann_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_ivf_pq_res_stream(
+    query_stream: DataFrame,
+    codes: DataFrame,
+    centroids: list[tuple],
+    codebooks: list[list[list[float]]],
+    *,
+    out_path: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    n_probe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = False,
+):
+    """Serve a query-vector stream against a static RESIDUAL IVF-PQ
+    index — the probe-pruned upgrade of :func:`start_pq_ann_stream`:
+    per micro-batch, each query picks its n_probe inverted lists,
+    residualizes against each probed centroid
+    (similarity.ivf_pq_res_prepare_probe — the SAME probe definition
+    the batch operator uses), and ADC-ranks only the probed lists'
+    codes. The per-batch corpus touch drops from the full code table
+    to ~n_probe/C of it.
+
+    ``codes``: static (id_col, cent_id, code0..code{m-1}) — load the
+    persisted ivf_pq_encode_residual artifact; a stamped table is
+    verified against BOTH artifacts before the stream starts (wrong
+    pairing refuses at start, not per batch). Results land under
+    ``out_path`` partitioned by ``_batch_id`` (same at-least-once
+    overwrite idempotency as the PQ stream), schema
+    (query_id, neighbor_id, rank, adc_dist)."""
+    codes = similarity.verify_index_stamp(
+        codes, codebooks=codebooks, centroids=centroids,
+        caller="start_ivf_pq_res_stream",
+    )
+    corpus = codes.withColumnRenamed(id_col, "neighbor_id")
+
+    def score_batch(batch: DataFrame, batch_id: int) -> None:
+        probe = similarity.ivf_pq_res_prepare_probe(
+            batch, centroids, codebooks,
+            n_probe=n_probe, dim=dim, id_col=id_col, vec_col=vec_col,
+        )
+        cands = corpus.join(F.broadcast(probe), "cent_id").filter(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        topk = similarity._adc_rank(cands, codebooks, k=k)
+        (
+            topk.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
+
+    writer = query_stream.writeStream.foreachBatch(score_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

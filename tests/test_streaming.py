@@ -3310,3 +3310,87 @@ def test_containment_sketch_maintenance_stream_matches_batch(spark, tmp_path):
             stream, pairs_path=pairs_path, corpus_path=corpus_path,
             checkpoint_dir=str(tmp_path / "x"), mode="approx",
         )
+
+
+def test_ivf_pq_res_stream_matches_batch(spark, tmp_path):
+    """Streaming residual-IVF-PQ serving ≡ the batch operator: queries
+    arriving over two micro-batches against a persisted stamped code
+    table return exactly ivf_pq_topk_residual's answers, and a code
+    table stamped under DIFFERENT codebooks refuses at stream start,
+    not per batch."""
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import similarity
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        ann_serving,
+    )
+
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = similarity.ivf_centroids(emb, n_centroids=8, refine_iters=1)
+    books = similarity.pq_train_residual(
+        emb, cents, m=4, ksub=8, iters=1, dim=64
+    )
+    codes_path = str(tmp_path / "codes")
+    similarity.stamp_index(
+        similarity.ivf_pq_encode_residual(
+            emb, centroids=cents, codebooks=books, dim=64
+        ),
+        codebooks=books, centroids=cents,
+    ).write.parquet(codes_path)
+    codes = spark.read.parquet(codes_path)
+
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    q_all = emb.filter(F.col("vec_id").isin([0, 1, 2, 3])).toPandas()
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    for i, ids in enumerate([[0, 1], [2, 3]]):
+        part = q_all[q_all.vec_id.isin(ids)]
+        pq_.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            str(qdir / f"q{i}.parquet"),
+        )
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(qdir))
+    )
+    q = ann_serving.start_ivf_pq_res_stream(
+        stream,
+        codes,
+        cents,
+        books,
+        out_path=str(tmp_path / "results"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        k=5, n_probe=3,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(str(tmp_path / "results"))
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+        .collect()
+    )
+    want = similarity.ivf_pq_topk_residual(
+        emb, [0, 1, 2, 3], k=5, n_probe=3, dim=64,
+        centroids=cents, codebooks=books, encoded=codes,
+        n_centroids=8,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) == 20  # 4 queries × k
+
+    wrong_books = similarity.pq_train(emb, m=4, ksub=8, iters=1, dim=64)
+    with _pytest.raises(ValueError, match="different codebooks"):
+        ann_serving.start_ivf_pq_res_stream(
+            stream, codes, cents, wrong_books,
+            out_path=str(tmp_path / "r2"),
+            checkpoint_dir=str(tmp_path / "c2"),
+        )
