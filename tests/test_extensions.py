@@ -4167,3 +4167,24 @@ def test_refine_recall_beats_adc_only(spark):
         centroids=cents, codebooks=books,
     ).columns
     assert cols == ["query_id", "neighbor_id", "rank", "cosine"]
+
+
+def test_refine_degenerates_to_exact_when_unpruned(spark):
+    """Invariant pinning the refine algebra: with the probe covering
+    every list (n_probe = C) and a shortlist wider than the corpus,
+    stage 1 passes everything through and the refine output must be
+    EXACTLY cosine_topk — rank for rank, value for value."""
+    emb = _clustered_corpus(spark, n=120)
+    d = 64
+    qids = [0, 5, 11]
+    cents = similarity.ivf_centroids(emb, n_centroids=8, refine_iters=1)
+    books = similarity.pq_train_residual(
+        emb, cents, m=4, ksub=8, iters=1, dim=d
+    )
+    refined = similarity.ivf_pq_refine_topk(
+        emb, qids, k=7, rerank=1000, n_probe=8, dim=d,
+        centroids=cents, codebooks=books,
+    )
+    exact = similarity.cosine_topk(emb, qids, k=7)
+    canon = lambda df: sorted(map(tuple, df.collect()))
+    assert canon(refined) == canon(exact)
