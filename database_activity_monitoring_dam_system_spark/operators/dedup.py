@@ -1579,6 +1579,95 @@ def source_minhash_overlap(
     )
 
 
+def source_containment_overlap(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 256,
+    shingle: int = 3,
+) -> DataFrame:
+    """DIRECTED overlap between corpus groups: estimated containment
+    C(A→B) = |T(A) ∩ T(B)| / |T(A)| of each group's UNION shingle set
+    in every other's — the question :func:`source_minhash_overlap`'s
+    symmetric Jaccard cannot answer ("is dump A mostly inside crawl
+    B?" reads near-zero Jaccard when B is much larger, while its
+    containment is ≈ 1 — the subset-acquisition call).
+
+    Estimator: bottom-k sketch of each group's union set (k lexically
+    smallest md5(token)s), membership-tested against the other
+    group's full distinct token list — est = matches / |sketch|, the
+    group-level form of :func:`containment_sketch_pairs`.
+
+    The 100 TB shape leans on bottom-k being MERGEABLE with a
+    subset-closure property: any token in a group's bottom-k is also
+    in its own document's bottom-k (all doc tokens are group tokens,
+    so fewer-than-k-smaller holds a fortiori). The union sketch is
+    therefore computed from PER-DOC sketches — a pure projection —
+    exploded to ≤ k rows/doc and reduced, never from a per-group
+    window over the full exploded token stream (which would put every
+    token of a 10-TB crawl into one window partition). The reduction
+    composes: for groups whose doc count itself overwhelms one window
+    partition, apply the same step once more through an intermediate
+    key (doc → shard → group) — the closure property holds at every
+    level. The only full-width structure is the distinct (group,
+    token) list on the indexed side, the same inverted-list cost the
+    doc-level estimator pays.
+
+    Output: (source_a, source_b, est_containment round 4) for every
+    ORDERED pair with ≥1 sketch hit — bounded by G·(G−1) rows."""
+    base = token_arrays(
+        docs.select(id_col, text_col, group_col),
+        id_col=id_col, text_col=text_col, shingle=shingle,
+    )
+    doc_sk = base.withColumn(
+        "_sk",
+        F.expr(
+            f"slice(array_sort(transform(toks, "
+            f"t -> struct(md5(t) AS h, t AS tok))), 1, {int(k)})"
+        ),
+    ).select(group_col, F.explode("_sk").alias("_s"))
+    cand = doc_sk.select(
+        group_col, F.col("_s.h").alias("h"), F.col("_s.tok").alias("tok")
+    ).distinct()
+    sk = (
+        cand.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(group_col).orderBy(
+                    F.asc("h"), F.asc("tok")
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= k)
+        .select(F.col(group_col).alias("source_a"), "tok")
+    )
+    ka = sk.groupBy("source_a").agg(F.count("*").alias("_k"))
+    full = (
+        base.select(group_col, F.explode("toks").alias("tok"))
+        .distinct()
+        .select(F.col(group_col).alias("source_b"), "tok")
+    )
+    m = (
+        sk.join(
+            full,
+            (sk["tok"] == full["tok"])
+            & (F.col("source_a") != F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("_m"))
+    )
+    return (
+        m.join(ka, "source_a")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(F.col("_m") / F.col("_k"), 4).alias("est_containment"),
+        )
+    )
+
+
 def _verify_pairs_jaccard(
     pairs: DataFrame,
     arrs: DataFrame,

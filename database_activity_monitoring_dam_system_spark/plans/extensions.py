@@ -276,6 +276,55 @@ WHERE m * 1.0 / kk >= {_PREFIX_T}
 
 _CONTAINMENT_SKETCH_SQL = _containment_sketch_sql()
 _CSKETCH_MAX_DF = 40
+_SRC_CONTAIN_K = 64
+
+
+def _q_source_containment(spark, sf_dir):
+    """Directed corpus-group overlap: estimated containment of each
+    source's union shingle set in every other's, from mergeable
+    bottom-k sketches — the subset-acquisition question Jaccard
+    overlap is blind to. The oracle computes the sketch by the direct
+    definition (one rank over the distinct (source, token) set);
+    Spark derives it from per-doc sketches via the bottom-k closure
+    property — the hash proves the two derivations identical."""
+    return dedup.source_containment_overlap(
+        _docs(spark, sf_dir), k=_SRC_CONTAIN_K, shingle=_PREFIX_SHINGLE
+    )
+
+
+_SRC_CONTAIN_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, source, w,
+         unnest(generate_series(0, greatest(len(w) - {_PREFIX_SHINGLE}, 0)))
+           AS p
+  FROM t
+),
+sh AS (
+  SELECT DISTINCT source,
+         array_to_string(w[p+1:p+{_PREFIX_SHINGLE}], ' ') AS tok
+  FROM pos
+),
+hk AS (SELECT source, tok, md5(tok) AS h FROM sh),
+sk AS (
+  SELECT source AS source_a, tok FROM (
+    SELECT source, tok,
+           row_number() OVER (PARTITION BY source ORDER BY h, tok) AS rn
+    FROM hk
+  ) WHERE rn <= {_SRC_CONTAIN_K}
+),
+ka AS (SELECT source_a, count(*) AS kk FROM sk GROUP BY 1),
+m AS (
+  SELECT s.source_a, b.source AS source_b, count(*) AS m
+  FROM sk s JOIN sh b ON s.tok = b.tok AND s.source_a != b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, round(m * 1.0 / kk, 4) AS est_containment
+FROM m JOIN ka USING (source_a)
+"""
 
 
 def _q_containment_sketch_capped(spark, sf_dir):
@@ -4650,6 +4699,13 @@ QUERIES: dict[str, QuerySpec] = {
         "constant-k probe, zero-shuffle sketch projection, count-only "
         "verify — the scale path shadowing the exact prefix join, "
         "hash-exact DuckDB oracle",
+    ),
+    "source_containment": QuerySpec(
+        _q_source_containment, _SRC_CONTAIN_SQL,
+        "directed corpus-group containment matrix from mergeable "
+        "bottom-k union sketches (per-doc sketch closure → group "
+        "sketch) — the subset-acquisition signal symmetric source "
+        "overlap misses; full oracle via the direct definition",
     ),
     "containment_minhash_capped": QuerySpec(
         _q_containment_sketch_capped,

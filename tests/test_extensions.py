@@ -4188,3 +4188,94 @@ def test_refine_degenerates_to_exact_when_unpruned(spark):
     exact = similarity.cosine_topk(emb, qids, k=7)
     canon = lambda df: sorted(map(tuple, df.collect()))
     assert canon(refined) == canon(exact)
+
+
+def test_source_containment_detects_subset_source(spark):
+    """The directed matrix's reason to exist: a small dump whose
+    union vocabulary sits inside a big crawl reads containment ≈ 1
+    in that direction (and far less in reverse), while symmetric
+    source Jaccard is near-blind to the relationship. With k ≥ the
+    union sizes the sketch is the full set, so the values are exact
+    set arithmetic."""
+    big_vocab = [f"w{i}" for i in range(120)]
+    rows = []
+    # dumpA: 4 docs drawing only from big_vocab[:30]
+    for i in range(4):
+        rows.append((i, " ".join(big_vocab[i * 7 : i * 7 + 12]), "dumpA"))
+    # crawlB: 10 docs covering all 120 words
+    for i in range(10):
+        rows.append(
+            (100 + i, " ".join(big_vocab[i * 12 : (i + 1) * 12]), "crawlB")
+        )
+    # otherC: disjoint vocabulary
+    for i in range(4):
+        rows.append(
+            (200 + i, " ".join(f"z{i}x{j}" for j in range(12)), "otherC")
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r.source_a, r.source_b): r.est_containment
+        for r in dedup.source_containment_overlap(
+            docs, k=1000, shingle=1
+        ).collect()
+    }
+    assert got[("dumpA", "crawlB")] == 1.0     # dump ⊂ crawl, exactly
+    assert got[("crawlB", "dumpA")] < 0.35     # reverse is small
+    assert not any("otherC" in p for p in got) # disjoint → no rows
+    jac = {
+        (r.group_a, r.group_b): r.est_jaccard
+        for r in dedup.source_minhash_overlap(
+            docs, num_hashes=32, shingle=1
+        ).collect()
+    }
+    key = ("crawlB", "dumpA") if ("crawlB", "dumpA") in jac else ("dumpA", "crawlB")
+    assert jac[key] < 0.5  # the symmetric view underreads the subset
+
+
+def test_source_containment_closure_equals_direct_window(spark):
+    """The scale derivation (per-doc bottom-k sketches → distinct →
+    per-group rank) must equal the direct definition (one rank over
+    ALL distinct (group, token) rows) — the bottom-k closure property,
+    asserted in the sampling regime where it could actually break
+    (k smaller than every union size)."""
+    from pyspark.sql import Window as W
+
+    rows = []
+    for i in range(24):
+        src = f"s{i % 3}"
+        toks = " ".join(f"t{(i * 11 + j * 5) % 60}" for j in range(9))
+        rows.append((i, toks, src))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    k = 7
+    got = dedup.source_containment_overlap(docs, k=k, shingle=1)
+    toks = dedup.token_arrays(docs.select("doc_id", "text", "source"), shingle=1)
+    sh = toks.select("source", F.explode("toks").alias("tok")).distinct()
+    direct_sk = (
+        sh.withColumn("h", F.md5("tok"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.asc("h"), F.asc("tok"))
+            ),
+        )
+        .filter(F.col("rn") <= k)
+        .select(F.col("source").alias("source_a"), "tok")
+    )
+    ka = direct_sk.groupBy("source_a").agg(F.count("*").alias("kk"))
+    direct = (
+        direct_sk.alias("s")
+        .join(
+            sh.alias("b"),
+            (F.col("s.tok") == F.col("b.tok"))
+            & (F.col("s.source_a") != F.col("b.source")),
+        )
+        .groupBy(F.col("s.source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count("*").alias("m"))
+        .join(ka, "source_a")
+        .select(
+            "source_a", "source_b",
+            F.round(F.col("m") / F.col("kk"), 4).alias("est_containment"),
+        )
+    )
+    canon = lambda df: sorted(map(tuple, df.collect()))
+    assert canon(got) == canon(direct) and got.count() > 0
