@@ -2026,6 +2026,12 @@ def ivf_pq_refine_topk(
     answer) is deterministic and oracle-reproducible.
 
     Output: (query_id, neighbor_id, rank, cosine round 6)."""
+    if rerank < k:
+        raise ValueError(
+            f"ivf_pq_refine_topk: rerank ({rerank}) < k ({k}) — the "
+            "shortlist cannot be narrower than the answer; raise "
+            "rerank or lower k"
+        )
     stage1 = (
         ivf_pq_topk_residual if residual else ivf_pq_topk
     )(

@@ -4279,3 +4279,11 @@ def test_source_containment_closure_equals_direct_window(spark):
     )
     canon = lambda df: sorted(map(tuple, df.collect()))
     assert canon(got) == canon(direct) and got.count() > 0
+
+
+def test_refine_rejects_shortlist_narrower_than_answer(spark):
+    emb = _clustered_corpus(spark, n=40)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rerank"):
+        similarity.ivf_pq_refine_topk(emb, [0], k=10, rerank=5)
