@@ -756,6 +756,24 @@ def load_containment_pairs(
     for name, v in (extra_stamps or {}).items():
         expect[name] = v
     identity = read_pair_identity(spark, path)
+    # refuse stamps the CALLER didn't expect, not just missing ones:
+    # a sketch-family artifact (_mode/_k/…) loaded through the exact
+    # family's expectation set would otherwise pass on the base
+    # stamps alone and hand the fold a different pair semantics (the
+    # cross-family confusion the stamps exist to prevent)
+    known = set(expect) | {"_corpus_digest"}
+    surplus = sorted(
+        c
+        for c in (set(identity or ()) | {x for x in df.columns if x.startswith("_")})
+        if c not in known
+    )
+    if surplus:
+        raise ValueError(
+            f"load_containment_pairs: artifact at {path!r} carries "
+            f"stamp(s) {surplus} the caller did not expect — built by "
+            "a different pair family or parameterization (pass the "
+            "matching extra_stamps, or rebuild)"
+        )
     if identity is not None:
         for col, want in expect.items():
             if col not in identity:

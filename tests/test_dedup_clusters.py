@@ -505,3 +505,37 @@ def test_containment_sketch_max_df_lower_bound_semantics(spark):
     # genuine overlap survives with the boiler tokens discounted:
     # C(1→2) capped = 4 shared real tokens / 8 = 0.5
     assert capped[(1, 2)] == 0.5
+
+
+def test_load_refuses_cross_family_pair_artifact(spark, tmp_path):
+    """A sketch-family pair artifact (_mode/_k/_hash_family/_max_df
+    stamps) must REFUSE the exact family's loader even though its
+    base (threshold, shingle, digest) stamps match — loading it would
+    hand update_containment_pairs a different pair semantics. And the
+    matching extra_stamps load it cleanly, stamps stripped."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f g h")],
+        "doc_id long, text string",
+    )
+    stamps = {"_mode": "sketch", "_k": 8, "_hash_family": "md5", "_max_df": -1}
+    pairs = dedup.containment_sketch_pairs(
+        docs, k=8, threshold=0.5, shingle=1, hash_family="md5"
+    )
+    path = str(tmp_path / "sketch_pairs")
+    digest = dedup.corpus_digest(docs)
+    dedup.save_containment_pairs(
+        pairs, path, threshold=0.5, shingle=1, corpus_digest=digest,
+        extra_stamps=stamps,
+    )
+    with pytest.raises(ValueError, match="_mode"):
+        dedup.load_containment_pairs(
+            spark, path, threshold=0.5, shingle=1, corpus_digest=digest
+        )
+    loaded = dedup.load_containment_pairs(
+        spark, path, threshold=0.5, shingle=1, corpus_digest=digest,
+        extra_stamps=stamps,
+    )
+    assert loaded.columns == ["doc_a", "doc_b", "est_containment"]
+    assert sorted(map(tuple, loaded.collect())) == sorted(
+        map(tuple, pairs.collect())
+    )
