@@ -565,22 +565,22 @@ def update_containment_sketch_pairs(
         normalize=False,
     )
     dirty = diff.filter(F.col("verdict") != "unchanged").select(id_col)
+    # uncapped substrate built ONCE: the cap filter and the new-corpus
+    # df both derive from the same token frame / same df aggregate
+    # (a second _sketch_substrate(new_docs) here would tokenize and
+    # df-aggregate the whole new corpus twice per fold)
     probe, full = _sketch_substrate(
         new_docs, id_col=id_col, text_col=text_col, k=k, shingle=shingle,
-        hash_family=hash_family, max_df=max_df,
+        hash_family=hash_family,
     )
     if max_df is not None:
+        cap = int(max_df)
+        new_df = full.groupBy("tok").agg(F.count("*").alias("_ndf"))
         _, old_full = _sketch_substrate(
             old_docs, id_col=id_col, text_col=text_col, k=k,
             shingle=shingle, hash_family=hash_family,
         )
-        _, new_full = _sketch_substrate(
-            new_docs, id_col=id_col, text_col=text_col, k=k,
-            shingle=shingle, hash_family=hash_family,
-        )
         old_df = old_full.groupBy("tok").agg(F.count("*").alias("_odf"))
-        new_df = new_full.groupBy("tok").agg(F.count("*").alias("_ndf"))
-        cap = int(max_df)
         flipped = (
             old_df.join(new_df, "tok", "full_outer")
             .filter(
@@ -590,11 +590,16 @@ def update_containment_sketch_pairs(
             .select("tok")
         )
         affected = (
-            new_full.join(flipped, "tok", "left_semi")
+            full.join(flipped, "tok", "left_semi")
             .select(F.col("doc_b").alias(id_col))
             .distinct()
         )
         dirty = dirty.unionByName(affected).distinct()
+        full = full.join(
+            new_df.filter(F.col("_ndf") <= cap).select("tok"),
+            "tok",
+            "left_semi",
+        )
     survivors = (
         old_pairs.join(
             dirty.withColumnRenamed(id_col, "doc_a"), "doc_a", "left_anti"
@@ -712,6 +717,16 @@ def save_containment_pairs(
         "_corpus_digest": corpus_digest,
     }
     for name, v in (extra_stamps or {}).items():
+        if v is None:
+            # F.lit(None) is a void parquet column (write crashes) and
+            # the sidecar would type it 'string' — an inconsistent
+            # identity. Encode absence explicitly (the sketch family
+            # uses -1 for "no df cap").
+            raise ValueError(
+                f"save_containment_pairs: extra stamp {name!r} is None "
+                "— stamps must be concrete values; encode absence with "
+                "a sentinel (e.g. -1) so load can match it exactly"
+            )
         stamps[name] = v
     out = pairs
     for name, v in stamps.items():

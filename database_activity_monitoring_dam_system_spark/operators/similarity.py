@@ -1755,23 +1755,13 @@ def ivf_residuals(
     residual against the assigned centroid via a cent_id→literal-array
     when-chain. The residual substrate both residual-PQ training and
     encoding scan — the corpus is read once per stage, never joined
-    against a centroid table."""
-    cent_ids = F.array(*[F.lit(c[0]) for c in centroids])
-    score_cols = [f"_cs{i}" for i in range(len(centroids))]
-    v = _as_double(vec_col)
-    prepared = embeddings.select(
-        F.col(id_col),
-        v.alias("vec"),
-        F.sqrt(_dot(v, v)).alias("_norm"),
-    )
-    scored = prepared.withColumns(
-        _centroid_scores("vec", "_norm", centroids)
-    )
-    arr = F.array(*[F.col(c) for c in score_cols])
-    assigned = scored.withColumn(
-        "cent_id", cent_ids[F.array_position(arr, F.array_max(arr)) - 1]
-    )
-    return assigned.select(
+    against a centroid table. The assignment itself is
+    :func:`ivf_assignments` (ONE definition of the max-cosine
+    tie-break rule across assign/encode/residual paths); the residual
+    is one more projected column on top."""
+    return ivf_assignments(
+        embeddings, centroids, id_col=id_col, vec_col=vec_col
+    ).select(
         F.col(id_col),
         "cent_id",
         F.zip_with(

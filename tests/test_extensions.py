@@ -4287,3 +4287,52 @@ def test_refine_rejects_shortlist_narrower_than_answer(spark):
 
     with _pytest.raises(ValueError, match="rerank"):
         similarity.ivf_pq_refine_topk(emb, [0], k=10, rerank=5)
+
+
+def test_res_codes_artifact_survives_restart(spark, tmp_path, monkeypatch):
+    """Regression for the round-10 review finding: 'ivf_pq_res_codes'
+    must be a _DISK_KINDS member, or its serving contract is dead code
+    — under SPARK_DAM_INDEX_DIR a restarted process silently re-encodes
+    the whole residual code table. After a simulated restart the
+    artifact must LOAD, not rebuild."""
+    import os
+
+    from database_activity_monitoring_dam_system_spark.plans import dam
+
+    assert "ivf_pq_res_codes" in dam._DISK_KINDS
+    monkeypatch.setenv("SPARK_DAM_SHARE_FRAMES", "1")
+    monkeypatch.setenv("SPARK_DAM_INDEX_DIR", str(tmp_path / "idx"))
+    key = ("ivf_pq_res_codes", os.path.realpath(str(tmp_path)))
+
+    def build():
+        return spark.createDataFrame(
+            [(1, 0, 1), (2, 1, 2)], "vec_id long, cent_id int, code0 int"
+        )
+
+    first = dam._shared(
+        "ivf_pq_res_codes", spark, str(tmp_path), build, expect_rows=2
+    )
+    assert first.count() == 2
+    dam._FRAME_CACHE.pop(key, None)
+
+    def must_not_build():
+        raise AssertionError("builder ran despite persisted artifact")
+
+    again = dam._shared(
+        "ivf_pq_res_codes", spark, str(tmp_path), must_not_build,
+        expect_rows=2,
+    )
+    assert again.count() == 2
+    dam._FRAME_CACHE.pop(key, None)
+
+
+def test_save_pairs_refuses_none_extra_stamp(spark, tmp_path):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    pairs = dedup.containment_sketch_pairs(docs, k=4, shingle=1)
+    with _pytest.raises(ValueError, match="_max_df"):
+        dedup.save_containment_pairs(
+            pairs, str(tmp_path / "p"), threshold=0.8, shingle=1,
+            corpus_digest="x", extra_stamps={"_max_df": None},
+        )

@@ -738,3 +738,18 @@ def test_containment_sketch_bounded_shuffles(spark):
     # exact path for contrast: its substrate needs the df-rank window
     exact = _plan(spark, "containment_pairs")
     assert "Window" in exact
+
+
+def test_rows_only_specs_are_all_deferred():
+    """Registry invariant: every oracle-less (rows-only) spec must be
+    in _DRIVER_DEFER — that's what guarantees it is emitted last AND
+    gets its one-time fronted driver row from the rotation generator.
+    A rows-only spec outside the defer list would silently land
+    mid-window as an ambiguous no_oracle row (caught in round 10:
+    containment_minhash_est)."""
+    from database_activity_monitoring_dam_system_spark.plans import registry
+
+    rows_only = {n for n, s in all_queries().items() if s.oracle is None}
+    assert rows_only == set(registry._DRIVER_DEFER), (
+        rows_only ^ set(registry._DRIVER_DEFER)
+    )
