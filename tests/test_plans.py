@@ -743,13 +743,55 @@ def test_containment_sketch_bounded_shuffles(spark):
 def test_rows_only_specs_are_all_deferred():
     """Registry invariant: every oracle-less (rows-only) spec must be
     in _DRIVER_DEFER — that's what guarantees it is emitted last AND
-    gets its one-time fronted driver row from the rotation generator.
-    A rows-only spec outside the defer list would silently land
-    mid-window as an ambiguous no_oracle row (caught in round 10:
-    containment_minhash_est)."""
+    gets its one-time post-window driver slot (position 51+) from the
+    rotation generator.  A rows-only spec outside the defer list would
+    silently land mid-window as an ambiguous no_oracle row (caught in
+    round 10: containment_minhash_est)."""
     from database_activity_monitoring_dam_system_spark.plans import registry
 
     rows_only = {n for n, s in all_queries().items() if s.oracle is None}
     assert rows_only == set(registry._DRIVER_DEFER), (
         rows_only ^ set(registry._DRIVER_DEFER)
     )
+
+
+def test_never_seen_defer_gates_front_outside_driver_window(monkeypatch):
+    """Adding a brand-new rows-only gate to _DRIVER_DEFER must leave
+    the generated first-DRIVER_WINDOW (50) entries all-full-oracle:
+    the never-seen defer gate is inserted at position 50 — first among
+    the overflow so the driver records its rows-only row if the window
+    ever widens, but never displacing a value-hash slot.  Round 10
+    paid exactly one window slot for an unverifiable no_oracle row
+    under the old front-at-0 policy; this pins the fix."""
+    import importlib.util
+    import pathlib
+
+    tool_path = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "tools"
+        / "rotate_priority.py"
+    )
+    spec = importlib.util.spec_from_file_location("rotate_priority2", tool_path)
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+    from database_activity_monitoring_dam_system_spark.plans import registry
+
+    synthetic = "synthetic_rows_only_gate_for_window_test"
+    # snapshot oracles BEFORE patching — all_queries() validates the
+    # defer list against the registry, so it must run unpatched
+    oracles = {n: s.oracle for n, s in all_queries().items()}
+    monkeypatch.setattr(
+        registry,
+        "_DRIVER_DEFER",
+        registry._DRIVER_DEFER + (synthetic,),
+    )
+    ordered, _ = tool.generate(
+        rounds=registry._DRIVER_PRIORITY_SOURCE_ROUNDS
+    )
+    window = ordered[: tool.DRIVER_WINDOW]
+    assert synthetic not in window
+    assert ordered[tool.DRIVER_WINDOW] == synthetic
+    # every in-window entry is a full-oracle gate (has a DuckDB oracle)
+    assert all(oracles.get(n) is not None for n in window), [
+        n for n in window if oracles.get(n) is None
+    ]

@@ -14,9 +14,14 @@ running; this tool derives it instead:
   registry order, so rotation is deterministic), with the rows-only
   ``_DRIVER_DEFER`` entries left to the registry's trailing position —
   EXCEPT defer entries that have never appeared in ANY driver round
-  (no row, green or rows-only): those are fronted once so the driver
-  records at least a rows-only entry for every registered gate, then
-  drop back to the trailing position once a row exists.
+  (no row, green or rows-only): those are inserted at position
+  ``DRIVER_WINDOW`` (51+), i.e. immediately AFTER the driver's
+  ~50-row check window, never inside it.  Every driver-checked row
+  stays a full value-hash comparison (round 10 spent a window slot on
+  an unverifiable ``no_oracle`` row by fronting them at position 0);
+  the driver still reaches them first among the overflow if its
+  window ever widens, and they drop back to the trailing defer
+  position once any row exists.
 
 Run it after adding/renaming queries or after a driver round lands::
 
@@ -36,6 +41,12 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+
+# Size of the driver's correctness-check prefix (exactly 50 entries in
+# every observed round since round 4).  Never-seen defer gates are
+# inserted at this position so they sit first among the OVERFLOW, not
+# inside the value-hash window.
+DRIVER_WINDOW = 50
 REGISTRY = (
     REPO
     / "database_activity_monitoring_dam_system_spark"
@@ -104,11 +115,15 @@ def generate(
     # stable sort: staleness ascending (last-green round), registry
     # order as tiebreak (sort is stable over the insertion order)
     ordered = sorted(full_oracle, key=lambda n: greens.get(n, 0))
-    # defer entries never recorded by the driver get one fronted pass
-    # (rows-only row); once any CORRECTNESS row exists they fall back
-    # to the registry's trailing _DRIVER_DEFER position
+    # defer entries never recorded by the driver are inserted at
+    # position DRIVER_WINDOW — first among the overflow, never inside
+    # the 50-row value-hash window; once any CORRECTNESS row exists
+    # they fall back to the registry's trailing _DRIVER_DEFER position
     never_seen_defer = [name for name in _DRIVER_DEFER if name not in seen]
-    return never_seen_defer + ordered, greens
+    return (
+        ordered[:DRIVER_WINDOW] + never_seen_defer + ordered[DRIVER_WINDOW:],
+        greens,
+    )
 
 
 def main() -> None:
