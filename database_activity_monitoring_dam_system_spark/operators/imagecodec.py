@@ -35,6 +35,13 @@ try:  # numpy vectorizes the per-scanline filters (~10-40× on the
 except ImportError:  # pragma: no cover - numpy ships in this env
     _np = None
 
+try:  # baseline JPEG needs numpy (DCT); bound at module level so the
+    # decode closure ships the codec by value to workers whose
+    # sys.path lacks this package (runtime imports fail there)
+    from . import jpegcodec as _jpegcodec
+except ImportError:  # pragma: no cover - numpy ships in this env
+    _jpegcodec = None
+
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _COLOR_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 _CHANNELS_COLOR = {1: 0, 3: 2, 2: 4, 4: 6}
@@ -331,9 +338,11 @@ def decode_image(raw: bytes, mime: str | None) -> tuple[int, int, int, bytes]:
     Decoder selection: PIL when installed handles every image/* mime
     it knows (JPEG/GIF/WebP/... — and the same pixels as the stdlib
     path for this PNG class); without PIL, PNG falls back to the
-    stdlib decoder and other image formats raise. Audio/video always
-    raise here — that is the genuine codec boundary (ffmpeg's job,
-    not an image codec's)."""
+    stdlib decoder, baseline JPEG to the pure-numpy codec
+    (jpegcodec.py — SOF0, 8-bit, greyscale/YCbCr, 4:4:4/4:2:2/4:2:0,
+    restart markers), and other image formats raise. Audio/video
+    always raise here — that is the genuine codec boundary (ffmpeg's
+    job, not an image codec's)."""
     is_image = mime is not None and mime.startswith("image/")
     if is_image:
         try:  # optional dependency seam — sys.modules makes this cheap
@@ -348,9 +357,12 @@ def decode_image(raw: bytes, mime: str | None) -> tuple[int, int, int, bytes]:
             return w, h, len(img.getbands()), img.tobytes()
     if mime == "image/png":
         return decode_png(raw)
+    if mime == "image/jpeg" and _jpegcodec is not None:
+        return _jpegcodec.decode_jpeg(raw)
     raise NotImplementedError(
         f"no decoder for mime {mime!r} in this environment "
-        "(PNG via stdlib; other images need PIL; audio/video need ffmpeg)"
+        "(PNG/baseline JPEG via the built-in codecs; other images need "
+        "PIL; audio/video need ffmpeg)"
     )
 
 

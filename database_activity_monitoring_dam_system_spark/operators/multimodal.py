@@ -33,16 +33,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from . import imagecodec, videocodec
+from . import imagecodec, jpegcodec, videocodec
 
-# The mapInPandas closures below reference imagecodec/videocodec; the
+# The mapInPandas closures below reference the codec modules; the
 # driver may import this package from a path local-mode workers don't
-# share, so ship the (pure-stdlib, dependency-free) modules INSIDE the
-# pickled closures instead of by reference.
+# share, so ship the (stdlib/numpy-only, package-free) modules INSIDE
+# the pickled closures instead of by reference.  jpegcodec must be
+# registered too: imagecodec.decode_image dispatches to it through a
+# module-level alias, which would otherwise pickle by reference.
 try:
     from pyspark import cloudpickle as _cloudpickle
 
     _cloudpickle.register_pickle_by_value(imagecodec)
+    _cloudpickle.register_pickle_by_value(jpegcodec)
     _cloudpickle.register_pickle_by_value(videocodec)
 except (ImportError, AttributeError):  # older cloudpickle: fall back
     pass
@@ -209,6 +212,63 @@ def decode_image_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(batches, schema=IMAGE_STATS_SCHEMA)
+
+
+def synth_jpeg_media(docs: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Deterministic REAL-JPEG fixture: a 32×32 greyscale baseline
+    JPEG per document whose sixteen 8×8 blocks are each FLAT at one
+    ``md5(text)`` digest byte.  At quality 100 a flat block has a
+    single DC coefficient 8·(c−128) that quantizes losslessly at step
+    1 and inverts to the same constant, so the decode round-trips
+    **exactly** — which is what lets a DuckDB oracle pin the decoded
+    channel statistics arithmetically (hex pairs of md5) without being
+    able to decode JPEG itself.  Encoded with restart interval 2 so
+    the decode gate also exercises DRI/RSTn resynchronization, not
+    just the straight-line Huffman path.
+
+    Arrow-batched mapInPandas, inherits partitioning, no shuffle —
+    the same shape a tar-shard/S3 image source would have.
+    """
+
+    # closure references the codec fn as a captured global (same
+    # pattern as synth_png_media) — a runtime package import inside
+    # the worker fails when the driver's sys.path isn't propagated
+    encode = jpegcodec.encode_jpeg
+
+    def batches(it: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                digest = hashlib.md5(
+                    ("" if text is None else text).encode("utf-8")
+                ).digest()
+                blocks = np.frombuffer(digest, dtype=np.uint8).reshape(4, 4)
+                img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                jpg = encode(
+                    32, 32, img.tobytes(), channels=1, quality=100,
+                    restart_interval=2,
+                )
+                ids.append(int(mid))
+                payloads.append(jpg)
+                metas.append(
+                    {
+                        "mime": "image/jpeg",
+                        "width": 32,
+                        "height": 32,
+                        "n_bytes": len(jpg),
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def synth_wav_media(docs: DataFrame, *, id_col: str = "doc_id",

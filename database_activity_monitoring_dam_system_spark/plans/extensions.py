@@ -2845,6 +2845,55 @@ GROUP BY doc_id
 """
 
 
+def _q_jpeg_decode_features(spark, sf_dir):
+    """REAL JPEG decode end-to-end: synth_jpeg_media encodes a 32×32
+    greyscale baseline JPEG per doc (sixteen 8×8 blocks, each flat at
+    one md5(text) digest byte, quality 100, restart interval 2),
+    decode_image_features Huffman-decodes, dequantizes and IDCTs it
+    back and reduces to channel statistics.  Flat blocks at quality
+    100 round-trip exactly (DC 8·(c−128) at quant step 1), so the
+    oracle derives the same stats arithmetically from the md5 hex
+    pairs — a hash match proves the entropy decode → dequantize →
+    IDCT → restart-resync path is exact, not approximately right."""
+    media = multimodal.synth_jpeg_media(_docs(spark, sf_dir))
+    return multimodal.decode_image_features(media)
+
+
+# block j of the 4×4 block grid is digest byte j: hex pair j of
+# md5(text), each covering 64 pixels of the 32×32 greyscale image —
+# so sums scale by 64 and the mean divides by the power-of-two 16.
+# Greyscale decodes to channels=1: g/b stats are NULL by schema.
+_JPEG_DECODE_SQL = r"""
+WITH bytes AS (
+  SELECT d.doc_id, t.j,
+         (strpos('0123456789abcdef',
+                 substr(md5(coalesce(d.text, '')), (t.j * 2) + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef',
+                   substr(md5(coalesce(d.text, '')), (t.j * 2) + 2, 1)) - 1)
+         AS b
+  FROM documents d, generate_series(0, 15) t(j)
+)
+SELECT doc_id AS media_id,
+       CAST(32 AS INTEGER) AS width,
+       CAST(32 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(64 * sum(b) AS BIGINT) AS r_sum,
+       CAST(NULL AS BIGINT) AS g_sum,
+       CAST(NULL AS BIGINT) AS b_sum,
+       CAST(sum(b) AS DOUBLE) / 16 AS r_mean,
+       CAST(NULL AS DOUBLE) AS g_mean,
+       CAST(NULL AS DOUBLE) AS b_mean,
+       CAST(min(b) AS INTEGER) AS r_min,
+       CAST(max(b) AS INTEGER) AS r_max,
+       CAST(NULL AS INTEGER) AS g_min,
+       CAST(NULL AS INTEGER) AS g_max,
+       CAST(NULL AS INTEGER) AS b_min,
+       CAST(NULL AS INTEGER) AS b_max
+FROM bytes
+GROUP BY doc_id
+"""
+
+
 def _q_audio_decode_features(spark, sf_dir):
     """REAL audio decode end-to-end: synth_wav_media writes a 16-bit
     stereo PCM WAV per doc (stdlib wave writer; samples = md5(text)
@@ -4564,6 +4613,12 @@ QUERIES: dict[str, QuerySpec] = {
         _q_media_decode_features, _MEDIA_DECODE_SQL,
         "REAL PNG decode (stdlib inflate + Paeth unfilter) → "
         "per-channel pixel statistics, oracle-pinned byte-exactly",
+    ),
+    "jpeg_decode_features": QuerySpec(
+        _q_jpeg_decode_features, _JPEG_DECODE_SQL,
+        "REAL baseline-JPEG decode (pure-numpy Huffman + dequant + "
+        "IDCT + restart resync) → channel statistics, oracle-pinned "
+        "exactly via lossless flat-block quality-100 round-trip",
     ),
     "audio_decode_features": QuerySpec(
         _q_audio_decode_features, _AUDIO_DECODE_SQL,

@@ -901,6 +901,141 @@ def test_png_codec_roundtrip_all_filters():
             assert got == (w, h, channels, pixels), (channels, ftype)
 
 
+def test_jpeg_idct_matches_direct_dct3_definition():
+    """The matrix-factored IDCT must agree with a direct O(N^4)
+    evaluation of the T.81 A.3.3 DCT-III definition — an independent
+    arithmetic anchor, so an encoder/decoder round-trip can't hide a
+    transform bug shared by both sides."""
+    import numpy as np
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        jpegcodec,
+    )
+
+    rng = np.random.default_rng(7)
+    coeffs = rng.integers(-500, 500, size=(8, 8)).astype(np.float64)
+    # direct definition: s(x,y) = 1/4 ΣΣ C(u)C(v) S(u,v) cos.. cos..
+    direct = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            acc = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    acc += (
+                        cu * cv * coeffs[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            direct[x, y] = acc / 4.0
+    m = jpegcodec._DCT_M
+    fast = m.T @ coeffs @ m
+    assert np.allclose(fast, direct, atol=1e-9)
+    # and the forward matrix inverts it (orthonormality)
+    assert np.allclose(m @ fast @ m.T, coeffs, atol=1e-9)
+
+
+def test_jpeg_flat_gray_q100_roundtrip_exact():
+    """Flat 8×8 blocks at quality 100 round-trip EXACTLY (DC-only,
+    quant step 1) — the arithmetic identity the jpeg_decode_features
+    oracle is built on."""
+    import hashlib
+
+    import numpy as np
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        jpegcodec,
+    )
+
+    digest = hashlib.md5(b"jpeg-fixture").digest()
+    blocks = np.frombuffer(digest, dtype=np.uint8).reshape(4, 4)
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    for ri in (0, 2):  # plain and restart-marker streams
+        data = jpegcodec.encode_jpeg(
+            32, 32, img.tobytes(), channels=1, quality=100,
+            restart_interval=ri,
+        )
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        w, h, ch, pix = jpegcodec.decode_jpeg(data)
+        assert (w, h, ch) == (32, 32, 1)
+        assert np.array_equal(
+            np.frombuffer(pix, dtype=np.uint8).reshape(32, 32), img
+        ), f"restart_interval={ri}"
+
+
+def test_jpeg_color_roundtrip_psnr_and_subsampling():
+    """RGB encode→decode is close (not exact — JPEG is lossy): ≥35 dB
+    PSNR at q95 4:4:4 on a smooth gradient, ≥30 dB at q90 4:2:0 with
+    odd (non-MCU-multiple) dimensions, and restart markers don't
+    change decoded pixels."""
+    import numpy as np
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        jpegcodec,
+    )
+
+    yy, xx = np.mgrid[0:21, 0:37]
+    rgb = np.stack(
+        [(yy * 3 + xx), (xx * 2 + 40), (yy * 4 + 10)], axis=-1
+    ).astype(np.uint8)
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 10 * np.log10(255**2 / max(mse, 1e-12))
+
+    d444 = jpegcodec.encode_jpeg(
+        37, 21, rgb.tobytes(), channels=3, quality=95
+    )
+    w, h, ch, pix = jpegcodec.decode_jpeg(d444)
+    assert (w, h, ch) == (37, 21, 3)
+    got444 = np.frombuffer(pix, dtype=np.uint8).reshape(21, 37, 3)
+    assert psnr(got444, rgb) >= 35.0
+
+    d420 = jpegcodec.encode_jpeg(
+        37, 21, rgb.tobytes(), channels=3, quality=90, subsampling="420"
+    )
+    w, h, ch, pix = jpegcodec.decode_jpeg(d420)
+    assert (w, h, ch) == (37, 21, 3)
+    got420 = np.frombuffer(pix, dtype=np.uint8).reshape(21, 37, 3)
+    assert psnr(got420, rgb) >= 30.0
+
+    d420r = jpegcodec.encode_jpeg(
+        37, 21, rgb.tobytes(), channels=3, quality=90,
+        subsampling="420", restart_interval=1,
+    )
+    _, _, _, pixr = jpegcodec.decode_jpeg(d420r)
+    assert pixr == pix  # restart markers are framing only
+
+
+def test_jpeg_decoder_rejects_out_of_scope_streams():
+    """Progressive (SOF2) and non-JPEG payloads fail with the reason,
+    and decode_image dispatches image/jpeg to this codec (the
+    PIL-absent seam is real code, not NotImplementedError)."""
+    import numpy as np
+    import pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        imagecodec,
+        jpegcodec,
+    )
+
+    img = np.full((8, 8), 99, dtype=np.uint8)
+    data = jpegcodec.encode_jpeg(8, 8, img.tobytes(), channels=1)
+    # flip SOF0 (0xC0) to SOF2 (0xC2) — progressive is out of scope
+    sof = data.index(b"\xff\xc0")
+    progressive = data[:sof] + b"\xff\xc2" + data[sof + 2:]
+    with pytest.raises(ValueError, match="baseline"):
+        jpegcodec.decode_jpeg(progressive)
+    with pytest.raises(ValueError, match="SOI"):
+        jpegcodec.decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    w, h, ch, pix = imagecodec.decode_image(data, "image/jpeg")
+    assert (w, h, ch) == (8, 8, 1) and pix == img.tobytes()
+    # audio stays a genuine codec boundary
+    with pytest.raises(NotImplementedError):
+        imagecodec.decode_image(b"\x00" * 16, "audio/mpeg")
+
+
 def test_png_resize_nearest_subsample():
     """8×8 → 4×4 nearest-neighbour keeps exactly the even-indexed
     pixels (floor mapping)."""
