@@ -1345,6 +1345,17 @@ def pq_score_queries(
     return _adc_rank(joined, codebooks, k=k)
 
 
+def adc_rank(joined: DataFrame, codebooks: list, *, k: int) -> DataFrame:
+    """PUBLIC ADC scoring tail — the contract external composers (the
+    streaming ANN server's per-batch candidate joins) build on.
+    ``joined`` must carry query_id, neighbor_id and the codebooks'
+    code0..code{m-1} columns (queries' LUT columns come from the
+    prepare-probe helpers); returns (query_id, neighbor_id, rank,
+    adc_dist) with rank ≤ k.  Semantics are :func:`_adc_rank`'s and
+    stable across internal refactors."""
+    return _adc_rank(joined, codebooks, k=k)
+
+
 def _adc_rank(joined: DataFrame, codebooks: list, *, k: int) -> DataFrame:
     """Shared ADC scoring tail: CASE-sum distance from code columns,
     per-query ranking, top-k projection. A NULL distance can only
@@ -1514,7 +1525,16 @@ def ivf_pq_res_update_codes(
     different coarse quantizer even when the codebooks match (the
     residual was taken against the old centroid), which is why this
     fold refuses on either mismatch rather than only the codebook
-    one."""
+    one.
+
+    Shuffle shape matches :func:`pq_update_codes`, including its
+    caching contract: the id-keyed classification join is run once
+    and ``.persist()``-ed (both the carry and delta branches consume
+    it), and the persisted frame is appended to ``persisted_out``
+    when given so a long-lived driver can ``.unpersist()`` it after
+    materializing the refreshed codes — repeated refreshes that omit
+    ``persisted_out`` accumulate one cached frame per fold until LRU
+    eviction."""
     stamped = CODEBOOK_STAMP in old_codes.columns
     old_codes = verify_index_stamp(
         old_codes, codebooks=codebooks, centroids=centroids,
@@ -2070,6 +2090,7 @@ def save_pq_index(
     path: str,
     *,
     n_corpus: int | None = None,
+    trained_against: str | None = None,
 ) -> None:
     """Persist PQ codebooks as parquet — the same serving-artifact
     contract as :func:`save_ivf_index`: train once per corpus
@@ -2081,10 +2102,16 @@ def save_pq_index(
     is the CONTENT fingerprint (:func:`artifact_fingerprint` of the
     serialized codebooks) — compare it against a code table's
     :func:`stamp_index` column to prove the two artifacts belong to
-    the same encode without loading either."""
+    the same encode without loading either.  ``trained_against``
+    records the fingerprint of the artifact these books were trained
+    AGAINST (for residual books: the coarse quantizer's) — without
+    it, independently replacing the quantizer leaves stale residual
+    books that load cleanly and serve silently degraded ADC
+    distances (row counts and the books' own content stamp all still
+    match)."""
     fp = artifact_fingerprint(codebooks)
     rows = [
-        (j, c, [float(x) for x in cvec], n_corpus, fp)
+        (j, c, [float(x) for x in cvec], n_corpus, fp, trained_against)
         for j, book in enumerate(codebooks)
         for c, cvec in enumerate(book)
     ]
@@ -2092,7 +2119,7 @@ def save_pq_index(
         spark.createDataFrame(
             rows,
             "subspace int, code int, centroid array<double>, "
-            "n_corpus long, content_md5 string",
+            "n_corpus long, content_md5 string, trained_against string",
         )
         .coalesce(1)
         .write.mode("overwrite")
@@ -2101,11 +2128,17 @@ def save_pq_index(
 
 
 def load_pq_index(
-    spark, path: str, *, expect_n: int | None = None
+    spark, path: str, *, expect_n: int | None = None,
+    expect_trained_against: str | None = None,
 ) -> list[list[list[float]]]:
     """Load a :func:`save_pq_index` artifact back into the
     ``codebooks=`` form :func:`pq_topk` accepts. With ``expect_n``,
-    raise on a corpus-count mismatch (stale artifact)."""
+    raise on a corpus-count mismatch (stale artifact).  With
+    ``expect_trained_against``, raise when the artifact records a
+    different training-substrate fingerprint (residual books whose
+    coarse quantizer was replaced); artifacts from before the stamp
+    (column absent / NULL) pass unchecked, same policy as
+    :func:`verify_index_stamp`."""
     rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
     if (
         expect_n is not None
@@ -2117,6 +2150,18 @@ def load_pq_index(
         raise ValueError(
             f"stale PQ index at {path}: trained on "
             f"{rows[0].n_corpus} rows, corpus now has {expect_n}"
+        )
+    if (
+        expect_trained_against is not None
+        and rows
+        and "trained_against" in rows[0].__fields__
+        and rows[0].trained_against is not None
+        and rows[0].trained_against != expect_trained_against
+    ):
+        raise ValueError(
+            f"stale PQ index at {path}: trained against artifact "
+            f"{rows[0].trained_against}, current artifact is "
+            f"{expect_trained_against}"
         )
     books: dict[int, list] = {}
     for r in rows:

@@ -2136,13 +2136,24 @@ def _get_res_pq_codebooks(spark, sf_dir, emb, cents):
     contract as :func:`_get_pq_codebooks` (they're a list of float
     lists exactly like raw codebooks, so save/load_pq_index apply
     unchanged; distinct artifact name keeps the two from ever being
-    paired with the wrong scorer)."""
+    paired with the wrong scorer).  The artifact is additionally
+    stamped with the coarse quantizer's fingerprint it was trained
+    against: residual books are meaningless under a different
+    quantizer, and without the stamp an independently replaced
+    ivf_quantizer artifact would leave stale books that load cleanly
+    (row counts and their own content stamp both still match) and
+    serve silently degraded ADC distances — the load refuses and
+    retrains instead."""
     import os
 
     from .dam import _index_path
 
     serving = os.environ.get("SPARK_DAM_SHARE_FRAMES") == "1"
-    key = (os.path.realpath(sf_dir), _PQ_M, _PQ_KSUB, _PQ_ITERS, "res")
+    cents_fp = similarity.artifact_fingerprint(cents)
+    key = (
+        os.path.realpath(sf_dir), _PQ_M, _PQ_KSUB, _PQ_ITERS, "res",
+        cents_fp,
+    )
     books = _RES_PQ_INDEX_CACHE.get(key) if serving else None
     if books is None:
         path = _index_path("pq_res_codebooks", sf_dir) if serving else None
@@ -2151,7 +2162,10 @@ def _get_res_pq_codebooks(spark, sf_dir, emb, cents):
             os.path.join(path, "_SUCCESS")
         ):
             try:
-                books = similarity.load_pq_index(spark, path, expect_n=n)
+                books = similarity.load_pq_index(
+                    spark, path, expect_n=n,
+                    expect_trained_against=cents_fp,
+                )
             except ValueError:
                 books = None  # stale artifact → retrain below
         if books is None:
@@ -2160,7 +2174,10 @@ def _get_res_pq_codebooks(spark, sf_dir, emb, cents):
                 m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, dim=_PQ_DIM,
             )
             if path is not None:
-                similarity.save_pq_index(spark, books, path, n_corpus=n)
+                similarity.save_pq_index(
+                    spark, books, path, n_corpus=n,
+                    trained_against=cents_fp,
+                )
         if serving:
             _RES_PQ_INDEX_CACHE[key] = books
     return books

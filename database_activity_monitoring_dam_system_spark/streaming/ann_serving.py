@@ -124,7 +124,7 @@ def start_ivf_pq_res_stream(
         cands = corpus.join(F.broadcast(probe), "cent_id").filter(
             F.col("neighbor_id") != F.col("query_id")
         )
-        topk = similarity._adc_rank(cands, codebooks, k=k)
+        topk = similarity.adc_rank(cands, codebooks, k=k)
         (
             topk.withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")

@@ -1669,6 +1669,31 @@ def test_index_load_rejects_stale_corpus_count(spark, tmp_path):
     with _pytest.raises(ValueError, match="stale PQ index"):
         similarity.load_pq_index(spark, p3, expect_n=250)
 
+    # residual books record the coarse quantizer they were trained
+    # against; replacing the quantizer must refuse the stale books
+    # (they load cleanly by every other stamp and would serve
+    # silently degraded ADC distances)
+    fp = similarity.artifact_fingerprint(cents)
+    p4 = str(tmp_path / "pq_res")
+    similarity.save_pq_index(
+        spark, books, p4, n_corpus=100, trained_against=fp
+    )
+    assert similarity.load_pq_index(
+        spark, p4, expect_n=100, expect_trained_against=fp
+    ) == books
+    other_fp = similarity.artifact_fingerprint(
+        similarity.ivf_centroids(emb, n_centroids=2, refine_iters=0)
+    )
+    with _pytest.raises(ValueError, match="trained against"):
+        similarity.load_pq_index(
+            spark, p4, expect_trained_against=other_fp
+        )
+    # artifacts saved before the stamp (trained_against NULL) pass —
+    # same back-compat policy as verify_index_stamp
+    assert similarity.load_pq_index(
+        spark, p3, expect_trained_against=fp
+    ) == books
+
 
 def test_pq_score_queries_rejects_mismatched_codes(spark):
     """A code table missing the codebooks' code columns is a
