@@ -239,7 +239,7 @@ def start_transition_stream(
     return writer.start()
 
 
-def _funnel_fn(steps: list[str], user_field: str):
+def _funnel_fn(steps: list[str], user_field: str, ttl_us: int | None = None):
     """Per-user funnel state function for applyInPandasWithState.
 
     State = (resolved, buf_ts, buf_step): ``resolved`` is the
@@ -259,6 +259,14 @@ def _funnel_fn(steps: list[str], user_field: str):
     as-UTC, skewed by the session offset against the TRUE epochs of
     getCurrentWatermarkMs() (finalizing hours early/late) and of the
     emitted t_* seconds. The long column is session-TZ-proof.
+
+    ``ttl_us`` (the ``state_ttl`` opt-in) bounds state lifetime: a
+    user is evicted when the funnel is complete with nothing left in
+    the buffer (the emitted row is terminal), or when event time has
+    advanced ``ttl_us`` past the user's last event (event-time
+    timeout — a user gone quiet that long restarts from scratch if
+    they ever return).  Without it, state is a lifetime aggregate:
+    exact for any arrival pattern, but O(users × steps) forever.
     """
     import pandas as pd
 
@@ -282,18 +290,32 @@ def _funnel_fn(steps: list[str], user_field: str):
 
     def fn(key, pdfs, state):
         (user,) = key
+        if ttl_us is not None and state.hasTimedOut:
+            # horizon passed with no new events — the latest emitted
+            # row already is the final answer; drop the state
+            state.remove()
+            yield pd.DataFrame(columns=[user_field, *t_names, "step_reached"])
+            return
         if state.exists:
-            resolved, buf_ts, buf_step = state.get
+            resolved, buf_ts, buf_step, last_us = state.get
             resolved = [None if pd.isna(v) else int(v) for v in resolved]
             buf = list(zip(buf_ts, buf_step))
+            last_us = None if last_us is None or pd.isna(last_us) else int(
+                last_us
+            )
         else:
             resolved = [None] * n
             buf = []
+            last_us = None
         for pdf in pdfs:
             for ts_us, tp in zip(pdf["_ts_us"], pdf["_type"]):
                 si = step_idx.get(tp)
                 if si is not None:
-                    buf.append((int(ts_us), si))
+                    ts_int = int(ts_us)
+                    buf.append((ts_int, si))
+                    last_us = (
+                        ts_int if last_us is None else max(last_us, ts_int)
+                    )
         # events the watermark has passed are totally ordered and
         # final — fold them into the resolved prefix permanently.
         # Strictly-below keeps an ==watermark event replayable (the
@@ -311,7 +333,26 @@ def _funnel_fn(steps: list[str], user_field: str):
         reached = 0
         while reached < n and view[reached] is not None:
             reached += 1
-        state.update((resolved, [e[0] for e in buf], [e[1] for e in buf]))
+        # terminal once the watermark passes the last event: every
+        # slot is set-once and any later event is > all of them, so
+        # nothing can revise a complete view after that point
+        done = reached == n and not buf
+        if ttl_us is not None and done:
+            if state.exists:
+                state.remove()
+        else:
+            state.update(
+                (resolved, [e[0] for e in buf], [e[1] for e in buf], last_us)
+            )
+            if ttl_us is not None:
+                # complete-in-view funnels evict at the next watermark
+                # advance past their last event (confirmation, not the
+                # full TTL); incomplete ones wait out the TTL.  Either
+                # way the timeout must sit strictly past the watermark.
+                horizon_us = last_us + (1_000 if reached == n else ttl_us)
+                state.setTimeoutTimestamp(
+                    max(horizon_us // 1000, wm_us // 1000 + 1)
+                )
         if reached == 0:
             yield pd.DataFrame(columns=[user_field, *t_names, "step_reached"])
             return
@@ -336,6 +377,7 @@ def funnel_stream(
     ts_col: str = "ts",
     type_col: str = "event_type",
     watermark_delay: str = "10 minutes",
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """Streaming twin of ``journeys.funnel_steps`` (same strictly-
     ordered attribution, same output shape): per-user funnel rows
@@ -349,9 +391,23 @@ def funnel_stream(
     batch arbiter for convergence is funnel_steps over the same
     events). State per user is |steps| resolved epochs + the
     watermark-horizon event buffer — funnel state is a lifetime
-    aggregate, so keys are never evicted (O(users × steps) total,
-    the per-user-profile state class; the reference keeps the same
-    per-user dictionaries in process memory, app.py:546-552).
+    aggregate, so by default keys are never evicted (O(users ×
+    steps) total, the per-user-profile state class; the reference
+    keeps the same per-user dictionaries in process memory,
+    app.py:546-552).
+
+    ``state_ttl`` (e.g. ``"30 days"``) is the bounded-state opt-in a
+    years-long stream over 10⁹ users needs: evict a user once the
+    funnel is complete with an empty buffer (the emitted row is
+    terminal — strictly-ordered attribution means no later event can
+    extend it, and sub-watermark re-labels are already final), or
+    once event time passes ``last event + state_ttl`` (event-time
+    timeout).  State drops from O(all users ever) to O(users active
+    within the TTL window).  Exactness contract: identical to the
+    unbounded stream — and therefore to batch funnel_steps —
+    whenever every user's event gaps fit inside the TTL; a user who
+    returns after a longer silence restarts from an empty funnel
+    (the documented divergence, tested).
 
     The step filter runs BEFORE the shuffle into per-user state, so
     only funnel-typed events reach the state store.
@@ -359,6 +415,14 @@ def funnel_stream(
     journeys.check_funnel_steps(steps)
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ttl_us = None
+    if state_ttl is not None:
+        import pandas as pd
+
+        ttl_us = int(pd.Timedelta(state_ttl).total_seconds() * 1_000_000)
+        if ttl_us <= 0:
+            raise ValueError(f"state_ttl must be positive, got {state_ttl!r}")
 
     user_type = events.schema[user_col].dataType
     out_schema = T.StructType(
@@ -370,6 +434,7 @@ def funnel_stream(
         T.StructField("resolved", T.ArrayType(T.LongType()), True),
         T.StructField("buf_ts", T.ArrayType(T.LongType()), True),
         T.StructField("buf_step", T.ArrayType(T.IntegerType()), True),
+        T.StructField("last_us", T.LongType(), True),
     ])
     return (
         events.filter(F.col(type_col).isin(steps))
@@ -385,10 +450,14 @@ def funnel_stream(
         .withWatermark("_ts", watermark_delay)
         .groupBy(user_col)
         .applyInPandasWithState(
-            _funnel_fn(steps, user_col),
+            _funnel_fn(steps, user_col, ttl_us=ttl_us),
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if ttl_us is None
+                else GroupStateTimeout.EventTimeTimeout
+            ),
         )
     )

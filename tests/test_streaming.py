@@ -2297,6 +2297,127 @@ def _run_funnel_disorder_case(spark, tmp_path, journeys, journey_stream, _pytest
     assert len({t for _, t in u5}) == 2 and u5[-1][1] < u5[0][1]
 
 
+def test_funnel_stream_state_ttl_bounds_state(spark, tmp_path):
+    """state_ttl opt-in: within the TTL window the bounded stream is
+    EXACTLY the unbounded stream (and therefore batch funnel_steps);
+    a user silent past the TTL is genuinely evicted — their post-TTL
+    return restarts from an empty funnel instead of extending the
+    old one (the documented divergence from batch, and the proof the
+    state was dropped rather than kept)."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        journeys,
+    )
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        journey_stream,
+    )
+
+    with _pytest.raises(ValueError, match="positive"):
+        journey_stream.funnel_stream(
+            spark.readStream.format("rate").load(),
+            ["login", "export"], state_ttl="-5 minutes",
+        )
+
+    steps = ["login", "query", "export"]
+
+    def t(hh, mm, ss=0):
+        return dt.datetime(2024, 3, 1, hh, mm, ss)
+
+    batches = [
+        # b0: u1 completes the funnel; u2 reaches step 1 then goes
+        # quiet; u3 will stay inside the TTL across batches
+        [(1, "login", t(10, 0)), (1, "query", t(10, 1)),
+         (1, "export", t(10, 2)), (2, "login", t(10, 0))],
+        # b1: watermark pusher (wm after this batch: 10:15)
+        [(9, "login", t(10, 20))],
+        # b2: wm reaches 10:15 > u2's 10:00+10min TTL → u2 evicted;
+        # u1 (complete, last event 10:02) evicted at confirmation.
+        # u3 starts a funnel inside the current horizon.
+        [(9, "query", t(10, 40)), (3, "login", t(10, 38))],
+        # b3: u2 RETURNS after eviction — its query at 10:41 would be
+        # step 2 in batch (login 10:00 precedes it) but the stream
+        # restarted u2 from scratch: query-without-login emits
+        # nothing, then the fresh login at 10:42 is step 1.
+        # u3 continues within the TTL → exact.
+        [(2, "query", t(10, 41)), (2, "login", t(10, 42)),
+         (3, "query", t(10, 41)), (3, "export", t(10, 43))],
+    ]
+    schema = "user_id long, event_type string, ts timestamp"
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    all_rows = []
+    for i, rows in enumerate(batches):
+        all_rows.extend(rows)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}.parquet"
+        )
+        _time.sleep(0.05)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    funnel = journey_stream.funnel_stream(
+        stream, steps, watermark_delay="5 minutes",
+        state_ttl="10 minutes",
+    )
+    out = str(tmp_path / "out")
+
+    def sink(batch, batch_id):
+        batch.withColumn("_b", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        funnel.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    got_all = spark.read.parquet(out)
+    from pyspark.sql import Window as W
+
+    latest = {
+        r.user_id: r
+        for r in got_all.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("_b").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    batch_map = {
+        r.user_id: r
+        for r in journeys.funnel_steps(
+            spark.createDataFrame(all_rows, schema), steps
+        ).collect()
+    }
+
+    # inside the TTL window the bounded stream is exact vs batch
+    for uid in (1, 3):
+        for col in ("t_login", "t_query", "t_export", "step_reached"):
+            assert latest[uid][col] == batch_map[uid][col], (uid, col)
+    assert latest[1].step_reached == 3 and latest[3].step_reached == 3
+
+    # the divergence that PROVES eviction: batch links u2's 10:41
+    # query to its 10:00 login; the evicted stream restarted u2
+    assert batch_map[2].step_reached == 2
+    assert latest[2].step_reached == 1
+    assert latest[2].t_login == int(
+        t(10, 42).replace(tzinfo=dt.timezone.utc).timestamp()
+    )
+
+
 def test_volume_anomaly_stream_matches_batch(spark, tmp_path):
     """volume_anomaly_stream (watermarked hourly counts stream-static
     joined to the broadcast baseline) emits exactly the batch
