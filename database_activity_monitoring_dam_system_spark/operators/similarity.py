@@ -1823,6 +1823,181 @@ def pq_train_residual(
     )
 
 
+def rotate_vectors(
+    embeddings: DataFrame,
+    rotation: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Apply a literal d×d rotation to every vector in one
+    zero-shuffle projection: out[j] = Σₖ R[j][k]·v[k], each output
+    component a literal-dot expression (same whole-stage-codegen
+    class as the PQ argmins — the rotation folds into any corpus
+    scan for free, which is what makes OPQ serving cost identical
+    to plain PQ serving)."""
+    v = _as_double(vec_col)
+    rotated = F.array(*[_dot_literal(v, row) for row in rotation])
+    return embeddings.select(F.col(id_col), rotated.alias(out_col))
+
+
+def pq_train_opq(
+    embeddings: DataFrame,
+    *,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    opq_iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """OPQ: learn an orthogonal rotation R before product
+    quantization (Ge et al., "Optimized Product Quantization",
+    CVPR 2013 — FAISS's OPQMatrix pre-transform).  PQ's contiguous
+    subspace split is arbitrary; rotating first decorrelates and
+    balances variance across subspaces, lowering quantization
+    distortion at the SAME m×ksub code budget.  Alternating
+    minimization of ‖R·x − recon(R·x)‖²:
+
+    - fix R → train codebooks on the rotated corpus
+      (:func:`pq_train`, the decimal-exact Lloyd);
+    - fix codebooks → R is the orthogonal Procrustes solution
+      R = U·Vᵀ from the SVD of the d×d correlation M = Σᵢ ẑᵢ·xᵢᵀ
+      (ẑ = reconstruction of the rotated vector).
+
+    Scale discipline (the Lloyd pattern): M never materializes
+    per-row.  The reconstruction is blockwise-constant per
+    (subspace, code), so M = Σⱼ Σ_c bookⱼ[c] ⊗ S⟨j,c⟩ where
+    S⟨j,c⟩ = Σ_{i: codeᵢⱼ=c} xᵢ — m·ksub·d running sums, computed in
+    ONE map-side-combined decimal-sum groupBy per OPQ round (order-
+    independent exact, like every Lloyd aggregate here) and
+    collected as k·d-sized driver data; the d×d SVD is driver-side
+    numpy.  Corpus passes per round: one (assign + sum).
+
+    Returns ``(rotation, codebooks)``: R as d row-lists (apply with
+    :func:`rotate_vectors`), codebooks trained in the rotated space
+    (serve with :func:`opq_topk`)."""
+    import numpy as np
+
+    dsub = dim // m
+    rotation = np.eye(dim)
+    x = _as_double(vec_col)
+    for _ in range(opq_iters):
+        rot_df = rotate_vectors(
+            embeddings, rotation.tolist(),
+            id_col=id_col, vec_col=vec_col, out_col="_z",
+        )
+        books = pq_train(
+            rot_df, m=m, ksub=ksub, iters=iters, dim=dim,
+            id_col=id_col, vec_col="_z",
+        )
+        # assign codes on the rotated vector, then one long-form
+        # decimal-sum groupBy of the ORIGINAL vector keyed by
+        # (subspace, code) — the S⟨j,c⟩ sums above.  _x and _z live
+        # in ONE projection (the rotation is an expression, not a
+        # join) so the whole pass is scan → explode → partial-agg.
+        rot_expr = F.array(
+            *[_dot_literal(x, row) for row in rotation.tolist()]
+        )
+        with_x = embeddings.select(
+            F.col(id_col), x.alias("_x"), rot_expr.alias("_z")
+        )
+        slice_cols = []
+        for j, (lo, ln) in enumerate(_pq_slices(m, dim)):
+            sub = F.slice(F.col("_z"), lo, ln)
+            slice_cols += [sub.alias(f"s{j}"), _dot(sub, sub).alias(f"n{j}")]
+        prepared = with_x.select(F.col(id_col), F.col("_x"), *slice_cols)
+        code_cols = {}
+        for j, book in enumerate(books):
+            dists = F.array(*[_pq_sub_sqdist(j, c) for c in book])
+            code_cols[f"_c{j}"] = (
+                F.array_position(dists, F.array_min(dists)) - 1
+            ).cast("int")
+        assigned = prepared.withColumns(code_cols)
+        longf = assigned.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("sub"),
+                            F.col(f"_c{j}").alias("code"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("r"),
+            F.col("_x"),
+        ).select("r.sub", "r.code", F.posexplode("_x").alias("_d", "_v"))
+        sum_rows = (
+            longf.groupBy("sub", "code", "_d")
+            .agg(
+                F.sum(F.col("_v").cast("decimal(27,12)"))
+                .cast("double")
+                .alias("_s")
+            )
+            .collect()
+        )
+        S = np.zeros((m, ksub, dim))
+        for r in sum_rows:
+            S[r["sub"], r["code"], r["_d"]] = r["_s"]
+        corr = np.zeros((dim, dim))
+        for j in range(m):
+            block = np.asarray(books[j])  # (ksub, dsub)
+            # rows j·dsub..(j+1)·dsub of M accumulate bookⱼ[c] ⊗ S⟨j,c⟩
+            corr[j * dsub : (j + 1) * dsub] = block.T @ S[j]
+        u, _, vt = np.linalg.svd(corr)
+        rotation = u @ vt
+    final_rot = rotate_vectors(
+        embeddings, rotation.tolist(),
+        id_col=id_col, vec_col=vec_col, out_col="_z",
+    )
+    books = pq_train(
+        final_rot, m=m, ksub=ksub, iters=iters, dim=dim,
+        id_col=id_col, vec_col="_z",
+    )
+    return [list(map(float, row)) for row in rotation], books
+
+
+def opq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    rotation: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    opq_iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k through the learned OPQ rotation: corpus and queries
+    rotate in the scan projection (R is orthogonal, so rotated-space
+    ADC estimates the original L2), then the standard PQ pipeline
+    serves the codes — identical plan shape and cost to
+    :func:`pq_topk`, better distance estimates at equal code bytes
+    (pinned by ann_recall_report's ``opq`` row and the distortion
+    test)."""
+    if rotation is None or codebooks is None:
+        rotation, codebooks = pq_train_opq(
+            embeddings, m=m, ksub=ksub, iters=iters,
+            opq_iters=opq_iters, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        )
+    rotated = rotate_vectors(
+        embeddings, rotation, id_col=id_col, vec_col=vec_col,
+        out_col="embedding",
+    )
+    return pq_topk(
+        rotated, query_ids, k=k, dim=dim, codebooks=codebooks,
+        id_col=id_col, vec_col="embedding",
+    )
+
+
 def ivf_pq_encode_residual(
     embeddings: DataFrame,
     *,
@@ -2212,6 +2387,10 @@ def ann_recall_report(
             embeddings, query_ids, k=k, id_col=id_col, vec_col=vec_col
         ),
         "pq": lambda: pq_topk(
+            embeddings, query_ids, k=k, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        ),
+        "opq": lambda: opq_topk(
             embeddings, query_ids, k=k, dim=dim,
             id_col=id_col, vec_col=vec_col,
         ),

@@ -2183,6 +2183,89 @@ def _get_res_pq_codebooks(spark, sf_dir, emb, cents):
     return books
 
 
+_OPQ_ITERS = 3
+_OPQ_INDEX_CACHE: dict[tuple, tuple] = {}
+
+
+def _get_opq(spark, sf_dir, emb):
+    """(rotation, codebooks) under the load-or-train artifact
+    contract.  Two linked artifacts: the rotation persists as a
+    one-"subspace" pq-index (64 rows = the d×d matrix), and the
+    rotated-space codebooks persist stamped ``trained_against`` the
+    rotation's fingerprint — codebooks trained in one rotated space
+    are meaningless in another, the same pairing trap as residual
+    books vs their coarse quantizer, refused the same way."""
+    import os
+
+    from .dam import _index_path
+
+    serving = os.environ.get("SPARK_DAM_SHARE_FRAMES") == "1"
+    key = (
+        os.path.realpath(sf_dir), _PQ_M, _PQ_KSUB, _PQ_ITERS, _OPQ_ITERS,
+        "opq",
+    )
+    pair = _OPQ_INDEX_CACHE.get(key) if serving else None
+    if pair is None:
+        rot_path = _index_path("opq_rotation", sf_dir) if serving else None
+        books_path = (
+            _index_path("opq_codebooks", sf_dir) if serving else None
+        )
+        n = emb.count() if rot_path is not None else None
+        rotation = books = None
+        if rot_path is not None and all(
+            os.path.exists(os.path.join(p, "_SUCCESS"))
+            for p in (rot_path, books_path)
+        ):
+            try:
+                rotation = similarity.load_pq_index(
+                    spark, rot_path, expect_n=n
+                )[0]
+                books = similarity.load_pq_index(
+                    spark, books_path, expect_n=n,
+                    expect_trained_against=similarity.artifact_fingerprint(
+                        rotation
+                    ),
+                )
+            except ValueError:
+                rotation = books = None  # stale pair → retrain below
+        if rotation is None or books is None:
+            rotation, books = similarity.pq_train_opq(
+                emb, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS,
+                opq_iters=_OPQ_ITERS, dim=_PQ_DIM,
+            )
+            if rot_path is not None:
+                similarity.save_pq_index(
+                    spark, [rotation], rot_path, n_corpus=n
+                )
+                similarity.save_pq_index(
+                    spark, books, books_path, n_corpus=n,
+                    trained_against=similarity.artifact_fingerprint(
+                        rotation
+                    ),
+                )
+        pair = (rotation, books)
+        if serving:
+            _OPQ_INDEX_CACHE[key] = pair
+    return pair
+
+
+def _q_embedding_opq_topk(spark, sf_dir):
+    """OPQ ADC top-10: learned orthogonal rotation (alternating
+    Lloyd / Procrustes-SVD, Ge et al. CVPR 2013) folded into the
+    scan projection, then the standard PQ serving pipeline at the
+    SAME code budget.  Rows-only by design: the rotation update is
+    an SVD — not DuckDB-expressible — so the driver pins schema +
+    exact row count here, while the serving plan shape is the
+    full-oracle-verified embedding_pq_topk's and the distortion /
+    recall uplift is pinned in pytest (test_opq_*)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rotation, books = _get_opq(spark, sf_dir, emb)
+    return similarity.opq_topk(
+        emb, _QUERY_IDS, rotation=rotation, codebooks=books,
+        k=10, dim=_PQ_DIM,
+    )
+
+
 def _get_ivf_pq_res_codes(spark, sf_dir, emb, cents, books):
     """Residual code table under the shared-artifact contract of
     :func:`_get_ivf_pq_codes` — stamped with the residual codebook +
@@ -5042,6 +5125,20 @@ QUERIES: dict[str, QuerySpec] = {
         "shape): per-subspace decimal-exact codebooks, zero-shuffle "
         "argmin encode, asymmetric distance from codes — full DuckDB "
         "oracle re-deriving the codebooks by unrolled Lloyd",
+    ),
+    "embedding_opq_topk": QuerySpec(
+        _q_embedding_opq_topk, None,
+        "OPQ ADC top-10 (Ge et al. / FAISS OPQMatrix): learned "
+        "orthogonal rotation (alternating decimal-Lloyd + driver-side "
+        "Procrustes SVD on k·d aggregates) folded into the scan, then "
+        "the PQ pipeline at equal code bytes — rows-only (SVD is not "
+        "SQL), schema+count pinned, uplift pytest-pinned",
+        expect_columns=("query_id", "neighbor_id", "rank", "adc_dist"),
+        expect_rows=(50, 50),
+        rows_oracle=(
+            "SELECT (SELECT count(*) FROM embeddings "
+            "WHERE vec_id IN (0, 1, 2, 3, 4)) * 10"
+        ),
     ),
     "embedding_ivf_pq_refine_topk": QuerySpec(
         _q_ivf_pq_refine_topk, _ivf_pq_res_sql(refine=(_REFINE_R, 10)),
