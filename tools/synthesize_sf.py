@@ -19,6 +19,13 @@ Scaling model (TPC-H-flavoured):
   copies — near-dup structure replicates per copy instead of every
   doc gaining FACTOR−1 identical twins (which would blow candidate
   generation quadratically and measure a different workload).
+  The optional BOILER_EVERY argument then appends one UNTAGGED
+  boilerplate sentence to every BOILER_EVERY-th original doc in
+  every copy: those shingles are shared corpus-wide, so their
+  document frequency grows linearly with the corpus — the df mass
+  real web/legal corpora carry and the `max_df` containment cap
+  exists for, which the default disjoint-vocabulary scaling cannot
+  produce (BASELINE.md round-10 caveat).
 - embeddings: FACTOR× with offset vec_id and deterministic hash-based
   perturbation — copies decorrelate, ANN/near-dup candidate volumes
   scale linearly.
@@ -55,26 +62,53 @@ KEY_SPACE: dict[str, str] = {
 }
 
 
-def _copy(df: DataFrame, table: str, i: int, spans: dict[str, int]) -> DataFrame:
-    if i == 0:
+# fixed boilerplate sentence (never copy-tagged → shared corpus-wide;
+# 8 tokens = 6 trigram shingles of linearly-growing df)
+BOILERPLATE = (
+    "all rights reserved terms of service apply here"
+)
+
+
+def _copy(
+    df: DataFrame,
+    table: str,
+    i: int,
+    spans: dict[str, int],
+    boiler_every: int | None = None,
+) -> DataFrame:
+    if i == 0 and not (table == "documents" and boiler_every):
         return df
     out = df
-    for col in KEY_OFFSETS.get(table, []):
-        out = out.withColumn(col, (F.col(col) + i * spans[col]).cast(
-            dict(df.dtypes)[col]
-        ))
+    if i > 0:
+        for col in KEY_OFFSETS.get(table, []):
+            out = out.withColumn(col, (F.col(col) + i * spans[col]).cast(
+                dict(df.dtypes)[col]
+            ))
     if table == "documents":
-        tag = f"_{i}"
-        out = out.withColumn(
-            "text",
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.split(F.col("text"), r"\s+"),
-                    lambda t: F.concat(t, F.lit(tag)),
+        if i > 0:
+            tag = f"_{i}"
+            out = out.withColumn(
+                "text",
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split(F.col("text"), r"\s+"),
+                        lambda t: F.concat(t, F.lit(tag)),
+                    ),
                 ),
-            ),
-        ).withColumn("n_chars", F.length("text").cast("bigint"))
+            )
+        if boiler_every:
+            # selection keys on the PRE-offset id so the same original
+            # docs carry the block in every copy (fraction preserved)
+            orig = F.col("doc_id") - i * spans["doc_id"]
+            out = out.withColumn(
+                "text",
+                F.when(
+                    orig % boiler_every == 0,
+                    F.concat(F.col("text"), F.lit(" " + BOILERPLATE)),
+                ).otherwise(F.col("text")),
+            )
+        out = out.withColumn("n_chars", F.length("text").cast("bigint"))
     if table == "embeddings":
         out = out.withColumn(
             "embedding",
@@ -87,7 +121,14 @@ def _copy(df: DataFrame, table: str, i: int, spans: dict[str, int]) -> DataFrame
     return out
 
 
-def synthesize(spark, src_dir: str, dst_dir: str, factor: int = 10) -> None:
+def synthesize(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    factor: int = 10,
+    boiler_every: int | None = None,
+    tables: list[str] | None = None,
+) -> None:
     from database_activity_monitoring_dam_system_spark.sources.testdata import (
         TESTDATA_TABLES,
         load_table,
@@ -106,11 +147,16 @@ def synthesize(spark, src_dir: str, dst_dir: str, factor: int = 10) -> None:
     spans["user_id"] = int(ev.agg(F.max("user_id")).collect()[0][0]) + 1
 
     for table in TESTDATA_TABLES:
+        if tables is not None and table not in tables:
+            continue
         src = load_table(spark, src_dir, table)
         if table in ("region", "nation"):
             out = src
         else:
-            parts = [_copy(src, table, i, spans) for i in range(factor)]
+            parts = [
+                _copy(src, table, i, spans, boiler_every=boiler_every)
+                for i in range(factor)
+            ]
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
@@ -125,7 +171,11 @@ if __name__ == "__main__":
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    boiler = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    tables = sys.argv[5].split(",") if len(sys.argv) > 5 else None
 
     from database_activity_monitoring_dam_system_spark.session import get_spark
 
-    synthesize(get_spark(), src, dst, factor)
+    synthesize(
+        get_spark(), src, dst, factor, boiler_every=boiler, tables=tables
+    )
