@@ -953,6 +953,398 @@ WHERE (p_brand = 'Brand#12' AND p_size <= 5
 """
 
 
+def _shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem
+    with date predicates on BOTH fact sides, revenue per order, top-10
+    unshipped orders.  customer broadcasts; orders⋈lineitem is the one
+    fact×fact exchange; the final top-k is TakeOrdered over the exact
+    integer-cents revenue with an orderkey tie-break (total order, no
+    global sort)."""
+    cutoff = F.lit("1998-07-01").cast("timestamp")
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(customer.select("c_custkey")),
+                orders.o_custkey == F.col("c_custkey"),
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+            "o_orderpriority",
+            "revenue_cents",
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS odate,
+       o_orderpriority,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                           + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+  AND l_shipdate > TIMESTAMP '1998-07-01'
+GROUP BY l_orderkey, odate, o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def _forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the canonical single-scan filtered aggregate —
+    zero joins, predicates (date band, discount band, quantity cap)
+    all pushed to the parquet scan, one global sum.  The shape every
+    pushdown audit starts from."""
+    li = load_table(spark, sf_dir, "lineitem")
+    picked = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return picked.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(
+            _cents(F.col("l_extendedprice") * F.col("l_discount"))
+        ).alias("forecast_cents"),
+    )
+
+
+_Q6_SQL = """
+SELECT count(*)::BIGINT AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * l_discount * 100
+                           + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+         AS forecast_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def _volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional two-nation trade volume — the
+    OR-of-symmetric-pairs predicate across two independent dim chains
+    (supplier→nation, customer→nation) with a shipping-year rollup.
+    Both nation chains broadcast; lineitem joins orders on the fact
+    key once."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            orders.join(
+                F.broadcast(cust), orders.o_custkey == cust.c_custkey
+            ).select("o_orderkey", "cust_nation"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents")
+        )
+    )
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(rev) AS BIGINT) AS revenue_cents
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def _market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's revenue in a
+    part-type market, per order year — the conditional-sum ratio over
+    a six-table star.  Every dim chain broadcasts; the share divides
+    two exact integer-cents sums once (one double division per output
+    row, cross-engine deterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    joined = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == F.col("o_orderkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("nation_cents"),
+            F.sum(rev).alias("total_cents"),
+        )
+        .select(
+            "o_year", "nation_cents", "total_cents",
+            F.round(
+                F.col("nation_cents") / F.col("total_cents"), 6
+            ).alias("mkt_share"),
+        )
+    )
+
+
+_Q8_SQL = """
+SELECT o_year, nation_cents, total_cents,
+       round(nation_cents * 1.0 / total_cents, 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(sum(CASE WHEN n1.n_name = 'NATION_3' THEN rev ELSE 0 END)
+              AS BIGINT) AS nation_cents,
+         CAST(sum(rev) AS BIGINT) AS total_cents
+  FROM (
+    SELECT l_orderkey, l_suppkey,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rev
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'ECONOMY'
+  ) l
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY o_year
+)
+"""
+
+
+def _product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-(nation, year) profit over a part-name
+    LIKE filter across the full join tree — adapted to this schema's
+    tables (no partsupp: unit cost is the part's retail price, the
+    same fact×dims plan shape and profit-expression arithmetic).
+    Profit stays exact: two cents quantizations subtracted as
+    integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    profit = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ) - _cents(F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).alias("profit_cents"))
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                           + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                - CAST(floor(p_retailprice * l_quantity * 100
+                             + CAST(0.5 AS DOUBLE)) AS BIGINT))
+            AS BIGINT) AS profit_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+def _returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns
+    in a quarter — returnflag-filtered fact×fact join, customer/nation
+    dims broadcast, exact-cents ranking with a custkey tie-break
+    (TakeOrdered, no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    )
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents")
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+            "revenue_cents",
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("custkey"))
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey AS custkey, c_name,
+       round(c_acctbal, 2) AS acctbal,
+       n_name AS nation,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                           + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue_cents DESC, custkey ASC
+LIMIT 20
+"""
+
+
 def _customer_revenue_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic-function battery: rank / dense_rank / percent_rank /
     cume_dist / ntile(4) over per-nation customer revenue in ONE
@@ -1009,6 +1401,40 @@ WINDOW w AS (PARTITION BY c_nationkey
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "shipping_priority": QuerySpec(
+        _shipping_priority, _Q3_SQL,
+        "TPC-H Q3 shape: segment + two-sided date filters, per-order "
+        "revenue, top-10 by exact cents (TakeOrdered)",
+    ),
+    "forecast_revenue": QuerySpec(
+        _forecast_revenue, _Q6_SQL,
+        "TPC-H Q6 shape: single-scan filtered aggregate, all "
+        "predicates pushed to the parquet scan",
+    ),
+    "volume_shipping": QuerySpec(
+        _volume_shipping, _Q7_SQL,
+        "TPC-H Q7 shape: bidirectional two-nation trade volume per "
+        "shipping year — symmetric-pair predicate over two broadcast "
+        "dim chains",
+    ),
+    "market_share": QuerySpec(
+        _market_share, _Q8_SQL,
+        "TPC-H Q8 shape: one nation's revenue share of a region's "
+        "part-type market per year — conditional-sum ratio over a "
+        "six-table star, exact-cents numerator/denominator",
+    ),
+    "product_profit": QuerySpec(
+        _product_profit, _Q9_SQL,
+        "TPC-H Q9 shape: per-(nation, year) profit under a part-name "
+        "LIKE filter — integer-exact profit expression over the full "
+        "join tree",
+    ),
+    "returned_item_customers": QuerySpec(
+        _returned_item_customers, _Q10_SQL,
+        "TPC-H Q10 shape: top-20 customers by returned-item revenue "
+        "in a quarter — returnflag fact filter, broadcast dims, "
+        "exact-cents TakeOrdered",
+    ),
     "customer_revenue_ranks": QuerySpec(
         _customer_revenue_ranks, _RANKS_SQL,
         "analytic battery: rank/dense_rank/percent_rank/cume_dist/"

@@ -37,6 +37,52 @@ def test_star_join_broadcasts_dims(spark):
     assert "SortMergeJoin" not in plan  # fact side never shuffles for joins
 
 
+def test_q6_single_scan_full_pushdown(spark):
+    """Q6 shape: zero joins, zero wide exchanges — every predicate
+    (date band, discount band, quantity cap) reaches the parquet scan
+    and the plan is scan → partial agg → single-row final agg."""
+    plan = _plan(spark, "forecast_revenue")
+    assert "Join" not in plan
+    # the PushedFilters list is display-truncated; the head proves the
+    # scan got the filters, the Filter line proves the exact bounds
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)" \
+        in plan
+    assert "(l_discount" in plan and "(l_quantity" in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q3_q10_take_ordered_no_global_sort(spark):
+    """Q3/Q10 shapes rank by exact cents with key tie-breaks: the
+    top-k must be TakeOrderedAndProject (per-partition top-k + driver
+    merge), never a full sort of the aggregated fact, and the
+    customer/nation dims broadcast."""
+    for name in ("shipping_priority", "returned_item_customers"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Sort " not in plan.split("TakeOrderedAndProject")[0], name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_q7_q8_q9_dims_broadcast(spark):
+    """The Q7/Q8/Q9 star shapes: every dim chain (supplier→nation,
+    customer→nation→region, part) broadcasts; the ONLY permissible
+    wide join is the single lineitem⋈orders fact×fact exchange on the
+    order key — a dim reaching SortMergeJoin would add a second."""
+    for name, min_bcast in (
+        ("volume_shipping", 2),
+        ("market_share", 3),
+        ("product_profit", 2),
+    ):
+        plan = _plan(spark, name)
+        assert plan.count("BroadcastHashJoin") >= min_bcast, name
+        assert (
+            plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+            <= 1
+        ), name
+
+
 def test_rule_battery_single_window_shuffle(spark):
     plan = _plan(spark, "rule_battery")
     # blacklist joins broadcast; the only fact-side hash shuffle is the
