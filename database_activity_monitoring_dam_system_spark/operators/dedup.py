@@ -393,7 +393,7 @@ def containment_sketch_pairs(
     threshold: float = 0.8,
     shingle: int = 3,
     hash_family: str = "xxhash64",
-    max_df: int | None = None,
+    max_df: int | str | None = None,
 ) -> DataFrame:
     """BANDED containment estimation — the scale path that shadows
     :func:`containment_prefix_pairs` the way MinHash LSH shadows
@@ -437,7 +437,19 @@ def containment_sketch_pairs(
     corpus-wide boilerplate, which is exactly the overlap near-dup
     detection wants to discount. Costs one df aggregate; stays off
     by default because it changes semantics.
+
+    ``max_df="auto"`` resolves to 1 % of the corpus document count
+    (floor 100) — the measured 100 TB operating point: on the
+    boilerplate fixture (10 % of docs carrying one corpus-wide
+    6-shingle block) the capped estimator finishes 500 K docs in
+    162.6 s with a sub-linear 8.0× step per 10× data, while the
+    uncapped estimator AND the exact prefix join both exceed a
+    10-minute budget at that scale (BASELINE.md round-11 slope
+    table). Genuine near-dup clusters sit far below 1 % of a web
+    corpus; shingles above it are boilerplate by construction.
     """
+    if max_df == "auto":
+        max_df = max(100, int(0.01 * docs.count()))
     probe, full = _sketch_substrate(
         docs, id_col=id_col, text_col=text_col, k=k, shingle=shingle,
         hash_family=hash_family, max_df=max_df,

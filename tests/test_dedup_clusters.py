@@ -505,6 +505,16 @@ def test_containment_sketch_max_df_lower_bound_semantics(spark):
     # genuine overlap survives with the boiler tokens discounted:
     # C(1→2) capped = 4 shared real tokens / 8 = 0.5
     assert capped[(1, 2)] == 0.5
+    # max_df="auto" resolves to max(100, 1% of N) — on this 4-doc
+    # corpus that is 100 > every df, so auto ≡ uncapped here; the
+    # policy itself (the 100 TB default) is measured in BASELINE.md
+    auto = {
+        (r.doc_a, r.doc_b): r.est_containment
+        for r in dedup.containment_sketch_pairs(
+            docs, threshold=0.3, max_df="auto", **kw
+        ).collect()
+    }
+    assert auto == uncapped
 
 
 def test_load_refuses_cross_family_pair_artifact(spark, tmp_path):
