@@ -126,12 +126,25 @@ def cosine_topk(
 
 def _hyperplane(plane_idx: int, dim: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane: component d =
-    ±1 by parity of a 64-bit mix of (plane_idx, d). Seeded arithmetic,
-    no RNG object → identical across runs/cluster sizes."""
+    ±1 from a splitmix64-style avalanche of (plane_idx, d). Seeded
+    arithmetic, no RNG object → identical across runs/cluster sizes.
+
+    The mix must AVALANCHE: the previous single-multiply parity bit
+    left consecutive planes' sign vectors correlated (bit 16 of an
+    arithmetic progression is periodic), which at the sf10 probe
+    collapsed 15-bit LSH bands into ~17 K-vector mega-buckets of
+    alternating-pattern chunks (0x1999/0x2666) and made the band
+    self-join quadratic regardless of band width.  Oracles embed the
+    same literals, so the family change keeps every gate
+    hash-pinned."""
+    mask = (1 << 64) - 1
     comps = []
     for d in range(dim):
-        h = (plane_idx * 1_000_003 + d * 7919 + 12345) * 2_654_435_761 % (1 << 32)
-        comps.append(1.0 if (h >> 16) & 1 else -1.0)
+        x = ((plane_idx << 32) ^ (d * 0x9E3779B97F4A7C15)) & mask
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & mask
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & mask
+        x ^= x >> 31
+        comps.append(1.0 if x & 1 else -1.0)
     return comps
 
 
@@ -168,6 +181,125 @@ def lsh_signatures(
     return embeddings.select(
         F.col(id_col), _as_double(vec_col).alias("_v")
     ).select(F.col(id_col), F.expr(terms).alias("signature"))
+
+
+def lsh_near_dup_pairs(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.95,
+    bands: int = 6,
+    band_bits: int | None = None,
+    target_bucket_size: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_size: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded random-hyperplane
+    LSH with CORPUS-SIZED bands — the scale-safe form of the
+    embedding near-dup join.
+
+    ``band_bits=None`` (the default) resolves through
+    :func:`auto_band_bits`: bucket occupancy ≈ N/2^bits, and the band
+    self-join emits ~occupancy² candidates per bucket, so FIXED band
+    bits degenerate quadratically as the corpus grows — measured at
+    the round-11 sf10 probe, where the 8-bit-band gate plan (sized
+    for the 500-vector driver scale) could not even COUNT its
+    candidates over 200 K vectors inside 10 minutes, while this
+    operator's auto sizing (15 bits at 200 K) keeps candidates ∝ N.
+    Each band draws its own ``band_bits`` hyperplanes from the shared
+    deterministic ``_hyperplane`` family (band b uses planes
+    b·bits … b·bits+bits−1), so ``bands=6, band_bits=8`` reproduces
+    the fixed-plan gate bit-exactly and wider bands are the same
+    construction with more planes — total planes = bands × bits, not
+    capped by a 64-bit packed signature.
+
+    Pipeline: banded chunk projection (one pass, lazily
+    checkpointed so the self-join branches share it) → bucket
+    self-join (vec_id < vec_id dedup) → exact-cosine verify at
+    ``threshold``.  Output: (vec_a, vec_b, cosine round 6).
+    ``corpus_size`` skips the sizing count when the caller already
+    knows N."""
+    if band_bits is not None:
+        bits = band_bits  # explicit width: no sizing count needed
+    else:
+        n = corpus_size if corpus_size is not None else embeddings.count()
+        bits = auto_band_bits(n, target_bucket_size=target_bucket_size)
+
+    def dot_sql(vals: list[float]) -> str:
+        arr = "array(" + ",".join(f"{v!r}D" for v in vals) + ")"
+        return (
+            f"aggregate(zip_with(_v, {arr}, (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+
+    def chunk_sql(b: int) -> str:
+        return " | ".join(
+            f"(CASE WHEN {dot_sql(_hyperplane(b * bits + i, dim))} >= 0.0D "
+            f"THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            for i in range(bits)
+        )
+
+    banded = (
+        embeddings.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.expr(chunk_sql(b)).alias("chunk"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select("vec_id", "b.band_id", "b.chunk")
+        .localCheckpoint(eager=False)
+    )
+    a, bside = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            bside,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    vecs = with_norm(
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ),
+        vec_col="v",
+    )
+    va = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"),
+        F.col("_norm").alias("n_a"),
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"),
+        F.col("_norm").alias("n_b"),
+    )
+    cos = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (F.col("n_a") * F.col("n_b"))
+    return (
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
 
 
 def ivf_centroids(

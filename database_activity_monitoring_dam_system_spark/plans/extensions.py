@@ -2546,67 +2546,19 @@ def _q_embedding_near_dups(spark, sf_dir):
 
 
 def _build_embedding_near_dups(spark, sf_dir):
-    from pyspark.sql import functions as F
-
+    # Delegates to the engine operator at the FIXED 8-bit banding the
+    # static DuckDB oracle encodes (band b = planes 8b..8b+7, the same
+    # chunk values as the packed-signature form this replaced).  The
+    # production path is the operator's band_bits=None auto sizing —
+    # fixed 8-bit bands degenerate quadratically with corpus growth
+    # (sf10-measured: could not count candidates over 200 K vectors in
+    # 10 min; auto 15-bit bands finish — BASELINE.md round-11).
     emb = load_table(spark, sf_dir, "embeddings")
-    sigs = similarity.lsh_signatures(emb, planes=_ND_PLANES)
-    bands = _ND_PLANES // _ND_BAND_BITS
-    mask = (1 << _ND_BAND_BITS) - 1
-    banded = sigs.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.shiftright(F.col("signature"), b * _ND_BAND_BITS)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("chunk"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("vec_id", "b.band_id", "b.chunk")
-    # Materialize before the self-join so the 48-hyperplane signature
-    # projection runs once, not once per branch.
-    banded = banded.localCheckpoint(eager=False)
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .distinct()
-    )
-    vecs = similarity.with_norm(
-        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
-        vec_col="v",
-    )
-    va = vecs.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"),
-        F.col("_norm").alias("n_a"),
-    )
-    vb = vecs.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"),
-        F.col("_norm").alias("n_b"),
-    )
-    cos = F.aggregate(
-        F.zip_with("v_a", "v_b", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    ) / (F.col("n_a") * F.col("n_b"))
-    return (
-        cands.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.4)
-        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    return similarity.lsh_near_dup_pairs(
+        emb,
+        threshold=0.4,
+        bands=_ND_PLANES // _ND_BAND_BITS,
+        band_bits=_ND_BAND_BITS,
     )
 
 
