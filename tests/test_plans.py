@@ -836,7 +836,17 @@ def test_never_seen_defer_gates_front_outside_driver_window(monkeypatch):
     )
     window = ordered[: tool.DRIVER_WINDOW]
     assert synthetic not in window
-    assert ordered[tool.DRIVER_WINDOW] == synthetic
+    # the never-seen defer block starts AT the window boundary; other
+    # genuinely-never-seen defer gates (e.g. a just-added rows-only
+    # gate awaiting its first driver round) share it
+    idx = ordered.index(synthetic)
+    never_seen = [
+        n for n in registry._DRIVER_DEFER
+        if n not in tool.last_green_rounds(
+            registry._DRIVER_PRIORITY_SOURCE_ROUNDS
+        )[1]
+    ]
+    assert tool.DRIVER_WINDOW <= idx < tool.DRIVER_WINDOW + len(never_seen)
     # every in-window entry is a full-oracle gate (has a DuckDB oracle)
     assert all(oracles.get(n) is not None for n in window), [
         n for n in window if oracles.get(n) is None
