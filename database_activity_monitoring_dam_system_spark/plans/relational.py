@@ -1345,6 +1345,89 @@ LIMIT 20
 """
 
 
+def _local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape PROPER: per-nation revenue where the supplier
+    and the customer share a nation (the n1 = n2 equality constraint
+    that distinguishes Q5 from a plain star rollup — revenue_by_nation
+    covers that simpler shape).  Region + order-year filters; both
+    nation chains broadcast; the equality evaluates post-join on the
+    two broadcast-provided nation keys, never as an extra exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    nations = (
+        nation.join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "s_suppkey",
+            F.col("n_nationkey").alias("s_nkey"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_nationkey").alias("c_nkey"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nkey")
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .filter(F.col("s_nkey") == F.col("c_nkey"))
+        .groupBy("nation")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_Q5_SQL = """
+SELECT n1.n_name AS nation,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                           + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+WHERE r1.r_name = 'EUROPE' AND r2.r_name = 'EUROPE'
+  AND n1.n_nationkey = n2.n_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
 def _customer_revenue_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic-function battery: rank / dense_rank / percent_rank /
     cume_dist / ntile(4) over per-nation customer revenue in ONE
@@ -1428,6 +1511,12 @@ QUERIES: dict[str, QuerySpec] = {
         "TPC-H Q9 shape: per-(nation, year) profit under a part-name "
         "LIKE filter — integer-exact profit expression over the full "
         "join tree",
+    ),
+    "local_supplier_revenue": QuerySpec(
+        _local_supplier_revenue, _Q5_SQL,
+        "TPC-H Q5 shape proper: per-nation revenue under the "
+        "supplier-nation = customer-nation equality — region + year "
+        "filters, both nation chains broadcast",
     ),
     "returned_item_customers": QuerySpec(
         _returned_item_customers, _Q10_SQL,

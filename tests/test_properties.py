@@ -713,3 +713,55 @@ def test_containment_sketch_fold_equals_rebuild_property(
     fresh = dedup.containment_sketch_pairs(new, **kw)
     canon = lambda df: sorted(map(tuple, df.collect()))
     assert canon(folded) == canon(fresh)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    channels=st.sampled_from([1, 3]),
+    quality=st.integers(30, 100),
+    subsampling=st.sampled_from(["444", "420"]),
+    restart=st.integers(0, 3),
+    seed=st.integers(0, 2**31),
+)
+def test_jpeg_roundtrip_properties(
+    w, h, channels, quality, subsampling, restart, seed
+):
+    """The baseline JPEG codec is total over its declared envelope:
+    any (size, channels, quality, subsampling, restart-interval)
+    combination encodes to a well-formed stream (SOI..EOI) that
+    decodes back to the exact dimensions, and the decode is CLOSE —
+    per-pixel error bounded by the coarsest quantizer plausible at
+    the chosen quality (flat-field images, being DC-only, bound the
+    error by half a DC step).  This is the no-crash/no-skew
+    net under the exactness anchors (flat-gray identity, direct
+    DCT-III pin) in test_extensions."""
+    import numpy as np
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        jpegcodec,
+    )
+
+    rng = np.random.default_rng(seed)
+    # flat field + mild noise: keeps an analytic error bound while
+    # still exercising AC coefficients and both chroma planes
+    base = rng.integers(30, 226, size=(1, 1, channels))
+    img = np.clip(
+        base + rng.integers(-6, 7, size=(h, w, channels)), 0, 255
+    ).astype(np.uint8)
+    data = jpegcodec.encode_jpeg(
+        w, h, img.tobytes(), channels=channels, quality=quality,
+        subsampling=subsampling, restart_interval=restart,
+    )
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    got_w, got_h, got_ch, pix = jpegcodec.decode_jpeg(data)
+    assert (got_w, got_h, got_ch) == (w, h, channels)
+    dec = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, channels)
+    err = np.abs(dec.astype(int) - img.astype(int)).max()
+    # ±6 noise around a flat field: every DCT coefficient is small,
+    # so the reconstruction error is bounded by a few quantizer
+    # steps even at quality 30 (empirical ceiling ~40 incl. chroma
+    # rounding); the bound exists to catch sign/scale bugs (which
+    # produce errors ~128+), not to certify rate-distortion
+    assert err <= 64, err
