@@ -2165,6 +2165,48 @@ def ivf_pq_encode_residual(
     )
 
 
+def opq_ivf_pq_res_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    refine_iters: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    opq_iters: int = 3,
+    dim: int = 64,
+    rotation: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full FAISS ``OPQ_d,IVFx,PQm`` composition: the learned OPQ
+    rotation applied as a PRE-TRANSFORM, then the residual IVF-PQ
+    pipeline trained and served entirely in the rotated space.  R is
+    orthogonal, so rotated-space ADC estimates original L2; the
+    rotation folds into the one corpus scan (zero extra shuffles),
+    and every downstream artifact (quantizer, residual books, codes)
+    is the standard residual pipeline over the rotated frame.  As in
+    FAISS, the OPQ matrix trains against plain-PQ reconstruction of
+    the raw corpus and is then reused as the IVF pre-transform."""
+    if rotation is None:
+        rotation, _ = pq_train_opq(
+            embeddings, m=m, ksub=ksub, iters=iters,
+            opq_iters=opq_iters, dim=dim, id_col=id_col, vec_col=vec_col,
+        )
+    rotated = rotate_vectors(
+        embeddings, rotation, id_col=id_col, vec_col=vec_col,
+        out_col="embedding",
+    )
+    return ivf_pq_topk_residual(
+        rotated, query_ids, k=k, n_centroids=n_centroids,
+        n_probe=n_probe, refine_iters=refine_iters, m=m, ksub=ksub,
+        iters=iters, dim=dim, id_col=id_col, vec_col="embedding",
+    )
+
+
 def ivf_pq_topk_residual(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -2531,6 +2573,10 @@ def ann_recall_report(
             id_col=id_col, vec_col=vec_col,
         ),
         "ivf_pq_res": lambda: ivf_pq_topk_residual(
+            embeddings, query_ids, k=k, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        ),
+        "opq_ivf_pq_res": lambda: opq_ivf_pq_res_topk(
             embeddings, query_ids, k=k, dim=dim,
             id_col=id_col, vec_col=vec_col,
         ),

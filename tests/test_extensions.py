@@ -4231,6 +4231,27 @@ def _near_dup_corpus(spark, n_base, n_dups, dim=64):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
+def test_hyperplane_family_is_balanced_and_decorrelated():
+    """Statistical pin on the LSH hyperplane family: per-plane sign
+    balance and inter-plane correlation must stay within random
+    bounds for 96 planes × 64 dims.  The pre-splitmix family (bit 16
+    of a single-multiply linear mix) failed this badly — correlated
+    planes collapsed 15-bit bands into ~17 K-vector mega-buckets at
+    the sf10 probe (3.17 B candidates) — so this is the regression
+    net for that class of bug: values are deterministic, bounds sit
+    ~30 % above the measured family (|corr| max 0.435 ≈ 3.5σ for
+    4.5 K pairs at σ = 1/√64)."""
+    import numpy as np
+
+    H = np.array([similarity._hyperplane(i, 64) for i in range(96)])
+    assert set(np.unique(H)) == {-1.0, 1.0}
+    # per-plane balance: mean |row mean| well under the 1/√64 σ
+    assert np.abs(H.mean(axis=1)).mean() < 0.2
+    corr = np.abs(np.corrcoef(H)) - np.eye(96)
+    assert corr.max() < 0.6, corr.max()
+    assert corr.mean() < 0.15, corr.mean()
+
+
 def test_lsh_near_dup_auto_banding_scales_and_recalls(spark):
     """The sf10 lesson wired in: lsh_near_dup_pairs sizes band bits
     from the corpus (auto_band_bits) so bucket occupancy — and with
@@ -4334,9 +4355,12 @@ def test_opq_rotation_lowers_distortion_at_equal_bytes(spark):
 def test_ann_recall_report_includes_residual_method(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     rep = similarity.ann_recall_report(
-        emb, [0, 1, 2], k=5, methods=("ivf_pq", "ivf_pq_res")
+        emb, [0, 1, 2], k=5,
+        methods=("ivf_pq", "ivf_pq_res", "opq", "opq_ivf_pq_res"),
     )
-    assert [r["method"] for r in rep] == ["ivf_pq", "ivf_pq_res"]
+    assert [r["method"] for r in rep] == [
+        "ivf_pq", "ivf_pq_res", "opq", "opq_ivf_pq_res"
+    ]
     for r in rep:
         assert r["n_expected"] == 15 and 0 <= r["recall_at_k"] <= 1
 
