@@ -530,18 +530,29 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG: 0xFF at end of stream")
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
             break
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG: segment length cut off")
         (seglen,) = struct.unpack_from(">H", data, pos)
+        if seglen < 2 or pos + seglen > len(data):
+            raise ValueError(
+                f"truncated JPEG segment (marker 0x{marker:02x}: "
+                f"declared {seglen} bytes, {len(data) - pos} remain)"
+            )
         payload = data[pos + 2 : pos + seglen]
         pos += seglen
         if marker == 0xDB:  # DQT (possibly several tables)
             off = 0
             while off < len(payload):
+                if off + 65 > len(payload):
+                    raise ValueError("truncated JPEG DQT table")
                 pq, tq = payload[off] >> 4, payload[off] & 0x0F
                 if pq != 0:
                     raise ValueError("16-bit quantization not supported")
@@ -555,16 +566,24 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xC4:  # DHT (possibly several tables)
             off = 0
             while off < len(payload):
+                if off + 17 > len(payload):
+                    raise ValueError("truncated JPEG DHT table")
                 tc, th = payload[off] >> 4, payload[off] & 0x0F
                 bits = tuple(payload[off + 1 : off + 17])
                 n = sum(bits)
+                if off + 17 + n > len(payload):
+                    raise ValueError("truncated JPEG DHT table")
                 vals = tuple(payload[off + 17 : off + 17 + n])
                 huff[(tc, th)] = _build_decode(bits, vals)
                 off += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
+            if len(payload) < 6:
+                raise ValueError("truncated JPEG SOF0 header")
             precision, height, width, ncomp = struct.unpack_from(
                 ">BHHB", payload
             )
+            if len(payload) < 6 + 3 * ncomp:
+                raise ValueError("truncated JPEG SOF0 component list")
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
             comps = []
@@ -585,8 +604,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 f"SOF{marker - 0xC0}: only baseline (SOF0) supported"
             )
         elif marker == 0xDD:  # DRI
+            if len(payload) < 2:
+                raise ValueError("truncated JPEG DRI segment")
             (restart_interval,) = struct.unpack_from(">H", payload)
         elif marker == 0xDA:  # SOS
+            if not payload or len(payload) < 1 + 2 * payload[0]:
+                raise ValueError("truncated JPEG SOS header")
             ns = payload[0]
             scan = []
             for si in range(ns):

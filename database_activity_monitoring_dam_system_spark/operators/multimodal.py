@@ -6,23 +6,28 @@ resize / frame-sample run as Arrow-batched pandas functions via
 ``mapInPandas`` so the heavy per-item work is vectorized per batch and
 never round-trips row-at-a-time.
 
-Decode is REAL for three modalities:
+Decode is REAL for four modalities:
 
 - PNG images — pure-stdlib codec (imagecodec.py: zlib inflate +
   numpy-vectorized scanline unfiltering) behind ``decode_stub=False``
   in extract_features / resize_media / decode_image_features, with
   PIL used instead when installed (the import-try seam in
-  ``imagecodec.decode_image`` — PIL also unlocks JPEG etc.).
+  ``imagecodec.decode_image`` — PIL also widens JPEG coverage).
+- Baseline JPEG (SOF0) images — pure-numpy codec (jpegcodec.py:
+  Huffman entropy decode, einsum-batched IDCT, 4:4:4/4:2:2/4:2:0
+  chroma, DRI/RSTn), dispatched by ``imagecodec.decode_image`` for
+  ``image/jpeg`` payloads when PIL is absent.
 - WAV audio — stdlib ``wave`` 16-bit PCM round-trip
   (synth_wav_media / decode_audio_features).
 - Y4M video — pure-stdlib YUV4MPEG2 parse (videocodec.py) behind
   ``decode_stub=False`` in sample_frames (synth_y4m_media /
   frame_pixel_stats).
 
-Codecs the sandbox genuinely cannot host (JPEG entropy decode without
-PIL, compressed video without ffmpeg/av) raise NotImplementedError at
-the mime/magic check; ``decode_stub=True`` keeps the deterministic
-byte-level fake for plumbing tests.
+Codecs the sandbox genuinely cannot host (progressive/arithmetic
+JPEG — SOF2 etc., compressed audio/video without ffmpeg/av) raise
+NotImplementedError at the mime/magic or SOF-marker check;
+``decode_stub=True`` keeps the deterministic byte-level fake for
+plumbing tests.
 """
 
 from __future__ import annotations

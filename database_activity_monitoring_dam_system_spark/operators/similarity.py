@@ -148,6 +148,26 @@ def _hyperplane(plane_idx: int, dim: int) -> list[float]:
     return comps
 
 
+def hyperplane_family_fingerprint(dim: int = 16, planes: int = 4) -> str:
+    """Stable 8-hex fingerprint of the ``_hyperplane`` sign family —
+    the version tag persisted LSH-derived artifacts are keyed under.
+
+    Any change to the mixing function (e.g. the round-11 splitmix64
+    avalanche fix) changes this value, which changes the artifact
+    path, so a pre-change artifact can never load cleanly and then
+    silently disagree with fresh builds and regenerated oracles —
+    the same stale-pairing trap ``trained_against`` stamps close for
+    PQ codebooks."""
+    import hashlib
+
+    bits = "".join(
+        "1" if c > 0 else "0"
+        for i in range(planes)
+        for c in _hyperplane(i, dim)
+    )
+    return hashlib.md5(bits.encode()).hexdigest()[:8]
+
+
 def lsh_signatures(
     embeddings: DataFrame,
     *,

@@ -68,6 +68,22 @@ _DISK_KINDS = frozenset(
 )
 
 
+def _kind_version(kind: str) -> str:
+    """Derivation-algorithm version token baked into the artifact
+    path.  ``emb_near_dups`` is keyed under the LSH hyperplane family
+    fingerprint: when the sign family changes (as it did in round 11,
+    single-multiply parity → splitmix64 avalanche), artifacts built
+    under the old family land at a different path and are rebuilt
+    instead of loading cleanly and silently mismatching fresh builds
+    and regenerated oracles.  Kinds whose derivation is pinned by the
+    corpus alone carry no token."""
+    if kind == "emb_near_dups":
+        from ..operators.similarity import hyperplane_family_fingerprint
+
+        return "_hp" + hyperplane_family_fingerprint()
+    return ""
+
+
 def _index_path(kind: str, sf_dir: str) -> str | None:
     """Under SPARK_DAM_INDEX_DIR, the parquet location for a persisted
     index artifact of ``kind`` over the corpus at ``sf_dir``."""
@@ -80,7 +96,8 @@ def _index_path(kind: str, sf_dir: str) -> str | None:
     real = os.path.realpath(sf_dir)
     slug = hashlib.md5(real.encode()).hexdigest()[:10]
     return os.path.join(
-        idx_dir, f"{kind}__{os.path.basename(real)}_{slug}"
+        idx_dir,
+        f"{kind}{_kind_version(kind)}__{os.path.basename(real)}_{slug}",
     )
 
 

@@ -239,6 +239,25 @@ def start_transition_stream(
     return writer.start()
 
 
+def _funnel_state_schema(ttl_us: int | None):
+    """State row schema for the funnel stream.  The TTL-less schema
+    is the original 3-field one so checkpoints written before the
+    ``state_ttl`` feature resume unchanged; opting into a TTL adds
+    the ``last_us`` column the event-time timeout needs (and
+    therefore requires a fresh checkpoint location — documented on
+    the parameter)."""
+    from pyspark.sql import types as T
+
+    fields = [
+        T.StructField("resolved", T.ArrayType(T.LongType()), True),
+        T.StructField("buf_ts", T.ArrayType(T.LongType()), True),
+        T.StructField("buf_step", T.ArrayType(T.IntegerType()), True),
+    ]
+    if ttl_us is not None:
+        fields.append(T.StructField("last_us", T.LongType(), True))
+    return T.StructType(fields)
+
+
 def _funnel_fn(steps: list[str], user_field: str, ttl_us: int | None = None):
     """Per-user funnel state function for applyInPandasWithState.
 
@@ -297,12 +316,22 @@ def _funnel_fn(steps: list[str], user_field: str, ttl_us: int | None = None):
             yield pd.DataFrame(columns=[user_field, *t_names, "step_reached"])
             return
         if state.exists:
-            resolved, buf_ts, buf_step, last_us = state.get
+            # the state tuple is 3-field (legacy, checkpoint-stable)
+            # without TTL and gains last_us only when the TTL opt-in
+            # is on — a pre-TTL checkpoint resumes unchanged for
+            # callers that never pass state_ttl
+            if ttl_us is not None:
+                resolved, buf_ts, buf_step, last_us = state.get
+                last_us = (
+                    None
+                    if last_us is None or pd.isna(last_us)
+                    else int(last_us)
+                )
+            else:
+                resolved, buf_ts, buf_step = state.get
+                last_us = None
             resolved = [None if pd.isna(v) else int(v) for v in resolved]
             buf = list(zip(buf_ts, buf_step))
-            last_us = None if last_us is None or pd.isna(last_us) else int(
-                last_us
-            )
         else:
             resolved = [None] * n
             buf = []
@@ -341,8 +370,9 @@ def _funnel_fn(steps: list[str], user_field: str, ttl_us: int | None = None):
             if state.exists:
                 state.remove()
         else:
+            packed = (resolved, [e[0] for e in buf], [e[1] for e in buf])
             state.update(
-                (resolved, [e[0] for e in buf], [e[1] for e in buf], last_us)
+                packed + (last_us,) if ttl_us is not None else packed
             )
             if ttl_us is not None:
                 # complete-in-view funnels evict at the next watermark
@@ -407,7 +437,11 @@ def funnel_stream(
     unbounded stream — and therefore to batch funnel_steps —
     whenever every user's event gaps fit inside the TTL; a user who
     returns after a longer silence restarts from an empty funnel
-    (the documented divergence, tested).
+    (the documented divergence, tested).  Opting in widens the state
+    row (a ``last_us`` column the timeout needs), so flipping
+    ``state_ttl`` on an EXISTING stream requires a fresh checkpoint
+    location; TTL-less streams keep the original 3-field state and
+    resume any pre-TTL checkpoint unchanged.
 
     The step filter runs BEFORE the shuffle into per-user state, so
     only funnel-typed events reach the state store.
@@ -430,12 +464,7 @@ def funnel_stream(
         + [T.StructField(f"t_{s}", T.LongType(), True) for s in steps]
         + [T.StructField("step_reached", T.IntegerType(), True)]
     )
-    state_schema = T.StructType([
-        T.StructField("resolved", T.ArrayType(T.LongType()), True),
-        T.StructField("buf_ts", T.ArrayType(T.LongType()), True),
-        T.StructField("buf_step", T.ArrayType(T.IntegerType()), True),
-        T.StructField("last_us", T.LongType(), True),
-    ])
+    state_schema = _funnel_state_schema(ttl_us)
     return (
         events.filter(F.col(type_col).isin(steps))
         .select(

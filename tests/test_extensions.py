@@ -1039,6 +1039,54 @@ def test_jpeg_decoder_rejects_out_of_scope_streams():
         imagecodec.decode_image(b"\x00" * 16, "audio/mpeg")
 
 
+def test_jpeg_decoder_truncation_raises_valueerror():
+    """Truncated / malformed streams raise ValueError with a reason —
+    never struct.error or IndexError — so the mapInPandas decode path
+    fails the documented way on corrupt files at scale (round-11
+    advisor finding)."""
+    import numpy as np
+    import pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        jpegcodec,
+    )
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    data = jpegcodec.encode_jpeg(8, 8, img.tobytes(), channels=1)
+    # every header-region prefix must fail as ValueError, not leak
+    # struct.error/IndexError (the entropy-coded tail may decode to a
+    # short-but-valid image, so only probe up to the SOS payload)
+    sos = data.index(b"\xff\xda")
+    for cut in range(2, min(sos + 8, len(data))):
+        with pytest.raises(ValueError):
+            jpegcodec.decode_jpeg(data[:cut])
+    # 0xFF as the very last byte (marker byte cut off)
+    with pytest.raises(ValueError, match="truncated"):
+        jpegcodec.decode_jpeg(b"\xff\xd8\xff")
+    # segment declaring more bytes than remain
+    with pytest.raises(ValueError, match="truncated"):
+        jpegcodec.decode_jpeg(b"\xff\xd8\xff\xdb\x00\x45\x00")
+    # length-consistent but internally short DQT/DHT/SOF0/SOS/DRI
+    def seg(marker: bytes, payload: bytes) -> bytes:
+        import struct as _s
+
+        return (
+            b"\xff\xd8\xff" + marker + _s.pack(">H", len(payload) + 2)
+            + payload + b"\xff\xd9"
+        )
+
+    for m, p in [
+        (b"\xdb", b"\x00" + b"\x11" * 10),  # DQT: 10 of 64 entries
+        (b"\xc4", b"\x00" + b"\x01" * 5),  # DHT: bits array cut off
+        (b"\xc0", b"\x08\x00\x08"),  # SOF0: header cut off
+        (b"\xc0", b"\x08\x00\x08\x00\x08\x03\x01\x11"),  # comps cut
+        (b"\xda", b"\x02\x01\x00"),  # SOS: 2 comps declared, 1 present
+        (b"\xdd", b"\x04"),  # DRI: 1 of 2 bytes
+    ]:
+        with pytest.raises(ValueError, match="truncated"):
+            jpegcodec.decode_jpeg(seg(m, p))
+
+
 def test_png_resize_nearest_subsample():
     """8×8 → 4×4 nearest-neighbour keeps exactly the even-indexed
     pixels (floor mapping)."""
@@ -4250,6 +4298,29 @@ def test_hyperplane_family_is_balanced_and_decorrelated():
     corr = np.abs(np.corrcoef(H)) - np.eye(96)
     assert corr.max() < 0.6, corr.max()
     assert corr.mean() < 0.15, corr.mean()
+
+
+def test_hyperplane_family_fingerprint_versions_artifacts():
+    """Persisted LSH-derived artifacts are keyed under the hyperplane
+    FAMILY fingerprint (round-11 advisor finding): a change to the
+    sign family moves the emb_near_dups artifact path, so a stale
+    artifact built under the old family is rebuilt instead of loading
+    cleanly and silently disagreeing with fresh builds/oracles.  The
+    fingerprint value is pinned so any future family change trips
+    this test and is made consciously (and invalidates old paths by
+    construction)."""
+    import os
+    from unittest import mock
+
+    from database_activity_monitoring_dam_system_spark.plans import dam
+
+    assert similarity.hyperplane_family_fingerprint() == "4058870a"
+    with mock.patch.dict(os.environ, {"SPARK_DAM_INDEX_DIR": "/tmp/ix"}):
+        p = dam._index_path("emb_near_dups", "/root/testdata/sf0.001")
+        assert "_hp4058870a__" in p
+        # corpus-pinned kinds carry no family token
+        q = dam._index_path("dedup_clusters", "/root/testdata/sf0.001")
+        assert "_hp" not in q
 
 
 def test_lsh_near_dup_auto_banding_scales_and_recalls(spark):

@@ -2297,6 +2297,28 @@ def _run_funnel_disorder_case(spark, tmp_path, journeys, journey_stream, _pytest
     assert len({t for _, t in u5}) == 2 and u5[-1][1] < u5[0][1]
 
 
+def test_funnel_state_schema_is_checkpoint_stable_without_ttl():
+    """The funnel stream's state row keeps the ORIGINAL 3-field shape
+    when state_ttl is off, so a checkpoint written before the TTL
+    feature resumes unchanged for callers that never opt in; the TTL
+    opt-in appends last_us (4 fields) and is the documented
+    fresh-checkpoint case (round-11 advisor finding)."""
+    from database_activity_monitoring_dam_system_spark.streaming import (
+        journey_stream,
+    )
+
+    legacy = journey_stream._funnel_state_schema(None)
+    assert [f.name for f in legacy.fields] == [
+        "resolved", "buf_ts", "buf_step",
+    ]
+    with_ttl = journey_stream._funnel_state_schema(3_600_000_000)
+    assert [f.name for f in with_ttl.fields] == [
+        "resolved", "buf_ts", "buf_step", "last_us",
+    ]
+    # the TTL schema extends the legacy one field-for-field
+    assert with_ttl.fields[:3] == legacy.fields
+
+
 def test_funnel_stream_state_ttl_bounds_state(spark, tmp_path):
     """state_ttl opt-in: within the TTL window the bounded stream is
     EXACTLY the unbounded stream (and therefore batch funnel_steps);
