@@ -2273,3 +2273,213 @@ def dup_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    *,
+    k: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefilter_digits: int | None = None,
+) -> DataFrame:
+    """ExactSubstr span REMOVAL — the cleaning step behind
+    :func:`dup_span_stats`' measurement (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022): excise
+    corpus-duplicated text from each document instead of dropping or
+    keeping whole docs.
+
+    Semantics (deterministic, oracle-pinned):
+
+    * every k-char window of every eligible doc (text non-NULL,
+      length ≥ k) is fingerprinted (md5 — the Rabin-Karp-style scan,
+      one explode(sequence) projection);
+    * a window OCCURRENCE is redundant iff it is not the FIRST
+      occurrence of its fingerprint in global ``(id_col, pos)``
+      order (row_number over the fp — ≥2 total occurrences implied),
+      so exactly one copy of every duplicated passage survives, in
+      the doc that sorts first: cross-doc duplicates lose all
+      copies but the first doc's, and a passage repeated within one
+      doc keeps only its first occurrence;
+    * per doc, redundant windows' [pos, pos+k-1] intervals are merged
+      into maximal spans (gaps-and-islands: running max end over a
+      pos-ordered window, island break when a window starts past
+      end+1), and the spans are spliced out of the text with ONE
+      left-assoc fold (F.aggregate over the sorted span array —
+      substring concatenation, no per-char work).
+
+    Ineligible docs (NULL text or shorter than k) pass through
+    byte-exact with zero stats.
+
+    Scale shape: linear in corpus bytes — explode is a no-shuffle
+    projection; the fp window sort shuffles once on the
+    high-cardinality fingerprint (groups are near-always 1-2 rows,
+    no skew pocket); islands + splice shuffle on doc_id. The fp
+    shuffle volume is ~(text bytes × 40)/window, the price of
+    exactness. ``prefilter_digits`` (e.g. 4 → 4/16 of fps) is the
+    100 TB path: a first sampled pass (content-keyed digit subset,
+    the dup_span_stats sampling — all occurrences of a sampled fp
+    are sampled together, so sampled counts are exact) finds the
+    docs containing any duplicated sampled window; only those run
+    the full-resolution pass, everything else passes through
+    untouched. Detection of a shared run of length L ≥ k inside the
+    full pass is then conditional on the run containing a sampled
+    window — probability 1 − (1−r)^(L−k+1), r = digits/16 (the
+    dup_span_stats guarantee; near-certain for passages a screen
+    long). The candidate set is closed under sharing: content-keyed
+    sampling picks the SAME windows wherever the text appears, so
+    either every holder of a run is a candidate or none is — the
+    prefilter never splits a duplicate pair.
+
+    Returns the input columns with ``text_col`` replaced by the
+    cleaned text, plus ``n_removed_spans`` and ``removed_chars``.
+
+    Reference parity: the reference app has no corpus-cleaning tier
+    (vthejesh DAM: app.py stores activity rows verbatim); this
+    operator is part of the training-data pipeline surface.
+    """
+    if k < 2:
+        raise ValueError(f"k must be ≥ 2, got {k}")
+    t = F.col(text_col)
+    eligible = t.isNotNull() & (F.length(t) >= k)
+
+    target = docs
+    passthrough = None
+    if prefilter_digits is not None:
+        if not 1 <= prefilter_digits <= 16:
+            raise ValueError("prefilter_digits must be in [1, 16]")
+        digits = [
+            _HEX[i] for i in range(0, 16, 16 // prefilter_digits)
+        ][:prefilter_digits]
+        sampled = (
+            docs.filter(eligible)
+            .select(
+                F.col(id_col),
+                t.alias("_t"),
+                F.explode(
+                    F.sequence(F.lit(1), F.length(t) - k + 1)
+                ).alias("pos"),
+            )
+            .select(
+                F.col(id_col),
+                F.md5(F.expr(f"substring(_t, pos, {k})")).alias("fp"),
+            )
+            .filter(F.substring("fp", 32, 1).isin(digits))
+        )
+        # sampled counts are exact (content-keyed: every occurrence
+        # of a sampled fp is sampled), so count(*) ≥ 2 ⇔ the fp is
+        # globally duplicated
+        dup_fps = (
+            sampled.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") >= 2)
+            .select("fp")
+        )
+        cand = (
+            sampled.join(dup_fps, "fp", "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        target = docs.join(cand, id_col, "left_semi")
+        passthrough = docs.join(cand, id_col, "left_anti")
+
+    occ = (
+        target.filter(eligible)
+        .select(
+            F.col(id_col),
+            t.alias("_t"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(t) - k + 1)
+            ).alias("pos"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            F.md5(F.expr(f"substring(_t, pos, {k})")).alias("fp"),
+        )
+    )
+    w_fp = Window.partitionBy("fp").orderBy(F.col(id_col), F.col("pos"))
+    redundant = (
+        occ.withColumn("rn", F.row_number().over(w_fp))
+        .filter(F.col("rn") > 1)
+        .select(id_col, "pos")
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        redundant.withColumn(
+            "prev_end",
+            F.max(F.col("pos") + k - 1).over(
+                w_doc.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .withColumn(
+            "new_isl",
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("pos") > F.col("prev_end") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "isl_id",
+            F.sum("new_isl").over(
+                w_doc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    spans = islands.groupBy(id_col, "isl_id").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + k - 1).alias("e"),
+    )
+    doc_spans = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("s"), F.col("e")))
+        ).alias("_spans"),
+        F.count(F.lit(1)).alias("_n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("_rm_chars"),
+    )
+    joined = target.join(doc_spans, id_col, "left")
+    spliced = F.aggregate(
+        F.col("_spans"),
+        F.struct(
+            F.lit("").alias("out"), F.lit(1).alias("cur")
+        ),
+        lambda acc, sp: F.struct(
+            F.concat(
+                acc["out"],
+                F.substring(t, acc["cur"], sp["s"] - acc["cur"]),
+            ).alias("out"),
+            (sp["e"] + 1).alias("cur"),
+        ),
+        lambda acc: F.concat(
+            acc["out"],
+            F.substring(
+                t, acc["cur"], F.length(t) - acc["cur"] + 1
+            ),
+        ),
+    )
+    cleaned = joined.select(
+        *[
+            F.when(F.col("_spans").isNull(), t)
+            .otherwise(spliced)
+            .alias(c)
+            if c == text_col
+            else F.col(c)
+            for c in target.columns
+        ],
+        F.coalesce(F.col("_n_spans"), F.lit(0)).alias(
+            "n_removed_spans"
+        ),
+        F.coalesce(F.col("_rm_chars"), F.lit(0)).alias(
+            "removed_chars"
+        ),
+    )
+    if passthrough is None:
+        return cleaned
+    return cleaned.unionByName(
+        passthrough.select(
+            *passthrough.columns,
+            F.lit(0).cast("long").alias("n_removed_spans"),
+            F.lit(0).cast("long").alias("removed_chars"),
+        )
+    )

@@ -152,6 +152,7 @@ def run_corpus_pipeline(
     epoch_targets: dict[str | None, int] | None = None,
     dedup_threshold: float = 0.9,
     dedup_shingle: int = 3,
+    dup_span_removal_k: int | None = None,
     dup_span_max_frac: float | None = None,
     split_fracs: tuple[float, float] | None = None,
     split_cluster_threshold: float = 0.8,
@@ -401,6 +402,33 @@ def run_corpus_pipeline(
     deduped = kept.join(drop_ids, "doc_id", "left_anti").persist()
     report["n_deduped"] = deduped.count()
     kept.unpersist()
+
+    # 3a'. ExactSubstr span REMOVAL (optional): excise corpus-
+    # duplicated k-char runs from the text itself, keeping exactly
+    # the first (doc_id, pos) occurrence of every duplicated passage
+    # — the Lee et al. cleaning step, surgical where the 3b frac
+    # gate below is whole-doc. Runs over the dedup survivors
+    # (corpus-GLOBAL, recomputed per run like the near-dup stage);
+    # the text-derived admission gates (quality/fluency/
+    # contamination) were judged on the ORIGINAL text — removal is
+    # cleaning, not re-admission — and everything downstream
+    # (splits, packing, shards) sees the cleaned text. When both
+    # options are set, the frac gate measures the RESIDUAL after
+    # removal (normally zero).
+    if dup_span_removal_k is not None:
+        cleaned = dedup.remove_dup_spans(
+            deduped, k=dup_span_removal_k
+        ).persist()
+        stats = cleaned.agg(
+            F.sum("removed_chars").alias("rm"),
+            F.count(F.when(F.col("n_removed_spans") > 0, 1)).alias(
+                "nd"
+            ),
+        ).collect()[0]
+        report["n_span_cleaned_docs"] = stats["nd"]
+        report["span_removed_chars"] = int(stats["rm"] or 0)
+        deduped.unpersist()
+        deduped = cleaned.drop("n_removed_spans", "removed_chars")
 
     # 3b. exact-substring trim gate (optional): docs whose sampled
     # duplicated-window fraction exceeds the cap drop — the

@@ -95,6 +95,85 @@ FROM flag GROUP BY doc_id
 """
 
 
+def _q_dup_span_removal(spark, sf_dir):
+    """ExactSubstr span removal (dedup.remove_dup_spans) at full
+    window resolution — every corpus-duplicated k-char run keeps
+    exactly its first (doc_id, pos) occurrence; the gate projects
+    count/length stats plus the md5 of the cleaned text so the hash
+    pins the splice BYTE-exact."""
+    from pyspark.sql import functions as F
+
+    out = dedup.remove_dup_spans(_docs(spark, sf_dir), k=_DUP_SPAN_K)
+    return out.select(
+        "doc_id",
+        F.col("n_removed_spans").cast("long").alias("n_removed_spans"),
+        F.col("removed_chars").cast("long").alias("removed_chars"),
+        F.length("text").cast("long").alias("clean_len"),
+        F.md5("text").alias("clean_md5"),
+    )
+
+
+def _dup_span_removal_sql() -> str:
+    k = _DUP_SPAN_K
+    # per-char splice: O(corpus chars) at oracle scale — fine for
+    # DuckDB at sf0.01, and trivially correct (keep a char iff no
+    # removed span covers it, re-concat in position order)
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - {k} + 1)) AS p
+  FROM documents WHERE text IS NOT NULL AND length(text) >= {k}),
+occ AS (
+  SELECT doc_id, p, md5(substr(text, CAST(p AS INTEGER), {k})) AS fp
+  FROM pos),
+red AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id, p) AS rn
+    FROM occ) WHERE rn > 1),
+isl AS (
+  SELECT doc_id, p,
+    CASE WHEN p > coalesce(max(p + {k} - 1) OVER (
+           PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+    THEN 1 ELSE 0 END AS new_isl FROM red),
+isl2 AS (
+  SELECT doc_id, p,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS isl_id
+  FROM isl),
+spans AS (
+  SELECT doc_id, isl_id, min(p) AS s, max(p + {k} - 1) AS e
+  FROM isl2 GROUP BY doc_id, isl_id),
+spanagg AS (
+  SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS rm_chars
+  FROM spans GROUP BY doc_id),
+chars AS (
+  SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text
+  FROM documents WHERE text IS NOT NULL),
+kept AS (
+  SELECT c.doc_id, c.i, substr(c.text, CAST(c.i AS INTEGER), 1) AS ch
+  FROM chars c
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = c.doc_id AND c.i BETWEEN s.s AND s.e)),
+clean AS (
+  SELECT doc_id, string_agg(ch, '' ORDER BY i) AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(sa.n_spans, 0) AS BIGINT) AS n_removed_spans,
+       CAST(coalesce(sa.rm_chars, 0) AS BIGINT) AS removed_chars,
+       CAST(CASE WHEN d.text IS NULL THEN NULL
+            WHEN sa.doc_id IS NULL THEN length(d.text)
+            ELSE length(coalesce(cl.clean_text, '')) END AS BIGINT)
+         AS clean_len,
+       CASE WHEN d.text IS NULL THEN NULL
+            WHEN sa.doc_id IS NULL THEN md5(d.text)
+            ELSE md5(coalesce(cl.clean_text, '')) END AS clean_md5
+FROM documents d
+LEFT JOIN spanagg sa USING (doc_id)
+LEFT JOIN clean cl USING (doc_id)
+"""
+
+
 _DEDUP_EXACT_SQL = r"""
 SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
        count(*) AS cnt, min(doc_id) AS keep_id
@@ -4864,6 +4943,14 @@ QUERIES: dict[str, QuerySpec] = {
         "segment-filtered EXACT edit-distance self-join (PassJoin "
         "family): pigeonhole segments prune candidates losslessly, "
         "one levenshtein per candidate; oracle is naive all-pairs",
+    ),
+    "dup_span_removal": QuerySpec(
+        _q_dup_span_removal, _dup_span_removal_sql(),
+        "ExactSubstr span REMOVAL (Lee et al. ACL 2022 cleaning "
+        "step): corpus-duplicated k-char runs keep exactly their "
+        "first (doc_id, pos) occurrence, merged maximal spans are "
+        "spliced out with one fold; clean-text md5 pins the splice "
+        "byte-exact — full oracle",
     ),
     "dup_span_stats": QuerySpec(
         _q_dup_span_stats, _dup_span_sql(),

@@ -549,3 +549,104 @@ def test_load_refuses_cross_family_pair_artifact(spark, tmp_path):
     assert sorted(map(tuple, loaded.collect())) == sorted(
         map(tuple, pairs.collect())
     )
+
+
+def test_remove_dup_spans_excises_shared_block_keeps_first(spark):
+    """ExactSubstr removal: the shared passage survives ONLY in the
+    doc that sorts first by (doc_id, pos); the other sharer has it
+    spliced out byte-exact (prefix + suffix intact, boundary windows
+    untouched because they straddle differing context); unrelated,
+    sub-window, and NULL docs pass through byte-exact with zero
+    stats; extra columns ride along."""
+    from database_activity_monitoring_dam_system_spark.operators import dedup
+
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "AAA " + passage + " XYZ unique tail one here padding", "s1"),
+        (2, "BBB prefix differs " + passage + " other ending text", "s2"),
+        (3, "completely unrelated content with no shared windows at all",
+         "s3"),
+        (4, "tiny", "s4"),
+        (5, None, "s5"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = {
+        r.doc_id: r for r in dedup.remove_dup_spans(docs, k=24).collect()
+    }
+    assert len(out) == 5
+    # first holder keeps everything
+    assert out[1].text == rows[0][1]
+    assert out[1].n_removed_spans == 0 and out[1].removed_chars == 0
+    # second holder: the duplicated substring is excised exactly —
+    # including the flanking spaces, which are themselves shared
+    # context (both docs have ' '+passage+' '), the ExactSubstr
+    # maximal-match semantics
+    assert out[2].text == "BBB prefix differs" + "other ending text"
+    assert out[2].n_removed_spans == 1
+    assert out[2].removed_chars == len(passage) + 2
+    # untouched docs are byte-exact pass-throughs
+    assert out[3].text == rows[2][1] and out[3].n_removed_spans == 0
+    assert out[4].text == "tiny" and out[4].removed_chars == 0
+    assert out[5].text is None and out[5].n_removed_spans == 0
+    # other columns survive
+    assert [out[i].source for i in (1, 2, 3, 4, 5)] == [
+        "s1", "s2", "s3", "s4", "s5",
+    ]
+
+
+def test_remove_dup_spans_within_doc_and_full_removal(spark):
+    """A passage repeated WITHIN one doc keeps only its first
+    occurrence; a doc that is byte-identical to an earlier doc is
+    excised to the empty string (every window redundant)."""
+    from database_activity_monitoring_dam_system_spark.operators import dedup
+
+    block = "0123456789abcdefghijklmnopqrstuvwxyz"  # 36 chars ≥ k
+    rows = [
+        (1, block + "-middle bit-" + block),
+        (2, block + "-middle bit-" + block),  # identical to doc 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r for r in dedup.remove_dup_spans(docs, k=24).collect()
+    }
+    # doc 1: second copy of block excised (within-doc dedup)...
+    assert out[1].text.startswith(block)
+    assert block not in out[1].text[len(block):]
+    # ...and doc 2 loses everything (all windows first seen in doc 1)
+    assert out[2].text == ""
+    assert out[2].removed_chars == len(rows[1][1])
+
+
+def test_remove_dup_spans_prefilter_matches_full_on_long_runs(spark):
+    """The prefilter scale path (sampled candidate docs, full pass
+    only over them) returns the SAME result as the full pass when
+    every duplicated run is long enough to contain a sampled window —
+    and never touches non-candidate docs."""
+    from database_activity_monitoring_dam_system_spark.operators import dedup
+
+    passage = (
+        "shared boilerplate block long enough that content sampling "
+        "certainly picks several of its windows either place it lands"
+    )
+    rows = [
+        (i, f"unique head {i} " + passage + f" unique tail {i}")
+        for i in range(1, 7)
+    ] + [(7, "nothing shared in this document body at all, plain text")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        r.doc_id: (r.text, r.n_removed_spans, r.removed_chars)
+        for r in dedup.remove_dup_spans(docs, k=24).collect()
+    }
+    pre = {
+        r.doc_id: (r.text, r.n_removed_spans, r.removed_chars)
+        for r in dedup.remove_dup_spans(
+            docs, k=24, prefilter_digits=4
+        ).collect()
+    }
+    assert full == pre
+    assert full[1][1] == 0  # first holder keeps the passage
+    for i in range(2, 7):
+        assert full[i][1] == 1 and passage not in full[i][0]
+    assert full[7][0] == rows[-1][1]

@@ -528,3 +528,55 @@ def test_pipeline_bloom_contamination_mode(spark, tmp_path):
         old_state_dir=str(tmp_path / "state_bloom"),
     )
     assert again["n_clean"] == bloom["n_clean"]
+
+
+def test_pipeline_dup_span_removal_excises_not_drops(spark, tmp_path):
+    """dup_span_removal_k opt-in: two docs sharing a big verbatim
+    block (not whole-doc near-dups) BOTH survive, but the block is
+    excised from the later doc while the first keeps it; unique text
+    comes out of the shards byte-exact. The surgical alternative to
+    the whole-doc dup_span_max_frac drop."""
+    block = (
+        "this exact boilerplate navigation header appears verbatim on "
+        "every mirrored page of the site and never changes between "
+        "pages even a little bit"
+    )
+    body1 = (
+        "afterwards the first article continues with its own distinct "
+        "reporting on regional infrastructure projects and budgets "
+        "covering several departments in detail across the year"
+    )
+    body2 = (
+        "whereas the second page follows with completely different "
+        "material about culinary history and seasonal recipes from "
+        "various unrelated traditions around the world instead"
+    )
+    rows = [
+        (1, "alpha intro." + block + ".first tail " + body1, "en", "s0"),
+        (2, "omega start~" + block + "~second end " + body2, "en", "s0"),
+        # NON-repetitive bystander: within-doc repetition ≥ k would
+        # itself be (correctly) excised by ExactSubstr
+        (3, "a third page holds entirely original prose mentioning "
+            "neither header nor article, just plain filler sentences "
+            "written once and never repeated anywhere in the corpus",
+         "en", "s1"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    report = pipeline.run_corpus_pipeline(
+        docs, str(tmp_path / "shards"), dedup_threshold=0.95,
+        dup_span_removal_k=24, n_shards=2,
+    )
+    assert report["n_deduped"] == 3  # removal never drops docs
+    assert report["n_span_cleaned_docs"] == 1
+    assert report["span_removed_chars"] == len(block)
+    out = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(str(tmp_path / "shards")).collect()
+    }
+    # first holder byte-exact, later holder spliced byte-exact,
+    # bystander untouched
+    assert out[1] == rows[0][1]
+    assert out[2] == "omega start~" + "~second end " + body2
+    assert out[3] == rows[2][1]
