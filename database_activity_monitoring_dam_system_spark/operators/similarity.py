@@ -2150,6 +2150,106 @@ def opq_topk(
     )
 
 
+def opq_encode(
+    embeddings: DataFrame,
+    rotation: list[list[float]],
+    codebooks: list[list[list[float]]],
+    *,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codes in the learned OPQ rotated space — still ONE
+    zero-shuffle projection (the rotation folds into the scan as
+    literal dot expressions, then the m argmins run on the rotated
+    slices).  Output rows are :func:`stamp_index`-stamped with the
+    COMBINED ``[rotation, codebooks]`` fingerprint: codes produced
+    under the same books but a DIFFERENT rotation are in-range ints
+    that score silently wrong through ADC — a books-only stamp
+    cannot see a rotation swap, so the pair stamps as one artifact
+    (the same pairing discipline as residual books vs their coarse
+    quantizer)."""
+    rotated = rotate_vectors(
+        embeddings, rotation, id_col=id_col, vec_col=vec_col,
+        out_col="_z",
+    )
+    codes = pq_encode(
+        rotated, codebooks, dim=dim, id_col=id_col, vec_col="_z"
+    )
+    return stamp_index(codes, codebooks=[rotation, codebooks])
+
+
+def opq_update_codes(
+    old_codes: DataFrame,
+    old_embeddings: DataFrame,
+    new_embeddings: DataFrame,
+    rotation: list[list[float]],
+    codebooks: list[list[list[float]]],
+    *,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    persisted_out: list | None = None,
+) -> DataFrame:
+    """Incremental OPQ code refresh — :func:`pq_update_codes`' fold
+    applied to the rotated-space index: carry the stored codes of
+    every vector whose RAW embedding is value-identical (the
+    rotation is a deterministic projection, so identical input ⇒
+    identical rotated vector ⇒ identical codes), re-encode ONLY
+    added ∪ changed through the rotation, drop removed.  The
+    classify join runs on raw embeddings — neither corpus pays the
+    rotation; only the delta does.
+
+    Rotation AND books are held fixed (refreshing either is a
+    retrain decision that invalidates every carried code).  A
+    stamped ``old_codes`` is verified against the combined
+    ``[rotation, codebooks]`` fingerprint — carrying codes from a
+    different rotation is exactly the silent-ADC trap the combined
+    stamp exists for — and the refreshed table is re-stamped to
+    match.  ``persisted_out`` collects the classify frame for
+    caller-controlled unpersist, same contract as
+    :func:`pq_update_codes`."""
+    stamped = CODEBOOK_STAMP in old_codes.columns
+    old_codes = verify_index_stamp(
+        old_codes,
+        codebooks=[rotation, codebooks],
+        caller="opq_update_codes",
+    )
+    v = _as_double(vec_col)
+    old_v = old_embeddings.select(F.col(id_col), v.alias("_ov"))
+    new_v = new_embeddings.select(F.col(id_col), v.alias("_nv"))
+    cls = (
+        old_v.join(new_v, id_col, "full_outer")
+        .filter(F.col("_nv").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("_nv").eqNullSafe(F.col("_ov")).alias("_same"),
+        )
+        .persist()
+    )
+    if persisted_out is not None:
+        persisted_out.append(cls)
+    carried = old_codes.join(
+        cls.filter("_same").select(id_col), id_col, "left_semi"
+    )
+    fresh = opq_encode(
+        new_embeddings.join(
+            cls.filter("NOT _same").select(id_col), id_col, "left_semi"
+        ),
+        rotation,
+        codebooks,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).drop(CODEBOOK_STAMP)
+    out = carried.unionByName(fresh)
+    return (
+        stamp_index(out, codebooks=[rotation, codebooks])
+        if stamped
+        else out
+    )
+
+
 def ivf_pq_encode_residual(
     embeddings: DataFrame,
     *,
@@ -2536,6 +2636,109 @@ def load_pq_index(
     for r in rows:
         books.setdefault(r.subspace, []).append(list(r.centroid))
     return [books[j] for j in sorted(books)]
+
+
+def save_opq_index(
+    spark,
+    rotation: list[list[float]],
+    codebooks: list[list[list[float]]],
+    path: str,
+    *,
+    n_corpus: int | None = None,
+    trained_against: str | None = None,
+) -> None:
+    """Persist an OPQ index — the learned d×d rotation AND the
+    rotated-space codebooks — as ONE parquet artifact under the
+    :func:`save_pq_index` serving contract (train once per corpus
+    snapshot, restarted serving jobs load instead of retraining —
+    the in-gate retrain was 97 s at sf10 vs a parquet read).
+
+    One artifact by design: the books are meaningless under any
+    other rotation, so persisting them separately reintroduces the
+    pairing trap ``trained_against`` stamps exist to close —
+    co-locating them makes a desynchronized pair unrepresentable.
+    Schema: (part 'rotation'|'book', i, j, vec array<double>,
+    n_corpus, content_md5, trained_against); rotation rows are
+    (i=row index, j=0), book rows (i=subspace, j=code).  Doubles
+    round-trip parquet bit-exactly, so loaded plans are
+    literal-identical to fresh-trained ones.  ``content_md5`` is
+    :func:`artifact_fingerprint` of ``[rotation, codebooks]`` — the
+    SAME combined fingerprint :func:`opq_encode` stamps code tables
+    with, so artifact↔codes pairing is provable without loading
+    either.  ``trained_against`` passes through for composed
+    indexes (e.g. OPQ over IVF residuals records the coarse
+    quantizer's fingerprint)."""
+    fp = artifact_fingerprint([rotation, codebooks])
+    rows = [
+        (
+            "rotation", i, 0, [float(x) for x in row],
+            n_corpus, fp, trained_against,
+        )
+        for i, row in enumerate(rotation)
+    ] + [
+        (
+            "book", j, c, [float(x) for x in cvec],
+            n_corpus, fp, trained_against,
+        )
+        for j, book in enumerate(codebooks)
+        for c, cvec in enumerate(book)
+    ]
+    (
+        spark.createDataFrame(
+            rows,
+            "part string, i int, j int, vec array<double>, "
+            "n_corpus long, content_md5 string, trained_against string",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_opq_index(
+    spark,
+    path: str,
+    *,
+    expect_n: int | None = None,
+    expect_trained_against: str | None = None,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Load a :func:`save_opq_index` artifact back into the
+    ``(rotation, codebooks)`` form :func:`opq_topk` /
+    :func:`opq_encode` accept — bit-exact (asserted in
+    test_extensions).  ``expect_n`` / ``expect_trained_against``
+    are the :func:`load_pq_index` staleness refusals: a
+    corpus-count or training-substrate mismatch raises instead of
+    serving a stale index."""
+    rows = spark.read.parquet(path).orderBy("part", "i", "j").collect()
+    if (
+        expect_n is not None
+        and rows
+        and rows[0].n_corpus is not None
+        and rows[0].n_corpus != expect_n
+    ):
+        raise ValueError(
+            f"stale OPQ index at {path}: trained on "
+            f"{rows[0].n_corpus} rows, corpus now has {expect_n}"
+        )
+    if (
+        expect_trained_against is not None
+        and rows
+        and rows[0].trained_against is not None
+        and rows[0].trained_against != expect_trained_against
+    ):
+        raise ValueError(
+            f"stale OPQ index at {path}: trained against artifact "
+            f"{rows[0].trained_against}, current artifact is "
+            f"{expect_trained_against}"
+        )
+    rotation = [
+        list(r.vec) for r in rows if r.part == "rotation"
+    ]  # ordered by i (row index)
+    books: dict[int, list] = {}
+    for r in rows:
+        if r.part == "book":
+            books.setdefault(r.i, []).append(list(r.vec))
+    return rotation, [books[j] for j in sorted(books)]
 
 
 def ann_recall_report(

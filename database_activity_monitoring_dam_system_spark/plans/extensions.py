@@ -2268,12 +2268,13 @@ _OPQ_INDEX_CACHE: dict[tuple, tuple] = {}
 
 def _get_opq(spark, sf_dir, emb):
     """(rotation, codebooks) under the load-or-train artifact
-    contract.  Two linked artifacts: the rotation persists as a
-    one-"subspace" pq-index (64 rows = the d×d matrix), and the
-    rotated-space codebooks persist stamped ``trained_against`` the
-    rotation's fingerprint — codebooks trained in one rotated space
-    are meaningless in another, the same pairing trap as residual
-    books vs their coarse quantizer, refused the same way."""
+    contract, via the ONE-artifact save_opq_index/load_opq_index
+    round-trip: the rotation and its rotated-space codebooks persist
+    together, so a desynchronized pair (books trained in one rotated
+    space loaded against another rotation — the residual-books
+    pairing trap) is unrepresentable on disk; n_corpus is the
+    staleness stamp (a regenerated corpus retrains instead of
+    serving the old snapshot's index)."""
     import os
 
     from .dam import _index_path
@@ -2285,42 +2286,26 @@ def _get_opq(spark, sf_dir, emb):
     )
     pair = _OPQ_INDEX_CACHE.get(key) if serving else None
     if pair is None:
-        rot_path = _index_path("opq_rotation", sf_dir) if serving else None
-        books_path = (
-            _index_path("opq_codebooks", sf_dir) if serving else None
-        )
-        n = emb.count() if rot_path is not None else None
+        path = _index_path("opq_index", sf_dir) if serving else None
+        n = emb.count() if path is not None else None
         rotation = books = None
-        if rot_path is not None and all(
-            os.path.exists(os.path.join(p, "_SUCCESS"))
-            for p in (rot_path, books_path)
+        if path is not None and os.path.exists(
+            os.path.join(path, "_SUCCESS")
         ):
             try:
-                rotation = similarity.load_pq_index(
-                    spark, rot_path, expect_n=n
-                )[0]
-                books = similarity.load_pq_index(
-                    spark, books_path, expect_n=n,
-                    expect_trained_against=similarity.artifact_fingerprint(
-                        rotation
-                    ),
+                rotation, books = similarity.load_opq_index(
+                    spark, path, expect_n=n
                 )
             except ValueError:
-                rotation = books = None  # stale pair → retrain below
+                rotation = books = None  # stale → retrain below
         if rotation is None or books is None:
             rotation, books = similarity.pq_train_opq(
                 emb, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS,
                 opq_iters=_OPQ_ITERS, dim=_PQ_DIM,
             )
-            if rot_path is not None:
-                similarity.save_pq_index(
-                    spark, [rotation], rot_path, n_corpus=n
-                )
-                similarity.save_pq_index(
-                    spark, books, books_path, n_corpus=n,
-                    trained_against=similarity.artifact_fingerprint(
-                        rotation
-                    ),
+            if path is not None:
+                similarity.save_opq_index(
+                    spark, rotation, books, path, n_corpus=n
                 )
         pair = (rotation, books)
         if serving:

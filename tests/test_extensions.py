@@ -4711,3 +4711,99 @@ def test_save_pairs_refuses_none_extra_stamp(spark, tmp_path):
             pairs, str(tmp_path / "p"), threshold=0.8, shingle=1,
             corpus_digest="x", extra_stamps={"_max_df": None},
         )
+
+
+def test_opq_index_save_load_roundtrip_and_staleness(spark, tmp_path):
+    """The one-artifact OPQ round-trip: save_opq_index → load_opq_index
+    returns the EXACT (rotation, codebooks) pair (doubles round-trip
+    parquet bit-exactly) and opq_topk over the loaded pair is
+    row-identical to fresh-trained serving; a corpus-count or
+    training-substrate mismatch REFUSES to load (stale-index
+    refusal, same contract as PQ/IVF artifacts)."""
+    import pytest as _pytest
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rotation, books = similarity.pq_train_opq(
+        emb, m=4, ksub=8, iters=1, opq_iters=2, dim=64
+    )
+    n = emb.count()
+    path = str(tmp_path / "opq_index")
+    similarity.save_opq_index(
+        spark, rotation, books, path, n_corpus=n, trained_against="sub1"
+    )
+    lr, lb = similarity.load_opq_index(
+        spark, path, expect_n=n, expect_trained_against="sub1"
+    )
+    assert lr == rotation and lb == books  # exact, not approx
+    qids = [0, 1, 2]
+    fresh = similarity.opq_topk(
+        emb, qids, k=5, rotation=rotation, codebooks=books, dim=64
+    ).collect()
+    served = similarity.opq_topk(
+        emb, qids, k=5, rotation=lr, codebooks=lb, dim=64
+    ).collect()
+    assert sorted(map(tuple, fresh)) == sorted(map(tuple, served))
+    with _pytest.raises(ValueError, match="stale OPQ index"):
+        similarity.load_opq_index(spark, path, expect_n=n + 1)
+    with _pytest.raises(ValueError, match="trained against"):
+        similarity.load_opq_index(
+            spark, path, expect_trained_against="sub2"
+        )
+    # artifact content stamp == the combined fingerprint opq_encode
+    # stamps code tables with: pairing is provable without loading
+    fp = similarity.artifact_fingerprint([rotation, books])
+    row = spark.read.parquet(path).limit(1).collect()[0]
+    assert row.content_md5 == fp
+    codes = similarity.opq_encode(emb, rotation, books, dim=64)
+    assert codes.select("_cb_md5").limit(1).collect()[0][0] == fp
+
+
+def test_opq_update_codes_equals_full_reencode_and_stamp(spark):
+    """Incremental OPQ code refresh ≡ full re-encode under a fixed
+    (rotation, books) pair — carried codes for value-identical RAW
+    vectors, fresh rotated-space codes for changed/added, removed
+    gone — and the COMBINED stamp refuses a rotation swap (in-range
+    codes, silently wrong ADC — the trap a books-only stamp cannot
+    see)."""
+    import pytest as _pytest
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rotation, books = similarity.pq_train_opq(
+        emb, m=4, ksub=8, iters=1, opq_iters=1, dim=64
+    )
+    old = emb.filter(F.col("vec_id") % 10 != 0)
+    new = emb.filter(F.col("vec_id") % 7 != 0).withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 5 == 0,
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x + 0.25,
+            ),
+        ).otherwise(F.col("embedding").cast("array<double>")),
+    )
+    old_codes = similarity.opq_encode(old, rotation, books, dim=64)
+    handles: list = []
+    updated = similarity.opq_update_codes(
+        old_codes, old, new, rotation, books, dim=64,
+        persisted_out=handles,
+    )
+    full = similarity.opq_encode(new, rotation, books, dim=64)
+    assert sorted(map(tuple, updated.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    assert {r.vec_id for r in updated.collect()} == {
+        r.vec_id for r in new.select("vec_id").collect()
+    }
+    for h in handles:
+        h.unpersist()
+    # rotation swap: same books, different rotated space → refused
+    other_rot, _ = similarity.pq_train_opq(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        m=4, ksub=8, iters=1, opq_iters=2, dim=64,
+    )
+    assert other_rot != rotation
+    with _pytest.raises(ValueError, match="different codebooks"):
+        similarity.opq_update_codes(
+            old_codes, old, new, other_rot, books, dim=64
+        )
