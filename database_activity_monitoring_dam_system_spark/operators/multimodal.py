@@ -276,6 +276,63 @@ def synth_jpeg_media(docs: DataFrame, *, id_col: str = "doc_id",
     return docs.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
+def synth_jpeg_color_media(docs: DataFrame, *, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Deterministic COLOR-JPEG fixture: a 32×32 RGB baseline JPEG at
+    4:2:0 chroma subsampling per document — the dominant real-world
+    image shape (3-component interleaved MCUs: 4 luma + 2 chroma
+    blocks each, separate chroma quant/Huffman tables, upsampling,
+    YCbCr→RGB).  Pixels are GREY-valued (r=g=b=digest byte per 8×8
+    luma block, the synth_jpeg_media tiling): grey input keeps every
+    chroma plane flat at 128, so all chroma coefficients quantize to
+    exactly 0 and the luma DC path is the proven-lossless flat-block
+    one — the full 4:2:0 color pipeline round-trips EXACTLY at
+    quality 100 (verified for all 256 grey values in
+    test_extensions), which is what lets the DuckDB oracle pin the
+    decoded r/g/b statistics arithmetically.  Non-grey chroma values
+    are inherently lossy and stay pytest-PSNR-pinned
+    (test_jpeg_color_roundtrip_psnr_and_subsampling).
+
+    Encoded with restart interval 2: resync runs through the
+    3-component MCU structure, not the greyscale one."""
+    encode = jpegcodec.encode_jpeg
+
+    def batches(it: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                digest = hashlib.md5(
+                    ("" if text is None else text).encode("utf-8")
+                ).digest()
+                blocks = np.frombuffer(digest, dtype=np.uint8).reshape(4, 4)
+                grey = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                rgb = np.stack([grey] * 3, axis=-1)
+                jpg = encode(
+                    32, 32, rgb.tobytes(), channels=3, quality=100,
+                    subsampling="420", restart_interval=2,
+                )
+                ids.append(int(mid))
+                payloads.append(jpg)
+                metas.append(
+                    {
+                        "mime": "image/jpeg",
+                        "width": 32,
+                        "height": 32,
+                        "n_bytes": len(jpg),
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def synth_wav_media(docs: DataFrame, *, id_col: str = "doc_id",
                     text_col: str = "text", n_frames: int = 32,
                     channels: int = 2,

@@ -3010,6 +3010,57 @@ GROUP BY doc_id
 """
 
 
+def _q_jpeg_color_decode_features(spark, sf_dir):
+    """REAL color-JPEG decode end-to-end at the dominant real-world
+    shape (3-component baseline, 4:2:0 subsampling, interleaved
+    4-luma+2-chroma MCUs, restart markers): synth_jpeg_color_media
+    encodes a 32×32 RGB JPEG per doc with GREY-valued flat blocks —
+    grey keeps the chroma planes flat at 128 (all chroma
+    coefficients quantize to exactly 0) while the luma path is the
+    proven-lossless flat-block one, so the whole color pipeline
+    round-trips exactly at quality 100 and the oracle derives the
+    r/g/b statistics (all equal, channels=3) arithmetically from the
+    md5 hex pairs.  A hash match proves interleaved-MCU entropy
+    decode → chroma dequantize/IDCT → upsample → YCbCr→RGB is exact
+    for this fixture, not approximately right."""
+    media = multimodal.synth_jpeg_color_media(_docs(spark, sf_dir))
+    return multimodal.decode_image_features(media)
+
+
+# same digest tiling as the greyscale JPEG oracle (luma block j =
+# digest byte j, 64 px each), but decoded as RGB: grey pixels make
+# all three channel statistics equal the luma statistics.
+_JPEG_COLOR_DECODE_SQL = r"""
+WITH bytes AS (
+  SELECT d.doc_id, t.j,
+         (strpos('0123456789abcdef',
+                 substr(md5(coalesce(d.text, '')), (t.j * 2) + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef',
+                   substr(md5(coalesce(d.text, '')), (t.j * 2) + 2, 1)) - 1)
+         AS b
+  FROM documents d, generate_series(0, 15) t(j)
+)
+SELECT doc_id AS media_id,
+       CAST(32 AS INTEGER) AS width,
+       CAST(32 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(64 * sum(b) AS BIGINT) AS r_sum,
+       CAST(64 * sum(b) AS BIGINT) AS g_sum,
+       CAST(64 * sum(b) AS BIGINT) AS b_sum,
+       CAST(sum(b) AS DOUBLE) / 16 AS r_mean,
+       CAST(sum(b) AS DOUBLE) / 16 AS g_mean,
+       CAST(sum(b) AS DOUBLE) / 16 AS b_mean,
+       CAST(min(b) AS INTEGER) AS r_min,
+       CAST(max(b) AS INTEGER) AS r_max,
+       CAST(min(b) AS INTEGER) AS g_min,
+       CAST(max(b) AS INTEGER) AS g_max,
+       CAST(min(b) AS INTEGER) AS b_min,
+       CAST(max(b) AS INTEGER) AS b_max
+FROM bytes
+GROUP BY doc_id
+"""
+
+
 def _q_audio_decode_features(spark, sf_dir):
     """REAL audio decode end-to-end: synth_wav_media writes a 16-bit
     stereo PCM WAV per doc (stdlib wave writer; samples = md5(text)
@@ -4735,6 +4786,13 @@ QUERIES: dict[str, QuerySpec] = {
         "REAL baseline-JPEG decode (pure-numpy Huffman + dequant + "
         "IDCT + restart resync) → channel statistics, oracle-pinned "
         "exactly via lossless flat-block quality-100 round-trip",
+    ),
+    "jpeg_color_decode_features": QuerySpec(
+        _q_jpeg_color_decode_features, _JPEG_COLOR_DECODE_SQL,
+        "REAL color-JPEG decode at the dominant real-world shape "
+        "(3-component baseline, 4:2:0 interleaved MCUs, chroma "
+        "tables, upsample, YCbCr→RGB) — grey-valued flat blocks "
+        "round-trip exactly at q100, oracle-pinned per channel",
     ),
     "audio_decode_features": QuerySpec(
         _q_audio_decode_features, _AUDIO_DECODE_SQL,

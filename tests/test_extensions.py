@@ -4807,3 +4807,30 @@ def test_opq_update_codes_equals_full_reencode_and_stamp(spark):
         similarity.opq_update_codes(
             old_codes, old, new, other_rot, books, dim=64
         )
+
+
+def test_jpeg_color_grey_flat_blocks_roundtrip_exact_all_values():
+    """The jpeg_color_decode_features gate's exactness contract: a
+    grey-valued (r=g=b) 32×32 RGB image of flat 8×8 blocks encoded
+    at quality 100 / 4:2:0 / restart 2 decodes BIT-exactly for every
+    possible grey value 0..255 — grey keeps the chroma planes flat
+    at 128 (all chroma coefficients quantize to 0) and the luma DC
+    path is the lossless flat-block one.  This is what licenses the
+    arithmetic DuckDB oracle for the full color pipeline."""
+    import numpy as np
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        jpegcodec,
+    )
+
+    for base in range(0, 256, 16):
+        vals = np.arange(base, base + 16, dtype=np.uint8).reshape(4, 4)
+        grey = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+        rgb = np.stack([grey] * 3, axis=-1)
+        data = jpegcodec.encode_jpeg(
+            32, 32, rgb.tobytes(), channels=3, quality=100,
+            subsampling="420", restart_interval=2,
+        )
+        w, h, ch, pix = jpegcodec.decode_jpeg(data)
+        assert (w, h, ch) == (32, 32, 3)
+        assert pix == rgb.tobytes(), f"mismatch in block base {base}"
