@@ -2826,6 +2826,230 @@ def ann_recall_report(
     return report
 
 
+def ann_operating_points(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    points: list[dict],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[dict]:
+    """Recall@k **versus candidates-touched** at explicit operating
+    points — the trade table a serving team reads to pick probe
+    width / band bits / rerank depth (and the artifact SCALE.md's
+    ANN operating-point table is generated from).  Each point is a
+    dict ``{"label": ..., "method": ...,`` + method kwargs``}``;
+    methods are :func:`ann_recall_report`'s.  Returns one row per
+    point: ``{"label", "method", "recall_at_k", "n_hits",
+    "n_expected", "candidates_touched"}``.
+
+    ``candidates_touched`` counts the rows entering the per-query
+    scoring stage, mirroring each plan's own candidate subplan:
+
+    - full-scan ADC / exact re-rank (``int8``, ``pq``, ``opq``):
+      Q·(N−1) — every non-self corpus row is scored per query;
+    - ``lsh``: the band join's DISTINCT (query, neighbor) count,
+      MEASURED by running the same candidate subplan (signatures →
+      band explode → bucket join, multiprobe expansion included);
+    - ``ivf`` / ``ivf_pq`` / ``ivf_pq_res`` / ``opq_ivf_pq_res``:
+      Σ_q probed-list occupancy under the SAME quantizer and probe
+      rule (cosine-desc, tie → lowest cent_id), minus the query's
+      own row when its list is probed;
+    - ``ivf_pq_refine``: the ivf_pq ADC count plus Σ_q min(rerank,
+      per-query candidates) exact re-scores.
+    """
+    n_corpus = embeddings.count()
+    n_q = len(query_ids)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(
+            embeddings, query_ids, k=k, id_col=id_col, vec_col=vec_col
+        ).collect()
+    }
+
+    _ivf_cache: dict[tuple, dict] = {}
+
+    def ivf_per_query(n_centroids: int, n_probe: int,
+                      refine_iters: int) -> dict:
+        key = (n_centroids, n_probe, refine_iters)
+        if key in _ivf_cache:
+            return _ivf_cache[key]
+        cents = ivf_centroids(
+            embeddings, n_centroids=n_centroids,
+            refine_iters=refine_iters, id_col=id_col, vec_col=vec_col,
+        )
+        assigns = ivf_assignments(
+            embeddings, cents, id_col=id_col, vec_col=vec_col
+        ).select(F.col(id_col), "cent_id")
+        sizes = {
+            r["cent_id"]: r["cnt"]
+            for r in assigns.groupBy("cent_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        own = {
+            r[0]: r[1]
+            for r in assigns.filter(
+                F.col(id_col).isin(query_ids)
+            ).collect()
+        }
+        cent_ids = F.array(*[F.lit(c[0]) for c in cents])
+        score_cols = [f"_cs{i}" for i in range(len(cents))]
+        q = with_norm(
+            embeddings.filter(F.col(id_col).isin(query_ids)).select(
+                F.col(id_col).alias("query_id"),
+                _as_double(vec_col).alias("qvec"),
+            ),
+            vec_col="qvec",
+        )
+        probes = (
+            q.withColumns(_centroid_scores("qvec", "_norm", cents))
+            .select(
+                "query_id",
+                F.posexplode(
+                    F.array(*[F.col(c) for c in score_cols])
+                ).alias("cent_pos", "cscore"),
+            )
+            .withColumn("cent_id", cent_ids[F.col("cent_pos")])
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.desc("cscore"), F.asc("cent_id")
+                    )
+                ),
+            )
+            .filter(F.col("_rn") <= n_probe)
+            .select("query_id", "cent_id")
+            .collect()
+        )
+        per_q: dict = {}
+        for r in probes:
+            per_q.setdefault(r["query_id"], []).append(r["cent_id"])
+        counts = {
+            qid: sum(sizes.get(c, 0) for c in cs)
+            - (1 if own.get(qid) in cs else 0)
+            for qid, cs in per_q.items()
+        }
+        _ivf_cache[key] = counts
+        return counts
+
+    def lsh_candidates(planes: int, band_bits: int,
+                       probe_bits: int) -> int:
+        sigs = lsh_signatures(
+            embeddings, planes=planes, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        )
+        n_bands = max(1, planes // band_bits)
+        mask = (1 << band_bits) - 1
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band_id"),
+                    F.shiftright(F.col("signature"), bi * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("chunk"),
+                )
+                for bi in range(n_bands)
+            ]
+        )
+        banded = sigs.select(
+            F.col(id_col), F.explode(bands).alias("b")
+        ).select(id_col, "b.band_id", "b.chunk")
+        qb = banded.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"), "band_id", "chunk"
+        )
+        if probe_bits >= 1:
+            flips = [F.col("chunk")] + [
+                F.col("chunk").bitwiseXOR(F.lit(1 << j))
+                for j in range(band_bits)
+            ]
+            qb = qb.select(
+                "query_id", "band_id",
+                F.explode(F.array(*flips)).alias("chunk"),
+            )
+        return (
+            banded.join(F.broadcast(qb), ["band_id", "chunk"])
+            .filter(F.col(id_col) != F.col("query_id"))
+            .select("query_id", F.col(id_col).alias("neighbor_id"))
+            .distinct()
+            .count()
+        )
+
+    runners = {
+        "lsh": lsh_topk,
+        "ivf": ivf_topk,
+        "int8": quantized_topk,
+        "pq": pq_topk,
+        "opq": opq_topk,
+        "ivf_pq": ivf_pq_topk,
+        "ivf_pq_res": ivf_pq_topk_residual,
+        "opq_ivf_pq_res": opq_ivf_pq_res_topk,
+        "ivf_pq_refine": ivf_pq_refine_topk,
+    }
+    ivf_family = {"ivf", "ivf_pq", "ivf_pq_res", "opq_ivf_pq_res"}
+    report = []
+    for point in points:
+        p = dict(point)
+        label = p.pop("label")
+        method = p.pop("method")
+        kw = dict(p)
+        if method in ("lsh", "pq", "opq", "ivf_pq", "ivf_pq_res",
+                      "opq_ivf_pq_res", "ivf_pq_refine"):
+            kw.setdefault("dim", dim)
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in runners[method](
+                embeddings, query_ids, k=k,
+                id_col=id_col, vec_col=vec_col, **kw,
+            ).collect()
+        }
+        if method in ("int8", "pq", "opq"):
+            cands = n_q * (n_corpus - 1)
+        elif method == "lsh":
+            cands = lsh_candidates(
+                kw.get("planes", 24),
+                kw.get("band_bits", 4),
+                kw.get("probe_bits", 0),
+            )
+        elif method in ivf_family:
+            cands = sum(
+                ivf_per_query(
+                    kw.get("n_centroids", 16),
+                    kw.get("n_probe", 4),
+                    kw.get("refine_iters", 2),
+                ).values()
+            )
+        elif method == "ivf_pq_refine":
+            per_q = ivf_per_query(
+                kw.get("n_centroids", 16),
+                kw.get("n_probe", 4),
+                kw.get("refine_iters", 2),
+            )
+            rerank = kw.get("rerank", 50)
+            cands = sum(per_q.values()) + sum(
+                min(rerank, c) for c in per_q.values()
+            )
+        else:
+            cands = None
+        hits = len(got & exact)
+        report.append(
+            {
+                "label": label,
+                "method": method,
+                "recall_at_k": (
+                    round(hits / len(exact), 4) if exact else None
+                ),
+                "n_hits": hits,
+                "n_expected": len(exact),
+                "candidates_touched": cands,
+            }
+        )
+    return report
+
+
 def auto_band_bits(
     corpus_size: int,
     *,

@@ -4834,3 +4834,49 @@ def test_jpeg_color_grey_flat_blocks_roundtrip_exact_all_values():
         w, h, ch, pix = jpegcodec.decode_jpeg(data)
         assert (w, h, ch) == (32, 32, 3)
         assert pix == rgb.tobytes(), f"mismatch in block base {base}"
+
+
+def test_ann_operating_points_counts_and_bounds(spark):
+    """The operating-point harness (recall@k vs candidates-touched):
+    full-scan methods count exactly Q·(N−1); IVF candidate counts
+    grow monotonically with n_probe and cap at the full scan; probing
+    ALL lists makes IVF exact (recall 1.0 at full-scan candidates —
+    its re-rank is exact cosine); refine adds its rerank re-scores on
+    top of the ADC count.  These are the invariants the SCALE.md
+    operating-point table is generated under."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    qids = [0, 1, 2]
+    rows = {
+        r["label"]: r
+        for r in similarity.ann_operating_points(
+            emb, qids, k=5,
+            points=[
+                {"label": "pq", "method": "pq"},
+                {"label": "ivf2", "method": "ivf", "n_probe": 2},
+                {"label": "ivf4", "method": "ivf", "n_probe": 4},
+                {"label": "ivf16", "method": "ivf", "n_probe": 16},
+                {"label": "ref", "method": "ivf_pq_refine",
+                 "rerank": 20},
+                {"label": "lsh", "method": "lsh", "band_bits": 4},
+            ],
+        )
+    }
+    full = len(qids) * (n - 1)
+    assert rows["pq"]["candidates_touched"] == full
+    c2, c4, c16 = (
+        rows["ivf2"]["candidates_touched"],
+        rows["ivf4"]["candidates_touched"],
+        rows["ivf16"]["candidates_touched"],
+    )
+    assert 0 < c2 < c4 < c16 == full
+    # all 16 of 16 lists probed == exact cosine re-rank over everything
+    assert rows["ivf16"]["recall_at_k"] == 1.0
+    # refine = ADC candidates + min(rerank, per-query) exact re-scores
+    ref = rows["ref"]["candidates_touched"]
+    assert c4 < ref <= c4 + len(qids) * 20
+    # lsh count is a measured DISTINCT pair count inside [0, full]
+    assert 0 <= rows["lsh"]["candidates_touched"] <= full
+    for r in rows.values():
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert r["n_expected"] == len(qids) * 5
