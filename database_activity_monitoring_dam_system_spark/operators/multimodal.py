@@ -13,21 +13,23 @@ Decode is REAL for four modalities:
   in extract_features / resize_media / decode_image_features, with
   PIL used instead when installed (the import-try seam in
   ``imagecodec.decode_image`` — PIL also widens JPEG coverage).
-- Baseline JPEG (SOF0) images — pure-numpy codec (jpegcodec.py:
-  Huffman entropy decode, einsum-batched IDCT, 4:4:4/4:2:2/4:2:0
-  chroma, DRI/RSTn), dispatched by ``imagecodec.decode_image`` for
-  ``image/jpeg`` payloads when PIL is absent.
+- JPEG images, baseline (SOF0) AND progressive (SOF2) — pure-numpy
+  codec (jpegcodec.py: Huffman entropy decode, spectral-selection +
+  successive-approximation scan accumulation, einsum-batched IDCT,
+  4:4:4/4:2:2/4:2:0 chroma, DRI/RSTn), dispatched by
+  ``imagecodec.decode_image`` for ``image/jpeg`` payloads when PIL
+  is absent.
 - WAV audio — stdlib ``wave`` 16-bit PCM round-trip
   (synth_wav_media / decode_audio_features).
 - Y4M video — pure-stdlib YUV4MPEG2 parse (videocodec.py) behind
   ``decode_stub=False`` in sample_frames (synth_y4m_media /
   frame_pixel_stats).
 
-Codecs the sandbox genuinely cannot host (progressive/arithmetic
-JPEG — SOF2 etc., compressed audio/video without ffmpeg/av) raise
-NotImplementedError at the mime/magic or SOF-marker check;
-``decode_stub=True`` keeps the deterministic byte-level fake for
-plumbing tests.
+Codecs the sandbox genuinely cannot host (arithmetic-coded or
+12-bit JPEG, compressed audio/video without ffmpeg/av) raise
+ValueError/NotImplementedError at the mime/magic or SOF-marker
+check; ``decode_stub=True`` keeps the deterministic byte-level fake
+for plumbing tests.
 """
 
 from __future__ import annotations
@@ -240,6 +242,55 @@ def synth_jpeg_media(docs: DataFrame, *, id_col: str = "doc_id",
     # pattern as synth_png_media) — a runtime package import inside
     # the worker fails when the driver's sys.path isn't propagated
     encode = jpegcodec.encode_jpeg
+
+    def batches(it: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                digest = hashlib.md5(
+                    ("" if text is None else text).encode("utf-8")
+                ).digest()
+                blocks = np.frombuffer(digest, dtype=np.uint8).reshape(4, 4)
+                img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                jpg = encode(
+                    32, 32, img.tobytes(), channels=1, quality=100,
+                    restart_interval=2,
+                )
+                ids.append(int(mid))
+                payloads.append(jpg)
+                metas.append(
+                    {
+                        "mime": "image/jpeg",
+                        "width": 32,
+                        "height": 32,
+                        "n_bytes": len(jpg),
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def synth_jpeg_progressive_media(docs: DataFrame, *,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text") -> DataFrame:
+    """Deterministic PROGRESSIVE-JPEG (SOF2) fixture: the
+    synth_jpeg_media image (32×32 greyscale, sixteen flat 8×8 blocks
+    from the md5 digest) encoded with the progressive scan script —
+    spectral selection, DC/AC successive approximation, EOB runs,
+    per-scan restarts.  The progressive encoder emits the SAME
+    quantized coefficients as the baseline one, so the flat-block
+    quality-100 lossless identity carries over unchanged and the
+    SAME arithmetic DuckDB oracle pins the multi-scan decode
+    byte-exactly."""
+    encode = jpegcodec.encode_jpeg_progressive
 
     def batches(it: Iterator) -> Iterator:
         import hashlib

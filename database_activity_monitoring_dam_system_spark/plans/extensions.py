@@ -3010,6 +3010,19 @@ GROUP BY doc_id
 """
 
 
+def _q_jpeg_progressive_decode_features(spark, sf_dir):
+    """REAL progressive-JPEG (SOF2) decode end-to-end: the greyscale
+    flat-block fixture re-encoded with the multi-scan progressive
+    script (spectral selection, DC/AC successive approximation, EOB
+    runs, per-scan restarts).  Coefficients are identical to the
+    baseline encode, so the flat-block quality-100 lossless identity
+    holds and the SAME arithmetic oracle pins the multi-scan entropy
+    decode byte-exactly — the driver checks the G.2 path, not just
+    pytest."""
+    media = multimodal.synth_jpeg_progressive_media(_docs(spark, sf_dir))
+    return multimodal.decode_image_features(media)
+
+
 def _q_jpeg_color_decode_features(spark, sf_dir):
     """REAL color-JPEG decode end-to-end at the dominant real-world
     shape (3-component baseline, 4:2:0 subsampling, interleaved
@@ -4786,6 +4799,13 @@ QUERIES: dict[str, QuerySpec] = {
         "REAL baseline-JPEG decode (pure-numpy Huffman + dequant + "
         "IDCT + restart resync) → channel statistics, oracle-pinned "
         "exactly via lossless flat-block quality-100 round-trip",
+    ),
+    "jpeg_progressive_decode_features": QuerySpec(
+        _q_jpeg_progressive_decode_features, _JPEG_DECODE_SQL,
+        "REAL progressive-JPEG (SOF2) decode: spectral selection + "
+        "successive approximation + EOB runs + per-scan restarts, "
+        "same lossless flat-block identity and arithmetic oracle as "
+        "the baseline gate — hash match pins the multi-scan path",
     ),
     "jpeg_color_decode_features": QuerySpec(
         _q_jpeg_color_decode_features, _JPEG_COLOR_DECODE_SQL,

@@ -1025,11 +1025,14 @@ def test_jpeg_decoder_rejects_out_of_scope_streams():
 
     img = np.full((8, 8), 99, dtype=np.uint8)
     data = jpegcodec.encode_jpeg(8, 8, img.tobytes(), channels=1)
-    # flip SOF0 (0xC0) to SOF2 (0xC2) — progressive is out of scope
+    # SOF1 (extended sequential) stays out of scope; a baseline scan
+    # script under a flipped SOF2 marker is malformed progressive
+    # (full-band DC scan) and fails loudly rather than mis-decoding
     sof = data.index(b"\xff\xc0")
-    progressive = data[:sof] + b"\xff\xc2" + data[sof + 2:]
-    with pytest.raises(ValueError, match="baseline"):
-        jpegcodec.decode_jpeg(progressive)
+    with pytest.raises(ValueError, match="SOF1"):
+        jpegcodec.decode_jpeg(data[:sof] + b"\xff\xc1" + data[sof + 2:])
+    with pytest.raises(ValueError, match="Se=0"):
+        jpegcodec.decode_jpeg(data[:sof] + b"\xff\xc2" + data[sof + 2:])
     with pytest.raises(ValueError, match="SOI"):
         jpegcodec.decode_jpeg(b"\x89PNG\r\n\x1a\n")
     w, h, ch, pix = imagecodec.decode_image(data, "image/jpeg")
@@ -4880,3 +4883,91 @@ def test_ann_operating_points_counts_and_bounds(spark):
     for r in rows.values():
         assert 0.0 <= r["recall_at_k"] <= 1.0
         assert r["n_expected"] == len(qids) * 5
+
+
+def _hash_img(h, w, c, seed):
+    import numpy as np
+
+    idx = np.arange(h * w * c, dtype=np.uint64)
+    x = (
+        idx * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed)
+    ) & np.uint64((1 << 64) - 1)
+    x ^= x >> np.uint64(30)
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64((1 << 64) - 1)
+    return (x & np.uint64(255)).astype(np.uint8).reshape(h, w, c)
+
+
+def test_jpeg_progressive_decode_equals_baseline_exactly():
+    """Progressive (SOF2) decode correctness by construction: the
+    progressive encoder emits the SAME quantized coefficients as the
+    baseline encoder (shared _prepare_qblocks front half) under a
+    DC→spectral-bands→successive-approximation-refinement scan
+    script, so the decoded pixels must match the baseline decode
+    BYTE-exactly — any error in the G.2 scan model (EOB runs,
+    correction-bit interleave, point transforms, per-scan restarts)
+    breaks the equality.  Covers grey + color, 4:4:4 + 4:2:0,
+    non-MCU-multiple dims, quality extremes, restart markers."""
+    import numpy as np
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        jpegcodec,
+    )
+
+    cases = [
+        (16, 16, 1, 90, "444", 0),
+        (21, 13, 1, 75, "444", 2),
+        (16, 16, 3, 90, "444", 0),
+        (37, 21, 3, 85, "420", 0),
+        (32, 32, 3, 100, "420", 3),
+        (8, 8, 3, 50, "444", 0),
+        (64, 48, 1, 30, "444", 0),  # low q → long EOB runs
+    ]
+    for i, (w, h, c, q, sub, ri) in enumerate(cases):
+        im = _hash_img(h, w, c, 1000 + i)
+        base = jpegcodec.encode_jpeg(
+            w, h, im.tobytes(), channels=c, quality=q,
+            subsampling=sub, restart_interval=ri,
+        )
+        prog = jpegcodec.encode_jpeg_progressive(
+            w, h, im.tobytes(), channels=c, quality=q,
+            subsampling=sub, restart_interval=ri,
+        )
+        assert prog[2:4] != base[2:4] or b"\xff\xc2" in prog
+        got_b = jpegcodec.decode_jpeg(base)
+        got_p = jpegcodec.decode_jpeg(prog)
+        assert got_p == got_b, f"case {i}: progressive != baseline"
+
+
+def test_jpeg_progressive_eob_runs_and_flat_exactness():
+    """The EOB-run paths specifically: a mostly-flat image makes
+    every AC band empty (maximal EOB runs spanning many blocks, in
+    first AND refinement scans), and at quality 100 the flat-block
+    fixture must round-trip EXACTLY through the progressive scan
+    script — the same lossless identity the driver gate pins for
+    baseline.  Also: the progressive stream really is multi-scan
+    (one SOS per script entry)."""
+    import numpy as np
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        jpegcodec,
+    )
+
+    vals = np.arange(16, dtype=np.uint8).reshape(4, 4) * 17
+    grey = np.repeat(np.repeat(vals, 8, 0), 8, 1)  # 32×32 flat blocks
+    rgb = np.stack([grey] * 3, axis=-1)
+    prog = jpegcodec.encode_jpeg_progressive(
+        32, 32, rgb.tobytes(), channels=3, quality=100,
+        subsampling="420", restart_interval=2,
+    )
+    w, h, c, pix = jpegcodec.decode_jpeg(prog)
+    assert (w, h, c) == (32, 32, 3)
+    assert pix == rgb.tobytes()  # lossless flat-block identity
+    n_scans = prog.count(b"\xff\xda")
+    assert n_scans == 9  # DC + 2 luma AC bands + 2 chroma AC + 4 refines
+    # greyscale variant: 5 scans (DC, 2 AC bands, 1 AC refine, DC ref)
+    gdata = jpegcodec.encode_jpeg_progressive(
+        32, 32, grey.tobytes(), channels=1, quality=100,
+    )
+    gw, gh, gc, gpix = jpegcodec.decode_jpeg(gdata)
+    assert (gw, gh, gc) == (32, 32, 1) and gpix == grey.tobytes()
+    assert gdata.count(b"\xff\xda") == 5

@@ -765,3 +765,42 @@ def test_jpeg_roundtrip_properties(
     # rounding); the bound exists to catch sign/scale bugs (which
     # produce errors ~128+), not to certify rate-distortion
     assert err <= 64, err
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    channels=st.sampled_from([1, 3]),
+    quality=st.integers(30, 100),
+    subsampling=st.sampled_from(["444", "420"]),
+    restart=st.integers(0, 3),
+    seed=st.integers(0, 2**31),
+)
+def test_jpeg_progressive_equals_baseline_property(
+    w, h, channels, quality, subsampling, restart, seed
+):
+    """Progressive ≡ baseline decode over the whole declared
+    envelope: both encoders share the quantized coefficients, so for
+    ANY (size, channels, quality, subsampling, restart) the two
+    streams must decode to byte-identical pixels — the property that
+    pins every G.2 scan path (spectral bands, DC/AC successive
+    approximation, EOB runs with buffered correction bits, per-scan
+    restart resync) against the already-anchored baseline path."""
+    import numpy as np
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        jpegcodec,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, channels)).astype(np.uint8)
+    base = jpegcodec.encode_jpeg(
+        w, h, img.tobytes(), channels=channels, quality=quality,
+        subsampling=subsampling, restart_interval=restart,
+    )
+    prog = jpegcodec.encode_jpeg_progressive(
+        w, h, img.tobytes(), channels=channels, quality=quality,
+        subsampling=subsampling, restart_interval=restart,
+    )
+    assert jpegcodec.decode_jpeg(prog) == jpegcodec.decode_jpeg(base)
