@@ -1561,6 +1561,22 @@ def _q_embedding_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, _QUERY_IDS, k=10)
 
 
+def _q_embedding_hnsw_topk(spark, sf_dir):
+    """Sharded HNSW graph ANN top-10 (similarity.hnsw_topk):
+    deterministic id-keyed shards, per-shard small-world graphs
+    built inside applyInPandas (hash-drawn levels, no RNG), shard
+    fan-out search + global top-k merge.  Rows-only by design: a
+    greedy best-first graph traversal is not SQL-expressible — the
+    driver pins schema + exact row count while determinism, recall
+    floors and the visited-count trade are pytest-pinned
+    (test_hnsw_*) and the full-oracle brute-force twin is
+    embedding_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hnsw_topk(
+        emb, _QUERY_IDS, k=10, ef_search=48, n_shards=8
+    )
+
+
 _TOPK_SQL = f"""
 WITH corpus AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -5202,6 +5218,16 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_topk": QuerySpec(
         _q_embedding_topk, _TOPK_SQL,
         "brute-force cosine top-10 (double-fold parity)",
+    ),
+    "embedding_hnsw_topk": QuerySpec(
+        _q_embedding_hnsw_topk, None,
+        "sharded HNSW graph ANN top-10: per-shard small-world graphs "
+        "in applyInPandas, shard fan-out search, global merge — "
+        "deterministic (hash levels, id tie-breaks); rows-only "
+        "(graph traversal not SQL); brute-force twin is full-oracle",
+        expect_columns=("query_id", "neighbor_id", "rank", "cosine"),
+        expect_rows=(50, 50),
+        rows_oracle="SELECT 50",
     ),
     "embedding_ann_lsh": QuerySpec(
         _q_lsh_ann_topk, _lsh_ann_sql(),

@@ -4971,3 +4971,73 @@ def test_jpeg_progressive_eob_runs_and_flat_exactness():
     gw, gh, gc, gpix = jpegcodec.decode_jpeg(gdata)
     assert (gw, gh, gc) == (32, 32, 1) and gpix == grey.tobytes()
     assert gdata.count(b"\xff\xda") == 5
+
+
+def test_hnsw_topk_recall_determinism_and_shape(spark):
+    """Sharded HNSW: (a) deterministic — two runs return identical
+    rows (hash-drawn levels, id-keyed shards, (distance, id)
+    tie-breaks, no RNG anywhere); (b) recall ≥ 0.9 vs exact cosine
+    on the small corpus at the gate's operating point; (c) exactly
+    k rows per query, self excluded, cosine descending with id
+    tie-break; (d) planted near-copies are each other's top match
+    across shard boundaries."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, qids, k=10).collect()
+    }
+    run1 = similarity.hnsw_topk(
+        emb, qids, k=10, ef_search=48, n_shards=8
+    ).collect()
+    run2 = similarity.hnsw_topk(
+        emb, qids, k=10, ef_search=48, n_shards=8
+    ).collect()
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
+    got = {(r.query_id, r.neighbor_id) for r in run1}
+    assert len(got & exact) / len(exact) >= 0.9
+    per_q: dict = {}
+    for r in run1:
+        assert r.neighbor_id != r.query_id
+        per_q.setdefault(r.query_id, []).append(r)
+    for rows in per_q.values():
+        assert len(rows) == 10
+        rows.sort(key=lambda r: r.rank)
+        keys = [(-r.cosine, r.neighbor_id) for r in rows]
+        assert keys == sorted(keys)
+    # planted near-dups: the copy lands in a DIFFERENT shard than
+    # its base for most ids, so finding it proves the fan-out merge
+    nd = _near_dup_corpus(spark, n_base=400, n_dups=20)
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in similarity.hnsw_topk(
+            nd, list(range(10)), k=1, ef_search=48, n_shards=4
+        ).collect()
+    }
+    assert all(top1[i] == 400 + i for i in range(10))
+
+
+def test_hnsw_operating_point_visited_counts(spark):
+    """The HNSW row in ann_operating_points MEASURES distance
+    evaluations (graph nodes touched): more ef_search → more visits
+    and never-worse recall plumbing; the count stays a fraction of a
+    corpus-proportional scan on a big-enough corpus (the sf10 row in
+    SCALE.md: 0.86 recall touching 5.7 % of full scan)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = {
+        r["label"]: r
+        for r in similarity.ann_operating_points(
+            emb, [0, 1, 2], k=5,
+            points=[
+                {"label": "h16", "method": "hnsw", "ef_search": 16,
+                 "n_shards": 4},
+                {"label": "h48", "method": "hnsw", "ef_search": 48,
+                 "n_shards": 4},
+            ],
+        )
+    }
+    assert 0 < rows["h16"]["candidates_touched"] < rows[
+        "h48"
+    ]["candidates_touched"]
+    assert rows["h48"]["recall_at_k"] >= rows["h16"]["recall_at_k"] - 1e-9
+    assert rows["h48"]["recall_at_k"] >= 0.8
