@@ -3129,6 +3129,159 @@ def minhash_params_for_threshold(
 # ---------------------------------------------------------------------------
 
 
+def _hnsw_build(ids: list, vecs, m: int, efc: int):
+    """Build one shard's HNSW graph (Malkov & Yashunin 2016),
+    deterministically: insertion in sorted-id order, levels drawn
+    from a splitmix64 hash of the VECTOR id (no RNG object), and
+    every candidate ordering tie-broken by (distance, id).  Returns
+    (ids_sorted, unit_vectors, nbrs, entry, max_level) where nbrs is
+    a per-node {level: [node index]} adjacency."""
+    import heapq
+    import math
+
+    import numpy as np
+
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    ids = [ids[i] for i in order]
+    vecs = np.asarray(vecs, dtype=np.float64)[order]
+    n = len(ids)
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = vecs / norms
+    mask64 = (1 << 64) - 1
+
+    def level_of(vid: int) -> int:
+        x = (vid * 0x9E3779B97F4A7C15 + 0x12345) & mask64
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & mask64
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & mask64
+        x ^= x >> 31
+        u = (x + 1) / 2.0**64
+        return int(-math.log(u) / math.log(m))
+
+    def dist(i: int, j: int) -> float:
+        return 1.0 - float(np.dot(unit[i], unit[j]))
+
+    nbrs: list = [None] * n
+    entry, max_lvl = -1, -1
+
+    def search_layer(qv, entries, lvl, ef):
+        visited = set(entries)
+        cand, best = [], []
+        for e in entries:
+            d = 1.0 - float(np.dot(qv, unit[e]))
+            heapq.heappush(cand, (d, e))
+            heapq.heappush(best, (-d, e))
+        while cand:
+            d, c = heapq.heappop(cand)
+            if best and d > -best[0][0]:
+                break
+            for nb in nbrs[c].get(lvl, ()):
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                dn = 1.0 - float(np.dot(qv, unit[nb]))
+                if len(best) < ef or dn < -best[0][0]:
+                    heapq.heappush(cand, (dn, nb))
+                    heapq.heappush(best, (-dn, nb))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+        return sorted(
+            ((-nd, node) for nd, node in best),
+            key=lambda t: (t[0], ids[t[1]]),
+        )
+
+    def prune(node, lvl):
+        cap = m * 2 if lvl == 0 else m
+        lst = nbrs[node][lvl]
+        if len(lst) > cap:
+            lst.sort(key=lambda j: (dist(node, j), ids[j]))
+            del lst[cap:]
+
+    for i in range(n):
+        lvl = level_of(ids[i])
+        nbrs[i] = {ll: [] for ll in range(lvl + 1)}
+        if entry < 0:
+            entry, max_lvl = i, lvl
+            continue
+        cur = entry
+        for ll in range(max_lvl, lvl, -1):
+            improved = True
+            while improved:
+                improved = False
+                for nb in nbrs[cur].get(ll, ()):
+                    if dist(i, nb) < dist(i, cur):
+                        cur, improved = nb, True
+        for ll in range(min(lvl, max_lvl), -1, -1):
+            found = search_layer(unit[i], [cur], ll, efc)
+            sel = [node for _, node in found[:m]]
+            nbrs[i][ll] = list(sel)
+            for s in sel:
+                nbrs[s][ll].append(i)
+                prune(s, ll)
+            if found:
+                cur = found[0][1]
+        if lvl > max_lvl:
+            entry, max_lvl = i, lvl
+    return ids, unit, nbrs, entry, max_lvl
+
+
+def _hnsw_search(
+    qv, ids: list, unit, nbrs: list, entry: int, max_lvl: int,
+    ef: int, k: int, exclude_id: int, counter: list,
+):
+    """Search one shard graph for ``qv``: greedy descent through the
+    upper layers, best-first at layer 0 with width ``ef``; returns up
+    to ``k`` (vector_id, cosine) rows excluding ``exclude_id``.
+    ``counter[0]`` accumulates distance evaluations (the
+    candidates-touched measurement)."""
+    import heapq
+
+    import numpy as np
+
+    cur = entry
+    for ll in range(max_lvl, 0, -1):
+        improved = True
+        while improved:
+            improved = False
+            for nb in nbrs[cur].get(ll, ()):
+                dn = 1.0 - float(np.dot(qv, unit[nb]))
+                dc = 1.0 - float(np.dot(qv, unit[cur]))
+                counter[0] += 2
+                if dn < dc:
+                    cur, improved = nb, True
+    visited = {cur}
+    d0 = 1.0 - float(np.dot(qv, unit[cur]))
+    counter[0] += 1
+    cand, best = [(d0, cur)], [(-d0, cur)]
+    while cand:
+        d, c = heapq.heappop(cand)
+        if best and d > -best[0][0]:
+            break
+        for nb in nbrs[c].get(0, ()):
+            if nb in visited:
+                continue
+            visited.add(nb)
+            dn = 1.0 - float(np.dot(qv, unit[nb]))
+            counter[0] += 1
+            if len(best) < ef or dn < -best[0][0]:
+                heapq.heappush(cand, (dn, nb))
+                heapq.heappush(best, (-dn, nb))
+                if len(best) > ef:
+                    heapq.heappop(best)
+    found = sorted(
+        ((-nd, node) for nd, node in best),
+        key=lambda t: (t[0], ids[t[1]]),
+    )
+    rows = []
+    for d, node in found:
+        if ids[node] == exclude_id:
+            continue
+        rows.append((ids[node], 1.0 - d))
+        if len(rows) >= k:
+            break
+    return rows
+
+
 def _hnsw_shard_results(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -3171,108 +3324,14 @@ def _hnsw_shard_results(
     mm, efc, efs, kk = m, ef_construction, ef_search, k
 
     def per_shard(pdf):
-        import heapq
-        import math
-
         import pandas as pd
 
-        ids = [int(x) for x in pdf["_id"]]
-        order = sorted(range(len(ids)), key=lambda i: ids[i])
-        vecs = np.array(
-            [list(v) for v in pdf["_v"]], dtype=np.float64
-        )[order]
-        ids = [ids[i] for i in order]
+        ids, unit, nbrs, entry, max_lvl = _hnsw_build(
+            [int(x) for x in pdf["_id"]],
+            np.array([list(v) for v in pdf["_v"]], dtype=np.float64),
+            mm, efc,
+        )
         n = len(ids)
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = vecs / norms
-
-        mask64 = (1 << 64) - 1
-
-        def level_of(vid: int) -> int:
-            # deterministic level draw: splitmix64(vid) → U(0,1],
-            # geometric with mL = 1/ln(M) (Malkov & Yashunin §4)
-            x = (vid * 0x9E3779B97F4A7C15 + 0x12345) & mask64
-            x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & mask64
-            x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & mask64
-            x ^= x >> 31
-            u = (x + 1) / 2.0**64
-            return int(-math.log(u) / math.log(mm))
-
-        def dist(i: int, j: int) -> float:
-            return 1.0 - float(np.dot(unit[i], unit[j]))
-
-        nbrs: list[dict] = [None] * n  # node -> {level: [node]}
-        entry, max_lvl = -1, -1
-        counter = [0]
-
-        def search_layer(q_idx, entries, lvl, ef):
-            # best-first over the layer from `entries`; q_idx < 0
-            # means "query row -q_idx-1 of q_mat"
-            if q_idx < 0:
-                qv = q_mat[-q_idx - 1]
-            else:
-                qv = unit[q_idx]
-            visited = set(entries)
-            cand, best = [], []
-            for e in entries:
-                d = 1.0 - float(np.dot(qv, unit[e]))
-                counter[0] += 1
-                heapq.heappush(cand, (d, e))
-                heapq.heappush(best, (-d, e))
-            while cand:
-                d, c = heapq.heappop(cand)
-                if best and d > -best[0][0]:
-                    break
-                for nb in nbrs[c].get(lvl, ()):
-                    if nb in visited:
-                        continue
-                    visited.add(nb)
-                    dn = 1.0 - float(np.dot(qv, unit[nb]))
-                    counter[0] += 1
-                    if len(best) < ef or dn < -best[0][0]:
-                        heapq.heappush(cand, (dn, nb))
-                        heapq.heappush(best, (-dn, nb))
-                        if len(best) > ef:
-                            heapq.heappop(best)
-            return sorted(
-                ((-nd, node) for nd, node in best),
-                key=lambda t: (t[0], ids[t[1]]),
-            )
-
-        def prune(node, lvl):
-            cap = mm * 2 if lvl == 0 else mm
-            lst = nbrs[node][lvl]
-            if len(lst) > cap:
-                lst.sort(key=lambda j: (dist(node, j), ids[j]))
-                del lst[cap:]
-
-        for i in range(n):
-            lvl = level_of(ids[i])
-            nbrs[i] = {ll: [] for ll in range(lvl + 1)}
-            if entry < 0:
-                entry, max_lvl = i, lvl
-                continue
-            cur = entry
-            for ll in range(max_lvl, lvl, -1):
-                improved = True
-                while improved:
-                    improved = False
-                    for nb in nbrs[cur].get(ll, ()):
-                        if dist(i, nb) < dist(i, cur):
-                            cur, improved = nb, True
-            for ll in range(min(lvl, max_lvl), -1, -1):
-                found = search_layer(i, [cur], ll, efc)
-                sel = [node for _, node in found[:mm]]
-                nbrs[i][ll] = list(sel)
-                for s in sel:
-                    nbrs[s][ll].append(i)
-                    prune(s, ll)
-                if found:
-                    cur = found[0][1]
-            if lvl > max_lvl:
-                entry, max_lvl = i, lvl
-
         out = {
             "query_id": [], "neighbor_id": [], "cosine": [],
             "shard": [], "visited": [],
@@ -3281,32 +3340,17 @@ def _hnsw_shard_results(
         for qi, qid in enumerate(q_ids):
             if n == 0:
                 continue
-            counter[0] = 0
-            cur = entry
-            for ll in range(max_lvl, 0, -1):
-                improved = True
-                while improved:
-                    improved = False
-                    for nb in nbrs[cur].get(ll, ()):
-                        dn = 1.0 - float(np.dot(q_mat[qi], unit[nb]))
-                        dc = 1.0 - float(np.dot(q_mat[qi], unit[cur]))
-                        counter[0] += 2
-                        if dn < dc:
-                            cur, improved = nb, True
-            found = search_layer(-qi - 1, [cur], 0, efs)
-            vis = counter[0]
-            taken = 0
-            for d, node in found:
-                if ids[node] == qid:
-                    continue
+            counter = [0]
+            rows = _hnsw_search(
+                q_mat[qi], ids, unit, nbrs, entry, max_lvl,
+                efs, kk, qid, counter,
+            )
+            for nid, cos in rows:
                 out["query_id"].append(qid)
-                out["neighbor_id"].append(ids[node])
-                out["cosine"].append(1.0 - d)
+                out["neighbor_id"].append(nid)
+                out["cosine"].append(cos)
                 out["shard"].append(shard_val)
-                out["visited"].append(vis)
-                taken += 1
-                if taken >= kk:
-                    break
+                out["visited"].append(counter[0])
         return pd.DataFrame(out)
 
     return sharded.groupBy("_shard").applyInPandas(per_shard, schema)
@@ -3356,6 +3400,168 @@ def hnsw_topk(
         ef_construction=ef_construction, ef_search=ef_search,
         n_shards=n_shards, id_col=id_col, vec_col=vec_col,
     )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        shard_rows.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def build_hnsw_index(
+    embeddings: DataFrame,
+    *,
+    m: int = 8,
+    ef_construction: int = 40,
+    n_shards: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the sharded HNSW graphs as a TABLE — the
+    build-once/serve-many artifact every sibling index family has
+    (PQ/IVF/OPQ): one row per node carrying its shard, its per-level
+    adjacency (neighbor VECTOR IDS, portable across loads) and its
+    UNIT vector, so serving is self-contained — a restarted process
+    searches the loaded artifact without touching the raw corpus.
+    Build parameters (m, ef_construction) and the shard count ride
+    every row (free under parquet RLE) as the staleness/introspection
+    stamp; the per-shard entry point is NOT stored because it is
+    recomputable (min node_id among the shard's max-level nodes —
+    sorted-id insertion makes that the node where the running max
+    first reached the global max).
+
+    Output: (shard, node_id, levels array<array<bigint>>,
+    unit array<double>, m, efc, n_shards)."""
+    import numpy as np
+
+    sharded = embeddings.select(
+        F.col(id_col).alias("_id"),
+        _as_double(vec_col).alias("_v"),
+        (F.col(id_col) % n_shards).alias("_shard"),
+    )
+    schema = (
+        "shard long, node_id long, levels array<array<long>>, "
+        "unit array<double>, m int, efc int, n_shards int"
+    )
+    mm, efc, ns = m, ef_construction, n_shards
+
+    def per_shard(pdf):
+        import pandas as pd
+
+        ids, unit, nbrs, _entry, _max_lvl = _hnsw_build(
+            [int(x) for x in pdf["_id"]],
+            np.array([list(v) for v in pdf["_v"]], dtype=np.float64),
+            mm, efc,
+        )
+        shard_val = int(pdf["_shard"].iloc[0]) if len(ids) else 0
+        return pd.DataFrame(
+            {
+                "node_id": ids,
+                "levels": [
+                    [[ids[j] for j in nbrs[i][ll]]
+                     for ll in sorted(nbrs[i])]
+                    for i in range(len(ids))
+                ],
+                "unit": [list(map(float, unit[i])) for i in range(len(ids))],
+                "shard": [shard_val] * len(ids),
+                "m": [mm] * len(ids),
+                "efc": [efc] * len(ids),
+                "n_shards": [ns] * len(ids),
+            }
+        )
+
+    return sharded.groupBy("_shard").applyInPandas(per_shard, schema)
+
+
+def save_hnsw_index(index: DataFrame, path: str) -> None:
+    """Persist a :func:`build_hnsw_index` table as parquet — same
+    restart contract as save_pq_index/save_ivf_index."""
+    index.write.mode("overwrite").parquet(path)
+
+
+def load_hnsw_index(
+    spark, path: str, *, expect_n: int | None = None
+) -> DataFrame:
+    """Load a persisted HNSW index table; with ``expect_n``, refuse a
+    corpus-count mismatch (stale artifact — a regenerated corpus at
+    the same path must trigger a rebuild, not silently serve the old
+    snapshot's neighborhoods)."""
+    df = spark.read.parquet(path)
+    if expect_n is not None:
+        n = df.count()
+        if n != expect_n:
+            raise ValueError(
+                f"stale HNSW index at {path}: {n} nodes, corpus now "
+                f"has {expect_n}"
+            )
+    return df
+
+
+def hnsw_topk_from_index(
+    index: DataFrame,
+    query_vecs: list[tuple[int, list[float]]],
+    *,
+    k: int = 10,
+    ef_search: int = 40,
+) -> DataFrame:
+    """Serve top-k from a persisted :func:`build_hnsw_index` table:
+    one applyInPandas group per shard reconstructs the adjacency from
+    the stored rows (no rebuild, no corpus access — the artifact
+    carries unit vectors) and greedy-searches the broadcast queries;
+    a global window merges shard candidates.  Bit-identical to the
+    fused build+search path (pytest-pinned)."""
+    import numpy as np
+
+    q_ids = [int(q) for q, _ in query_vecs]
+    q_mat = np.array([list(v) for _, v in query_vecs], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norm[q_norm == 0] = 1.0
+    q_mat = q_mat / q_norm
+    kk, efs = k, ef_search
+    schema = "query_id long, neighbor_id long, cosine double"
+
+    def per_shard(pdf):
+        import pandas as pd
+
+        ids = [int(x) for x in pdf["node_id"]]
+        order = sorted(range(len(ids)), key=lambda i: ids[i])
+        ids_sorted = [ids[i] for i in order]
+        idx_of = {vid: i for i, vid in enumerate(ids_sorted)}
+        unit = np.array(
+            [list(pdf["unit"].iloc[i]) for i in order], dtype=np.float64
+        )
+        nbrs = []
+        for i in order:
+            levels = pdf["levels"].iloc[i]
+            nbrs.append(
+                {
+                    ll: [idx_of[int(nid)] for nid in lst]
+                    for ll, lst in enumerate(levels)
+                }
+            )
+        out = {"query_id": [], "neighbor_id": [], "cosine": []}
+        n = len(ids_sorted)
+        if n:
+            max_lvl = max(max(d) for d in nbrs)
+            peak = [i for i in range(n) if max(nbrs[i]) == max_lvl]
+            entry = min(peak)  # recomputed entry rule (see builder)
+            for qi, qid in enumerate(q_ids):
+                rows = _hnsw_search(
+                    q_mat[qi], ids_sorted, unit, nbrs, entry, max_lvl,
+                    efs, kk, qid, [0],
+                )
+                for nid, cos in rows:
+                    out["query_id"].append(qid)
+                    out["neighbor_id"].append(nid)
+                    out["cosine"].append(cos)
+        return pd.DataFrame(out)
+
+    shard_rows = index.groupBy("shard").applyInPandas(per_shard, schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )

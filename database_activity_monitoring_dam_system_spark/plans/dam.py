@@ -64,7 +64,10 @@ _FRAME_CACHE: dict[tuple[str, str], DataFrame] = {}
 # process should load them from disk, not recompute. Battery/activity
 # derivations stay memory-only (they are cheap scans, not indexes).
 _DISK_KINDS = frozenset(
-    {"dedup_clusters", "emb_near_dups", "ivf_pq_codes", "ivf_pq_res_codes"}
+    {
+        "dedup_clusters", "emb_near_dups", "ivf_pq_codes",
+        "ivf_pq_res_codes", "hnsw_index",
+    }
 )
 
 

@@ -1570,8 +1570,33 @@ def _q_embedding_hnsw_topk(spark, sf_dir):
     driver pins schema + exact row count while determinism, recall
     floors and the visited-count trade are pytest-pinned
     (test_hnsw_*) and the full-oracle brute-force twin is
-    embedding_topk."""
+    embedding_topk.
+
+    Serving mode (SPARK_DAM_SHARE_FRAMES=1): the per-shard graphs
+    persist as a build_hnsw_index table under the _shared disk-kind
+    contract (SPARK_DAM_INDEX_DIR) and queries serve from the loaded
+    artifact via hnsw_topk_from_index — bit-identical to the fused
+    path (pytest-pinned), build-once/serve-many like every sibling
+    index family."""
+    import os
+
+    from .dam import _shared
+
     emb = load_table(spark, sf_dir, "embeddings")
+    if os.environ.get("SPARK_DAM_SHARE_FRAMES") == "1":
+        idx = _shared(
+            "hnsw_index", spark, sf_dir,
+            lambda: similarity.build_hnsw_index(emb, n_shards=8),
+        )
+        qv = [
+            (r[0], list(r[1]))
+            for r in emb.filter(emb.vec_id.isin(_QUERY_IDS))
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+        return similarity.hnsw_topk_from_index(
+            idx, qv, k=10, ef_search=48
+        )
     return similarity.hnsw_topk(
         emb, _QUERY_IDS, k=10, ef_search=48, n_shards=8
     )

@@ -5041,3 +5041,52 @@ def test_hnsw_operating_point_visited_counts(spark):
     ]["candidates_touched"]
     assert rows["h48"]["recall_at_k"] >= rows["h16"]["recall_at_k"] - 1e-9
     assert rows["h48"]["recall_at_k"] >= 0.8
+
+
+def test_hnsw_index_artifact_roundtrip_and_staleness(spark, tmp_path):
+    """The HNSW serving artifact (build_hnsw_index → save → load →
+    hnsw_topk_from_index) returns BIT-identical rows to the fused
+    build+search path — the artifact stores per-node adjacency by
+    vector id plus unit vectors, so serving never touches the raw
+    corpus, and the recomputed entry rule (min id among max-level
+    nodes) reproduces the builder's entry point exactly.  A
+    corpus-count mismatch refuses to load (stale-index refusal, the
+    sibling PQ/IVF/OPQ contract)."""
+    import pytest as _pytest
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    fused = sorted(
+        map(
+            tuple,
+            similarity.hnsw_topk(
+                emb, qids, k=10, ef_search=48, n_shards=8
+            ).collect(),
+        )
+    )
+    idx = similarity.build_hnsw_index(emb, n_shards=8)
+    path = str(tmp_path / "hnsw_ix")
+    similarity.save_hnsw_index(idx, path)
+    loaded = similarity.load_hnsw_index(
+        spark, path, expect_n=emb.count()
+    )
+    qv = [
+        (r[0], list(r[1]))
+        for r in emb.filter(F.col("vec_id").isin(qids))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    served = sorted(
+        map(
+            tuple,
+            similarity.hnsw_topk_from_index(
+                loaded, qv, k=10, ef_search=48
+            ).collect(),
+        )
+    )
+    assert fused == served
+    # params ride every row for introspection
+    row = loaded.limit(1).collect()[0]
+    assert (row.m, row.efc, row.n_shards) == (8, 40, 8)
+    with _pytest.raises(ValueError, match="stale HNSW"):
+        similarity.load_hnsw_index(spark, path, expect_n=7)
