@@ -3573,3 +3573,84 @@ def hnsw_topk_from_index(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def hnsw_update_index(
+    old_index: DataFrame,
+    old_embeddings: DataFrame,
+    new_embeddings: DataFrame,
+    *,
+    m: int = 8,
+    ef_construction: int = 40,
+    n_shards: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental HNSW maintenance — the corpus_diff fold at SHARD
+    granularity: a graph is a function of its whole shard (one
+    insert rewires neighbors anywhere in the shard), so the carry
+    unit is the shard, not the row.  Shards whose membership AND
+    vectors are value-identical between snapshots carry their stored
+    graph rows untouched; only DIRTY shards (any added / changed /
+    removed vector) rebuild — between crawls a few percent of
+    vectors touch a few percent of shards, so the rebuild cost is
+    delta-proportional at shard resolution.  Fold ≡ fresh rebuild
+    bit-exactly (the builder is deterministic), pytest-pinned.
+
+    Build parameters must match the old artifact's stamp columns —
+    a graph built under different (m, ef_construction, n_shards) is
+    a different index; mismatch raises rather than serving a mixed
+    artifact."""
+    row = old_index.limit(1).collect()
+    if row:
+        got = (row[0]["m"], row[0]["efc"], row[0]["n_shards"])
+        if got != (m, ef_construction, n_shards):
+            raise ValueError(
+                f"hnsw_update_index: artifact built under "
+                f"(m, efc, n_shards)={got}, caller supplied "
+                f"{(m, ef_construction, n_shards)} — rebuild instead "
+                "of folding across parameters"
+            )
+    v = _as_double(vec_col)
+    old_v = old_embeddings.select(
+        F.col(id_col), v.alias("_ov"),
+        (F.col(id_col) % n_shards).alias("_shard"),
+    )
+    new_v = new_embeddings.select(
+        F.col(id_col), v.alias("_nv"),
+        (F.col(id_col) % n_shards).alias("_shard"),
+    )
+    # a shard is dirty iff any id was added/removed or any vector
+    # changed value — one full-outer classify, aggregated to shards
+    dirty = (
+        old_v.select(F.col(id_col), "_shard", "_ov")
+        .join(
+            new_v.select(F.col(id_col), "_shard", "_nv"),
+            [id_col, "_shard"],
+            "full_outer",
+        )
+        .groupBy("_shard")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("_ov").isNull()
+                    | F.col("_nv").isNull()
+                    | ~F.col("_nv").eqNullSafe(F.col("_ov")),
+                    1,
+                ).otherwise(0)
+            ).alias("_dirty")
+        )
+        .filter(F.col("_dirty") == 1)
+        .select(F.col("_shard").alias("shard"))
+    )
+    carried = old_index.join(dirty, "shard", "left_anti")
+    rebuilt = build_hnsw_index(
+        new_embeddings.join(
+            dirty.select(F.col("shard").alias("_s")),
+            F.col(id_col) % n_shards == F.col("_s"),
+            "left_semi",
+        ),
+        m=m, ef_construction=ef_construction, n_shards=n_shards,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return carried.unionByName(rebuilt)

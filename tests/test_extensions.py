@@ -5090,3 +5090,57 @@ def test_hnsw_index_artifact_roundtrip_and_staleness(spark, tmp_path):
     assert (row.m, row.efc, row.n_shards) == (8, 40, 8)
     with _pytest.raises(ValueError, match="stale HNSW"):
         similarity.load_hnsw_index(spark, path, expect_n=7)
+
+
+def test_hnsw_update_index_equals_full_rebuild(spark):
+    """Incremental HNSW fold ≡ fresh rebuild bit-exactly: clean
+    shards carry their stored graph rows, dirty shards (any
+    added/changed/removed vector) rebuild — and serving from the
+    folded index returns the fresh index's rows.  A parameter
+    mismatch against the artifact's stamps refuses to fold."""
+    import pytest as _pytest
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    old = emb.filter(F.col("vec_id") % 10 != 0)
+    # new snapshot: remove ids %7==0, perturb ids %5==0 — dirties the
+    # shards those ids hash into, leaves the rest byte-identical
+    new = emb.filter(F.col("vec_id") % 7 != 0).withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 5 == 0,
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x + 0.25,
+            ),
+        ).otherwise(F.col("embedding").cast("array<double>")),
+    )
+    old_idx = similarity.build_hnsw_index(old, n_shards=8)
+    folded = similarity.hnsw_update_index(
+        old_idx, old, new, n_shards=8
+    )
+    fresh = similarity.build_hnsw_index(new, n_shards=8)
+
+    def canon(df):
+        return sorted(
+            (
+                r.shard, r.node_id,
+                tuple(tuple(lvl) for lvl in r.levels),
+                tuple(r.unit),
+            )
+            for r in df.collect()
+        )
+
+    assert canon(folded) == canon(fresh)
+    # folded index SERVES identically to fresh
+    qids = [1, 2, 3]
+    qv = [
+        (r[0], list(r[1]))
+        for r in new.filter(F.col("vec_id").isin(qids))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    a = similarity.hnsw_topk_from_index(folded, qv, k=5).collect()
+    b = similarity.hnsw_topk_from_index(fresh, qv, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with _pytest.raises(ValueError, match="rebuild instead"):
+        similarity.hnsw_update_index(old_idx, old, new, n_shards=4)
