@@ -2296,11 +2296,20 @@ def remove_dup_spans(
       one explode(sequence) projection);
     * a window OCCURRENCE is redundant iff it is not the FIRST
       occurrence of its fingerprint in global ``(id_col, pos)``
-      order (row_number over the fp — ≥2 total occurrences implied),
-      so exactly one copy of every duplicated passage survives, in
-      the doc that sorts first: cross-doc duplicates lose all
-      copies but the first doc's, and a passage repeated within one
-      doc keeps only its first occurrence;
+      order (row_number over the fp — ≥2 total occurrences implied):
+      cross-doc duplicates lose all copies but the first doc's, and
+      a passage repeated within one doc keeps only its first
+      occurrence.  For SELF-OVERLAPPING periodic text the survivor
+      can be shorter than one full window: redundant windows that
+      overlap the kept first occurrence still contribute their whole
+      [pos, pos+k-1] interval to the span merge, so e.g.
+      ``'a' * 100`` at k=24 keeps a single ``'a'`` — the redundant
+      windows at pos 2.. cover chars 2..100, excising chars 2..k of
+      the kept first window too.  That is the operator's (and the
+      DuckDB oracle's) exact semantics — NOT a guarantee that one
+      intact copy of every duplicated passage survives; for
+      non-self-overlapping passages the first occurrence does
+      survive intact;
     * per doc, redundant windows' [pos, pos+k-1] intervals are merged
       into maximal spans (gaps-and-islands: running max end over a
       pos-ordered window, island break when a window starts past

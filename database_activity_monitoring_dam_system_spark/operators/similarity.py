@@ -3297,8 +3297,14 @@ def _hnsw_shard_results(
     """Per-shard HNSW candidates: (query_id, neighbor_id, cosine,
     shard, visited) — ``visited`` is the number of graph nodes whose
     distance was evaluated for that (query, shard), constant across
-    the shard's rows (the candidates-touched measurement).  See
-    :func:`hnsw_topk` for the design rationale."""
+    the shard's rows (the candidates-touched measurement).  A
+    (query, shard) search that returns NO neighbor rows (e.g. a
+    shard whose only node is the query itself, excluded from its own
+    results) still emits ONE sentinel row (NULL neighbor_id/cosine)
+    carrying its visited count, so candidates-touched accounting
+    never undercounts; :func:`hnsw_topk` filters sentinels out
+    before ranking.  See :func:`hnsw_topk` for the design
+    rationale."""
     import numpy as np
 
     q_rows = (
@@ -3351,7 +3357,27 @@ def _hnsw_shard_results(
                 out["cosine"].append(cos)
                 out["shard"].append(shard_val)
                 out["visited"].append(counter[0])
-        return pd.DataFrame(out)
+            if not rows:
+                # sentinel: distance evaluations happened but no
+                # neighbor survived (e.g. only node == query) — the
+                # touch count must still be accounted
+                out["query_id"].append(qid)
+                out["neighbor_id"].append(None)
+                out["cosine"].append(None)
+                out["shard"].append(shard_val)
+                out["visited"].append(counter[0])
+        # neighbor_id/cosine may carry None (sentinels): keep them
+        # object-dtyped so Arrow maps None -> NULL, never NaN
+        return pd.DataFrame(
+            {
+                c: (
+                    pd.Series(v, dtype="object")
+                    if c in ("neighbor_id", "cosine")
+                    else pd.Series(v, dtype="int64")
+                )
+                for c, v in out.items()
+            }
+        )
 
     return sharded.groupBy("_shard").applyInPandas(per_shard, schema)
 
@@ -3404,7 +3430,9 @@ def hnsw_topk(
         F.desc("cosine"), F.asc("neighbor_id")
     )
     return (
-        shard_rows.withColumn("rank", F.row_number().over(w))
+        # drop visited-count sentinels (NULL neighbor) before ranking
+        shard_rows.filter(F.col("neighbor_id").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "neighbor_id", "rank",

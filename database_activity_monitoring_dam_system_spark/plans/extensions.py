@@ -1580,13 +1580,19 @@ def _q_embedding_hnsw_topk(spark, sf_dir):
     index family."""
     import os
 
-    from .dam import _shared
+    from .dam import _index_path, _shared
 
     emb = load_table(spark, sf_dir, "embeddings")
     if os.environ.get("SPARK_DAM_SHARE_FRAMES") == "1":
+        # One graph row per corpus vector, so emb.count() is the same
+        # staleness fingerprint the ivf_pq_codes kinds pass: a disk
+        # artifact from a regenerated same-path corpus is rebuilt, not
+        # silently served (the trap load_hnsw_index's expect_n closes).
+        on_disk = _index_path("hnsw_index", sf_dir) is not None
         idx = _shared(
             "hnsw_index", spark, sf_dir,
             lambda: similarity.build_hnsw_index(emb, n_shards=8),
+            expect_rows=emb.count() if on_disk else None,
         )
         qv = [
             (r[0], list(r[1]))

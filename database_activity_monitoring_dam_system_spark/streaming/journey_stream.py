@@ -245,7 +245,9 @@ def _funnel_state_schema(ttl_us: int | None):
     ``state_ttl`` feature resume unchanged; opting into a TTL adds
     the ``last_us`` column the event-time timeout needs (and
     therefore requires a fresh checkpoint location — documented on
-    the parameter)."""
+    the parameter, along with the one-time incompatibility for
+    TTL-less checkpoints written by the intermediate always-4-field
+    version)."""
     from pyspark.sql import types as T
 
     fields = [
@@ -441,7 +443,14 @@ def funnel_stream(
     row (a ``last_us`` column the timeout needs), so flipping
     ``state_ttl`` on an EXISTING stream requires a fresh checkpoint
     location; TTL-less streams keep the original 3-field state and
-    resume any pre-TTL checkpoint unchanged.
+    resume any pre-TTL checkpoint unchanged.  One-time migration
+    caveat: during the interval between the ``state_ttl`` feature
+    landing and this conditional schema, TTL-less streams persisted
+    4-field state rows (trailing null ``last_us``); a checkpoint
+    written by THAT intermediate version cannot resume under the
+    restored 3-field schema — restart it from a fresh checkpoint
+    location once.  Checkpoints from before the feature and from the
+    current version are unaffected.
 
     The step filter runs BEFORE the shuffle into per-user state, so
     only funnel-typed events reach the state store.

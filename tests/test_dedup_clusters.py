@@ -619,6 +619,24 @@ def test_remove_dup_spans_within_doc_and_full_removal(spark):
     assert out[2].removed_chars == len(rows[1][1])
 
 
+def test_remove_dup_spans_periodic_text_keeps_single_char(spark):
+    """Docstring-pinned semantics for SELF-OVERLAPPING periodic text
+    (advisor finding, round 12): redundant windows overlapping the
+    kept first occurrence merge their full [pos, pos+k-1] intervals,
+    so 'a'*100 at k=24 keeps a single 'a' — the documented fixed
+    point of the fold (and of the DuckDB oracle), not one intact
+    window."""
+    from database_activity_monitoring_dam_system_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 100)], "doc_id long, text string"
+    )
+    row = dedup.remove_dup_spans(docs, k=24).collect()[0]
+    assert row.text == "a"
+    assert row.removed_chars == 99
+    assert row.n_removed_spans == 1
+
+
 def test_remove_dup_spans_prefilter_matches_full_on_long_runs(spark):
     """The prefilter scale path (sampled candidate docs, full pass
     only over them) returns the SAME result as the full pass when

@@ -5043,6 +5043,54 @@ def test_hnsw_operating_point_visited_counts(spark):
     assert rows["h48"]["recall_at_k"] >= 0.8
 
 
+def test_hnsw_zero_row_shard_still_counts_visits(spark):
+    """Advisor finding (round 12): a (query, shard) search whose only
+    node is the query itself returns zero neighbor rows, but its
+    distance evaluations must still reach candidates_touched — the
+    shard emits a visited-count sentinel (NULL neighbor_id) that
+    hnsw_topk filters out before ranking."""
+    # shard = vec_id % 2; shard 1 holds ONLY vec 1 (the query)
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+        (1, [1.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    sr = similarity._hnsw_shard_results(
+        emb, [1], k=3, n_shards=2
+    ).collect()
+    by_shard = {}
+    for r in sr:
+        by_shard.setdefault(r.shard, []).append(r)
+    # shard 1: exactly the sentinel — no neighbor, but visits counted
+    assert [
+        (r.neighbor_id, r.cosine) for r in by_shard[1]
+    ] == [(None, None)]
+    assert by_shard[1][0].visited >= 1
+    # shard 0: real neighbor rows, no sentinel
+    assert all(r.neighbor_id is not None for r in by_shard[0])
+    # the operating-point aggregate includes BOTH shards' visits
+    pts = similarity.ann_operating_points(
+        emb, [1], k=3,
+        points=[{"label": "h", "method": "hnsw", "n_shards": 2}],
+    )
+    total = sum(r.visited for r in {
+        (r.shard, r.query_id): r for r in sr
+    }.values())
+    assert pts[0]["candidates_touched"] == total
+    assert pts[0]["candidates_touched"] > sum(
+        r.visited for r in {
+            (r.shard, r.query_id): r for r in by_shard[0]
+        }.values()
+    )
+    # the public top-k surface never leaks the sentinel
+    topk = similarity.hnsw_topk(emb, [1], k=3, n_shards=2).collect()
+    assert topk and all(r.neighbor_id is not None for r in topk)
+
+
 def test_hnsw_index_artifact_roundtrip_and_staleness(spark, tmp_path):
     """The HNSW serving artifact (build_hnsw_index → save → load →
     hnsw_topk_from_index) returns BIT-identical rows to the fused
@@ -5090,6 +5138,44 @@ def test_hnsw_index_artifact_roundtrip_and_staleness(spark, tmp_path):
     assert (row.m, row.efc, row.n_shards) == (8, 40, 8)
     with _pytest.raises(ValueError, match="stale HNSW"):
         similarity.load_hnsw_index(spark, path, expect_n=7)
+
+
+def test_hnsw_gate_rebuilds_stale_disk_artifact(spark, tmp_path, monkeypatch):
+    """Call-site staleness pin for the serving gate: the hnsw_index
+    _shared call must pass expect_rows (one graph row per corpus
+    vector), so a planted stale artifact at the sf_dir's index path —
+    a regenerated corpus at the same path — is REBUILT and the gate
+    still answers from a graph covering the full corpus, never the
+    planted snapshot (advisor finding, round 12)."""
+    import os
+
+    from database_activity_monitoring_dam_system_spark.plans import dam
+    from database_activity_monitoring_dam_system_spark.plans import extensions as ext
+
+    monkeypatch.setenv("SPARK_DAM_SHARE_FRAMES", "1")
+    monkeypatch.setenv("SPARK_DAM_INDEX_DIR", str(tmp_path))
+    key = ("hnsw_index", os.path.realpath(SF_SMOKE))
+    dam._FRAME_CACHE.pop(key, None)
+    # plant a 1-node "index" from a stale snapshot of the corpus
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    stale = similarity.build_hnsw_index(emb.limit(1), n_shards=8)
+    path = dam._index_path("hnsw_index", SF_SMOKE)
+    similarity.save_hnsw_index(stale, path)
+    try:
+        out = ext._q_embedding_hnsw_topk(spark, SF_SMOKE)
+        expected = sorted(
+            map(
+                tuple,
+                similarity.hnsw_topk(
+                    emb, list(range(5)), k=10, ef_search=48, n_shards=8
+                ).collect(),
+            )
+        )
+        assert sorted(map(tuple, out.collect())) == expected
+        # the disk artifact was overwritten with the full-corpus graph
+        assert spark.read.parquet(path).count() == emb.count()
+    finally:
+        dam._FRAME_CACHE.pop(key, None)
 
 
 def test_hnsw_update_index_equals_full_rebuild(spark):
