@@ -1608,6 +1608,58 @@ def _q_embedding_hnsw_topk(spark, sf_dir):
     )
 
 
+def _q_embedding_hnsw_exhaustive(spark, sf_dir):
+    """Degenerate-config FULL-ORACLE twin of embedding_hnsw_topk
+    (round-12 verdict ask #2): n_shards=1 and ef_search ≥ corpus size
+    make the greedy search exhaustive — the result set never fills
+    past ef, so no termination cut ever fires and every reachable
+    node's distance is evaluated (HNSW insertion links every new node
+    to ≥1 prior node, so the layer-0 graph is connected) — and the
+    output is therefore the exact cosine top-10, sharing
+    embedding_topk's DuckDB oracle while still executing the REAL
+    graph build (applyInPandas, hash-drawn levels) and greedy
+    traversal.  This is the correctness-twin config, not the serving
+    config: one shard means one pandas group holds the corpus, which
+    is exactly what the sharded default exists to avoid at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hnsw_topk(
+        emb, _QUERY_IDS, k=10, ef_search=emb.count(), n_shards=1
+    )
+
+
+def _q_embedding_opq_identity(spark, sf_dir):
+    """Degenerate-config FULL-ORACLE twin of embedding_opq_topk
+    (round-12 verdict ask #2): with the identity rotation, the
+    rotation fold is an exact no-op in IEEE double (each output
+    element is x[j]·1 plus exact zeros), so the full OPQ serving
+    machinery — rotate_vectors literal-dot projection, opq_encode's
+    combined [rotation, codebooks] stamp, verify_index_stamp, and the
+    encoded-table ADC scorer — must reproduce embedding_pq_topk
+    bit-for-bit, sharing its unrolled-Lloyd DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    ident = [
+        [1.0 if i == j else 0.0 for j in range(_PQ_DIM)]
+        for i in range(_PQ_DIM)
+    ]
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _get_pq_codebooks(spark, sf_dir, emb)
+    codes = similarity.verify_index_stamp(
+        similarity.opq_encode(emb, ident, books, dim=_PQ_DIM),
+        codebooks=[ident, books],
+        caller="embedding_opq_identity",
+    )
+    rotated_q = similarity.rotate_vectors(
+        emb.filter(F.col("vec_id").isin(_QUERY_IDS)),
+        ident, out_col="embedding",
+    )
+    return similarity.pq_score_queries(
+        codes.withColumnRenamed("vec_id", "neighbor_id"),
+        similarity.pq_prepare_queries(rotated_q, books, dim=_PQ_DIM),
+        books, k=10, exclude_self=True,
+    )
+
+
 _TOPK_SQL = f"""
 WITH corpus AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -5260,6 +5312,13 @@ QUERIES: dict[str, QuerySpec] = {
         expect_rows=(50, 50),
         rows_oracle="SELECT 50",
     ),
+    "embedding_hnsw_exhaustive": QuerySpec(
+        _q_embedding_hnsw_exhaustive, _TOPK_SQL,
+        "FULL-ORACLE degenerate twin of embedding_hnsw_topk: one "
+        "shard + ef_search ≥ N makes the real graph build & greedy "
+        "traversal exhaustive ⇒ ≡ exact cosine top-10 "
+        "(embedding_topk's oracle)",
+    ),
     "embedding_ann_lsh": QuerySpec(
         _q_lsh_ann_topk, _lsh_ann_sql(),
         "random-hyperplane LSH ANN top-10 (scale path; recall vs brute "
@@ -5298,6 +5357,13 @@ QUERIES: dict[str, QuerySpec] = {
             "SELECT (SELECT count(*) FROM embeddings "
             "WHERE vec_id IN (0, 1, 2, 3, 4)) * 10"
         ),
+    ),
+    "embedding_opq_identity": QuerySpec(
+        _q_embedding_opq_identity, _pq_ann_sql(),
+        "FULL-ORACLE degenerate twin of embedding_opq_topk: identity "
+        "rotation through the REAL OPQ machinery (rotate fold, "
+        "opq_encode combined stamp, verify, encoded-table ADC) ⇒ ≡ "
+        "plain PQ (embedding_pq_topk's unrolled-Lloyd oracle)",
     ),
     "embedding_ivf_pq_refine_topk": QuerySpec(
         _q_ivf_pq_refine_topk, _ivf_pq_res_sql(refine=(_REFINE_R, 10)),
