@@ -1285,6 +1285,68 @@ def _pq_sub_sqdist(j: int, cvec: list[float]) -> Column:
     )
 
 
+def normalize_vectors(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Unit-normalize every vector in one zero-shuffle projection —
+    the FAISS ``IndexPreTransform(L2norm)`` pre-transform.  On unit
+    vectors ‖q−x‖² = 2 − 2·cos(q,x), so L2-trained/L2-ranked PQ codes
+    order EXACTLY like cosine — the standard fix for the ADC metric
+    mismatch (raw-vector L2 ADC ranks by magnitude as much as angle;
+    SCALE.md's sf10 table measured raw-PQ ADC-only recall 0.10–0.34
+    on this corpus).  Zero vectors pass through unchanged (no NaNs).
+
+    Engine-parity shape: norm = sqrt(left-assoc dot(v, v)), then one
+    elementwise divide — the identical expression DuckDB evaluates as
+    ``sqrt(list_dot_product(v, v))`` + ``list_transform``, so the
+    normalized doubles (and everything trained on them) hash equal."""
+    v = _as_double(vec_col)
+    nrm = F.sqrt(_dot(v, v))
+    unit = F.when(nrm == F.lit(0.0), v).otherwise(
+        F.transform(v, lambda x: x / nrm)
+    )
+    return embeddings.select(F.col(id_col), unit.alias(out_col))
+
+
+def pq_norm_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Normalize-then-encode PQ (FAISS ``IndexPreTransform(L2norm,
+    IndexPQ)``): train/encode/serve the standard ADC pipeline on
+    unit vectors, so ascending L2-ADC ranking estimates descending
+    cosine ranking at the SAME m×ksub code budget — the missing
+    operator behind the raw-PQ recall gap (see
+    :func:`normalize_vectors`).  Identical plan shape and cost to
+    :func:`pq_topk`: the normalization folds into the scan
+    projection.  Codebooks, when supplied, must have been trained on
+    NORMALIZED vectors (train with this function or normalize before
+    :func:`pq_train`).
+
+    Output: (query_id, neighbor_id, rank, adc_dist round 6) —
+    adc_dist is the rotated-metric 2−2·cos estimate."""
+    unit = normalize_vectors(
+        embeddings, id_col=id_col, vec_col=vec_col, out_col="_u"
+    )
+    return pq_topk(
+        unit, query_ids, k=k, m=m, ksub=ksub, iters=iters, dim=dim,
+        codebooks=codebooks, id_col=id_col, vec_col="_u",
+    )
+
+
 def pq_encode(
     embeddings: DataFrame,
     codebooks: list[list[list[float]]],
@@ -2992,6 +3054,7 @@ def ann_operating_points(
         "opq_ivf_pq_res": opq_ivf_pq_res_topk,
         "ivf_pq_refine": ivf_pq_refine_topk,
         "hnsw": hnsw_topk,
+        "pq_norm": pq_norm_topk,
     }
     ivf_family = {"ivf", "ivf_pq", "ivf_pq_res", "opq_ivf_pq_res"}
     report = []
@@ -3000,7 +3063,7 @@ def ann_operating_points(
         label = p.pop("label")
         method = p.pop("method")
         kw = dict(p)
-        if method in ("lsh", "pq", "opq", "ivf_pq", "ivf_pq_res",
+        if method in ("lsh", "pq", "pq_norm", "opq", "ivf_pq", "ivf_pq_res",
                       "opq_ivf_pq_res", "ivf_pq_refine"):
             kw.setdefault("dim", dim)
         got = {
@@ -3010,7 +3073,7 @@ def ann_operating_points(
                 id_col=id_col, vec_col=vec_col, **kw,
             ).collect()
         }
-        if method in ("int8", "pq", "opq"):
+        if method in ("int8", "pq", "pq_norm", "opq"):
             cands = n_q * (n_corpus - 1)
         elif method == "lsh":
             cands = lsh_candidates(

@@ -2016,6 +2016,86 @@ def _get_ivf_pq_codes(spark, sf_dir, emb):
     )
 
 
+def _pq_norm_ann_sql() -> str:
+    """Normalize-then-encode PQ oracle: one unit-normalization CTE
+    (sqrt(list_dot_product) + list_transform — the byte-equal twin of
+    similarity.normalize_vectors' expression), then the standard
+    unrolled-Lloyd / argmin-encode / ADC chain over its slices."""
+    unit = """unitsrc AS (
+  SELECT vec_id,
+         CASE WHEN nrm = 0 THEN v
+              ELSE list_transform(v, x -> x / nrm) END AS u
+  FROM (
+    SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings)
+  )
+)"""
+    return _pq_ann_sql(
+        pre_cte=unit,
+        src_for=lambda j, lo, hi: (
+            f"(SELECT vec_id, u[{lo}:{hi}] AS v FROM unitsrc)"
+        ),
+    )
+
+
+_PQ_NORM_INDEX_CACHE: dict[tuple, list] = {}
+
+
+def _get_pq_norm_codebooks(spark, sf_dir, emb):
+    """Unit-space PQ codebooks under the load-or-train artifact
+    contract of :func:`_get_pq_codebooks` (own disk kind — codes and
+    books trained in the normalized space must never pair with the
+    raw-space artifacts)."""
+    import os
+
+    from .dam import _index_path
+
+    serving = os.environ.get("SPARK_DAM_SHARE_FRAMES") == "1"
+    key = (
+        os.path.realpath(sf_dir), _PQ_M, _PQ_KSUB, _PQ_ITERS, "norm",
+    )
+    books = _PQ_NORM_INDEX_CACHE.get(key) if serving else None
+    if books is None:
+        path = (
+            _index_path("pq_norm_codebooks", sf_dir) if serving else None
+        )
+        n = emb.count() if path is not None else None
+        if path is not None and os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            try:
+                books = similarity.load_pq_index(spark, path, expect_n=n)
+            except ValueError:
+                books = None  # stale artifact → retrain below
+        if books is None:
+            books = similarity.pq_train(
+                similarity.normalize_vectors(emb),
+                m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, dim=_PQ_DIM,
+            )
+            if path is not None:
+                similarity.save_pq_index(spark, books, path, n_corpus=n)
+        if serving:
+            _PQ_NORM_INDEX_CACHE[key] = books
+    return books
+
+
+def _q_embedding_pq_norm_topk(spark, sf_dir):
+    """Normalize-then-encode PQ ADC top-10 (round-12 verdict ask #3;
+    FAISS IndexPreTransform(L2norm, IndexPQ)): on unit vectors
+    L2-ADC order estimates cosine order, closing the raw-PQ metric
+    mismatch (sf10 ADC-only recall 0.10–0.34 raw → see SCALE.md's
+    pq_norm row) at identical plan shape and code budget.  Full
+    DuckDB oracle: the normalization CTE feeds the same
+    unrolled-Lloyd chain as embedding_pq_topk's oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _get_pq_norm_codebooks(spark, sf_dir, emb)
+    return similarity.pq_norm_topk(
+        emb, _QUERY_IDS, k=10, m=_PQ_M, ksub=_PQ_KSUB,
+        iters=_PQ_ITERS, dim=_PQ_DIM, codebooks=books,
+    )
+
+
 def _q_pq_ann_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     books = _get_pq_codebooks(spark, sf_dir, emb)
@@ -2128,18 +2208,33 @@ def _pq_sub_ctes(
     return ",\n".join(parts)
 
 
-def _pq_ann_sql() -> str:
+def _pq_ann_sql(
+    *, pre_cte: str = "", src_for=None
+) -> str:
     """ADC oracle: per-subspace codebooks re-derived by the same
     unrolled decimal Lloyd the Spark side runs (so they match
     bit-for-bit), corpus encoded per subspace by argmin, and the
     asymmetric distance recovered per subspace by joining the code
     back to its centroid — summed j-ascending, the exact operation
-    order of similarity.pq_topk's CASE-sum expression."""
+    order of similarity.pq_topk's CASE-sum expression.
+
+    ``pre_cte``/``src_for(j, lo, hi)`` re-substrate the whole chain
+    (the normalized-vector gate prepends a unit-normalization CTE
+    and slices it instead of the raw embeddings)."""
     m, ksub, iters, dim = _PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_DIM
     dsub = dim // m
     subs = ",\n".join(
-        _pq_sub_ctes(j, j * dsub + 1, dsub, ksub, iters) for j in range(m)
+        _pq_sub_ctes(
+            j, j * dsub + 1, dsub, ksub, iters,
+            src=(
+                src_for(j, j * dsub + 1, (j + 1) * dsub)
+                if src_for is not None else None
+            ),
+        )
+        for j in range(m)
     )
+    if pre_cte:
+        subs = pre_cte + ",\n" + subs
     qids = ", ".join(str(i) for i in _QUERY_IDS)
     enc_joins = "\n  ".join(
         f"JOIN p{j}e e{j} ON e{j}.vec_id = e0.vec_id" for j in range(1, m)
@@ -5343,6 +5438,13 @@ QUERIES: dict[str, QuerySpec] = {
         "shape): per-subspace decimal-exact codebooks, zero-shuffle "
         "argmin encode, asymmetric distance from codes — full DuckDB "
         "oracle re-deriving the codebooks by unrolled Lloyd",
+    ),
+    "embedding_pq_norm_topk": QuerySpec(
+        _q_embedding_pq_norm_topk, _pq_norm_ann_sql(),
+        "normalize-then-encode PQ ADC top-10 (FAISS L2norm "
+        "pre-transform): unit vectors make L2-ADC order ≡ cosine "
+        "order, fixing the raw-PQ metric mismatch — full oracle "
+        "(normalization CTE + unrolled Lloyd)",
     ),
     "embedding_opq_topk": QuerySpec(
         _q_embedding_opq_topk, None,

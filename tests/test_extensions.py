@@ -1585,6 +1585,74 @@ def test_pq_topk_recall_vs_bruteforce(spark):
     assert recall >= 0.2, f"PQ recall degenerate: {recall:.2f}"
 
 
+def test_pq_norm_fixes_metric_mismatch_on_varying_norm_corpus(spark):
+    """The normalize-then-encode variant's purpose, demonstrated on
+    the corpus regime it exists for: vectors with VARYING magnitudes
+    (norms 0.25–4×), where raw-L2 ADC ranks by magnitude as much as
+    angle while the cosine ground truth ignores magnitude entirely.
+    pq_norm's unit pre-transform restores the metric: its cosine
+    recall must beat raw pq's by a wide margin.  (The bundled sf*
+    embeddings are already unit-norm, so there the two coincide —
+    documented in SCALE.md.)"""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n, d, n_clusters = 240, 64, 8
+    centers = rng.randn(n_clusters, d)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[np.arange(n) % n_clusters] + 0.15 * rng.randn(n, d)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    # the regime under test: spread magnitudes across 16×
+    mags = np.exp(rng.uniform(np.log(0.25), np.log(4.0), size=n))
+    pts = pts * mags[:, None]
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, qids, k=10).collect()
+    }
+
+    def recall(df):
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    r_raw = recall(
+        similarity.pq_topk(emb, qids, k=10, m=8, ksub=32, iters=3)
+    )
+    r_norm = recall(
+        similarity.pq_norm_topk(emb, qids, k=10, m=8, ksub=32, iters=3)
+    )
+    assert r_norm >= r_raw + 0.15, (
+        f"normalization uplift missing: raw={r_raw:.2f} norm={r_norm:.2f}"
+    )
+    assert r_norm >= 0.6, f"pq_norm recall too low: {r_norm:.2f}"
+    # normalization is idempotent on already-unit corpora: same rows
+    unit = similarity.normalize_vectors(emb)
+    a = sorted(map(tuple, similarity.pq_norm_topk(
+        emb, qids, k=10, m=4, ksub=16).collect()))
+    b = sorted(map(tuple, similarity.pq_norm_topk(
+        unit, qids, k=10, m=4, ksub=16).collect()))
+    assert a == b
+
+
+def test_normalize_vectors_zero_vector_passthrough(spark):
+    """Zero vectors survive normalization unchanged (no NaNs) and
+    unit vectors stay bit-identical under a second normalization."""
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 0.0]), (2, [3.0, 0.0, 4.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r.embedding
+        for r in similarity.normalize_vectors(emb).collect()
+    }
+    assert out[1] == [0.0, 0.0, 0.0, 0.0]
+    assert out[2] == [0.6, 0.0, 0.8, 0.0]
+
+
 def test_pq_index_save_load_identical(spark, tmp_path):
     """Persisted PQ codebooks load back bit-identical (doubles
     round-trip parquet exactly): pq_topk over a loaded index returns
