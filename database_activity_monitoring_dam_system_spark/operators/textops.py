@@ -1218,6 +1218,7 @@ def fingerprint_overlap_pairs(
     window: int = 4,
     max_df: int | None = 100,
     min_overlap: int = 2,
+    shuffle_target_rows: int | None = None,
 ) -> DataFrame:
     """Winnowing-based near-duplicate/containment pairs: join docs on
     shared fingerprints, score each pair by shared-fingerprint count
@@ -1230,10 +1231,33 @@ def fingerprint_overlap_pairs(
     bounded by max_df²·F (F = distinct capped fingerprints), linear
     in corpus for fixed max_df. This is the standard scale lever for
     MOSS-style matching.
+
+    The fingerprint-keyed self-join sizes its shuffle to the
+    estimated fingerprint volume (Σ max(len−k+1, 0) × 2/(window+1) —
+    winnowing keeps ~2/(w+1) of positions; one column-pruned
+    pre-pass via ``dedup.data_proportional_partitions``) whenever the
+    estimate exceeds the session default — the executable
+    data-proportional knob of the round-12 verdict; plans at gate
+    scale are untouched.
     """
+    from .dedup import WINDOW_TARGET_ROWS, data_proportional_partitions
+
     fp = winnow_fingerprints(
         docs, id_col=id_col, text_col=text_col, k=k, window=window
     )
+    t = F.col(text_col)
+    n_wide = data_proportional_partitions(
+        docs.filter(t.isNotNull()),
+        F.greatest(F.length(t) - k + 1, F.lit(0))
+        * F.lit(2.0) / F.lit(window + 1.0),
+        target_rows=(
+            WINDOW_TARGET_ROWS
+            if shuffle_target_rows is None
+            else shuffle_target_rows
+        ),
+    )
+    if n_wide is not None:
+        fp = fp.repartition(n_wide, "fingerprint")
     if max_df is not None:
         df_counts = fp.groupBy("fingerprint").agg(
             F.count("*").alias("_df")

@@ -619,6 +619,74 @@ def test_remove_dup_spans_within_doc_and_full_removal(spark):
     assert out[2].removed_chars == len(rows[1][1])
 
 
+def test_data_proportional_partitions_thresholds(spark):
+    """The shuffle-sizing helper: None while the session default
+    covers the estimate; ceil(est/target) above it; capped at
+    max_partitions."""
+    from database_activity_monitoring_dam_system_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, 1000) for i in range(10)], "id long, n long"
+    )
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # 10 000 estimated rows at target 1 000 000 → under default → None
+    assert dedup.data_proportional_partitions(
+        df, F.col("n"), target_rows=1_000_000
+    ) is None
+    # 10 000 rows at target 10 → 1 000 partitions (> session default)
+    got = dedup.data_proportional_partitions(df, F.col("n"), target_rows=10)
+    assert got == 1000 and got > cur
+    # cap wins
+    assert dedup.data_proportional_partitions(
+        df, F.col("n"), target_rows=1, max_partitions=64
+    ) == 64
+    # empty frame → None (estimate 0)
+    empty = df.filter(F.col("id") < 0)
+    assert dedup.data_proportional_partitions(
+        empty, F.col("n"), target_rows=1
+    ) is None
+
+
+def test_window_volume_operators_size_shuffle_without_changing_rows(spark):
+    """Forcing a tiny shuffle_target_rows makes the window-volume
+    operators widen their fp-keyed exchanges (plan gains a
+    data-proportional hashpartitioning) while every output row stays
+    identical — partitioning is plan-side only (round-12 verdict
+    ask #4)."""
+    from database_activity_monitoring_dam_system_spark.operators import dedup, textops
+    from database_activity_monitoring_dam_system_spark.sources.testdata import (
+        load_table,
+    )
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    base = sorted(map(tuple, dedup.remove_dup_spans(docs, k=24).collect()))
+    wide_df = dedup.remove_dup_spans(docs, k=24, shuffle_target_rows=50)
+    assert sorted(map(tuple, wide_df.collect())) == base
+    import re
+
+    plan = wide_df._jdf.queryExecution().optimizedPlan().toString()
+    widths = [
+        int(w)
+        for w in re.findall(r"RepartitionByExpression \[[^\]]+\], (\d+)", plan)
+    ]
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert widths and all(w > cur for w in widths), (widths, cur)
+
+    base_s = sorted(map(tuple, dedup.dup_span_stats(docs, k=24).collect()))
+    wide_s = dedup.dup_span_stats(docs, k=24, shuffle_target_rows=50)
+    assert sorted(map(tuple, wide_s.collect())) == base_s
+
+    base_f = sorted(map(tuple, textops.fingerprint_overlap_pairs(
+        docs).collect()))
+    wide_f = textops.fingerprint_overlap_pairs(
+        docs, shuffle_target_rows=50)
+    assert sorted(map(tuple, wide_f.collect())) == base_f
+
+
 def test_remove_dup_spans_periodic_text_keeps_single_char(spark):
     """Docstring-pinned semantics for SELF-OVERLAPPING periodic text
     (advisor finding, round 12): redundant windows overlapping the

@@ -904,6 +904,117 @@ def test_png_codec_roundtrip_all_filters():
             assert got == (w, h, channels, pixels), (channels, ftype)
 
 
+def test_png_adam7_interlace_roundtrip_and_equivalence():
+    """Adam7 interlaced encode→decode is the identity for every
+    filter type, channel count and awkward geometry (sub-8 images
+    leave passes empty), and decodes to the SAME pixels as the
+    sequential layout — lossless both ways (PNG spec 8.2)."""
+    import hashlib
+
+    from database_activity_monitoring_dam_system_spark.operators import (
+        imagecodec,
+    )
+
+    for channels in (1, 2, 3, 4):
+        for w, h in ((1, 1), (7, 5), (8, 8), (9, 10), (3, 2)):
+            n = w * h * channels
+            seed = hashlib.md5(f"adam7-{channels}-{w}x{h}".encode()).digest()
+            pixels = (seed * (-(-n // 16)))[:n]
+            for ftype in (0, 2, 4):
+                il = imagecodec.encode_png(
+                    w, h, pixels, channels=channels,
+                    filter_type=ftype, interlace=True,
+                )
+                seq = imagecodec.encode_png(
+                    w, h, pixels, channels=channels, filter_type=ftype
+                )
+                assert il[28] == 1 and seq[28] == 0  # IHDR interlace byte
+                assert imagecodec.decode_png(il) == (
+                    w, h, channels, pixels,
+                ), (channels, w, h, ftype)
+                assert imagecodec.decode_png(il) == imagecodec.decode_png(seq)
+
+
+def test_adpcm_codec_roundtrip_and_tables():
+    """IMA ADPCM: the decoder is the spec recurrence (step/index
+    tables, bit-shift diff, int16 clamp); the greedy encoder tracks a
+    20 k-amplitude sine within one step quantum; the WAV container
+    round-trips channels/rate/frame-count; non-IMA tags raise at the
+    honest seam."""
+    import math
+    import struct
+
+    import pytest as _pytest
+
+    from database_activity_monitoring_dam_system_spark.operators import adpcm
+
+    assert len(adpcm.STEP_TABLE) == 89 and adpcm.STEP_TABLE[-1] == 32767
+    assert len(adpcm.INDEX_TABLE) == 16
+    # decode determinism anchors: zero nibbles from (0, 0) stay 0;
+    # nibble 7 from index 88 clamps at int16 max
+    assert adpcm.decode_nibble(0, 0, 0) == (0, 0)
+    assert adpcm.decode_nibble(7, 0, 88) == (32767, 88)
+    assert adpcm.decode_nibble(15, -32000, 88)[0] == -32768
+    for ch in (1, 2):
+        n = 1 + 8 * 25
+        src = [
+            [int(20000 * math.sin(i * 0.05 + c)) for i in range(n)]
+            for c in range(ch)
+        ]
+        dec = adpcm.decode_block(adpcm.encode_block(src), ch)
+        assert [d[0] for d in dec] == [s[0] for s in src]  # header exact
+        err = max(
+            abs(a - b) for d, s in zip(dec, src) for a, b in zip(d, s)
+        )
+        assert err < 2000, err
+        wav = adpcm.encode_ima_wav(src, sample_rate=16000)
+        och, rate, nf, pcm = adpcm.decode_ima_wav(wav)
+        assert (och, rate, nf) == (ch, 16000, n)
+        vals = struct.unpack(f"<{nf * och}h", pcm)
+        assert list(vals[0::och]) == dec[0]
+    # seam: PCM tag routes elsewhere, loudly
+    pcm_fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    riff = (
+        b"WAVEfmt " + struct.pack("<I", len(pcm_fmt)) + pcm_fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with _pytest.raises(NotImplementedError, match="0x0001"):
+        adpcm.decode_ima_wav(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    with _pytest.raises(ValueError, match="RIFF"):
+        adpcm.decode_ima_wav(b"not a wav")
+
+
+def test_adpcm_media_fixture_decodes_via_audio_features(spark):
+    """The compressed-audio gate's plumbing: synth_adpcm_media's
+    payloads route through the wave-reader fallback into the real IMA
+    decoder, and the per-doc stats equal a driver-side replay of the
+    recurrence over md5 nibbles."""
+    import hashlib
+    import struct
+
+    from database_activity_monitoring_dam_system_spark.operators import adpcm
+
+    docs = _docs(spark).limit(8)
+    media = multimodal.synth_adpcm_media(docs)
+    got = {
+        r.media_id: r
+        for r in multimodal.decode_audio_features(media).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        digest = hashlib.md5(
+            ("" if row.text is None else row.text).encode()
+        ).digest()
+        dec = adpcm.decode_block(
+            struct.pack("<hBB", 0, 0, 0) + digest, 1
+        )[0]
+        r = got[row.doc_id]
+        assert (r.n_channels, r.sample_rate, r.n_frames) == (1, 8000, 33)
+        assert (r.c0_min, r.c0_max, r.c0_sum, r.c0_sumsq) == (
+            min(dec), max(dec), sum(dec), sum(v * v for v in dec)
+        )
+        assert r.c1_min is None and r.c1_sum is None
+
+
 def test_jpeg_idct_matches_direct_dct3_definition():
     """The matrix-factored IDCT must agree with a direct O(N^4)
     evaluation of the T.81 A.3.3 DCT-III definition — an independent
@@ -5109,6 +5220,50 @@ def test_hnsw_operating_point_visited_counts(spark):
     ]["candidates_touched"]
     assert rows["h48"]["recall_at_k"] >= rows["h16"]["recall_at_k"] - 1e-9
     assert rows["h48"]["recall_at_k"] >= 0.8
+
+
+def test_hnsw_refine_recall_and_determinism(spark):
+    """The HNSW+exact-refine composition (round-12 verdict ask #5):
+    deeper per-shard shortlists + raw-vector exact-cosine re-rank.
+    On the smoke corpus the union of rerank-deep shard shortlists
+    covers the true top-10, so the output must EQUAL cosine_topk's
+    rows byte-for-byte (same expression, same tie-break); recall
+    must be ≥ the plain sharded-HNSW row's, and the operating-point
+    harness accounts visits + point-fetches."""
+    import pytest as _pytest
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = sorted(
+        map(tuple, similarity.cosine_topk(emb, qids, k=10).collect())
+    )
+    refined = sorted(
+        map(
+            tuple,
+            similarity.hnsw_refine_topk(
+                emb, qids, k=10, rerank=60, n_shards=8
+            ).collect(),
+        )
+    )
+    assert refined == exact
+    with _pytest.raises(ValueError, match="rerank"):
+        similarity.hnsw_refine_topk(emb, qids, k=10, rerank=5)
+    pts = {
+        r["label"]: r
+        for r in similarity.ann_operating_points(
+            emb, qids, k=10,
+            points=[
+                {"label": "h", "method": "hnsw", "ef_search": 48,
+                 "n_shards": 8},
+                {"label": "hr", "method": "hnsw_refine", "rerank": 60,
+                 "ef_search": 48, "n_shards": 8},
+            ],
+        )
+    }
+    assert pts["hr"]["recall_at_k"] >= pts["h"]["recall_at_k"] - 1e-9
+    assert pts["hr"]["recall_at_k"] == 1.0
+    # refine pays visits (deeper ef) plus one fetch per shortlist row
+    assert pts["hr"]["candidates_touched"] > pts["h"]["candidates_touched"]
 
 
 def test_hnsw_zero_row_shard_still_counts_visits(spark):
