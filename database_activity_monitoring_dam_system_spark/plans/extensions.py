@@ -1626,6 +1626,27 @@ def _q_embedding_hnsw_refine_topk(spark, sf_dir):
     )
 
 
+def _q_embedding_hnsw_refine_exhaustive(spark, sf_dir):
+    """Degenerate-config FULL-ORACLE twin of
+    embedding_hnsw_refine_topk: one shard with ef_search ≥ corpus
+    size makes the per-shard greedy shortlist the EXACT top-rerank
+    (same exhaustive argument as embedding_hnsw_exhaustive), and the
+    refine stage re-ranks that superset by exact cosine and cuts to
+    top-10 — so the whole composition (graph build → rerank-deep
+    traversal → shortlist merge → exact_cosine_rerank point-lookup
+    tail) must reproduce the exact cosine top-10 and shares
+    embedding_topk's DuckDB oracle.  Together with
+    embedding_hnsw_exhaustive this gives every stage of the refine
+    serving path driver value-verification; the serving-config gate
+    (8 shards, ef 48) stays rows-only because real traversal is not
+    SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hnsw_refine_topk(
+        emb, _QUERY_IDS, k=10, rerank=50,
+        ef_search=emb.count(), n_shards=1,
+    )
+
+
 def _q_embedding_hnsw_exhaustive(spark, sf_dir):
     """Degenerate-config FULL-ORACLE twin of embedding_hnsw_topk
     (round-12 verdict ask #2): n_shards=1 and ef_search ≥ corpus size
@@ -1704,6 +1725,109 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= 10
 """
+
+
+_FILTERED_PRED = "label = 3"
+
+_FILTERED_TOPK_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+  FROM corpus
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn
+  FROM norms WHERE vec_id IN ({", ".join(str(i) for i in _QUERY_IDS)})
+),
+scored AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+         list_dot_product(q.qv, n.v) / (q.qn * n.nrm) AS cosine
+  FROM q JOIN norms n ON n.vec_id != q.query_id
+  WHERE n.{_FILTERED_PRED}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _q_embedding_filtered_topk(spark, sf_dir):
+    """Predicate-constrained vector search (filtered ANN — the
+    planning decision every production vector store makes): top-10
+    cosine among corpus vectors with label = 3 (~10 % selectivity),
+    queries addressed against the unfiltered corpus.  strategy='auto'
+    measures selectivity in one aggregate and — at 10 % ≤ the 20 %
+    cutoff — picks the PRE-FILTER exact path (subset scan, broadcast
+    query join), so the gate result is exact and the auto decision
+    rule itself is what's exercised.  The graph post-filter path is
+    value-pinned by embedding_filtered_graph_exhaustive below."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.filtered_topk(
+        emb, _QUERY_IDS, predicate=_FILTERED_PRED, k=10,
+        strategy="auto",
+    )
+
+
+def _q_embedding_filtered_graph_exhaustive(spark, sf_dir):
+    """Degenerate-config FULL-ORACLE twin for the filtered-HNSW
+    traversal path: one shard with ef_search ≥ corpus size never
+    terminates early (the allowed-only result heap stays below ef
+    whenever the filter excludes anything), so navigation reaches
+    every node, every allowed node's exact distance enters the heap,
+    and the output is the exact filtered top-10 — sharing
+    embedding_filtered_topk's oracle while executing the REAL
+    full-corpus graph build, the blocked-node navigation, and the
+    allowed-mask admission logic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hnsw_filtered_topk(
+        emb, _QUERY_IDS, predicate=_FILTERED_PRED, k=10,
+        ef_search=emb.count(), n_shards=1,
+    )
+
+
+_KNN_GRAPH_SQL = """
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+norms AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus
+),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cosine
+  FROM norms q JOIN norms n ON n.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _q_knn_graph(spark, sf_dir):
+    """Exact k-NN GRAPH (top-5 neighbors for EVERY corpus vector —
+    the SemDeDup / dataset-cartography building block): the query
+    side is the corpus itself, distributed via exploded block keys
+    and a shuffled equi-join (no driver id list, no cartesian node),
+    hierarchical per-(query, block) → global top-k reduction.  The
+    oracle is the full quadratic ranking — exactness is the claim,
+    the blocked fan-out is just the distribution strategy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(emb, k=5, n_blocks=16)
 
 
 def _q_lsh_ann_topk(spark, sf_dir):
@@ -5542,6 +5666,32 @@ QUERIES: dict[str, QuerySpec] = {
         expect_columns=("query_id", "neighbor_id", "rank", "cosine"),
         expect_rows=(50, 50),
         rows_oracle="SELECT 50",
+    ),
+    "knn_graph": QuerySpec(
+        _q_knn_graph, _KNN_GRAPH_SQL,
+        "exact k-NN graph: top-5 cosine neighbors for EVERY corpus "
+        "vector — distributed query side (exploded block keys + "
+        "shuffled equi-join), hierarchical top-k; full quadratic "
+        "oracle",
+    ),
+    "embedding_filtered_topk": QuerySpec(
+        _q_embedding_filtered_topk, _FILTERED_TOPK_SQL,
+        "predicate-constrained vector search (label = 3, ~10 % "
+        "selectivity): auto strategy measures selectivity in one "
+        "aggregate and picks the pre-filter exact path — full oracle",
+    ),
+    "embedding_filtered_graph_exhaustive": QuerySpec(
+        _q_embedding_filtered_graph_exhaustive, _FILTERED_TOPK_SQL,
+        "FULL-ORACLE degenerate twin of the filtered-HNSW traversal: "
+        "one shard + ef ≥ N is exhaustive over allowed nodes ⇒ exact "
+        "filtered top-10 through the real blocked-node navigation",
+    ),
+    "embedding_hnsw_refine_exhaustive": QuerySpec(
+        _q_embedding_hnsw_refine_exhaustive, _TOPK_SQL,
+        "FULL-ORACLE degenerate twin of embedding_hnsw_refine_topk: "
+        "one shard + ef_search ≥ N makes the rerank-deep shortlist "
+        "the exact top-50, so the full refine composition ≡ exact "
+        "cosine top-10 (embedding_topk's oracle)",
     ),
     "embedding_hnsw_exhaustive": QuerySpec(
         _q_embedding_hnsw_exhaustive, _TOPK_SQL,

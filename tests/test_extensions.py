@@ -5266,6 +5266,155 @@ def test_hnsw_refine_recall_and_determinism(spark):
     assert pts["hr"]["candidates_touched"] > pts["h"]["candidates_touched"]
 
 
+def test_filtered_topk_exact_and_graph_paths_agree(spark):
+    """Filtered vector search: the pre-filter exact path and the
+    exhaustive-config filtered-HNSW traversal are INDEPENDENT
+    implementations of the same semantics (subset scan vs full-graph
+    navigation with allowed-mask admission) — they must return
+    identical rows, every neighbor must satisfy the predicate, and
+    queries must resolve against the UNFILTERED corpus (a query that
+    fails its own filter still gets answers)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    # pick queries with label != 3 so the query-side-unfiltered rule
+    # is actually exercised
+    qids = [
+        int(r[0])
+        for r in emb.filter("label != 3")
+        .select("vec_id").orderBy("vec_id").limit(4).collect()
+    ]
+    exact = sorted(map(tuple, similarity.filtered_topk(
+        emb, qids, predicate="label = 3", k=10, strategy="exact",
+    ).collect()))
+    graph = sorted(map(tuple, similarity.hnsw_filtered_topk(
+        emb, qids, predicate="label = 3", k=10,
+        ef_search=emb.count(), n_shards=1,
+    ).collect()))
+    assert exact == graph
+    assert len(exact) == 4 * 10
+    allowed = {
+        int(r[0]) for r in emb.filter("label = 3")
+        .select("vec_id").collect()
+    }
+    assert all(row[1] in allowed for row in exact)
+    # two-run determinism of the serving config
+    serving = similarity.hnsw_filtered_topk(
+        emb, qids, predicate="label = 3", k=10,
+        ef_search=64, n_shards=4,
+    )
+    r1 = sorted(map(tuple, serving.collect()))
+    r2 = sorted(map(tuple, serving.collect()))
+    assert r1 == r2
+    assert all(row[1] in allowed for row in r1)
+
+
+def test_filtered_topk_auto_strategy_picks_by_selectivity(spark):
+    """The auto planner: selective predicate (~10 % pass) → exact
+    pre-filter (no pandas traversal in the plan); permissive
+    predicate (~90 % pass) → graph post-filter (FlatMapGroupsInPandas
+    present).  The decision is observable in the physical plan."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qids = [0, 1, 2]
+    selective = similarity.filtered_topk(
+        emb, qids, predicate="label = 3", k=5, strategy="auto",
+    )
+    plan_sel = selective._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan_sel
+    permissive = similarity.filtered_topk(
+        emb, qids, predicate="label != 3", k=5, strategy="auto",
+    )
+    plan_perm = (
+        permissive._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInPandas" in plan_perm
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        similarity.filtered_topk(
+            emb, qids, predicate="label = 3", strategy="nope",
+        )
+
+
+def test_hnsw_filtered_navigates_through_blocked_nodes(spark):
+    """The filtered traversal must reach an allowed region whose
+    graph approaches run THROUGH blocked nodes (the reason blocked
+    nodes stay navigable instead of being pruned from the graph): a
+    chain corpus where the target cluster's only close neighbors are
+    blocked still returns the exact filtered answer exhaustively."""
+    import math
+
+    rows = []
+    # a 1-D chain in angle space: vectors on the unit circle, ids in
+    # walk order; even ids blocked, odd allowed
+    for i in range(40):
+        ang = i * 0.07
+        rows.append((i, [math.cos(ang), math.sin(ang)], i % 2))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, flag int"
+    )
+    got = similarity.hnsw_filtered_topk(
+        emb, [0], predicate="flag = 1", k=5,
+        ef_search=40, n_shards=1,
+    ).collect()
+    # exact answer: nearest odd ids to angle 0 are 1, 3, 5, 7, 9
+    assert [r.neighbor_id for r in got] == [1, 3, 5, 7, 9]
+
+
+def test_knn_graph_matches_per_query_exact_topk(spark):
+    """The exact k-NN graph restricted to a query subset must equal
+    cosine_topk for that subset (same expression, same tie-break) —
+    and every corpus vector must get exactly k rows.  Also pins
+    block-count invariance: the fan-out width is a distribution
+    knob, never a semantics knob."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    g = similarity.knn_graph(emb, k=5, n_blocks=16)
+    assert g.count() == n * 5
+    qids = [0, 7, 31]
+    sub = sorted(map(tuple, g.filter(
+        F.col("query_id").isin(qids)
+    ).collect()))
+    ref = sorted(map(tuple, similarity.cosine_topk(
+        emb, qids, k=5
+    ).collect()))
+    assert sub == ref
+    g3 = similarity.knn_graph(emb, k=5, n_blocks=3)
+    assert sorted(map(tuple, g3.filter(
+        F.col("query_id").isin(qids)
+    ).collect())) == ref
+
+
+def test_knn_graph_hnsw_degenerate_equals_exact_and_serving_recall(
+    spark,
+):
+    """knn_graph_hnsw at n_shards=1, ef ≥ N is exhaustive ⇒ must
+    equal the exact knn_graph row-for-row; at a serving config the
+    per-query recall against the exact graph clears the same floor
+    the fixed-query HNSW gates pin."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(120)
+    exact = sorted(map(tuple, similarity.knn_graph(
+        emb, k=5, n_blocks=4
+    ).collect()))
+    exhaustive = sorted(map(tuple, similarity.knn_graph_hnsw(
+        emb, k=5, ef_search=120, n_shards=1
+    ).collect()))
+    assert exhaustive == exact
+    serving = similarity.knn_graph_hnsw(
+        emb, k=5, ef_search=48, n_shards=4
+    ).collect()
+    exact_sets: dict[int, set[int]] = {}
+    for q, nb, _, _ in exact:
+        exact_sets.setdefault(q, set()).add(nb)
+    got_sets: dict[int, set[int]] = {}
+    for r in serving:
+        got_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(
+        len(got_sets.get(q, set()) & nbs)
+        for q, nbs in exact_sets.items()
+    )
+    recall = hits / sum(len(v) for v in exact_sets.values())
+    assert recall >= 0.8, recall
+
+
 def test_hnsw_zero_row_shard_still_counts_visits(spark):
     """Advisor finding (round 12): a (query, shard) search whose only
     node is the query itself returns zero neighbor rows, but its
