@@ -3797,6 +3797,7 @@ def knn_graph(
     *,
     k: int = 10,
     n_blocks: int = 16,
+    q_blocks: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -3807,11 +3808,19 @@ def knn_graph(
 
     Unlike :func:`cosine_topk` the query side is the corpus itself,
     so nothing is broadcast and no id list ever touches the driver:
-    the corpus blocks by ``id % n_blocks``, each vector fans out to
-    every block through an exploded block key, and the two sides
-    meet in a COGROUPED applyInPandas (never a cartesian product
-    node) — Arrow batches in, one numpy matmul per block, per-block
-    top-k by the engine tie-break (cos desc, id asc) out.
+    the work tiles like a BLOCKED MATRIX MULTIPLY — corpus rows key
+    by ``id % n_blocks``, query rows by ``id % q_blocks``, each side
+    explodes across the other's block axis, and every
+    (query-block × corpus-block) TILE meets in one cogrouped
+    applyInPandas group (never a cartesian product node): Arrow
+    batches in, one numpy dgemm per tile, per-tile top-k by the
+    engine tie-break (cos desc, id asc) out.  Both group dimensions
+    are bounded — N/n_blocks corpus rows and N/q_blocks query rows
+    per group — so no group ever holds the whole corpus or the whole
+    query side; scale either knob with N to keep tiles
+    executor-sized (the replication factor is q_blocks copies of the
+    corpus + n_blocks copies of the queries, the standard
+    communication cost of a blocked product).
 
     Exactness costs Θ(N²) score work — inherent to an exact k-NN
     join — so the kernel runs where quadratic math belongs: ONE
@@ -3832,14 +3841,25 @@ def knn_graph(
     nodes = embeddings.select(
         F.col(id_col).alias("_id"),
         _as_double(vec_col).alias("_v"),
-        (F.col(id_col) % n_blocks).alias("_blk"),
+        (F.col(id_col) % n_blocks).alias("_nb"),
+    ).withColumn(
+        # cast to long: the key columns must hash identically on both
+        # cogroup sides, and the % keys are BIGINT (an INT literal key
+        # hash-partitions differently and silently unpairs the tiles)
+        "_qb",
+        F.explode(
+            F.array(*[F.lit(b).cast("long") for b in range(q_blocks)])
+        ),
     )
     queries = embeddings.select(
         F.col(id_col).alias("_qid"),
         _as_double(vec_col).alias("_qv"),
+        (F.col(id_col) % q_blocks).alias("_qb"),
     ).withColumn(
-        "_blk",
-        F.explode(F.array(*[F.lit(b) for b in range(n_blocks)])),
+        "_nb",
+        F.explode(
+            F.array(*[F.lit(b).cast("long") for b in range(n_blocks)])
+        ),
     )
     schema = "query_id long, neighbor_id long, cosine double"
     kk = k
@@ -3867,29 +3887,35 @@ def knn_graph(
         )
         q_nrm = np.linalg.norm(q_mat, axis=1)
         q_nrm[q_nrm == 0] = 1.0
-        # the quadratic kernel: one dgemm for the whole block
-        cos = (q_mat / q_nrm[:, None]) @ (n_mat / n_nrm[:, None]).T
+        q_unit = q_mat / q_nrm[:, None]
+        n_unit_t = (n_mat / n_nrm[:, None]).T
         out_q, out_n, out_c = [], [], []
-        for qi in range(len(q_ids)):
-            row = cos[qi]
-            # exclude self; per-block top-k by (cos desc, id asc) —
-            # lexsort's LAST key is primary
-            mask = n_ids != q_ids[qi]
-            cand_ids = n_ids[mask]
-            cand_cos = row[mask]
-            if len(cand_ids) == 0:
-                continue
-            order = np.lexsort((cand_ids, -cand_cos))[:kk]
-            out_q.extend([int(q_ids[qi])] * len(order))
-            out_n.extend(int(i) for i in cand_ids[order])
-            out_c.extend(float(c) for c in cand_cos[order])
+        # chunk the dgemm so the tile's score matrix stays bounded
+        # (chunk × |tile nodes| doubles) whatever knobs the caller set
+        chunk = 8192
+        for c0 in range(0, len(q_ids), chunk):
+            cos = q_unit[c0:c0 + chunk] @ n_unit_t
+            for ci in range(cos.shape[0]):
+                qi = c0 + ci
+                row = cos[ci]
+                # exclude self; per-tile top-k by (cos desc, id asc)
+                # — lexsort's LAST key is primary
+                mask = n_ids != q_ids[qi]
+                cand_ids = n_ids[mask]
+                cand_cos = row[mask]
+                if len(cand_ids) == 0:
+                    continue
+                order = np.lexsort((cand_ids, -cand_cos))[:kk]
+                out_q.extend([int(q_ids[qi])] * len(order))
+                out_n.extend(int(i) for i in cand_ids[order])
+                out_c.extend(float(c) for c in cand_cos[order])
         return pd.DataFrame(
             {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
         )
 
     candidates = (
-        nodes.groupBy("_blk")
-        .cogroup(queries.groupBy("_blk"))
+        nodes.groupBy("_qb", "_nb")
+        .cogroup(queries.groupBy("_qb", "_nb"))
         .applyInPandas(per_block, schema)
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -3944,8 +3970,12 @@ def knn_graph_hnsw(
         F.col(id_col).alias("_qid"),
         _as_double(vec_col).alias("_qv"),
     ).withColumn(
+        # long, matching the % key's type — mismatched cogroup key
+        # types hash-partition differently per side (see knn_graph)
         "_shard",
-        F.explode(F.array(*[F.lit(s) for s in range(n_shards)])),
+        F.explode(
+            F.array(*[F.lit(s).cast("long") for s in range(n_shards)])
+        ),
     )
     schema = "query_id long, neighbor_id long, cosine double"
     mm, efc, efs, kk = m, ef_construction, ef_search, k

@@ -5377,7 +5377,7 @@ def test_knn_graph_matches_per_query_exact_topk(spark):
         emb, qids, k=5
     ).collect()))
     assert sub == ref
-    g3 = similarity.knn_graph(emb, k=5, n_blocks=3)
+    g3 = similarity.knn_graph(emb, k=5, n_blocks=3, q_blocks=5)
     assert sorted(map(tuple, g3.filter(
         F.col("query_id").isin(qids)
     ).collect())) == ref
