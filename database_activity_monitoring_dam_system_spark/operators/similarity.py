@@ -3836,12 +3836,50 @@ def knn_graph(
 
     Output: (query_id, neighbor_id, rank, cosine round 6), k rows
     per corpus vector."""
+    candidates = _knn_tiles(
+        embeddings.select(
+            F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
+        ),
+        embeddings.select(
+            F.col(id_col).alias("_qid"),
+            _as_double(vec_col).alias("_qv"),
+        ),
+        k=k, n_blocks=n_blocks, q_blocks=q_blocks,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def _knn_tiles(
+    nodes_iv: DataFrame,
+    queries_iv: DataFrame,
+    *,
+    k: int,
+    n_blocks: int,
+    q_blocks: int,
+) -> DataFrame:
+    """The blocked exact-scoring kernel shared by :func:`knn_graph`
+    and :func:`knn_graph_update`: ``nodes_iv`` (_id, _v) ×
+    ``queries_iv`` (_qid, _qv) tiled into (query-block × node-block)
+    cogroups, one chunked dgemm per tile, per-tile top-k by the
+    engine tie-break.  Returns UNROUNDED (query_id, neighbor_id,
+    cosine) candidates — the union over node blocks contains each
+    query's true top-k against the node set; callers rank globally
+    and round at their output boundary."""
     import numpy as np
 
-    nodes = embeddings.select(
-        F.col(id_col).alias("_id"),
-        _as_double(vec_col).alias("_v"),
-        (F.col(id_col) % n_blocks).alias("_nb"),
+    nodes = nodes_iv.select(
+        "_id", "_v",
+        (F.col("_id") % n_blocks).alias("_nb"),
     ).withColumn(
         # cast to long: the key columns must hash identically on both
         # cogroup sides, and the % keys are BIGINT (an INT literal key
@@ -3851,10 +3889,9 @@ def knn_graph(
             F.array(*[F.lit(b).cast("long") for b in range(q_blocks)])
         ),
     )
-    queries = embeddings.select(
-        F.col(id_col).alias("_qid"),
-        _as_double(vec_col).alias("_qv"),
-        (F.col(id_col) % q_blocks).alias("_qb"),
+    queries = queries_iv.select(
+        "_qid", "_qv",
+        (F.col("_qid") % q_blocks).alias("_qb"),
     ).withColumn(
         "_nb",
         F.explode(
@@ -3890,33 +3927,184 @@ def knn_graph(
         q_unit = q_mat / q_nrm[:, None]
         n_unit_t = (n_mat / n_nrm[:, None]).T
         out_q, out_n, out_c = [], [], []
+        nn = len(n_ids)
         # chunk the dgemm so the tile's score matrix stays bounded
         # (chunk × |tile nodes| doubles) whatever knobs the caller set
         chunk = 8192
         for c0 in range(0, len(q_ids), chunk):
             cos = q_unit[c0:c0 + chunk] @ n_unit_t
+            # self-exclusion, vectorized across the chunk
+            cos[n_ids[None, :] == q_ids[c0:c0 + chunk, None]] = -np.inf
+            if nn > kk:
+                # vectorized candidate cut: argpartition finds the
+                # k-th VALUE per row (tie membership arbitrary), then
+                # the per-row refine keeps every candidate at or
+                # above that value so the exact (cos desc, id asc)
+                # tie-break decides — never argpartition's whim
+                part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+                th = np.take_along_axis(cos, part, 1).min(axis=1)
+            else:
+                th = np.full(cos.shape[0], -np.inf)
             for ci in range(cos.shape[0]):
-                qi = c0 + ci
                 row = cos[ci]
-                # exclude self; per-tile top-k by (cos desc, id asc)
-                # — lexsort's LAST key is primary
-                mask = n_ids != q_ids[qi]
-                cand_ids = n_ids[mask]
-                cand_cos = row[mask]
-                if len(cand_ids) == 0:
+                # isfinite keeps the -inf self marker out even when
+                # the threshold itself is -inf (nn <= k tiles)
+                sel = np.nonzero(
+                    (row >= th[ci]) & np.isfinite(row)
+                )[0]
+                if len(sel) == 0:
                     continue
-                order = np.lexsort((cand_ids, -cand_cos))[:kk]
-                out_q.extend([int(q_ids[qi])] * len(order))
-                out_n.extend(int(i) for i in cand_ids[order])
-                out_c.extend(float(c) for c in cand_cos[order])
+                order = sel[np.lexsort((n_ids[sel], -row[sel]))][:kk]
+                out_q.extend([int(q_ids[c0 + ci])] * len(order))
+                out_n.extend(int(i) for i in n_ids[order])
+                out_c.extend(float(c) for c in row[order])
         return pd.DataFrame(
             {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
         )
 
-    candidates = (
+    return (
         nodes.groupBy("_qb", "_nb")
         .cogroup(queries.groupBy("_qb", "_nb"))
         .applyInPandas(per_block, schema)
+    )
+
+
+def knn_graph_update(
+    prev: DataFrame,
+    old_embeddings: DataFrame,
+    new_embeddings: DataFrame,
+    *,
+    k: int = 10,
+    n_blocks: int = 16,
+    q_blocks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental k-NN-graph maintenance (crawl-delta fold —
+    corpus_diff's discipline applied to the graph artifact): given
+    ``prev`` = knn_graph(old corpus, k) and the old/new corpus
+    snapshots, produce knn_graph(new corpus, k) while rescoring only
+    what the delta can touch.
+
+    The exactness argument, per query class:
+
+    * UNAFFECTED (id in both snapshots, vector unchanged, and no
+      prev neighbor is gone): any new-corpus vector outside the
+      delta that beats the query's old k-th neighbor would have had
+      to beat it in the old corpus too (removals only promote) — so
+      the new top-k ⊆ prev top-k ∪ delta rows, and it suffices to
+      score the query against the DELTA ADDS and merge with its
+      carried prev pairs.
+    * TAINTED (some prev neighbor removed or changed): the vacancy
+      can promote ANY corpus vector, so the query rescans the full
+      new corpus (same tiled kernel).
+    * NEW or CHANGED queries: full scan, same reason.
+
+    Work: |delta adds| × |kept queries| + N × |tainted ∪ new ∪
+    changed| — linear in the delta when churn is local, degrading
+    gracefully to the full rebuild when every list is touched.
+    Carried prev pairs are RE-SCORED from the new corpus's raw
+    vectors (unit-dot, the tile kernel's formula) rather than
+    trusting prev's rounded output column, so fold and rebuild rank
+    on same-precision values; the fold ≡ rebuild equality is
+    pytest-pinned and the driver gate shares knn_graph's full
+    quadratic oracle.
+
+    Output: (query_id, neighbor_id, rank, cosine round 6)."""
+    old_v = old_embeddings.select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_ov")
+    )
+    new_v = new_embeddings.select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_nv")
+    )
+    cls = old_v.join(new_v, "_id", "full_outer").select(
+        "_id",
+        F.col("_nv").isNotNull().alias("_in_new"),
+        F.col("_ov").isNotNull().alias("_in_old"),
+        F.col("_nv").eqNullSafe(F.col("_ov")).alias("_same"),
+        "_nv",
+    )
+    # gone as a NEIGHBOR: removed or changed old ids — their presence
+    # in a prev list invalidates that list's cut
+    gone = cls.filter("_in_old AND NOT _same").select("_id")
+    tainted = (
+        prev.join(
+            gone.withColumnRenamed("_id", "neighbor_id"),
+            "neighbor_id", "left_semi",
+        )
+        .select(F.col("query_id").alias("_id"))
+        .distinct()
+    )
+    same_ids = cls.filter("_same").select("_id")
+    keep_q = same_ids.join(tainted, "_id", "left_anti")
+    # full-rescan queries: new/changed ids, plus tainted survivors
+    full_q = (
+        cls.filter("_in_new AND NOT _same")
+        .select("_id")
+        .unionByName(tainted.join(same_ids, "_id", "left_semi"))
+        .distinct()
+    )
+    delta_add = cls.filter("_in_new AND NOT _same").select(
+        "_id", F.col("_nv").alias("_v")
+    )
+    new_iv = new_embeddings.select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
+    )
+
+    # carried pairs, re-scored from raw vectors at full precision
+    kept_pairs = prev.join(
+        keep_q.withColumnRenamed("_id", "query_id"),
+        "query_id", "left_semi",
+    ).select("query_id", "neighbor_id")
+    qv = new_iv.select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("_qv")
+    )
+    nv = new_iv.select(
+        F.col("_id").alias("neighbor_id"), F.col("_v").alias("_nvv")
+    )
+    rescore_in = kept_pairs.join(qv, "query_id").join(nv, "neighbor_id")
+
+    def rescore(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array([list(v) for v in pdf["_qv"]], dtype=np.float64)
+            n = np.array([list(v) for v in pdf["_nvv"]], dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            nn = np.linalg.norm(n, axis=1)
+            qn[qn == 0] = 1.0
+            nn[nn == 0] = 1.0
+            cos = np.einsum("ij,ij->i", q / qn[:, None], n / nn[:, None])
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].astype("int64"),
+                    "neighbor_id": pdf["neighbor_id"].astype("int64"),
+                    "cosine": cos,
+                }
+            )
+
+    kept_scored = rescore_in.mapInPandas(
+        rescore, "query_id long, neighbor_id long, cosine double"
+    )
+    kept_queries_iv = new_iv.join(
+        keep_q, "_id", "left_semi"
+    ).select(F.col("_id").alias("_qid"), F.col("_v").alias("_qv"))
+    delta_scored = _knn_tiles(
+        delta_add, kept_queries_iv,
+        k=k, n_blocks=n_blocks, q_blocks=q_blocks,
+    )
+    full_queries_iv = new_iv.join(
+        full_q, "_id", "left_semi"
+    ).select(F.col("_id").alias("_qid"), F.col("_v").alias("_qv"))
+    full_scored = _knn_tiles(
+        new_iv, full_queries_iv,
+        k=k, n_blocks=n_blocks, q_blocks=q_blocks,
+    )
+    candidates = kept_scored.unionByName(delta_scored).unionByName(
+        full_scored
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

@@ -1830,6 +1830,22 @@ def _q_knn_graph(spark, sf_dir):
     return similarity.knn_graph(emb, k=5, n_blocks=16)
 
 
+def _q_incremental_knn_graph(spark, sf_dir):
+    """Incremental k-NN-graph fold ≡ fresh rebuild, value-pinned: the
+    graph built over the synthesized old snapshot (added/changed/
+    removed classes — the same _synth_old_embeddings delta every
+    incremental-index gate folds) is updated with knn_graph_update,
+    and the oracle is knn_graph's full quadratic ranking over the NEW
+    corpus — a hash match proves carry/rescore/taint-rescan/delta
+    merge reproduce the rebuild exactly, through every delta class."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    old_emb = _synth_old_embeddings(emb)
+    prev = similarity.knn_graph(old_emb, k=5, n_blocks=16)
+    return similarity.knn_graph_update(
+        prev, old_emb, emb, k=5, n_blocks=16
+    )
+
+
 def _q_lsh_ann_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, _QUERY_IDS, k=10)
@@ -5673,6 +5689,13 @@ QUERIES: dict[str, QuerySpec] = {
         "vector — distributed query side (exploded block keys + "
         "shuffled equi-join), hierarchical top-k; full quadratic "
         "oracle",
+    ),
+    "incremental_knn_graph": QuerySpec(
+        _q_incremental_knn_graph, _KNN_GRAPH_SQL,
+        "incrementally-folded k-NN graph (carry+rescore unaffected, "
+        "delta-score adds, full-rescan tainted/new queries) must "
+        "equal the fresh rebuild — same quadratic oracle as "
+        "knn_graph",
     ),
     "embedding_filtered_topk": QuerySpec(
         _q_embedding_filtered_topk, _FILTERED_TOPK_SQL,

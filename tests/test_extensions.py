@@ -5383,6 +5383,51 @@ def test_knn_graph_matches_per_query_exact_topk(spark):
     ).collect())) == ref
 
 
+def test_knn_graph_update_fold_equals_rebuild(spark):
+    """knn_graph_update over an old snapshot with all three delta
+    classes (added / changed / removed) must equal the fresh rebuild
+    row-for-row; the no-op delta (old == new) must too — the carried
+    pairs are re-scored from raw vectors, so even the pure-carry path
+    goes through the same precision as the rebuild."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(200)
+    # old snapshot: ids %10==3 absent (adds), %10==7 perturbed
+    # (changed), ephemeral high ids present only in old (removed)
+    perturbed = F.transform(
+        "embedding",
+        lambda x, i: F.when(i == 0, (x + F.lit(1.0)).cast("float"))
+        .otherwise(x),
+    )
+    old = (
+        emb.filter("vec_id % 10 != 3")
+        .select(
+            "vec_id",
+            F.when(F.col("vec_id") % 10 == 7, perturbed)
+            .otherwise(F.col("embedding")).alias("embedding"),
+            "label",
+        )
+        .unionByName(
+            emb.filter("vec_id % 10 == 1").select(
+                (F.col("vec_id") + F.lit(5_000_000)).alias("vec_id"),
+                "embedding", "label",
+            )
+        )
+    )
+    prev = similarity.knn_graph(old, k=5, n_blocks=8)
+    fold = sorted(map(tuple, similarity.knn_graph_update(
+        prev, old, emb, k=5, n_blocks=8
+    ).collect()))
+    rebuild = sorted(map(tuple, similarity.knn_graph(
+        emb, k=5, n_blocks=8
+    ).collect()))
+    assert fold == rebuild
+    # no-op delta
+    prev_full = similarity.knn_graph(emb, k=5, n_blocks=8)
+    noop = sorted(map(tuple, similarity.knn_graph_update(
+        prev_full, emb, emb, k=5, n_blocks=8
+    ).collect()))
+    assert noop == rebuild
+
+
 def test_knn_graph_hnsw_degenerate_equals_exact_and_serving_recall(
     spark,
 ):
