@@ -2958,6 +2958,7 @@ def ann_operating_points(
     }
 
     _ivf_cache: dict[tuple, dict] = {}
+    _filtered_exact_cache: dict[str, set] = {}
 
     def ivf_per_query(n_centroids: int, n_probe: int,
                       refine_iters: int) -> dict:
@@ -3078,6 +3079,7 @@ def ann_operating_points(
         "ivf_pq_refine": ivf_pq_refine_topk,
         "hnsw": hnsw_topk,
         "hnsw_refine": hnsw_refine_topk,
+        "hnsw_filtered": hnsw_filtered_topk,
         "pq_norm": pq_norm_topk,
     }
     ivf_family = {"ivf", "ivf_pq", "ivf_pq_res", "opq_ivf_pq_res"}
@@ -3123,7 +3125,7 @@ def ann_operating_points(
             cands = sum(per_q.values()) + sum(
                 min(rerank, c) for c in per_q.values()
             )
-        elif method in ("hnsw", "hnsw_refine"):
+        elif method in ("hnsw", "hnsw_refine", "hnsw_filtered"):
             # MEASURED: distance evaluations the greedy search made,
             # summed over (query, shard) — the graph's actual touch
             # count, not a formula.  The refine composition adds its
@@ -3157,16 +3159,34 @@ def ann_operating_points(
                 sr.unpersist()
         else:
             cands = None
-        hits = len(got & exact)
+        if method == "hnsw_filtered":
+            # recall reference is the FILTERED exact top-k — the
+            # operating point answers "of the true allowed top-k,
+            # how much did the masked traversal recover"
+            pkey = str(kw["predicate"])
+            if pkey not in _filtered_exact_cache:
+                _filtered_exact_cache[pkey] = {
+                    (r["query_id"], r["neighbor_id"])
+                    for r in filtered_topk(
+                        embeddings, query_ids,
+                        predicate=kw["predicate"], k=k,
+                        strategy="exact",
+                        id_col=id_col, vec_col=vec_col,
+                    ).collect()
+                }
+            ref = _filtered_exact_cache[pkey]
+        else:
+            ref = exact
+        hits = len(got & ref)
         report.append(
             {
                 "label": label,
                 "method": method,
                 "recall_at_k": (
-                    round(hits / len(exact), 4) if exact else None
+                    round(hits / len(ref), 4) if ref else None
                 ),
                 "n_hits": hits,
-                "n_expected": len(exact),
+                "n_expected": len(ref),
                 "candidates_touched": cands,
             }
         )
@@ -3908,25 +3928,21 @@ def _knn_tiles(
             return pd.DataFrame(
                 {"query_id": [], "neighbor_id": [], "cosine": []}
             )
-        n_ids = np.array(
-            [int(x) for x in node_pdf["_id"]], dtype=np.int64
-        )
-        n_mat = np.array(
-            [list(v) for v in node_pdf["_v"]], dtype=np.float64
+        n_ids = node_pdf["_id"].to_numpy(dtype=np.int64)
+        n_mat = np.vstack(node_pdf["_v"].to_numpy()).astype(
+            np.float64, copy=False
         )
         n_nrm = np.linalg.norm(n_mat, axis=1)
         n_nrm[n_nrm == 0] = 1.0
-        q_ids = np.array(
-            [int(x) for x in query_pdf["_qid"]], dtype=np.int64
-        )
-        q_mat = np.array(
-            [list(v) for v in query_pdf["_qv"]], dtype=np.float64
+        q_ids = query_pdf["_qid"].to_numpy(dtype=np.int64)
+        q_mat = np.vstack(query_pdf["_qv"].to_numpy()).astype(
+            np.float64, copy=False
         )
         q_nrm = np.linalg.norm(q_mat, axis=1)
         q_nrm[q_nrm == 0] = 1.0
         q_unit = q_mat / q_nrm[:, None]
         n_unit_t = (n_mat / n_nrm[:, None]).T
-        out_q, out_n, out_c = [], [], []
+        parts_q, parts_n, parts_c = [], [], []
         nn = len(n_ids)
         # chunk the dgemm so the tile's score matrix stays bounded
         # (chunk × |tile nodes| doubles) whatever knobs the caller set
@@ -3938,28 +3954,44 @@ def _knn_tiles(
             if nn > kk:
                 # vectorized candidate cut: argpartition finds the
                 # k-th VALUE per row (tie membership arbitrary), then
-                # the per-row refine keeps every candidate at or
-                # above that value so the exact (cos desc, id asc)
-                # tie-break decides — never argpartition's whim
+                # the refine keeps every candidate at or above that
+                # value so the exact (cos desc, id asc) tie-break
+                # decides — never argpartition's whim
                 part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
                 th = np.take_along_axis(cos, part, 1).min(axis=1)
             else:
                 th = np.full(cos.shape[0], -np.inf)
-            for ci in range(cos.shape[0]):
-                row = cos[ci]
-                # isfinite keeps the -inf self marker out even when
-                # the threshold itself is -inf (nn <= k tiles)
-                sel = np.nonzero(
-                    (row >= th[ci]) & np.isfinite(row)
-                )[0]
-                if len(sel) == 0:
-                    continue
-                order = sel[np.lexsort((n_ids[sel], -row[sel]))][:kk]
-                out_q.extend([int(q_ids[c0 + ci])] * len(order))
-                out_n.extend(int(i) for i in n_ids[order])
-                out_c.extend(float(c) for c in row[order])
+            # fully vectorized refine: gather every at-or-above-
+            # threshold candidate (isfinite keeps the -inf self
+            # marker out even when the threshold itself is -inf),
+            # one lexsort orders them (row, cos desc, id asc), and a
+            # rank-within-row cut keeps k — no per-row Python loop
+            ri, ci = np.nonzero(
+                (cos >= th[:, None]) & np.isfinite(cos)
+            )
+            if len(ri) == 0:
+                continue
+            vals = cos[ri, ci]
+            cids = n_ids[ci]
+            order = np.lexsort((cids, -vals, ri))
+            ri, vals, cids = ri[order], vals[order], cids[order]
+            starts = np.r_[0, np.flatnonzero(np.diff(ri)) + 1]
+            lens = np.diff(np.r_[starts, len(ri)])
+            ranks = np.arange(len(ri)) - np.repeat(starts, lens)
+            keep = ranks < kk
+            parts_q.append(q_ids[c0 + ri[keep]])
+            parts_n.append(cids[keep])
+            parts_c.append(vals[keep])
+        if not parts_q:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            )
         return pd.DataFrame(
-            {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            {
+                "query_id": np.concatenate(parts_q),
+                "neighbor_id": np.concatenate(parts_n),
+                "cosine": np.concatenate(parts_c),
+            }
         )
 
     return (
