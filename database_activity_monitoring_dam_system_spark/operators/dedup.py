@@ -75,7 +75,15 @@ def exact_duplicates(
 
 def _shingles(toks: F.Column, shingle: int) -> F.Column:
     """w-token shingle strings from a token array (whole short docs
-    collapse to one shingle)."""
+    collapse to one shingle).
+
+    ``toks`` MUST be a materialized column reference (not an inline
+    ``split(...)`` expression): higher-order functions are evaluated
+    interpreted with NO common-subexpression elimination inside the
+    lambda body, so an inline split would re-tokenize the whole text
+    once per shingle position — O(tokens²) per document. Callers
+    project the token array under a named column first
+    (:func:`token_arrays`, :func:`distinct_tokens`)."""
     if shingle <= 1:
         return toks
     n = F.size(toks)
@@ -98,9 +106,11 @@ def distinct_tokens(
     if isinstance(block_cols, str):
         block_cols = [block_cols]
     cols = [F.col(id_col)] + [F.col(c) for c in (block_cols or [])]
-    toks = F.split(F.trim(F.col(text_col)), _WS)
-    return docs.select(
-        *cols, F.explode(_shingles(toks, shingle)).alias("tok")
+    # split once under a name; see _shingles on why it must not be
+    # inlined into the transform lambda
+    tokd = docs.withColumn("_w", F.split(F.trim(F.col(text_col)), _WS))
+    return tokd.select(
+        *cols, F.explode(_shingles(F.col("_w"), shingle)).alias("tok")
     ).distinct()
 
 
@@ -161,7 +171,9 @@ def jaccard_prefix_candidates(
     sort needed on the arrays: canonical order comes from the
     (_df, tok) window; the verify step is set-intersection.
     """
-    sized = sharr.withColumn("_n", F.size("toks"))
+    sized = sharr.withColumn("_n", F.size("toks")).localCheckpoint(
+        eager=False
+    )
     toks = sized.select(id_col, "_n", F.explode("toks").alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("_df"))
     ranked = toks.join(dfreq, "tok").withColumn(
@@ -259,7 +271,9 @@ def _containment_substrate(
     sharr = token_arrays(
         docs, id_col=id_col, text_col=text_col, shingle=shingle
     ).select(id_col, "toks")
-    sized = sharr.withColumn("_n", F.size("toks"))
+    sized = sharr.withColumn("_n", F.size("toks")).localCheckpoint(
+        eager=False
+    )
     toks = sized.select(id_col, "_n", F.explode("toks").alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("_df"))
     ranked = toks.join(dfreq, "tok").withColumn(
@@ -338,10 +352,13 @@ def update_containment_pairs(
     shingle) — persist it alongside those parameters and refuse a
     mismatch (the load_band_table stamp contract); equivalence with
     a fresh rebuild is asserted by test."""
+    # checkpointed: read by the survivor anti-joins AND the
+    # delta-candidate semi-joins — the two fingerprint scans + the
+    # full-outer join behind the verdict run once, not per branch
     diff = corpus_diff(
         old_docs, new_docs, id_col=id_col, text_col=text_col,
         normalize=False,
-    )
+    ).localCheckpoint(eager=False)
     dirty = diff.filter(F.col("verdict") != "unchanged").select(id_col)
     survivors = (
         old_pairs.join(
@@ -572,10 +589,12 @@ def update_containment_sketch_pairs(
     every doc that contains a flipped token is a sound — and tight
     enough — over-approximation. Costs one extra df aggregate over
     the OLD corpus; zero flips ⇒ zero extra dirty docs."""
+    # checkpointed for the same reason as update_containment_pairs:
+    # the verdict table is read from several join branches
     diff = corpus_diff(
         old_docs, new_docs, id_col=id_col, text_col=text_col,
         normalize=False,
-    )
+    ).localCheckpoint(eager=False)
     dirty = diff.filter(F.col("verdict") != "unchanged").select(id_col)
     # uncapped substrate built ONCE: the cap filter and the new-corpus
     # df both derive from the same token frame / same df aggregate
@@ -1087,8 +1106,13 @@ def token_arrays(
     """Per-row distinct-token/shingle array — the shuffle-free substrate
     for MinHash/SimHash: signature computation becomes a pure projection
     (array transforms), no explode, no groupBy."""
-    toks = F.split(F.trim(F.col(text_col)), _WS)
-    return docs.withColumn(out_col, F.array_distinct(_shingles(toks, shingle)))
+    # split once under a name; see _shingles on why it must not be
+    # inlined into the transform lambda
+    return (
+        docs.withColumn("_w", F.split(F.trim(F.col(text_col)), _WS))
+        .withColumn(out_col, F.array_distinct(_shingles(F.col("_w"), shingle)))
+        .drop("_w")
+    )
 
 
 def minhash_signatures(
@@ -2305,19 +2329,33 @@ def dup_span_stats(
     )
     if n_wide is not None:
         spans = spans.repartition(n_wide, "fp")
+    # Reduce the span stream to (fp, doc, occurrences) FIRST and
+    # checkpoint it: the window explode + md5 run once instead of
+    # once per consumer (the dup-fp aggregate AND the flag join each
+    # re-derived the full span stream before). hashpartitioning(fp)
+    # satisfies the (fp, doc) clustering, so the per-pair aggregate
+    # adds no exchange after the data-proportional repartition, and
+    # countDistinct(doc) over spans ≡ count(*) over the pair table.
+    per = (
+        spans.groupBy("fp", id_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
+    )
     dup_fps = (
-        spans.groupBy("fp")
-        .agg(F.countDistinct(id_col).alias("_nd"))
+        per.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
         .select("fp", F.lit(1).alias("_dup"))
     )
-    flagged = spans.join(dup_fps, "fp", "left")
+    flagged = per.join(dup_fps, "fp", "left")
     return (
         flagged.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("_c")).alias("n_spans"),
             F.sum(
-                F.when(F.col("_dup").isNotNull(), 1).otherwise(0)
+                F.when(F.col("_dup").isNotNull(), F.col("_c")).otherwise(
+                    F.lit(0)
+                )
             ).alias("n_dup_spans"),
         )
         .select(
@@ -2450,17 +2488,27 @@ def remove_dup_spans(
             sampled = sampled.repartition(n_samp, "fp")
         # sampled counts are exact (content-keyed: every occurrence
         # of a sampled fp is sampled), so count(*) ≥ 2 ⇔ the fp is
-        # globally duplicated
-        dup_fps = (
-            sampled.groupBy("fp")
+        # globally duplicated. Reduce to (fp, doc, occurrences) once
+        # and checkpoint — the dup-fp aggregate and the candidate
+        # semi-join otherwise each re-derive the sampled span stream
+        # (hashpartitioning(fp) satisfies the (fp, doc) clustering,
+        # so the pair aggregate adds no exchange).
+        per = (
+            sampled.groupBy("fp", id_col)
             .agg(F.count(F.lit(1)).alias("_c"))
+            .localCheckpoint(eager=False)
+        )
+        dup_fps = (
+            per.groupBy("fp")
+            .agg(F.sum("_c").alias("_c"))
             .filter(F.col("_c") >= 2)
             .select("fp")
         )
         cand = (
-            sampled.join(dup_fps, "fp", "left_semi")
+            per.join(dup_fps, "fp", "left_semi")
             .select(id_col)
             .distinct()
+            .localCheckpoint(eager=False)  # target semi + passthrough anti
         )
         target = docs.join(cand, id_col, "left_semi")
         passthrough = docs.join(cand, id_col, "left_anti")

@@ -467,9 +467,24 @@ def stamp_ivf_assignments(
     """Stamp an assignment table with its quantizer's fingerprint so
     serving/fold paths can REFUSE a table built under different
     centroids (pairing them silently mis-probes every query — the
-    same trap the PQ codebook stamp closes)."""
+    same trap the PQ codebook stamp closes).
+
+    The fingerprint is carried BOTH as a constant column (row-level
+    evidence that survives any rewrite of the frame) and as column
+    METADATA: a frame stamped here is single-stamp by construction,
+    so the verifier can check the metadata driver-side with ZERO
+    Spark jobs — the row-level distinct check previously re-executed
+    the table's whole lineage (the classify join + delta re-assign of
+    an incremental fold) once per verification, twice per serving
+    call. Metadata survives a parquet round-trip (Spark persists the
+    schema, including field metadata, in the file footer), so
+    persisted artifacts keep the fast path; frames without the
+    metadata — external or pre-upgrade artifacts — still get the full
+    row-level check."""
+    fp = _cent_fingerprint(centroids)
     return assign.withColumn(
-        IVF_ASSIGN_STAMP, F.lit(_cent_fingerprint(centroids))
+        IVF_ASSIGN_STAMP,
+        F.lit(fp).alias(IVF_ASSIGN_STAMP, metadata={"stamp": fp}),
     )
 
 
@@ -477,6 +492,15 @@ def _verify_assign_stamp(
     assign: DataFrame, centroids: list[tuple], *, caller: str
 ) -> DataFrame:
     expect = _cent_fingerprint(centroids)
+    field = next(
+        (f for f in assign.schema.fields if f.name == IVF_ASSIGN_STAMP),
+        None,
+    )
+    meta = field.metadata.get("stamp") if field is not None else None
+    if meta == expect:
+        # stamped by stamp_ivf_assignments under these exact
+        # centroids — driver-side check, no job
+        return assign.drop(IVF_ASSIGN_STAMP)
     got = [r[0] for r in assign.select(IVF_ASSIGN_STAMP).distinct().collect()]
     if got and (len(got) > 1 or got[0] != expect):
         raise ValueError(
@@ -1303,13 +1327,23 @@ def normalize_vectors(
     Engine-parity shape: norm = sqrt(left-assoc dot(v, v)), then one
     elementwise divide — the identical expression DuckDB evaluates as
     ``sqrt(list_dot_product(v, v))`` + ``list_transform``, so the
-    normalized doubles (and everything trained on them) hash equal."""
-    v = _as_double(vec_col)
-    nrm = F.sqrt(_dot(v, v))
-    unit = F.when(nrm == F.lit(0.0), v).otherwise(
-        F.transform(v, lambda x: x / nrm)
+    normalized doubles (and everything trained on them) hash equal.
+
+    Two-stage select: the cast vector and its norm are materialized
+    under names first — the divide-transform's lambda is interpreted
+    per element with no subexpression elimination, so an inline norm
+    would re-fold the whole dot product per component, O(dim²)/row
+    (same hazard as dedup._shingles)."""
+    staged = embeddings.select(
+        F.col(id_col),
+        _as_double(vec_col).alias("_v"),
+        F.sqrt(_dot(_as_double(vec_col), _as_double(vec_col))).alias("_nrm"),
     )
-    return embeddings.select(F.col(id_col), unit.alias(out_col))
+    nrm = F.col("_nrm")
+    unit = F.when(nrm == F.lit(0.0), F.col("_v")).otherwise(
+        F.transform(F.col("_v"), lambda x: x / nrm)
+    )
+    return staged.select(F.col(id_col), unit.alias(out_col))
 
 
 def pq_norm_topk(
@@ -1474,14 +1508,23 @@ def stamp_index(
     artifact(s) it was encoded under (constant columns — free under
     parquet RLE). :func:`pq_score_queries` / :func:`ivf_pq_topk`
     verify the stamp against their supplied artifacts and fail loudly
-    on mismatch instead of scoring with wrong ADC distances."""
+    on mismatch instead of scoring with wrong ADC distances.
+
+    As with :func:`stamp_ivf_assignments`, the fingerprint also rides
+    as column metadata so verification on frames stamped here (or
+    round-tripped through parquet) is a driver-side comparison with
+    zero Spark jobs."""
     if codebooks is not None:
+        fp = artifact_fingerprint(codebooks)
         codes = codes.withColumn(
-            CODEBOOK_STAMP, F.lit(artifact_fingerprint(codebooks))
+            CODEBOOK_STAMP,
+            F.lit(fp).alias(CODEBOOK_STAMP, metadata={"stamp": fp}),
         )
     if centroids is not None:
+        fp = artifact_fingerprint(centroids)
         codes = codes.withColumn(
-            QUANTIZER_STAMP, F.lit(artifact_fingerprint(centroids))
+            QUANTIZER_STAMP,
+            F.lit(fp).alias(QUANTIZER_STAMP, metadata={"stamp": fp}),
         )
     return codes
 
@@ -1496,8 +1539,12 @@ def verify_index_stamp(
     """Check a :func:`stamp_index` stamp against the supplied
     artifact(s); raise on mismatch, return the frame with stamp
     columns dropped. Unstamped tables pass unchecked (backward
-    compatible with pre-stamp artifacts). Costs one limit(1) read of
-    the stamp columns only."""
+    compatible with pre-stamp artifacts). A frame whose stamp column
+    carries matching metadata (stamped by :func:`stamp_index`, or
+    loaded from a parquet artifact it wrote) verifies driver-side
+    with no job at all; otherwise one limit(1) read of the stamp
+    columns only."""
+    fields = {f.name: f for f in codes.schema.fields}
     checks = []
     if codebooks is not None and CODEBOOK_STAMP in codes.columns:
         checks.append(
@@ -1507,6 +1554,11 @@ def verify_index_stamp(
         checks.append(
             (QUANTIZER_STAMP, artifact_fingerprint(centroids), "quantizer")
         )
+    checks = [
+        (colname, want, what)
+        for colname, want, what in checks
+        if fields[colname].metadata.get("stamp") != want
+    ]
     if checks:
         rows = codes.select(*[c for c, _, _ in checks]).limit(1).collect()
         for colname, want, what in checks:
@@ -2050,9 +2102,19 @@ def rotate_vectors(
     component a literal-dot expression (same whole-stage-codegen
     class as the PQ argmins — the rotation folds into any corpus
     scan for free, which is what makes OPQ serving cost identical
-    to plain PQ serving)."""
-    v = _as_double(vec_col)
-    rotated = F.array(*[_dot_literal(v, row) for row in rotation])
+    to plain PQ serving).
+
+    Built as ONE parsed expr string (the _dot_literal_sql form): the
+    d-per-row _dot_literal listcomp cost ~100 py4j round-trips per
+    output dim — measured 3.5 s of pure driver-side construction per
+    64×64 rotation at every gate call — while the single string
+    parses JVM-side in milliseconds. Tree and results identical."""
+    vec_sql = f"cast(`{vec_col}` as array<double>)"
+    rotated = F.expr(
+        "array("
+        + ", ".join(_dot_literal_sql(vec_sql, row) for row in rotation)
+        + ")"
+    )
     return embeddings.select(F.col(id_col), rotated.alias(out_col))
 
 
@@ -2112,8 +2174,16 @@ def pq_train_opq(
         # (subspace, code) — the S⟨j,c⟩ sums above.  _x and _z live
         # in ONE projection (the rotation is an expression, not a
         # join) so the whole pass is scan → explode → partial-agg.
-        rot_expr = F.array(
-            *[_dot_literal(x, row) for row in rotation.tolist()]
+        # one parsed expr string, not a _dot_literal per row — the
+        # py4j construction tax (see rotate_vectors) would otherwise
+        # recur every OPQ round
+        x_sql = f"cast(`{vec_col}` as array<double>)"
+        rot_expr = F.expr(
+            "array("
+            + ", ".join(
+                _dot_literal_sql(x_sql, row) for row in rotation.tolist()
+            )
+            + ")"
         )
         with_x = embeddings.select(
             F.col(id_col), x.alias("_x"), rot_expr.alias("_z")
@@ -4044,6 +4114,12 @@ def knn_graph_update(
     quadratic oracle.
 
     Output: (query_id, neighbor_id, rank, cosine round 6)."""
+    # ``prev`` is referenced by the taint probe AND the carried-pair
+    # semi-join; in the rebuild-in-gate shape it is itself a full
+    # tiled k-NN build, so each reference would re-run the quadratic
+    # kernel. The classify table feeds every delta class below.
+    # Lazy local checkpoints materialize each once.
+    prev = prev.localCheckpoint(eager=False)
     old_v = old_embeddings.select(
         F.col(id_col).alias("_id"), _as_double(vec_col).alias("_ov")
     )
@@ -4056,7 +4132,7 @@ def knn_graph_update(
         F.col("_ov").isNotNull().alias("_in_old"),
         F.col("_nv").eqNullSafe(F.col("_ov")).alias("_same"),
         "_nv",
-    )
+    ).localCheckpoint(eager=False)
     # gone as a NEIGHBOR: removed or changed old ids — their presence
     # in a prev list invalidates that list's cut
     gone = cls.filter("_in_old AND NOT _same").select("_id")
@@ -4067,6 +4143,7 @@ def knn_graph_update(
         )
         .select(F.col("query_id").alias("_id"))
         .distinct()
+        .localCheckpoint(eager=False)  # read by keep_q AND full_q
     )
     same_ids = cls.filter("_same").select("_id")
     keep_q = same_ids.join(tainted, "_id", "left_anti")
@@ -4082,7 +4159,7 @@ def knn_graph_update(
     )
     new_iv = new_embeddings.select(
         F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
-    )
+    ).localCheckpoint(eager=False)  # four readers: qv, nv, kept/full query sides
 
     # carried pairs, re-scored from raw vectors at full precision
     kept_pairs = prev.join(

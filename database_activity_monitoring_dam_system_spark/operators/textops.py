@@ -291,7 +291,9 @@ def gopher_rules(
     )
 
 
-def repetition_mid_cols(text_col: str = "text") -> dict[str, Column]:
+def repetition_mid_cols(
+    text_col: str = "text", toks_col: Column | None = None
+) -> dict[str, Column]:
     """The repetition fold expressions (first stage): n-gram arrays
     sorted and folded with ``F.aggregate`` (JVM higher-order function,
     no Python) — equal grams become adjacent runs, the top bigram is
@@ -302,8 +304,16 @@ def repetition_mid_cols(text_col: str = "text") -> dict[str, Column]:
     ``n_tokens``, ``n_distinct``, ``_t2``, ``_d3`` in one select, then
     apply :func:`repetition_final_cols` in a second select so the
     non-cheap folds are named once (CollapseProject would otherwise
-    inline them per referencing expression)."""
-    toks = _tokens(text_col)
+    inline them per referencing expression).
+
+    ``toks_col``: pass a MATERIALIZED token-array column to keep the
+    gram-transform lambdas from re-splitting the text per position —
+    HOF lambdas are interpreted with no subexpression elimination, so
+    the inline default re-tokenizes once per gram, O(tokens²) per doc
+    (see dedup._shingles). Callers that materialize anyway (the batch
+    operator, the streaming filter) project the split under a name
+    and pass it here."""
+    toks = toks_col if toks_col is not None else _tokens(text_col)
     sz = F.size(toks)
 
     def grams(nn: int) -> Column:
@@ -442,8 +452,8 @@ def repetition_signals(
     joins — scan-parallel at any corpus size; per-row cost is
     O(k log k) for docs of k tokens (see repetition_mid_cols).
     """
-    m = repetition_mid_cols(text_col)
-    mid = docs.select(
+    m = repetition_mid_cols(text_col, toks_col=F.col("_w"))
+    mid = docs.withColumn("_w", _tokens(text_col)).select(
         F.col(id_col).alias("doc_id"),
         m["n_chars"].alias("n_chars"),
         m["n_tokens"].alias("n_tokens"),
@@ -543,13 +553,17 @@ def winnow_fingerprints(
     stays linear in corpus size — frequency capping in
     fingerprint_overlap_pairs is what keeps the PAIR stage linear.
     """
-    toks = _tokens(text_col)
+    # split once under a name: the transform lambda is interpreted
+    # per element with no subexpression elimination, so an inline
+    # _tokens() would re-split the whole text at every shingle
+    # position — O(tokens²) per doc (see dedup._shingles)
+    toks = F.col("_w")
     n = F.size(toks)
     idxs = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     hashes = F.transform(
         idxs, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k)))
     )
-    exploded = docs.select(
+    exploded = docs.withColumn("_w", _tokens(text_col)).select(
         F.col(id_col).alias("doc_id"), F.posexplode(hashes).alias("pos", "h")
     )
     doc_w = Window.partitionBy("doc_id")
@@ -684,9 +698,11 @@ def bigram_logprob_scores(
     # what KEEPS the self-scoring-equivalence contract true under
     # future edits
     base = docs.select(
+        F.col(id_col), _norm_tokens(text_col).alias("_toks")
+    ).select(
         F.col(id_col),
-        _norm_tokens(text_col).alias("_toks"),
-        _doc_bigrams(text_col).alias("_bgs"),
+        "_toks",
+        _doc_bigrams(text_col, F.col("_toks")).alias("_bgs"),
     )
     uni = (
         base.select(F.explode("_toks").alias("token"))
@@ -737,8 +753,12 @@ def _weighted_logp_mean(scored: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def _doc_bigrams(text_col: str) -> Column:
-    toks = _norm_tokens(text_col)
+def _doc_bigrams(text_col: str, toks_col: Column | None = None) -> Column:
+    """Positional bigram array. ``toks_col``: pass the normalized
+    token array as a MATERIALIZED column — the transform lambda is
+    interpreted per element, so the inline default re-splits the text
+    per bigram position, O(tokens²)/doc (see dedup._shingles)."""
+    toks = toks_col if toks_col is not None else _norm_tokens(text_col)
     n = F.size(toks)
     return F.when(
         n >= 2,
@@ -767,8 +787,9 @@ def bigram_lm_train(
     has a bigram tail that dwarfs the useful mass).
     """
     base = ref_docs.select(
-        _norm_tokens(text_col).alias("_toks"),
-        _doc_bigrams(text_col).alias("_bgs"),
+        _norm_tokens(text_col).alias("_toks")
+    ).select(
+        "_toks", _doc_bigrams(text_col, F.col("_toks")).alias("_bgs")
     )
     uni = (
         base.select(F.explode("_toks").alias("token"))
@@ -808,7 +829,10 @@ def bigram_lm_score(
     """
     db = _doc_bigram_counts(
         docs.select(
-            F.col(id_col), _doc_bigrams(text_col).alias("_bgs")
+            F.col(id_col), _norm_tokens(text_col).alias("_toks")
+        ).select(
+            F.col(id_col),
+            _doc_bigrams(text_col, F.col("_toks")).alias("_bgs"),
         ),
         id_col,
     )
@@ -986,9 +1010,11 @@ def contamination_flags(
     one row per corpus doc with the contaminated-fingerprint count,
     fraction, and verdict.
     """
+    # checkpointed: the hit probe and the per-doc size aggregate both
+    # read the corpus fingerprint table — one winnow pass, not two
     corpus_fp = winnow_fingerprints(
         docs, id_col=id_col, text_col=text_col, k=k, window=window
-    )
+    ).localCheckpoint(eager=False)
     bench_fp = winnow_fingerprints(
         benchmark, id_col=id_col, text_col=text_col, k=k, window=window
     ).select("fingerprint").distinct()
@@ -1258,6 +1284,12 @@ def fingerprint_overlap_pairs(
     )
     if n_wide is not None:
         fp = fp.repartition(n_wide, "fingerprint")
+    # the (doc, fingerprint) table feeds the df cap, the per-doc
+    # sizes, and BOTH sides of the pair self-join — checkpoint so the
+    # winnow chain (explode → rolling-min window → distinct) runs
+    # once, not once per consumer (5 copies in the physical plan
+    # before, visible as 16 Window nodes)
+    fp = fp.localCheckpoint(eager=False)
     if max_df is not None:
         df_counts = fp.groupBy("fingerprint").agg(
             F.count("*").alias("_df")
@@ -1266,6 +1298,7 @@ def fingerprint_overlap_pairs(
             fp.join(df_counts, "fingerprint")
             .filter(F.col("_df") <= max_df)
             .drop("_df")
+            .localCheckpoint(eager=False)  # sizes + two join sides
         )
     sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     a, b = fp.alias("a"), fp.alias("b")
@@ -1399,12 +1432,16 @@ def hash_embeddings(
         "CASE WHEN CAST(conv(substring(md5(tok), 3, 1), 16, 10) AS INT) "
         ">= 8 THEN -1 ELSE 1 END AS sign",
     )
+    # each bucket sum as ONE parsed expr string — the Column-builder
+    # form costs ~15 py4j round-trips per bucket of pure driver-side
+    # construction per gate call (see nb_hashed_classify); same tree
     counts = hashed.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         *[
-            F.sum(F.when(F.col("bucket") == i, F.col("sign")).otherwise(0))
-            .cast("bigint")
-            .alias(f"c{i}")
+            F.expr(
+                "CAST(sum(CASE WHEN (bucket = "
+                f"{i}) THEN sign ELSE 0 END) AS BIGINT) AS c{i}"
+            )
             for i in range(dim)
         ],
     )
@@ -1729,15 +1766,20 @@ def nb_hashed_classify(
         ).selectExpr(*[str(c) for c in cols], f"{bucket} AS bucket")
 
     train = train_docs.filter(F.col(label_col).isNotNull())
+    # each pivot column as ONE parsed expr string — the
+    # Column-builder form costs ~15 py4j round-trips per bucket
+    # (measured ~1 s of driver-side construction per gate call at
+    # dim=32; the _lit_array/_dot_literal_sql tax), identical tree
     pivot = (
         toks(train, label_col)
         .groupBy(label_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("m_tot"),
             *[
-                F.sum(
-                    F.when(F.col("bucket") == i, 1).otherwise(0)
-                ).cast("bigint").alias(f"m{i}")
+                F.expr(
+                    "CAST(sum(CASE WHEN (bucket = "
+                    f"{i}) THEN 1 ELSE 0 END) AS BIGINT) AS m{i}"
+                )
                 for i in range(dim)
             ],
         )
@@ -1757,9 +1799,10 @@ def nb_hashed_classify(
         .groupBy(id_col)
         .agg(
             *[
-                F.sum(
-                    F.when(F.col("bucket") == i, 1).otherwise(0)
-                ).cast("bigint").alias(f"c{i}")
+                F.expr(
+                    "CAST(sum(CASE WHEN (bucket = "
+                    f"{i}) THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+                )
                 for i in range(dim)
             ],
         )

@@ -90,12 +90,14 @@ def score_documents(
             f"score_documents: input already has output column(s) {clash}"
         )
     q = textops.quality_signal_cols("text")
-    m = textops.repetition_mid_cols("text")
+    # the split is projected once under _cf_w so the gram-transform
+    # lambdas never re-tokenize per position (see repetition_mid_cols)
+    m = textops.repetition_mid_cols("text", toks_col=F.col("_cf_w"))
     # Intermediates carry a _cf_ prefix so inputs that already have an
     # n_chars/n_tokens column (the documents table does) don't become
     # ambiguous references in the second select.
-    mid = docs.select(
-        "*",
+    mid = docs.withColumn("_cf_w", textops._tokens("text")).select(
+        *docs.columns,
         F.md5(dedup.normalized_text("text")).alias("fingerprint"),
         F.round(q["stopword_ratio"], 4).alias("stopword_ratio"),
         F.round(q["punct_ratio"], 4).alias("punct_ratio"),

@@ -2180,6 +2180,48 @@ def test_index_stamp_verifies_and_rejects(spark):
     )
 
 
+def test_stamp_metadata_fast_path_and_row_fallback(spark, tmp_path):
+    """The stamp fingerprint rides as column METADATA so verification
+    of frames stamped by this library (or round-tripped through their
+    parquet artifacts) is a driver-side comparison — and a stamp
+    column WITHOUT metadata (external/hand-built artifact) still gets
+    the full row-level check, including the mismatch rejection."""
+    import pytest as _pytest
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = similarity.ivf_centroids(emb, n_centroids=4, refine_iters=1)
+    other = similarity.ivf_centroids(
+        emb.filter(F.col("vec_id") % 2 == 0), n_centroids=4, refine_iters=2
+    )
+    stamped = similarity.stamp_ivf_assignments(
+        similarity.ivf_assignments(emb, cents), cents
+    )
+    # metadata present in-memory and across a parquet round-trip
+    assert stamped.schema[similarity.IVF_ASSIGN_STAMP].metadata[
+        "stamp"
+    ] == similarity._cent_fingerprint(cents)
+    path = str(tmp_path / "assign_pq")
+    stamped.write.mode("overwrite").parquet(path)
+    loaded = spark.read.parquet(path)
+    assert loaded.schema[similarity.IVF_ASSIGN_STAMP].metadata[
+        "stamp"
+    ] == similarity._cent_fingerprint(cents)
+    ok = similarity._verify_assign_stamp(loaded, cents, caller="t")
+    assert similarity.IVF_ASSIGN_STAMP not in ok.columns
+    with _pytest.raises(ValueError, match="does not match"):
+        similarity._verify_assign_stamp(loaded, other, caller="t")
+    # a hand-stamped frame with NO metadata falls back to the
+    # row-level check: matching rows pass, mismatched rows reject
+    bare = similarity.ivf_assignments(emb, cents).withColumn(
+        similarity.IVF_ASSIGN_STAMP,
+        F.lit(similarity._cent_fingerprint(cents)),
+    )
+    assert not bare.schema[similarity.IVF_ASSIGN_STAMP].metadata
+    similarity._verify_assign_stamp(bare, cents, caller="t")
+    with _pytest.raises(ValueError, match="does not match"):
+        similarity._verify_assign_stamp(bare, other, caller="t")
+
+
 def test_pq_update_codes_stamp_and_unpersist_handle(spark):
     """pq_update_codes verifies a stamped old_codes against the
     supplied codebooks (carrying codes across a codebook change is the
