@@ -46,15 +46,23 @@ def _arr_sql(vals: list[float]) -> str:
     return "array(" + ",".join(f"{v!r}D" for v in vals) + ")"
 
 
+def _dot_sql(a_sql: str, b_sql: str) -> str:
+    """SQL-string form of :func:`_dot` — same left-to-right fold,
+    parsed JVM-side in one round-trip (the Python HOF builder costs
+    ~100 py4j calls per dot; loops over subspaces/centroids pay it
+    per iteration)."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def _dot_literal_sql(vec_sql: str, cvec: list[float]) -> str:
     """SQL-string form of _dot_literal — call sites that loop over
     dozens of centroids/planes build ONE expr per score instead of a
     py4j round-trip per HOF lambda (the construction tax measured in
     lsh_signatures)."""
-    return (
-        f"aggregate(zip_with({vec_sql}, {_arr_sql(cvec)}, "
-        "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
-    )
+    return _dot_sql(vec_sql, _arr_sql(cvec))
 
 
 def _dot_literal(vec: Column, cvec: list[float]) -> Column:
@@ -1221,9 +1229,7 @@ def pq_train(
         for _ in range(iters):
             assigned = prepared.withColumns(
                 {
-                    f"_kd{j}": F.array(
-                        *[_pq_sub_sqdist(j, c) for c in book]
-                    )
+                    f"_kd{j}": _pq_sub_dists(j, book)
                     for j, book in enumerate(codebooks)
                 }
             ).withColumns(
@@ -1291,21 +1297,38 @@ def _pq_prepared(
 ) -> DataFrame:
     """One zero-shuffle projection with per-subspace slice + squared
     norm columns (s{j}, n{j}) — shared by encode and query sides."""
-    v = _as_double(vec_col)
+    # one parsed expr per column instead of a Python-built HOF per
+    # norm (the _dot construction tax; trees and values identical)
+    v_sql = f"cast(`{vec_col}` as array<double>)"
     cols = [F.col(id_col)]
     for j, (lo, ln) in enumerate(_pq_slices(m, dim)):
-        sub = F.slice(v, lo, ln)
-        cols.append(sub.alias(f"s{j}"))
-        cols.append(_dot(sub, sub).alias(f"n{j}"))
+        sub_sql = f"slice({v_sql}, {lo}, {ln})"
+        cols.append(F.expr(f"{sub_sql} AS s{j}"))
+        cols.append(F.expr(f"{_dot_sql(sub_sql, sub_sql)} AS n{j}"))
     return embeddings.select(*cols)
+
+
+def _pq_sub_sqdist_sql(j: int, cvec: list[float]) -> str:
+    """SQL-string form of :func:`_pq_sub_sqdist` for call sites that
+    loop over whole codebooks (one parsed expr per codebook instead
+    of one py4j-built expr per centroid)."""
+    c_norm2 = sum(x * x for x in cvec)
+    return f"n{j} - 2.0D * {_dot_literal_sql(f's{j}', cvec)} + {c_norm2!r}D"
 
 
 def _pq_sub_sqdist(j: int, cvec: list[float]) -> Column:
     """Squared L2 of subspace slice s{j} to a literal sub-centroid —
     the _sqdist expansion against the precomputed n{j} norm column."""
-    c_norm2 = sum(x * x for x in cvec)
+    return F.expr(_pq_sub_sqdist_sql(j, cvec))
+
+
+def _pq_sub_dists(j: int, book: list[list[float]]) -> Column:
+    """array(sqdist to every centroid of subspace ``j``) as ONE
+    parsed expression — the encode-side argmin input."""
     return F.expr(
-        f"n{j} - 2.0D * {_dot_literal_sql(f's{j}', cvec)} + {c_norm2!r}D"
+        "array("
+        + ", ".join(f"({_pq_sub_sqdist_sql(j, c)})" for c in book)
+        + ")"
     )
 
 
@@ -1404,7 +1427,7 @@ def pq_encode(
     )
     out_cols = [F.col(id_col)]
     for j, book in enumerate(codebooks):
-        dists = F.array(*[_pq_sub_sqdist(j, c) for c in book])
+        dists = _pq_sub_dists(j, book)
         out_cols.append(
             (F.array_position(dists, F.array_min(dists)) - 1)
             .cast("int")
@@ -1628,13 +1651,24 @@ def _adc_rank(joined: DataFrame, codebooks: list, *, k: int) -> DataFrame:
     mean a code outside the codebook (mismatched artifacts) or a NULL
     code — such rows are DROPPED rather than ranked (NULLs would sort
     first under ascending order and silently displace every real
-    neighbor)."""
-    dist = None
-    for j, book in enumerate(codebooks):
-        dj = F.when(F.col(f"code{j}") == 0, _pq_sub_sqdist(j, book[0]))
-        for c, cvec in enumerate(book[1:], start=1):
-            dj = dj.when(F.col(f"code{j}") == c, _pq_sub_sqdist(j, cvec))
-        dist = dj if dist is None else dist + dj
+    neighbor).
+
+    The CASE-sum is built as ONE parsed expr string per call: the
+    per-centroid F.when chain cost a py4j round-trip per branch
+    (m×ksub of them) of pure driver-side construction per serve;
+    the parsed tree (CASE WHEN code{j} = c THEN …) and its NULL
+    fall-through are identical."""
+    dist = F.expr(
+        " + ".join(
+            "(CASE "
+            + " ".join(
+                f"WHEN (code{j} = {c}) THEN ({_pq_sub_sqdist_sql(j, cvec)})"
+                for c, cvec in enumerate(book)
+            )
+            + " END)"
+            for j, book in enumerate(codebooks)
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist_raw"), F.asc("neighbor_id")
     )
@@ -1865,10 +1899,14 @@ def ivf_pq_encode(
     cent_ids = F.array(*[F.lit(c[0]) for c in centroids])
     score_cols = [f"_cs{i}" for i in range(len(centroids))]
     v = _as_double(vec_col)
+    v_sql = f"cast(`{vec_col}` as array<double>)"
     slice_cols = []
     for j, (lo, ln) in enumerate(_pq_slices(m, dim)):
-        sub = F.slice(v, lo, ln)
-        slice_cols += [sub.alias(f"s{j}"), _dot(sub, sub).alias(f"n{j}")]
+        sub_sql = f"slice({v_sql}, {lo}, {ln})"
+        slice_cols += [
+            F.expr(f"{sub_sql} AS s{j}"),
+            F.expr(f"{_dot_sql(sub_sql, sub_sql)} AS n{j}"),
+        ]
     prepared = embeddings.select(
         F.col(id_col),
         v.alias("vec"),
@@ -1884,7 +1922,7 @@ def ivf_pq_encode(
     )
     code_cols = {}
     for j, book in enumerate(codebooks):
-        dists = F.array(*[_pq_sub_sqdist(j, c) for c in book])
+        dists = _pq_sub_dists(j, book)
         code_cols[f"code{j}"] = (
             F.array_position(dists, F.array_min(dists)) - 1
         ).cast("int")
@@ -1975,10 +2013,14 @@ def ivf_pq_topk(
     score_cols = [f"_cs{i}" for i in range(len(cents))]
 
     v = _as_double(vec_col)
+    v_sql = f"cast(`{vec_col}` as array<double>)"
     slice_cols = []
     for j, (lo, ln) in enumerate(_pq_slices(m, dim)):
-        sub = F.slice(v, lo, ln)
-        slice_cols += [sub.alias(f"s{j}"), _dot(sub, sub).alias(f"n{j}")]
+        sub_sql = f"slice({v_sql}, {lo}, {ln})"
+        slice_cols += [
+            F.expr(f"{sub_sql} AS s{j}"),
+            F.expr(f"{_dot_sql(sub_sql, sub_sql)} AS n{j}"),
+        ]
     q_prep = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col),
         v.alias("vec"),
@@ -2190,12 +2232,15 @@ def pq_train_opq(
         )
         slice_cols = []
         for j, (lo, ln) in enumerate(_pq_slices(m, dim)):
-            sub = F.slice(F.col("_z"), lo, ln)
-            slice_cols += [sub.alias(f"s{j}"), _dot(sub, sub).alias(f"n{j}")]
+            sub_sql = f"slice(_z, {lo}, {ln})"
+            slice_cols += [
+                F.expr(f"{sub_sql} AS s{j}"),
+                F.expr(f"{_dot_sql(sub_sql, sub_sql)} AS n{j}"),
+            ]
         prepared = with_x.select(F.col(id_col), F.col("_x"), *slice_cols)
         code_cols = {}
         for j, book in enumerate(books):
-            dists = F.array(*[_pq_sub_sqdist(j, c) for c in book])
+            dists = _pq_sub_dists(j, book)
             code_cols[f"_c{j}"] = (
                 F.array_position(dists, F.array_min(dists)) - 1
             ).cast("int")
@@ -2403,12 +2448,15 @@ def ivf_pq_encode_residual(
     )
     slice_cols = []
     for j, (lo, ln) in enumerate(_pq_slices(m, dim)):
-        sub = F.slice(F.col("rv"), lo, ln)
-        slice_cols += [sub.alias(f"s{j}"), _dot(sub, sub).alias(f"n{j}")]
+        sub_sql = f"slice(rv, {lo}, {ln})"
+        slice_cols += [
+            F.expr(f"{sub_sql} AS s{j}"),
+            F.expr(f"{_dot_sql(sub_sql, sub_sql)} AS n{j}"),
+        ]
     prepared = res.select(F.col(id_col), "cent_id", *slice_cols)
     code_cols = {}
     for j, book in enumerate(codebooks):
-        dists = F.array(*[_pq_sub_sqdist(j, c) for c in book])
+        dists = _pq_sub_dists(j, book)
         code_cols[f"code{j}"] = (
             F.array_position(dists, F.array_min(dists)) - 1
         ).cast("int")
@@ -2594,8 +2642,11 @@ def ivf_pq_res_prepare_probe(
     )
     slice_cols = []
     for j, (lo, ln) in enumerate(_pq_slices(m, dim)):
-        sub = F.slice(F.col("_qr"), lo, ln)
-        slice_cols += [sub.alias(f"s{j}"), _dot(sub, sub).alias(f"n{j}")]
+        sub_sql = f"slice(_qr, {lo}, {ln})"
+        slice_cols += [
+            F.expr(f"{sub_sql} AS s{j}"),
+            F.expr(f"{_dot_sql(sub_sql, sub_sql)} AS n{j}"),
+        ]
     return qres.select("query_id", "cent_id", *slice_cols)
 
 

@@ -322,12 +322,42 @@ def bloom_bitmap(
     """
     _bloom_check(k, m_bits)
     spark = values.sparkSession
+    vals = _bloom_vals(values, value_col)
+    bitmap = bloom_bitmap_str(
+        values, value_col, k=k, m_bits=m_bits, already_hex=already_hex
+    )
+    # n (for the fp-rate formula) is the DISTINCT inserted-value
+    # count — duplicate rows insert nothing new.
+    n_values = vals.distinct().count() if with_count else -1
+    return spark.createDataFrame(
+        [(bitmap, n_values, k, m_bits)],
+        "bitmap string, n_values long, k int, m_bits int",
+    )
+
+
+def _bloom_vals(values: DataFrame, value_col: str) -> DataFrame:
     # NULL values carry no membership information (md5(NULL) is NULL,
     # so every position would be NULL) — dropped, same as a NULL key
     # never matching a semi-join.
-    vals = values.select(value_col).filter(F.col(value_col).isNotNull())
+    return values.select(value_col).filter(F.col(value_col).isNotNull())
+
+
+def bloom_bitmap_str(
+    values: DataFrame,
+    value_col: str,
+    *,
+    k: int = 3,
+    m_bits: int = 65536,
+    already_hex: bool = False,
+) -> str:
+    """:func:`bloom_bitmap`'s hex bitmap as a plain driver-side str —
+    for callers that immediately embed it as a literal probe
+    expression (:func:`bloom_member_col`): one positions job, no
+    single-row DataFrame round-trip to read the string back out."""
+    _bloom_check(k, m_bits)
     pos_rows = (
-        vals.select(
+        _bloom_vals(values, value_col)
+        .select(
             F.explode(
                 F.array(
                     *_bloom_positions(
@@ -343,14 +373,7 @@ def bloom_bitmap(
     for r in pos_rows:
         p = int(r["pos"])
         nibbles[p // 4] |= 1 << (3 - p % 4)
-    bitmap = "".join("0123456789abcdef"[v] for v in nibbles)
-    # n (for the fp-rate formula) is the DISTINCT inserted-value
-    # count — duplicate rows insert nothing new.
-    n_values = vals.distinct().count() if with_count else -1
-    return spark.createDataFrame(
-        [(bitmap, n_values, k, m_bits)],
-        "bitmap string, n_values long, k int, m_bits int",
-    )
+    return "".join("0123456789abcdef"[v] for v in nibbles)
 
 
 _BITMAP_CHUNK = 64

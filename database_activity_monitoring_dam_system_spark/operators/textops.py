@@ -1205,14 +1205,15 @@ def bloom_contamination(
     bench_fp = winnow_fingerprints(
         benchmark, id_col=id_col, text_col=text_col, k=k, window=window
     ).select("fingerprint").distinct()
-    bloom = sketches.bloom_bitmap(
-        bench_fp, "fingerprint", k=k_hash, m_bits=m_bits,
-        already_hex=True, with_count=False,
-    )
     # Collected once (m/8 bytes) and embedded as a literal: a
     # crossJoin would copy the bitmap string into EVERY corpus
     # fingerprint row (measured ~2× the whole gate's cost at sf0.1).
-    bitmap = bloom.select("bitmap").first()[0]
+    # bloom_bitmap_str returns the hex string directly — one
+    # positions job, no single-row frame round-trip.
+    bitmap = sketches.bloom_bitmap_str(
+        bench_fp, "fingerprint", k=k_hash, m_bits=m_bits,
+        already_hex=True,
+    )
     probed = corpus_fp.withColumn(
         "_maybe",
         sketches.bloom_member_col(

@@ -84,13 +84,6 @@ def get_spark(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
-        # Several operators materialize small reused intermediates via
-        # localCheckpoint; their blocks are freed by the ContextCleaner
-        # only after a driver GC notices the RDD is unreferenced. The
-        # default 30min periodic GC lets blocks from hundreds of
-        # successive queries pile up in executor storage on a
-        # long-lived serving driver — reclaim every 2 minutes instead.
-        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
