@@ -1005,23 +1005,19 @@ def edit_distance_pairs(
         for j in range(k)
         for sh in range(-d, d + 1)
     ]
+    # the combo enumeration as ONE parsed expr — the struct-builder
+    # form costs ~10 py4j round-trips per (dl, j, sh) combo of pure
+    # driver-side construction per call (45 combos at d=2)
+    combos_sql = "array(" + ", ".join(
+        f"named_struct('dl', {dl}, 'j', {j}, 'sh', {sh})"
+        for dl, j, sh in combos
+    ) + ")"
     probe = (
         s.select(
             "_id",
             "_l",
             "_k",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(dl).alias("dl"),
-                            F.lit(j).alias("j"),
-                            F.lit(sh).alias("sh"),
-                        )
-                        for dl, j, sh in combos
-                    ]
-                )
-            ).alias("_c"),
+            F.explode(F.expr(combos_sql)).alias("_c"),
         )
         .select(
             F.col("_id").alias("_id_t"),

@@ -143,7 +143,12 @@ def synth_png_media(docs: DataFrame, *, id_col: str = "doc_id",
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.mapInPandas(batches, schema=MEDIA_SCHEMA)
+    # pass ONLY the columns the closure reads — Spark cannot see
+    # inside mapInPandas, so an unpruned frame ships (and reads)
+    # every document column through the Arrow boundary
+    return docs.select(id_col, text_col).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
 
 
 IMAGE_STATS_SCHEMA = T.StructType([
@@ -279,7 +284,12 @@ def synth_jpeg_media(docs: DataFrame, *, id_col: str = "doc_id",
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.mapInPandas(batches, schema=MEDIA_SCHEMA)
+    # pass ONLY the columns the closure reads — Spark cannot see
+    # inside mapInPandas, so an unpruned frame ships (and reads)
+    # every document column through the Arrow boundary
+    return docs.select(id_col, text_col).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
 
 
 def synth_jpeg_progressive_media(docs: DataFrame, *,
@@ -328,7 +338,12 @@ def synth_jpeg_progressive_media(docs: DataFrame, *,
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.mapInPandas(batches, schema=MEDIA_SCHEMA)
+    # pass ONLY the columns the closure reads — Spark cannot see
+    # inside mapInPandas, so an unpruned frame ships (and reads)
+    # every document column through the Arrow boundary
+    return docs.select(id_col, text_col).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
 
 
 def synth_jpeg_color_media(docs: DataFrame, *, id_col: str = "doc_id",
@@ -385,7 +400,12 @@ def synth_jpeg_color_media(docs: DataFrame, *, id_col: str = "doc_id",
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.mapInPandas(batches, schema=MEDIA_SCHEMA)
+    # pass ONLY the columns the closure reads — Spark cannot see
+    # inside mapInPandas, so an unpruned frame ships (and reads)
+    # every document column through the Arrow boundary
+    return docs.select(id_col, text_col).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
 
 
 def synth_wav_media(docs: DataFrame, *, id_col: str = "doc_id",
@@ -439,7 +459,12 @@ def synth_wav_media(docs: DataFrame, *, id_col: str = "doc_id",
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.mapInPandas(batches, schema=MEDIA_SCHEMA)
+    # pass ONLY the columns the closure reads — Spark cannot see
+    # inside mapInPandas, so an unpruned frame ships (and reads)
+    # every document column through the Arrow boundary
+    return docs.select(id_col, text_col).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
 
 
 def synth_adpcm_media(docs: DataFrame, *, id_col: str = "doc_id",
@@ -501,7 +526,12 @@ def synth_adpcm_media(docs: DataFrame, *, id_col: str = "doc_id",
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.mapInPandas(batches, schema=MEDIA_SCHEMA)
+    # pass ONLY the columns the closure reads — Spark cannot see
+    # inside mapInPandas, so an unpruned frame ships (and reads)
+    # every document column through the Arrow boundary
+    return docs.select(id_col, text_col).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
 
 
 AUDIO_STATS_SCHEMA = T.StructType([
@@ -655,7 +685,12 @@ def synth_y4m_media(docs: DataFrame, *, id_col: str = "doc_id",
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.mapInPandas(batches, schema=MEDIA_SCHEMA)
+    # pass ONLY the columns the closure reads — Spark cannot see
+    # inside mapInPandas, so an unpruned frame ships (and reads)
+    # every document column through the Arrow boundary
+    return docs.select(id_col, text_col).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
 
 
 def sample_frames(

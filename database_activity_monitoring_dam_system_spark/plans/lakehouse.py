@@ -625,6 +625,10 @@ def _q_cdc_tombstone_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 1000).cast("long").alias("millis"),
     )
     w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    # checkpointed: the snapshot feeds the delete batch, the delete
+    # fold AND (via both) the final merge — without it each consumer
+    # re-runs the events scan + snapshot window (the before-plan
+    # carried 40 scans of the events table)
     base = (
         e.filter(F.col("event_id") % 2 == 0)
         .withColumn("_rn", F.row_number().over(w))
@@ -633,6 +637,7 @@ def _q_cdc_tombstone_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_type", "millis",
             F.col("event_id").alias("seq"),
         )
+        .localCheckpoint(eager=False)
     )
     # sequence offsets DERIVE from the data's own max event id — a
     # fixed constant stops dominating event_id at some scale factor
@@ -647,7 +652,7 @@ def _q_cdc_tombstone_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "millis",
         (F.col("user_id") + F.lit(2 * mx)).alias("seq"),
         F.lit("D").alias("op"),
-    )
+    ).localCheckpoint(eager=False)  # delete fold + tombstone extract
     base2 = cdc.apply_changes(
         base, dels, key_cols=["user_id"], seq_col="seq"
     )
