@@ -26,7 +26,16 @@ os.environ.setdefault("SPARK_DAM_SHARE_FRAMES", "1")
 # The bench parquet files are single-row-group (unsplittable scans);
 # fan scan-side compute out to all cores. See sources/testdata.py.
 os.environ.setdefault("SPARK_DAM_SPLIT_SMALL_SCANS", "1")
+# Gate-scoped localCheckpoint lifecycle (guide §5): each gate's
+# checkpoint blocks are released right after its noop write completes
+# (OUTSIDE the timing window, like BENCH_GC_EVERY) instead of
+# accumulating in executor storage until driver GC — so every gate is
+# measured against the same, empty storage context regardless of its
+# position in the 188-gate suite. _shared serving frames are exempt
+# (ckpt.suppressed in their builder) and persist for the whole run.
+os.environ.setdefault("SPARK_DAM_CKPT_SCOPE", "1")
 
+from database_activity_monitoring_dam_system_spark import ckpt
 from database_activity_monitoring_dam_system_spark.plans.registry import all_queries
 from database_activity_monitoring_dam_system_spark.session import get_spark
 
@@ -75,6 +84,8 @@ def main() -> None:
             except Exception as exc:  # keep the suite going
                 print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
                 failed.add(name)
+            finally:
+                ckpt.release()
     # Timed passes are INTERLEAVED (whole suite per pass, min across
     # passes) rather than back-to-back per query: a transient stall —
     # GC pause, host hiccup — lands inside one pass only, so the min
@@ -92,6 +103,10 @@ def main() -> None:
             except Exception as exc:
                 print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
                 failed.add(name)
+            finally:
+                # outside the timing window: free the gate's own
+                # checkpoint blocks before the next gate is measured
+                ckpt.release()
             if GC_EVERY and (i + 1) % GC_EVERY == 0:
                 # outside the timing window: reclaim the previous
                 # gates' heap before the next gate is measured

@@ -29,6 +29,7 @@ import datetime as dt
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..ckpt import unpersist as _ckpt_unpersist
 
 
 def latest_changes(
@@ -401,6 +402,7 @@ def merge_upsert_partitioned(
         r[0]
         for r in merged.select(partition_col).distinct().collect()
     }
+    _ckpt_unpersist(merged)  # write + collect above fully consumed it
     emptied = [p for p in touched if p not in remaining]
     if emptied:
         jvm = spark._jvm

@@ -25,6 +25,7 @@ from decimal import Decimal
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..ckpt import register as _ckpt_register
 
 _WS = r"\s+"
 
@@ -173,7 +174,7 @@ def jaccard_prefix_candidates(
     """
     sized = sharr.withColumn("_n", F.size("toks")).localCheckpoint(
         eager=False
-    )
+    ).transform(_ckpt_register)
     toks = sized.select(id_col, "_n", F.explode("toks").alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("_df"))
     ranked = toks.join(dfreq, "tok").withColumn(
@@ -273,7 +274,7 @@ def _containment_substrate(
     ).select(id_col, "toks")
     sized = sharr.withColumn("_n", F.size("toks")).localCheckpoint(
         eager=False
-    )
+    ).transform(_ckpt_register)
     toks = sized.select(id_col, "_n", F.explode("toks").alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("_df"))
     ranked = toks.join(dfreq, "tok").withColumn(
@@ -358,7 +359,7 @@ def update_containment_pairs(
     diff = corpus_diff(
         old_docs, new_docs, id_col=id_col, text_col=text_col,
         normalize=False,
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False).transform(_ckpt_register)
     dirty = diff.filter(F.col("verdict") != "unchanged").select(id_col)
     survivors = (
         old_pairs.join(
@@ -594,7 +595,7 @@ def update_containment_sketch_pairs(
     diff = corpus_diff(
         old_docs, new_docs, id_col=id_col, text_col=text_col,
         normalize=False,
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False).transform(_ckpt_register)
     dirty = diff.filter(F.col("verdict") != "unchanged").select(id_col)
     # uncapped substrate built ONCE: the cap filter and the new-corpus
     # df both derive from the same token frame / same df aggregate
@@ -958,7 +959,7 @@ def edit_distance_pairs(
     # consumed by SIX branches (index, probe, both fetch sides, both
     # pool sides) and Spark re-runs a shared subtree per consumer —
     # materialize the (id, key)-narrow projection once
-    s = s.withColumn("_l", F.length("_k")).localCheckpoint(eager=False)
+    s = s.withColumn("_l", F.length("_k")).localCheckpoint(eager=False).transform(_ckpt_register)
 
     def seg_len(j: str, l: str) -> str:
         # first (k - rem) segments get base chars, the rest base + 1
@@ -1265,7 +1266,7 @@ def update_minhash_bands(
         )
         .filter(F.col("verdict") != "unchanged")
         .select(id_col, "verdict")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False).transform(_ckpt_register)
     )
     gone = diff.filter(
         F.col("verdict").isin("removed", "changed")
@@ -1426,7 +1427,7 @@ def minhash_candidate_pairs(
         # production pipeline persists anyway — N·bands·24B rows.
         # Lazy: construction stays plan-building; the first action
         # materializes it once for both join branches.
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False).transform(_ckpt_register)
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -1506,7 +1507,7 @@ def minhash_near_duplicates_from_sigs(
     """
     cands = minhash_candidate_pairs(
         signatures, id_col=id_col, num_hashes=num_hashes, bands=bands
-    ).localCheckpoint(eager=False)  # reused: id set + two verify joins
+    ).localCheckpoint(eager=False).transform(_ckpt_register)  # reused: id set + two verify joins
     cand_ids = (
         cands.select(F.col("doc_a").alias(id_col))
         .unionByName(cands.select(F.col("doc_b").alias(id_col)))
@@ -1886,7 +1887,7 @@ def simhash_near_pairs_md5(
         .select(id_col, "sh_hi", "sh_lo", "band.band_id", "band.chunk")
         # the 64-sum aggregate is the expensive stage; materialize so
         # the self-join doesn't run it twice
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False).transform(_ckpt_register)
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -1951,7 +1952,7 @@ def duplicate_clusters(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint().transform(_ckpt_register)
     )
     if edges.count() <= small_graph_threshold:
         parent: dict[int, int] = {}
@@ -1982,7 +1983,7 @@ def duplicate_clusters(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint().transform(_ckpt_register)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -2027,7 +2028,7 @@ def duplicate_clusters(
                 jumped_label.alias("cluster_id"),
                 (jumped_label < F.col("_old")).alias("_changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint().transform(_ckpt_register)
         )
         changed = updated.filter("_changed").limit(1).count()
         labels = updated.drop("_changed")
@@ -2074,7 +2075,7 @@ def simhash_near_pairs(
         .select(id_col, "simhash", "band.band_id", "band.chunk")
         # Materialize: the 64-sum fingerprint aggregate is the
         # expensive stage and the self-join would run it twice.
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False).transform(_ckpt_register)
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -2335,7 +2336,7 @@ def dup_span_stats(
     per = (
         spans.groupBy("fp", id_col)
         .agg(F.count(F.lit(1)).alias("_c"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False).transform(_ckpt_register)
     )
     dup_fps = (
         per.groupBy("fp")
@@ -2492,7 +2493,7 @@ def remove_dup_spans(
         per = (
             sampled.groupBy("fp", id_col)
             .agg(F.count(F.lit(1)).alias("_c"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False).transform(_ckpt_register)
         )
         dup_fps = (
             per.groupBy("fp")
@@ -2504,7 +2505,7 @@ def remove_dup_spans(
             per.join(dup_fps, "fp", "left_semi")
             .select(id_col)
             .distinct()
-            .localCheckpoint(eager=False)  # target semi + passthrough anti
+            .localCheckpoint(eager=False).transform(_ckpt_register)  # target semi + passthrough anti
         )
         target = docs.join(cand, id_col, "left_semi")
         passthrough = docs.join(cand, id_col, "left_anti")

@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .textops import _norm_tokens
+from ..ckpt import register as _ckpt_register
+from ..ckpt import unpersist as _ckpt_unpersist
 
 
 def build_postings(
@@ -404,6 +406,7 @@ def update_postings(
         .filter(F.col("verdict") != "unchanged")
         .select(id_col, "verdict")
         .localCheckpoint(eager=True)
+        .transform(_ckpt_register)
     )
     gone_ids = diff.filter(
         F.col("verdict").isin("removed", "changed")
@@ -444,7 +447,7 @@ def patch_postings(
     and broadcast; the index never re-explodes."""
     # ad is consumed twice (the patch join AND the new-token anti
     # join) — materialize so its lineage runs once
-    ad = ad.localCheckpoint(eager=True)
+    ad = ad.localCheckpoint(eager=True).transform(_ckpt_register)
     empty = F.array().cast(postings.schema["postings"].dataType)
     patched = (
         postings.join(F.broadcast(rm), on="token", how="left")
@@ -517,6 +520,7 @@ def update_postings_artifact(
         idx, old_docs, new_docs, id_col=id_col, text_col=text_col
     ).localCheckpoint(eager=True)
     save_postings(merged, path, n_docs=n_docs, buckets=buckets)
+    _ckpt_unpersist(merged)  # fully consumed by the save above
 
 
 def search_snippets(
@@ -748,6 +752,7 @@ def update_bm25_stats(
         .filter(F.col("verdict") != "unchanged")
         .select(id_col, "verdict")
         .localCheckpoint(eager=True)
+        .transform(_ckpt_register)
     )
     gone = diff.filter(
         F.col("verdict").isin("removed", "changed")
@@ -787,3 +792,4 @@ def update_bm25_artifact(
         stats, old_docs, new_docs, id_col=id_col, text_col=text_col
     ).localCheckpoint(eager=True)
     save_bm25_stats(merged, path, n_docs=new_docs.count())
+    _ckpt_unpersist(merged)  # fully consumed by the save above

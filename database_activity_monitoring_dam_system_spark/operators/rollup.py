@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..ckpt import register as _ckpt_register
 
 _GRAIN_ORDER = ("minute", "hour", "day", "month")
 
@@ -678,7 +679,7 @@ def gapfill_buckets(
     asserts the raw scan count stays at zero afterwards."""
     _check_grain(grain)
     groups = list(group_cols or [])
-    partials = partials.localCheckpoint(eager=True)
+    partials = partials.localCheckpoint(eager=True).transform(_ckpt_register)
     metrics = [c for c in partials.columns if c not in ("bucket_ts", *groups)]
     spans = partials.groupBy(*groups).agg(
         F.min("bucket_ts").alias("_b0"), F.max("bucket_ts").alias("_b1")

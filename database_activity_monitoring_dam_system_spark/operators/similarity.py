@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from ..ckpt import register as _ckpt_register
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -286,7 +287,7 @@ def lsh_near_dup_pairs(
             ).alias("b"),
         )
         .select("vec_id", "b.band_id", "b.chunk")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False).transform(_ckpt_register)
     )
     a, bside = banded.alias("a"), banded.alias("b")
     cands = (
@@ -882,7 +883,7 @@ def kmeans_lloyd(
             id_col, "cluster_id", "sqdist"
         )
         # materialize before releasing the cached corpus
-        final = final.localCheckpoint(eager=True)
+        final = final.localCheckpoint(eager=True).transform(_ckpt_register)
     finally:
         corpus.unpersist()
     return final, centroids
@@ -982,7 +983,7 @@ def kmeans_lloyd_exact(
         final = _assign_prepared(corpus, centroids, id_col=id_col).select(
             id_col, "cluster_id", "sqdist"
         )
-        final = final.localCheckpoint(eager=True)
+        final = final.localCheckpoint(eager=True).transform(_ckpt_register)
     finally:
         corpus.unpersist()
     return final, centroids
@@ -4170,7 +4171,7 @@ def knn_graph_update(
     # tiled k-NN build, so each reference would re-run the quadratic
     # kernel. The classify table feeds every delta class below.
     # Lazy local checkpoints materialize each once.
-    prev = prev.localCheckpoint(eager=False)
+    prev = prev.localCheckpoint(eager=False).transform(_ckpt_register)
     old_v = old_embeddings.select(
         F.col(id_col).alias("_id"), _as_double(vec_col).alias("_ov")
     )
@@ -4183,7 +4184,7 @@ def knn_graph_update(
         F.col("_ov").isNotNull().alias("_in_old"),
         F.col("_nv").eqNullSafe(F.col("_ov")).alias("_same"),
         "_nv",
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False).transform(_ckpt_register)
     # gone as a NEIGHBOR: removed or changed old ids — their presence
     # in a prev list invalidates that list's cut
     gone = cls.filter("_in_old AND NOT _same").select("_id")
@@ -4194,7 +4195,7 @@ def knn_graph_update(
         )
         .select(F.col("query_id").alias("_id"))
         .distinct()
-        .localCheckpoint(eager=False)  # read by keep_q AND full_q
+        .localCheckpoint(eager=False).transform(_ckpt_register)  # read by keep_q AND full_q
     )
     same_ids = cls.filter("_same").select("_id")
     keep_q = same_ids.join(tainted, "_id", "left_anti")
@@ -4210,7 +4211,7 @@ def knn_graph_update(
     )
     new_iv = new_embeddings.select(
         F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
-    ).localCheckpoint(eager=False)  # four readers: qv, nv, kept/full query sides
+    ).localCheckpoint(eager=False).transform(_ckpt_register)  # four readers: qv, nv, kept/full query sides
 
     # carried pairs, re-scored from raw vectors at full precision
     kept_pairs = prev.join(

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..ckpt import register as _ckpt_register
 
 # Minimal per-language stopword profiles for the n-gram/stopword
 # heuristic. Real pipelines plug fuller profiles in; the operator shape
@@ -1014,7 +1015,7 @@ def contamination_flags(
     # read the corpus fingerprint table — one winnow pass, not two
     corpus_fp = winnow_fingerprints(
         docs, id_col=id_col, text_col=text_col, k=k, window=window
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False).transform(_ckpt_register)
     bench_fp = winnow_fingerprints(
         benchmark, id_col=id_col, text_col=text_col, k=k, window=window
     ).select("fingerprint").distinct()
@@ -1290,7 +1291,7 @@ def fingerprint_overlap_pairs(
     # winnow chain (explode → rolling-min window → distinct) runs
     # once, not once per consumer (5 copies in the physical plan
     # before, visible as 16 Window nodes)
-    fp = fp.localCheckpoint(eager=False)
+    fp = fp.localCheckpoint(eager=False).transform(_ckpt_register)
     if max_df is not None:
         df_counts = fp.groupBy("fingerprint").agg(
             F.count("*").alias("_df")
@@ -1299,7 +1300,7 @@ def fingerprint_overlap_pairs(
             fp.join(df_counts, "fingerprint")
             .filter(F.col("_df") <= max_df)
             .drop("_df")
-            .localCheckpoint(eager=False)  # sizes + two join sides
+            .localCheckpoint(eager=False).transform(_ckpt_register)  # sizes + two join sides
         )
     sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     a, b = fp.alias("a"), fp.alias("b")

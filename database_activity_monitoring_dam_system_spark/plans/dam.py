@@ -139,17 +139,23 @@ def _shared(
     df = _FRAME_CACHE.get(key)
     if df is not None and df.sparkSession is spark:
         return df
-    path = _index_path(kind, sf_dir) if kind in _DISK_KINDS else None
-    if path is not None:
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            build().write.mode("overwrite").parquet(path)
-        df = spark.read.parquet(path).persist()
-        if expect_rows is not None and df.count() != expect_rows:
-            df.unpersist()
-            build().write.mode("overwrite").parquet(path)
+    from .. import ckpt as _ckpt
+
+    # a cached frame outlives the building gate, so any checkpoint its
+    # lineage pins must NOT be released by the gate-scoped lifecycle —
+    # evicted persist() blocks would recompute into a freed checkpoint
+    with _ckpt.suppressed():
+        path = _index_path(kind, sf_dir) if kind in _DISK_KINDS else None
+        if path is not None:
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                build().write.mode("overwrite").parquet(path)
             df = spark.read.parquet(path).persist()
-    else:
-        df = build().persist()
+            if expect_rows is not None and df.count() != expect_rows:
+                df.unpersist()
+                build().write.mode("overwrite").parquet(path)
+                df = spark.read.parquet(path).persist()
+        else:
+            df = build().persist()
     _FRAME_CACHE[key] = df
     return df
 

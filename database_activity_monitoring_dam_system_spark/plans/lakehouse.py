@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..operators import cdc, invindex, journeys, rollup, validate, zorder
 from ..sources.testdata import load_table
 from .spec import QuerySpec
+from ..ckpt import register as _ckpt_register
 
 # shared histogram geometry for the quantile gates: events.value sits
 # in [0, ~500); 200 bins over [0, 500) = 2.5-unit resolution
@@ -637,7 +638,7 @@ def _q_cdc_tombstone_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_type", "millis",
             F.col("event_id").alias("seq"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False).transform(_ckpt_register)
     )
     # sequence offsets DERIVE from the data's own max event id — a
     # fixed constant stops dominating event_id at some scale factor
@@ -652,7 +653,7 @@ def _q_cdc_tombstone_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "millis",
         (F.col("user_id") + F.lit(2 * mx)).alias("seq"),
         F.lit("D").alias("op"),
-    ).localCheckpoint(eager=False)  # delete fold + tombstone extract
+    ).localCheckpoint(eager=False).transform(_ckpt_register)  # delete fold + tombstone extract
     base2 = cdc.apply_changes(
         base, dels, key_cols=["user_id"], seq_col="seq"
     )

@@ -37,6 +37,8 @@ from pyspark.sql import functions as F
 
 from ..operators import invindex
 from ..operators.textops import _norm_tokens
+from ..ckpt import register as _ckpt_register
+from ..ckpt import scope as _ckpt_scope
 
 
 def _arbitrate_batch(
@@ -78,7 +80,7 @@ def _arbitrate_batch(
     # touched-id set) must see the SAME surviving row per id — a
     # lazily re-executed window could hand one text to the postings
     # and another to the stats tf_map. Batch-sized, so cheap.
-    b = b.localCheckpoint(eager=True)
+    b = b.localCheckpoint(eager=True).transform(_ckpt_register)
     if op_col:
         if not b.filter(F.col(op_col).isNull()).isEmpty():
             raise ValueError(
@@ -241,7 +243,7 @@ def _load_maintained_stats(spark, path: str, ctx: str):
             "rows; rebuild it with build_bm25_stats("
             "keep_empty_docs=True) before stream maintenance"
         )
-    return stats.localCheckpoint(eager=True)
+    return stats.localCheckpoint(eager=True).transform(_ckpt_register)
 
 
 def start_bm25_maintenance_stream(
@@ -263,7 +265,7 @@ def start_bm25_maintenance_stream(
     ``build_bm25_stats(keep_empty_docs=True)`` over the current
     corpus snapshot — stream ≡ batch pinned by test."""
 
-    def write_batch(batch: DataFrame, batch_id: int) -> None:
+    def _fold_one_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         stats = _load_maintained_stats(
             spark, artifact_path, "start_bm25_maintenance_stream"
@@ -276,10 +278,18 @@ def start_bm25_maintenance_stream(
             op_col=op_col,
             delete_op=delete_op,
             seq_col=seq_col,
-        ).localCheckpoint(eager=True)  # sever the self-read
+        ).localCheckpoint(eager=True).transform(_ckpt_register)  # sever the self-read
         invindex.save_bm25_stats(
             merged, artifact_path, n_docs=merged.count()
         )
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        # every checkpoint this batch pins (loaded state, arbitrated
+        # batch, folded artifacts) is batch-scoped: the saves above
+        # consume them, so the scope frees their blocks at batch end
+        # instead of leaving them to driver GC (guide §5)
+        with _ckpt_scope():
+            _fold_one_batch(batch, batch_id)
 
     writer = docs.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -330,7 +340,7 @@ def start_search_maintenance_stream(
     non-atomic window is each parquet overwrite itself, same as
     every artifact updater here."""
 
-    def write_batch(batch: DataFrame, batch_id: int) -> None:
+    def _fold_one_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         old_stats = _load_maintained_stats(
             spark, bm25_path, "start_search_maintenance_stream"
@@ -381,15 +391,23 @@ def start_search_maintenance_stream(
         new_postings = _fold_postings(
             postings, old_stats, b, alive, id_col=id_col,
             text_col=text_col,
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True).transform(_ckpt_register)
         new_stats = _fold_bm25(
             old_stats, b, alive, id_col=id_col, text_col=text_col
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True).transform(_ckpt_register)
         n_new = new_stats.count()
         invindex.save_postings(
             new_postings, postings_path, n_docs=n_new, buckets=layout
         )
         invindex.save_bm25_stats(new_stats, bm25_path, n_docs=n_new)
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        # every checkpoint this batch pins (loaded state, arbitrated
+        # batch, folded artifacts) is batch-scoped: the saves above
+        # consume them, so the scope frees their blocks at batch end
+        # instead of leaving them to driver GC (guide §5)
+        with _ckpt_scope():
+            _fold_one_batch(batch, batch_id)
 
     writer = docs.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

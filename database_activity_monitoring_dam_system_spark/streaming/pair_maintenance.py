@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators import dedup
+from ..ckpt import register as _ckpt_register
+from ..ckpt import scope as _ckpt_scope
 from .index_maintenance import _arbitrate_batch
 
 
@@ -208,7 +210,7 @@ def start_containment_maintenance_stream(
             fs, jstaging = _fs(spark, staging_path)
             fs.delete(jstaging, True)
 
-    def write_batch(batch: DataFrame, batch_id: int) -> None:
+    def _fold_one_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         _recover(spark)
         corpus_exists = _artifact_exists(spark, corpus_path)
@@ -233,12 +235,12 @@ def start_containment_maintenance_stream(
         if not corpus_exists:
             new_corpus = fold_corpus_batch(
                 None, b, alive, id_col=id_col, text_col=text_col
-            ).localCheckpoint(eager=True)
-            new_pairs = _build(new_corpus).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=True).transform(_ckpt_register)
+            new_pairs = _build(new_corpus).localCheckpoint(eager=True).transform(_ckpt_register)
         else:
             old_corpus = spark.read.parquet(corpus_path).localCheckpoint(
                 eager=True
-            )
+            ).transform(_ckpt_register)
             old_pairs = dedup.load_containment_pairs(
                 spark, pairs_path,
                 threshold=threshold, shingle=shingle,
@@ -246,13 +248,13 @@ def start_containment_maintenance_stream(
                     old_corpus, id_col=id_col, text_col=text_col
                 ),
                 extra_stamps=extra_stamps,
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=True).transform(_ckpt_register)
             new_corpus = fold_corpus_batch(
                 old_corpus, b, alive, id_col=id_col, text_col=text_col
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=True).transform(_ckpt_register)
             new_pairs = _fold(
                 old_pairs, old_corpus, new_corpus
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=True).transform(_ckpt_register)
         new_corpus.write.mode("overwrite").parquet(staging_path)
         dedup.save_containment_pairs(
             new_pairs, pairs_path,
@@ -263,6 +265,14 @@ def start_containment_maintenance_stream(
             extra_stamps=extra_stamps,
         )
         _promote(spark)
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        # every checkpoint this batch pins (loaded state, arbitrated
+        # batch, folded artifacts) is batch-scoped: the saves above
+        # consume them, so the scope frees their blocks at batch end
+        # instead of leaving them to driver GC (guide §5)
+        with _ckpt_scope():
+            _fold_one_batch(batch, batch_id)
 
     writer = docs.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -17,7 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("SPARK_DAM_SHARE_FRAMES", "1")
 os.environ.setdefault("SPARK_DAM_SPLIT_SMALL_SCANS", "1")
+os.environ.setdefault("SPARK_DAM_CKPT_SCOPE", "1")  # bench.py parity
 
+from database_activity_monitoring_dam_system_spark import ckpt
 from database_activity_monitoring_dam_system_spark.plans.registry import (
     all_queries,
 )
@@ -34,11 +36,13 @@ def main() -> None:
     for name in sys.argv[1:]:
         fn = specs[name].fn
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        ckpt.release()
         best = float("inf")
         for _ in range(RUNS):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            ckpt.release()  # outside the timing window (bench.py parity)
         print(f"{name} {best:.3f}", flush=True)
 
 
