@@ -383,37 +383,85 @@ def firewall_check(
     """R5/J4/W3 — first-match-by-priority firewall (app.py:829-850).
 
     Active rules (a tiny dimension) are collected once per call and
-    compiled into one ordered when-chain over the query stream — a
-    zero-shuffle projection (SURVEY.md J4's prescription). Match
+    compiled into one ordered first-match scan over the query stream —
+    a zero-shuffle projection (SURVEY.md J4's prescription). Match
     semantics: query lowercased; `contains` → lowercase substring;
     `starts_with` → lowercase prefix; `regex` → case-insensitive
     search. Scoped rules require exact user/ip equality. First hit by
     (priority ASC, rule_id ASC) wins — rule_id tie-break pins MySQL's
     unspecified tie order (FIXTURES.md decision #3).
 
+    Callers that hold the rule battery driver-side already (a config
+    fixture, a serving cache) should call :func:`firewall_check_rows`
+    directly and skip this wrapper's collect round-trip.
+
     Output: input columns + matched ``rule_id``/``action``/``rule_description``
     (NULL when no rule matches).
     """
-    ql = F.lower(F.coalesce(F.col(query_col), F.lit("")))
-    # Rules are a tiny dimension that the reference re-SELECTs per query
-    # (app.py:832-835); collecting them once per (micro-)batch and
-    # COMPILING the ordered first-match scan into a single when-chain
-    # keeps this a pure zero-shuffle projection — the previous join +
-    # Window.partitionBy(activity_id) form exchanged the fact table on a
-    # near-unique key, the one thing that cannot be allowed at 100 TB.
     active = rules.filter(F.col("is_active")).select(
         "rule_id", "pattern", "description", "match_type", "action",
-        "priority", "applies_to_user", "applies_to_ip",
+        "priority", "applies_to_user", "applies_to_ip", "is_active",
     )
-    types = {f.name: f.dataType for f in active.schema.fields}
-    rows = sorted(
+    types = {f.name: f.dataType.simpleString() for f in active.schema.fields}
+    return firewall_check_rows(
+        queries_df,
         active.collect(),
+        query_col=query_col,
+        user_col=user_col,
+        ip_col=ip_col,
+        rule_id_type=types["rule_id"],
+    )
+
+
+def _sql_str(s: str) -> str:
+    """A Spark-SQL single-quoted string literal for ``s`` (default
+    parser mode: backslash escapes are C-style, so both the escape
+    character and the quote must be doubled/escaped)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def firewall_check_rows(
+    queries_df: DataFrame,
+    rule_rows,
+    *,
+    query_col: str = "operation_details",
+    user_col: str = "username",
+    ip_col: str = "ip_address",
+    rule_id_type: str = "bigint",
+) -> DataFrame:
+    """:func:`firewall_check` over a DRIVER-SIDE rule battery —
+    ``rule_rows`` is any sequence of mappings (pyspark Rows, dicts)
+    with the rule-table fields. Inactive rows are dropped and the
+    (priority ASC, rule_id ASC) order applied here, so both entry
+    points share one semantics.
+
+    Per-row cost discipline (guide §1.2, §4): the lowercased query is
+    hoisted into ONE projected working column every predicate
+    references (not re-lowered per rule), and the match chain picks
+    the winning rule's ORDINAL — the three output columns then map
+    that tiny int to their literals in a second projection. (The
+    previous struct-chain form re-evaluated the ENTIRE match chain
+    once per extracted field — three copies in the generated code,
+    which made cold, not-yet-JITted executions of this zero-shuffle
+    scan 3-4x their warm cost on a 7-rule battery.) The chain is
+    assembled as ONE parsed SQL expression — a handful of py4j
+    round-trips instead of ~100 Column calls (the rotate_vectors
+    construction discipline)."""
+    for _wc in ("_fw_ql", "_fw_idx"):
+        if _wc in queries_df.columns:
+            raise ValueError(
+                f"firewall_check: input already has a {_wc!r} column "
+                "— rename it; the name is reserved as an internal "
+                "working column"
+            )
+    rows = sorted(
+        (r for r in rule_rows if r["is_active"]),
         key=lambda r: (
             r["priority"] is None, r["priority"],
             r["rule_id"] is None, r["rule_id"],
         ),
     )
-    chain = None
+    compiled: list = []  # (hit-predicate SQL, rule) in match order
     for r in rows:
         pat = r["pattern"]
         if pat is None:
@@ -424,36 +472,55 @@ def firewall_check(
             # reference behavior (app.py:836 `rule.get("pattern","")`).
             continue
         if r["match_type"] == "contains":
-            hit = ql.contains(pat.lower())
+            hit = f"contains(_fw_ql, {_sql_str(pat.lower())})"
         elif r["match_type"] == "starts_with":
-            hit = ql.startswith(pat.lower())
+            hit = f"startswith(_fw_ql, {_sql_str(pat.lower())})"
         else:
-            hit = ql.rlike("(?i)" + pat)
+            hit = f"_fw_ql RLIKE {_sql_str('(?i)' + pat)}"
         if r["applies_to_user"] is not None:
-            hit = (F.col(user_col) == F.lit(r["applies_to_user"])) & hit
+            hit = (
+                f"(`{user_col}` = {_sql_str(r['applies_to_user'])})"
+                f" AND {hit}"
+            )
         if r["applies_to_ip"] is not None:
-            hit = (F.col(ip_col) == F.lit(r["applies_to_ip"])) & hit
-        matched = F.struct(
-            F.lit(r["rule_id"]).cast(types["rule_id"]).alias("rule_id"),
-            F.lit(r["description"]).cast(types["description"]).alias(
-                "rule_description"
-            ),
-            F.lit(r["action"]).cast(types["action"]).alias("action"),
+            hit = (
+                f"(`{ip_col}` = {_sql_str(r['applies_to_ip'])}) AND {hit}"
+            )
+        compiled.append((hit, r))
+    if compiled:
+        idx_sql = "CASE " + " ".join(
+            f"WHEN {hit} THEN {i}" for i, (hit, _) in enumerate(compiled)
+        ) + " END"
+    else:
+        idx_sql = "CAST(NULL AS INT)"
+
+    def _pick(field: str, sql_type: str, alias: str) -> str:
+        # ordinal -> that rule's literal; NULL ordinal (no match)
+        # falls through every branch to NULL — the miss case
+        if not compiled:
+            return f"CAST(NULL AS {sql_type}) AS `{alias}`"
+        arms = " ".join(
+            "WHEN _fw_idx = {i} THEN {v}".format(
+                i=i,
+                v=(
+                    f"CAST(NULL AS {sql_type})"
+                    if r[field] is None
+                    else f"CAST({_sql_str(str(r[field]))} AS {sql_type})"
+                ),
+            )
+            for i, (_, r) in enumerate(compiled)
         )
-        chain = F.when(hit, matched) if chain is None else chain.when(hit, matched)
-    if chain is None:
-        chain = F.lit(None)
-    miss = F.struct(
-        F.lit(None).cast(types["rule_id"]).alias("rule_id"),
-        F.lit(None).cast(types["description"]).alias("rule_description"),
-        F.lit(None).cast(types["action"]).alias("action"),
-    )
-    fw = F.coalesce(chain, miss)
-    return queries_df.select(
+        return f"CASE {arms} END AS `{alias}`"
+
+    staged = queries_df.selectExpr(
         "*",
-        fw["rule_id"].alias("rule_id"),
-        fw["rule_description"].alias("rule_description"),
-        fw["action"].alias("action"),
+        f"lower(coalesce(`{query_col}`, '')) AS _fw_ql",
+    ).selectExpr("*", f"{idx_sql} AS _fw_idx")
+    return staged.selectExpr(
+        *[f"`{c}`" for c in queries_df.columns],
+        _pick("rule_id", rule_id_type, "rule_id"),
+        _pick("description", "string", "rule_description"),
+        _pick("action", "string", "action"),
     )
 
 

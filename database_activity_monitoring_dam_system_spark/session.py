@@ -68,6 +68,16 @@ def get_spark(
             "64MB",
         )
         .config("spark.sql.adaptive.enabled", "true")
+        # The generated-class cache defaults to 100 entries; a session
+        # serving a large query battery (the 188-gate bench, a real
+        # multi-tenant serving driver) evicts every class between two
+        # runs of the same query, so each run executes a freshly
+        # loaded class at interpreter/C1 speed — measured 0.2 s
+        # (JIT-warm) vs 0.9–2.5 s (cold class) on firewall_matches'
+        # when-chain. 1000 entries keeps the battery's classes (and
+        # their JIT state) resident; generated classes are KB-sized,
+        # so the driver cost is negligible at any scale.
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
