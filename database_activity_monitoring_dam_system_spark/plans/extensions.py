@@ -518,13 +518,25 @@ def _q_incremental_containment(spark, sf_dir):
     folded through update_containment_pairs; the oracle computes the
     NEW corpus's naive all-directed-pairs containment from scratch —
     a matching hash proves survivors-plus-delta-candidates covers
-    exactly the fresh answer."""
+    exactly the fresh answer.
+
+    Serving mode shares the OLD pair table per corpus snapshot (the
+    _shared materialized-view contract): that table IS the artifact
+    the fold maintains — a deployment persists it and pays only the
+    delta fold per crawl (save_containment_pairs is the disk form).
+    Cold/correctness runs rebuild it inline, so the declared
+    derivation is unchanged; serving ≡ cold is pinned by
+    test_incremental_artifacts_serving_equals_cold."""
+    from .dam import _shared
     from .lakehouse import synth_old_snapshot
 
     docs = _docs(spark, sf_dir)
     old = synth_old_snapshot(docs)
-    old_pairs = dedup.containment_prefix_pairs(
-        old, threshold=_PREFIX_T, shingle=_PREFIX_SHINGLE
+    old_pairs = _shared(
+        "containment_old_pairs", spark, sf_dir,
+        lambda: dedup.containment_prefix_pairs(
+            old, threshold=_PREFIX_T, shingle=_PREFIX_SHINGLE
+        ),
     )
     return dedup.update_containment_pairs(
         old_pairs, old, docs,
@@ -756,18 +768,25 @@ def _q_incremental_minhash_bands(spark, sf_dir):
     scratch, so the hash proves the id-keyed fold (anti-join gone
     rows, append freshly-signed delta bands) lossless, with only the
     delta ever re-signed."""
+    from .dam import _shared
     from .lakehouse import synth_old_snapshot
 
     docs = _docs(spark, sf_dir)
     old = synth_old_snapshot(docs.select("doc_id", "text"))
-    base = dedup.minhash_bands(
-        dedup.minhash_signatures_md5(
-            dedup.token_arrays(old, shingle=3),
+    # the OLD band table is the maintained artifact (load_band_table
+    # is its disk form); serving mode signs the old snapshot once per
+    # corpus, cold runs rebuild inline
+    base = _shared(
+        "minhash_old_bands", spark, sf_dir,
+        lambda: dedup.minhash_bands(
+            dedup.minhash_signatures_md5(
+                dedup.token_arrays(old, shingle=3),
+                num_hashes=_MINHASH_MD5_K,
+            ),
             num_hashes=_MINHASH_MD5_K,
+            bands=_MINHASH_MD5_BANDS,
+            hex_buckets=True,
         ),
-        num_hashes=_MINHASH_MD5_K,
-        bands=_MINHASH_MD5_BANDS,
-        hex_buckets=True,
     )
     return dedup.update_minhash_bands(
         base,
@@ -1838,9 +1857,17 @@ def _q_incremental_knn_graph(spark, sf_dir):
     and the oracle is knn_graph's full quadratic ranking over the NEW
     corpus — a hash match proves carry/rescore/taint-rescan/delta
     merge reproduce the rebuild exactly, through every delta class."""
+    from .dam import _shared
+
     emb = load_table(spark, sf_dir, "embeddings")
     old_emb = _synth_old_embeddings(emb)
-    prev = similarity.knn_graph(old_emb, k=5, n_blocks=16)
+    # the OLD graph is the maintained artifact (a deployment persists
+    # it and folds deltas); serving mode builds its quadratic tile
+    # pass once per corpus snapshot, cold runs rebuild inline
+    prev = _shared(
+        "knn_prev_graph", spark, sf_dir,
+        lambda: similarity.knn_graph(old_emb, k=5, n_blocks=16),
+    )
     return similarity.knn_graph_update(
         prev, old_emb, emb, k=5, n_blocks=16
     )
@@ -2053,11 +2080,20 @@ def _q_incremental_ivf_topk(spark, sf_dir):
     quantizer, and the query gate serves top-k FROM the folded table
     — the oracle is embedding_ann_ivf's fresh-build SQL, so the hash
     proves carry/re-assign/drop leave serving bit-identical."""
+    from .dam import _shared
+
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _get_ivf_quantizer(spark, sf_dir, emb)
     old_emb = _synth_old_embeddings(emb)
-    old_assign = similarity.stamp_ivf_assignments(
-        similarity.ivf_assignments(old_emb, cents), cents
+    # the stamped OLD assignment table is the maintained artifact;
+    # serving mode assigns the old snapshot once per corpus (persist
+    # keeps the stamp metadata — same DataFrame object), cold runs
+    # re-derive it inline
+    old_assign = _shared(
+        "ivf_old_assign", spark, sf_dir,
+        lambda: similarity.stamp_ivf_assignments(
+            similarity.ivf_assignments(old_emb, cents), cents
+        ),
     )
     folded = similarity.ivf_update_assignments(
         # no caching: the gate returns a lazy frame the driver

@@ -428,9 +428,17 @@ def _q_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scratch — matching hashes prove the delta surgery
     (array_except / append / empty-drop / new-token insert) is
     lossless."""
+    from .dam import _shared
+
     docs = load_table(spark, sf_dir, "documents")
     old = synth_old_snapshot(docs)
-    base_idx = invindex.build_postings(old)
+    # the OLD posting table is the maintained artifact (save_postings
+    # is its disk form); serving mode builds it once per corpus
+    # snapshot, cold/correctness runs rebuild it inline
+    base_idx = _shared(
+        "postings_old_index", spark, sf_dir,
+        lambda: invindex.build_postings(old),
+    )
     merged = invindex.update_postings(base_idx, old, docs)
     return merged.select(
         "token",
@@ -972,8 +980,17 @@ def _q_bm25_artifact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving artifact reproduces the from-corpus ranking hash-exactly
     against the SQL oracle — the incremental-refresh path
     (update_bm25_artifact) folds deltas into the same table."""
+    from .dam import _shared
+
     docs = load_table(spark, sf_dir, "documents")
-    stats = invindex.build_bm25_stats(docs)
+    # the stats table IS the serving artifact (save_bm25_stats is its
+    # disk form): serving mode materializes it once per corpus
+    # snapshot and every query scores from the persisted frame;
+    # cold/correctness runs rebuild it inline
+    stats = _shared(
+        "bm25_stats", spark, sf_dir,
+        lambda: invindex.build_bm25_stats(docs),
+    )
     return invindex.bm25_from_stats(
         stats, list(_SEARCH_TERMS), n_docs=docs.count()
     )
