@@ -94,6 +94,19 @@ def _shingles(toks: F.Column, shingle: int) -> F.Column:
     )
 
 
+def _reserve_working_col(docs: DataFrame, name: str, ctx: str) -> None:
+    """Refuse an input frame that already carries an internal working
+    column: withColumn would silently overwrite it and the trailing
+    drop would delete the caller's column from the output (the
+    score_documents clash-check discipline, applied to the hoisted
+    token-split columns)."""
+    if name in docs.columns:
+        raise ValueError(
+            f"{ctx}: input already has a {name!r} column — rename it; "
+            "the name is reserved as an internal working column"
+        )
+
+
 def distinct_tokens(
     docs: DataFrame,
     *,
@@ -109,6 +122,7 @@ def distinct_tokens(
     cols = [F.col(id_col)] + [F.col(c) for c in (block_cols or [])]
     # split once under a name; see _shingles on why it must not be
     # inlined into the transform lambda
+    _reserve_working_col(docs, "_w", "distinct_tokens")
     tokd = docs.withColumn("_w", F.split(F.trim(F.col(text_col)), _WS))
     return tokd.select(
         *cols, F.explode(_shingles(F.col("_w"), shingle)).alias("tok")
@@ -1105,6 +1119,7 @@ def token_arrays(
     (array transforms), no explode, no groupBy."""
     # split once under a name; see _shingles on why it must not be
     # inlined into the transform lambda
+    _reserve_working_col(docs, "_w", "token_arrays")
     return (
         docs.withColumn("_w", F.split(F.trim(F.col(text_col)), _WS))
         .withColumn(out_col, F.array_distinct(_shingles(F.col("_w"), shingle)))

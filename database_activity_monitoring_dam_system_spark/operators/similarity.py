@@ -44,7 +44,21 @@ def _lit_array(vals: list[float]) -> Column:
 
 
 def _arr_sql(vals: list[float]) -> str:
-    return "array(" + ",".join(f"{v!r}D" for v in vals) + ")"
+    # repr() of a non-finite float ('nan'/'inf') is not a SQL literal;
+    # render those as CAST('NaN'/'Infinity' AS DOUBLE) so an artifact
+    # carrying a non-finite component (a corpus with non-finite
+    # embeddings) keeps producing the same double the F.lit path did,
+    # instead of failing the parse deep in serving.
+    def lit(v: float) -> str:
+        if v != v:  # NaN
+            return "CAST('NaN' AS DOUBLE)"
+        if v == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if v == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        return f"{v!r}D"
+
+    return "array(" + ",".join(lit(v) for v in vals) + ")"
 
 
 def _dot_sql(a_sql: str, b_sql: str) -> str:
@@ -497,6 +511,34 @@ def stamp_ivf_assignments(
     )
 
 
+def _union_carries(df: DataFrame, *colnames: str) -> bool:
+    """True when some Union node in the analyzed plan outputs one of
+    ``colnames`` — the one plan shape where column METADATA can lie
+    about row contents: a union inherits the FIRST child's metadata,
+    so a hand-built union of two differently-stamped tables carries
+    one side's stamp metadata over both sides' rows. Library flows
+    are immune (they drop the stamp before any union and re-stamp the
+    combined frame ABOVE it), so demoting exactly this shape to the
+    row-level check restores the old enforcement without re-running
+    artifact lineage on every legitimate serve. Returns True (demote)
+    when the plan cannot be walked — fail safe, not fast."""
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() == "Union":
+                out = node.output()
+                for i in range(out.size()):
+                    if out.apply(i).name() in colnames:
+                        return True
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return False
+    except Exception:
+        return True
+
+
 def _verify_assign_stamp(
     assign: DataFrame, centroids: list[tuple], *, caller: str
 ) -> DataFrame:
@@ -506,7 +548,7 @@ def _verify_assign_stamp(
         None,
     )
     meta = field.metadata.get("stamp") if field is not None else None
-    if meta == expect:
+    if meta == expect and not _union_carries(assign, IVF_ASSIGN_STAMP):
         # stamped by stamp_ivf_assignments under these exact
         # centroids — driver-side check, no job
         return assign.drop(IVF_ASSIGN_STAMP)
@@ -1578,6 +1620,25 @@ def verify_index_stamp(
         checks.append(
             (QUANTIZER_STAMP, artifact_fingerprint(centroids), "quantizer")
         )
+    if checks and _union_carries(codes, *[c for c, _, _ in checks]):
+        # a union carrying the stamp columns can hide a second stamp
+        # behind the first child's metadata AND its first row — check
+        # every distinct stamp value (rare shape; library flows
+        # re-stamp above their unions and never hit this)
+        for colname, want, what in checks:
+            got = sorted(
+                r[0]
+                for r in codes.select(colname).distinct().collect()
+                if r[0] is not None
+            )
+            if got and (len(got) > 1 or got[0] != want):
+                raise ValueError(
+                    f"{caller}: code table was encoded under different "
+                    f"{what} (stamps {[g[:10] for g in got]}… != "
+                    f"supplied {want[:10]}…) — load the matching "
+                    "artifact or rebuild the index"
+                )
+        return codes.drop(CODEBOOK_STAMP, QUANTIZER_STAMP)
     checks = [
         (colname, want, what)
         for colname, want, what in checks

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from ..ckpt import register as _ckpt_register
+from .dedup import _reserve_working_col
 
 # Minimal per-language stopword profiles for the n-gram/stopword
 # heuristic. Real pipelines plug fuller profiles in; the operator shape
@@ -453,6 +454,7 @@ def repetition_signals(
     joins — scan-parallel at any corpus size; per-row cost is
     O(k log k) for docs of k tokens (see repetition_mid_cols).
     """
+    _reserve_working_col(docs, "_w", "repetition_signals")
     m = repetition_mid_cols(text_col, toks_col=F.col("_w"))
     mid = docs.withColumn("_w", _tokens(text_col)).select(
         F.col(id_col).alias("doc_id"),
@@ -564,6 +566,7 @@ def winnow_fingerprints(
     hashes = F.transform(
         idxs, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k)))
     )
+    _reserve_working_col(docs, "_w", "winnow_fingerprints")
     exploded = docs.withColumn("_w", _tokens(text_col)).select(
         F.col(id_col).alias("doc_id"), F.posexplode(hashes).alias("pos", "h")
     )
@@ -1268,7 +1271,7 @@ def fingerprint_overlap_pairs(
     data-proportional knob of the round-12 verdict; plans at gate
     scale are untouched.
     """
-    from .dedup import WINDOW_TARGET_ROWS, data_proportional_partitions
+    from .dedup import _reserve_working_col, WINDOW_TARGET_ROWS, data_proportional_partitions
 
     fp = winnow_fingerprints(
         docs, id_col=id_col, text_col=text_col, k=k, window=window
