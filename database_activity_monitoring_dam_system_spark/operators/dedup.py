@@ -342,6 +342,7 @@ def update_containment_pairs(
     text_col: str = "text",
     threshold: float = 0.9,
     shingle: int = 3,
+    diff: DataFrame | None = None,
 ) -> DataFrame:
     """Fold a crawl delta into the exact containment pair table —
     the corpus_diff discipline (band table, posting table, BM25
@@ -367,13 +368,25 @@ def update_containment_pairs(
     shingle) — persist it alongside those parameters and refuse a
     mismatch (the load_band_table stamp contract); equivalence with
     a fresh rebuild is asserted by test."""
-    # checkpointed: read by the survivor anti-joins AND the
-    # delta-candidate semi-joins — the two fingerprint scans + the
-    # full-outer join behind the verdict run once, not per branch
-    diff = corpus_diff(
-        old_docs, new_docs, id_col=id_col, text_col=text_col,
-        normalize=False,
-    ).localCheckpoint(eager=False).transform(_ckpt_register)
+    # ``diff``: optionally a PRECOMPUTED verdict table — (id, verdict)
+    # covering at least every non-unchanged id, i.e. corpus_diff
+    # output with the 'unchanged' rows optionally dropped. A crawl
+    # pipeline diffs the snapshot ONCE and feeds every artifact
+    # maintainer (postings, bands, pairs); recomputing the two
+    # fingerprint scans + full-outer join per maintainer measured
+    # ~1 s/call at sf0.1. Default: computed here, checkpointed (read
+    # by the survivor anti-joins AND the delta-candidate semi-joins),
+    # pre-filtered to the delta so the checkpoint stores delta-sized
+    # rows, never corpus-sized ones.
+    if diff is None:
+        diff = (
+            corpus_diff(
+                old_docs, new_docs, id_col=id_col, text_col=text_col,
+                normalize=False,
+            )
+            .filter(F.col("verdict") != "unchanged")
+            .localCheckpoint(eager=False).transform(_ckpt_register)
+        )
     dirty = diff.filter(F.col("verdict") != "unchanged").select(id_col)
     survivors = (
         old_pairs.join(
@@ -1223,6 +1236,7 @@ def update_minhash_bands(
     bands: int = 4,
     shingle: int = 3,
     hex_buckets: bool = True,
+    diff: DataFrame | None = None,
 ) -> DataFrame:
     """Incrementally fold a corpus snapshot change into a persisted
     LSH band table — the near-dup index given the same maintenance
@@ -1274,15 +1288,19 @@ def update_minhash_bands(
                         "or match the parameters"
                     )
         band_table = band_table.drop(*stamp_cols)
-    diff = (
-        corpus_diff(
-            old_docs, new_docs, id_col=id_col, text_col=text_col,
-            normalize=False,
+    # ``diff``: optionally a precomputed non-unchanged verdict table
+    # (see update_containment_pairs) — the crawl pipeline diffs once,
+    # every maintainer folds from it
+    if diff is None:
+        diff = (
+            corpus_diff(
+                old_docs, new_docs, id_col=id_col, text_col=text_col,
+                normalize=False,
+            )
+            .filter(F.col("verdict") != "unchanged")
+            .select(id_col, "verdict")
+            .localCheckpoint(eager=False).transform(_ckpt_register)
         )
-        .filter(F.col("verdict") != "unchanged")
-        .select(id_col, "verdict")
-        .localCheckpoint(eager=False).transform(_ckpt_register)
-    )
     gone = diff.filter(
         F.col("verdict").isin("removed", "changed")
     ).select(id_col)

@@ -362,6 +362,7 @@ def update_postings(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    diff: DataFrame | None = None,
 ) -> DataFrame:
     """Incrementally fold a corpus snapshot change into an existing
     UNCAPPED posting table: the pq_update_codes carry pattern applied
@@ -397,17 +398,20 @@ def update_postings(
     # the diff's full-outer join is consumed by BOTH delta sides and
     # Spark re-runs a shared subtree per consumer — materialize the
     # (delta-bounded) verdict ids once; unchanged docs never leave
-    # the join
-    diff = (
-        corpus_diff(
-            old_docs, new_docs, id_col=id_col, text_col=text_col,
-            normalize=False,
+    # the join. ``diff``: optionally a PRECOMPUTED non-unchanged
+    # verdict table (the crawl pipeline diffs the snapshot once and
+    # feeds every artifact maintainer — see update_containment_pairs).
+    if diff is None:
+        diff = (
+            corpus_diff(
+                old_docs, new_docs, id_col=id_col, text_col=text_col,
+                normalize=False,
+            )
+            .filter(F.col("verdict") != "unchanged")
+            .select(id_col, "verdict")
+            .localCheckpoint(eager=True)
+            .transform(_ckpt_register)
         )
-        .filter(F.col("verdict") != "unchanged")
-        .select(id_col, "verdict")
-        .localCheckpoint(eager=True)
-        .transform(_ckpt_register)
-    )
     gone_ids = diff.filter(
         F.col("verdict").isin("removed", "changed")
     ).select(F.col(id_col))

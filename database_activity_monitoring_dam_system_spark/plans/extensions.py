@@ -20,6 +20,8 @@ Oracle notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import (
@@ -528,7 +530,7 @@ def _q_incremental_containment(spark, sf_dir):
     derivation is unchanged; serving ≡ cold is pinned by
     test_incremental_artifacts_serving_equals_cold."""
     from .dam import _shared
-    from .lakehouse import synth_old_snapshot
+    from .lakehouse import shared_snapshot_diff, synth_old_snapshot
 
     docs = _docs(spark, sf_dir)
     old = synth_old_snapshot(docs)
@@ -541,6 +543,11 @@ def _q_incremental_containment(spark, sf_dir):
     return dedup.update_containment_pairs(
         old_pairs, old, docs,
         threshold=_PREFIX_T, shingle=_PREFIX_SHINGLE,
+        diff=(
+            shared_snapshot_diff(spark, sf_dir)
+            if os.environ.get("SPARK_DAM_SHARE_FRAMES") == "1"
+            else None
+        ),
     )
 
 
@@ -769,7 +776,7 @@ def _q_incremental_minhash_bands(spark, sf_dir):
     rows, append freshly-signed delta bands) lossless, with only the
     delta ever re-signed."""
     from .dam import _shared
-    from .lakehouse import synth_old_snapshot
+    from .lakehouse import shared_snapshot_diff, synth_old_snapshot
 
     docs = _docs(spark, sf_dir)
     old = synth_old_snapshot(docs.select("doc_id", "text"))
@@ -796,6 +803,11 @@ def _q_incremental_minhash_bands(spark, sf_dir):
         bands=_MINHASH_MD5_BANDS,
         shingle=3,
         hex_buckets=True,
+        diff=(
+            shared_snapshot_diff(spark, sf_dir)
+            if os.environ.get("SPARK_DAM_SHARE_FRAMES") == "1"
+            else None
+        ),
     )
 
 

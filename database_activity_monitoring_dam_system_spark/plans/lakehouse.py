@@ -14,6 +14,8 @@ that pattern.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -417,6 +419,27 @@ def synth_old_snapshot(docs: DataFrame) -> DataFrame:
     )
 
 
+def shared_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE crawl-diff verdict table every incremental-maintenance
+    gate folds from: corpus_diff(synth_old_snapshot(docs), docs)
+    restricted to non-unchanged ids. A crawl pipeline diffs the
+    snapshot once and feeds every artifact maintainer; under serving
+    mode this is a _shared materialized view (delta-bounded — ~30 %
+    of ids by the snapshot's construction), cold runs recompute it
+    per gate exactly as before."""
+    from ..operators.dedup import corpus_diff
+    from .dam import _shared
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = synth_old_snapshot(docs)
+    return _shared(
+        "snapshot_diff_verdicts", spark, sf_dir,
+        lambda: corpus_diff(old, docs, normalize=False)
+        .filter(F.col("verdict") != "unchanged")
+        .select("doc_id", "verdict"),
+    )
+
+
 def _q_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance ≡ fresh rebuild, md5-pinned: an
     OLD corpus snapshot is synthesized with every change class —
@@ -439,7 +462,14 @@ def _q_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "postings_old_index", spark, sf_dir,
         lambda: invindex.build_postings(old),
     )
-    merged = invindex.update_postings(base_idx, old, docs)
+    merged = invindex.update_postings(
+        base_idx, old, docs,
+        diff=(
+            shared_snapshot_diff(spark, sf_dir)
+            if os.environ.get("SPARK_DAM_SHARE_FRAMES") == "1"
+            else None
+        ),
+    )
     return merged.select(
         "token",
         "df",
