@@ -62,7 +62,16 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Shuffled-hash-join policy: ONLY the AQE rewrite below, which
+        # converts a planned sort-merge join at runtime when every
+        # post-shuffle partition is under 64MB — keyed off ACTUAL
+        # bytes, so the non-spillable build side is memory-bounded at
+        # any scale. The static preferSortMergeJoin=false knob was
+        # removed (round 14): it keys off size ESTIMATES (often wrong
+        # after filters), its build side cannot spill (executor OOM
+        # where sort-merge would have spilled), and paired A/B showed
+        # it neutral-to-slower here (market_share 1.10 vs 1.40 s warm;
+        # up to 4x slower cold-session).
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             "64MB",
