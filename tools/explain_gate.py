@@ -26,7 +26,7 @@ from database_activity_monitoring_dam_system_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "plans", "r13")
+    os.path.abspath(__file__))), "plans", os.environ.get("PLANS_ROUND", "r14"))
 
 
 def main() -> None:
